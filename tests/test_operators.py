@@ -1,0 +1,104 @@
+"""Custom-operator unit tests against pandas oracles (mirrors the
+reference's per-operator pandas-oracle strategy, SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from xorq_spark.operators import asof_join, positional_join
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["A", "A", "A", "B", "B", "C"],
+                "t": [1, 5, 10, 2, 8, 4],
+                "px": [10.0, 11.0, 12.0, 20.0, 21.0, 30.0],
+            }
+        )
+    )
+    quotes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "sym": ["A", "A", "B", "B", "B"],
+                "t": [0, 6, 2, 3, 9],
+                "bid": [9.5, 10.5, 19.5, 19.7, 20.5],
+            }
+        )
+    )
+    return trades, quotes
+
+
+def test_asof_backward_matches_merge_asof(trades_quotes):
+    trades, quotes = trades_quotes
+    got = (
+        asof_join(trades, quotes, on="t", by=["sym"], right_prefix="q_")
+        .orderBy("sym", "t")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        trades.toPandas().sort_values("t"),
+        quotes.toPandas().sort_values("t").rename(columns={"bid": "q_bid", "t": "q_t"}),
+        left_on="t",
+        right_on="q_t",
+        by="sym",
+        direction="backward",
+    ).sort_values(["sym", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["sym", "t", "px", "q_bid", "q_t"]].reset_index(drop=True),
+        expected[["sym", "t", "px", "q_bid", "q_t"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_forward(trades_quotes):
+    trades, quotes = trades_quotes
+    got = (
+        asof_join(trades, quotes, on="t", by=["sym"], direction="forward", right_prefix="q_")
+        .orderBy("sym", "t")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        trades.toPandas().sort_values("t"),
+        quotes.toPandas().sort_values("t").rename(columns={"bid": "q_bid", "t": "q_t"}),
+        left_on="t",
+        right_on="q_t",
+        by="sym",
+        direction="forward",
+    ).sort_values(["sym", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["sym", "t", "q_bid"]].reset_index(drop=True),
+        expected[["sym", "t", "q_bid"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_tie_is_inclusive_backward(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [5]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [5], "v": [99]}))
+    got = asof_join(left, right, on="t", by=["k"], right_prefix="r_").collect()
+    assert got[0]["r_v"] == 99
+
+
+def test_asof_tolerance(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "t": [10, 100]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1, 1], "t": [8, 20], "v": [1, 2]}))
+    got = {
+        r["t"]: r["r_v"]
+        for r in asof_join(
+            left, right, on="t", by=["k"], right_prefix="r_", tolerance=F.lit(5)
+        ).collect()
+    }
+    assert got[10] == 1  # |10-8| <= 5
+    assert got[100] is None  # |100-20| > 5
+
+
+def test_positional_join(spark):
+    a = spark.createDataFrame(pd.DataFrame({"x": [3, 1, 2]}))
+    b = spark.createDataFrame(pd.DataFrame({"y": ["c", "a", "b"]}))
+    got = positional_join(a, b, ["x"], ["y"]).orderBy("x").collect()
+    assert [(r["x"], r["y"]) for r in got] == [(1, "a"), (2, "b"), (3, "c")]

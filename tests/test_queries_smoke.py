@@ -1,0 +1,30 @@
+"""Smoke: every registered query runs at sf0.001 and returns a stable
+schema; entry() contract works. (Full duckdb-oracle equivalence is
+exercised by tools/check_oracle.py and the driver at sf0.01.)"""
+
+from __future__ import annotations
+
+import pytest
+
+from xorq_spark.queries import QUERIES, ORACLES
+
+
+def test_registry_nonempty():
+    assert len(QUERIES) >= 30
+    unknown = set(ORACLES) - set(QUERIES)
+    assert not unknown, f"oracles without queries: {unknown}"
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.columns  # schema resolves
+    assert df.count() >= 0
+
+
+def test_entry(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert set(e.oracle_sql()) <= set(e.queries())

@@ -1,0 +1,26 @@
+"""Query catalog: every operator family from SURVEY.md §2 exercised as a
+(spark, sf_dir) -> DataFrame callable with (where SQL-expressible) a
+DuckDB oracle SQL string.
+
+This package is the driver-facing correctness surface: `__spark_entry__`
+re-exports `QUERIES` / `ORACLES` from here.
+"""
+
+from xorq_spark.queries.base import QUERIES, ORACLES, query
+
+# importing registers queries
+from xorq_spark.queries import tpch  # noqa: F401
+from xorq_spark.queries import relational  # noqa: F401
+from xorq_spark.queries import window  # noqa: F401
+from xorq_spark.queries import scalar_funcs  # noqa: F401
+from xorq_spark.queries import aggregates  # noqa: F401
+from xorq_spark.queries import temporal  # noqa: F401
+from xorq_spark.queries import collections  # noqa: F401
+from xorq_spark.queries import joins  # noqa: F401
+from xorq_spark.queries import text  # noqa: F401
+from xorq_spark.queries import dedup  # noqa: F401
+from xorq_spark.queries import similarity  # noqa: F401
+from xorq_spark.queries import ml  # noqa: F401
+from xorq_spark.queries import engine  # noqa: F401
+
+__all__ = ["QUERIES", "ORACLES", "query"]

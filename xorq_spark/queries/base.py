@@ -1,0 +1,84 @@
+"""Registry + shared helpers for the correctness-query catalog."""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def query(name: str, oracle: Optional[str] = None):
+    """Register a correctness query; `oracle` is DuckDB SQL over the same
+    parquet tables (pre-registered views named as in TABLES)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Plain parquet scan — Catalyst handles column
+    pruning + predicate pushdown from whatever the query composes on top.
+
+    events.parquet carries TIMESTAMP(NANOS) which the Spark parquet reader
+    rejects outright; we read nanos as int64 (runtime-settable legacy
+    conf) and truncate to microsecond timestamp_ntz with integer `div`
+    (matching DuckDB's ns->us truncation — float division would round and
+    drift by 1us). Session tz pinned to UTC so the LTZ->NTZ cast is
+    value-preserving regardless of driver-session defaults."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col, scale: int = 2):
+    """Cast a double money column to decimal for order-independent exact
+    aggregation (see oracle-parity note: double sums are
+    accumulation-order dependent; decimal sums are exact and match DuckDB
+    bit-for-bit; final outputs get cast back to double)."""
+    return F.col(col).cast(f"decimal(18,{scale})") if isinstance(col, str) else col.cast(f"decimal(18,{scale})")
+
+
+def as_double(c):
+    return c.cast("double")
+
+
+def money_out(c):
+    """Final output form for exact decimal aggregates: DECIMAL(38,10).
+
+    Casting big decimals to double is NOT portable — for int128-scale
+    unscaled values Spark's BigDecimal.doubleValue() and DuckDB's
+    int128*10^-s conversion can differ by 1 ulp (observed on Q1
+    sum_charge at scale 10). Decimal->decimal rescaling rounds half-away-
+    from-zero in both engines, so a DECIMAL(38,10) output is bit-stable."""
+    return c.cast("decimal(38,10)")
+
+
+def ratio(num, den, digits: int = 9):
+    """Portable ratio output: double division rounded to `digits`.
+
+    Inputs may be decimals that convert to double with <=1 ulp skew, so a
+    final round at 1e-9 collapses any residual difference (values here
+    are <1e6; boundary collisions are measure-zero)."""
+    return F.round(num.cast("double") / den.cast("double"), digits)

@@ -1,0 +1,301 @@
+"""Relational-core coverage: distinct / set ops / limit-offset /
+deterministic sample / fill-null / drop-null / unnest / pivot /
+value_counts (SURVEY §2.2)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Window
+
+from xorq_spark.queries.base import query, t, as_double, money_out, ratio
+
+
+@query(
+    "rel_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    ORDER BY o_orderstatus, o_orderpriority
+    """,
+)
+def rel_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+@query(
+    "rel_distinct_on_keep_first",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders) WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def rel_distinct_on(spark, sf_dir):
+    """Distinct-on-subset with keep='first' (reference Distinct op,
+    relations.py:504) — lowered to row_number over a deterministic sort."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate")
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "rel_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def rel_union_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.unionAll(s)
+
+
+@query(
+    "rel_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def rel_union_distinct(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct().orderBy("nationkey")
+
+
+@query(
+    "rel_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def rel_intersect(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "rel_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def rel_except(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s).orderBy("nationkey")
+
+
+@query(
+    "rel_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def rel_except_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s).orderBy("nationkey")
+
+
+@query(
+    "rel_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def rel_intersect_all(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s).orderBy("nationkey")
+
+
+@query(
+    "rel_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    ORDER BY o_orderkey LIMIT 25 OFFSET 100
+    """,
+)
+def rel_limit_offset(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey")
+        .orderBy("o_orderkey")
+        .offset(100)
+        .limit(25)
+    )
+
+
+@query(
+    "rel_sample_deterministic",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE (o_orderkey * 2654435761) % 100 < 10
+    ORDER BY o_orderkey
+    """,
+)
+def rel_sample(spark, sf_dir):
+    """Reproducible ~10% sample via multiplicative hashing of the key —
+    unlike fraction-based Bernoulli sampling this is deterministic across
+    engines/partitionings, which is what reproducible-pipeline sampling
+    needs (reference Sample op, relations.py:495; same spirit as its
+    hash-bucket train_test_splits, expr/ml/split_lib.py:154)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") * F.lit(2654435761)) % 100 < 10)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "rel_fill_drop_null",
+    oracle="""
+    WITH e AS (
+      SELECT event_id,
+             NULLIF(event_type, 'error') AS etype,
+             CASE WHEN value < 2 THEN NULL ELSE value END AS val
+      FROM events)
+    SELECT event_id, COALESCE(etype, 'unknown') AS etype,
+           CAST(COALESCE(val, 0.0) AS DOUBLE) AS val
+    FROM e
+    WHERE NOT (etype IS NULL AND val IS NULL)
+    ORDER BY event_id
+    """,
+)
+def rel_fill_drop_null(spark, sf_dir):
+    """FillNull + DropNull(how=all, subset) (relations.py:480,487)."""
+    e = (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.nullif(F.col("event_type"), F.lit("error")).alias("etype"),
+            F.when(F.col("value") < 2, F.lit(None).cast("double"))
+            .otherwise(F.col("value"))
+            .alias("val"),
+        )
+    )
+    return (
+        e.na.drop(how="all", subset=["etype", "val"])
+        .na.fill({"etype": "unknown", "val": 0.0})
+        .select("event_id", "etype", as_double(F.col("val")).alias("val"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "rel_value_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    GROUP BY event_type ORDER BY n DESC, event_type
+    """,
+)
+def rel_value_counts(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+@query(
+    "rel_pivot_wider",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,10)) AS qty_f,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,10)) AS qty_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def rel_pivot_wider(spark, sf_dir):
+    """pivot_wider (types/relations.py:3927) via groupBy().pivot().agg() —
+    Spark's native pivot does the same conditional-aggregation rewrite."""
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(qty))
+        .select(
+            "l_returnflag",
+            money_out(F.coalesce(F.col("F"), zero)).alias("qty_f"),
+            money_out(F.coalesce(F.col("O"), zero)).alias("qty_o"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "rel_pivot_longer",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    ORDER BY c_custkey, metric
+    """,
+)
+def rel_pivot_longer(spark, sf_dir):
+    """pivot_longer (types/relations.py:3597) via native unpivot/stack."""
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            as_double(F.col("c_acctbal")).alias("acctbal"),
+            as_double(F.col("c_nationkey")).alias("nationkey"),
+        )
+        .unpivot("c_custkey", ["acctbal", "nationkey"], "metric", "val")
+        .orderBy("c_custkey", "metric")
+    )
+
+
+@query(
+    "rel_describe_stats",
+    oracle="""
+    SELECT COUNT(o_totalprice) AS cnt,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 9) AS mean,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_v,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_v
+    FROM orders
+    """,
+)
+def rel_describe(spark, sf_dir):
+    """describe/info summary stats (types/relations.py:2717)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("o_totalprice").alias("cnt"),
+        ratio(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.count("*")).alias("mean"),
+        as_double(F.min("o_totalprice")).alias("min_v"),
+        as_double(F.max("o_totalprice")).alias("max_v"),
+    )

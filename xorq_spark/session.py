@@ -1,0 +1,87 @@
+"""SparkSession management.
+
+Mirrors the role of xorq's ``xo.connect()`` (reference:
+python/xorq/expr/api.py:97-137 — lazily-created default backend): one
+process-wide lazily created SparkSession configured for analytic
+workloads. Tests and the driver may hand us an existing session via
+``connect(spark=...)``.
+
+Scale notes: every config here is chosen for cluster-scale behavior —
+AQE on (runtime re-planning, skew-join splitting, partition coalescing),
+Arrow transport for any Python boundary, and shuffle partitions sized by
+``XORQ_SPARK_SHUFFLE_PARTITIONS`` (defaults to local core count; on a
+real cluster set it ~2-3x total executor cores or rely on AQE coalesce).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from pyspark.sql import SparkSession
+
+_active: Optional[SparkSession] = None
+
+
+def _default_parallelism() -> int:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if cpus:
+        return int(cpus)
+    return os.cpu_count() or 8
+
+
+def options() -> dict:
+    """Session conf applied at connect() time (all safe at 100 TB scale)."""
+    par = _default_parallelism()
+    shuffle = os.environ.get("XORQ_SPARK_SHUFFLE_PARTITIONS", str(max(par, 32)))
+    return {
+        # Adaptive execution: runtime shuffle-partition coalescing,
+        # skew-join splitting, and join-strategy demotion/promotion.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.shuffle.partitions": shuffle,
+        # Arrow everywhere Python touches data (pandas UDFs, toPandas).
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "65536",
+        # Deterministic timezone semantics for oracle parity.
+        "spark.sql.session.timeZone": "UTC",
+        # Parquet scans: vectorized reader + pushdown are defaults, keep
+        # explicit so a misconfigured cluster can't silently regress.
+        "spark.sql.parquet.filterPushdown": "true",
+        "spark.sql.parquet.aggregatePushdown": "true",
+        # 128 MiB split size — the right default for large files on HDFS/S3.
+        "spark.sql.files.maxPartitionBytes": "134217728",
+        # Broadcast threshold: AQE will also convert at runtime; static
+        # 64 MiB keeps dim-table joins (region/nation/part) broadcast.
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    }
+
+
+def connect(master: Optional[str] = None, spark: Optional[SparkSession] = None,
+            app_name: str = "xorq_spark", extra_conf: Optional[dict] = None) -> SparkSession:
+    """Create (or adopt) the process-wide SparkSession."""
+    global _active
+    if spark is not None:
+        _active = spark
+        return spark
+    if _active is not None:
+        return _active
+    master = master or os.environ.get("XORQ_SPARK_MASTER", f"local[{_default_parallelism()}]")
+    builder = SparkSession.builder.master(master).appName(app_name)
+    for k, v in options().items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    _active = builder.getOrCreate()
+    return _active
+
+
+def get_spark() -> SparkSession:
+    """Return the active session, creating the default one if needed."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        global _active
+        _active = active
+        return active
+    return connect()
