@@ -1,1 +1,301 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Aggregation coverage (SURVEY §2.4): statistical moments, quantiles,
+argmin/argmax, bit/bool aggs, ordered group_concat / array collect,
+filtered aggregates, count-distinct, rollup/cube (Spark extras).
+
+Parity notes: var/stddev/corr/covar accumulate in double (order-
+dependent at the 1e-13 relative level), so results are rounded to
+6-9 digits on small-magnitude columns. min_by/max_by use a synthetic
+unique ordering key — both engines pick arbitrarily on ties otherwise.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from xorq_spark.queries.base import query, t, money_out
+
+_PRICE = "decimal(18,2)"
+
+
+@query(
+    "agg_stats_moments",
+    oracle="""
+    SELECT event_type,
+           ROUND(var_samp(value), 6) AS v_samp,
+           ROUND(var_pop(value), 6) AS v_pop,
+           ROUND(stddev_samp(value), 6) AS sd_samp,
+           ROUND(stddev_pop(value), 6) AS sd_pop,
+           ROUND(corr(value, CAST(user_id AS DOUBLE)), 9) AS cor,
+           ROUND(covar_samp(value, CAST(user_id AS DOUBLE)), 6) AS cov_s,
+           ROUND(covar_pop(value, CAST(user_id AS DOUBLE)), 6) AS cov_p
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_stats(spark, sf_dir):
+    v = F.col("value")
+    u = F.col("user_id").cast("double")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.var_samp(v), 6).alias("v_samp"),
+            F.round(F.var_pop(v), 6).alias("v_pop"),
+            F.round(F.stddev_samp(v), 6).alias("sd_samp"),
+            F.round(F.stddev_pop(v), 6).alias("sd_pop"),
+            F.round(F.corr(v, u), 9).alias("cor"),
+            F.round(F.covar_samp(v, u), 6).alias("cov_s"),
+            F.round(F.covar_pop(v, u), 6).alias("cov_p"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "agg_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(CAST(l_quantity AS DOUBLE)), 9) AS med,
+           ROUND(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 9) AS q25,
+           quantile_cont(CAST(l_quantity AS DOUBLE), [0.25, 0.5, 0.75]) AS qs,
+           quantile_disc(CAST(l_quantity AS DOUBLE), 0.5) AS med_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_quantiles(spark, sf_dir):
+    q = F.col("l_quantity").cast("double")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.median(q), 9).alias("med"),
+            F.round(F.percentile(q, 0.25), 9).alias("q25"),
+            F.percentile(q, F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("qs"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY CAST(l_quantity AS DOUBLE))").alias("med_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_argminmax_firstlast",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS best_order,
+           arg_min(o_orderkey, CAST(o_totalprice * 100 AS BIGINT) * 10000000 + o_orderkey) AS worst_order,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+)
+def agg_argminmax(spark, sf_dir):
+    """ArgMax/ArgMin (reductions.py:328,338) -> F.max_by/min_by. The
+    ordering key is made unique (price cents * 1e7 + orderkey) because
+    both engines break ties arbitrarily."""
+    key = (F.col("o_totalprice") * 100).cast("bigint") * 10000000 + F.col("o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max_by("o_orderkey", key).alias("best_order"),
+            F.min_by("o_orderkey", key).alias("worst_order"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "agg_bit_bool",
+    oracle="""
+    SELECT n_regionkey,
+           bit_and(n_nationkey) AS b_and,
+           bit_or(n_nationkey) AS b_or,
+           bit_xor(n_nationkey) AS b_xor,
+           bool_and(n_nationkey % 2 = 0) AS all_even,
+           bool_or(n_nationkey % 2 = 0) AS any_even
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_bit_bool(spark, sf_dir):
+    k = F.col("n_nationkey")
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.bit_and(k).alias("b_and"),
+            F.bit_or(k).alias("b_or"),
+            F.bit_xor(k).alias("b_xor"),
+            F.bool_and(k % 2 == 0).alias("all_even"),
+            F.bool_or(k % 2 == 0).alias("any_even"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_group_concat_collect",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS names_csv,
+           list(n_name ORDER BY n_name) AS names_arr,
+           list(DISTINCT n_regionkey ORDER BY n_regionkey) AS self_keys
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+)
+def agg_group_concat(spark, sf_dir):
+    """GroupConcat with separator+order (reductions.py:348) and ordered
+    ArrayCollect (reductions.py:373) — lowered to sorted collect_list."""
+    return (
+        t(spark, sf_dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("names_csv"),
+            F.array_sort(F.collect_list("n_name")).alias("names_arr"),
+            F.array_sort(F.collect_set("n_regionkey")).alias("self_keys"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(l_orderkey) AS n_rows,
+           COUNT(*) AS n_star,
+           COUNT(DISTINCT (l_suppkey, l_partkey)) AS n_pairs
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct("l_partkey").alias("n_part"),
+            F.count("l_orderkey").alias("n_rows"),
+            F.count("*").alias("n_star"),
+            F.countDistinct(F.struct("l_suppkey", "l_partkey")).alias("n_pairs"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_filtered_where",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DECIMAL(38,10)) AS qty_highdisc,
+           COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+           CAST(MAX(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS max_f
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_filtered(spark, sf_dir):
+    """Per-reduction `where` filter (Filterable, reductions.py:27) —
+    lowered to agg(when(cond, x)), the same rewrite ibis uses."""
+    qty = F.col("l_quantity").cast(_PRICE)
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            money_out(F.sum(F.when(F.col("l_discount") > 0.05, qty))).alias("qty_highdisc"),
+            F.count(F.when(F.col("l_quantity") > 25, True)).alias("n_bulk"),
+            F.max(F.when(F.col("l_linestatus") == "F", F.col("l_extendedprice")))
+            .cast("double")
+            .alias("max_f"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    """ROLLUP — a Spark extra the reference IR lacks (SURVEY §2.2 notes
+    no grouping-sets anywhere in the ibis IR); exposed because Spark has
+    it natively and training-data summaries want it."""
+    qty = F.col("l_quantity").cast(_PRICE)
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_rf"),
+            F.grouping("l_linestatus").alias("g_ls"),
+            F.count("*").alias("n"),
+            money_out(F.sum(qty)).alias("sum_qty"),
+        )
+        .orderBy(
+            "g_rf",
+            "g_ls",
+            F.col("l_returnflag").asc_nulls_last(),
+            F.col("l_linestatus").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) AS g_st, GROUPING(o_orderpriority) AS g_pr,
+           COUNT(*) AS n
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    ORDER BY g_st, g_pr, o_orderstatus NULLS LAST, o_orderpriority NULLS LAST
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping("o_orderstatus").alias("g_st"),
+            F.grouping("o_orderpriority").alias("g_pr"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(
+            "g_st",
+            "g_pr",
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_orderpriority").asc_nulls_last(),
+        )
+    )
+
+
+@query(
+    "agg_any_value_deterministic",
+    oracle="""
+    SELECT c_nationkey,
+           min(c_name) AS arbitrary_name,
+           arg_min(c_name, c_custkey) AS first_by_key,
+           arg_max(c_name, c_custkey) AS last_by_key
+    FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def agg_first_last_ordered(spark, sf_dir):
+    """First/Last/Arbitrary with order_by (reductions.py:67-90): ordered
+    first/last lower to min_by/max_by on the ordering key; Arbitrary is
+    made deterministic as min() (any fixed choice is a valid Arbitrary)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.min("c_name").alias("arbitrary_name"),
+            F.min_by("c_name", "c_custkey").alias("first_by_key"),
+            F.max_by("c_name", "c_custkey").alias("last_by_key"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -39,9 +39,12 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (matching DuckDB's ns->us truncation — float division would round and
     drift by 1us). Session tz pinned to UTC so the LTZ->NTZ cast is
     value-preserving regardless of driver-session defaults."""
+    # Pin UTC on whatever session the driver hands us: every LTZ<->NTZ
+    # conversion in the catalog (unix_micros, timestamp_seconds, ...)
+    # must be timezone-free to match the DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn(

@@ -1,1 +1,260 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Temporal operator coverage (SURVEY §2.3 temporal): truncation,
+extraction, formatting, date/timestamp arithmetic, tumbling/hopping
+windows (window_by, temporal_windows.py:21-94), between-time.
+
+Parity notes: Spark dayofweek is 1=Sunday..7 while DuckDB is 0=Sunday..6
+(oracle adds 1); strftime patterns are C-style in DuckDB vs Java-style
+in Spark (mapped per column).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from xorq_spark.queries.base import query, t, money_out
+
+_PRICE = "decimal(18,2)"
+
+
+@query(
+    "time_trunc_extract",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS y_trunc,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS m_trunc,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS w_trunc,
+           CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS d_trunc,
+           year(o_orderdate) AS yr, quarter(o_orderdate) AS qtr,
+           month(o_orderdate) AS mth, day(o_orderdate) AS dom,
+           dayofyear(o_orderdate) AS doy,
+           week(o_orderdate) AS woy,
+           dayofweek(o_orderdate) + 1 AS dow,
+           CAST(o_orderdate AS DATE) AS as_date
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def time_trunc_extract(spark, sf_dir):
+    d = F.col("o_orderdate")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.date_trunc("year", d).alias("y_trunc"),
+            F.date_trunc("month", d).alias("m_trunc"),
+            F.date_trunc("week", d).alias("w_trunc"),
+            F.date_trunc("day", d).alias("d_trunc"),
+            F.year(d).alias("yr"),
+            F.quarter(d).alias("qtr"),
+            F.month(d).alias("mth"),
+            F.dayofmonth(d).alias("dom"),
+            F.dayofyear(d).alias("doy"),
+            F.weekofyear(d).alias("woy"),
+            F.dayofweek(d).alias("dow"),
+            d.cast("date").alias("as_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "time_extract_time_parts",
+    oracle="""
+    SELECT event_id,
+           hour(ts) AS hh, minute(ts) AS mi, second(ts) AS ss,
+           microsecond(ts) % 1000000 AS micros
+    FROM events ORDER BY event_id
+    """,
+)
+def time_parts(spark, sf_dir):
+    ts = F.col("ts")
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.hour(ts).alias("hh"),
+            F.minute(ts).alias("mi"),
+            F.second(ts).alias("ss"),
+            (F.unix_micros(ts.cast("timestamp")) % 1_000_000).alias("micros"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "time_format_parse",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           strftime(o_orderdate, '%Y/%m') AS ym,
+           strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS roundtrip,
+           CAST(strptime(strftime(o_orderdate, '%Y-%m-%d'), '%Y-%m-%d') AS DATE) AS parsed_date
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def time_format(spark, sf_dir):
+    """Strftime (temporal.py:70) / StringToTimestamp (temporal.py:81) /
+    StringToDate (temporal.py:92)."""
+    d = F.col("o_orderdate")
+    iso = F.date_format(d, "yyyy-MM-dd")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            iso.alias("iso_day"),
+            F.date_format(d, "yyyy/MM").alias("ym"),
+            F.to_timestamp(iso, "yyyy-MM-dd").cast("timestamp_ntz").alias("roundtrip"),
+            F.to_date(iso, "yyyy-MM-dd").alias("parsed_date"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "time_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS plus_30d,
+           o_orderdate - INTERVAL 7 DAY AS minus_7d,
+           o_orderdate + INTERVAL 3 HOUR AS plus_3h,
+           date_diff('day', o_orderdate, TIMESTAMP '2000-01-01') AS days_to_y2k,
+           date_diff('hour', o_orderdate, o_orderdate + INTERVAL 2 DAY) AS hours_2d,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_start,
+           make_timestamp(year(o_orderdate), month(o_orderdate), 1, 12, 0, 0) AS noon_first
+    FROM orders ORDER BY o_orderkey
+    """,
+)
+def time_arithmetic(spark, sf_dir):
+    """DateAdd/Sub/Diff, TimestampAdd/Diff, DateFromYMD, TimestampFromYMDHMS
+    (temporal.py:222-365) via interval arithmetic + make_date/make_timestamp."""
+    d = F.col("o_orderdate")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            (d + F.expr("INTERVAL 30 DAY")).alias("plus_30d"),
+            (d - F.expr("INTERVAL 7 DAY")).alias("minus_7d"),
+            (d + F.expr("INTERVAL 3 HOUR")).alias("plus_3h"),
+            F.timestamp_diff("day", d, F.lit("2000-01-01").cast("timestamp_ntz")).alias("days_to_y2k"),
+            F.timestamp_diff("hour", d, d + F.expr("INTERVAL 2 DAY")).alias("hours_2d"),
+            F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+            F.expr(
+                "make_timestamp_ntz(year(o_orderdate), month(o_orderdate), 1, 12, 0, 0)"
+            ).alias("noon_first"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "time_tumble_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+)
+def time_tumble(spark, sf_dir):
+    """Tumbling window aggregation (window_by size=1h, the Flink-heritage
+    WindowAggregate IR node) -> F.window. Epoch-aligned 1h tumbles equal
+    date_trunc('hour') buckets.
+
+    Scale note: F.window is the same construct Structured Streaming uses
+    for event-time aggregation — this plan moves to readStream unchanged
+    (see xorq_spark/streaming)."""
+    ev = t(spark, sf_dir, "events")
+    val = F.col("value").cast(_PRICE)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            money_out(F.sum(val)).alias("total"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("win_start", "event_type")
+    )
+
+
+@query(
+    "time_hop_window",
+    oracle="""
+    WITH h AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS s0, value FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS s0, value FROM events)
+    SELECT s0 AS win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS total
+    FROM h GROUP BY s0 ORDER BY s0
+    """,
+)
+def time_hop(spark, sf_dir):
+    """Hopping window (window_by size=1h slide=30m): each event lands in
+    2 windows. Spark's F.window(size, slide) materializes the duplication
+    natively; the oracle spells out the two shifted buckets."""
+    ev = t(spark, sf_dir, "events")
+    val = F.col("value").cast(_PRICE)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), money_out(F.sum(val)).alias("total"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("win_start"),
+            "n",
+            "total",
+        )
+        .orderBy("win_start")
+    )
+
+
+@query(
+    "time_between_time",
+    oracle="""
+    SELECT event_id, hour(ts) AS hh
+    FROM events
+    WHERE hour(ts) BETWEEN 9 AND 17
+    ORDER BY event_id
+    """,
+)
+def time_between(spark, sf_dir):
+    """BetweenTime predicate (temporal.py:434)."""
+    return (
+        t(spark, sf_dir, "events")
+        .filter(F.hour("ts").between(9, 17))
+        .select("event_id", F.hour("ts").alias("hh"))
+        .orderBy("event_id")
+    )
+
+
+@query(
+    "time_unix_roundtrip",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) AS micros,
+           make_timestamp(epoch_us(ts)) AS from_unix_s
+    FROM events ORDER BY event_id
+    """,
+)
+def time_unix(spark, sf_dir):
+    """ExtractEpochSeconds / TimestampFromUNIX (temporal.py:125-261).
+    timestamp_ntz -> epoch micros is tz-free in both engines; seconds
+    roundtrip uses integer floor division (DuckDB // on BIGINT)."""
+    ts = F.col("ts")
+    micros = F.unix_micros(ts.cast("timestamp"))
+    return (
+        t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            micros.alias("micros"),
+            F.timestamp_micros(micros).cast("timestamp_ntz").alias("from_unix_s"),
+        )
+        .orderBy("event_id")
+    )
