@@ -1,0 +1,56 @@
+"""Large-scale training-data operators (beyond the reference's surface):
+text analysis, deduplication (exact / MinHash-LSH / SimHash / n-gram
+Jaccard / embedding cosine), similarity search, multimodal plumbing.
+
+Every operator is built from JVM-side pyspark.sql.functions (no Python
+UDFs in any hot path) and designed around one-shuffle patterns that
+survive 100 TB inputs.
+"""
+
+from xorq_spark.functions.text import (
+    tokenize,
+    token_count,
+    bpe_token_count,
+    language_id,
+    quality_score,
+    fingerprint,
+    rolling_hash,
+)
+from xorq_spark.functions.dedup import (
+    normalize_text,
+    shingles,
+    exact_dedup,
+    minhash_signature,
+    minhash_lsh_pairs,
+    simhash,
+    ngram_jaccard_pairs,
+    embedding_neardup_pairs,
+)
+from xorq_spark.functions.similarity import (
+    cosine_similarity,
+    l2_norm,
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+)
+
+__all__ = [
+    "tokenize",
+    "token_count",
+    "bpe_token_count",
+    "language_id",
+    "quality_score",
+    "fingerprint",
+    "rolling_hash",
+    "normalize_text",
+    "shingles",
+    "exact_dedup",
+    "minhash_signature",
+    "minhash_lsh_pairs",
+    "simhash",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "cosine_similarity",
+    "l2_norm",
+    "ann_bruteforce_topk",
+    "ann_lsh_topk",
+]

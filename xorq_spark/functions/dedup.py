@@ -1,0 +1,276 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design (the whole point of these):
+- Exact dedup groups on md5(text), never on the raw text — shuffle keys
+  are 32 bytes regardless of document size.
+- MinHash signatures/bands are computed scan-side with JVM lambdas (no
+  Python), so the only shuffle is the band-bucket self-join, whose keys
+  are 32-byte digests.
+- Hot LSH buckets (boilerplate shingles shared by millions of docs) are
+  capped with `max_bucket_size` — the standard skew guard: a bucket
+  bigger than the cap contributes O(cap^2) candidate pairs instead of
+  O(n^2).
+- Candidate pairs are verified with exact Jaccard only for the
+  candidates, never all-pairs.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, strip non-word punctuation, collapse whitespace."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^\w\s一-鿿]", " "), r"\s+", " "
+        )
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles of the normalized text, as an array<string>.
+    Documents shorter than k words produce a single whole-doc shingle."""
+    words = F.split(normalize_text(text), " ")
+    n = F.size(words)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    normalize: bool = True,
+) -> DataFrame:
+    """Keep one representative (min id) per distinct (normalized) text.
+
+    Groups on md5 digests so the shuffle moves 32-byte keys, not
+    documents; the winner is re-joined back to recover full rows."""
+    key = F.md5(normalize_text(F.col(text_col)) if normalize else F.col(text_col))
+    keyed = df.withColumn("__dk", key)
+    winners = keyed.groupBy("__dk").agg(F.min(id_col).alias(id_col))
+    return (
+        keyed.join(winners, [ "__dk", id_col], "left_semi").drop("__dk")
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature as array<string>[num_hashes]: for seed i, the
+    lexicographic min of md5(i || ':' || shingle). md5 hex strings are a
+    uniform order-preserving hash domain, so string-min is a valid
+    minhash — and is engine-portable (no 64-bit int conversions)."""
+    sh = shingles(text, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Split the signature into `bands` bands of `rows_per_band` and
+    digest each band -> array<string>[bands]."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "|")
+        ),
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard over two string arrays (as sets)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.7,
+    max_bucket_size: Optional[int] = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    Jaccard over shingle sets. Returns (id_a, id_b, jaccard_sim) with
+    id_a < id_b.
+
+    Pipeline: shingle -> minhash -> band -> explode bands -> self-join on
+    (band_idx, band_key) -> distinct candidate pairs -> Jaccard verify.
+    One shuffle for the band join + one for pair distinct."""
+    rows_per_band = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        shingles(F.col(text_col), k).alias("__sh"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("__sig"),
+    )
+    banded = base.select(
+        "__id",
+        "__sh",
+        F.posexplode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias(
+            "__band", "__bkey"
+        ),
+    )
+    if max_bucket_size is not None:
+        # Skew guard: drop buckets larger than the cap (boilerplate bands).
+        w = Window.partitionBy("__band", "__bkey")
+        banded = banded.withColumn("__bn", F.count("*").over(w)).filter(
+            F.col("__bn") <= max_bucket_size
+        ).drop("__bn")
+    left = banded.select(
+        F.col("__band"), F.col("__bkey"), F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")
+    )
+    right = banded.select(
+        F.col("__band"), F.col("__bkey"), F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")
+    )
+    pairs = (
+        left.join(right, ["__band", "__bkey"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__sh_a", "__sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "jaccard_sim",
+            jaccard(F.array_distinct("__sh_a"), F.array_distinct("__sh_b")),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard_sim", 9).alias("jaccard_sim"))
+    )
+
+
+def _token_hash32(tok: Column) -> Column:
+    """Portable 32-bit token hash: first 8 hex chars of md5 -> bigint."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("bigint")
+
+
+def simhash(text: Column, bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: per-bit majority vote of 32-bit
+    token hashes, folded JVM-side.
+
+    acc[b] += (token_hash >> b) & 1 ? 1 : -1; bit b of the result is set
+    iff acc[b] > 0. Hamming-near simhashes => near-duplicate texts."""
+    toks = F.filter(F.split(normalize_text(text), " "), lambda x: x != "")
+    hashes = F.transform(toks, _token_hash32)
+
+    # F.shiftright/shiftleft require literal bit counts; with a lambda-
+    # bound bit index we use pow-based bit math (exact: values < 2^53).
+    def _bit(h, b):
+        return (h / F.pow(F.lit(2.0), b)).cast("long").bitwiseAND(F.lit(1))
+
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda b: F.when(_bit(h, b) == 1, 1).otherwise(-1).cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 hashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    partition_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard dedup via an inverted shingle index: explode
+    shingles, self-join on the shingle digest, count shared shingles per
+    pair, Jaccard = shared / (|A| + |B| - shared).
+
+    Unlike MinHash this is exact but quadratic in docs-per-shingle;
+    `partition_cols` (e.g. language) bounds the join, which is how
+    exact-Jaccard stays feasible at scale."""
+    parts = list(partition_cols or [])
+    base = df.select(
+        *parts,
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    inv = base.select(
+        *parts, "__id", "__n", F.explode("__sh").alias("__s")
+    ).withColumn("__s", F.md5("__s"))
+    a = inv.select(*parts, F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = inv.select(*parts, F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    shared = (
+        a.join(b, parts + ["__s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__shared"))
+    )
+    jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+    return (
+        shared.withColumn("jaccard_sim", F.round(jac, 9))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    num_planes: int = 8,
+    bucket_join: bool = True,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity.
+
+    bucket_join=True: random-hyperplane LSH — vectors agreeing on all
+    `num_planes` sign bits land in one bucket; cosine verified within
+    buckets only (misses some pairs, which is the LSH recall/cost trade).
+    bucket_join=False: exact all-pairs (for oracles / small inputs).
+    """
+    from xorq_spark.functions.similarity import cosine_similarity, _lsh_bucket
+
+    base = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if bucket_join:
+        base = base.withColumn("__bucket", _lsh_bucket(F.col("__v"), num_planes))
+        cond = ["__bucket"]
+    else:
+        base = base.withColumn("__bucket", F.lit(0))
+        cond = ["__bucket"]
+    a = base.select(*cond, F.col("__id").alias("id_a"), F.col("__v").alias("__va"))
+    b = base.select(*cond, F.col("__id").alias("id_b"), F.col("__v").alias("__vb"))
+    return (
+        a.join(b, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity(F.col("__va"), F.col("__vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, as a 100 TB pipeline needs:
+- `ann_bruteforce_topk`: exact top-k. The query set is broadcast; the
+  corpus is scanned once; per-query top-k via window. Cost O(|corpus| *
+  |queries|) — the right baseline whenever |queries| is small.
+- `ann_lsh_topk`: random-hyperplane LSH. Corpus is bucketed by sign
+  bits once (a cheap scan); queries probe only their bucket (and
+  optionally multi-probe neighbors). Sublinear per query; approximate.
+
+All vector math is JVM-side (zip_with + aggregate HOFs) — no Python in
+the scan path. Hyperplanes are generated from a deterministic integer
+formula so results are reproducible across engines and runs (matching
+the reproducibility-first stance of the reference's split/hash design,
+/root/reference/python/xorq/expr/ml/split_lib.py:154).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def _plane_coef(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane coefficient in [-0.5, 0.5):
+    pure integer arithmetic (Knuth multiplicative mix), identical in any
+    engine — no RNG state, no seed files."""
+    h = (plane * 2654435761 + dim * 40503 + 2246822519) % 2147483647
+    return (h % 100000).cast("double") / 100000.0 - 0.5
+
+
+def _lsh_bucket(vec: Column, num_planes: int) -> Column:
+    """Random-hyperplane signature: bit p = sign(vec . plane_p) packed
+    into a bigint bucket id."""
+    dims = F.sequence(F.lit(0), F.size(vec) - 1)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec, dims, lambda x, d: x.cast("double") * _plane_coef(p, d)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            # shiftleft needs a literal count; pow-based power of two is
+            # exact for p < 53.
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def ann_bruteforce_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set over one corpus scan.
+
+    Returns (query_id, vec_id, cos_sim, rank) with rank 1..k per query,
+    deterministically tie-broken by corpus id."""
+    q = queries.select(F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"))
+    c = corpus.select(F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"))
+    scored = F.broadcast(q).crossJoin(c).select(
+        F.col("__qid"),
+        F.col("__cid"),
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    num_planes: int = 6,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: corpus bucketed by hyperplane signature, each
+    query scored only against its own bucket. 2^num_planes buckets; at
+    scale the bucketed corpus is written once (partitioned by bucket) and
+    probes become partition-pruned scans."""
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        _lsh_bucket(F.col(query_vec), num_planes).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cv"),
+        _lsh_bucket(F.col(corpus_vec), num_planes).alias("__bucket"),
+    )
+    scored = F.broadcast(q).join(c, "__bucket").select(
+        "__qid",
+        "__cid",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )

@@ -1,0 +1,113 @@
+"""Text-analysis column operators for training-data pipelines.
+
+All pure Column -> Column expressions over pyspark.sql.functions —
+whole-stage-codegen'd, no Python workers, embarrassingly parallel (no
+shuffle), so they run at scan speed on any input size.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small: language ID at corpus scale
+# is a ranking of marker-hit ratios, not a full model.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "that", "it", "for"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "que", "est"),
+    "de": ("der", "die", "das", "und", "ist", "von", "ein", "mit", "den", "zu"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不", "这", "人"),
+}
+
+# GPT-2-ish pre-tokenizer approximation: word pieces, numbers, punctuation
+# runs. Used for BPE-like token counting without a vocab.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+"
+
+
+def tokenize(text: Column) -> Column:
+    """Whitespace tokens (empty-string-safe)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda x: x != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokenize(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of matches of a GPT-2-style
+    pre-tokenizer regex. ~proportional to real BPE token counts."""
+    return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def language_id(text: Column, default: str = "und") -> Column:
+    """Stopword-marker language ID: ratio of tokens hitting each
+    language's marker set; argmax wins, `default` when nothing hits.
+
+    One pass over the token array per language (JVM lambda); returns the
+    best language code as a string."""
+    toks = F.transform(tokenize(F.lower(text)), lambda x: F.regexp_replace(x, r"[^\w一-鿿]", ""))
+    n = F.greatest(F.size(toks), F.lit(1))
+    best = F.lit(default)
+    best_score = F.lit(0.0)
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(toks, lambda x: F.array_contains(marker_arr, x))) / n
+        is_better = score > best_score
+        best = F.when(is_better, F.lit(lang)).otherwise(best)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic document quality in [0,1]: blend of length band, mean
+    word length band, stopword presence, alpha ratio, and repetition
+    (distinct-token ratio). The shape mirrors Gopher/C4-style filters."""
+    toks = tokenize(text)
+    n = F.size(toks)
+    n_f = n.cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double") / n_f,
+    ).otherwise(F.lit(0.0))
+    en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    stop_ratio = F.when(n > 0, F.size(F.filter(toks, lambda x: F.array_contains(en, F.lower(x)))) / n_f).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        F.length(text) > 0,
+        F.length(F.regexp_replace(text, r"[^a-zA-Z一-鿿]", "")).cast("double")
+        / F.length(text),
+    ).otherwise(F.lit(0.0))
+    distinct_ratio = F.when(n > 0, F.size(F.array_distinct(toks)) / n_f).otherwise(F.lit(0.0))
+
+    len_band = F.when((n >= 20) & (n <= 10000), 1.0).when(n >= 5, 0.5).otherwise(0.0)
+    wordlen_band = F.when((mean_len >= 3) & (mean_len <= 12), 1.0).otherwise(0.3)
+    return (
+        0.25 * len_band
+        + 0.15 * wordlen_band
+        + 0.20 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.20 * alpha_ratio
+        + 0.20 * distinct_ratio
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Canonical bag-of-words fingerprint: md5 over the sorted distinct
+    token set of the normalized text. Near-identical docs that differ
+    only in token order/duplication collide — the cheap tier of dedup."""
+    canon = F.array_join(F.array_sort(F.array_distinct(tokenize(F.lower(text)))), " ")
+    return F.md5(canon)
+
+
+def rolling_hash(text: Column, base: int = 257) -> Column:
+    """Polynomial rolling hash over characters (Rabin-Karp style),
+    computed with a JVM-side aggregate lambda: h = (h*base + code) % m.
+
+    m = 2^31-1 keeps (h*base + code) within int64 at every step."""
+    m = (1 << 31) - 1
+    chars = F.split(text, "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % m,
+    )

@@ -1,0 +1,85 @@
+"""Deterministic train/test splitting.
+
+Reference semantics: xorq's `train_test_splits` / `calc_split_column`
+(/root/reference/python/xorq/expr/ml/split_lib.py:222,154) — hash the
+unique-key columns, bucket the hash, assign splits by cumulative
+test-size ranges. Pure relational ops, reproducible across engines,
+partitionings, and runs (no RNG state).
+
+Our hash is a Knuth multiplicative mix over per-column md5-derived
+integers — portable to any SQL engine (the reference's property we keep)
+and computable entirely JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+_KNUTH = 2654435761
+_MOD = 1 << 32
+# Accumulator domain 2^31 keeps acc * _KNUTH < 2^63 (ANSI mode errors on
+# int64 overflow rather than wrapping).
+_ACC_MOD = 1 << 31
+
+
+def _key_hash(unique_key: Sequence[str]) -> Column:
+    """Deterministic 32-bit hash of the key columns via md5-hex -> int
+    per column + a Knuth multiplicative mix."""
+    acc = F.lit(0).cast("long")
+    for c in unique_key:
+        col = F.col(c)
+        num = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+        acc = (acc * 31 + num) % _ACC_MOD
+    return (acc * _KNUTH) % _MOD
+
+
+def calc_split_column(
+    unique_key: Union[str, Sequence[str]],
+    test_sizes: Sequence[float],
+    num_buckets: int = 10000,
+    labels: Sequence[str] = None,
+) -> Column:
+    """Split-label column: hash(key) % num_buckets bucketed into
+    cumulative test_sizes ranges (must sum to 1)."""
+    if isinstance(unique_key, str):
+        unique_key = [unique_key]
+    if abs(sum(test_sizes) - 1.0) > 1e-9:
+        raise ValueError("test_sizes must sum to 1")
+    labels = list(labels or [str(i) for i in range(len(test_sizes))])
+    bucket = _key_hash(unique_key) % num_buckets
+    expr = None
+    hi = 0.0
+    for frac, label in zip(test_sizes, labels):
+        hi += frac
+        bound = int(round(hi * num_buckets))
+        cond = bucket < bound
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    return expr.otherwise(labels[-1])
+
+
+def train_test_splits(
+    df: DataFrame,
+    unique_key: Union[str, Sequence[str]],
+    test_size: float = 0.25,
+    num_buckets: int = 10000,
+) -> tuple[DataFrame, DataFrame]:
+    """(train_df, test_df) — deterministic, disjoint, reproducible."""
+    col = calc_split_column(
+        unique_key, [test_size, 1 - test_size], num_buckets, ["test", "train"]
+    )
+    tagged = df.withColumn("__split", col)
+    return (
+        tagged.filter(F.col("__split") == "train").drop("__split"),
+        tagged.filter(F.col("__split") == "test").drop("__split"),
+    )
+
+
+def kfold_column(unique_key: Union[str, Sequence[str]], k: int = 5) -> Column:
+    """Deterministic fold id 0..k-1 (reference: fold assignment for
+    deferred_cross_val_score, expr/ml/cross_validation.py:336)."""
+    if isinstance(unique_key, str):
+        unique_key = [unique_key]
+    return (_key_hash(unique_key) % k).cast("int")

@@ -1,1 +1,203 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deduplication queries over documents/embeddings, exercising
+xorq_spark.functions.dedup (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding cosine)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from xorq_spark.functions import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from xorq_spark.functions.dedup import lsh_band_keys, hamming64
+from xorq_spark.queries.base import query, t
+
+# DuckDB fragments mirroring functions/dedup.py.
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s一-鿿]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_WORDS = f"str_split({_NORM}, ' ')"
+_SHINGLES = (
+    f"CASE WHEN len({_WORDS}) >= 3 THEN "
+    f"list_transform(range(1, len({_WORDS}) - 1), i -> array_to_string(({_WORDS})[i:i+2], ' ')) "
+    f"ELSE [array_to_string({_WORDS}, ' ')] END"
+)
+_SIG = (
+    "list_transform(range(0, 16), i -> "
+    "list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min'))"
+)
+_BANDS = (
+    "list_transform(range(0, 4), b -> "
+    "md5(array_to_string(sig[b*4+1 : b*4+4], '|')))"
+)
+
+
+@query(
+    "dedup_exact_text",
+    oracle=f"""
+    WITH keyed AS (SELECT *, md5({_NORM}) AS dk FROM documents),
+    w AS (SELECT dk, min(doc_id) AS doc_id FROM keyed GROUP BY dk)
+    SELECT k.doc_id, k.lang, k.source FROM keyed k
+    JOIN w ON k.dk = w.dk AND k.doc_id = w.doc_id
+    ORDER BY k.doc_id
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup keyed on md5 of normalized text (32-byte shuffle keys,
+    never full documents)."""
+    docs = t(spark, sf_dir, "documents")
+    return (
+        exact_dedup(docs, "text", "doc_id")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_minhash_signatures",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM s)
+    SELECT doc_id, sig, {_BANDS} AS band_keys
+    FROM sig ORDER BY doc_id
+    """,
+)
+def dedup_minhash_sigs(spark, sf_dir):
+    """MinHash signature + LSH band keys per document (16 hashes, 4
+    bands). md5-hex string-min is the portable minhash domain."""
+    docs = t(spark, sf_dir, "documents")
+    sig = minhash_signature(F.col("text"), 16, 3)
+    return (
+        docs.select("doc_id", sig.alias("sig"))
+        .select("doc_id", "sig", lsh_band_keys(F.col("sig"), 4, 4).alias("band_keys"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_minhash_lsh_pairs",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd, {_SHINGLES} AS sh FROM documents),
+    sig AS (SELECT doc_id, shd, {_SIG} AS sig FROM s),
+    banded AS (
+      SELECT doc_id, shd,
+             unnest(range(0, 4)) AS band,
+             unnest({_BANDS}) AS bkey
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           ROUND(len(list_intersect(sa.shd, sb.shd))::DOUBLE
+                 / len(list_distinct(list_concat(sa.shd, sb.shd))), 9) AS jaccard_sim
+    FROM cand c
+    JOIN s sa ON sa.doc_id = c.id_a
+    JOIN s sb ON sb.doc_id = c.id_b
+    WHERE len(list_intersect(sa.shd, sb.shd))::DOUBLE
+          / len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.2
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_minhash_pairs(spark, sf_dir):
+    """Near-dup candidate pairs via MinHash banding + exact Jaccard
+    verification (threshold 0.2)."""
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=3, threshold=0.2
+    ).orderBy("id_a", "id_b")
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter({_WORDS}, x -> x <> '')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    v AS (SELECT doc_id,
+             {votes}
+          FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, ({bits})::BIGINT AS simhash64 FROM v),
+    ref AS (SELECT simhash64 AS ref_hash FROM sh WHERE doc_id = 0)
+    SELECT d.doc_id, coalesce(sh.simhash64, 0) AS simhash64,
+           bit_count(xor(coalesce(sh.simhash64, 0), ref.ref_hash)) AS hamming_to_doc0
+    FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id CROSS JOIN ref
+    ORDER BY d.doc_id
+    """
+
+
+@query("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document + Hamming distance to doc 0 (the
+    near-dup metric: small Hamming distance <=> near-duplicate)."""
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", simhash(F.col("text"), 32).alias("simhash64")
+    )
+    ref = docs.filter(F.col("doc_id") == 0).select(
+        F.col("simhash64").alias("ref_hash")
+    )
+    return (
+        docs.crossJoin(F.broadcast(ref))
+        .select(
+            "doc_id",
+            "simhash64",
+            hamming64(F.col("simhash64"), F.col("ref_hash")).alias("hamming_to_doc0"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS shd FROM documents),
+    inv AS (SELECT doc_id, lang, len(shd) AS n, unnest(shd) AS sg FROM s),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.lang = b.lang AND md5(a.sg) = md5(b.sg)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, ROUND(shared::DOUBLE / (na + nb - shared), 9) AS jaccard_sim
+    FROM shared
+    WHERE shared::DOUBLE / (na + nb - shared) >= 0.05
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram(spark, sf_dir):
+    """Exact n-gram Jaccard via inverted shingle index, partitioned by
+    language (the scale guard for the quadratic join)."""
+    docs = t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.05, partition_cols=["lang"]
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs variant (the
+    oracle-checkable baseline; the LSH-bucketed scale path is exercised
+    by sim_ann_lsh_topk and tests)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(
+        emb, "embedding", "vec_id", threshold=0.5, bucket_join=False
+    ).orderBy("id_a", "id_b")

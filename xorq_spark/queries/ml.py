@@ -1,1 +1,117 @@
-"""Placeholder — populated in a later milestone this round."""
+"""ML-layer queries (SURVEY §2.7): deterministic train/test splits,
+K-fold assignment, deferred metrics — all pure relational, matching the
+reference's reproducible hash-bucket design (expr/ml/split_lib.py)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from xorq_spark.ml import accuracy, calc_split_column, kfold_column, mae, mse
+from xorq_spark.queries.base import query, t, money_out
+
+# DuckDB replica of ml/split._key_hash for a single key column.
+def _hash_sql(col: str) -> str:
+    return (
+        f"((((0 * 31 + ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8))::BIGINT)"
+        f" % 2147483648) * 2654435761) % 4294967296)"
+    )
+
+
+@query(
+    "ml_train_test_split",
+    oracle=f"""
+    WITH s AS (
+      SELECT o_orderkey, o_totalprice,
+             CASE WHEN {_hash_sql('o_orderkey')} % 10000 < 2500 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM orders)
+    SELECT split, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS total
+    FROM s GROUP BY split ORDER BY split
+    """,
+)
+def ml_split(spark, sf_dir):
+    """75/25 deterministic split of orders by hashed key; aggregates per
+    split prove disjointness + stability."""
+    col = calc_split_column("o_orderkey", [0.25, 0.75], 10000, ["test", "train"])
+    return (
+        t(spark, sf_dir, "orders")
+        .withColumn("split", col)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n"),
+            money_out(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).alias("total"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "ml_kfold_assignment",
+    oracle=f"""
+    WITH s AS (
+      SELECT c_custkey, {_hash_sql('c_custkey')} % 5 AS fold FROM customer)
+    SELECT CAST(fold AS INT) AS fold, COUNT(*) AS n,
+           min(c_custkey) AS min_key, max(c_custkey) AS max_key
+    FROM s GROUP BY fold ORDER BY fold
+    """,
+)
+def ml_kfold(spark, sf_dir):
+    """Deterministic K-fold ids (reference: CV fold assignment via
+    UDWF, cross_validation.py:125 — ours is the pure-relational form)."""
+    return (
+        t(spark, sf_dir, "customer")
+        .withColumn("fold", kfold_column("c_custkey", 5))
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("c_custkey").alias("min_key"),
+            F.max("c_custkey").alias("max_key"),
+        )
+        .orderBy("fold")
+    )
+
+
+@query(
+    "ml_metrics_classification",
+    oracle="""
+    SELECT ROUND(AVG(CASE WHEN vec_id % 3 = label THEN 1.0 ELSE 0.0 END), 9) AS acc,
+           COUNT(*) FILTER (WHERE vec_id % 3 = label) AS n_correct,
+           COUNT(*) AS n_total
+    FROM embeddings
+    """,
+)
+def ml_metrics_cls(spark, sf_dir):
+    """Deferred accuracy metric as an aggregate expression (the trivial
+    predictor vec_id % 3 keeps it oracle-checkable)."""
+    emb = t(spark, sf_dir, "embeddings")
+    pred = F.col("vec_id") % 3
+    lbl = F.col("label")
+    return emb.agg(
+        F.round(accuracy(pred, lbl), 9).alias("acc"),
+        F.count(F.when(pred == lbl, 1)).alias("n_correct"),
+        F.count("*").alias("n_total"),
+    )
+
+
+@query(
+    "ml_metrics_regression",
+    oracle="""
+    SELECT event_type,
+           ROUND(AVG((value - 10.0) * (value - 10.0)), 6) AS mse,
+           ROUND(AVG(ABS(value - 10.0)), 6) AS mae
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ml_metrics_reg(spark, sf_dir):
+    """Deferred regression metrics vs a constant predictor."""
+    ev = t(spark, sf_dir, "events")
+    pred = F.lit(10.0)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(mse(pred, F.col("value")), 6).alias("mse"),
+            F.round(mae(pred, F.col("value")), 6).alias("mae"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,1 +1,116 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Similarity-search queries over the embeddings table, exercising
+xorq_spark.functions.similarity (brute-force and LSH-bucketed ANN)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from xorq_spark.functions import ann_bruteforce_topk, ann_lsh_topk
+from xorq_spark.queries.base import query, t
+
+_COS = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
+
+
+@query(
+    "sim_ann_bruteforce_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             ROUND({_COS}, 6) AS cos_sim
+      FROM q CROSS JOIN embeddings c),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def sim_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for 5 query vectors: broadcast queries over
+    one corpus scan, per-query top-k via window."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_bruteforce_topk(queries, emb, k=10).orderBy("query_id", "rank")
+
+
+def _bucket_sql(alias: str, num_planes: int = 6) -> str:
+    """DuckDB replica of functions/similarity._lsh_bucket: deterministic
+    hyperplane sign bits packed into a bigint."""
+    bits = []
+    for p in range(num_planes):
+        coef = (
+            f"((({p} * 2654435761 + d * 40503 + 2246822519) % 2147483647) % 100000)"
+            f"::DOUBLE / 100000.0 - 0.5"
+        )
+        dot = (
+            f"list_aggregate(list_transform(range(0, len({alias}.embedding)), "
+            f"d -> {alias}.embedding[d+1]::DOUBLE * ({coef})), 'sum')"
+        )
+        bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+@query(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+      FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+      FROM embeddings),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id,
+             ROUND({_COS}, 6) AS cos_sim
+      FROM q JOIN c ON q.bucket = c.bucket),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def sim_lsh(spark, sf_dir):
+    """LSH-bucketed approximate top-10: corpus bucketed once by
+    deterministic hyperplane signs; each query probes only its bucket."""
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_lsh_topk(queries, emb, k=10, num_planes=6).orderBy("query_id", "rank")
+
+
+@query(
+    "sim_norms_and_dots",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')), 6) AS l2,
+           ROUND(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS coord_sum,
+           len(embedding) AS dim
+    FROM embeddings ORDER BY vec_id
+    """,
+)
+def sim_norms(spark, sf_dir):
+    """Vector primitives: L2 norm, coordinate sum, dimensionality —
+    all zip_with/aggregate HOFs (JVM codegen, no Python)."""
+    from xorq_spark.functions.similarity import l2_norm
+
+    v = F.col("embedding")
+    return (
+        t(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.round(l2_norm(v), 6).alias("l2"),
+            F.round(
+                F.aggregate(v, F.lit(0.0), lambda a, x: a + x.cast("double")), 6
+            ).alias("coord_sum"),
+            F.size(v).alias("dim"),
+        )
+        .orderBy("vec_id")
+    )

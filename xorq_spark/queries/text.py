@@ -1,1 +1,182 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Text-analysis queries over the documents table, exercising
+xorq_spark.functions.text (LLM-pipeline operators: token counting,
+BPE-ish counting, language ID, quality scoring, fingerprinting,
+rolling hash)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from xorq_spark.functions import (
+    bpe_token_count,
+    fingerprint,
+    language_id,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+from xorq_spark.functions.text import LANG_MARKERS, BPE_ISH_PATTERN
+from xorq_spark.queries.base import query, t
+
+# DuckDB fragments mirroring functions/text.py definitions.
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_CLEAN_TOKS = (
+    "list_transform(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+    " x -> x <> ''), x -> regexp_replace(x, '[^\\w一-鿿]', '', 'g'))"
+)
+
+
+@query(
+    "text_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace(chr(39), chr(39)*2)}')) AS n_bpe,
+           length(text) AS n_chars_actual,
+           n_chars
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_token_counts(spark, sf_dir):
+    txt = F.col("text")
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            token_count(txt).alias("n_tokens"),
+            bpe_token_count(txt).alias("n_bpe"),
+            F.length(txt).alias("n_chars_actual"),
+            "n_chars",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return (
+        f"len(list_filter(toks, x -> list_contains([{markers}], x)))::DOUBLE"
+        f" / greatest(len(toks), 1)"
+    )
+
+
+_LANG_CASE = (
+    "CASE WHEN m <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN s_{lang} = m THEN '{lang}'" for lang in LANG_MARKERS
+    )
+    + " END"
+)
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {_CLEAN_TOKS} AS toks FROM documents),
+    sc AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in LANG_MARKERS)}
+      FROM tk),
+    mx AS (SELECT *, greatest({", ".join('s_' + lang for lang in LANG_MARKERS)}) AS m FROM sc)
+    SELECT doc_id, lang, {_LANG_CASE} AS predicted,
+           ({_LANG_CASE}) = lang AS is_match
+    FROM mx ORDER BY doc_id
+    """,
+)
+def text_language_id(spark, sf_dir):
+    """Stopword-marker language ID; the oracle replicates the
+    first-language-attaining-the-max tie-break of functions/text.py."""
+    pred = language_id(F.col("text"))
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            pred.alias("predicted"),
+            (pred == F.col("lang")).alias("is_match"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_EN = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+    c AS (
+      SELECT doc_id,
+             len(toks) AS n,
+             CASE WHEN len(toks) > 0
+                  THEN list_aggregate(list_transform(toks, x -> len(x)), 'sum')::DOUBLE / len(toks)
+                  ELSE 0.0 END AS mean_len,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_filter(toks, x -> list_contains([{_EN}], lower(x))))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS stop_ratio,
+             CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[^a-zA-Z一-鿿]', '', 'g'))::DOUBLE / length(text)
+                  ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN len(toks) > 0
+                  THEN len(list_distinct(toks))::DOUBLE / len(toks)
+                  ELSE 0.0 END AS distinct_ratio
+      FROM tk)
+    SELECT doc_id,
+           ROUND(0.25 * (CASE WHEN n >= 20 AND n <= 10000 THEN 1.0 WHEN n >= 5 THEN 0.5 ELSE 0.0 END)
+               + 0.15 * (CASE WHEN mean_len >= 3 AND mean_len <= 12 THEN 1.0 ELSE 0.3 END)
+               + 0.20 * least(stop_ratio * 5, 1.0)
+               + 0.20 * alpha_ratio
+               + 0.20 * distinct_ratio, 9) AS quality
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_quality(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.round(quality_score(F.col("text")), 9).alias("quality"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')
+           )), ' ')) AS fp
+    FROM documents ORDER BY doc_id
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", fingerprint(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_rolling_hash",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             list_transform(list_filter(str_split(text, ''), c -> c <> ''),
+                            c -> ascii(c)::BIGINT) AS codes
+      FROM documents)
+    SELECT doc_id,
+           CASE WHEN len(codes) = 0 THEN 0
+                ELSE list_reduce(codes, (a, b) -> (a * 257 + b) % 2147483647)
+           END AS rhash
+    FROM ch ORDER BY doc_id
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Rabin-Karp rolling document hash. list_reduce has no init value
+    but (0*base + c1) = c1, so seeding with the first element matches the
+    Spark fold-from-zero exactly."""
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
+        .orderBy("doc_id")
+    )
