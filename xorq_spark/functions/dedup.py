@@ -23,6 +23,17 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def let(value: Column, body) -> Column:
+    """Let-binding for Spark SQL lambdas: evaluate `value` once and bind
+    it as a lambda variable for `body`.
+
+    Catalyst does not hoist loop-invariant subexpressions out of HOF
+    lambda bodies — `transform(seq(0,15), i -> f(expensive_expr))`
+    recomputes `expensive_expr` 16x per row. `transform(array(v), x ->
+    body(x))[1]` computes it exactly once."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def normalize_text(text: Column) -> Column:
     """Lowercase, strip non-word punctuation, collapse whitespace."""
     return F.trim(
@@ -35,15 +46,16 @@ def normalize_text(text: Column) -> Column:
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles of the normalized text, as an array<string>.
     Documents shorter than k words produce a single whole-doc shingle."""
-    words = F.split(normalize_text(text), " ")
-    n = F.size(words)
-    return F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - k + 1),
-            lambda i: F.array_join(F.slice(words, i, k), " "),
-        ),
-    ).otherwise(F.array(F.array_join(words, " ")))
+    return let(
+        F.split(normalize_text(text), " "),
+        lambda words: F.when(
+            F.size(words) >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(words) - k + 1),
+                lambda i: F.array_join(F.slice(words, i, k), " "),
+            ),
+        ).otherwise(F.array(F.array_join(words, " "))),
+    )
 
 
 def exact_dedup(
@@ -62,27 +74,40 @@ def exact_dedup(
     )
 
 
+def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature from a precomputed shingle array (let-bound so
+    the shingle expression evaluates once, not once per hash seed)."""
+    return let(
+        sh,
+        lambda shv: F.transform(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+            lambda i: F.array_min(
+                F.transform(
+                    shv, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
+                )
+            ),
+        ),
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
     """MinHash signature as array<string>[num_hashes]: for seed i, the
     lexicographic min of md5(i || ':' || shingle). md5 hex strings are a
     uniform order-preserving hash domain, so string-min is a valid
     minhash — and is engine-portable (no 64-bit int conversions)."""
-    sh = shingles(text, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
-        ),
-    )
+    return minhash_from_shingles(shingles(text, k), num_hashes)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Split the signature into `bands` bands of `rows_per_band` and
     digest each band -> array<string>[bands]."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.md5(
-            F.array_join(F.slice(signature, b * rows_per_band + 1, rows_per_band), "|")
+    return let(
+        signature,
+        lambda sig: F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.md5(
+                F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|")
+            ),
         ),
     )
 
@@ -109,20 +134,29 @@ def minhash_lsh_pairs(
     id_a < id_b.
 
     Pipeline: shingle -> minhash -> band -> explode bands -> self-join on
-    (band_idx, band_key) -> distinct candidate pairs -> Jaccard verify.
-    One shuffle for the band join + one for pair distinct."""
+    (band_idx, band_key) -> distinct candidate (id, id) pairs -> join the
+    shingle sets back in -> Jaccard verify.
+
+    Scale notes: the band join and the pair-distinct shuffle carry ONLY
+    (id, band, 32-byte digest) rows — never shingle arrays. Shingle sets
+    re-enter via two id-keyed joins for the (much smaller) verified
+    candidate set. The text is scanned twice (signature pass + verify
+    pass); at scale that beats shuffling per-doc shingle arrays 2x
+    through the band join."""
     rows_per_band = num_hashes // bands
-    base = df.select(
+    sets = df.select(
         F.col(id_col).alias("__id"),
-        shingles(F.col(text_col), k).alias("__sh"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("__sig"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
     )
-    banded = base.select(
+    # Signature over the distinct shingle set == over the raw multiset
+    # (min is duplicate-insensitive), so one definition serves both.
+    banded = sets.select(
         "__id",
-        "__sh",
-        F.posexplode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias(
-            "__band", "__bkey"
-        ),
+        F.posexplode(
+            lsh_band_keys(
+                minhash_from_shingles(F.col("__sh"), num_hashes), bands, rows_per_band
+            )
+        ).alias("__band", "__bkey"),
     )
     if max_bucket_size is not None:
         # Skew guard: drop buckets larger than the cap (boilerplate bands).
@@ -130,23 +164,24 @@ def minhash_lsh_pairs(
         banded = banded.withColumn("__bn", F.count("*").over(w)).filter(
             F.col("__bn") <= max_bucket_size
         ).drop("__bn")
-    left = banded.select(
-        F.col("__band"), F.col("__bkey"), F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")
-    )
-    right = banded.select(
-        F.col("__band"), F.col("__bkey"), F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")
-    )
-    pairs = (
+    left = banded.select("__band", "__bkey", F.col("__id").alias("id_a"))
+    right = banded.select("__band", "__bkey", F.col("__id").alias("id_b"))
+    cand = (
         left.join(right, ["__band", "__bkey"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "__sh_a", "__sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
     )
     return (
-        pairs.withColumn(
-            "jaccard_sim",
-            jaccard(F.array_distinct("__sh_a"), F.array_distinct("__sh_b")),
+        cand.join(
+            sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")),
+            "id_a",
         )
+        .join(
+            sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sh_b")),
+            "id_b",
+        )
+        .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 9).alias("jaccard_sim"))
     )
