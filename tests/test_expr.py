@@ -1,0 +1,202 @@
+"""Expression-layer tests: build deferred exprs, execute on Spark,
+check against pandas/DuckDB-computed expectations (the reference's
+per-operator oracle style, SURVEY §5.1)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import xorq_spark as xo
+from xorq_spark import _
+
+
+@pytest.fixture(scope="module")
+def lineitem(sf_dir):
+    return xo.deferred_read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(sf_dir):
+    return xo.deferred_read_parquet(f"{sf_dir}/orders.parquet")
+
+
+@pytest.fixture(scope="module")
+def li_pd(spark, sf_dir):
+    return pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_read_filter_select(spark, lineitem, li_pd):
+    got = (
+        lineitem.filter(_.l_quantity > 45)
+        .select("l_orderkey", "l_quantity", disc_price=_.l_extendedprice * (1 - _.l_discount))
+        .execute(spark)
+    )
+    exp = li_pd[li_pd.l_quantity > 45]
+    assert len(got) == len(exp)
+    assert list(got.columns) == ["l_orderkey", "l_quantity", "disc_price"]
+    assert got.disc_price.sum() == pytest.approx(
+        (exp.l_extendedprice * (1 - exp.l_discount)).sum()
+    )
+
+
+def test_group_by_agg(spark, lineitem, li_pd):
+    got = (
+        lineitem.group_by("l_returnflag")
+        .agg(n=_.l_quantity.count(), total_qty=_.l_quantity.sum(), avg_price=_.l_extendedprice.mean())
+        .execute(spark)
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    exp = (
+        li_pd.groupby("l_returnflag")
+        .agg(n=("l_quantity", "count"), total_qty=("l_quantity", "sum"), avg_price=("l_extendedprice", "mean"))
+        .reset_index()
+        .sort_values("l_returnflag")
+        .reset_index(drop=True)
+    )
+    assert (got.n == exp.n).all()
+    assert got.total_qty.tolist() == pytest.approx(exp.total_qty.tolist())
+    assert got.avg_price.tolist() == pytest.approx(exp.avg_price.tolist())
+
+
+def test_mutate_case_order_limit(spark, lineitem, li_pd):
+    got = (
+        lineitem.mutate(
+            big=(_.l_quantity > 30).ifelse("big", "small"),
+        )
+        .order_by(_.l_orderkey.asc(), _.l_linenumber.asc())
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "big")
+        .execute(spark)
+    )
+    exp = li_pd.sort_values(["l_orderkey", "l_linenumber"]).head(10)
+    assert got.l_orderkey.tolist() == exp.l_orderkey.tolist()
+    assert got.big.tolist() == ["big" if q > 30 else "small" for q in exp.l_quantity]
+
+
+def test_join(spark, lineitem, orders, sf_dir):
+    got = (
+        lineitem.join(orders, [("l_orderkey", "o_orderkey")])
+        .filter(_.o_orderpriority == "1-URGENT")
+        .group_by("o_orderpriority")
+        .agg(n=_.l_quantity.count())
+        .execute(spark)
+    )
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    exp = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    exp = exp[exp.o_orderpriority == "1-URGENT"]
+    assert got.n.iloc[0] == len(exp)
+
+
+def test_semi_anti_join(spark, lineitem, orders, li_pd, sf_dir):
+    od = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.filter(_.o_orderpriority == "1-URGENT")
+    semi = lineitem.join(urgent, [("l_orderkey", "o_orderkey")], how="semi").count(spark)
+    anti = lineitem.join(urgent, [("l_orderkey", "o_orderkey")], how="anti").count(spark)
+    urgent_keys = set(od[od.o_orderpriority == "1-URGENT"].o_orderkey)
+    exp_semi = li_pd.l_orderkey.isin(urgent_keys).sum()
+    assert semi == exp_semi
+    assert anti == len(li_pd) - exp_semi
+
+
+def test_union_distinct(spark, lineitem):
+    a = lineitem.select("l_returnflag").limit(100)
+    n = a.union(a).distinct().count(spark)
+    assert n == a.distinct().count(spark)
+
+
+def test_param_binding(spark, lineitem, li_pd):
+    qty = xo.param("min_qty", "int64", default=40)
+    e = lineitem.filter(_.l_quantity > qty)
+    assert e.count(spark) == (li_pd.l_quantity > 40).sum()  # default
+    got = e.to_spark(spark, params={"min_qty": 49}).count()
+    assert got == (li_pd.l_quantity > 49).sum()
+
+
+def test_memtable_and_join(spark):
+    mt = xo.memtable({"k": [1, 2, 3], "v": ["a", "b", "c"]})
+    other = xo.memtable({"k": [2, 3, 4], "w": [20.0, 30.0, 40.0]})
+    got = (
+        mt.join(other, ["k"]).order_by("k").execute(spark)
+    )
+    assert got.k.tolist() == [2, 3]
+    assert got.w.tolist() == [20.0, 30.0]
+
+
+def test_unbound_table_binding(spark):
+    t = xo.table({"x": "int64", "y": "float64"}, "inp")
+    e = t.group_by("x").agg(s=_.y.sum())
+    df = spark.createDataFrame(pd.DataFrame({"x": [1, 1, 2], "y": [1.0, 2.0, 3.0]}))
+    got = e.execute(spark, bindings={"inp": df}).sort_values("x")
+    assert got.s.tolist() == [3.0, 3.0]
+
+
+def test_window_over(spark, lineitem, li_pd):
+    got = (
+        lineitem.filter(_.l_orderkey < 100)
+        .mutate(rk=xo.expr.api.row_number().over(group_by=_.l_orderkey, order_by=_.l_linenumber.asc()))
+        .filter(_.rk == 1)
+        .count(spark)
+    )
+    exp = li_pd[li_pd.l_orderkey < 100].l_orderkey.nunique()
+    assert got == exp
+
+
+def test_sql_escape_hatch(spark, lineitem, li_pd):
+    got = lineitem.sql(
+        "SELECT l_returnflag, count(*) AS n FROM li GROUP BY l_returnflag", alias="li"
+    ).execute(spark)
+    exp = li_pd.groupby("l_returnflag").size()
+    assert dict(zip(got.l_returnflag, got.n)) == exp.to_dict()
+
+
+def test_fill_drop_null(spark):
+    mt = xo.memtable(pd.DataFrame({"a": [1.0, None, 3.0], "b": ["x", "y", None]}))
+    assert xo.Expr(mt.node).fill_null({"a": 0.0}).execute(spark).a.tolist() == [1.0, 0.0, 3.0]
+    assert mt.drop_null(["b"]).count(spark) == 2
+
+
+def test_unnest(spark):
+    mt = xo.memtable({"k": [1, 2], "xs": [[1, 2, 3], [4]]})
+    got = mt.unnest("xs").order_by("k", "xs").execute(spark)
+    assert got["xs"].tolist() == [1, 2, 3, 4]
+
+
+def test_distinct_subset(spark, lineitem, li_pd):
+    n = lineitem.distinct(on=["l_orderkey"]).count(spark)
+    assert n == li_pd.l_orderkey.nunique()
+
+
+def test_sample(spark, lineitem):
+    n_all = lineitem.count(spark)
+    n_s = lineitem.sample(0.1, seed=42).count(spark)
+    assert 0 < n_s < n_all
+
+
+def test_deferred_repr_and_hashability(lineitem):
+    e1 = lineitem.filter(_.l_quantity > 10).select("l_orderkey")
+    e2 = lineitem.filter(_.l_quantity > 10).select("l_orderkey")
+    assert e1.node == e2.node
+    assert hash(e1.node) == hash(e2.node)
+    e3 = lineitem.filter(_.l_quantity > 11).select("l_orderkey")
+    assert e1.node != e3.node
+
+
+def test_schema_declared_read_builds_without_files(tmp_path):
+    e = xo.deferred_read_parquet("/nonexistent/path.parquet", schema={"a": "int64"})
+    # building the expression graph must not touch the filesystem
+    assert e.node.schema == "a bigint"
+
+
+def test_sinks_roundtrip(spark, tmp_path, lineitem):
+    p = str(tmp_path / "out.parquet")
+    sub = lineitem.select("l_orderkey", "l_quantity").limit(50)
+    sub.to_parquet(p, spark)
+    back = xo.deferred_read_parquet(p).count(spark)
+    assert back == 50
+    arrow = sub.to_pyarrow(spark)
+    assert arrow.num_rows == 50
+    rb = sub.to_pyarrow_batches(spark, chunk_size=10)
+    assert sum(b.num_rows for b in rb) == 50

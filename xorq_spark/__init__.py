@@ -17,14 +17,21 @@ from xorq_spark.session import connect, get_spark, options
 from xorq_spark.expr.api import (
     _,
     asc,
+    case,
     deferred_read_csv,
+    deferred_read_json,
     deferred_read_parquet,
     desc,
     literal,
     memtable,
     param,
+    read_csv,
+    read_json,
+    read_parquet,
+    register,
     table,
 )
+from xorq_spark.expr.core import Expr
 
 __version__ = "0.1.0"
 
@@ -34,12 +41,19 @@ __all__ = [
     "options",
     "_",
     "asc",
+    "case",
     "desc",
     "deferred_read_csv",
+    "deferred_read_json",
     "deferred_read_parquet",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "register",
     "literal",
     "memtable",
     "param",
     "table",
+    "Expr",
     "__version__",
 ]

@@ -1,0 +1,568 @@
+"""Expr: the user-facing deferred table expression, and its lowering to
+PySpark DataFrames.
+
+Mirrors the reference's `Expr`/`Table` fluent API
+(vendor/ibis/expr/types/core.py:87, types/relations.py) with the
+lowering target being `pyspark.sql.DataFrame` instead of SQL text —
+Catalyst replaces the SQLGlot+DataFusion pipeline (SURVEY §3.1
+translation). Execution entry points mirror expr/api.py:294
+(execute / to_pyarrow / to_pyarrow_batches / to_parquet / ...).
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Any, Callable, Dict, Iterable, Optional
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from xorq_spark.expr import nodes as N
+from xorq_spark.expr.datatypes import schema_to_struct
+from xorq_spark.expr.deferred import (
+    Deferred,
+    SortKey,
+    VNode,
+    _as_sortkey,
+    bind_params,
+    lower_value,
+    unwrap,
+)
+
+# Memtable payload registry: content-token -> pyarrow.Table
+_MEMTABLES: Dict[str, Any] = {}
+_ids = itertools.count()
+
+
+def register_memtable(token: str, arrow_table) -> None:
+    _MEMTABLES[token] = arrow_table
+
+
+def get_memtable(token: str):
+    return _MEMTABLES[token]
+
+
+# --------------------------------------------------------------------------
+# Lowering
+# --------------------------------------------------------------------------
+def _named_exprs(args, kwargs, existing_cols=None) -> tuple:
+    """Normalize select/mutate/agg arguments to ((name, VNode), ...)."""
+    out = []
+    for a in args:
+        if isinstance(a, str):
+            out.append((a, _col(a)))
+        elif isinstance(a, Deferred):
+            name = a.get_name()
+            if name is None:
+                raise ValueError(f"unnamed expression {a!r}: use .alias(name)")
+            out.append((name, a.node))
+        elif isinstance(a, dict):
+            for k, v in a.items():
+                out.append((k, unwrap(v)))
+        else:
+            raise TypeError(f"bad projection arg: {a!r}")
+    for k, v in kwargs.items():
+        out.append((k, unwrap(v)))
+    return tuple(out)
+
+
+def _col(name: str) -> VNode:
+    from xorq_spark.expr.deferred import Col
+
+    return Col(name)
+
+
+def lower(
+    node: N.RNode,
+    spark: SparkSession,
+    bindings: Optional[Dict[str, DataFrame]] = None,
+) -> DataFrame:
+    """Recursively lower a relation node to a DataFrame."""
+    b = bindings or {}
+
+    def rec(n: N.RNode) -> DataFrame:
+        return lower(n, spark, b)
+
+    def cols(df: DataFrame) -> Callable[[str], Column]:
+        return lambda name: df[name]
+
+    if isinstance(node, N.ReadParquet):
+        r = spark.read
+        if node.schema:
+            r = r.schema(schema_to_struct(node.schema))
+        return r.parquet(*node.paths)
+    if isinstance(node, N.ReadCSV):
+        r = spark.read.options(**dict(node.options))
+        if node.schema:
+            r = r.schema(schema_to_struct(node.schema))
+        else:
+            r = r.option("inferSchema", "true")
+        return r.csv(list(node.paths))
+    if isinstance(node, N.ReadJSON):
+        r = spark.read.options(**dict(node.options))
+        if node.schema:
+            r = r.schema(schema_to_struct(node.schema))
+        return r.json(list(node.paths))
+    if isinstance(node, N.Memtable):
+        tbl = get_memtable(node.token)
+        return spark.createDataFrame(tbl.to_pandas(), schema=schema_to_struct(node.schema))
+    if isinstance(node, N.TableRef):
+        return spark.table(node.name)
+    if isinstance(node, N.UnboundTable):
+        if node.name not in b:
+            raise ValueError(f"unbound table {node.name!r}: supply bindings={{...}}")
+        return b[node.name]
+    if isinstance(node, N.CachedNode):
+        from xorq_spark.cache import lower_cached_node
+
+        return lower_cached_node(node, spark, b)
+    if isinstance(node, N.Project):
+        df = rec(node.parent)
+        r = cols(df)
+        pairs = [(name, lower_value(v, r).alias(name)) for name, v in node.exprs]
+        if node.extend:
+            return df.withColumns({name: c for name, c in pairs})
+        return df.select(*[c for _, c in pairs])
+    if isinstance(node, N.Filter):
+        df = rec(node.parent)
+        r = cols(df)
+        out = df
+        for p in node.predicates:
+            out = out.filter(lower_value(p, r))
+        return out
+    if isinstance(node, N.Aggregate):
+        df = rec(node.parent)
+        r = cols(df)
+        metrics = [lower_value(v, r).alias(name) for name, v in node.metrics]
+        if node.keys:
+            keys = [lower_value(v, r).alias(name) for name, v in node.keys]
+            return df.groupBy(*keys).agg(*metrics)
+        return df.agg(*metrics)
+    if isinstance(node, N.Sort):
+        df = rec(node.parent)
+        r = cols(df)
+        return df.orderBy(*[lower_value(k, r) for k in node.keys])
+    if isinstance(node, N.Limit):
+        df = rec(node.parent)
+        if node.offset:
+            df = df.offset(node.offset)
+        return df.limit(node.n) if node.n is not None else df
+    if isinstance(node, N.Distinct):
+        df = rec(node.parent)
+        if node.subset is None:
+            return df.distinct()
+        return df.dropDuplicates(list(node.subset))
+    if isinstance(node, N.SetOp):
+        l, r_ = rec(node.left), rec(node.right)
+        if node.kind == "union":
+            out = l.unionByName(r_)
+            return out.distinct() if node.distinct else out
+        if node.kind == "intersect":
+            return l.intersect(r_) if node.distinct else l.intersectAll(r_)
+        if node.kind == "difference":
+            return l.subtract(r_) if node.distinct else l.exceptAll(r_)
+        raise ValueError(node.kind)
+    if isinstance(node, N.Sample):
+        return rec(node.parent).sample(fraction=node.fraction, seed=node.seed)
+    if isinstance(node, N.FillNull):
+        df = rec(node.parent)
+        repl = dict(node.replacements)
+        if "*" in repl:
+            return df.na.fill(repl["*"])
+        return df.na.fill(repl)
+    if isinstance(node, N.DropNull):
+        df = rec(node.parent)
+        return df.na.drop(
+            how=node.how, subset=list(node.subset) if node.subset else None
+        )
+    if isinstance(node, N.Unnest):
+        df = rec(node.parent)
+        others = [c for c in df.columns if c != node.column]
+        col = df[node.column]
+        if node.offset:
+            ex = F.posexplode_outer(col) if node.keep_empty else F.posexplode(col)
+            return df.select(*others, ex.alias(f"{node.column}_offset", node.column))
+        ex = F.explode_outer(col) if node.keep_empty else F.explode(col)
+        return df.select(*others, ex.alias(node.column))
+    if isinstance(node, N.Drop):
+        return rec(node.parent).drop(*node.columns)
+    if isinstance(node, N.Rename):
+        return rec(node.parent).withColumnsRenamed(dict(node.mapping))
+    if isinstance(node, N.SQLView):
+        rec(node.parent).createOrReplaceTempView(node.alias)
+        return spark.sql(node.sql)
+    if isinstance(node, N.Join):
+        return _lower_join(node, spark, b)
+    raise TypeError(f"cannot lower {type(node).__name__}")
+
+
+def _lower_join(node: N.Join, spark: SparkSession, b) -> DataFrame:
+    left = lower(node.left, spark, b)
+    right = lower(node.right, spark, b)
+    how = {
+        "semi": "leftsemi", "anti": "leftanti", "outer": "full",
+        "any_inner": "leftsemi", "any_left": "left",
+    }.get(node.how, node.how)
+
+    if node.how == "positional":
+        from xorq_spark.operators.positional import positional_join
+
+        lo = [p[0] if isinstance(p, tuple) else p for p in node.predicates]
+        ro = [p[1] if isinstance(p, tuple) else p for p in node.predicates]
+        return positional_join(left, right, left_order=lo, right_order=ro)
+    if node.how == "asof":
+        from xorq_spark.operators.asof import asof_join
+
+        eq = [p for p in node.predicates if isinstance(p, str)]
+        return asof_join(
+            left, right, on=node.on, by=list(node.by) + eq,
+            direction=node.direction,
+        )
+    if node.how == "cross":
+        return left.crossJoin(right)
+
+    # String predicates = classic equi-join on shared names (dedupes key
+    # columns the Spark way). Mixed/expression predicates use aliases.
+    if node.predicates and all(isinstance(p, str) for p in node.predicates):
+        return left.join(right, on=list(node.predicates), how=how)
+
+    la, ra = left.alias("__l"), right.alias("__r")
+    conds = []
+    for p in node.predicates:
+        if isinstance(p, str):
+            conds.append(la[p] == ra[p])
+        elif isinstance(p, tuple) and len(p) == 2 and all(isinstance(x, str) for x in p):
+            conds.append(la[p[0]] == ra[p[1]])
+        else:
+            v = unwrap(p) if isinstance(p, Deferred) else p
+
+            def resolve(name: str) -> Column:
+                if name in left.columns:
+                    return la[name]
+                return ra[name]
+
+            conds.append(lower_value(v, resolve))
+    cond = conds[0] if conds else F.lit(True)
+    for c in conds[1:]:
+        cond = cond & c
+    joined = la.join(ra, on=cond, how=how)
+    if how in ("leftsemi", "leftanti"):
+        return joined
+    # De-collide duplicate right-side names with the suffix.
+    lcols = [la[c].alias(c) for c in left.columns]
+    rcols = [
+        ra[c].alias(c + node.rsuffix if c in left.columns else c)
+        for c in right.columns
+    ]
+    return joined.select(*lcols, *rcols)
+
+
+# --------------------------------------------------------------------------
+# Expr
+# --------------------------------------------------------------------------
+class Expr:
+    """Deferred table expression bound to (at most) a SparkSession."""
+
+    def __init__(self, node: N.RNode, spark: Optional[SparkSession] = None):
+        self.node = node
+        self._spark = spark
+
+    # --- plumbing ----------------------------------------------------------
+    def _wrap(self, node: N.RNode) -> "Expr":
+        return Expr(node, self._spark)
+
+    def _session(self, spark: Optional[SparkSession] = None) -> SparkSession:
+        if spark is not None:
+            return spark
+        if self._spark is not None:
+            return self._spark
+        from xorq_spark.session import get_spark
+
+        return get_spark()
+
+    def to_spark(
+        self,
+        spark: Optional[SparkSession] = None,
+        params: Optional[dict] = None,
+        bindings: Optional[Dict[str, Any]] = None,
+    ) -> DataFrame:
+        """Lower to a (lazy) PySpark DataFrame — the compile step."""
+        # Always run the bind pass so param defaults apply (reference:
+        # bind_params is pass 1 of _PASSES, expr/api.py:463).
+        node = _bind_tree_params(self.node, params or {})
+        bound = {
+            k: (v.to_spark(spark) if isinstance(v, Expr) else v)
+            for k, v in (bindings or {}).items()
+        }
+        return lower(node, self._session(spark), bound)
+
+    def __repr__(self):
+        return f"<Expr {type(self.node).__name__}>\n{_format_tree(self.node)}"
+
+    # --- schema / introspection -------------------------------------------
+    @property
+    def columns(self) -> list:
+        return self.to_spark().columns
+
+    def schema(self):
+        return self.to_spark().schema
+
+    def explain(self, mode: str = "formatted") -> None:
+        self.to_spark().explain(mode)
+
+    @property
+    def ls(self) -> "LsAccessor":
+        return LsAccessor(self)
+
+    # --- relational verbs --------------------------------------------------
+    def select(self, *args, **kwargs) -> "Expr":
+        return self._wrap(N.Project(self.node, _named_exprs(args, kwargs)))
+
+    def mutate(self, *args, **kwargs) -> "Expr":
+        return self._wrap(N.Project(self.node, _named_exprs(args, kwargs), extend=True))
+
+    def filter(self, *predicates) -> "Expr":
+        preds = tuple(unwrap(p) for p in predicates)
+        return self._wrap(N.Filter(self.node, preds))
+
+    def drop(self, *columns: str) -> "Expr":
+        return self._wrap(N.Drop(self.node, tuple(columns)))
+
+    def rename(self, mapping: Optional[dict] = None, **kwargs) -> "Expr":
+        m = dict(mapping or {})
+        m.update(kwargs)
+        # reference API is {new: old}; accept both directions via kwargs new=old
+        return self._wrap(N.Rename(self.node, tuple((old, new) for new, old in m.items())))
+
+    def order_by(self, *keys) -> "Expr":
+        return self._wrap(N.Sort(self.node, tuple(_as_sortkey(k) for k in keys)))
+
+    def limit(self, n: Optional[int], offset: int = 0) -> "Expr":
+        return self._wrap(N.Limit(self.node, n, offset))
+
+    head = limit
+
+    def distinct(self, on=None, keep: str = "first") -> "Expr":
+        subset = tuple(on) if on else None
+        return self._wrap(N.Distinct(self.node, subset, keep))
+
+    def group_by(self, *keys, **named_keys) -> "GroupedExpr":
+        return GroupedExpr(self, _named_exprs(keys, named_keys))
+
+    def aggregate(self, *metrics, **named_metrics) -> "Expr":
+        return self._wrap(
+            N.Aggregate(self.node, (), _named_exprs(metrics, named_metrics))
+        )
+
+    agg = aggregate
+
+    def join(
+        self,
+        right: "Expr",
+        predicates=(),
+        how: str = "inner",
+        *,
+        rsuffix: str = "_right",
+        on: Optional[str] = None,
+        by=(),
+        direction: str = "backward",
+    ) -> "Expr":
+        preds = tuple(
+            p if isinstance(p, (str, tuple)) else unwrap(p)
+            for p in (predicates if isinstance(predicates, (list, tuple)) else [predicates])
+        )
+        return self._wrap(
+            N.Join(
+                self.node, right.node, how, preds,
+                on=on, by=tuple(by), direction=direction, rsuffix=rsuffix,
+            )
+        )
+
+    def asof_join(self, right: "Expr", on: str, by=(), direction: str = "backward") -> "Expr":
+        return self.join(right, how="asof", on=on, by=by, direction=direction)
+
+    def cross_join(self, right: "Expr") -> "Expr":
+        return self.join(right, how="cross")
+
+    def union(self, other: "Expr", distinct: bool = False) -> "Expr":
+        return self._wrap(N.SetOp(self.node, other.node, "union", distinct))
+
+    def intersect(self, other: "Expr", distinct: bool = True) -> "Expr":
+        return self._wrap(N.SetOp(self.node, other.node, "intersect", distinct))
+
+    def difference(self, other: "Expr", distinct: bool = True) -> "Expr":
+        return self._wrap(N.SetOp(self.node, other.node, "difference", distinct))
+
+    def sample(self, fraction: float, seed: Optional[int] = None) -> "Expr":
+        return self._wrap(N.Sample(self.node, fraction, seed))
+
+    def fill_null(self, replacements) -> "Expr":
+        if isinstance(replacements, dict):
+            repl = tuple(sorted(replacements.items()))
+        else:
+            repl = (("*", replacements),)
+        return self._wrap(N.FillNull(self.node, repl))
+
+    def drop_null(self, subset=None, how: str = "any") -> "Expr":
+        return self._wrap(
+            N.DropNull(self.node, tuple(subset) if subset else None, how)
+        )
+
+    def unnest(self, column: str, offset: bool = False, keep_empty: bool = False) -> "Expr":
+        return self._wrap(N.Unnest(self.node, column, offset, keep_empty))
+
+    def sql(self, query: str, alias: str = "t") -> "Expr":
+        return self._wrap(N.SQLView(self.node, query, alias))
+
+    alias_sql = sql
+
+    def cache(self, strategy: str = "mtime") -> "Expr":
+        return self._wrap(N.CachedNode(self.node, strategy))
+
+    def value_counts(self, *cols: str) -> "Expr":
+        keys = tuple((c, _col(c)) for c in cols)
+        from xorq_spark.expr.deferred import Func
+
+        return self._wrap(
+            N.Aggregate(self.node, keys, ((f"{'_'.join(cols)}_count", Func("count", (_col(cols[0]),))),))
+        )
+
+    # --- execution (reference: expr/api.py:294,589-779) -------------------
+    def execute(self, spark=None, params=None, bindings=None):
+        """Run and return a pandas DataFrame."""
+        return self.to_spark(spark, params, bindings).toPandas()
+
+    def to_pyarrow(self, spark=None, params=None, bindings=None):
+        df = self.to_spark(spark, params, bindings)
+        return df.toArrow()
+
+    def to_pyarrow_batches(self, spark=None, params=None, bindings=None, chunk_size: int = 1_000_000):
+        tbl = self.to_pyarrow(spark, params, bindings)
+        return tbl.to_reader(max_chunksize=chunk_size)
+
+    def count(self, spark=None) -> int:
+        return self.to_spark(spark).count()
+
+    def to_parquet(self, path: str, spark=None, params=None, mode: str = "overwrite", **options):
+        self.to_spark(spark, params).write.mode(mode).options(**options).parquet(path)
+
+    def to_csv(self, path: str, spark=None, params=None, mode: str = "overwrite", **options):
+        options.setdefault("header", "true")
+        self.to_spark(spark, params).write.mode(mode).options(**options).csv(path)
+
+    def to_json(self, path: str, spark=None, params=None, mode: str = "overwrite", **options):
+        self.to_spark(spark, params).write.mode(mode).options(**options).json(path)
+
+    def create_table(self, name: str, spark=None, overwrite: bool = True):
+        w = self.to_spark(spark).write
+        (w.mode("overwrite") if overwrite else w).saveAsTable(name)
+
+    def into_backend(self, con, name: Optional[str] = None):
+        """Move this expression's result into another engine via Arrow
+        (reference: into_backend, expr/relations.py:430). DuckDB
+        connections are first-class (the test oracle)."""
+        from xorq_spark.interop import arrow_into_duckdb
+
+        return arrow_into_duckdb(self, con, name)
+
+
+class GroupedExpr:
+    def __init__(self, parent: Expr, keys):
+        self.parent, self.keys = parent, keys
+
+    def aggregate(self, *metrics, **named_metrics) -> Expr:
+        return self.parent._wrap(
+            N.Aggregate(self.parent.node, self.keys, _named_exprs(metrics, named_metrics))
+        )
+
+    agg = aggregate
+
+    def count(self, name: str = "count") -> Expr:
+        from xorq_spark.expr.deferred import Func, Lit
+
+        return self.agg(**{name: Deferred(Func("count", (Lit(1),)))})
+
+
+class LsAccessor:
+    """Introspection accessor (reference: LETSQLAccessor,
+    vendor/ibis/expr/types/core.py:1002)."""
+
+    def __init__(self, expr: Expr):
+        self.expr = expr
+
+    @property
+    def cached_nodes(self) -> tuple:
+        return tuple(n for n in N.walk(self.expr.node) if isinstance(n, N.CachedNode))
+
+    @property
+    def tokenized(self) -> str:
+        from xorq_spark.tokenize import tokenize
+
+        return tokenize(self.expr.node)
+
+    @property
+    def uncached(self) -> Expr:
+        return Expr(_strip_cache(self.expr.node), self.expr._spark)
+
+    @property
+    def source_nodes(self) -> tuple:
+        return tuple(
+            n for n in N.walk(self.expr.node)
+            if isinstance(n, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.Memtable, N.TableRef, N.UnboundTable))
+        )
+
+
+def _strip_cache(node: N.RNode) -> N.RNode:
+    from dataclasses import fields, replace
+
+    if isinstance(node, N.CachedNode):
+        return _strip_cache(node.parent)
+    changes = {}
+    for f_ in fields(node):
+        v = getattr(node, f_.name)
+        if isinstance(v, N.RNode):
+            nv = _strip_cache(v)
+            if nv is not v:
+                changes[f_.name] = nv
+    return replace(node, **changes) if changes else node
+
+
+def _bind_tree_params(node: N.RNode, params: dict) -> N.RNode:
+    """Apply bind_params to every VNode embedded in the relation tree."""
+    from dataclasses import fields, replace
+
+    changes = {}
+    for f_ in fields(node):
+        v = getattr(node, f_.name)
+        if isinstance(v, N.RNode):
+            nv = _bind_tree_params(v, params)
+            if nv is not v:
+                changes[f_.name] = nv
+        elif isinstance(v, VNode):
+            nv = bind_params(v, params)
+            if nv is not v:
+                changes[f_.name] = nv
+        elif isinstance(v, tuple):
+            nv = _bind_tuple(v, params)
+            if nv != v:
+                changes[f_.name] = nv
+    return replace(node, **changes) if changes else node
+
+
+def _bind_tuple(v: tuple, params: dict) -> tuple:
+    out = []
+    for x in v:
+        if isinstance(x, VNode):
+            out.append(bind_params(x, params))
+        elif isinstance(x, tuple):
+            out.append(_bind_tuple(x, params))
+        else:
+            out.append(x)
+    return tuple(out)
+
+
+def _format_tree(node: N.RNode, depth: int = 0) -> str:
+    pad = "  " * depth
+    line = pad + type(node).__name__
+    kids = N.children(node)
+    return "\n".join([line] + [_format_tree(c, depth + 1) for c in kids])
