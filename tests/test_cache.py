@@ -1,0 +1,137 @@
+"""Cache + tokenizer semantics (reference test model: tests/test_cache.py,
+common/utils/tests/test_hash_contract.py — SURVEY §5.3-5.4): hit/miss,
+mtime invalidation, snapshot stability, TTL expiry, pin/unpin,
+cross-process token stability."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import pandas as pd
+import pytest
+
+import xorq_spark as xo
+from xorq_spark import _
+from xorq_spark import cache as C
+from xorq_spark.tokenize import tokenize
+
+
+@pytest.fixture(autouse=True)
+def cache_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("XORQ_SPARK_CACHE_DIR", str(tmp_path / "cache"))
+    yield str(tmp_path / "cache")
+
+
+@pytest.fixture
+def src(tmp_path, spark):
+    p = str(tmp_path / "src.parquet")
+    pd.DataFrame({"k": [1, 1, 2, 2, 3], "v": [1.0, 2.0, 3.0, 4.0, 5.0]}).to_parquet(p)
+    return p
+
+
+def _expr(path):
+    return (
+        xo.deferred_read_parquet(path)
+        .group_by("k")
+        .agg(s=_.v.sum())
+    )
+
+
+def test_token_stability_and_sensitivity(src):
+    e = _expr(src)
+    t1 = tokenize(e.node)
+    t2 = tokenize(_expr(src).node)
+    assert t1 == t2  # same pipeline -> same token
+    other = _expr(src).filter(_.s > 0)
+    assert tokenize(other.node) != t1  # structure change -> new token
+    assert tokenize(e.node, "snapshot") != t1  # strategies keyed apart
+
+
+def test_token_stable_across_processes(src):
+    e = _expr(src)
+    local = tokenize(e.node)
+    code = (
+        "import xorq_spark as xo\n"
+        "from xorq_spark import _\n"
+        "from xorq_spark.tokenize import tokenize\n"
+        f"e = xo.deferred_read_parquet({src!r}).group_by('k').agg(s=_.v.sum())\n"
+        "print(tokenize(e.node))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == local
+
+
+def test_cache_hit_and_mtime_invalidation(spark, src):
+    e = _expr(src).cache()
+    key = C.calc_key(e.node.parent, "mtime")
+    assert not C.exists(key)
+    r1 = e.execute(spark).sort_values("k")
+    assert C.exists(key)  # materialized on miss
+    assert r1.s.tolist() == [3.0, 7.0, 5.0]
+
+    # Re-execution hits the artifact: result identical, no rewrite.
+    marker = os.path.join(C.artifact_path(key), "_SUCCESS")
+    m1 = os.path.getmtime(marker)
+    r2 = e.execute(spark).sort_values("k")
+    assert r2.s.tolist() == r1.s.tolist()
+    assert os.path.getmtime(marker) == m1
+
+    # mtime strategy: new data at the same path -> new key -> recompute.
+    pd.DataFrame({"k": [9], "v": [9.0]}).to_parquet(src)
+    key2 = C.calc_key(e.node.parent, "mtime")
+    assert key2 != key
+    r3 = e.execute(spark)
+    assert r3.s.tolist() == [9.0]
+
+
+def test_snapshot_survives_data_change(spark, src):
+    e = _expr(src).cache(strategy="snapshot")
+    key = C.calc_key(e.node.parent, "snapshot")
+    r1 = e.execute(spark).sort_values("k")
+    # rewrite the source with different data; snapshot key is unchanged
+    pd.DataFrame({"k": [9], "v": [9.0]}).to_parquet(src)
+    assert C.calc_key(e.node.parent, "snapshot") == key
+    r2 = e.execute(spark).sort_values("k")
+    assert r2.s.tolist() == r1.s.tolist()  # stale by design
+
+
+def test_ttl_expiry(spark, src):
+    e = _expr(src).cache(strategy="ttl:0.5")
+    e.execute(spark)
+    key = C.calc_key(e.node.parent, "ttl:0.5")
+    marker = os.path.join(C.artifact_path(key), "_SUCCESS")
+    old = os.path.getmtime(marker)
+    time.sleep(0.6)
+    # expired: re-execution rewrites the artifact
+    e.execute(spark)
+    assert os.path.getmtime(marker) > old
+
+
+def test_pin_unpin_roundtrip(spark, src):
+    e = _expr(src).cache()
+    pinned = C.pin(e)
+    from xorq_spark.expr import nodes as N
+
+    assert isinstance(pinned.node, N.CacheTag)
+    # pinned expr reads the artifact even after source deleted
+    os.remove(src)
+    assert pinned.execute(spark).s.sum() == 15.0
+    unpinned = C.unpin(pinned)
+    assert isinstance(unpinned.node, N.CachedNode)
+    assert unpinned.node == e.node
+
+
+def test_ls_accessor(spark, src):
+    e = _expr(src).cache()
+    assert len(e.ls.cached_nodes) == 1
+    assert isinstance(e.ls.tokenized, str)
+    assert len(e.ls.uncached.ls.cached_nodes) == 0
+    assert len(e.ls.source_nodes) == 1

@@ -1,0 +1,149 @@
+"""Content-addressed caching: the reference's headline capability
+(CachedNode semantics, expr/relations.py:144; Cache strategy x storage,
+caching/__init__.py:34) rebuilt over Parquet artifacts.
+
+A `CachedNode(parent, strategy)` in the expression graph is a
+materialization boundary. At lowering time (the reference's pass 3,
+expr/api.py:229):
+  - key = tokenize(parent) under the node's strategy
+  - hit  -> the whole parent subtree is replaced by a Parquet scan of
+    the artifact (subtree elimination — the biggest "optimization")
+  - miss -> parent is lowered, written to the artifact path, and read
+    back (so downstream stages scan Parquet, not the live plan)
+
+Strategies (caching/strategy.py:84,90 + ParquetTTLSnapshotCache,
+caching/__init__.py:172):
+  - "mtime"     key folds source-file mtimes/sizes; data edits invalidate
+  - "snapshot"  structure-only key; survives data changes
+  - "ttl:<sec>" snapshot key + wall-clock expiry
+
+Not `df.cache()` (session-local memory pin): artifacts persist across
+processes and sessions, keyed by plan content. On a cluster the cache
+root would be object storage (s3://...); everything here goes through
+Spark's Hadoop FS layer via plain paths.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from xorq_spark.expr import nodes as N
+from xorq_spark.tokenize import tokenize
+
+
+def cache_root() -> str:
+    return os.environ.get(
+        "XORQ_SPARK_CACHE_DIR", os.path.join(os.getcwd(), ".xorq_cache")
+    )
+
+
+def artifact_path(key: str) -> str:
+    return os.path.join(cache_root(), f"{key}.parquet")
+
+
+def _success_marker(path: str) -> str:
+    return os.path.join(path, "_SUCCESS")
+
+
+def exists(key: str) -> bool:
+    return os.path.exists(_success_marker(artifact_path(key)))
+
+
+def drop(key: str) -> None:
+    p = artifact_path(key)
+    if os.path.exists(p):
+        shutil.rmtree(p)
+
+
+def drop_all() -> None:
+    if os.path.exists(cache_root()):
+        shutil.rmtree(cache_root())
+
+
+def calc_key(node: N.RNode, strategy: str = "mtime") -> str:
+    return tokenize(node, strategy)
+
+
+def _ttl_seconds(strategy: str) -> Optional[float]:
+    if strategy.startswith("ttl:"):
+        return float(strategy.split(":", 1)[1])
+    return None
+
+
+def _is_fresh(key: str, strategy: str) -> bool:
+    if not exists(key):
+        return False
+    ttl = _ttl_seconds(strategy)
+    if ttl is None:
+        return True
+    age = time.time() - os.path.getmtime(_success_marker(artifact_path(key)))
+    return age <= ttl
+
+
+def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> DataFrame:
+    """get-or-set_default (reference: Cache.set_default,
+    caching/__init__.py:34): swap subtree for the artifact on hit,
+    materialize on miss."""
+    from xorq_spark.expr.core import lower
+
+    key = calc_key(node.parent, node.strategy)
+    path = artifact_path(key)
+    if not _is_fresh(key, node.strategy):
+        df = lower(node.parent, spark, bindings)
+        df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# pin / unpin (reference: pin_cache/unpin_cache, expr/relations.py:370,400)
+# --------------------------------------------------------------------------
+def pin(expr):
+    """Freeze every CachedNode into a CacheTag: a direct artifact read
+    that still carries the original subtree for unpinning. Artifacts are
+    materialized now if missing."""
+    from xorq_spark.expr.core import Expr
+
+    def rewrite(n: N.RNode) -> N.RNode:
+        n = _rewrite_children(n, rewrite)
+        if isinstance(n, N.CachedNode):
+            key = calc_key(n.parent, n.strategy)
+            if not exists(key):
+                from xorq_spark.session import get_spark
+
+                lower_cached_node(n, get_spark(), {})
+            return N.CacheTag(parent=n.parent, key=key, strategy=n.strategy)
+        return n
+
+    return Expr(rewrite(expr.node), expr._spark)
+
+
+def unpin(expr):
+    """CacheTag -> CachedNode (reversible, reference accessor
+    vendor/ibis/expr/types/core.py:1068)."""
+    from xorq_spark.expr.core import Expr
+
+    def rewrite(n: N.RNode) -> N.RNode:
+        n = _rewrite_children(n, rewrite)
+        if isinstance(n, N.CacheTag):
+            return N.CachedNode(parent=n.parent, strategy=n.strategy)
+        return n
+
+    return Expr(rewrite(expr.node), expr._spark)
+
+
+def _rewrite_children(node: N.RNode, fn):
+    import dataclasses
+
+    changes = {}
+    for f in dataclasses.fields(node):
+        v = getattr(node, f.name)
+        if isinstance(v, N.RNode):
+            nv = fn(v)
+            if nv is not v:
+                changes[f.name] = nv
+    return dataclasses.replace(node, **changes) if changes else node

@@ -116,6 +116,10 @@ def lower(
         from xorq_spark.cache import lower_cached_node
 
         return lower_cached_node(node, spark, b)
+    if isinstance(node, N.CacheTag):
+        from xorq_spark.cache import artifact_path
+
+        return spark.read.parquet(artifact_path(node.key))
     if isinstance(node, N.Project):
         df = rec(node.parent)
         r = cols(df)
@@ -515,7 +519,7 @@ class LsAccessor:
 def _strip_cache(node: N.RNode) -> N.RNode:
     from dataclasses import fields, replace
 
-    if isinstance(node, N.CachedNode):
+    if isinstance(node, (N.CachedNode, N.CacheTag)):
         return _strip_cache(node.parent)
     changes = {}
     for f_ in fields(node):

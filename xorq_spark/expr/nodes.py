@@ -197,6 +197,17 @@ class CachedNode(RNode):
     strategy: str = "mtime"  # mtime|snapshot|ttl:<seconds>
 
 
+@dataclass(frozen=True)
+class CacheTag(RNode):
+    """Pinned (frozen) cache: a direct read of the cache artifact that
+    still carries the original subtree so it can be unpinned (reference:
+    CacheTag, expr/relations.py:149)."""
+
+    parent: RNode
+    key: str
+    strategy: str = "mtime"
+
+
 def children(node: RNode) -> Tuple[RNode, ...]:
     out = []
     for attr in ("parent", "left", "right"):
