@@ -197,6 +197,18 @@ def lower(
         return spark.sql(node.sql)
     if isinstance(node, N.Join):
         return _lower_join(node, spark, b)
+    if isinstance(node, N.AggPandas):
+        from xorq_spark.udf import lower_agg_pandas
+
+        return lower_agg_pandas(node, rec(node.parent))
+    if isinstance(node, N.MapBatches):
+        from xorq_spark.udf import lower_map_batches
+
+        return lower_map_batches(node, rec(node.parent))
+    if isinstance(node, N.WindowUDF):
+        from xorq_spark.udf import lower_window_udf
+
+        return lower_window_udf(node, rec(node.parent))
     raise TypeError(f"cannot lower {type(node).__name__}")
 
 

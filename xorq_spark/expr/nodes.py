@@ -208,6 +208,46 @@ class CacheTag(RNode):
     strategy: str = "mtime"
 
 
+@dataclass(frozen=True)
+class AggPandas(RNode):
+    """Grouped pandas UDAF (reference: agg.pandas_df, expr/udf.py:627):
+    each group's rows -> pandas DataFrame -> fn -> one-row result.
+    Lowered to groupBy(keys).applyInPandas. The callable lives in the
+    UDF registry under `fn_token` so the node stays plain data."""
+
+    parent: RNode
+    keys: Tuple[str, ...]
+    fn_token: str
+    schema_out: str
+
+
+@dataclass(frozen=True)
+class MapBatches(RNode):
+    """Table-in -> table-out exchange UDF (reference: flight_udxf /
+    FlightUDXF, expr/relations.py:580 — same iterator-of-batches
+    contract as mapInPandas/mapInArrow)."""
+
+    parent: RNode
+    fn_token: str
+    schema_out: str
+    mode: str = "pandas"  # pandas|arrow
+
+
+@dataclass(frozen=True)
+class WindowUDF(RNode):
+    """Custom window evaluator (reference: pyarrow_udwf,
+    backends/xorq_datafusion/backend.py:88-140). No PySpark UDWF
+    primitive exists; emulated per-partition with applyInPandas over
+    sorted groups — fn sees the whole ordered partition frame."""
+
+    parent: RNode
+    partition_by: Tuple[str, ...]
+    order_by: Tuple[str, ...]
+    fn_token: str
+    result_name: str
+    dtype: str
+
+
 def children(node: RNode) -> Tuple[RNode, ...]:
     out = []
     for attr in ("parent", "left", "right"):
