@@ -1,0 +1,107 @@
+"""Build-artifact round-trip tests (reference model:
+ibis_yaml/tests/test_compiler.py — expr -> YAML -> expr equality,
+build/load determinism; SURVEY §5.5)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pandas as pd
+import pytest
+
+import xorq_spark as xo
+from xorq_spark import _
+from xorq_spark.builds import build, from_data, load, to_data
+
+
+@pytest.fixture
+def src(tmp_path):
+    p = str(tmp_path / "src.parquet")
+    pd.DataFrame({"k": [1, 1, 2], "v": [10.0, 20.0, 30.0]}).to_parquet(p)
+    return p
+
+
+def test_to_from_data_roundtrip(src):
+    e = (
+        xo.deferred_read_parquet(src)
+        .filter(_.v > 5)
+        .group_by("k")
+        .agg(s=_.v.sum())
+        .order_by("k")
+    )
+    data = to_data(e.node)
+    back = from_data(data)
+    assert back == e.node
+
+
+def test_yaml_is_plain_data(src):
+    import yaml
+
+    e = xo.deferred_read_parquet(src).filter(_.v > xo.param("t", "float64", 5.0))
+    text = yaml.safe_dump(to_data(e.node))
+    assert "ReadParquet" in text and "Param" in text
+    assert from_data(yaml.safe_load(text)) == e.node
+
+
+def test_build_load_execute(spark, src, tmp_path):
+    e = xo.deferred_read_parquet(src).group_by("k").agg(s=_.v.sum()).order_by("k")
+    out = build(e, str(tmp_path / "builds"))
+    e2 = load(out, spark)
+    assert e2.node == e.node
+    got = e2.execute(spark)
+    assert got.s.tolist() == [30.0, 30.0]
+
+
+def test_build_hash_deterministic(src, tmp_path):
+    e = xo.deferred_read_parquet(src).filter(_.v > 5)
+    p1 = build(e, str(tmp_path / "b1"))
+    p2 = build(e, str(tmp_path / "b2"))
+    assert p1.split("/")[-1] == p2.split("/")[-1]
+
+
+def test_build_with_memtable(spark, tmp_path):
+    mt = xo.memtable({"a": [1, 2, 3]})
+    e = mt.filter(_.a > 1)
+    out = build(e, str(tmp_path / "builds"))
+    # load in THIS process after clearing the registry (simulates restart)
+    from xorq_spark.expr.core import _MEMTABLES
+
+    _MEMTABLES.clear()
+    e2 = load(out, spark)
+    assert e2.execute(spark).a.tolist() == [2, 3]
+
+
+def test_build_with_udf(spark, src, tmp_path):
+    from xorq_spark import udf
+
+    @udf.scalar.pandas(dtype="double", name="double_it")
+    def double_it(s):
+        return s * 2
+
+    e = xo.deferred_read_parquet(src).mutate(w=double_it(_.v)).order_by("v")
+    out = build(e, str(tmp_path / "builds"))
+    e2 = load(out, spark)
+    assert e2.execute(spark).w.tolist() == [20.0, 40.0, 60.0]
+
+
+def test_cli_build_run(src, tmp_path):
+    script = tmp_path / "pipeline.py"
+    script.write_text(
+        "import xorq_spark as xo\n"
+        "from xorq_spark import _\n"
+        f"expr = xo.deferred_read_parquet({src!r}).group_by('k').agg(s=_.v.sum()).order_by('k')\n"
+    )
+    bd = str(tmp_path / "builds")
+    r = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "build", str(script), "-e", "expr", "--builds-dir", bd],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    build_dir = r.stdout.strip()
+    r2 = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "run", build_dir, "--format", "text"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "30.0" in r2.stdout

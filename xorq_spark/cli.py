@@ -1,0 +1,95 @@
+"""Command-line interface: build / run / inspect.
+
+Reference: xorq's CLI (cli.py:233 build_command, :306 run_command).
+
+  python -m xorq_spark build script.py -e expr_var [--builds-dir builds]
+  python -m xorq_spark run builds/<hash> [-o out] [--format parquet|csv|json|text]
+  python -m xorq_spark inspect builds/<hash>
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib.util
+import json
+import os
+import sys
+
+
+def _load_script_expr(script: str, expr_name: str):
+    spec = importlib.util.spec_from_file_location("__xorq_build_script__", script)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[spec.name] = mod
+    spec.loader.exec_module(mod)
+    try:
+        return getattr(mod, expr_name)
+    except AttributeError:
+        raise SystemExit(
+            f"script {script!r} has no attribute {expr_name!r}; "
+            f"available: {[k for k, v in vars(mod).items() if not k.startswith('_')]}"
+        )
+
+
+def cmd_build(args) -> int:
+    from xorq_spark.builds import build
+
+    expr = _load_script_expr(args.script, args.expr)
+    out = build(expr, args.builds_dir)
+    print(out)
+    return 0
+
+
+def cmd_run(args) -> int:
+    from xorq_spark.builds import load
+    from xorq_spark.session import connect
+
+    spark = connect()
+    expr = load(args.build_dir, spark)
+    if args.output and args.format == "parquet":
+        expr.to_parquet(args.output, spark)
+    elif args.output and args.format == "csv":
+        expr.to_csv(args.output, spark)
+    elif args.output and args.format == "json":
+        expr.to_json(args.output, spark)
+    else:
+        pdf = expr.execute(spark)
+        print(pdf.to_string(index=False, max_rows=args.limit))
+    return 0
+
+
+def cmd_inspect(args) -> int:
+    with open(os.path.join(args.build_dir, "metadata.json")) as f:
+        meta = json.load(f)
+    print(json.dumps(meta, indent=2))
+    with open(os.path.join(args.build_dir, "expr.yaml")) as f:
+        print(f.read())
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="xorq_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="serialize an expression to a build dir")
+    b.add_argument("script")
+    b.add_argument("-e", "--expr", required=True, help="module-level Expr variable")
+    b.add_argument("--builds-dir", default="builds")
+    b.set_defaults(fn=cmd_build)
+
+    r = sub.add_parser("run", help="load a build and execute it")
+    r.add_argument("build_dir")
+    r.add_argument("-o", "--output", default=None)
+    r.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "text"])
+    r.add_argument("--limit", type=int, default=50)
+    r.set_defaults(fn=cmd_run)
+
+    i = sub.add_parser("inspect", help="print build metadata + IR")
+    i.add_argument("build_dir")
+    i.set_defaults(fn=cmd_inspect)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
