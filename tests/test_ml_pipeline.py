@@ -1,0 +1,91 @@
+"""Deferred-pipeline tests (reference model: expr/ml/tests/
+test_pipeline_lib.py — deferred pipelines vs native estimator results)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import xorq_spark as xo
+from xorq_spark.ml.estimators import SimpleLinearRegression, SimpleStandardScaler
+from xorq_spark.ml.pipeline import (
+    Pipeline,
+    Step,
+    deferred_cross_val_score,
+    deferred_fit_predict,
+    deferred_fit_transform,
+)
+
+rng = np.random.default_rng(7)
+_N = 200
+_PDF = pd.DataFrame(
+    {
+        "id": np.arange(_N),
+        "x1": rng.normal(size=_N),
+        "x2": rng.normal(size=_N) * 3 + 1,
+    }
+)
+_PDF["y"] = 2.0 * _PDF.x1 - 0.5 * _PDF.x2 + 3.0  # exact linear target
+
+
+@pytest.fixture(scope="module")
+def data(spark):
+    return xo.memtable(_PDF)
+
+
+def test_deferred_fit_predict_matches_local(spark, data):
+    fitted, scored = deferred_fit_predict(
+        data, ["x1", "x2"], "y", SimpleLinearRegression
+    )
+    got = scored.order_by("id").execute(spark)
+    # exact linear data -> OLS recovers it to machine precision
+    assert np.allclose(got.predicted, got.y, atol=1e-8)
+
+    local = SimpleLinearRegression().fit(_PDF[["x1", "x2"]], _PDF.y)
+    assert np.allclose(local.predict(_PDF[["x1", "x2"]]), got.sort_values("id").predicted, atol=1e-8)
+
+
+def test_fitted_step_scores_new_data(spark, data):
+    step = Step(SimpleLinearRegression, ["x1", "x2"], target="y")
+    fs = step.fit(data)
+    new = xo.memtable(
+        pd.DataFrame({"id": [0, 1], "x1": [1.0, -1.0], "x2": [0.0, 2.0], "y": [5.0, 0.0]})
+    )
+    got = fs.predict(new).order_by("id").execute(spark)
+    assert got.predicted.tolist() == pytest.approx([5.0, 0.0], abs=1e-8)
+
+
+def test_deferred_fit_transform_scaler(spark, data):
+    fitted, transformed = deferred_fit_transform(
+        data, ["x1", "x2"], SimpleStandardScaler
+    )
+    got = transformed.order_by("id").execute(spark)
+    local = SimpleStandardScaler().fit_transform(_PDF[["x1", "x2"]])
+    assert np.allclose(got[["x1_t", "x2_t"]].to_numpy(), local, atol=1e-8)
+
+
+def test_pipeline_scaler_then_regression(spark, data):
+    pipe = Pipeline(
+        [
+            Step(SimpleStandardScaler, ["x1", "x2"], kind="transform"),
+            Step(SimpleLinearRegression, ["x1_t", "x2_t"], target="y"),
+        ]
+    )
+    fp = pipe.fit(data)
+    got = fp.expr.order_by("id").execute(spark)
+    assert np.allclose(got.predicted, got.y, atol=1e-6)
+    # transform a fresh expr end-to-end
+    new = xo.memtable(_PDF.head(5))
+    got2 = fp.predict(new).order_by("id").execute(spark)
+    assert np.allclose(got2.predicted, _PDF.head(5).y, atol=1e-6)
+
+
+def test_cross_val_scores_near_zero_on_exact_data(spark, data):
+    scores = deferred_cross_val_score(
+        data, ["x1", "x2"], "y", SimpleLinearRegression,
+        unique_key="id", n_folds=3, metric="mse",
+    )
+    vals = [s.execute(spark).score.iloc[0] for s in scores]
+    assert len(vals) == 3
+    assert all(v == pytest.approx(0.0, abs=1e-10) for v in vals)

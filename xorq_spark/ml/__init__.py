@@ -3,12 +3,42 @@ assignment, and deferred metrics (reference: expr/ml/)."""
 
 from xorq_spark.ml.split import (
     calc_split_column,
+    expr_kfold_column,
+    expr_split_column,
     kfold_column,
     train_test_splits,
 )
 from xorq_spark.ml.metrics import accuracy, mae, mse, r2
+from xorq_spark.ml.estimators import (
+    SimpleLinearRegression,
+    SimpleStandardScaler,
+    default_regressor,
+)
+from xorq_spark.ml.pipeline import (
+    FittedPipeline,
+    FittedStep,
+    Pipeline,
+    Step,
+    deferred_cross_val_score,
+    deferred_fit,
+    deferred_fit_predict,
+    deferred_fit_transform,
+)
 
 __all__ = [
+    "expr_kfold_column",
+    "expr_split_column",
+    "SimpleLinearRegression",
+    "SimpleStandardScaler",
+    "default_regressor",
+    "Pipeline",
+    "FittedPipeline",
+    "Step",
+    "FittedStep",
+    "deferred_fit",
+    "deferred_fit_predict",
+    "deferred_fit_transform",
+    "deferred_cross_val_score",
     "calc_split_column",
     "train_test_splits",
     "kfold_column",

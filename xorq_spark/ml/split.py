@@ -83,3 +83,53 @@ def kfold_column(unique_key: Union[str, Sequence[str]], k: int = 5) -> Column:
     if isinstance(unique_key, str):
         unique_key = [unique_key]
     return (_key_hash(unique_key) % k).cast("int")
+
+
+# --------------------------------------------------------------------------
+# Deferred-AST variants (for the Expr layer): same hash formula built
+# from VNode expressions so split assignment participates in plan
+# hashing/serialization like any other column.
+# --------------------------------------------------------------------------
+def _expr_key_hash(unique_key: Sequence[str]):
+    from xorq_spark.expr.deferred import Cast, Col, Deferred, Func, Lit
+
+    acc = Deferred(Lit(0)).cast("bigint")
+    for c in unique_key:
+        s = Deferred(Cast(Col(c), "string"))
+        md5 = Deferred(Func("md5", (s.node,)))
+        sub = Deferred(Func("substring", (md5.node, 1, 8)))
+        num = Deferred(Func("conv", (sub.node, 16, 10))).cast("bigint")
+        acc = (acc * 31 + num) % _ACC_MOD
+    return (acc * _KNUTH) % _MOD
+
+
+def expr_split_column(
+    unique_key: Union[str, Sequence[str]],
+    test_sizes: Sequence[float],
+    num_buckets: int = 10000,
+    labels: Sequence[str] = None,
+):
+    """Deferred split-label expression (same semantics as
+    calc_split_column, usable in Expr.mutate)."""
+    from xorq_spark.expr.deferred import Case, Deferred, unwrap
+
+    if isinstance(unique_key, str):
+        unique_key = [unique_key]
+    if abs(sum(test_sizes) - 1.0) > 1e-9:
+        raise ValueError("test_sizes must sum to 1")
+    labels = list(labels or [str(i) for i in range(len(test_sizes))])
+    bucket = _expr_key_hash(unique_key) % num_buckets
+    branches = []
+    hi = 0.0
+    for frac, label in zip(test_sizes, labels):
+        hi += frac
+        bound = int(round(hi * num_buckets))
+        branches.append((unwrap(bucket < bound), unwrap(label)))
+    return Deferred(Case(tuple(branches), unwrap(labels[-1])))
+
+
+def expr_kfold_column(unique_key: Union[str, Sequence[str]], k: int = 5):
+    """Deferred fold-id expression 0..k-1."""
+    if isinstance(unique_key, str):
+        unique_key = [unique_key]
+    return (_expr_key_hash(unique_key) % k).cast("int")
