@@ -1,0 +1,91 @@
+"""Cross-engine interchange + write orchestration tests (reference
+model: tests/test_into_backend.py; writes/wap.py tests)."""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import xorq_spark as xo
+from xorq_spark import _
+from xorq_spark import interop, writes
+
+
+@pytest.fixture
+def con():
+    c = duckdb.connect()
+    yield c
+    c.close()
+
+
+def test_spark_to_duckdb(spark, con):
+    e = xo.memtable({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}).filter(_.k > 1)
+    rel = e.into_backend(con, "t1")
+    got = con.sql("SELECT sum(v) AS s FROM t1").fetchall()
+    assert got[0][0] == 50.0
+    assert rel is not None
+
+
+def test_duckdb_to_spark_roundtrip(spark, con):
+    con.sql("CREATE TABLE src AS SELECT range AS k, range * 2.0 AS v FROM range(5)")
+    e = interop.duckdb_into_spark(con, "SELECT * FROM src WHERE k >= 2")
+    got = e.order_by("k").execute(spark)
+    assert got.k.tolist() == [2, 3, 4]
+    assert got.v.tolist() == [4.0, 6.0, 8.0]
+
+
+def test_read_record_batches(spark):
+    import pyarrow as pa
+
+    tbl = pa.table({"a": [1, 2, 3]})
+    e = interop.read_record_batches(tbl.to_reader())
+    assert e.count(spark) == 3
+
+
+def test_cross_engine_join(spark, con):
+    """Spark expr joined against DuckDB-sourced expr — the
+    RemoteTable-style stitch, all through Arrow."""
+    con.sql("CREATE TABLE dims AS SELECT range AS k, 'dim' || range AS label FROM range(3)")
+    dims = interop.duckdb_into_spark(con, "SELECT * FROM dims")
+    facts = xo.memtable({"k": [0, 1, 1, 2, 9], "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = facts.join(dims, ["k"]).group_by("label").agg(s=_.x.sum()).order_by("label").execute(spark)
+    assert got.s.tolist() == [1.0, 5.0, 4.0]
+
+
+def test_tee(spark, tmp_path):
+    p = str(tmp_path / "teed.parquet")
+    e = xo.memtable({"a": [1, 2, 3]}).filter(_.a > 1)
+    cont = writes.tee(e, p, spark)
+    assert os.path.exists(p)  # side-effect write happened
+    assert cont.count(spark) == 2  # continuation reads the artifact
+    # downstream sees the artifact, not a recompute
+    assert cont.filter(_.a > 2).count(spark) == 1
+
+
+def test_wap_publish(spark, tmp_path):
+    final = str(tmp_path / "published")
+    e = xo.memtable({"a": [1, 2, 3]})
+    out = writes.write_audit_publish(
+        e, final,
+        audits=[lambda s: s.count(spark) == 3,
+                lambda s: s.aggregate(m=_.a.min()).execute(spark).m.iloc[0] >= 1],
+        spark=spark,
+    )
+    assert out == final
+    assert xo.deferred_read_parquet(final).count(spark) == 3
+
+
+def test_wap_audit_failure_keeps_staging(spark, tmp_path):
+    final = str(tmp_path / "published")
+    e = xo.memtable({"a": [1, 2, 3]})
+    with pytest.raises(writes.AuditError, match="staged data kept"):
+        writes.write_audit_publish(
+            e, final, audits=[lambda s: False], spark=spark,
+            staging_root=str(tmp_path),
+        )
+    assert not os.path.exists(final)
+    staged = [d for d in os.listdir(tmp_path) if d.startswith(".wap-staging")]
+    assert staged  # left for inspection
