@@ -1,0 +1,90 @@
+"""Structured Streaming tests: file-source -> watermarked window agg ->
+memory sink with availableNow (deterministic), plus stateful
+sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from xorq_spark import streaming as S
+
+
+def _write_events(path, rows):
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "v"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).dt.tz_localize("UTC")
+    pdf.to_parquet(path, coerce_timestamps="us", allow_truncated_timestamps=True)
+
+
+@pytest.fixture
+def events_dir(tmp_path):
+    d = tmp_path / "events"
+    d.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    _write_events(
+        d / "a.parquet",
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(seconds=30), 2.0),
+         ("b", t0 + dt.timedelta(seconds=10), 3.0)],
+    )
+    _write_events(
+        d / "b.parquet",
+        [("a", t0 + dt.timedelta(minutes=1, seconds=10), 4.0),
+         ("b", t0 + dt.timedelta(minutes=2), 5.0)],
+    )
+    return str(d)
+
+
+def test_windowed_stream_agg(spark, events_dir):
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    assert stream.isStreaming
+    agg = S.window_agg(
+        stream, "ts", "1 minute",
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        group_by=["k"],
+        watermark="5 minutes",
+    )
+    S.stream_to_memory(agg, "win_agg", output_mode="complete")
+    got = (
+        spark.sql("SELECT * FROM win_agg ORDER BY window_start, k").toPandas()
+    )
+    # minute 0: a has 2 events (1+2), b has 1 (3); minute 1: a has 1 (4);
+    # minute 2: b has 1 (5)
+    assert got.n.tolist() == [2, 1, 1, 1]
+    assert got.s.tolist() == [3.0, 3.0, 4.0, 5.0]
+    assert (got.window_end - got.window_start).dt.total_seconds().unique().tolist() == [60.0]
+
+
+def test_hopping_stream_agg(spark, events_dir):
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    agg = S.window_agg(
+        stream, "ts", "2 minutes", slide="1 minute",
+        aggs={"n": F.count(F.lit(1))},
+        watermark="5 minutes",
+    )
+    S.stream_to_memory(agg, "hop_agg", output_mode="complete")
+    got = spark.sql("SELECT * FROM hop_agg ORDER BY window_start").toPandas()
+    # each event lands in 2 hops -> total n across windows = 2 * 5 events
+    assert got.n.sum() == 10
+
+
+def test_sessionize_state_flow(spark, events_dir):
+    """applyInPandasWithState: per-key sessions close when the
+    processing-time gap elapses; the bounded wait stops the (otherwise
+    timer-driven, ever-retriggering) query."""
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    sess = S.sessionize(stream, "k", "ts", gap_seconds=1.0)
+    S.stream_to_memory(sess, "sessions", timeout=45)
+    got = spark.sql("SELECT * FROM sessions ORDER BY k").toPandas()
+    assert list(got.columns) == ["k", "session_start", "session_end", "n_events"]
+    # both keys' sessions eventually closed, event counts preserved
+    assert got.k.tolist() == ["a", "b"]
+    assert got.n_events.tolist() == [3, 2]

@@ -195,6 +195,26 @@ def lower(
     if isinstance(node, N.SQLView):
         rec(node.parent).createOrReplaceTempView(node.alias)
         return spark.sql(node.sql)
+    if isinstance(node, N.Unpivot):
+        df = rec(node.parent)
+        return df.unpivot(
+            list(node.ids), list(node.values), node.var_name, node.val_name
+        )
+    if isinstance(node, N.Pivot):
+        df = rec(node.parent)
+        agg_fn = getattr(F, node.agg)
+        return (
+            df.groupBy(*node.keys)
+            .pivot(node.names_from)
+            .agg(agg_fn(node.values_from))
+        )
+    if isinstance(node, N.Describe):
+        df = rec(node.parent)
+        return df.summary(*node.stats) if node.stats else df.summary()
+    if isinstance(node, N.Unpack):
+        df = rec(node.parent)
+        others = [c for c in df.columns if c != node.column]
+        return df.select(*others, f"{node.column}.*")
     if isinstance(node, N.Join):
         return _lower_join(node, spark, b)
     if isinstance(node, N.AggPandas):
@@ -434,6 +454,63 @@ class Expr:
 
     def cache(self, strategy: str = "mtime") -> "Expr":
         return self._wrap(N.CachedNode(self.node, strategy))
+
+    def pivot_longer(
+        self, cols, names_to: str = "name", values_to: str = "value", ids=None
+    ) -> "Expr":
+        values = tuple(cols)
+        id_cols = tuple(ids) if ids is not None else tuple(
+            c for c in self.columns if c not in values
+        )
+        return self._wrap(N.Unpivot(self.node, id_cols, values, names_to, values_to))
+
+    def pivot_wider(
+        self, names_from: str, values_from: str, keys=None, agg: str = "first"
+    ) -> "Expr":
+        key_cols = tuple(keys) if keys is not None else tuple(
+            c for c in self.columns if c not in (names_from, values_from)
+        )
+        return self._wrap(N.Pivot(self.node, key_cols, names_from, values_from, agg))
+
+    def describe(self, *stats: str) -> "Expr":
+        return self._wrap(N.Describe(self.node, tuple(stats)))
+
+    info = describe
+
+    def unpack(self, column: str) -> "Expr":
+        return self._wrap(N.Unpack(self.node, column))
+
+    def relocate(self, *cols: str, before: Optional[str] = None, after: Optional[str] = None) -> "Expr":
+        current = [c for c in self.columns if c not in cols]
+        moved = list(cols)
+        if before is not None:
+            i = current.index(before)
+            order = current[:i] + moved + current[i:]
+        elif after is not None:
+            i = current.index(after) + 1
+            order = current[:i] + moved + current[i:]
+        else:
+            order = moved + current
+        return self.select(*order)
+
+    def topk(self, col: str, k: int = 10, name: str = "count") -> "Expr":
+        from xorq_spark.expr.deferred import Func, Lit
+
+        return (
+            self.group_by(col)
+            .agg(**{name: Deferred(Func("count", (Lit(1),)))})
+            .order_by(Deferred(_col(name)).desc())
+            .limit(k)
+        )
+
+    def window_by(self, time_col: str, size: str, slide: Optional[str] = None) -> "GroupedExpr":
+        """Tumbling/hopping time-window grouping (reference: window_by,
+        temporal_windows.py:21-94) -> groupBy(F.window(...)); the same
+        construct Structured Streaming uses, so plans port to streams."""
+        from xorq_spark.expr.deferred import Func
+
+        args = (_col(time_col), size) if slide is None else (_col(time_col), size, slide)
+        return GroupedExpr(self, (("window", Func("window", args)),))
 
     def value_counts(self, *cols: str) -> "Expr":
         keys = tuple((c, _col(c)) for c in cols)

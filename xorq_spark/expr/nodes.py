@@ -209,6 +209,46 @@ class CacheTag(RNode):
 
 
 @dataclass(frozen=True)
+class Unpivot(RNode):
+    """pivot_longer (reference: types/relations.py:3597) -> df.unpivot."""
+
+    parent: RNode
+    ids: Tuple[str, ...]
+    values: Tuple[str, ...]
+    var_name: str = "name"
+    val_name: str = "value"
+
+
+@dataclass(frozen=True)
+class Pivot(RNode):
+    """pivot_wider (reference: types/relations.py:3927) ->
+    groupBy(keys).pivot(names_from).agg(fn(values_from))."""
+
+    parent: RNode
+    keys: Tuple[str, ...]
+    names_from: str
+    values_from: str
+    agg: str = "first"
+
+
+@dataclass(frozen=True)
+class Describe(RNode):
+    """describe/info summary stats (types/relations.py:2717) ->
+    df.summary()."""
+
+    parent: RNode
+    stats: Tuple[str, ...] = ()
+
+
+@dataclass(frozen=True)
+class Unpack(RNode):
+    """struct column -> top-level columns (types/relations.py:2638)."""
+
+    parent: RNode
+    column: str
+
+
+@dataclass(frozen=True)
 class AggPandas(RNode):
     """Grouped pandas UDAF (reference: agg.pandas_df, expr/udf.py:627):
     each group's rows -> pandas DataFrame -> fn -> one-row result.

@@ -21,6 +21,7 @@ from xorq_spark.queries import text  # noqa: F401
 from xorq_spark.queries import dedup  # noqa: F401
 from xorq_spark.queries import similarity  # noqa: F401
 from xorq_spark.queries import ml  # noqa: F401
+from xorq_spark.queries import multimodal  # noqa: F401
 from xorq_spark.queries import engine  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

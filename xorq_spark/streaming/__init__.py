@@ -1,0 +1,27 @@
+"""Structured Streaming surface.
+
+The reference is batch-only (SURVEY §intro: Arrow record-batch streams,
+no watermarks/event-time anywhere); its only stream-shaped IR is the
+Flink-heritage tumble/hop `WindowAggregate`
+(vendor/ibis/expr/types/temporal_windows.py:21-94). The rebuild keeps
+that batch surface (time_tumble/time_hop queries) AND extends it to real
+streams — `readStream -> window/watermark -> writeStream` — because on
+Spark the same `F.window` construct serves both.
+
+Everything here takes/returns plain streaming DataFrames; the deferred
+Expr layer stays batch (caching a stream is meaningless).
+"""
+
+from xorq_spark.streaming.core import (
+    read_stream_parquet,
+    sessionize,
+    stream_to_memory,
+    window_agg,
+)
+
+__all__ = [
+    "read_stream_parquet",
+    "window_agg",
+    "sessionize",
+    "stream_to_memory",
+]

@@ -1,0 +1,146 @@
+"""Streaming building blocks: file-source streams, windowed aggregation
+with watermarks, and custom stateful sessionization.
+
+Scale notes:
+- File-source streams (`maxFilesPerTrigger`) are the deterministic way
+  to test; on a cluster the same code runs against Kafka by swapping
+  the reader.
+- Watermarks bound state: without one, a windowed agg on an unbounded
+  stream accumulates state forever. `window_agg` therefore REQUIRES a
+  watermark delay.
+- `applyInPandasWithState` keys state by group — the custom-stateful
+  path (the reference has no equivalent; its Flight UDXF is stateless
+  per-batch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Optional, Sequence
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_stream_parquet(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Parquet-directory stream source. `schema` is mandatory for file
+    streams (Spark cannot infer on an unbounded source)."""
+    from xorq_spark.expr.datatypes import schema_to_struct
+
+    return (
+        spark.readStream.schema(schema_to_struct(schema))
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def window_agg(
+    stream: DataFrame,
+    time_col: str,
+    size: str,
+    aggs: dict,
+    slide: Optional[str] = None,
+    watermark: str = "10 minutes",
+    group_by: Sequence[str] = (),
+) -> DataFrame:
+    """Tumbling (slide=None) or hopping windowed aggregation with a
+    watermark for late data. `aggs` maps output name -> Column."""
+    win = F.window(F.col(time_col), size, slide) if slide else F.window(F.col(time_col), size)
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(win.alias("window"), *[F.col(c) for c in group_by])
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            *group_by,
+            *aggs.keys(),
+        )
+    )
+
+
+def sessionize(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    gap_seconds: float = 30.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-key
+    session aggregation with an inactivity gap. Emits closed sessions
+    (key, session_start, session_end, n_events) when the processing
+    timeout fires after `gap_seconds` of silence."""
+    out_schema = (
+        f"{key_col} string, session_start timestamp, session_end timestamp, n_events bigint"
+    )
+    state_schema = "start timestamp, end timestamp, n bigint"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            start, end, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {key_col: [key[0]], "session_start": [start], "session_end": [end], "n_events": [n]}
+            )
+            return
+        lo, hi, n = None, None, 0
+        for pdf in pdfs:
+            ts = pd.to_datetime(pdf[time_col])
+            lo = min(ts.min(), lo) if lo is not None else ts.min()
+            hi = max(ts.max(), hi) if hi is not None else ts.max()
+            n += len(pdf)
+        if state.exists:
+            s0, e0, n0 = state.get
+            lo, hi, n = min(lo, s0), max(hi, e0), n + n0
+        state.update((lo, hi, n))
+        state.setTimeoutDuration(int(gap_seconds * 1000))
+        yield pd.DataFrame(
+            {key_col: [], "session_start": [], "session_end": [], "n_events": []}
+        )
+
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.ProcessingTimeTimeout
+        )
+    )
+
+
+def stream_to_memory(
+    stream: DataFrame, query_name: str, await_termination: bool = True,
+    output_mode: str = "append", timeout: Optional[float] = None,
+):
+    """Run a stream into the in-memory sink with availableNow (process
+    everything currently available, then stop) — the deterministic test
+    harness; results land in `spark.sql(f"select * from {query_name}")`.
+
+    Mode semantics for windowed aggs: 'append' emits a window only after
+    the watermark passes its end — on a finite availableNow run that
+    never happens, so bounded verification uses 'complete'; production
+    unbounded runs use 'append'/'update' so state is evicted."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        if timeout is not None:
+            # Stateful queries with processing-time timeouts re-trigger
+            # forever (timers make new batches) — bound the wait and stop.
+            q.awaitTermination(timeout)
+            if q.isActive:
+                q.stop()
+        else:
+            q.awaitTermination()
+    return q
