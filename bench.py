@@ -23,13 +23,18 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items",
     "tpch_q18_large_volume_customer",
+    "tpch_q7_volume_shipping",
+    "tpch_q13_customer_distribution",
+    "tpch_q19_discounted_revenue",
     "join_asof_backward",
     "join_theta_range",
     "window_rank_dense",
+    "sub_scalar_correlated",
     "dedup_minhash_lsh_pairs",
     "dedup_exact_text",
     "sim_ann_bruteforce_topk",
     "text_quality_score",
+    "mm_extract_features",
 ]
 
 
