@@ -1,0 +1,115 @@
+"""Property-based tests (hypothesis) for the IR-layer invariants the
+whole product depends on: serialization round-trip identity, token
+stability/sensitivity, dtype canonicalization idempotence. The
+reference has no property-based coverage (SURVEY §5) — these guard the
+hash contract harder than golden files."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+import xorq_spark as xo
+from xorq_spark import _
+from xorq_spark.builds import from_data, to_data
+from xorq_spark.expr.datatypes import to_spark_ddl
+from xorq_spark.tokenize import tokenize
+
+_COLS = ["a", "b", "c"]
+
+_literals = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(alphabet="xyz_ 0", max_size=8),
+    st.booleans(),
+)
+
+
+@st.composite
+def _value_exprs(draw, depth=2):
+    col = st.sampled_from(_COLS).map(lambda c: getattr(_, c))
+    if depth == 0:
+        return draw(st.one_of(col, _literals.map(xo.literal)))
+    left = draw(_value_exprs(depth=depth - 1))
+    right = draw(_value_exprs(depth=depth - 1))
+    op = draw(st.sampled_from(["+", "-", "*", ">", "<", "=="]))
+    import operator
+
+    ops = {
+        "+": operator.add, "-": operator.sub, "*": operator.mul,
+        ">": operator.gt, "<": operator.lt, "==": operator.eq,
+    }
+    return ops[op](left, right)
+
+
+@st.composite
+def _exprs(draw):
+    e = xo.table({c: "float64" for c in _COLS}, "t")
+    for _i in range(draw(st.integers(0, 3))):
+        kind = draw(st.sampled_from(["filter", "mutate", "limit", "order"]))
+        if kind == "filter":
+            e = e.filter(draw(_value_exprs()) > 0)
+        elif kind == "mutate":
+            e = e.mutate(**{draw(st.sampled_from(["m1", "m2"])): draw(_value_exprs())})
+        elif kind == "limit":
+            e = e.limit(draw(st.integers(1, 1000)))
+        else:
+            e = e.order_by(draw(st.sampled_from(_COLS)))
+    return e
+
+
+@settings(max_examples=60, deadline=None)
+@given(_exprs())
+def test_serialization_roundtrip_identity(e):
+    assert from_data(to_data(e.node)) == e.node
+
+
+@settings(max_examples=60, deadline=None)
+@given(_exprs())
+def test_token_deterministic(e):
+    assert tokenize(e.node) == tokenize(e.node)
+    assert tokenize(e.node, "snapshot") == tokenize(e.node, "snapshot")
+
+
+@settings(max_examples=60, deadline=None)
+@given(_exprs(), _exprs())
+def test_token_collision_free_on_distinct_graphs(e1, e2):
+    if e1.node != e2.node:
+        assert tokenize(e1.node) != tokenize(e2.node)
+    else:
+        assert tokenize(e1.node) == tokenize(e2.node)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_exprs())
+def test_roundtrip_preserves_token(e):
+    """Serialize -> load -> same hash: the build/run invariant."""
+    assert tokenize(from_data(to_data(e.node))) == tokenize(e.node)
+
+
+_DTYPES = st.sampled_from(
+    [
+        "int8", "int16", "int32", "int64", "uint8", "uint32", "uint64",
+        "float16", "float32", "float64", "string", "binary", "date",
+        "timestamp", "json", "uuid", "bool", "decimal(12,3)",
+        "array<int64>", "map<string,float64>", "struct<a:int64,b:string>",
+        "array<array<string>>",
+    ]
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_DTYPES)
+def test_dtype_canonicalization_idempotent(name):
+    once = to_spark_ddl(name)
+    assert to_spark_ddl(once) == once
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from("abc"), _DTYPES), min_size=1, max_size=4, unique_by=lambda t: t[0]))
+def test_schema_struct_parses(spark, fields):
+    """schema_to_struct does real DDL parsing (Spark-side), so this one
+    property needs a session."""
+    from xorq_spark.expr.datatypes import schema_to_struct, to_spark_ddl
+
+    struct = schema_to_struct({n: to_spark_ddl(t) for n, t in fields})
+    assert [f.name for f in struct.fields] == [n for n, _t in fields]

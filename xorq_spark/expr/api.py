@@ -40,10 +40,20 @@ def _paths(path) -> tuple:
 
 
 def _ddl(schema) -> Optional[str]:
+    """Schema -> canonical DDL string WITHOUT touching Spark: expression
+    graphs must build session-free (validation happens at lowering)."""
     if schema is None:
         return None
-    struct = schema_to_struct(schema)
-    return ",".join(f"{f.name} {f.dataType.simpleString()}" for f in struct.fields)
+    if isinstance(schema, str):
+        return ",".join(
+            f"{part.strip().split(None, 1)[0]} {to_spark_ddl(part.strip().split(None, 1)[1])}"
+            for part in schema.split(",")
+        )
+    from pyspark.sql.types import StructType
+
+    if isinstance(schema, StructType):
+        return ",".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+    return ",".join(f"{n} {to_spark_ddl(str(t))}" for n, t in dict(schema).items())
 
 
 def deferred_read_parquet(path, schema=None, table_name: Optional[str] = None) -> Expr:
