@@ -1,1 +1,199 @@
-"""Placeholder — populated in a later milestone this round."""
+"""Deferred-engine queries: the same oracle gate, but driven through
+the product's own Expr layer (xorq_spark.expr) instead of raw PySpark —
+proving the IR -> lowering -> Catalyst path end-to-end: deferred reads,
+`_` expressions, joins, windows, params, raw-SQL views, pandas UDFs,
+cache boundaries, and deferred split columns.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+import xorq_spark as xo
+from xorq_spark import _
+from xorq_spark.queries.base import query
+
+
+@query(
+    "engine_filter_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_quantity > 30 AND l_discount < 0.05
+    GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def engine_filter_agg(spark, sf_dir):
+    """deferred_read_parquet -> filter -> group_by.agg via the Expr IR
+    (the phase-0 end-to-end slice of SURVEY §7)."""
+    li = xo.deferred_read_parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        li.filter((_.l_quantity > 30) & (_.l_discount < 0.05))
+        .group_by("l_returnflag")
+        .agg(
+            sum_qty=_.l_quantity.cast("decimal(18,2)").sum().cast("decimal(38,10)"),
+            n=_.l_returnflag.count(),
+        )
+        .order_by("l_returnflag")
+    )
+    return e.to_spark(spark)
+
+
+@query(
+    "engine_join_groupby",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS total
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 150000
+    GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+    """,
+)
+def engine_join_groupby(spark, sf_dir):
+    li = xo.deferred_read_parquet(f"{sf_dir}/lineitem.parquet")
+    o = xo.deferred_read_parquet(f"{sf_dir}/orders.parquet").filter(
+        _.o_totalprice > 150000
+    )
+    e = (
+        li.join(o, [("l_orderkey", "o_orderkey")])
+        .group_by("o_orderpriority")
+        .agg(
+            n=_.o_orderpriority.count(),
+            total=_.l_extendedprice.cast("decimal(18,2)").sum().cast("decimal(38,10)"),
+        )
+        .order_by("o_orderpriority")
+    )
+    return e.to_spark(spark)
+
+
+@query(
+    "engine_param_default",
+    oracle="""
+    SELECT COUNT(*) AS n FROM part WHERE p_size >= 25
+    """,
+)
+def engine_param(spark, sf_dir):
+    """Named scalar parameter bound from its default at lowering."""
+    min_size = xo.param("min_size", "int64", default=25)
+    e = (
+        xo.deferred_read_parquet(f"{sf_dir}/part.parquet")
+        .filter(_.p_size >= min_size)
+        .aggregate(n=_.p_partkey.count())
+    )
+    return e.to_spark(spark)
+
+
+@query(
+    "engine_window_rank",
+    oracle="""
+    SELECT c_custkey, c_acctbal, rnk FROM (
+      SELECT c_custkey, c_acctbal,
+             RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      FROM customer) WHERE rnk <= 3
+    ORDER BY c_custkey
+    """,
+)
+def engine_window(spark, sf_dir):
+    from xorq_spark.expr.deferred import Deferred, Func
+
+    rnk = Deferred(Func("rank", ())).over(
+        group_by=_.c_mktsegment,
+        order_by=[_.c_acctbal.desc(), _.c_custkey.asc()],
+    )
+    e = (
+        xo.deferred_read_parquet(f"{sf_dir}/customer.parquet")
+        .mutate(rnk=rnk)
+        .filter(_.rnk <= 3)
+        .select("c_custkey", "c_acctbal", "rnk")
+        .order_by("c_custkey")
+    )
+    return e.to_spark(spark)
+
+
+@query(
+    "engine_sql_view",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+)
+def engine_sql(spark, sf_dir):
+    """Raw-SQL escape hatch over a deferred expression (Table.sql)."""
+    e = xo.deferred_read_parquet(f"{sf_dir}/nation.parquet").sql(
+        "SELECT n_regionkey, COUNT(*) AS n FROM nations GROUP BY n_regionkey "
+        "ORDER BY n_regionkey",
+        alias="nations",
+    )
+    return e.to_spark(spark)
+
+
+@query(
+    "engine_pandas_udf",
+    oracle="""
+    SELECT s_suppkey, ROUND(s_acctbal * 2 + 1, 6) AS adjusted
+    FROM supplier ORDER BY s_suppkey
+    """,
+)
+def engine_udf(spark, sf_dir):
+    """Arrow-vectorized scalar pandas UDF through the deferred layer."""
+    from xorq_spark import udf
+
+    @udf.scalar.pandas(dtype="double", name="adjust")
+    def adjust(s: pd.Series) -> pd.Series:
+        return s * 2 + 1
+
+    e = (
+        xo.deferred_read_parquet(f"{sf_dir}/supplier.parquet")
+        .select("s_suppkey", adjusted=adjust(_.s_acctbal).round(6))
+        .order_by("s_suppkey")
+    )
+    return e.to_spark(spark)
+
+
+@query(
+    "engine_split_deferred",
+    oracle="""
+    WITH s AS (
+      SELECT c_custkey,
+             CASE WHEN ((((0 * 31 + ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT)
+                  % 2147483648) * 2654435761) % 4294967296) % 10000 < 2000 THEN 'test'
+                  ELSE 'train' END AS split
+      FROM customer)
+    SELECT split, COUNT(*) AS n FROM s GROUP BY split ORDER BY split
+    """,
+)
+def engine_split(spark, sf_dir):
+    """expr_split_column: the deferred-AST flavor of the deterministic
+    hash-bucket splitter (same formula as ml_train_test_split)."""
+    from xorq_spark.ml import expr_split_column
+
+    e = (
+        xo.deferred_read_parquet(f"{sf_dir}/customer.parquet")
+        .mutate(split=expr_split_column("c_custkey", [0.2, 0.8], 10000, ["test", "train"]))
+        .group_by("split")
+        .agg(n=_.split.count())
+        .order_by("split")
+    )
+    return e.to_spark(spark)
+
+
+@query(
+    "engine_cached_subtree",
+    oracle="""
+    SELECT n_name, COUNT(*) AS n_suppliers
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def engine_cached(spark, sf_dir):
+    """A CachedNode boundary inside the plan: first run materializes the
+    joined subtree to the content-addressed Parquet store, replays read
+    the artifact — results identical either way (which is what the
+    oracle asserts)."""
+    s = xo.deferred_read_parquet(f"{sf_dir}/supplier.parquet")
+    n = xo.deferred_read_parquet(f"{sf_dir}/nation.parquet")
+    joined = s.join(n, [("s_nationkey", "n_nationkey")]).cache()
+    e = joined.group_by("n_name").agg(n_suppliers=_.n_name.count()).order_by("n_name")
+    return e.to_spark(spark)
