@@ -514,10 +514,13 @@ class Expr:
 
     def value_counts(self, *cols: str) -> "Expr":
         keys = tuple((c, _col(c)) for c in cols)
-        from xorq_spark.expr.deferred import Func
+        from xorq_spark.expr.deferred import Func, Lit
 
         return self._wrap(
-            N.Aggregate(self.node, keys, ((f"{'_'.join(cols)}_count", Func("count", (_col(cols[0]),))),))
+            N.Aggregate(
+                self.node, keys,
+                ((f"{'_'.join(cols)}_count", Func("count", (Lit(1),))),),
+            )
         )
 
     # --- execution (reference: expr/api.py:294,589-779) -------------------
