@@ -142,6 +142,12 @@ def lower(
             keys = [lower_value(v, r).alias(name) for name, v in node.keys]
             return df.groupBy(*keys).agg(*metrics)
         return df.agg(*metrics)
+    if isinstance(node, N.GroupingSetsAgg):
+        df = rec(node.parent)
+        r = cols(df)
+        metrics = [lower_value(v, r).alias(name) for name, v in node.metrics]
+        grouped = df.cube(*node.keys) if node.mode == "cube" else df.rollup(*node.keys)
+        return grouped.agg(*metrics)
     if isinstance(node, N.Sort):
         df = rec(node.parent)
         r = cols(df)
@@ -392,6 +398,12 @@ class Expr:
 
     agg = aggregate
 
+    def cube(self, *keys: str) -> "GroupedExpr":
+        return GroupedExpr(self, tuple(keys), mode="cube")
+
+    def rollup(self, *keys: str) -> "GroupedExpr":
+        return GroupedExpr(self, tuple(keys), mode="rollup")
+
     def join(
         self,
         right: "Expr",
@@ -563,13 +575,16 @@ class Expr:
 
 
 class GroupedExpr:
-    def __init__(self, parent: Expr, keys):
-        self.parent, self.keys = parent, keys
+    def __init__(self, parent: Expr, keys, mode: str = "groupby"):
+        self.parent, self.keys, self.mode = parent, keys, mode
 
     def aggregate(self, *metrics, **named_metrics) -> Expr:
-        return self.parent._wrap(
-            N.Aggregate(self.parent.node, self.keys, _named_exprs(metrics, named_metrics))
-        )
+        m = _named_exprs(metrics, named_metrics)
+        if self.mode in ("cube", "rollup"):
+            return self.parent._wrap(
+                N.GroupingSetsAgg(self.parent.node, self.keys, m, self.mode)
+            )
+        return self.parent._wrap(N.Aggregate(self.parent.node, self.keys, m))
 
     agg = aggregate
 

@@ -97,6 +97,18 @@ class Aggregate(RNode):
 
 
 @dataclass(frozen=True)
+class GroupingSetsAgg(RNode):
+    """cube/rollup aggregation. The reference has NO grouping sets in
+    its IR (verified in SURVEY §2.2) — Spark ships them free, exposed
+    as extras without breaking parity claims."""
+
+    parent: RNode
+    keys: Tuple[str, ...]
+    metrics: NamedExprs
+    mode: str = "cube"  # cube|rollup
+
+
+@dataclass(frozen=True)
 class Sort(RNode):
     parent: RNode
     keys: Tuple[SortKey, ...]
