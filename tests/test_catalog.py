@@ -1,0 +1,61 @@
+"""Catalog registry tests (reference model: catalog/tests — add/get/
+versioning/history round-trips)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import xorq_spark as xo
+from xorq_spark import _, catalog
+
+
+@pytest.fixture(autouse=True)
+def cat_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("XORQ_SPARK_CATALOG_DIR", str(tmp_path / "catalog"))
+    yield
+
+
+@pytest.fixture
+def src(tmp_path):
+    p = str(tmp_path / "s.parquet")
+    pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]}).to_parquet(p)
+    return p
+
+
+def test_add_get_run(spark, src):
+    e = xo.deferred_read_parquet(src).group_by("k").agg(s=_.v.sum()).order_by("k")
+    h = catalog.add("daily_sums", e)
+    assert catalog.ls() == {"daily_sums": h}
+    loaded = catalog.get("daily_sums", spark=spark)
+    assert loaded.node == e.node
+    assert loaded.execute(spark).s.tolist() == [3.0, 3.0]
+
+
+def test_versioning_latest_wins(spark, src):
+    e1 = xo.deferred_read_parquet(src).filter(_.v > 1)
+    e2 = xo.deferred_read_parquet(src).filter(_.v > 2)
+    h1 = catalog.add("pipe", e1)
+    h2 = catalog.add("pipe", e2)
+    assert h1 != h2
+    assert [v["hash"] for v in catalog.history("pipe")] == [h1, h2]
+    assert catalog.get("pipe").node == e2.node  # latest
+    assert catalog.get("pipe", version=h1).node == e1.node  # pinned
+
+
+def test_rm_prunes(spark, src):
+    e = xo.deferred_read_parquet(src)
+    catalog.add("tmp", e)
+    catalog.rm("tmp")
+    assert "tmp" not in catalog.ls()
+    with pytest.raises(KeyError):
+        catalog.get("tmp")
+
+
+def test_git_history_records_mutations(src):
+    e = xo.deferred_read_parquet(src)
+    catalog.add("a", e)
+    catalog.add("b", e.filter(_.v > 0))
+    log = catalog.git_log()
+    if log is not None:  # git available in this environment
+        assert "catalog add a" in log and "catalog add b" in log
