@@ -105,3 +105,30 @@ def test_cli_build_run(src, tmp_path):
     )
     assert r2.returncode == 0, r2.stderr
     assert "30.0" in r2.stdout
+
+
+def test_cli_run_with_param(src, tmp_path):
+    script = tmp_path / "p.py"
+    script.write_text(
+        "import xorq_spark as xo\n"
+        "from xorq_spark import _\n"
+        f"expr = xo.deferred_read_parquet({src!r}).filter(_.v > xo.param('t', 'float64', 0.0)).aggregate(n=_.k.count())\n"
+    )
+    bd = str(tmp_path / "builds")
+    r = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "build", str(script), "-e", "expr", "--builds-dir", bd],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    build_dir = r.stdout.strip()
+    out_default = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "run", build_dir, "--format", "text"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert "3" in out_default.stdout  # t=0.0 default keeps all rows
+    out_bound = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "run", build_dir, "--format", "text", "-p", "t=25.0"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out_bound.returncode == 0, out_bound.stderr
+    assert "1" in out_bound.stdout  # only v=30 passes

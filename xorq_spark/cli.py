@@ -39,12 +39,28 @@ def cmd_build(args) -> int:
     return 0
 
 
+def _parse_params(pairs) -> dict:
+    out = {}
+    for p in pairs or []:
+        k, _, v = p.partition("=")
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
 def cmd_run(args) -> int:
     from xorq_spark.builds import load
     from xorq_spark.session import connect
 
     spark = connect()
     expr = load(args.build_dir, spark)
+    params = _parse_params(getattr(args, "param", None))
+    if params:
+        from xorq_spark.expr.core import _bind_tree_params
+
+        expr = type(expr)(_bind_tree_params(expr.node, params), spark)
     if args.output and args.format == "parquet":
         expr.to_parquet(args.output, spark)
     elif args.output and args.format == "csv":
@@ -54,6 +70,26 @@ def cmd_run(args) -> int:
     else:
         pdf = expr.execute(spark)
         print(pdf.to_string(index=False, max_rows=args.limit))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    from xorq_spark.builds import load
+    from xorq_spark.flight import flight_serve
+    from xorq_spark.session import connect
+
+    spark = connect()
+    expr = load(args.build_dir, spark)
+    server = flight_serve(
+        expr, spark, name=args.name, location=f"grpc://0.0.0.0:{args.port}"
+    )
+    print(f"serving {args.name!r} at {server.endpoint} (ctrl-c to stop)")
+    import threading
+
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:  # pragma: no cover
+        server.shutdown()
     return 0
 
 
@@ -81,7 +117,15 @@ def main(argv=None) -> int:
     r.add_argument("-o", "--output", default=None)
     r.add_argument("--format", default="parquet", choices=["parquet", "csv", "json", "text"])
     r.add_argument("--limit", type=int, default=50)
+    r.add_argument("-p", "--param", action="append", metavar="NAME=VALUE",
+                   help="bind a named scalar parameter (JSON or string value)")
     r.set_defaults(fn=cmd_run)
+
+    s = sub.add_parser("serve", help="serve a build over Arrow Flight")
+    s.add_argument("build_dir")
+    s.add_argument("--name", default="expr")
+    s.add_argument("--port", type=int, default=8815)
+    s.set_defaults(fn=cmd_serve)
 
     i = sub.add_parser("inspect", help="print build metadata + IR")
     i.add_argument("build_dir")
