@@ -49,8 +49,16 @@ def main():
     spark = connect(master=f"local[{cpus}]", app_name="xorq_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm up the JVM/codegen path so per-query numbers measure the query.
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Warm up the JVM/codegen paths the queries use (plain long agg,
+    # decimal agg, shuffle) so per-query numbers measure the query, not
+    # first-touch code generation.
+    import pyspark.sql.functions as F
+
+    spark.range(1_000_000).selectExpr(
+        "sum(id)",
+        "cast(sum(cast(id as decimal(18,2)) * cast(0.05 as decimal(8,4))) as decimal(38,10))",
+    ).collect()
+    spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
 
     names = [n for n in HEADLINE if n in QUERIES]
     timings = {}
