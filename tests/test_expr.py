@@ -200,3 +200,38 @@ def test_sinks_roundtrip(spark, tmp_path, lineitem):
     assert arrow.num_rows == 50
     rb = sub.to_pyarrow_batches(spark, chunk_size=10)
     assert sum(b.num_rows for b in rb) == 50
+
+
+def test_reference_vocabulary_aliases(spark):
+    """Reference (ibis-style) op names lower to the right Spark
+    semantics: 0-indexed substr/find, truncate units, clip, initcap."""
+    import datetime as dt
+
+    mt = xo.memtable(
+        pd.DataFrame(
+            {
+                "s": ["hello world", "abc"],
+                "x": [5.0, -3.0],
+                "ts": [dt.datetime(2026, 3, 15, 13, 45), dt.datetime(2026, 1, 1, 0, 0)],
+            }
+        )
+    )
+    got = (
+        mt.select(
+            sub=_.s.substr(1, 3),
+            pos=_.s.find("l"),
+            missing=_.s.find("zz"),
+            cap=_.s.capitalize(),
+            clipped=_.x.clip(-1.0, 4.0),
+            day=_.ts.truncate("D"),
+            dow=_.ts.day_of_week_name(),
+        )
+        .execute(spark)
+    )
+    assert got["sub"].tolist() == ["ell", "bc"]
+    assert got.pos.tolist() == [2, -1]
+    assert got.missing.tolist() == [-1, -1]
+    assert got.cap.tolist() == ["Hello World", "Abc"]
+    assert got.clipped.tolist() == [4.0, -1.0]
+    assert str(got.day.tolist()[0]) == "2026-03-15 00:00:00"
+    assert got.dow.tolist()[1] == "Thursday"

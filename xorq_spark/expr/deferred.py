@@ -139,8 +139,57 @@ _COL_METHODS = {
     "bitwiseXOR",
 }
 
+_TRUNC_UNITS = {
+    "Y": "year", "Q": "quarter", "M": "month", "W": "week", "D": "day",
+    "h": "hour", "m": "minute", "s": "second",
+}
+
+
+def _ibis_substr(c, start, length=None):
+    # reference Substring is 0-indexed; Spark substring is 1-indexed
+    if length is None:
+        return F.substring(c, start + 1, 2**31 - 1)
+    return F.substring(c, start + 1, length)
+
+
+def _ibis_find(c, sub, start=None):
+    # reference StringFind mimics str.find: 0-based, -1 when absent;
+    # F.locate is 1-based with 0 for absent
+    if start is not None:
+        return F.locate(sub, c, start + 1) - 1
+    return F.locate(sub, c) - 1
+
+
+def _clip(c, lower=None, upper=None):
+    out = c
+    if lower is not None:
+        out = F.greatest(out, F.lit(lower))
+    if upper is not None:
+        out = F.least(out, F.lit(upper))
+    return out
+
+
 # Name aliases: reference op vocabulary -> pyspark.sql.functions
 _FUNC_ALIASES = {
+    # strings (reference operations/strings.py vocabulary)
+    "strip": "trim", "lstrip": "ltrim", "rstrip": "rtrim",
+    "capitalize": "initcap",
+    "re_split": lambda c, p: F.split(c, p),
+    "find": _ibis_find,
+    "substr": _ibis_substr,
+    "left": lambda c, n: F.substring(c, 1, n),
+    "join_": "concat_ws",
+    # temporal (operations/temporal.py)
+    "truncate": lambda c, unit: F.date_trunc(_TRUNC_UNITS.get(unit, unit), c),
+    "day_of_week_name": lambda c: F.date_format(c, "EEEE"),
+    "day_of_year": "dayofyear",
+    "week_of_year": "weekofyear",
+    "day_of_month": "dayofmonth",
+    # numeric (operations/numeric.py)
+    "log_base": lambda c, base: F.log(float(base), c),
+    "sign": "signum",
+    "clip": _clip,
+    "floordiv": lambda l, r: F.floor(l / r),
     "mean": "avg", "std": "stddev_samp", "var": "var_samp",
     "approx_median": lambda c: F.percentile_approx(c, 0.5),
     "nullif": "nullif", "strftime": "date_format",
