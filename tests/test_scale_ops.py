@@ -1,0 +1,89 @@
+"""Scale-mechanics operators: bucketed co-located joins (zero-exchange
+proof), skew salting (result equivalence), IVF ANN (recall vs exact)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+import pyspark.sql.functions as F
+
+from xorq_spark.operators.bucketing import bucketed_join, exchange_count, write_bucketed
+from xorq_spark.operators.skew import salted_join
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    yield spark
+    for t in ("b_left", "b_right"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucketed_join_has_no_shuffle(warehouse, spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, "b_left", ["l_orderkey"], buckets=8)
+    write_bucketed(o, "b_right", ["l_orderkey"], buckets=8)
+
+    joined = bucketed_join(spark, "b_left", "b_right", ["l_orderkey"])
+    # co-located: no shuffle exchange in the plan
+    assert exchange_count(joined) == 0
+    # and correct: same row count as the plain join
+    plain = li.join(o, "l_orderkey")
+    assert joined.count() == plain.count()
+
+
+def test_plain_join_does_shuffle(spark, sf_dir):
+    """Sanity for exchange_count: the un-bucketed sort-merge join of two
+    fact tables has exchanges (broadcast disabled to force SMJ)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").hint("merge")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    assert exchange_count(j) > 0
+
+
+def test_salted_join_matches_plain(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1] * 50 + [2] * 3 + [3] * 2, "v": range(55)})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 2, 3, 4], "w": [10.0, 20.0, 30.0, 40.0]})
+    )
+    plain = left.join(right, "k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("s")
+    ).collect()[0]
+    for hot in (None, [1]):
+        salted = salted_join(left, right, "k", factor=4, hot_keys=hot).agg(
+            F.count("*").alias("n"), F.sum("w").alias("s")
+        ).collect()[0]
+        assert (salted.n, salted.s) == (plain.n, plain.s)
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 9], "v": [1, 2]}))
+    right = spark.createDataFrame(pd.DataFrame({"k": [1], "w": [5.0]}))
+    got = salted_join(left, right, "k", factor=3, how="left").toPandas()
+    assert len(got) == 2
+    assert got[got.k == 9].w.isna().all()
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from xorq_spark.functions.similarity import ann_bruteforce_topk, ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = ann_bruteforce_topk(queries, emb, k=5).toPandas()
+    approx = ann_ivf_topk(queries, emb, k=5, n_centroids=8, n_probe=4).toPandas()
+    # probing half the cells must recover a solid share of true neighbors
+    exact_pairs = set(zip(exact.query_id, exact.vec_id))
+    approx_pairs = set(zip(approx.query_id, approx.vec_id))
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5
+    # each query's own vector (cos=1) is always found
+    assert {(q, q) for q in range(5)} <= approx_pairs

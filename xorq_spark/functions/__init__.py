@@ -30,6 +30,7 @@ from xorq_spark.functions.similarity import (
     cosine_similarity,
     l2_norm,
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
 )
 
@@ -52,5 +53,6 @@ __all__ = [
     "cosine_similarity",
     "l2_norm",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "ann_lsh_topk",
 ]

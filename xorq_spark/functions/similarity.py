@@ -141,3 +141,89 @@ def ann_lsh_topk(
             "rank",
         )
     )
+
+
+def ann_ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into cells; each query probes its `n_probe`
+    nearest cells only.
+
+    Scale path: at 100 TB the quantizer fits on a sample
+    (KMeans over ~1M vectors), the corpus is written once partitioned by
+    `__cell` (probes become partition-pruned scans), and recall/cost is
+    tuned by (n_centroids, n_probe) — the standard IVF trade. The
+    centroid table (n_centroids x dim floats) broadcasts trivially.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cv"),
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("__feat"),
+    )
+    km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat", predictionCol="__cell")
+    model = km.fit(c)
+    cells = model.transform(c).select("__cid", "__cv", "__cell")
+
+    # Query-side cell assignment: distances to the (tiny) centroid list
+    # computed JVM-side from a literal array-of-arrays.
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+    ctr_lit = F.array(*[
+        F.array(*[F.lit(x) for x in ctr]) for ctr in centroids
+    ])
+
+    def _sq_dist(a: Column, b: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # (dist, idx) structs -> array_sort orders by dist then idx -> take n_probe
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                lambda i: F.struct(
+                    _sq_dist(F.col("__qv"), F.element_at(ctr_lit, i + 1)).alias("d"),
+                    i.alias("cell"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    ).select(
+        "__qid", "__qv",
+        F.explode(F.transform(ranked, lambda s: s.cell)).alias("__cell"),
+    )
+    scored = F.broadcast(q).join(cells, "__cell").select(
+        "__qid",
+        "__cid",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )

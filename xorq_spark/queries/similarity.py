@@ -114,3 +114,19 @@ def sim_norms(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query("sim_ann_ivf_topk")  # no oracle: the KMeans coarse quantizer is
+# not SQL-expressible; the driver records the rows-only check.
+def sim_ivf(spark, sf_dir):
+    """IVF approximate top-10: KMeans cells + n_probe nearest-cell
+    probing — the tunable-recall scale path beyond LSH."""
+    from xorq_spark.functions import ann_ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_ivf_topk(queries, emb, k=10, n_centroids=8, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
