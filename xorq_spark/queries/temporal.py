@@ -258,3 +258,44 @@ def time_unix(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "time_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def time_session_window(spark, sf_dir):
+    """Batch sessionization via F.session_window (30-minute inactivity
+    gap) — the same construct Structured Streaming uses for streaming
+    sessions, so this plan ports to streams unchanged. The oracle
+    replicates session semantics with lag/cumsum (events within gap
+    merge into one session).
+
+    Scale: one shuffle on user_id; session merging is in-partition."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
