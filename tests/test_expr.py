@@ -250,3 +250,21 @@ def test_partitioned_parquet_sink(spark, tmp_path, lineitem):
     back = xo.deferred_read_parquet(p).filter(_.l_returnflag == "R")
     plan = back.to_spark(spark)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(l_returnflag" in plan or "l_returnflag" in plan
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    mt = xo.memtable({"k": [1, 2], "v": ["x", "y"]})
+    jp, cp = str(tmp_path / "j"), str(tmp_path / "c")
+    mt.to_json(jp, spark)
+    mt.to_csv(cp, spark)
+    jback = xo.deferred_read_json(jp, schema={"k": "int64", "v": "string"})
+    cback = xo.deferred_read_csv(cp, schema={"k": "int64", "v": "string"})
+    assert jback.order_by("k").execute(spark).v.tolist() == ["x", "y"]
+    assert cback.order_by("k").execute(spark).v.tolist() == ["x", "y"]
+
+
+def test_read_delta_gated(spark, tmp_path):
+    e = xo.expr.api.deferred_read_delta(str(tmp_path / "dl"))  # builds fine
+    assert e.node.path.endswith("dl")
+    with pytest.raises(ImportError, match="delta-spark"):
+        e.count(spark)  # this container has no delta package

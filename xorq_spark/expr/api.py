@@ -79,9 +79,16 @@ def deferred_read_json(path, schema=None, table_name: Optional[str] = None, **op
     )
 
 
+def deferred_read_delta(path, version: Optional[int] = None, table_name: Optional[str] = None) -> Expr:
+    """Deferred Delta Lake read (gated: needs delta-spark at execution;
+    graph construction is always allowed)."""
+    return Expr(N.ReadDelta(str(path), version, table_name))
+
+
 read_parquet = deferred_read_parquet
 read_csv = deferred_read_csv
 read_json = deferred_read_json
+read_delta = deferred_read_delta
 
 
 def memtable(data, schema=None, name: Optional[str] = None) -> Expr:

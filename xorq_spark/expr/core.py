@@ -103,6 +103,17 @@ def lower(
         if node.schema:
             r = r.schema(schema_to_struct(node.schema))
         return r.json(list(node.paths))
+    if isinstance(node, N.ReadDelta):
+        r = spark.read.format("delta")
+        if node.version is not None:
+            r = r.option("versionAsOf", node.version)
+        try:
+            return r.load(node.path)
+        except Exception as exc:  # delta-spark not installed here
+            raise ImportError(
+                "read_delta requires the delta-spark package on the cluster "
+                f"(loading {node.path!r} failed: {exc})"
+            ) from exc
     if isinstance(node, N.Memtable):
         tbl = get_memtable(node.token)
         return spark.createDataFrame(tbl.to_pandas(), schema=schema_to_struct(node.schema))

@@ -49,6 +49,17 @@ class ReadJSON(RNode):
 
 
 @dataclass(frozen=True)
+class ReadDelta(RNode):
+    """Delta Lake table dir (reference: read_delta, backend.py:688).
+    Requires the delta-spark package at lowering time (gated — not in
+    this container)."""
+
+    path: str
+    version: Optional[int] = None
+    table_name: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class Memtable(RNode):
     """Literal in-process table. The payload (Arrow table) lives in a
     process-local registry keyed by its content token so the node itself
