@@ -268,3 +268,72 @@ def q17(spark, sf_dir):
             F.count("*").alias("n"),
         )
     )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH all_sales AS (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(8,4))) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem l
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+      JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+      JOIN region r   ON r.r_regionkey = n1.n_regionkey
+      WHERE r.r_name = (SELECT MIN(r_name) FROM region)
+        AND p.p_type LIKE '%A%')
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_0' THEN volume
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                 / CAST(SUM(volume) AS DOUBLE), 9) AS mkt_share
+    FROM all_sales GROUP BY o_year ORDER BY o_year
+    """,
+)
+def q8(spark, sf_dir):
+    """Q8 national market share: 7-table star join — every dimension
+    broadcasts, lineitem/orders shuffle once on orderkey; the share is
+    a conditional-sum ratio per year."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type").like("%A%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    target_region = r.agg(F.min("r_name").alias("r_target"))
+    n1 = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    vol = _disc_price()
+    sales = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == r.r_regionkey)
+        .crossJoin(F.broadcast(target_region))
+        .filter(F.col("r_name") == F.col("r_target"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast(_PRICE)
+    return (
+        sales.groupBy("o_year")
+        .agg(
+            ratio(
+                F.sum(F.when(F.col("supp_nation") == "NATION_0", F.col("volume")).otherwise(zero)),
+                F.sum("volume"),
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
