@@ -187,6 +187,17 @@ def build(expr: Expr, builds_dir: str = "builds") -> str:
     }
     with open(os.path.join(out, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
+    # debug plan dump (sql.yaml analog, ibis_yaml/sql.py:111) — only when
+    # a live session exists; loading never depends on it
+    try:
+        from pyspark.sql import SparkSession
+
+        if SparkSession.getActiveSession() is not None:
+            df = expr.to_spark()
+            with open(os.path.join(out, "plan.txt"), "w") as f:
+                f.write(df._jdf.queryExecution().toString())
+    except Exception:
+        pass
     with open(os.path.join(out, "requirements.txt"), "w") as f:
         f.write(f"pyspark=={spark_version}\npyarrow\npandas\n")
     return out

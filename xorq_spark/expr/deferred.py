@@ -195,6 +195,11 @@ _FUNC_ALIASES = {
     "nullif": "nullif", "strftime": "date_format",
     "re_extract": "regexp_extract", "re_replace": "regexp_replace",
     "re_search": lambda c, p: c.rlike(p),
+    "replace": lambda c, search, repl: F.replace(
+        c,
+        search if isinstance(search, Column) else F.lit(search),
+        repl if isinstance(repl, Column) else F.lit(repl),
+    ),
     "group_concat": lambda c, sep=",": F.array_join(F.collect_list(c), sep),
     "collect": "collect_list", "arbitrary": "any_value",
     "argmax": "max_by", "argmin": "min_by",
@@ -202,7 +207,16 @@ _FUNC_ALIASES = {
     "day_of_week_index": "dayofweek", "epoch_seconds": "unix_timestamp",
     "log2": "log2", "ln": lambda c: F.log(c),
     "negate": lambda c: -c, "invert": lambda c: ~c,
-    "fill_null": "coalesce", "identical_to": lambda l, r: l.eqNullSafe(r),
+    "fill_null": lambda c, v: F.coalesce(c, v if isinstance(v, Column) else F.lit(v)),
+    "nullif": lambda c, v: F.nullif(c, v if isinstance(v, Column) else F.lit(v)),
+    "identical_to": lambda l, r: l.eqNullSafe(r),
+    # variadic value args (reference Greatest/Least take scalars or columns)
+    "greatest": lambda *cs: F.greatest(
+        *(c if isinstance(c, Column) else F.lit(c) for c in cs)
+    ),
+    "least": lambda *cs: F.least(
+        *(c if isinstance(c, Column) else F.lit(c) for c in cs)
+    ),
 }
 
 
@@ -380,12 +394,21 @@ class Deferred:
             raise AttributeError(item)
         if self.node is None:
             return Deferred(Col(item))
-        # method call: _.a.sum() -> Func("sum", (Col(a),))
+        # method call: _.a.sum() -> Func("sum", (Col(a),)). Only Deferred/
+        # VNode args are unwrapped; plain python values (strings, ints,
+        # floats) pass through untouched so pyspark's own call semantics
+        # apply — a string is a column name or a str-typed argument
+        # (pattern, format, group index) exactly as in pyspark.sql.functions;
+        # wrap with xo.literal() to force a literal column.
         def call(*args, **kwargs):
             return Deferred(
                 Func(
                     item,
-                    (unwrap(self),) + tuple(unwrap(a) if not isinstance(a, str) or item in _STRING_ARG_FNS else a for a in args),
+                    (unwrap(self),)
+                    + tuple(
+                        unwrap(a) if isinstance(a, (Deferred, VNode)) else a
+                        for a in args
+                    ),
                     tuple(sorted(kwargs.items())),
                 )
             )
