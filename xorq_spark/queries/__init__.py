@@ -11,6 +11,7 @@ from xorq_spark.queries.base import QUERIES, ORACLES, query
 # importing registers queries
 from xorq_spark.queries import tpch  # noqa: F401
 from xorq_spark.queries import tpch2  # noqa: F401
+from xorq_spark.queries import tpch3  # noqa: F401
 from xorq_spark.queries import subqueries  # noqa: F401
 from xorq_spark.queries import relational  # noqa: F401
 from xorq_spark.queries import window  # noqa: F401
