@@ -59,6 +59,12 @@ def main():
         "cast(sum(cast(id as decimal(18,2)) * cast(0.05 as decimal(8,4))) as decimal(38,10))",
     ).collect()
     spark.range(100_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    # Fork the Python worker pool (one worker per core, each importing
+    # pandas/pyarrow) so mapInPandas queries measure compute, not
+    # first-touch interpreter startup.
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     names = [n for n in HEADLINE if n in QUERIES]
     timings = {}

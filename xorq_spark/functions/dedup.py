@@ -74,39 +74,64 @@ def exact_dedup(
     )
 
 
+# Mersenne prime 2^31-1: universal-hash modulus. a*h+b stays < 2^62,
+# inside signed-64 range on both engines.
+MINHASH_P = 2147483647
+_MINHASH_MULT = 2654435761  # Knuth multiplicative constant
+_MINHASH_ADD = 40503
+
+
 def minhash_from_shingles(sh: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature from a precomputed shingle array (let-bound so
-    the shingle expression evaluates once, not once per hash seed)."""
+    """MinHash signature as array<bigint>[num_hashes].
+
+    Each shingle is hashed ONCE (first 8 md5 hex chars -> 32-bit int),
+    then the `num_hashes` signature slots are universal-hash
+    permutations (a_i*h + b_i) mod p over that base hash — 1 md5 per
+    shingle instead of num_hashes md5s (16x less hashing; the
+    permutations are integer multiply-mod, whole-stage-codegen'd).
+    Both the base hash and the permutation are portable SQL, so the
+    DuckDB oracle computes bit-identical signatures."""
+    def perm(i: Column, h: Column) -> Column:
+        a = (F.lit(_MINHASH_MULT) * (i + 1)) % MINHASH_P
+        b = (F.lit(_MINHASH_ADD) * (i + 1)) % MINHASH_P
+        return (a * h + b) % MINHASH_P
+
     return let(
-        sh,
-        lambda shv: F.transform(
+        F.transform(
+            sh,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+            % MINHASH_P,
+        ),
+        lambda hs: F.transform(
             F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-            lambda i: F.array_min(
-                F.transform(
-                    shv, lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s))
-                )
-            ),
+            lambda i: F.array_min(F.transform(hs, lambda h: perm(i, h))),
         ),
     )
 
 
 def minhash_signature(text: Column, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature as array<string>[num_hashes]: for seed i, the
-    lexicographic min of md5(i || ':' || shingle). md5 hex strings are a
-    uniform order-preserving hash domain, so string-min is a valid
-    minhash — and is engine-portable (no 64-bit int conversions)."""
+    """MinHash signature as array<bigint>[num_hashes] (see
+    minhash_from_shingles for the hash scheme)."""
     return minhash_from_shingles(shingles(text, k), num_hashes)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Split the signature into `bands` bands of `rows_per_band` and
-    digest each band -> array<string>[bands]."""
+    digest each band -> array<string>[bands]. Band keys are md5 of the
+    '|'-joined slot values, so shuffle keys stay 32 bytes however wide
+    the band is."""
     return let(
         signature,
         lambda sig: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.md5(
-                F.array_join(F.slice(sig, b * rows_per_band + 1, rows_per_band), "|")
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda x: x.cast("string"),
+                    ),
+                    "|",
+                )
             ),
         ),
     )
@@ -144,7 +169,14 @@ def minhash_lsh_pairs(
     pass); at scale that beats shuffling per-doc shingle arrays 2x
     through the band join."""
     rows_per_band = num_hashes // bands
-    sets = df.select(
+    # Shingling + hashing is compute-bound, not IO-bound: a small parquet
+    # file scans as ONE input split, which would serialize the whole
+    # signature pass on a single core. Spread rows across the cluster
+    # first — the shuffle moves raw text once, far cheaper than
+    # single-threading the hash work. (At real scale, many files already
+    # give parallel splits and this repartition is a cheap rebalance.)
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sets = df.repartition(par).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
     )

@@ -55,6 +55,20 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def widen(df: DataFrame) -> DataFrame:
+    """Repartition to cluster parallelism before a compute-bound narrow
+    pipeline.
+
+    A small parquet file (or one big row group) scans as ONE input
+    split, serializing per-row compute (hashing, tokenization, UDFs) on
+    a single core no matter how many are free. A round-robin
+    repartition moves the rows once — cheap relative to the compute —
+    and restores full parallelism. Row-preserving, so oracle results
+    are unaffected. At real scale, many files give parallel splits
+    already and this is a no-op-cost rebalance."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def dec(col, scale: int = 2):
     """Cast a double money column to decimal for order-independent exact
     aggregation (see oracle-parity note: double sums are

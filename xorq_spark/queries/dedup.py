@@ -15,7 +15,7 @@ from xorq_spark.functions import (
     simhash,
 )
 from xorq_spark.functions.dedup import lsh_band_keys, hamming64
-from xorq_spark.queries.base import query, t
+from xorq_spark.queries.base import query, t, widen
 
 # DuckDB fragments mirroring functions/dedup.py.
 _NORM = (
@@ -28,13 +28,18 @@ _SHINGLES = (
     f"list_transform(range(1, len({_WORDS}) - 1), i -> array_to_string(({_WORDS})[i:i+2], ' ')) "
     f"ELSE [array_to_string({_WORDS}, ' ')] END"
 )
+# Mirrors functions/dedup.py minhash_from_shingles: one 32-bit md5-prefix
+# hash per shingle, then 16 universal-hash permutations mod 2^31-1.
+_HS = "list_transform(sh, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647)"
 _SIG = (
     "list_transform(range(0, 16), i -> "
-    "list_aggregate(list_transform(sh, s -> md5(i::VARCHAR || ':' || s)), 'min'))"
+    "list_aggregate(list_transform(hs, h -> "
+    "(((2654435761 * (i + 1)) % 2147483647) * h"
+    " + (40503 * (i + 1)) % 2147483647) % 2147483647), 'min'))"
 )
 _BANDS = (
     "list_transform(range(0, 4), b -> "
-    "md5(array_to_string(sig[b*4+1 : b*4+4], '|')))"
+    "md5(array_to_string(list_transform(sig[b*4+1 : b*4+4], x -> x::VARCHAR), '|')))"
 )
 
 
@@ -50,7 +55,8 @@ _BANDS = (
 )
 def dedup_exact(spark, sf_dir):
     """Exact dedup keyed on md5 of normalized text (32-byte shuffle keys,
-    never full documents)."""
+    never full documents). No widen(): one md5 per row is cheaper than
+    the extra text shuffle (the keyed frame is consumed twice)."""
     docs = t(spark, sf_dir, "documents")
     return (
         exact_dedup(docs, "text", "doc_id")
@@ -63,15 +69,17 @@ def dedup_exact(spark, sf_dir):
     "dedup_minhash_signatures",
     oracle=f"""
     WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
-    sig AS (SELECT doc_id, {_SIG} AS sig FROM s)
+    h AS (SELECT doc_id, {_HS} AS hs FROM s),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM h)
     SELECT doc_id, sig, {_BANDS} AS band_keys
     FROM sig ORDER BY doc_id
     """,
 )
 def dedup_minhash_sigs(spark, sf_dir):
     """MinHash signature + LSH band keys per document (16 hashes, 4
-    bands). md5-hex string-min is the portable minhash domain."""
-    docs = t(spark, sf_dir, "documents")
+    bands). One md5-prefix hash per shingle, universal-hash
+    permutations for the 16 slots (portable integer minhash domain)."""
+    docs = widen(t(spark, sf_dir, "documents"))
     sig = minhash_signature(F.col("text"), 16, 3)
     return (
         docs.select("doc_id", sig.alias("sig"))
@@ -84,7 +92,8 @@ def dedup_minhash_sigs(spark, sf_dir):
     "dedup_minhash_lsh_pairs",
     oracle=f"""
     WITH s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd, {_SHINGLES} AS sh FROM documents),
-    sig AS (SELECT doc_id, shd, {_SIG} AS sig FROM s),
+    h AS (SELECT doc_id, shd, {_HS} AS hs FROM s),
+    sig AS (SELECT doc_id, shd, {_SIG} AS sig FROM h),
     banded AS (
       SELECT doc_id, shd,
              unnest(range(0, 4)) AS band,
@@ -107,7 +116,8 @@ def dedup_minhash_sigs(spark, sf_dir):
 )
 def dedup_minhash_pairs(spark, sf_dir):
     """Near-dup candidate pairs via MinHash banding + exact Jaccard
-    verification (threshold 0.2)."""
+    verification (threshold 0.2). minhash_lsh_pairs widens the scan
+    itself, so no widen() here."""
     docs = t(spark, sf_dir, "documents")
     return minhash_lsh_pairs(
         docs, "text", "doc_id", num_hashes=16, bands=4, k=3, threshold=0.2
@@ -141,7 +151,7 @@ def _simhash_oracle() -> str:
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash per document + Hamming distance to doc 0 (the
     near-dup metric: small Hamming distance <=> near-duplicate)."""
-    docs = t(spark, sf_dir, "documents").select(
+    docs = widen(t(spark, sf_dir, "documents")).select(
         "doc_id", simhash(F.col("text"), 32).alias("simhash64")
     )
     ref = docs.filter(F.col("doc_id") == 0).select(
@@ -177,7 +187,7 @@ def dedup_simhash(spark, sf_dir):
 def dedup_ngram(spark, sf_dir):
     """Exact n-gram Jaccard via inverted shingle index, partitioned by
     language (the scale guard for the quadratic join)."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(
         docs, "text", "doc_id", k=3, threshold=0.05, partition_cols=["lang"]
     ).orderBy("id_a", "id_b")
@@ -197,7 +207,7 @@ def dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact all-pairs variant (the
     oracle-checkable baseline; the LSH-bucketed scale path is exercised
     by sim_ann_lsh_topk and tests)."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = widen(t(spark, sf_dir, "embeddings"))
     return embedding_neardup_pairs(
         emb, "embedding", "vec_id", threshold=0.5, bucket_join=False
     ).orderBy("id_a", "id_b")

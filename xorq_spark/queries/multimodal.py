@@ -10,7 +10,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from xorq_spark.functions.multimodal import extract_features
-from xorq_spark.queries.base import query, t
+from xorq_spark.queries.base import query, t, widen
 
 
 @query(
@@ -28,7 +28,7 @@ def mm_extract_features(spark, sf_dir):
     """mapInPandas feature extraction over binary payloads. The stub
     embedding is digest-derived; emitting the recovered digest bytes
     (exact ints) instead of float32s keeps the oracle compare exact."""
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents"))
     assets = docs.select(
         F.col("doc_id").alias("asset_id"),
         F.lit("image").alias("media_type"),

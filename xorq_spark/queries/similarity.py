@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from xorq_spark.functions import ann_bruteforce_topk, ann_lsh_topk
-from xorq_spark.queries.base import query, t
+from xorq_spark.queries.base import query, t, widen
 
 _COS = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
 
@@ -30,7 +30,7 @@ _COS = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
 def sim_bruteforce(spark, sf_dir):
     """Exact cosine top-10 for 5 query vectors: broadcast queries over
     one corpus scan, per-query top-k via window."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = widen(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -78,7 +78,7 @@ def _bucket_sql(alias: str, num_planes: int = 6) -> str:
 def sim_lsh(spark, sf_dir):
     """LSH-bucketed approximate top-10: corpus bucketed once by
     deterministic hyperplane signs; each query probes only its bucket."""
-    emb = t(spark, sf_dir, "embeddings")
+    emb = widen(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -102,7 +102,7 @@ def sim_norms(spark, sf_dir):
 
     v = F.col("embedding")
     return (
-        t(spark, sf_dir, "embeddings")
+        widen(t(spark, sf_dir, "embeddings"))
         .select(
             "vec_id",
             "label",
@@ -123,7 +123,7 @@ def sim_ivf(spark, sf_dir):
     probing — the tunable-recall scale path beyond LSH."""
     from xorq_spark.functions import ann_ivf_topk
 
-    emb = t(spark, sf_dir, "embeddings")
+    emb = widen(t(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )

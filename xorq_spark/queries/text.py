@@ -16,7 +16,7 @@ from xorq_spark.functions import (
     token_count,
 )
 from xorq_spark.functions.text import LANG_MARKERS, BPE_ISH_PATTERN
-from xorq_spark.queries.base import query, t
+from xorq_spark.queries.base import query, t, widen
 
 # DuckDB fragments mirroring functions/text.py definitions.
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
@@ -40,7 +40,7 @@ _CLEAN_TOKS = (
 def text_token_counts(spark, sf_dir):
     txt = F.col("text")
     return (
-        t(spark, sf_dir, "documents")
+        widen(t(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             token_count(txt).alias("n_tokens"),
@@ -88,7 +88,7 @@ def text_language_id(spark, sf_dir):
     first-language-attaining-the-max tie-break of functions/text.py."""
     pred = language_id(F.col("text"))
     return (
-        t(spark, sf_dir, "documents")
+        widen(t(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             "lang",
@@ -132,7 +132,7 @@ _EN = ", ".join(f"'{m}'" for m in LANG_MARKERS["en"])
 )
 def text_quality(spark, sf_dir):
     return (
-        t(spark, sf_dir, "documents")
+        widen(t(spark, sf_dir, "documents"))
         .select("doc_id", F.round(quality_score(F.col("text")), 9).alias("quality"))
         .orderBy("doc_id")
     )
@@ -150,7 +150,7 @@ def text_quality(spark, sf_dir):
 )
 def text_fingerprint(spark, sf_dir):
     return (
-        t(spark, sf_dir, "documents")
+        widen(t(spark, sf_dir, "documents"))
         .select("doc_id", fingerprint(F.col("text")).alias("fp"))
         .orderBy("doc_id")
     )
@@ -176,7 +176,7 @@ def text_rolling_hash(spark, sf_dir):
     but (0*base + c1) = c1, so seeding with the first element matches the
     Spark fold-from-zero exactly."""
     return (
-        t(spark, sf_dir, "documents")
+        widen(t(spark, sf_dir, "documents"))
         .select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
         .orderBy("doc_id")
     )
