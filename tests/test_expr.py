@@ -268,3 +268,28 @@ def test_read_delta_gated(spark, tmp_path):
     assert e.node.path.endswith("dl")
     with pytest.raises(ImportError, match="delta-spark"):
         e.count(spark)  # this container has no delta package
+
+
+def test_tag_and_hashing_tag(spark, lineitem):
+    """tag() is execution- and hash-transparent; hashing_tag() salts the
+    token (reference: tag/hashing_tag, types/relations.py:3509,3553)."""
+    base = lineitem.select("l_orderkey", "l_quantity").limit(10)
+    tagged = base.tag("experiment", owner="alice", run="7")
+    assert tagged.ls.tokenized == base.ls.tokenized
+    assert tagged.execute(spark).equals(base.execute(spark))
+    assert [t.name for t in tagged.ls.tags] == ["experiment"]
+    assert dict(tagged.ls.tags[0].meta) == {"owner": "alice", "run": "7"}
+
+    salted = base.hashing_tag("v2")
+    assert salted.ls.tokenized != base.ls.tokenized
+    assert salted.execute(spark).equals(base.execute(spark))
+    # distinct hashing tags -> distinct tokens (separate cache entries)
+    assert salted.ls.tokenized != base.hashing_tag("v3").ls.tokenized
+
+
+def test_tag_roundtrips_through_build(spark, lineitem, tmp_path):
+    from xorq_spark.builds import to_data, from_data
+
+    e = lineitem.select("l_orderkey").limit(5).tag("m", k="v").hashing_tag("n")
+    back = from_data(to_data(e.node))
+    assert back == e.node

@@ -131,6 +131,8 @@ def lower(
         from xorq_spark.cache import artifact_path
 
         return spark.read.parquet(artifact_path(node.key))
+    if isinstance(node, N.Tag):
+        return rec(node.parent)
     if isinstance(node, N.Project):
         df = rec(node.parent)
         r = cols(df)
@@ -478,6 +480,20 @@ class Expr:
     def cache(self, strategy: str = "mtime") -> "Expr":
         return self._wrap(N.CachedNode(self.node, strategy))
 
+    def tag(self, name: str, **meta: str) -> "Expr":
+        """Annotate the expression with metadata. Execution-transparent
+        AND hash-transparent: the tagged expr tokenizes (and therefore
+        caches) identically to the untagged one. See `.ls.tags`."""
+        kv = tuple(sorted((k, str(v)) for k, v in meta.items()))
+        return self._wrap(N.Tag(self.node, name, kv, hashing=False))
+
+    def hashing_tag(self, name: str, **meta: str) -> "Expr":
+        """Like tag(), but the annotation participates in tokenization —
+        two identical subtrees with different hashing tags get distinct
+        cache keys (reference: hashing_tag, types/relations.py:3553)."""
+        kv = tuple(sorted((k, str(v)) for k, v in meta.items()))
+        return self._wrap(N.Tag(self.node, name, kv, hashing=True))
+
     def pivot_longer(
         self, cols, names_to: str = "name", values_to: str = "value", ids=None
     ) -> "Expr":
@@ -625,6 +641,12 @@ class LsAccessor:
     @property
     def cached_nodes(self) -> tuple:
         return tuple(n for n in N.walk(self.expr.node) if isinstance(n, N.CachedNode))
+
+    @property
+    def tags(self) -> tuple:
+        """All Tag annotations in the tree, outermost first (reference:
+        .ls.tags, vendor/ibis/expr/types/core.py:1099)."""
+        return tuple(n for n in N.walk(self.expr.node) if isinstance(n, N.Tag))
 
     @property
     def tokenized(self) -> str:

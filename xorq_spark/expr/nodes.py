@@ -232,6 +232,20 @@ class CacheTag(RNode):
 
 
 @dataclass(frozen=True)
+class Tag(RNode):
+    """Metadata annotation (reference: tag/hashing_tag,
+    vendor/ibis/expr/types/relations.py:3509,3553). Identity for
+    execution. A plain tag is transparent to cache tokenization (same
+    hash as its parent); a hashing tag contributes to the hash, forcing
+    a distinct cache entry for an otherwise-identical subtree."""
+
+    parent: RNode
+    name: str
+    meta: Tuple[Tuple[str, str], ...] = ()
+    hashing: bool = False
+
+
+@dataclass(frozen=True)
 class Unpivot(RNode):
     """pivot_longer (reference: types/relations.py:3597) -> df.unpivot."""
 

@@ -90,6 +90,10 @@ def _norm(value: Any, strategy: str) -> Any:
 
 
 def _norm_node(node: N.RNode, strategy: str) -> tuple:
+    # Plain tags are annotations, not computation: same token as the
+    # untagged expr. Hashing tags fall through and salt the token.
+    if isinstance(node, N.Tag) and not node.hashing:
+        return _norm_node(node.parent, strategy)
     body = (
         type(node).__name__,
         tuple(
