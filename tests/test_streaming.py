@@ -88,3 +88,24 @@ def test_sessionize_state_flow(spark, events_dir):
     # both keys' sessions eventually closed, event counts preserved
     assert got.k.tolist() == ["a", "b"]
     assert got.n_events.tolist() == [3, 2]
+
+
+def test_dedup_stream(spark, tmp_path):
+    """Duplicate keys across micro-batches are dropped with bounded
+    state (dropDuplicatesWithinWatermark)."""
+    d = tmp_path / "dups"
+    d.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    _write_events(d / "a.parquet", [("x", t0, 1.0), ("y", t0, 2.0)])
+    _write_events(
+        d / "b.parquet",
+        [("x", t0 + dt.timedelta(seconds=5), 9.0),  # dup key within delay
+         ("z", t0 + dt.timedelta(seconds=10), 3.0)],
+    )
+    stream = S.read_stream_parquet(
+        spark, str(d), "k string, ts timestamp, v double"
+    )
+    out = S.dedup_stream(stream, ["k"], "ts", watermark="1 hour")
+    S.stream_to_memory(out, "dedup_sink", output_mode="append")
+    got = spark.sql("SELECT k FROM dedup_sink ORDER BY k").toPandas()
+    assert got.k.tolist() == ["x", "y", "z"]

@@ -13,6 +13,7 @@ Expr layer stays batch (caching a stream is meaningless).
 """
 
 from xorq_spark.streaming.core import (
+    dedup_stream,
     read_stream_parquet,
     sessionize,
     stream_to_memory,
@@ -20,6 +21,7 @@ from xorq_spark.streaming.core import (
 )
 
 __all__ = [
+    "dedup_stream",
     "read_stream_parquet",
     "window_agg",
     "sessionize",

@@ -115,6 +115,32 @@ def sessionize(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    subset: Sequence[str],
+    time_col: str,
+    watermark: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming deduplication by key columns with bounded state.
+
+    `dropDuplicatesWithinWatermark` evicts a key's state once the
+    watermark passes its first-seen event time — the only shape that
+    survives an unbounded stream (plain dropDuplicates keeps every key
+    forever unless the event-time column is part of the key). The
+    training-pipeline use: exact-dedup a document firehose by content
+    digest before it ever lands (compute the digest upstream with
+    functions.dedup.normalize_text + F.md5 so state is 32 bytes/key).
+
+    within_watermark=False falls back to dropDuplicates(subset +
+    [time_col]) — exact per-event-time dedup, state bounded by the
+    watermark because the event-time column is in the key."""
+    s = stream.withWatermark(time_col, watermark)
+    if within_watermark:
+        return s.dropDuplicatesWithinWatermark(list(subset))
+    return s.dropDuplicates([*subset, time_col])
+
+
 def stream_to_memory(
     stream: DataFrame, query_name: str, await_termination: bool = True,
     output_mode: str = "append", timeout: Optional[float] = None,
