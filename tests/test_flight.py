@@ -64,3 +64,16 @@ def test_unbind_rewrites_sources(spark, tmp_path):
     # still executable by binding a frame
     df = spark.createDataFrame(pd.DataFrame({"v": [-1.0, 2.0]}))
     assert u.execute(spark, bindings={"inp": df}).v.tolist() == [2.0]
+
+
+def test_spark_connect_gated():
+    """Spark Connect execution is import-gated in this container (no
+    grpcio); the gate raises with a clear message instead of failing
+    deep inside pyspark."""
+    import pytest
+
+    from xorq_spark import remote as C
+
+    assert C.connect_available() is False
+    with pytest.raises(ImportError, match="grpcio"):
+        C.remote_session("sc://localhost:15002")
