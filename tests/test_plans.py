@@ -1,0 +1,74 @@
+"""Plan-quality regression tests: the properties PLANS.md documents,
+asserted. A correctness-preserving change that drops predicate pushdown,
+column pruning, or a broadcast join should fail here, not show up as a
+silent slowdown at scale."""
+
+from __future__ import annotations
+
+import pytest
+
+from xorq_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q6_pushdown_and_pruning(spark):
+    plan = _plan(spark, "tpch_q6_forecast_revenue")
+    # Range predicates reach the parquet reader...
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    # ...and the scan reads only the 4 referenced columns.
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = [c.split(":")[0] for c in m.group(1).split(",")]
+    assert sorted(cols) == [
+        "l_discount", "l_extendedprice", "l_quantity", "l_shipdate",
+    ]
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(spark, "tpch_q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    # The big fact tables must not cartesian/nested-loop.
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_star_join_all_broadcast(spark):
+    """Dims (region/nation/supplier/customer) broadcast; no sort-merge
+    join should appear at this scale."""
+    plan = _plan(spark, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_no_python_eval_in_jvm_queries(spark):
+    """Hot relational queries stay JVM-side: no row-at-a-time Python."""
+    for name in (
+        "tpch_q1_pricing_summary",
+        "dedup_minhash_lsh_pairs",
+        "text_quality_score",
+    ):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_q1_whole_stage_codegen(spark):
+    """The q1 scan+project+partial-agg pipeline compiles into at least
+    one whole-stage-codegen subtree (AQE hides the spans in `formatted`
+    mode before execution, so ask for codegen mode explicitly)."""
+    df = QUERIES["tpch_q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan only on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final
+    # '*(n)' prefixes mark whole-stage-codegen'd operators in toString.
+    assert "*(" in final
