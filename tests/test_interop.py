@@ -89,3 +89,15 @@ def test_wap_audit_failure_keeps_staging(spark, tmp_path):
     assert not os.path.exists(final)
     staged = [d for d in os.listdir(tmp_path) if d.startswith(".wap-staging")]
     assert staged  # left for inspection
+
+
+def test_iceberg_wap_gated(spark):
+    """No Iceberg catalog in this container: the gate raises a clear
+    ImportError before touching any table."""
+    import pytest
+
+    from xorq_spark import writes as W
+
+    assert W.iceberg_available(spark) is False
+    with pytest.raises(ImportError, match="Iceberg catalog"):
+        W.write_audit_publish_iceberg(None, "cat.db.t", [], spark=spark)

@@ -67,3 +67,61 @@ def write_audit_publish(
         os.rename(final_path, retired)
     os.rename(staging, final_path)
     return final_path
+
+
+def _iceberg_catalogs(spark) -> list:
+    return [
+        k for k, _ in spark.sparkContext.getConf().getAll()
+        if k.startswith("spark.sql.catalog.")
+    ]
+
+
+def iceberg_available(spark=None) -> bool:
+    """True if this session has an Iceberg catalog configured
+    (iceberg-spark-runtime jar + spark.sql.catalog.<name> conf). Not
+    present in this container — gates write_audit_publish_iceberg."""
+    try:
+        from xorq_spark.session import get_spark
+
+        return bool(_iceberg_catalogs(spark or get_spark()))
+    except Exception:
+        return False
+
+
+def write_audit_publish_iceberg(
+    expr: Expr,
+    table: str,
+    audits: Sequence[Callable[[Expr], bool]],
+    spark=None,
+    branch: str = "audit",
+) -> str:
+    """Iceberg flavor of WAP (reference: writes/wap.py Iceberg path):
+    write to a branch, audit the branch, fast-forward main onto it.
+
+    Same stage -> audit -> atomic-publish contract as the Parquet
+    flavor above, but staging is an Iceberg branch and publish is a
+    metadata-only fast-forward instead of a directory rename — no data
+    movement at any scale. Requires the iceberg-spark-runtime jar and
+    a configured catalog; gated (this container has neither)."""
+    from xorq_spark.session import get_spark
+    from xorq_spark.expr.api import register
+
+    s = spark or get_spark()
+    if not _iceberg_catalogs(s):
+        raise ImportError(
+            "write_audit_publish_iceberg requires an Iceberg catalog "
+            "(spark.sql.catalog.* conf + iceberg-spark-runtime jar); "
+            "none configured in this session"
+        )
+    df = expr.to_spark(s)
+    s.sql(f"ALTER TABLE {table} CREATE BRANCH IF NOT EXISTS `{branch}`")
+    df.writeTo(f"{table}.branch_{branch}").append()
+    staged = register(s, s.read.option("branch", branch).table(table), f"_wap_{branch}")
+    for audit in audits:
+        if not audit(staged):
+            raise AuditError(
+                f"audit {getattr(audit, '__name__', repr(audit))} failed; "
+                f"branch {branch!r} of {table} kept for inspection"
+            )
+    s.sql(f"CALL system.fast_forward('{table}', 'main', '{branch}')")
+    return table
