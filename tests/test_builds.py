@@ -132,3 +132,19 @@ def test_cli_run_with_param(src, tmp_path):
     )
     assert out_bound.returncode == 0, out_bound.stderr
     assert "1" in out_bound.stdout  # only v=30 passes
+
+
+def test_build_writes_profile_and_run_reconnects(spark, sf_dir, tmp_path):
+    """builds/<hash>/profile.yaml records the connection (profiles.yaml
+    analog); load_profile reconnects from it (env master still wins)."""
+    import yaml
+
+    from xorq_spark.builds import build, load_profile
+    from xorq_spark.expr.api import deferred_read_parquet
+
+    e = deferred_read_parquet(f"{sf_dir}/lineitem.parquet")
+    d = build(e.select("l_orderkey").limit(3), str(tmp_path / "b"))
+    prof = yaml.safe_load(open(f"{d}/profile.yaml"))
+    assert "master" in prof and "spark.sql.adaptive.enabled" in prof["conf"]
+    s = load_profile(d)
+    assert s is not None and s.sql("SELECT 1").collect()[0][0] == 1

@@ -200,11 +200,38 @@ def build(expr: Expr, builds_dir: str = "builds") -> str:
         pass
     with open(os.path.join(out, "requirements.txt"), "w") as f:
         f.write(f"pyspark=={spark_version}\npyarrow\npandas\n")
+    # Connection profile so `run` on another machine reconnects the same
+    # way (profiles.yaml analog, vendor/ibis/backends/profiles.py:120).
+    # Spark's "connection" is the session conf: master + analytic opts.
+    from xorq_spark.session import options as session_options
+
+    profile = {
+        "master": os.environ.get("XORQ_SPARK_MASTER", "local[*]"),
+        "conf": session_options(),
+    }
+    with open(os.path.join(out, "profile.yaml"), "w") as f:
+        yaml.safe_dump(profile, f, sort_keys=False)
     return out
 
 
 def _safe(s: str) -> str:
     return "".join(c if c.isalnum() or c in "-_." else "_" for c in s)
+
+
+def load_profile(build_dir: str):
+    """Reconnect per the build's recorded connection profile (the
+    load_expr profiles step, ibis_yaml/compiler.py:896). Returns a
+    SparkSession; env XORQ_SPARK_MASTER still wins so a build made on
+    local[*] can run against a cluster unchanged."""
+    from xorq_spark.session import connect
+
+    path = os.path.join(build_dir, "profile.yaml")
+    if not os.path.exists(path):
+        return connect()
+    with open(path) as f:
+        profile = yaml.safe_load(f) or {}
+    master = os.environ.get("XORQ_SPARK_MASTER", profile.get("master"))
+    return connect(master=master, extra_conf=profile.get("conf") or {})
 
 
 def load(build_dir: str, spark=None) -> Expr:

@@ -51,10 +51,9 @@ def _parse_params(pairs) -> dict:
 
 
 def cmd_run(args) -> int:
-    from xorq_spark.builds import load
-    from xorq_spark.session import connect
+    from xorq_spark.builds import load, load_profile
 
-    spark = connect()
+    spark = load_profile(args.build_dir)
     expr = load(args.build_dir, spark)
     params = _parse_params(getattr(args, "param", None))
     if params:
@@ -74,11 +73,10 @@ def cmd_run(args) -> int:
 
 
 def cmd_serve(args) -> int:
-    from xorq_spark.builds import load
+    from xorq_spark.builds import load, load_profile
     from xorq_spark.flight import flight_serve
-    from xorq_spark.session import connect
 
-    spark = connect()
+    spark = load_profile(args.build_dir)
     expr = load(args.build_dir, spark)
     server = flight_serve(
         expr, spark, name=args.name, location=f"grpc://0.0.0.0:{args.port}"
