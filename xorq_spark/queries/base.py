@@ -29,6 +29,14 @@ def query(name: str, oracle: Optional[str] = None):
     return deco
 
 
+import weakref
+
+# session -> {(sf_dir, name): DataFrame}; weak keys so a stopped session
+# releases its entries (and a recycled object address can't serve stale
+# frames, as an id(spark)-keyed dict would).
+_TABLE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Plain parquet scan — Catalyst handles column
     pruning + predicate pushdown from whatever the query composes on top.
@@ -43,6 +51,18 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # conversion in the catalog (unix_micros, timestamp_seconds, ...)
     # must be timezone-free to match the DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Memoize the analyzed relation per (session, path): repeated reads
+    # of the same immutable test table skip re-listing the directory and
+    # re-reading parquet footers (~50-100 ms per table per query, pure
+    # driver-side overhead at any scale).
+    try:
+        per_session = _TABLE_MEMO.setdefault(spark, {})
+    except TypeError:  # session not weakref-able: skip memoization
+        per_session = {}
+    key = (sf_dir, name)
+    hit = per_session.get(key)
+    if hit is not None:
+        return hit
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -51,8 +71,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 "ts",
                 F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per_session[key] = df
+    return df
 
 
 def widen(df: DataFrame) -> DataFrame:
