@@ -1,0 +1,88 @@
+"""Side-by-side Spark vs DuckDB timings for the headline queries.
+
+Usage: python tools/compare_bench.py [sf_dir]
+
+Runs each headline query twice per engine (best-of-2): Spark through
+`queries()` with a noop sink, DuckDB through the same oracle SQL it is
+hash-checked against. Writes BENCH_COMPARE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    import duckdb
+
+    from bench import HEADLINE
+    from xorq_spark.queries import ORACLES, QUERIES
+    from xorq_spark.session import connect
+
+    spark = connect(app_name="xorq_spark_compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Same warm-up as bench.py: codegen paths + the Python worker pool.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    cpus = spark.sparkContext.defaultParallelism
+    spark.range(cpus * 4).repartition(cpus).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {cpus}")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+
+    rows = []
+    for name in HEADLINE:
+        s_best = d_best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = time.perf_counter() - t0
+            s_best = dt if s_best is None else min(s_best, dt)
+        if name in ORACLES:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.sql(ORACLES[name]).fetchall()
+                dt = time.perf_counter() - t0
+                d_best = dt if d_best is None else min(d_best, dt)
+        rows.append((name, s_best, d_best))
+
+    out = [
+        "# BENCH_COMPARE — Spark vs DuckDB, same queries, same files",
+        "",
+        f"sf_dir={sf_dir}, {cpus} threads both engines, best of 2 per query.",
+        "DuckDB runs the exact oracle SQL each Spark query is hash-checked",
+        "against (`tools/check_oracle.py`).",
+        "",
+        "| query | spark (s) | duckdb (s) |",
+        "|---|---|---|",
+    ]
+    st = dt_ = 0.0
+    for name, s, d in rows:
+        st += s
+        dt_ += d or 0.0
+        out.append(f"| {name} | {s:.3f} | {'' if d is None else f'{d:.3f}'} |")
+    out.append(f"| **total** | **{st:.2f}** | **{dt_:.2f}** |")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_COMPARE.md"
+    )
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"spark total {st:.2f}s, duckdb total {dt_:.2f}s -> BENCH_COMPARE.md")
+
+
+if __name__ == "__main__":
+    main()
