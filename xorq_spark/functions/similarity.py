@@ -173,6 +173,16 @@ def ann_ivf_topk(
         F.col(corpus_vec).alias("__cv"),
         array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("__feat"),
     )
+    if c.isEmpty():
+        # KMeans.fit requires data; an empty corpus has a well-defined
+        # answer (no neighbors). isEmpty() is a take(1), not a scan.
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [],
+            f"{query_id} {dict(queries.dtypes)[query_id]}, "
+            f"{corpus_id} {dict(corpus.dtypes)[corpus_id]}, "
+            "cos_sim double, rank int",
+        )
     km = KMeans(k=n_centroids, seed=seed, featuresCol="__feat", predictionCol="__cell")
     model = km.fit(c)
     cells = model.transform(c).select("__cid", "__cv", "__cell")
