@@ -120,19 +120,22 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     digest each band -> array<string>[bands]. Band keys are md5 of the
     '|'-joined slot values, so shuffle keys stay 32 bytes however wide
     the band is."""
+    def band_key(band: Column) -> Column:
+        # A null slot means content-free input (null/absent text). The
+        # key must be NULL — never md5("") — or every null document
+        # lands in one bucket and pairs with every other (SQL NULL
+        # never equals NULL, so null keys drop out of the band join;
+        # matches DuckDB's array_to_string NULL propagation).
+        joined = F.array_join(F.transform(band, lambda x: x.cast("string")), "|")
+        return F.when(
+            F.exists(band, lambda x: x.isNull()), F.lit(None).cast("string")
+        ).otherwise(F.md5(joined))
+
     return let(
         signature,
         lambda sig: F.transform(
             F.sequence(F.lit(0), F.lit(bands - 1)),
-            lambda b: F.md5(
-                F.array_join(
-                    F.transform(
-                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
-                        lambda x: x.cast("string"),
-                    ),
-                    "|",
-                )
-            ),
+            lambda b: band_key(F.slice(sig, b * rows_per_band + 1, rows_per_band)),
         ),
     )
 
@@ -250,7 +253,7 @@ def simhash(text: Column, bits: int = 32) -> Column:
             lambda a, v: a + v,
         ),
     )
-    return F.aggregate(
+    folded = F.aggregate(
         F.zip_with(
             votes,
             F.sequence(F.lit(0), F.lit(bits - 1)),
@@ -261,6 +264,9 @@ def simhash(text: Column, bits: int = 32) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    # Null text folds to null; define it as 0 — identical to an empty
+    # document (no tokens -> no set bits), so null and "" near-dup.
+    return F.coalesce(folded, F.lit(0).cast("long"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

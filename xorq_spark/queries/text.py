@@ -61,7 +61,9 @@ def _lang_score_sql(lang: str) -> str:
 
 
 _LANG_CASE = (
-    "CASE WHEN m <= 0 THEN 'und' "
+    # m IS NULL <=> null text: undetermined, same as zero marker hits
+    # (mirrors language_id's fold which leaves best='und' on null input)
+    "CASE WHEN m IS NULL OR m <= 0 THEN 'und' "
     + " ".join(
         f"WHEN s_{lang} = m THEN '{lang}'" for lang in LANG_MARKERS
     )
