@@ -87,3 +87,27 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.5
     # each query's own vector (cos=1) is always found
     assert {(q, q) for q in range(5)} <= approx_pairs
+
+
+def test_minhash_long_documents(spark):
+    """MB-scale documents (100k tokens -> ~100k-element shingle arrays)
+    must shingle+sign without either blowing executor memory or falling
+    off the JVM path. The HOF pipeline is O(tokens) per row; this guards
+    against accidental O(tokens^2) regressions too."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.dedup import minhash_signature
+
+    words = " ".join(f"w{i % 5000}" for i in range(100_000))
+    docs = spark.createDataFrame(
+        [(i, words + f" tail{i}") for i in range(8)], "doc_id int, text string"
+    )
+    t0 = time.time()
+    out = docs.select("doc_id", minhash_signature(F.col("text"), 16, 3).alias("sig")).collect()
+    elapsed = time.time() - t0
+    assert len(out) == 8 and all(len(r.sig) == 16 for r in out)
+    assert all(v is not None for r in out for v in r.sig)
+    # 8 x 100k-shingle docs; generous bound that still catches quadratic blowup
+    assert elapsed < 120, f"minhash on long docs took {elapsed:.0f}s"
