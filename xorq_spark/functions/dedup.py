@@ -193,18 +193,41 @@ def minhash_lsh_pairs(
             )
         ).alias("__band", "__bkey"),
     )
+    # Bucket-local pair generation: ONE shuffle on (band, 32-byte key)
+    # collects each bucket's ids; i<j pairs are generated JVM-side from
+    # the sorted array. The previous self-join formulation computed the
+    # whole signature pass twice (once per join side) and needed a
+    # separate skew-guard window; here the cap is a size() filter on the
+    # same aggregate, dropping oversized boilerplate buckets before they
+    # can emit O(n^2) candidates. Null band keys (content-free docs)
+    # drop out in the groupBy the same way they fail the equi-join.
+    buckets = banded.filter(F.col("__bkey").isNotNull()).groupBy(
+        "__band", "__bkey"
+    ).agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
     if max_bucket_size is not None:
-        # Skew guard: drop buckets larger than the cap (boilerplate bands).
-        w = Window.partitionBy("__band", "__bkey")
-        banded = banded.withColumn("__bn", F.count("*").over(w)).filter(
-            F.col("__bn") <= max_bucket_size
-        ).drop("__bn")
-    left = banded.select("__band", "__bkey", F.col("__id").alias("id_a"))
-    right = banded.select("__band", "__bkey", F.col("__id").alias("id_b"))
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     cand = (
-        left.join(right, ["__band", "__bkey"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.filter(F.size("__ids") >= 2)
+        .select(
+            F.explode(
+                let(
+                    F.col("__ids"),
+                    lambda ids: F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(ids) - 1),
+                            lambda i: F.transform(
+                                F.slice(ids, i + 1, F.size(ids) - i),
+                                lambda j: F.struct(
+                                    F.element_at(ids, i).alias("id_a"),
+                                    j.alias("id_b"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
         .distinct()
     )
     return (
