@@ -26,5 +26,6 @@ from xorq_spark.queries import similarity  # noqa: F401
 from xorq_spark.queries import ml  # noqa: F401
 from xorq_spark.queries import multimodal  # noqa: F401
 from xorq_spark.queries import engine  # noqa: F401
+from xorq_spark.queries import streaming_queries  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]

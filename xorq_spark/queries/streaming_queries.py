@@ -1,0 +1,167 @@
+"""Genuinely-streaming correctness queries: each entry runs a real
+Structured Streaming job (readStream file source -> watermarked
+transformation -> availableNow trigger -> memory sink) over the events
+table and returns the sink contents as a batch DataFrame, hash-checked
+against the SAME DuckDB oracle a batch query would use.
+
+Why this is sound: a finite parquet directory processed with
+`availableNow` drains completely, so the streaming result must equal
+batch semantics — `complete` output mode for windowed aggregations (an
+`append`-mode window only emits after the watermark passes its end,
+which never happens on a drained finite source), `append` for
+row-by-row operators like dedup.
+
+Scale notes (the production shape, vs this test harness):
+- the memory sink collects results to the driver; production runs
+  `update`/`append` into Kafka/parquet/Delta and never materializes the
+  full aggregate driver-side.
+- the file source is swapped for Kafka by changing only the reader;
+  every transformation below is reused verbatim (same Catalyst plan,
+  now incremental with state in the aggregation operator).
+- watermarks bound state: tumble/hop aggregation state is evicted once
+  the watermark passes a window end; dedup state via
+  dropDuplicatesWithinWatermark is evicted per-key. Unbounded streams
+  hold O(active windows + in-flight keys), not O(stream).
+
+Reference parity: the reference's streaming story is Flink-heritage
+window_by IR (SURVEY §2.2 window_by) executed as micro-batch reads; here
+the same window plans run on Spark's incremental engine.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pyspark.sql.functions as F
+
+from xorq_spark import streaming as S
+from xorq_spark.queries.base import query, money_out
+
+_PRICE = "decimal(18,2)"
+
+_EVENTS_RAW_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _events_stream(spark, sf_dir):
+    """Streaming read of events.parquet. The file carries
+    TIMESTAMP(NANOS), which Spark's parquet reader rejects; like the
+    batch path (queries/base.py t()) we read nanos as int64 via the
+    legacy conf and truncate to microsecond with integer div (DuckDB
+    truncates ns->us the same way). Unlike the batch path the event-time
+    column stays TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ
+    ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Session tz is pinned UTC,
+    so the LTZ->NTZ cast applied at output is value-preserving."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Glob, not a bare file path: FileStreamSource requires its derived
+    # basePath to be a directory (the production shape is a directory of
+    # arriving files anyway; the glob makes the single-file test layout
+    # look like one).
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .parquet(f"{sf_dir}/*events.parquet")
+    )
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run(stream_df, name: str, output_mode: str):
+    """Drain the finite source into a uniquely-named memory sink and
+    return the sink table (batch DataFrame)."""
+    sink = f"{name}_{uuid.uuid4().hex[:8]}"
+    S.stream_to_memory(stream_df, sink, output_mode=output_mode)
+    return stream_df.sparkSession.table(sink)
+
+
+@query(
+    "stream_tumble_event_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS win_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS total
+    FROM events
+    GROUP BY 1, 2, 3
+    ORDER BY win_start, event_type
+    """,
+)
+def stream_tumble(spark, sf_dir):
+    """Tumbling-window aggregation executed by the incremental engine:
+    readStream -> withWatermark -> F.window groupBy -> memory sink.
+    Same oracle as the batch time_tumble_window query — the streaming
+    run of a drained finite source must agree with batch semantics."""
+    ev = _events_stream(spark, sf_dir)
+    agg = S.window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total": money_out(F.sum(F.col("value").cast(_PRICE))),
+        },
+        group_by=["event_type"],
+        watermark="1 hour",
+    )
+    out = _run(agg, "stream_tumble", "complete")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("win_start"),
+        F.col("window_end").cast("timestamp_ntz").alias("win_end"),
+        "event_type",
+        "n",
+        "total",
+    ).orderBy("win_start", "event_type")
+
+
+@query(
+    "stream_hop_event_counts",
+    oracle="""
+    WITH h AS (
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000) AS s0, value FROM events
+      UNION ALL
+      SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS s0, value FROM events)
+    SELECT s0 AS win_start, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS total
+    FROM h GROUP BY s0 ORDER BY s0
+    """,
+)
+def stream_hop(spark, sf_dir):
+    """Hopping-window (1h size / 30m slide) streaming aggregation; each
+    event contributes to two windows' state. Oracle spells out the two
+    shifted buckets, as in the batch time_hop_window query."""
+    ev = _events_stream(spark, sf_dir)
+    agg = S.window_agg(
+        ev,
+        "ts",
+        "1 hour",
+        slide="30 minutes",
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total": money_out(F.sum(F.col("value").cast(_PRICE))),
+        },
+        watermark="1 hour",
+    )
+    out = _run(agg, "stream_hop", "complete")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("win_start"),
+        "n",
+        "total",
+    ).orderBy("win_start")
+
+
+@query(
+    "stream_dedup_user_ids",
+    oracle="SELECT DISTINCT user_id FROM events ORDER BY user_id",
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming exact-dedup with bounded state
+    (dropDuplicatesWithinWatermark on user_id): the firehose-side
+    guard a training pipeline puts in front of ingestion. Only the key
+    column is emitted, so which duplicate 'won' cannot affect the
+    result — the output is exactly the distinct key set."""
+    ev = _events_stream(spark, sf_dir)
+    out = S.dedup_stream(ev, ["user_id"], "ts", watermark="10 minutes")
+    res = _run(out.select("user_id"), "stream_dedup", "append")
+    return res.select("user_id").distinct().orderBy("user_id")
