@@ -152,6 +152,46 @@ def stream_hop(spark, sf_dir):
 
 
 @query(
+    "stream_session_user_visits",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                  LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessioned AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessioned GROUP BY user_id, session_id
+    ORDER BY user_id, session_start
+    """,
+)
+def stream_session(spark, sf_dir):
+    """Streaming sessionization via F.session_window (30-minute
+    inactivity gap) — Spark's native stateful session operator merges
+    overlapping per-key session state across micro-batches; the
+    watermark closes (evicts) sessions once no earlier event can
+    arrive. Same oracle as the batch time_session_window query."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run(agg, "stream_session", "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        "n_events",
+    ).orderBy("user_id", "session_start")
+
+
+@query(
     "stream_dedup_user_ids",
     oracle="SELECT DISTINCT user_id FROM events ORDER BY user_id",
 )
