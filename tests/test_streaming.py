@@ -90,6 +90,59 @@ def test_sessionize_state_flow(spark, events_dir):
     assert got.n_events.tolist() == [3, 2]
 
 
+def test_stream_to_parquet_exactly_once(spark, events_dir, tmp_path):
+    """File sink: all rows land once; re-running with the same checkpoint
+    is a no-op (the checkpoint knows every source file was consumed)."""
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    S.stream_to_parquet(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 5
+    assert sorted(got.columns) == ["k", "ts", "v"]
+    # resume with same checkpoint: nothing new to process, no re-emit
+    stream2 = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    S.stream_to_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == 5
+
+
+def test_stream_to_parquet_partitioned(spark, events_dir, tmp_path):
+    """partition_by writes the hive layout batch readers prune on."""
+    import os
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    S.stream_to_parquet(stream, out, ckpt, partition_by=["k"])
+    assert {d for d in os.listdir(out) if d.startswith("k=")} == {"k=a", "k=b"}
+    pruned = spark.read.parquet(out).filter(F.col("k") == "a")
+    assert pruned.count() == 3
+
+
+def test_stream_foreach_batch_merge(spark, events_dir, tmp_path):
+    """foreachBatch: each micro-batch is a batch DataFrame, so batch-only
+    sinks (here: dedup-merge into a parquet target) run per batch."""
+    tgt, ckpt = str(tmp_path / "tgt"), str(tmp_path / "ckpt")
+    seen_batches = []
+
+    def merge(df, batch_id):
+        seen_batches.append(batch_id)
+        df.select("k").distinct().write.mode("append").parquet(tgt)
+
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    S.stream_foreach_batch(stream, merge, ckpt)
+    # maxFilesPerTrigger=1 and two source files -> two micro-batches
+    assert seen_batches == [0, 1]
+    got = spark.read.parquet(tgt).toPandas()
+    assert sorted(got.k.unique().tolist()) == ["a", "b"]
+
+
 def test_dedup_stream(spark, tmp_path):
     """Duplicate keys across micro-batches are dropped with bounded
     state (dropDuplicatesWithinWatermark)."""

@@ -16,7 +16,9 @@ from xorq_spark.streaming.core import (
     dedup_stream,
     read_stream_parquet,
     sessionize,
+    stream_foreach_batch,
     stream_to_memory,
+    stream_to_parquet,
     window_agg,
 )
 
@@ -25,5 +27,7 @@ __all__ = [
     "read_stream_parquet",
     "window_agg",
     "sessionize",
+    "stream_foreach_batch",
     "stream_to_memory",
+    "stream_to_parquet",
 ]

@@ -141,6 +141,62 @@ def dedup_stream(
     return s.dropDuplicates([*subset, time_col])
 
 
+def stream_to_parquet(
+    stream: DataFrame,
+    path: str,
+    checkpoint: str,
+    await_termination: bool = True,
+    partition_by: Sequence[str] = (),
+):
+    """Production file sink: append-mode parquet with exactly-once
+    semantics. The checkpoint directory records which source files each
+    committed batch consumed and the sink's _spark_metadata manifest
+    records which output files are valid — a crashed batch is re-run,
+    its orphan files ignored by readers that honor the manifest. Restart
+    with the same checkpoint resumes, never re-emits.
+
+    `partition_by` gives the hive-style layout downstream batch readers
+    prune on (e.g. event date) — the streaming counterpart of the batch
+    partitioned sink (writes.py)."""
+    w = (
+        stream.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    q = w.start()
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
+def stream_foreach_batch(
+    stream: DataFrame,
+    batch_fn,
+    checkpoint: str,
+    await_termination: bool = True,
+    output_mode: str = "append",
+):
+    """Escape hatch for sinks Spark lacks: `batch_fn(df, batch_id)` runs
+    on each micro-batch as a BATCH DataFrame, so the whole batch write
+    surface (merge/upsert, WAP, JDBC, multi-sink fan-out) applies.
+    Exactly-once only if batch_fn is idempotent on (batch_id) replay —
+    the checkpoint guarantees at-least-once invocation."""
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def stream_to_memory(
     stream: DataFrame, query_name: str, await_termination: bool = True,
     output_mode: str = "append", timeout: Optional[float] = None,
