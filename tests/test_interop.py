@@ -55,6 +55,43 @@ def test_cross_engine_join(spark, con):
     assert got.s.tolist() == [1.0, 5.0, 4.0]
 
 
+def test_pyarrow_stream_roundtrip(spark, tmp_path):
+    """to_pyarrow_stream -> read_pyarrow_stream round-trips through the
+    Arrow IPC stream format (reference: to/read_pyarrow_stream)."""
+    p = str(tmp_path / "result.arrows")
+    e = xo.memtable({"a": [3, 1, 2], "b": ["x", "y", "z"]})
+    interop.to_pyarrow_stream(e.order_by("a"), p)
+    back = interop.read_pyarrow_stream(p, spark=spark)
+    got = back.execute(spark)
+    assert got.a.tolist() == [1, 2, 3]
+    assert got.b.tolist() == ["y", "z", "x"]
+
+
+def test_get_object_metadata(sf_dir):
+    m = interop.get_object_metadata(f"{sf_dir}/nation.parquet")
+    assert m["suffix"] == "parquet"
+    assert m["num_rows"] == 25
+    assert m["num_row_groups"] >= 1
+    assert "n_name" in m["schema"]
+    assert m["size_bytes"] > 0
+    assert len(m["row_group_bytes"]) == m["num_row_groups"]
+
+
+def test_get_plans(spark, sf_dir):
+    from xorq_spark.plans import get_plans
+
+    e = xo.deferred_read_parquet(f"{sf_dir}/nation.parquet").filter(
+        _.n_regionkey == 1
+    ).select("n_name")
+    plans = get_plans(e)
+    assert set(plans) == {"parsed", "analyzed", "optimized", "physical", "formatted"}
+    # the optimized logical plan prunes to the two referenced columns;
+    # the formatted physical plan shows the pushed filter on the scan
+    assert "n_name" in plans["optimized"]
+    assert "PushedFilters" in plans["formatted"]
+    assert "n_regionkey" in plans["formatted"]
+
+
 def test_tee(spark, tmp_path):
     p = str(tmp_path / "teed.parquet")
     e = xo.memtable({"a": [1, 2, 3]}).filter(_.a > 1)

@@ -13,7 +13,7 @@ text analysis, multimodal plumbing) the reference does not ship.
 Reference (studied, not copied): xorq-labs/xorq @ /root/reference.
 """
 
-from xorq_spark.session import connect, get_spark, options
+from xorq_spark.session import connect, get_backend, get_spark, options, set_backend
 from xorq_spark.expr.api import (
     _,
     asc,
@@ -32,6 +32,69 @@ from xorq_spark.expr.api import (
     table,
 )
 from xorq_spark.expr.core import Expr
+
+
+# Module-level verbs mirroring the reference's `xorq.api` surface
+# (reference: expr/api.py __all__) — each a thin wrapper over the Expr
+# method or the dedicated module so `import xorq_spark as xo; xo.verb(...)`
+# reads like the original.
+def execute(expr: Expr, **kwargs):
+    return expr.execute(**kwargs)
+
+
+def to_parquet(expr: Expr, path: str, **kwargs):
+    return expr.to_parquet(path, **kwargs)
+
+
+def to_csv(expr: Expr, path: str, **kwargs):
+    return expr.to_csv(path, **kwargs)
+
+
+def to_json(expr: Expr, path: str, **kwargs):
+    return expr.to_json(path, **kwargs)
+
+
+def to_pyarrow(expr: Expr, **kwargs):
+    return expr.to_pyarrow(**kwargs)
+
+
+def to_pyarrow_batches(expr: Expr, **kwargs):
+    return expr.to_pyarrow_batches(**kwargs)
+
+
+def build_expr(expr: Expr, builds_dir: str = "builds") -> str:
+    """Serialize to a build artifact dir (reference: build_expr)."""
+    from xorq_spark.builds import build
+
+    return build(expr, builds_dir)
+
+
+def load_expr(build_dir: str, spark=None) -> Expr:
+    """Load a build artifact back into an Expr (reference: load_expr)."""
+    from xorq_spark.builds import load
+
+    return load(build_dir, spark)
+
+
+def _lazy(name):
+    # imported lazily to keep `import xorq_spark` light
+    def wrapper(*args, **kwargs):
+        import importlib
+
+        mod, fn = name
+        return getattr(importlib.import_module(mod), fn)(*args, **kwargs)
+
+    wrapper.__name__ = name[1]
+    return wrapper
+
+
+read_pyarrow_stream = _lazy(("xorq_spark.interop", "read_pyarrow_stream"))
+to_pyarrow_stream = _lazy(("xorq_spark.interop", "to_pyarrow_stream"))
+get_object_metadata = _lazy(("xorq_spark.interop", "get_object_metadata"))
+get_plans = _lazy(("xorq_spark.plans", "get_plans"))
+replace_sources = _lazy(("xorq_spark.plans", "replace_sources"))
+train_test_splits = _lazy(("xorq_spark.ml.split", "train_test_splits"))
+calc_split_column = _lazy(("xorq_spark.ml.split", "calc_split_column"))
 
 __version__ = "0.1.0"
 
@@ -55,5 +118,22 @@ __all__ = [
     "param",
     "table",
     "Expr",
+    "execute",
+    "set_backend",
+    "get_backend",
+    "to_parquet",
+    "to_csv",
+    "to_json",
+    "to_pyarrow",
+    "to_pyarrow_batches",
+    "to_pyarrow_stream",
+    "read_pyarrow_stream",
+    "get_object_metadata",
+    "get_plans",
+    "replace_sources",
+    "build_expr",
+    "load_expr",
+    "train_test_splits",
+    "calc_split_column",
     "__version__",
 ]

@@ -48,6 +48,76 @@ def read_record_batches(source, spark=None) -> Expr:
     return memtable(tbl)
 
 
+def read_pyarrow_stream(source, spark=None, table_name: Optional[str] = None) -> Expr:
+    """Arrow IPC stream (file path, file-like, or buffer) -> Expr
+    (reference: expr/api.py:162 read_pyarrow_stream). The stream is
+    drained into a memtable; `table_name` optionally registers it as a
+    temp view for SQL access."""
+    import pyarrow as pa
+
+    if isinstance(source, str):
+        with open(source, "rb") as fh:
+            tbl = pa.ipc.open_stream(fh).read_all()
+    else:
+        tbl = pa.ipc.open_stream(source).read_all()
+    expr = read_record_batches(tbl, spark=spark)
+    if table_name is not None:
+        expr.to_spark().createOrReplaceTempView(table_name)
+    return expr
+
+
+def to_pyarrow_stream(expr: Expr, sink) -> None:
+    """Write an expression's result as an Arrow IPC stream to `sink`
+    (path or file-like), batch by batch (reference: expr/api.py:661
+    to_pyarrow_stream). The result is collected to the driver first
+    (Spark's collect is all-at-once); for results that don't fit a
+    driver, write a parquet dataset (`to_parquet`) instead — IPC
+    streams are the small-result interchange format (Flight, sockets,
+    files handed to another engine)."""
+    import pyarrow as pa
+
+    rbr = expr.to_pyarrow_batches()
+    own = isinstance(sink, str)
+    fh = open(sink, "wb") if own else sink
+    try:
+        with pa.ipc.new_stream(fh, rbr.schema) as writer:
+            for batch in rbr:
+                writer.write_batch(batch)
+    finally:
+        if own:
+            fh.close()
+
+
+def get_object_metadata(path: str, **kwargs) -> dict:
+    """File-level metadata without reading data (reference:
+    expr/api.py:788 get_object_metadata): parquet gets footer stats
+    (rows, row groups, columns, compressed size), anything else gets
+    filesystem stats. At scale this is the planning primitive —
+    split/row-group layout decides scan parallelism."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    suffix = os.path.splitext(path)[1].lstrip(".")
+    meta = {"path": path, "suffix": suffix, "size_bytes": os.path.getsize(path)}
+    if suffix == "parquet":
+        f = pq.ParquetFile(path, **kwargs)
+        m = f.metadata
+        meta.update(
+            num_rows=m.num_rows,
+            num_row_groups=m.num_row_groups,
+            num_columns=m.num_columns,
+            created_by=m.created_by,
+            schema={
+                fld.name: str(fld.type) for fld in f.schema_arrow
+            },
+            row_group_bytes=[
+                m.row_group(i).total_byte_size for i in range(m.num_row_groups)
+            ],
+        )
+    return meta
+
+
 def into_backend(expr: Expr, con=None, name: Optional[str] = None):
     """Dispatch on target engine. `con=None` = Spark-internal barrier:
     materialize through the content-addressed cache so N downstream

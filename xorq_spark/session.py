@@ -85,3 +85,37 @@ def get_spark() -> SparkSession:
         _active = active
         return active
     return connect()
+
+
+def set_backend(backend) -> None:
+    """Set the default engine (reference: expr/api.py:97 set_backend).
+
+    Accepts a SparkSession, a master URL string ("local[8]",
+    "spark://host:7077", "sc://host" for Spark Connect), or the name
+    "spark". The reference swaps among DataFusion/DuckDB/Postgres
+    backends; here the engine is Spark and this selects WHICH Spark —
+    cross-engine movement goes through interop.into_backend instead."""
+    global _active
+    if isinstance(backend, SparkSession):
+        _active = backend
+        return
+    if isinstance(backend, str):
+        if backend == "spark":
+            connect()
+            return
+        if backend.startswith("sc://"):
+            from xorq_spark.remote import remote_session
+
+            _active = remote_session(backend)
+            return
+        _active = None
+        connect(master=backend)
+        return
+    raise TypeError(f"unsupported backend: {backend!r}")
+
+
+def get_backend(expr=None) -> SparkSession:
+    """The session an expression is bound to, else the default
+    (reference: expr/api.py:140 get_backend)."""
+    bound = getattr(expr, "_spark", None)
+    return bound if bound is not None else get_spark()
