@@ -30,8 +30,18 @@ REFERENCE_API = [
     "to_pyarrow",
     "to_pyarrow_batches",
     "to_pyarrow_stream",
+    "to_sql",
     "train_test_splits",
 ]
+
+
+def test_to_sql_top_level(spark, sf_dir):
+    e = xo.deferred_read_parquet(f"{sf_dir}/region.parquet").filter(
+        _.r_regionkey > 2
+    )
+    sql = xo.to_sql(e)
+    assert "parquet." in sql
+    assert spark.sql(sql).count() == e.count(spark)
 
 
 @pytest.mark.parametrize("name", REFERENCE_API)

@@ -29,6 +29,7 @@ from xorq_spark.expr.api import (
     read_json,
     read_parquet,
     register,
+    row_number,
     table,
 )
 from xorq_spark.expr.core import Expr
@@ -88,6 +89,7 @@ def _lazy(name):
     return wrapper
 
 
+to_sql = _lazy(("xorq_spark.sql_compile", "to_sql"))
 read_pyarrow_stream = _lazy(("xorq_spark.interop", "read_pyarrow_stream"))
 to_pyarrow_stream = _lazy(("xorq_spark.interop", "to_pyarrow_stream"))
 get_object_metadata = _lazy(("xorq_spark.interop", "get_object_metadata"))
@@ -113,6 +115,7 @@ __all__ = [
     "read_json",
     "read_parquet",
     "register",
+    "row_number",
     "literal",
     "memtable",
     "param",
@@ -127,6 +130,7 @@ __all__ = [
     "to_pyarrow",
     "to_pyarrow_batches",
     "to_pyarrow_stream",
+    "to_sql",
     "read_pyarrow_stream",
     "get_object_metadata",
     "get_plans",

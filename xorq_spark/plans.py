@@ -113,4 +113,7 @@ __all__ = [
     "lineage_text",
     "get_plans",
     "replace_sources",
+    "to_sql",
 ]
+
+from xorq_spark.sql_compile import to_sql  # noqa: E402
