@@ -89,3 +89,19 @@ def test_cross_val_scores_near_zero_on_exact_data(spark, data):
     vals = [s.execute(spark).score.iloc[0] for s in scores]
     assert len(vals) == 3
     assert all(v == pytest.approx(0.0, abs=1e-10) for v in vals)
+
+
+def test_make_deterministic_sort_key(spark, data):
+    from xorq_spark.ml import make_deterministic_sort_key
+
+    s1, k1 = make_deterministic_sort_key(data, random_seed=7)
+    s2, _ = make_deterministic_sort_key(data, random_seed=7)
+    a = s1.execute(spark).drop(columns=[k1]).reset_index(drop=True)
+    b = s2.execute(spark).drop(columns=[k1]).reset_index(drop=True)
+    # same seed -> identical order regardless of plan evaluation
+    assert a.equals(b)
+    s3, k3 = make_deterministic_sort_key(data, random_seed=8)
+    c = s3.execute(spark).drop(columns=[k3]).reset_index(drop=True)
+    # different seed -> different shuffle of the same rows
+    assert not a.equals(c)
+    assert sorted(a.id.tolist()) == sorted(c.id.tolist())

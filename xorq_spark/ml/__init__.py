@@ -6,6 +6,7 @@ from xorq_spark.ml.split import (
     expr_kfold_column,
     expr_split_column,
     kfold_column,
+    make_deterministic_sort_key,
     train_test_splits,
 )
 from xorq_spark.ml.metrics import accuracy, mae, mse, r2
@@ -40,6 +41,7 @@ __all__ = [
     "deferred_fit_transform",
     "deferred_cross_val_score",
     "calc_split_column",
+    "make_deterministic_sort_key",
     "train_test_splits",
     "kfold_column",
     "accuracy",

@@ -133,3 +133,26 @@ def expr_kfold_column(unique_key: Union[str, Sequence[str]], k: int = 5):
     if isinstance(unique_key, str):
         unique_key = [unique_key]
     return (_expr_key_hash(unique_key) % k).cast("int")
+
+
+def make_deterministic_sort_key(expr, random_seed: int = 0):
+    """Stable pseudo-random row order (reference:
+    expr/ml/cross_validation.py:20 make_deterministic_sort_key):
+    concatenate every column as text, append a seed-derived salt, hash.
+    Same data + same seed => same order, independent of file layout or
+    partitioning — the precondition for any positional split.
+
+    Returns (sorted_expr, key_name). Scale: the sort is one global
+    shuffle; when only a split ASSIGNMENT is needed, prefer the
+    shuffle-free hash-bucket splits (calc_split_column)."""
+    from xorq_spark.expr.deferred import Col, Deferred, Func, Lit, unwrap
+
+    key_name = "__sort_key"
+    cols = expr.columns
+    concat = Func(
+        "concat_ws",
+        (",", *[unwrap(Deferred(Col(c)).cast("string")) for c in cols]),
+    )
+    salted = Func("concat", (concat, Lit(str(random_seed))))
+    key = Deferred(Func("md5", (salted,)))
+    return expr.mutate(**{key_name: key}).order_by(key_name), key_name
