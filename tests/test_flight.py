@@ -77,3 +77,42 @@ def test_spark_connect_gated():
     assert C.connect_available() is False
     with pytest.raises(ImportError, match="grpcio"):
         C.remote_session("sc://localhost:15002")
+
+
+def test_flight_server_facade_with_basic_auth(spark):
+    """Reference-shaped surface: FlightServer on a FlightUrl behind
+    BasicAuth; connect() with the right credentials works, wrong or
+    missing credentials are rejected at the gRPC layer."""
+    import pyarrow.flight as fl
+
+    from xorq_spark.flight import BasicAuth, FlightServer, FlightUrl, connect
+
+    template = xo.table({"v": "float64"}, "input")
+    expr = template.agg(s=_.v.sum())
+    url = FlightUrl()
+    with FlightServer(url, spark, auth=BasicAuth("alice", "s3cret")) as srv:
+        srv.register_expr("sum_v", expr)
+        table = pa.table({"v": [1.0, 2.0, 3.5]})
+
+        ok = connect(url.host, srv.server.port, "alice", "s3cret")
+        out = ok.exchange("sum_v", table)
+        assert out.to_pandas().s.tolist() == [6.5]
+        ok.close()
+
+        bad = connect(url.host, srv.server.port, "alice", "wrong")
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            bad.exchange("sum_v", table)
+        bad.close()
+
+        anon = connect(url.host, srv.server.port)
+        with pytest.raises(fl.FlightUnauthenticatedError):
+            anon.get("sum_v")
+        anon.close()
+
+
+def test_flight_url_binds_free_port():
+    from xorq_spark.flight import FlightUrl
+
+    u = FlightUrl()
+    assert u.port > 0
+    assert u.to_location() == f"grpc://127.0.0.1:{u.port}"

@@ -71,8 +71,9 @@ if HAVE_FLIGHT:
         - do_get(ticket=<expr name>): run a fully-bound expression.
         """
 
-        def __init__(self, spark, location: str = "grpc://127.0.0.1:0"):
-            super().__init__(location)
+        def __init__(self, spark, location: str = "grpc://127.0.0.1:0",
+                     middleware=None):
+            super().__init__(location, middleware=middleware)
             self.spark = spark
             self._exprs: Dict[str, Expr] = {}
 
@@ -111,6 +112,143 @@ if HAVE_FLIGHT:
                     -1,
                     -1,
                 )
+
+
+class BasicAuth:
+    """Username/password pair for Flight serving (reference:
+    flight/__init__.py:115 BasicAuth)."""
+
+    def __init__(self, username: str, password: str):
+        self.username = username
+        self.password = password
+
+    @property
+    def header(self) -> tuple:
+        import base64
+
+        tok = base64.b64encode(
+            f"{self.username}:{self.password}".encode()
+        ).decode()
+        return (b"authorization", f"Basic {tok}".encode())
+
+
+class FlightUrl:
+    """Location descriptor with free-port binding (reference:
+    flight/__init__.py:41 FlightUrl). port=None claims an OS-assigned
+    free port up front so the location is printable before serving."""
+
+    def __init__(self, scheme: str = "grpc", host: str = "127.0.0.1",
+                 port: Optional[int] = None):
+        import socket
+
+        self.scheme, self.host = scheme, host
+        if port is None:
+            with socket.socket(socket.AF_INET, socket.SOCK_STREAM) as s:
+                s.bind((host, 0))
+                port = s.getsockname()[1]
+        self.port = port
+
+    def to_location(self) -> str:
+        return f"{self.scheme}://{self.host}:{self.port}"
+
+
+if HAVE_FLIGHT:
+
+    class _BasicAuthMiddlewareFactory(_fl.ServerMiddlewareFactory):
+        """Rejects any call whose authorization header doesn't match a
+        registered user (reference: to_basic_auth_middleware)."""
+
+        def __init__(self, users: Dict[str, str]):
+            self._expect = {BasicAuth(u, p).header[1] for u, p in users.items()}
+
+        def start_call(self, info, headers):
+            got = headers.get("authorization") or headers.get(b"authorization")
+            vals = [v.encode() if isinstance(v, str) else v for v in (got or [])]
+            if not any(v in self._expect for v in vals):
+                raise _fl.FlightUnauthenticatedError("invalid credentials")
+
+
+class FlightServer:
+    """Reference-shaped server facade (flight/__init__.py:133):
+    constructs the session-bound expr server on a FlightUrl, optionally
+    behind basic auth, and manages its lifecycle."""
+
+    def __init__(self, url: Optional[FlightUrl] = None, spark=None,
+                 auth: Optional[BasicAuth] = None):
+        _require_flight()
+        from xorq_spark.session import get_spark
+
+        self.url = url or FlightUrl()
+        middleware = (
+            {"basic": _BasicAuthMiddlewareFactory(
+                {auth.username: auth.password})}
+            if auth is not None
+            else None
+        )
+        self.server = ExprFlightServer(
+            spark or get_spark(), self.url.to_location(), middleware=middleware
+        )
+        self.auth = auth
+        self._thread: Optional[threading.Thread] = None
+
+    def register_expr(self, name: str, expr: Expr, unbound_name: str = "input"):
+        self.server.register_expr(name, expr, unbound_name)
+        return self
+
+    def serve(self) -> "FlightServer":
+        self._thread = threading.Thread(target=self.server.serve, daemon=True)
+        self._thread.start()
+        return self
+
+    @property
+    def endpoint(self) -> str:
+        return f"grpc://{self.url.host}:{self.server.port}"
+
+    def close(self):
+        self.server.shutdown()
+
+    def __enter__(self):
+        return self.serve()
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class FlightClient:
+    """Thin client carrying auth headers on every call (reference:
+    flight/__init__.py:280 connect)."""
+
+    def __init__(self, endpoint: str, auth: Optional[BasicAuth] = None):
+        _require_flight()
+        self._client = _fl.connect(endpoint)
+        self._opts = (
+            _fl.FlightCallOptions(headers=[auth.header]) if auth else None
+        )
+
+    def exchange(self, name: str, table: pa.Table) -> pa.Table:
+        desc = _fl.FlightDescriptor.for_command(name.encode())
+        writer, reader = self._client.do_exchange(desc, self._opts)
+        writer.begin(table.schema)
+        writer.write_table(table)
+        writer.done_writing()
+        out = reader.read_all()
+        writer.close()
+        return out
+
+    def get(self, name: str) -> pa.Table:
+        return self._client.do_get(
+            _fl.Ticket(name.encode()), self._opts
+        ).read_all()
+
+    def close(self):
+        self._client.close()
+
+
+def connect(host: str = "127.0.0.1", port: Optional[int] = None,
+            username: Optional[str] = None, password: Optional[str] = None) -> FlightClient:
+    """Reference-named client constructor."""
+    auth = BasicAuth(username, password) if username is not None else None
+    return FlightClient(f"grpc://{host}:{port}", auth)
 
 
 def flight_serve(
