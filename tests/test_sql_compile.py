@@ -260,6 +260,99 @@ def test_unsupported_raise(spark, nation):
         to_sql(udf_expr)
 
 
+_COLS = ["a", "b", "c"]
+
+
+def _hyp_strategies():
+    from hypothesis import strategies as st
+
+    # executable trees only: booleans excluded (ANSI rejects
+    # double-vs-boolean arithmetic on both the SQL and DataFrame path,
+    # but the property needs every generated tree to run)
+    # ints bounded so any depth-2 product chain stays inside int32
+    # (ANSI overflow would abort both paths)
+    literals = st.one_of(
+        st.integers(min_value=-100, max_value=100),
+        st.floats(allow_nan=False, allow_infinity=False, width=16),
+    )
+
+    @st.composite
+    def value_exprs(draw, depth=2):
+        # numeric-only trees: comparisons live in predicates() so no
+        # boolean ever feeds arithmetic (ANSI rejects that)
+        col = st.sampled_from(_COLS).map(lambda c: getattr(_, c))
+        if depth == 0:
+            return draw(st.one_of(col, literals.map(xo.literal)))
+        left = draw(value_exprs(depth=depth - 1))
+        right = draw(value_exprs(depth=depth - 1))
+        import operator
+
+        ops = {"+": operator.add, "-": operator.sub, "*": operator.mul}
+        return ops[draw(st.sampled_from(list(ops)))](left, right)
+
+    @st.composite
+    def predicates(draw):
+        import operator
+
+        cmp = {"<": operator.lt, ">": operator.gt, "==": operator.eq}
+        op = cmp[draw(st.sampled_from(list(cmp)))]
+        return op(draw(value_exprs()), draw(value_exprs()))
+
+    @st.composite
+    def rel_exprs(draw):
+        e = xo.table({c: "float64" for c in _COLS}, "hyp_t")
+        for _i in range(draw(st.integers(0, 3))):
+            kind = draw(st.sampled_from(["filter", "mutate", "limit", "order"]))
+            if kind == "filter":
+                e = e.filter(draw(predicates()))
+            elif kind == "mutate":
+                e = e.mutate(
+                    **{draw(st.sampled_from(["m1", "m2"])): draw(value_exprs())}
+                )
+            elif kind == "limit":
+                # data has 16 rows; limit >= 16 keeps the unordered
+                # limit semantically a no-op (deterministic compare)
+                e = e.limit(draw(st.integers(16, 1000)))
+            else:
+                e = e.order_by(draw(st.sampled_from(_COLS)))
+        return e
+
+    return rel_exprs
+
+
+def test_property_random_exprs_roundtrip(spark):
+    """Random filter/mutate/limit/order trees: spark.sql(to_sql(e))
+    agrees with the DataFrame lowering on every generated plan — both
+    sides run the same engine, so any mismatch is an emitter bug."""
+    from hypothesis import given, settings
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "a": [float(i % 7) - 3.0 for i in range(16)],
+            "b": [float(i % 5) * 1.5 for i in range(16)],
+            "c": [float(i) for i in range(16)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("hyp_t")
+    rel_exprs = _hyp_strategies()
+
+    @settings(max_examples=40, deadline=None)
+    @given(rel_exprs())
+    def run(e):
+        sql = to_sql(e)
+        got = spark.sql(sql).toPandas()
+        want = e.to_spark(spark, bindings={"hyp_t": df}).toPandas()
+        assert sorted(got.columns) == sorted(want.columns), sql
+        ga = got[sorted(got.columns)].sort_values(sorted(got.columns)).reset_index(drop=True)
+        wa = want[sorted(want.columns)].sort_values(sorted(want.columns)).reset_index(drop=True)
+        pd.testing.assert_frame_equal(ga, wa), sql
+
+    run()
+
+
 def test_sql_runs_on_duckdb_for_ansi_subset(nation):
     """The emitted SQL for plain relational plans is close enough to
     ANSI that DuckDB runs it too (paths compile to parquet scans —

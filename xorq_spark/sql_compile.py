@@ -72,8 +72,15 @@ def lit_sql(v: Any) -> str:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float, Decimal)):
-        return repr(v) if not isinstance(v, Decimal) else str(v)
+    if isinstance(v, float):
+        # the D suffix keeps the literal DOUBLE — a bare 2.5 parses as
+        # DECIMAL(2,1) in Spark SQL, which would diverge from F.lit(2.5)
+        # (found by the hypothesis round-trip property)
+        return f"{v!r}D"
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, Decimal):
+        return str(v)
     if isinstance(v, str):
         return _str_lit(v)
     if isinstance(v, _dt.datetime):
@@ -288,6 +295,72 @@ def value_sql(node: Any) -> str:
 
 
 # --------------------------------------------------------------------------
+# static schema propagation (names only)
+# --------------------------------------------------------------------------
+def _ddl_names(ddl: Optional[str]) -> Optional[list]:
+    """Column names from a DDL string, honoring nested <...> commas."""
+    if not ddl:
+        return None
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(ddl + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = ddl[start:i].strip()
+            if part:
+                names.append(part.split()[0].split(":")[0].strip("`"))
+            start = i + 1
+    return names or None
+
+
+def static_columns(node: N.RNode) -> Optional[list]:
+    """Output column names when statically derivable from the IR alone
+    (no session); None when a scan without a declared schema or an
+    opaque construct blocks it. Mirrors the lowering's column order."""
+    if isinstance(node, (N.CachedNode, N.CacheTag, N.Tag)):
+        return static_columns(node.parent)
+    if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON)):
+        return _ddl_names(node.schema)
+    if isinstance(node, (N.Memtable, N.UnboundTable)):
+        return _ddl_names(node.schema)
+    if isinstance(node, N.Project):
+        new = [name for name, _v in node.exprs]
+        if not node.extend:
+            return new
+        parent = static_columns(node.parent)
+        if parent is None:
+            return None
+        # withColumns: replaced names stay in place, new ones append
+        return parent + [n for n in new if n not in parent]
+    if isinstance(node, (N.Filter, N.Sort, N.Limit, N.Distinct, N.Sample,
+                         N.FillNull, N.DropNull)):
+        return static_columns(node.parent)
+    if isinstance(node, N.Aggregate):
+        return [n for n, _v in node.keys] + [n for n, _v in node.metrics]
+    if isinstance(node, N.GroupingSetsAgg):
+        return list(node.keys) + [n for n, _v in node.metrics]
+    if isinstance(node, N.Drop):
+        parent = static_columns(node.parent)
+        return None if parent is None else [c for c in parent if c not in node.columns]
+    if isinstance(node, N.Rename):
+        parent = static_columns(node.parent)
+        m = dict(node.mapping)
+        return None if parent is None else [m.get(c, c) for c in parent]
+    if isinstance(node, N.SetOp):
+        return static_columns(node.left)
+    if isinstance(node, N.Unnest):
+        parent = static_columns(node.parent)
+        if parent is None:
+            return None
+        others = [c for c in parent if c != node.column]
+        extra = [f"{node.column}_offset"] if node.offset else []
+        return others + extra + [node.column]
+    return None
+
+
+# --------------------------------------------------------------------------
 # relation emission
 # --------------------------------------------------------------------------
 def _named(exprs, star_first: bool = False) -> str:
@@ -325,6 +398,19 @@ def rel_sql(node: N.RNode, depth: int = 0) -> str:
     if isinstance(node, (N.TableRef, N.UnboundTable)):
         return f"SELECT * FROM {_q(node.name)}"
     if isinstance(node, N.Project):
+        if node.extend:
+            parent_cols = static_columns(node.parent)
+            new = dict(node.exprs)
+            if parent_cols is not None:
+                # withColumns semantics: replaced columns keep their
+                # position, genuinely-new ones append (a star emission
+                # would duplicate a re-mutated name — hypothesis-found)
+                items = [
+                    f"{value_sql(new.pop(c))} AS {_q(c)}" if c in new else _q(c)
+                    for c in parent_cols
+                ]
+                items += [f"{value_sql(v)} AS {_q(n)}" for n, v in node.exprs if n in new]
+                return f"SELECT {', '.join(items)} FROM {sub(node.parent)}"
         return f"SELECT {_named(node.exprs, star_first=node.extend)} FROM {sub(node.parent)}"
     if isinstance(node, N.Filter):
         preds = " AND ".join(f"({value_sql(p)})" for p in node.predicates)
