@@ -107,6 +107,33 @@ def test_cli_build_run(src, tmp_path):
     assert "30.0" in r2.stdout
 
 
+def test_cli_inspect_shows_sql(src, tmp_path):
+    """inspect prints the metadata, the YAML IR, and — for a
+    SQL-expressible plan — the compiled Spark SQL, all without starting
+    a Spark session."""
+    script = tmp_path / "pipeline.py"
+    script.write_text(
+        "import xorq_spark as xo\n"
+        "from xorq_spark import _\n"
+        f"expr = xo.deferred_read_parquet({src!r}).filter(_.v > 1).order_by('k')\n"
+    )
+    bd = str(tmp_path / "builds")
+    r = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "build", str(script), "-e", "expr", "--builds-dir", bd],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    r2 = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "inspect", r.stdout.strip()],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "-- sql --" in r2.stdout
+    assert "SELECT * FROM" in r2.stdout and "WHERE" in r2.stdout
+    # no Spark session was started by inspect (stderr free of JVM logs)
+    assert "SparkSession" not in r2.stderr
+
+
 def test_cli_run_with_param(src, tmp_path):
     script = tmp_path / "p.py"
     script.write_text(

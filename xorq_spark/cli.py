@@ -97,6 +97,16 @@ def cmd_inspect(args) -> int:
     print(json.dumps(meta, indent=2))
     with open(os.path.join(args.build_dir, "expr.yaml")) as f:
         print(f.read())
+    # SQL view of the plan when the IR is SQL-expressible (loads the
+    # artifact without a Spark session — compilation is session-free)
+    try:
+        from xorq_spark.builds import load
+        from xorq_spark.sql_compile import SqlCompileError, to_sql
+
+        print("-- sql --")
+        print(to_sql(load(args.build_dir)))
+    except SqlCompileError as e:
+        print(f"-- sql: not SQL-expressible ({e}) --")
     return 0
 
 
