@@ -90,6 +90,13 @@ def test_sessionize_state_flow(spark, events_dir):
     assert got.n_events.tolist() == [3, 2]
 
 
+def test_kafka_source_gated(spark):
+    """No kafka connector jar in this container: the gate raises a
+    clear ImportError naming the missing package."""
+    with pytest.raises(ImportError, match="spark-sql-kafka"):
+        S.read_stream_kafka(spark, "localhost:9092", "events", "k string, v double")
+
+
 def test_stream_to_parquet_exactly_once(spark, events_dir, tmp_path):
     """File sink: all rows land once; re-running with the same checkpoint
     is a no-op (the checkpoint knows every source file was consumed)."""

@@ -14,6 +14,7 @@ Expr layer stays batch (caching a stream is meaningless).
 
 from xorq_spark.streaming.core import (
     dedup_stream,
+    read_stream_kafka,
     read_stream_parquet,
     sessionize,
     stream_foreach_batch,
@@ -24,6 +25,7 @@ from xorq_spark.streaming.core import (
 
 __all__ = [
     "dedup_stream",
+    "read_stream_kafka",
     "read_stream_parquet",
     "window_agg",
     "sessionize",
