@@ -135,3 +135,32 @@ def test_ls_accessor(spark, src):
     assert isinstance(e.ls.tokenized, str)
     assert len(e.ls.uncached.ls.cached_nodes) == 0
     assert len(e.ls.source_nodes) == 1
+
+
+def test_reference_named_storage_flavors(spark, src):
+    """caching/__init__ parity: the named storage classes select the
+    strategy; SourceCache materializes a managed catalog table."""
+    assert _expr(src).cache(storage=C.ParquetCache()).node.strategy == "mtime"
+    assert (
+        _expr(src).cache(storage=C.ParquetSnapshotCache()).node.strategy
+        == "snapshot"
+    )
+    assert _expr(src).cache(
+        storage=C.ParquetTTLSnapshotCache(5)
+    ).node.strategy == "ttl:5"
+
+    e = _expr(src).cache(storage=C.SourceCache())
+    got = e.execute(spark)
+    assert got.s.sum() == 15.0
+    tables = [t.name for t in spark.catalog.listTables()]
+    cache_tables = [t for t in tables if t.startswith("xorq_cache_")]
+    assert cache_tables
+    # hit path: the managed table itself holds the data (the key is
+    # mtime-based, so unlike pin() a deleted source would re-key)
+    assert spark.table(cache_tables[0]).count() > 0
+    assert e.execute(spark).s.sum() == 15.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError, match="GCSCache"):
+        C.GCSCache()

@@ -91,12 +91,66 @@ def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> Data
     materialize on miss."""
     from xorq_spark.expr.core import lower
 
+    if node.strategy.startswith("source"):
+        # SourceCache: materialize into the session catalog (managed
+        # table) instead of the parquet artifact store — the reference's
+        # "cache into the source backend" flavor. The content key names
+        # the table, so a changed source yields a fresh table.
+        key = calc_key(node.parent, "mtime")
+        tbl = f"xorq_cache_{key[:16]}"
+        if not spark.catalog.tableExists(tbl):
+            lower(node.parent, spark, bindings).write.mode(
+                "overwrite"
+            ).saveAsTable(tbl)
+        return spark.table(tbl)
     key = calc_key(node.parent, node.strategy)
     path = artifact_path(key)
     if not _is_fresh(key, node.strategy):
         df = lower(node.parent, spark, bindings)
         df.write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+# --------------------------------------------------------------------------
+# reference-named storage flavors (caching/__init__.py __all__): thin
+# descriptors that select a CachedNode strategy string; pass to
+# Expr.cache(storage=...) for drop-in spelling parity.
+# --------------------------------------------------------------------------
+class ParquetCache:
+    """mtime-keyed parquet artifact store (the default)."""
+
+    strategy = "mtime"
+
+
+class ParquetSnapshotCache:
+    """Structure-only key: ignores source file stats."""
+
+    strategy = "snapshot"
+
+
+class ParquetTTLSnapshotCache:
+    """Snapshot key + age bound."""
+
+    def __init__(self, ttl_seconds: float = 3600.0):
+        self.strategy = f"ttl:{ttl_seconds}"
+
+
+class SourceCache:
+    """Materialize into the session catalog (managed table)."""
+
+    strategy = "source"
+
+
+class GCSCache:
+    """Reference ships a GCS-backed artifact store; no GCS client is in
+    this container, so the gate raises at construction."""
+
+    def __init__(self, *a, **k):
+        raise ImportError(
+            "GCSCache needs a google-cloud-storage client, which is not "
+            "available in this environment; use ParquetCache on a "
+            "GCS-mounted path instead"
+        )
 
 
 # --------------------------------------------------------------------------

@@ -477,7 +477,12 @@ class Expr:
 
     alias_sql = sql
 
-    def cache(self, strategy: str = "mtime") -> "Expr":
+    def cache(self, strategy: str = "mtime", storage=None) -> "Expr":
+        """Materialization boundary. `storage` accepts the
+        reference-named flavors (cache.ParquetCache, SourceCache, ...);
+        a plain `strategy` string is the native spelling."""
+        if storage is not None:
+            strategy = storage.strategy
         return self._wrap(N.CachedNode(self.node, strategy))
 
     def tag(self, name: str, **meta: str) -> "Expr":
