@@ -138,3 +138,35 @@ def test_iceberg_wap_gated(spark):
     assert W.iceberg_available(spark) is False
     with pytest.raises(ImportError, match="Iceberg catalog"):
         W.write_audit_publish_iceberg(None, "cat.db.t", [], spark=spark)
+
+
+def test_make_parquet_wap_expr_deferred(spark, tmp_path):
+    """Deferred WAP: nothing is written until first execution; then the
+    audit gates publish and the expr reads the published data."""
+    final = str(tmp_path / "published")
+    e = xo.memtable({"a": [1, 2, 3]})
+    wap = writes.make_parquet_wap_expr(
+        e, str(tmp_path), final, lambda pdf: pdf.a.min() >= 1
+    )
+    assert not os.path.exists(final)  # deferred: no side effect yet
+    got = wap.execute(spark)
+    assert sorted(got.a.tolist()) == [1, 2, 3]
+    assert os.path.exists(final)
+    # second execution reads the published artifact, no re-publish
+    assert sorted(wap.execute(spark).a.tolist()) == [1, 2, 3]
+
+    bad = writes.make_parquet_wap_expr(
+        xo.memtable({"a": [0]}), str(tmp_path), str(tmp_path / "p2"),
+        lambda pdf: pdf.a.min() >= 1,
+    )
+    with pytest.raises(writes.AuditError):
+        bad.execute(spark)
+    assert not os.path.exists(str(tmp_path / "p2"))
+
+
+def test_parquet_write_through_and_mode(spark, tmp_path):
+    p = str(tmp_path / "tee_out")
+    through = writes.ParquetWriteThrough(p, writes.WriteMode.OVERWRITE)
+    out = through(xo.memtable({"a": [5, 6]}), spark)
+    assert sorted(out.execute(spark).a.tolist()) == [5, 6]
+    assert os.path.exists(p)

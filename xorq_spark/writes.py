@@ -125,3 +125,77 @@ def write_audit_publish_iceberg(
             )
     s.sql(f"CALL system.fast_forward('{table}', 'main', '{branch}')")
     return table
+
+
+# --------------------------------------------------------------------------
+# reference-named surface (writes/__init__ __all__): deferred WAP exprs
+# and the write-through/WriteMode spellings. DrainingIterator /
+# ThreadedBackendWriteThrough are internal plumbing of the reference's
+# record-batch sink and have no Spark analog (the JVM writers own
+# draining/threading here).
+# --------------------------------------------------------------------------
+class WriteMode:
+    """Write-mode vocabulary (reference: writes/enums.py:6). Values are
+    Spark save-mode strings, usable anywhere a `mode=` is accepted."""
+
+    OVERWRITE = "overwrite"
+    APPEND = "append"
+    ERROR = "error"
+    IGNORE = "ignore"
+
+
+class ParquetWriteThrough:
+    """tee() in class form (reference: writes/write_through.py:82):
+    `ParquetWriteThrough(path, mode)(expr)` writes through `path` and
+    returns the read-back continuation."""
+
+    def __init__(self, path: str, mode: str = WriteMode.OVERWRITE):
+        self.path, self.mode = path, mode
+
+    def __call__(self, expr: Expr, spark=None) -> Expr:
+        return tee(expr, self.path, spark, mode=self.mode)
+
+
+class _WapExpr(Expr):
+    """Deferred WAP (reference: make_wap_expr, writes/wap.py:96): the
+    stage->audit->publish side effect runs once, at first lowering, and
+    the expr then reads the published data. Not serializable (the audit
+    callable is a closure) — build artifacts should stage WAP via the
+    eager write_audit_publish instead."""
+
+    def __init__(self, parent: Expr, staging_root: Optional[str], final: str,
+                 audit_fn, iceberg_table: Optional[str] = None):
+        super().__init__(parent.node, parent._spark)
+        self._wap = (parent, staging_root, final, audit_fn, iceberg_table)
+        self._published = False
+
+    def to_spark(self, spark=None, params=None, bindings=None):
+        parent, staging_root, final, audit_fn, iceberg_table = self._wap
+        s = self._session(spark)
+        if not self._published:
+            def audit(staged_expr):
+                return bool(audit_fn(staged_expr.execute(s)))
+
+            if iceberg_table is not None:
+                write_audit_publish_iceberg(parent, iceberg_table, [audit], spark=s)
+            else:
+                write_audit_publish(
+                    parent, final, [audit], spark=s, staging_root=staging_root
+                )
+            self._published = True
+        if iceberg_table is not None:
+            return s.table(iceberg_table)
+        return s.read.parquet(final)
+
+
+def make_parquet_wap_expr(expr: Expr, staging: str, final: str, audit_fn) -> Expr:
+    """Deferred parquet WAP (reference: writes/wap.py:150). `audit_fn`
+    takes the STAGED data as a pandas DataFrame and returns truthy to
+    publish; the returned expr executes the WAP on first use."""
+    return _WapExpr(expr, staging, final, audit_fn)
+
+
+def make_iceberg_wap_expr(expr: Expr, table: str, audit_fn) -> Expr:
+    """Deferred Iceberg WAP (reference: writes/wap.py:214); gated on a
+    configured Iceberg catalog like write_audit_publish_iceberg."""
+    return _WapExpr(expr, None, table, audit_fn, iceberg_table=table)
