@@ -59,3 +59,32 @@ def test_git_history_records_mutations(src):
     log = catalog.git_log()
     if log is not None:  # git available in this environment
         assert "catalog add a" in log and "catalog add b" in log
+
+
+def test_cli_catalog_roundtrip(src, tmp_path):
+    """catalog add/ls/history/rm via the CLI (reference: catalog/cli.py)."""
+    import subprocess
+    import sys
+
+    script = tmp_path / "pipeline.py"
+    script.write_text(
+        "import xorq_spark as xo\n"
+        "from xorq_spark import _\n"
+        f"expr = xo.deferred_read_parquet({src!r}).filter(_.v > 0)\n"
+    )
+    root = str(tmp_path / "cat")
+
+    def cli(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "xorq_spark", "catalog", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+
+    h = cli("add", str(script), "--name", "pipe", "--root", root).strip()
+    assert h
+    assert f"pipe\t{h}" in cli("ls", "--root", root)
+    assert h in cli("history", "pipe", "--root", root)
+    cli("rm", "pipe", "--root", root)
+    assert "pipe" not in cli("ls", "--root", root)

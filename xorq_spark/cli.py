@@ -110,6 +110,25 @@ def cmd_inspect(args) -> int:
     return 0
 
 
+def cmd_catalog(args) -> int:
+    from xorq_spark import catalog as cat
+
+    root = args.root
+    if args.catalog_cmd == "add":
+        expr = _load_script_expr(args.script, args.expr)
+        h = cat.add(args.name, expr, root)
+        print(h)
+    elif args.catalog_cmd == "ls":
+        for name, h in sorted(cat.ls(root).items()):
+            print(f"{name}\t{h}")
+    elif args.catalog_cmd == "history":
+        for v in cat.history(args.name, root):
+            print(f"{v['added_at']}\t{v['hash']}")
+    elif args.catalog_cmd == "rm":
+        cat.rm(args.name, root)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="xorq_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -134,6 +153,23 @@ def main(argv=None) -> int:
     s.add_argument("--name", default="expr")
     s.add_argument("--port", type=int, default=8815)
     s.set_defaults(fn=cmd_serve)
+
+    c = sub.add_parser("catalog", help="named, versioned pipeline registry")
+    csub = c.add_subparsers(dest="catalog_cmd", required=True)
+    ca = csub.add_parser("add", help="build a script's expr into the catalog")
+    ca.add_argument("script")
+    ca.add_argument("-e", "--expr", default="expr")
+    ca.add_argument("--name", required=True)
+    ca.add_argument("--root", default=None)
+    cl = csub.add_parser("ls", help="list entries (name -> latest hash)")
+    cl.add_argument("--root", default=None)
+    ch = csub.add_parser("history", help="version history of an entry")
+    ch.add_argument("name")
+    ch.add_argument("--root", default=None)
+    cr = csub.add_parser("rm", help="remove an entry, pruning unreferenced builds")
+    cr.add_argument("name")
+    cr.add_argument("--root", default=None)
+    c.set_defaults(fn=cmd_catalog)
 
     i = sub.add_parser("inspect", help="print build metadata + IR")
     i.add_argument("build_dir")
