@@ -53,6 +53,15 @@ def test_reference_api_name_present(name):
     assert callable(getattr(xo, name)), name
 
 
+def test_session_config_shape():
+    """api.py also exports SessionConfig — chainable conf overrides
+    consumed by connect(session_config=...)."""
+    sc = xo.SessionConfig().with_config("spark.sql.shuffle.partitions", 4)
+    sc2 = sc.with_config("spark.sql.adaptive.enabled", "false")
+    assert sc.conf == {"spark.sql.shuffle.partitions": "4"}
+    assert sc2.conf["spark.sql.adaptive.enabled"] == "false"
+
+
 def test_module_level_execute(spark, sf_dir):
     e = xo.deferred_read_parquet(f"{sf_dir}/region.parquet")
     got = xo.execute(e.order_by("r_regionkey"), spark=spark)

@@ -13,7 +13,14 @@ text analysis, multimodal plumbing) the reference does not ship.
 Reference (studied, not copied): xorq-labs/xorq @ /root/reference.
 """
 
-from xorq_spark.session import connect, get_backend, get_spark, options, set_backend
+from xorq_spark.session import (
+    SessionConfig,
+    connect,
+    get_backend,
+    get_spark,
+    options,
+    set_backend,
+)
 from xorq_spark.expr.api import (
     _,
     asc,
@@ -121,6 +128,7 @@ __all__ = [
     "param",
     "table",
     "Expr",
+    "SessionConfig",
     "execute",
     "set_backend",
     "get_backend",

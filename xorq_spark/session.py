@@ -58,8 +58,23 @@ def options() -> dict:
     }
 
 
+class SessionConfig:
+    """Named bundle of session conf overrides (reference: SessionConfig,
+    internal.py — DataFusion's session config object passed to
+    xo.connect). `.with_config(k, v)` chains, like the original."""
+
+    def __init__(self, conf: Optional[dict] = None):
+        self.conf = dict(conf or {})
+
+    def with_config(self, key: str, value) -> "SessionConfig":
+        out = SessionConfig(self.conf)
+        out.conf[key] = str(value)
+        return out
+
+
 def connect(master: Optional[str] = None, spark: Optional[SparkSession] = None,
-            app_name: str = "xorq_spark", extra_conf: Optional[dict] = None) -> SparkSession:
+            app_name: str = "xorq_spark", extra_conf: Optional[dict] = None,
+            session_config: Optional[SessionConfig] = None) -> SparkSession:
     """Create (or adopt) the process-wide SparkSession."""
     global _active
     if spark is not None:
@@ -69,9 +84,12 @@ def connect(master: Optional[str] = None, spark: Optional[SparkSession] = None,
         return _active
     master = master or os.environ.get("XORQ_SPARK_MASTER", f"local[{_default_parallelism()}]")
     builder = SparkSession.builder.master(master).appName(app_name)
+    overrides = dict(extra_conf or {})
+    if session_config is not None:
+        overrides.update(session_config.conf)
     for k, v in options().items():
         builder = builder.config(k, v)
-    for k, v in (extra_conf or {}).items():
+    for k, v in overrides.items():
         builder = builder.config(k, v)
     _active = builder.getOrCreate()
     return _active
