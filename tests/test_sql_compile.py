@@ -369,3 +369,8 @@ def test_sql_runs_on_duckdb_for_ansi_subset(nation):
     ).replace("`", '"')
     got = duckdb.sql(sql).df()
     assert got.n_name.str.len().gt(0).all() and got.k.notna().all()
+
+
+def test_expr_to_sql_method(spark, nation):
+    e = nation.filter(_.n_regionkey == 0).select("n_name").order_by("n_name")
+    assert spark.sql(e.to_sql()).toPandas().equals(e.execute(spark))

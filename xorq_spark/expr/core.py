@@ -576,6 +576,14 @@ class Expr:
         df = self.to_spark(spark, params, bindings)
         return df.toArrow()
 
+    def to_sql(self, params=None) -> str:
+        """Compile to Spark SQL text (session-free; see sql_compile.py).
+        Raises SqlCompileError for non-SQL nodes (python UDFs, pivot,
+        asof/positional joins)."""
+        from xorq_spark.sql_compile import to_sql
+
+        return to_sql(self, params=params)
+
     def to_pyarrow_batches(self, spark=None, params=None, bindings=None, chunk_size: int = 1_000_000):
         tbl = self.to_pyarrow(spark, params, bindings)
         return tbl.to_reader(max_chunksize=chunk_size)
