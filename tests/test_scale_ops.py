@@ -111,3 +111,92 @@ def test_minhash_long_documents(spark):
     assert all(v is not None for r in out for v in r.sig)
     # 8 x 100k-shingle docs; generous bound that still catches quadratic blowup
     assert elapsed < 120, f"minhash on long docs took {elapsed:.0f}s"
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 6-node chain (diameter 5 — forces multiple star rounds), a
+    triangle, and an isolated edge; components = min id of each."""
+    from xorq_spark.functions import connected_components
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),  # chain
+             (10, 11), (11, 12), (10, 12),            # triangle
+             (20, 21)]                                # pair
+    df = spark.createDataFrame(pd.DataFrame(edges, columns=["id_a", "id_b"]))
+    got = {
+        (r.node, r.component)
+        for r in connected_components(df, "id_a", "id_b").collect()
+    }
+    want = {(n, 1) for n in range(1, 7)} | {(n, 10) for n in (10, 11, 12)} | {
+        (20, 20), (21, 20)
+    }
+    assert got == want
+
+
+def test_connected_components_empty(spark):
+    from xorq_spark.functions import connected_components
+
+    df = spark.createDataFrame(pd.DataFrame({"id_a": [], "id_b": []}), "id_a long, id_b long")
+    assert connected_components(df).count() == 0
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """Banding must find EVERY pair within the hamming budget (pigeonhole
+    guarantees recall=1.0 when max_hamming < bands)."""
+    from xorq_spark.functions import simhash_neardup_pairs
+    from xorq_spark.functions.dedup import simhash, hamming64
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "the quick brown fox leaps over the lazy dog",
+        "completely different content about spark clusters",
+        "completely different content about spark cluster",
+        "",
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    )
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_neardup_pairs(df, max_hamming=3).collect()
+    }
+    sh = df.select("doc_id", simhash(F.col("text")).alias("h")).filter(F.col("h") != 0)
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb"))
+    brute = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in a.join(b, a.id_a < b.id_b)
+        .select("id_a", "id_b", hamming64(F.col("ha"), F.col("hb")).alias("hamming"))
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    }
+    assert got == brute
+
+
+def test_token_shards_budget_and_determinism(spark):
+    from xorq_spark.functions import assign_token_shards
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "lang": ["en", "es"] * 10,
+            "text": ["word " * (30 * (i % 5 + 1)) for i in range(20)],
+        }
+    )
+    df = spark.createDataFrame(docs)
+    out = assign_token_shards(df, tokens_per_shard=200).orderBy("doc_id")
+    rows = out.collect()
+    # shard ids are per-language contiguous, starting at 0
+    for lang in ("en", "es"):
+        shards = [r.shard_id for r in rows if r.lang == lang]
+        assert shards[0] == 0
+        assert all(b - a in (0, 1) for a, b in zip(shards, shards[1:]))
+    # a doc is assigned to the shard where it STARTS: tokens before it
+    # within its shard are < budget
+    seen: dict = {}
+    for r in rows:
+        key = (r.lang, r.shard_id)
+        assert seen.get(key, 0) < 200
+        seen[key] = seen.get(key, 0) + r.n_tokens
+    # deterministic across reruns
+    assert rows == out.collect()

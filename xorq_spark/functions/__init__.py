@@ -15,6 +15,7 @@ from xorq_spark.functions.text import (
     quality_score,
     fingerprint,
     rolling_hash,
+    assign_token_shards,
 )
 from xorq_spark.functions.dedup import (
     normalize_text,
@@ -23,8 +24,10 @@ from xorq_spark.functions.dedup import (
     minhash_signature,
     minhash_lsh_pairs,
     simhash,
+    simhash_neardup_pairs,
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
+    connected_components,
 )
 from xorq_spark.functions.similarity import (
     cosine_similarity,
@@ -48,8 +51,11 @@ __all__ = [
     "minhash_signature",
     "minhash_lsh_pairs",
     "simhash",
+    "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
+    "connected_components",
+    "assign_token_shards",
     "cosine_similarity",
     "l2_norm",
     "ann_bruteforce_topk",

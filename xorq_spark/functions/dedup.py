@@ -337,6 +337,154 @@ def ngram_jaccard_pairs(
     )
 
 
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    # For each node u: m = min(N(u) ∪ {u}); connect every strictly-larger
+    # neighbor to m. One shuffle (groupBy u) + one broadcast-or-shuffle
+    # join back on u.
+    nbrs = _symmetrize(e)
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("__mn"))
+    mins = mins.select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+    return (
+        nbrs.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    # Orient every edge toward its smaller endpoint, then for each node u
+    # connect u and all its (smaller) neighbors to the minimum neighbor.
+    oriented = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    mins = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    nb = oriented.join(mins, "u")
+    return (
+        nb.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u").alias("u"), F.col("m").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components of the undirected graph given as an edge
+    list. Returns (node, component) where component = min node id in the
+    node's component; every endpoint of an edge appears exactly once.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — the
+    standard shuffle-based CC that converges in O(log^2 n) rounds
+    REGARDLESS of graph diameter (naive label propagation needs
+    O(diameter) rounds, pathological for chain-shaped near-dup clusters).
+
+    Scale notes: each round is two groupBy-shuffles keyed on node ids —
+    no adjacency lists ever collect to the driver. Per-round
+    `localCheckpoint(eager=True)` truncates the lineage so the plan does
+    not grow exponentially with iterations (on a real cluster prefer
+    `spark.sparkContext.setCheckpointDir` + `checkpoint()`, which
+    survives executor loss; local mode has no such failure domain).
+    Convergence is detected by an edge-set signature (count + xxhash64
+    XOR — order-independent and overflow-free under ANSI mode, unlike a
+    sum of full-range int64 hashes), one tiny agg per round.
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        sig = tuple(
+            e.agg(
+                F.count("*").alias("n"),
+                F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            ).first()
+        )
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # Fixpoint is a forest of depth-1 stars (child -> min root).
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(e.select(F.col("v").alias("node"), F.col("v").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: (id_a, id_b, hamming) with
+    hamming(simhash_a, simhash_b) <= max_hamming, id_a < id_b.
+
+    Candidate generation uses the pigeonhole banding trick: split the
+    `bits`-bit simhash into `bands` contiguous bands; two hashes within
+    Hamming distance `max_hamming` < `bands` must agree EXACTLY on at
+    least one band, so an equi-join per band finds every true pair
+    without an all-pairs cross join. The join keys are (band_index,
+    band_value) — small ints, one shuffle — and candidates are verified
+    with the exact bit_count(xor) distance.
+
+    Empty/null docs all simhash to 0 and would pair quadratically; they
+    are dropped before banding (content-free docs are exact dupes, a job
+    for exact_dedup, not a similarity metric).
+    """
+    assert bits % bands == 0, "bands must divide bits"
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sh = df.select(
+        F.col(id_col).alias("__id"), simhash(F.col(text_col), bits).alias("__sh")
+    ).filter(F.col("__sh") != 0)
+    # bands is a Python int, so the band array is unrolled here rather
+    # than with a sequence+transform lambda (F.shiftright requires a
+    # literal shift amount).
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("__sh"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("bval"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        "__id", "__sh", F.explode(F.array(*band_structs)).alias("__b")
+    ).select("__id", "__sh", "__b.band", "__b.bval")
+    a = banded.select(
+        "band", "bval", F.col("__id").alias("id_a"), F.col("__sh").alias("__sa")
+    )
+    b = banded.select(
+        "band", "bval", F.col("__id").alias("id_b"), F.col("__sh").alias("__sb")
+    )
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming64(F.col("__sa"), F.col("__sb")).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str = "embedding",

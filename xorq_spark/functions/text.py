@@ -99,6 +99,43 @@ def fingerprint(text: Column) -> Column:
     return F.md5(canon)
 
 
+def assign_token_shards(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_shard: int = 100_000,
+    partition_cols=("lang",),
+):
+    """Contiguous training-shard assignment by token budget: order
+    documents deterministically within each partition (e.g. language),
+    accumulate BPE-ish token counts, and cut a new shard every
+    `tokens_per_shard` tokens. Returns the input plus (n_tokens,
+    shard_id) — shard_id = floor(tokens-before-this-doc / budget), so a
+    document always lands in the shard where it STARTS (shards overflow
+    by at most one document, the standard contiguous-packing rule).
+
+    Scale design: one window shuffle keyed on `partition_cols` — the
+    same single-pass prefix-sum a sort-based writer needs anyway. At
+    100 TB the partition key must be fine-grained enough that one
+    partition's documents fit a single task's sort spill; language (or
+    language × date bucket) is the usual choice. Deterministic: ordering
+    is (id) within partition, so reruns produce identical shards."""
+    from pyspark.sql import Window
+
+    parts = list(partition_cols)
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.withColumn("n_tokens", bpe_token_count(F.col(text_col)).cast("long"))
+    cum = F.sum("n_tokens").over(w)
+    return out.withColumn(
+        "shard_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(tokens_per_shard)).cast("long"),
+    )
+
+
 def rolling_hash(text: Column, base: int = 257) -> Column:
     """Polynomial rolling hash over characters (Rabin-Karp style),
     computed with a JVM-side aggregate lambda: h = (h*base + code) % m.

@@ -7,12 +7,14 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from xorq_spark.functions import (
+    connected_components,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     minhash_signature,
     ngram_jaccard_pairs,
     simhash,
+    simhash_neardup_pairs,
 )
 from xorq_spark.functions.dedup import lsh_band_keys, hamming64
 from xorq_spark.queries.base import query, t, widen
@@ -124,6 +126,61 @@ def dedup_minhash_pairs(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+@query(
+    "dedup_minhash_components",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd FROM documents),
+    h AS (SELECT doc_id, shd, list_transform(shd, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647) AS hs FROM s),
+    sig AS (SELECT doc_id, shd, {_SIG} AS sig FROM h),
+    banded AS (
+      SELECT doc_id, shd,
+             unnest(range(0, 4)) AS band,
+             unnest({_BANDS}) AS bkey
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.shd, sb.shd))::DOUBLE
+            / len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.2),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+    SELECT u AS doc_id, least(u, min(v)) AS component_id
+    FROM reach GROUP BY u ORDER BY doc_id
+    """,
+)
+def dedup_minhash_comps(spark, sf_dir):
+    """Near-dup CLUSTERS: MinHash-LSH pairs -> connected components
+    (alternating large-star/small-star) -> (doc_id, component_id) with
+    component_id = min doc id in the cluster. This is the step that
+    turns pairwise similarity into an actual dedup decision (keep the
+    canonical min-id doc per component). The oracle computes the same
+    components with a recursive-CTE transitive closure — feasible at
+    sf0.01, which is exactly why the Spark side uses the O(log^2 n)
+    star algorithm instead."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=3, threshold=0.2
+    )
+    return (
+        connected_components(pairs, "id_a", "id_b")
+        .select(F.col("node").alias("doc_id"), F.col("component").alias("component_id"))
+        .orderBy("doc_id")
+    )
+
+
 def _simhash_oracle() -> str:
     votes = ",\n             ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
@@ -166,6 +223,45 @@ def dedup_simhash(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+def _simhash_pairs_oracle() -> str:
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    bits = " + ".join(f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(32))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_filter({_WORDS}, x -> x <> '')) AS tok
+      FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM toks),
+    v AS (SELECT doc_id,
+             {votes}
+          FROM h GROUP BY doc_id),
+    sh AS (SELECT doc_id, ({bits})::BIGINT AS sh FROM v WHERE ({bits})::BIGINT <> 0),
+    banded AS (
+      SELECT doc_id, sh, unnest(range(0, 4)) AS band FROM sh),
+    b2 AS (
+      SELECT doc_id, sh, band, (sh >> (band * 8)::INT) & 255 AS bval FROM banded)
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sh, b.sh)) AS hamming
+    FROM b2 a JOIN b2 b ON a.band = b.band AND a.bval = b.bval
+    WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sh, b.sh)) <= 3
+    ORDER BY id_a, id_b
+    """
+
+
+@query("dedup_simhash_pairs", oracle=_simhash_pairs_oracle())
+def dedup_simhash_pairs_q(spark, sf_dir):
+    """SimHash near-dup pairs with the pigeonhole banding join: hashes
+    within Hamming distance 3 must agree exactly on one of 4 8-bit
+    bands, so candidate generation is an equi-join on (band, byte) — one
+    shuffle of tiny keys — never an all-pairs distance scan."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    return simhash_neardup_pairs(
+        docs, "text", "doc_id", max_hamming=3, bands=4, bits=32
+    ).orderBy("id_a", "id_b")
 
 
 @query(

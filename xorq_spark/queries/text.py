@@ -182,3 +182,36 @@ def text_rolling_hash(spark, sf_dir):
         .select("doc_id", rolling_hash(F.col("text")).alias("rhash"))
         .orderBy("doc_id")
     )
+
+
+_BPE_SQL = f"len(regexp_extract_all(text, '{BPE_ISH_PATTERN.replace(chr(39), chr(39) * 2)}'))::BIGINT"
+
+
+@query(
+    "text_token_shards",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_BPE_SQL} AS n_tokens FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           CAST(floor(
+             (SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - n_tokens) / 10000.0) AS BIGINT) AS shard_id
+    FROM tok ORDER BY doc_id
+    """,
+)
+def text_token_shards(spark, sf_dir):
+    """Contiguous training-shard assignment: per-language prefix sum of
+    BPE-ish token counts, cut every 10k tokens. One window shuffle keyed
+    on language; deterministic across reruns (ordered by doc_id), which
+    is what makes the shards reproducible build artifacts."""
+    from xorq_spark.functions import assign_token_shards
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return (
+        assign_token_shards(
+            docs, "text", "doc_id", tokens_per_shard=10_000, partition_cols=("lang",)
+        )
+        .select("doc_id", "lang", "n_tokens", "shard_id")
+        .orderBy("doc_id")
+    )
