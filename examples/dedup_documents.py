@@ -1,15 +1,29 @@
-"""Training-data dedup pipeline over the documents table: exact dedup
-by content digest, then MinHash+LSH near-duplicate pairs on what's left.
+"""Training-data curation pipeline over the documents table, end to end:
+
+1. exact dedup by content digest (32-byte shuffle keys),
+2. MinHash+LSH near-duplicate pairs on what's left,
+3. connected components over the pair graph (large-star/small-star),
+4. keep one canonical document per cluster (min id),
+5. pack the survivors into contiguous token-budget training shards,
+6. land the shards as hive-partitioned parquet.
 
     python examples/dedup_documents.py [sf_dir]
 """
 
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from xorq_spark.functions import exact_dedup, minhash_lsh_pairs
+import pyspark.sql.functions as F
+
+from xorq_spark.functions import (
+    assign_token_shards,
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
 from xorq_spark.session import connect
 
 
@@ -25,6 +39,27 @@ def main(sf_dir: str):
     )
     print("near-duplicate pairs (jaccard >= 0.5):")
     pairs.orderBy("id_a", "id_b").show(10, truncate=False)
+
+    # Pairs -> clusters -> drop every non-canonical member. Docs that
+    # never paired are their own cluster and survive untouched.
+    comps = connected_components(pairs, "id_a", "id_b")
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    canon = uniq.join(losers, "doc_id", "left_anti")
+    print(f"near dedup: {uniq.count()} -> {canon.count()} canonical docs")
+
+    sharded = assign_token_shards(
+        canon, "text", "doc_id", tokens_per_shard=10_000, partition_cols=("lang",)
+    )
+    sharded.groupBy("lang", "shard_id").agg(
+        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+    ).orderBy("lang", "shard_id").show(10)
+
+    out = os.path.join(tempfile.mkdtemp(prefix="shards_"), "corpus")
+    sharded.write.partitionBy("lang", "shard_id").mode("overwrite").parquet(out)
+    n_files = sum(len(fs) for _, _, fs in os.walk(out))
+    print(f"wrote {n_files} files under {out}")
 
 
 if __name__ == "__main__":

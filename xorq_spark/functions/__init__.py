@@ -34,6 +34,7 @@ from xorq_spark.functions.similarity import (
     l2_norm,
     ann_bruteforce_topk,
     ann_ivf_topk,
+    ann_ivf_fixed_topk,
     ann_lsh_topk,
 )
 
@@ -60,5 +61,6 @@ __all__ = [
     "l2_norm",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_ivf_fixed_topk",
     "ann_lsh_topk",
 ]

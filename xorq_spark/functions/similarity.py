@@ -143,6 +143,103 @@ def ann_lsh_topk(
     )
 
 
+def ann_ivf_fixed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k with a DETERMINISTIC coarse quantizer:
+    the centroids are the `n_centroids` lowest-id corpus vectors, and
+    assignment is spherical (argmax cosine, tie-broken by cell index).
+
+    Same probe/score shape as `ann_ivf_topk`, but every step is plain
+    relational algebra over fixed inputs — no RNG, no iterative fit —
+    so a SQL oracle can value-check the entire path (the KMeans variant
+    only gets a rows-only check). Recall is below a trained quantizer's
+    but the mechanics (cell files, n_probe trade) are identical.
+
+    Scale notes: the quantizer is `n_centroids x dim` floats — collected
+    once (a LIMIT over the id-ordered corpus, not a scan) and inlined as
+    a broadcast literal; corpus cell assignment is one embarrassingly
+    parallel scan; at rest the corpus would be written partitioned by
+    `__cell` so probes are partition-pruned scans."""
+    cent_rows = (
+        corpus.select(F.col(corpus_id), F.col(corpus_vec))
+        .orderBy(corpus_id)
+        .limit(n_centroids)
+        .collect()
+    )
+    if not cent_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [],
+            f"{query_id} {dict(queries.dtypes)[query_id]}, "
+            f"{corpus_id} {dict(corpus.dtypes)[corpus_id]}, "
+            "cos_sim double, rank int",
+        )
+    centroids = [list(map(float, r[1])) for r in cent_rows]
+    ctr_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+
+    def ranked_cells(vec: Column, n: int) -> Column:
+        # (-cos, cell) structs: array_sort ascending = cosine descending
+        # with index tie-break; identical ordering in the SQL oracle
+        # (ORDER BY round(cos,6) DESC, cell).
+        return F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda i: F.struct(
+                        (
+                            -F.round(
+                                cosine_similarity(vec, F.element_at(ctr_lit, i + 1)), 6
+                            )
+                        ).alias("d"),
+                        i.alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            n,
+        )
+
+    cells = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    ).withColumn(
+        "__cell", F.element_at(ranked_cells(F.col("__cv"), 1), 1).getField("cell")
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
+    ).select(
+        "__qid",
+        "__qv",
+        F.explode(
+            F.transform(ranked_cells(F.col("__qv"), n_probe), lambda s: s.cell)
+        ).alias("__cell"),
+    )
+    scored = F.broadcast(q).join(cells, "__cell").select(
+        "__qid",
+        "__cid",
+        F.round(cosine_similarity(F.col("__qv"), F.col("__cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
 def ann_ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -116,6 +116,50 @@ def sim_norms(spark, sf_dir):
     )
 
 
+@query(
+    "sim_ann_ivf_fixed_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cell, embedding
+      FROM embeddings ORDER BY vec_id LIMIT 8),
+    a AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell FROM cent c
+              ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, c.cell
+              LIMIT 1) AS cell
+      FROM embeddings e),
+    probe AS (
+      SELECT q.vec_id AS query_id, q.embedding, p.cell
+      FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q,
+      LATERAL (SELECT c.cell FROM cent c
+               ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC, c.cell
+               LIMIT 4) p),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             ROUND(list_cosine_similarity(p.embedding::DOUBLE[], a.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM probe p JOIN a ON p.cell = a.cell),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ivf_fixed(spark, sf_dir):
+    """IVF top-10 with the deterministic lowest-id coarse quantizer —
+    the value-hash-checkable IVF path (8 cells, probe 4)."""
+    from xorq_spark.functions import ann_ivf_fixed_topk
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ann_ivf_fixed_topk(queries, emb, k=10, n_centroids=8, n_probe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
 @query("sim_ann_ivf_topk")  # no oracle: the KMeans coarse quantizer is
 # not SQL-expressible; the driver records the rows-only check.
 def sim_ivf(spark, sf_dir):
