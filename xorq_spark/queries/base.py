@@ -104,14 +104,21 @@ def as_double(c):
 
 
 def money_out(c):
-    """Final output form for exact decimal aggregates: DECIMAL(38,10).
+    """Final output form for exact decimal aggregates: ROUND(double, 2).
 
-    Casting big decimals to double is NOT portable — for int128-scale
-    unscaled values Spark's BigDecimal.doubleValue() and DuckDB's
-    int128*10^-s conversion can differ by 1 ulp (observed on Q1
-    sum_charge at scale 10). Decimal->decimal rescaling rounds half-away-
-    from-zero in both engines, so a DECIMAL(38,10) output is bit-stable."""
-    return c.cast("decimal(38,10)")
+    Accumulation stays decimal (order-independent, exact); only the
+    OUTPUT converts. Emitting DECIMAL directly is not portable across
+    engines' result representations (a DECIMAL(38,10) output hash-
+    mismatched the driver on every money query even though values were
+    identical). The double route converges bit-identically on both
+    sides: the exact sum is m/100 cents with m < 2^53 at any SF, so
+    cast-to-double lands within 1 ulp of m/100, and rounding that
+    double at 2 digits snaps both engines to nearest-double(m/100) —
+    Spark via BigDecimal HALF_UP, DuckDB via nearbyint(x*100)/100; the
+    tiny cast skew cannot straddle a .005 tie because the target is an
+    exact cents integer. Oracle side mirrors this as
+    ROUND(CAST(sum AS DOUBLE), 2)."""
+    return F.round(c.cast("double"), 2)
 
 
 def ratio(num, den, digits: int = 9):

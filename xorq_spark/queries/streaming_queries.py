@@ -45,26 +45,44 @@ _EVENTS_RAW_SCHEMA = (
 )
 
 
+def _ts_unit(sf_dir: str) -> str:
+    """Physical unit of events.ts from the parquet footer ('ns', 'us',
+    'ms', 's'). The streaming reader takes a user-supplied schema and
+    silently trusts it, so unlike the batch path (queries/base.py t(),
+    which checks the dtype Spark actually inferred) we must sniff the
+    footer ourselves — assuming nanos against a timestamp[us] file
+    collapses 30 days of events into ~43 minutes."""
+    import pyarrow.parquet as pq
+
+    typ = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return getattr(typ, "unit", "us")
+
+
 def _events_stream(spark, sf_dir):
-    """Streaming read of events.parquet. The file carries
-    TIMESTAMP(NANOS), which Spark's parquet reader rejects; like the
-    batch path (queries/base.py t()) we read nanos as int64 via the
+    """Streaming read of events.parquet, adaptive to the file's
+    timestamp unit. TIMESTAMP(NANOS) files are rejected by Spark's
+    parquet reader outright, so for 'ns' we read nanos as int64 via the
     legacy conf and truncate to microsecond with integer div (DuckDB
-    truncates ns->us the same way). Unlike the batch path the event-time
-    column stays TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ
+    truncates ns->us the same way); for native us/ms files we read the
+    column as a plain TIMESTAMP — no division (that was the round-2
+    wrong-answer bug on this path). The event-time column stays
+    TIMESTAMP (LTZ): watermarks reject TIMESTAMP_NTZ
     ([EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE]). Session tz is pinned UTC,
     so the LTZ->NTZ cast applied at output is value-preserving."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Glob, not a bare file path: FileStreamSource requires its derived
     # basePath to be a directory (the production shape is a directory of
     # arriving files anyway; the glob makes the single-file test layout
     # look like one).
-    stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
-        .parquet(f"{sf_dir}/*events.parquet")
-    )
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    path = f"{sf_dir}/*events.parquet"
+    if _ts_unit(sf_dir) == "ns":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        stream = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(path)
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    schema = _EVENTS_RAW_SCHEMA.replace("ts bigint", "ts timestamp")
+    return spark.readStream.schema(schema).parquet(path)
 
 
 def _run(stream_df, name: str, output_mode: str):
@@ -82,7 +100,7 @@ def _run(stream_df, name: str, output_mode: str):
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS total
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY win_start, event_type
@@ -123,7 +141,7 @@ def stream_tumble(spark, sf_dir):
       UNION ALL
       SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS s0, value FROM events)
     SELECT s0 AS win_start, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,10)) AS total
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
     FROM h GROUP BY s0 ORDER BY s0
     """,
 )

@@ -111,7 +111,7 @@ def sub_scalar(spark, sf_dir):
     "sub_scalar_correlated",
     oracle="""
     SELECT o.o_orderkey,
-           CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+           ROUND(CAST(o.o_totalprice AS DOUBLE), 2) AS o_totalprice
     FROM orders o
     WHERE o.o_totalprice > 2 * (SELECT AVG(o2.o_totalprice) FROM orders o2
                                 WHERE o2.o_custkey = o.o_custkey)
@@ -128,7 +128,7 @@ def sub_scalar_corr(spark, sf_dir):
     return (
         orders.join(per_cust, orders.o_custkey == per_cust["__ck"])
         .filter(F.col("o_totalprice") > 2 * F.col("__avg"))
-        .select("o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"))
+        .select("o_orderkey", F.round(F.col("o_totalprice").cast("double"), 2).alias("o_totalprice"))
         .orderBy("o_orderkey")
     )
 
