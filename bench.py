@@ -31,11 +31,18 @@ HEADLINE = [
     "window_rank_dense",
     "sub_scalar_correlated",
     "dedup_minhash_lsh_pairs",
+    "dedup_minhash_components",
     "dedup_exact_text",
     "sim_ann_bruteforce_topk",
+    "sim_ann_lsh_topk",
     "text_quality_score",
     "mm_extract_features",
 ]
+
+# Measurement policy (pinned since round 3 so BENCH_r{N} files are
+# comparable across rounds): one session warm-up, then TWO full passes
+# with per-query min. Do not change the pass count or warm-up without
+# re-baselining.
 
 
 def main():

@@ -170,3 +170,66 @@ def test_parquet_write_through_and_mode(spark, tmp_path):
     out = through(xo.memtable({"a": [5, 6]}), spark)
     assert sorted(out.execute(spark).a.tolist()) == [5, 6]
     assert os.path.exists(p)
+
+
+# --- sqlite federation (reference: backends/sqlite) ----------------------
+
+
+@pytest.fixture
+def sqlite_con():
+    import sqlite3
+
+    c = sqlite3.connect(":memory:")
+    yield c
+    c.close()
+
+
+def test_spark_to_sqlite(spark, sqlite_con):
+    e = xo.memtable({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}).filter(_.k > 1)
+    name = e.into_backend(sqlite_con, "t1")
+    got = sqlite_con.execute("SELECT sum(v) FROM t1").fetchone()
+    assert got[0] == 50.0
+    assert name == "t1"
+
+
+def test_sqlite_to_spark_roundtrip(spark, sqlite_con):
+    sqlite_con.execute("CREATE TABLE src (k INTEGER, v REAL)")
+    sqlite_con.executemany(
+        "INSERT INTO src VALUES (?, ?)", [(i, i * 2.0) for i in range(5)]
+    )
+    e = interop.sqlite_into_spark(sqlite_con, "SELECT * FROM src WHERE k >= 2")
+    got = e.order_by("k").execute(spark)
+    assert got.k.tolist() == [2, 3, 4]
+    assert got.v.tolist() == [4.0, 6.0, 8.0]
+
+
+def test_sqlite_type_mapping(spark, sqlite_con):
+    """bools -> 0/1 INTEGER, timestamps -> ISO TEXT, binary -> BLOB."""
+    import datetime as dt
+
+    e = xo.memtable(
+        {
+            "b": [True, False],
+            "ts": [dt.datetime(2024, 1, 1, 12, 30), dt.datetime(2024, 6, 2)],
+            "raw": [b"ab", b"cd"],
+        }
+    )
+    interop.arrow_into_sqlite(e, sqlite_con, "typed")
+    rows = sqlite_con.execute("SELECT b, ts, raw FROM typed ORDER BY ts").fetchall()
+    assert rows[0][0] == 1 and rows[1][0] == 0
+    assert rows[0][1].startswith("2024-01-01 12:30")
+    assert rows[0][2] == b"ab"
+
+
+def test_sqlite_cross_engine_join(spark, sqlite_con):
+    sqlite_con.execute("CREATE TABLE dims (k INTEGER, label TEXT)")
+    sqlite_con.executemany(
+        "INSERT INTO dims VALUES (?, ?)", [(i, f"dim{i}") for i in range(3)]
+    )
+    dims = interop.sqlite_into_spark(sqlite_con, "SELECT * FROM dims")
+    facts = xo.memtable({"k": [0, 1, 1, 2, 9], "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = (
+        facts.join(dims, ["k"]).group_by("label").agg(s=_.x.sum())
+        .order_by("label").execute(spark)
+    )
+    assert got.s.tolist() == [1.0, 5.0, 4.0]

@@ -40,6 +40,8 @@ from xorq_spark.expr.api import (
     table,
 )
 from xorq_spark.expr.core import Expr
+from xorq_spark.expr import selectors
+from xorq_spark.expr import selectors as s  # reference spelling: xo.s.numeric()
 
 
 # Module-level verbs mirroring the reference's `xorq.api` surface
@@ -129,6 +131,8 @@ __all__ = [
     "table",
     "Expr",
     "SessionConfig",
+    "selectors",
+    "s",
     "execute",
     "set_backend",
     "get_backend",

@@ -369,15 +369,43 @@ class Expr:
     def ls(self) -> "LsAccessor":
         return LsAccessor(self)
 
+    def _expand_selectors(self, args, kwargs):
+        """Expand Selector / Across / IfAnyAll arguments against this
+        expression's schema (driver-side only; the resulting plan is
+        identical to hand-listing the columns)."""
+        from xorq_spark.expr.selectors import Selector, Across, IfAnyAll
+
+        if not any(isinstance(a, (Selector, Across, IfAnyAll)) for a in args):
+            return args, kwargs
+        out = []
+        kw = dict(kwargs)
+        for a in args:
+            if isinstance(a, Selector):
+                out.extend(a.expand(self))
+            elif isinstance(a, Across):
+                kw.update(a.expand(self))
+            elif isinstance(a, IfAnyAll):
+                out.append(a.expand(self).alias("_if"))
+            else:
+                out.append(a)
+        return tuple(out), kw
+
     # --- relational verbs --------------------------------------------------
     def select(self, *args, **kwargs) -> "Expr":
+        args, kwargs = self._expand_selectors(args, kwargs)
         return self._wrap(N.Project(self.node, _named_exprs(args, kwargs)))
 
     def mutate(self, *args, **kwargs) -> "Expr":
+        args, kwargs = self._expand_selectors(args, kwargs)
         return self._wrap(N.Project(self.node, _named_exprs(args, kwargs), extend=True))
 
     def filter(self, *predicates) -> "Expr":
-        preds = tuple(unwrap(p) for p in predicates)
+        from xorq_spark.expr.selectors import IfAnyAll
+
+        preds = tuple(
+            unwrap(p.expand(self) if isinstance(p, IfAnyAll) else p)
+            for p in predicates
+        )
         return self._wrap(N.Filter(self.node, preds))
 
     def drop(self, *columns: str) -> "Expr":
@@ -615,13 +643,14 @@ class Expr:
         w = self.to_spark(spark).write
         (w.mode("overwrite") if overwrite else w).saveAsTable(name)
 
-    def into_backend(self, con, name: Optional[str] = None):
+    def into_backend(self, con=None, name: Optional[str] = None):
         """Move this expression's result into another engine via Arrow
-        (reference: into_backend, expr/relations.py:430). DuckDB
-        connections are first-class (the test oracle)."""
-        from xorq_spark.interop import arrow_into_duckdb
+        (reference: into_backend, expr/relations.py:430). DuckDB and
+        sqlite connections are first-class; `con=None` is a
+        Spark-internal cache barrier."""
+        from xorq_spark.interop import into_backend
 
-        return arrow_into_duckdb(self, con, name)
+        return into_backend(self, con, name)
 
 
 class GroupedExpr:

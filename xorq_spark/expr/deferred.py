@@ -307,6 +307,54 @@ def lower_value(node: Any, resolve: Callable[[str], Column]) -> Column:
     raise TypeError(f"cannot lower {type(node).__name__}")
 
 
+def subst_anon(node: Any, col: str) -> Any:
+    """Rebuild a VNode tree substituting the anonymous `_` placeholder
+    with Col(col). A bare `_` (Deferred with node=None) unwraps to None,
+    so the placeholder shows up as None in operand positions; we replace
+    it ONLY there — legitimately-optional fields (Case.default,
+    SortKey.nulls_first, frame bounds) keep their None. Used by
+    selectors.across / if_any / if_all templates like ``_ * 2``."""
+    _c = Col(col)
+
+    def go(v):
+        if v is None:
+            return _c
+        return subst_anon(v, col)
+
+    if node is None:
+        return _c
+    if isinstance(node, Deferred):
+        return go(node.node)
+    if isinstance(node, BinOp):
+        return BinOp(node.op, go(node.left), go(node.right))
+    if isinstance(node, UnOp):
+        return UnOp(node.op, go(node.operand))
+    if isinstance(node, Cast):
+        return Cast(go(node.operand), node.dtype, node.try_)
+    if isinstance(node, Func):
+        args = tuple(
+            go(a) if a is None or _is_vnode(a) or isinstance(a, Deferred) else a
+            for a in node.args
+        )
+        return Func(node.name, args, node.options)
+    if isinstance(node, Case):
+        branches = tuple((go(w), go(t)) for w, t in node.branches)
+        default = None if node.default is None else go(node.default)
+        return Case(branches, default)
+    if isinstance(node, SortKey):
+        return SortKey(go(node.expr), node.ascending, node.nulls_first)
+    if isinstance(node, WindowExpr):
+        return WindowExpr(
+            go(node.func),
+            tuple(go(p) for p in node.partition_by),
+            tuple(go(o) for o in node.order_by),
+            node.frame_kind,
+            node.start,
+            node.end,
+        )
+    return node
+
+
 def bind_params(node: Any, params: dict) -> Any:
     """Substitute Param nodes with literals (the reference's bind_params
     pass, expr/api.py:893). Unknown params fall back to their default."""

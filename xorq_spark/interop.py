@@ -32,6 +32,74 @@ def duckdb_into_spark(con, query: str, spark=None) -> Expr:
     return memtable(con.sql(query).arrow())
 
 
+def _sqlite_type(arrow_type) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_integer(arrow_type) or pt.is_boolean(arrow_type):
+        return "INTEGER"
+    if pt.is_floating(arrow_type) or pt.is_decimal(arrow_type):
+        return "REAL"
+    if pt.is_binary(arrow_type) or pt.is_large_binary(arrow_type):
+        return "BLOB"
+    return "TEXT"  # strings, dates/timestamps (ISO), nested (JSON-ish str)
+
+
+def arrow_into_sqlite(expr: Expr, con, name: Optional[str] = None):
+    """Execute on Spark, load the result into a sqlite table (reference:
+    backends/sqlite — the zero-dependency federation target; sqlite3 is
+    stdlib). Returns the table name.
+
+    Scale role: sqlite is a single-node sink — the right target for
+    small dimension tables, lookup exchanges, and test fixtures, never
+    for fact data (use to_parquet for that). Values transfer via Arrow
+    then executemany; timestamps/dates store as ISO-8601 TEXT,
+    booleans as 0/1 INTEGER (sqlite's own affinity rules)."""
+    import datetime as dt
+    import decimal
+
+    name = name or "xorq_spark_result"
+    tbl = expr.to_pyarrow()
+    cols = ", ".join(
+        f'"{f.name}" {_sqlite_type(f.type)}' for f in tbl.schema
+    )
+    con.execute(f'DROP TABLE IF EXISTS "{name}"')
+    con.execute(f'CREATE TABLE "{name}" ({cols})')
+
+    def conv(v):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, (dt.datetime, dt.date)):
+            return v.isoformat(sep=" ") if isinstance(v, dt.datetime) else v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (list, dict, tuple)):
+            import json
+
+            return json.dumps(v, default=str)
+        return v
+
+    rows = [
+        tuple(conv(v) for v in row)
+        for row in zip(*(c.to_pylist() for c in tbl.columns))
+    ]
+    placeholders = ", ".join("?" * tbl.num_columns)
+    con.executemany(f'INSERT INTO "{name}" VALUES ({placeholders})', rows)
+    con.commit()
+    return name
+
+
+def sqlite_into_spark(con, query: str, spark=None) -> Expr:
+    """Run SQL on sqlite, ingest the result as a memtable Expr (the
+    reverse RemoteTable direction, like duckdb_into_spark)."""
+    import pandas as pd
+
+    from xorq_spark.expr.api import memtable
+
+    cur = con.execute(query)
+    cols = [d[0] for d in cur.description]
+    return memtable(pd.DataFrame(cur.fetchall(), columns=cols))
+
+
 def read_record_batches(source, spark=None) -> Expr:
     """Arrow Table / RecordBatchReader / iterable of batches -> Expr
     (reference: read_record_batches, backend.py:729)."""
@@ -128,4 +196,6 @@ def into_backend(expr: Expr, con=None, name: Optional[str] = None):
     mod = type(con).__module__
     if mod.startswith("duckdb"):
         return arrow_into_duckdb(expr, con, name)
+    if mod.startswith("sqlite3"):
+        return arrow_into_sqlite(expr, con, name)
     raise TypeError(f"unsupported backend connection: {type(con)!r}")

@@ -25,6 +25,7 @@ from xorq_spark.ml.pipeline import (
     deferred_fit_predict,
     deferred_fit_transform,
 )
+from xorq_spark.ml.structer import Structer
 
 __all__ = [
     "expr_kfold_column",
@@ -34,6 +35,7 @@ __all__ = [
     "default_regressor",
     "Pipeline",
     "FittedPipeline",
+    "Structer",
     "Step",
     "FittedStep",
     "deferred_fit",

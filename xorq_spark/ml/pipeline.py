@@ -19,12 +19,12 @@ from __future__ import annotations
 import pickle
 from typing import Callable, Optional, Sequence
 
-import numpy as np
 import pandas as pd
 
 from xorq_spark import udf
 from xorq_spark.expr.core import Expr
 from xorq_spark.expr.deferred import Col, Deferred, Lit
+from xorq_spark.ml.structer import Structer
 
 _FIT_KEY = "__fit_key"
 
@@ -61,10 +61,6 @@ def deferred_fit(
     )
 
 
-def _stack(cols) -> np.ndarray:
-    return np.column_stack([np.asarray(c, dtype=float) for c in cols])
-
-
 def deferred_fit_predict(
     expr: Expr,
     features: Sequence[str],
@@ -78,11 +74,14 @@ def deferred_fit_predict(
     fitted = deferred_fit(expr, features, target, make_estimator)
 
     def predict_fn(model, *cols):
-        return pd.Series(model.predict(_stack(cols)))
+        return pd.Series(model.predict(Structer.to_matrix(*cols)))
 
     scorer = udf.make_pandas_expr_udf(fitted, predict_fn, dtype=dtype, name="predict")
     scored = expr.mutate(**{dest: scorer(*[_dcol(f) for f in features])})
     return fitted, scored
+
+
+_TRANSFORMED = "__transformed"
 
 
 def deferred_fit_transform(
@@ -92,20 +91,26 @@ def deferred_fit_transform(
     dest_template: str = "{}_t",
     dtype: str = "double",
 ):
-    """(fitted_expr, transformed_expr): unsupervised fit + per-feature
-    transform columns (Structer-style packing kept simple: one output
-    column per input feature)."""
+    """(fitted_expr, transformed_expr): unsupervised fit + transform.
+
+    Structer-packed (reference: expr/ml/structer.py): ONE struct-typed
+    pandas UDF runs model.transform once per Arrow batch and the struct
+    is then unpacked into the destination columns — vs the old
+    one-UDF-per-output-column shape that re-ran the transform k times."""
     fitted = deferred_fit(expr, features, None, make_estimator)
     feats = list(features)
+    structer = Structer.from_names_typ(
+        [dest_template.format(f) for f in feats], dtype
+    )
 
-    outs = {}
-    for i, f in enumerate(feats):
-        def tf(model, *cols, _i=i):
-            return pd.Series(model.transform(_stack(cols))[:, _i])
+    def tf(model, *cols):
+        return structer.from_matrix(model.transform(Structer.to_matrix(*cols)))
 
-        scorer = udf.make_pandas_expr_udf(fitted, tf, dtype=dtype, name=f"transform_{f}")
-        outs[dest_template.format(f)] = scorer(*[_dcol(x) for x in feats])
-    return fitted, expr.mutate(**outs)
+    scorer = udf.make_pandas_expr_udf(
+        fitted, tf, dtype=structer.dtype, name="transform"
+    )
+    packed = expr.mutate(**{_TRANSFORMED: scorer(*[_dcol(f) for f in feats])})
+    return fitted, packed.unpack(_TRANSFORMED)
 
 
 class Step:
@@ -149,7 +154,7 @@ class FittedStep:
         """Apply the trained model to a NEW expression (same schema)."""
         if self.step.kind == "predict":
             def predict_fn(model, *cols):
-                return pd.Series(model.predict(_stack(cols)))
+                return pd.Series(model.predict(Structer.to_matrix(*cols)))
 
             scorer = udf.make_pandas_expr_udf(
                 self.fitted_expr, predict_fn, dtype="double", name="predict"
@@ -158,16 +163,18 @@ class FittedStep:
                 **{self.step.dest: scorer(*[_dcol(f) for f in self.step.features])}
             )
         feats = self.step.features
-        outs = {}
-        for i, f in enumerate(feats):
-            def tf(model, *cols, _i=i):
-                return pd.Series(model.transform(_stack(cols))[:, _i])
+        structer = Structer.from_names_typ([f"{f}_t" for f in feats])
 
-            scorer = udf.make_pandas_expr_udf(
-                self.fitted_expr, tf, dtype="double", name=f"transform_{f}"
+        def tf(model, *cols):
+            return structer.from_matrix(
+                model.transform(Structer.to_matrix(*cols))
             )
-            outs[f"{f}_t"] = scorer(*[_dcol(x) for x in feats])
-        return expr.mutate(**outs)
+
+        scorer = udf.make_pandas_expr_udf(
+            self.fitted_expr, tf, dtype=structer.dtype, name="transform"
+        )
+        packed = expr.mutate(**{_TRANSFORMED: scorer(*[_dcol(x) for x in feats])})
+        return packed.unpack(_TRANSFORMED)
 
     predict = transform
 
@@ -250,7 +257,7 @@ def deferred_cross_val_score(
         )
 
         def predict_fn(model, *cols):
-            return pd.Series(model.predict(_stack(cols)))
+            return pd.Series(model.predict(Structer.to_matrix(*cols)))
 
         scorer = udf.make_pandas_expr_udf(fitted, predict_fn, dtype="double")
         pred = scorer(*[_dcol(x) for x in features])

@@ -28,4 +28,9 @@ from xorq_spark.queries import multimodal  # noqa: F401
 from xorq_spark.queries import engine  # noqa: F401
 from xorq_spark.queries import streaming_queries  # noqa: F401
 
+# LAST: folds the granular entries above into driver-facing composite
+# suites and moves them to the front of the registry (the external
+# driver only hash-checks the first 50 entries).
+from xorq_spark.queries import suites  # noqa: F401
+
 __all__ = ["QUERIES", "ORACLES", "query"]

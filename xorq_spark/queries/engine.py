@@ -197,3 +197,43 @@ def engine_cached(spark, sf_dir):
     joined = s.join(n, [("s_nationkey", "n_nationkey")]).cache()
     e = joined.group_by("n_name").agg(n_suppliers=_.n_name.count()).order_by("n_name")
     return e.to_spark(spark)
+
+
+@query(
+    "engine_selectors_across",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CAST(MAX(l_quantity) AS DOUBLE), 2) AS qty_max,
+           ROUND(CAST(MIN(l_quantity) AS DOUBLE), 2) AS qty_min,
+           ROUND(CAST(MAX(l_extendedprice) AS DOUBLE), 2) AS tot_max,
+           ROUND(CAST(MIN(l_extendedprice) AS DOUBLE), 2) AS tot_min
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def engine_selectors(spark, sf_dir):
+    """Selectors API through the Expr layer (reference:
+    expr/selectors.py / vendor ibis selectors): column sets chosen by
+    selector, bulk-cast with across, then aggregated. Expansion is a
+    driver-side schema walk, so the physical plan is identical to
+    hand-listing the columns (scan prunes to 3 columns)."""
+    from xorq_spark.expr import selectors as s
+
+    li = xo.deferred_read_parquet(f"{sf_dir}/lineitem.parquet")
+    e = (
+        li.select(
+            s.cols("l_returnflag"),
+            s.across(
+                s.numeric() & s.cols("l_quantity", "l_extendedprice"),
+                _.cast("double"),
+            ),
+        )
+        .group_by("l_returnflag")
+        .agg(
+            qty_max=_.l_quantity.max().round(2),
+            qty_min=_.l_quantity.min().round(2),
+            tot_max=_.l_extendedprice.max().round(2),
+            tot_min=_.l_extendedprice.min().round(2),
+        )
+        .order_by("l_returnflag")
+    )
+    return e.to_spark(spark)

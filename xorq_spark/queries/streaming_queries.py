@@ -52,9 +52,21 @@ def _ts_unit(sf_dir: str) -> str:
     which checks the dtype Spark actually inferred) we must sniff the
     footer ourselves — assuming nanos against a timestamp[us] file
     collapses 30 days of events into ~43 minutes."""
+    import glob
+    import os
+
     import pyarrow.parquet as pq
 
-    typ = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    path = f"{sf_dir}/events.parquet"
+    if os.path.isdir(path):  # Spark-written dataset: sniff one part file
+        parts = sorted(glob.glob(f"{path}/*.parquet"))
+        if not parts:
+            return "us"
+        path = parts[0]
+    try:
+        typ = pq.read_schema(path).field("ts").type
+    except (KeyError, OSError):
+        return "us"
     return getattr(typ, "unit", "us")
 
 
