@@ -88,3 +88,44 @@ def test_cli_catalog_roundtrip(src, tmp_path):
     assert h in cli("history", "pipe", "--root", root)
     cli("rm", "pipe", "--root", root)
     assert "pipe" not in cli("ls", "--root", root)
+
+
+def test_annex_push_pull_drop(spark, sf_dir, tmp_path):
+    """Annex (reference catalog/annex.py): content-addressed push/pull
+    between a local catalog and a shared remote; drop only when the
+    remote holds the artifact."""
+    import os
+
+    import pytest
+
+    import xorq_spark as xo
+    from xorq_spark import _
+    from xorq_spark import catalog as cat
+
+    local = str(tmp_path / "local")
+    remote = str(tmp_path / "remote")
+    e = (
+        xo.deferred_read_parquet(f"{sf_dir}/nation.parquet")
+        .group_by("n_regionkey")
+        .agg(n=_.n_nationkey.count())
+    )
+    h = cat.add("regional", e, local)
+
+    annex = cat.Annex(remote, root=local)
+    shipped = annex.push()
+    assert shipped == [h]
+    assert annex.push() == []  # idempotent: hash already on remote
+    assert annex.list_remote() == {"regional": h}
+
+    # a second machine pulls into an empty catalog and can execute
+    other = str(tmp_path / "other")
+    got = cat.Annex(remote, root=other).pull()
+    assert got == [h]
+    expr = cat.get("regional", root=other, spark=spark)
+    assert expr.to_spark(spark).count() > 0
+
+    # drop local copy (remote still has it), then refuse unknown hashes
+    annex.drop(h)
+    assert not os.path.isdir(os.path.join(local, "builds", h))
+    with pytest.raises(FileNotFoundError):
+        annex.drop("deadbeef")

@@ -58,3 +58,29 @@ def test_literal_column_has_no_sources(spark, src):
     lin = column_lineage(e, spark)
     assert lin["k"] == set()
     assert "<literal>" in lineage_text(e, spark)
+
+
+def test_to_dot_visualize(spark, sf_dir):
+    """DOT rendering of the IR graph (reference:
+    vendor/ibis/expr/visualize.py; graphviz absent here so to_dot's
+    standalone DOT text is the surface)."""
+    import xorq_spark as xo
+    from xorq_spark import _
+    from xorq_spark.visualize import format_tree, to_dot, visualize
+
+    e = (
+        xo.deferred_read_parquet(f"{sf_dir}/nation.parquet")
+        .filter(_.n_regionkey >= 0)
+        .group_by("n_regionkey")
+        .agg(n=_.n_nationkey.count())
+    )
+    dot = to_dot(e)
+    assert dot.startswith("digraph") and dot.rstrip().endswith("}")
+    assert "Aggregate" in dot and "Filter" in dot and "->" in dot
+    # shared-subtree dedup: node count equals distinct IR nodes
+    assert dot.count("[label=") == len(
+        {ln.split()[0] for ln in dot.splitlines() if "[label=" in ln}
+    )
+    out = visualize(e)  # no graphviz in container -> DOT text back
+    assert isinstance(out, str) and out == dot
+    assert "Aggregate" in format_tree(e)

@@ -200,3 +200,38 @@ def test_token_shards_budget_and_determinism(spark):
         seen[key] = seen.get(key, 0) + r.n_tokens
     # deterministic across reruns
     assert rows == out.collect()
+
+
+def test_exact_bpe_counter_gated(spark):
+    """bpe_token_count_exact requires tiktoken; where the wheel is
+    absent it must fail loudly at definition (never silently
+    approximate), and assign_token_shards must accept a custom counter."""
+    import pyspark.sql.functions as F
+    import pytest
+
+    from xorq_spark import functions as fn
+
+    try:
+        import tiktoken  # noqa: F401
+
+        have = True
+    except ImportError:
+        have = False
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, "the quick brown fox", "en")],
+        "doc_id long, text string, lang string",
+    )
+    if have:
+        out = df.select(fn.bpe_token_count_exact(F.col("text")).alias("n"))
+        assert out.first()["n"] > 0
+    else:
+        with pytest.raises(ImportError):
+            fn.bpe_token_count_exact(F.col("text"))
+
+    # custom counter path (JVM-side stand-in) through shard packing
+    sharded = fn.assign_token_shards(
+        df, tokens_per_shard=3, counter=lambda c: F.length(c)
+    )
+    rows = {r["doc_id"]: r["n_tokens"] for r in sharded.collect()}
+    assert rows[1] == len("hello world")

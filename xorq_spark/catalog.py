@@ -136,3 +136,81 @@ def rm(name: str, root: Optional[str] = None) -> None:
 def git_log(root: Optional[str] = None) -> Optional[str]:
     """The catalog's git history (None when git was unavailable)."""
     return _git(root or catalog_root(), "log", "--oneline")
+
+
+# ---------------------------------------------------------------------------
+# Annex: shared-remote artifact exchange
+# ---------------------------------------------------------------------------
+
+
+class Annex:
+    """Push/pull catalog builds to a shared remote location.
+
+    Reference: `catalog/annex.py` — git-annex + S3 special remote moving
+    build artifacts between machines. Neither git-annex nor S3 exist in
+    this container, so the remote here is a filesystem path — which at
+    scale is a mounted object store (s3a://-style mounts are how Spark
+    clusters see shared storage anyway). Builds are content-addressed by
+    their hash, so push/pull are idempotent: a hash that exists on the
+    destination is never re-copied, and pulling merges version history
+    without disturbing local-only entries.
+    """
+
+    def __init__(self, remote: str, root: Optional[str] = None):
+        self.remote = remote
+        self.root = root or catalog_root()
+
+    def _remote_index(self) -> dict:
+        return _load_index(self.remote)
+
+    def push(self, name: Optional[str] = None) -> list:
+        """Copy entries (all, or one name) + their build dirs to the
+        remote. Returns the hashes shipped."""
+        local = _load_index(self.root)
+        names = [name] if name else list(local["entries"])
+        os.makedirs(os.path.join(self.remote, "builds"), exist_ok=True)
+        ridx = self._remote_index()
+        shipped = []
+        for n in names:
+            entry = local["entries"].get(n)
+            if entry is None:
+                raise KeyError(f"catalog has no entry {n!r}")
+            rentry = ridx["entries"].setdefault(n, {"versions": []})
+            have = {v["hash"] for v in rentry["versions"]}
+            for v in entry["versions"]:
+                h = v["hash"]
+                dst = os.path.join(self.remote, "builds", h)
+                if not os.path.isdir(dst):
+                    shutil.copytree(
+                        os.path.join(self.root, "builds", h), dst
+                    )
+                    shipped.append(h)
+                if h not in have:
+                    rentry["versions"].append(dict(v))
+        _save_index(self.remote, ridx)
+        _git_commit(self.remote, f"annex push {name or 'all'}")
+        return shipped
+
+    def pull(self, name: Optional[str] = None) -> list:
+        """Fetch entries (all, or one name) from the remote into the
+        local catalog. Returns the hashes fetched."""
+        return Annex(remote=self.root, root=self.remote).push(name)
+
+    def list_remote(self) -> dict:
+        """{name: latest_hash} on the remote."""
+        ridx = self._remote_index()
+        return {
+            n: e["versions"][-1]["hash"]
+            for n, e in ridx["entries"].items()
+            if e["versions"]
+        }
+
+    def drop(self, hash_: str) -> None:
+        """Remove a local build dir whose content is safely on the
+        remote (the git-annex `drop` semantic: free local space, keep
+        the remote copy)."""
+        if not os.path.isdir(os.path.join(self.remote, "builds", hash_)):
+            raise FileNotFoundError(
+                f"refusing to drop {hash_}: not present on remote"
+            )
+        shutil.rmtree(os.path.join(self.root, "builds", hash_), ignore_errors=True)

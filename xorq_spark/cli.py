@@ -126,6 +126,43 @@ def cmd_catalog(args) -> int:
             print(f"{v['added_at']}\t{v['hash']}")
     elif args.catalog_cmd == "rm":
         cat.rm(args.name, root)
+    elif args.catalog_cmd == "push":
+        for h in cat.Annex(args.remote, root=root).push(args.name):
+            print(h)
+    elif args.catalog_cmd == "pull":
+        for h in cat.Annex(args.remote, root=root).pull(args.name):
+            print(h)
+    return 0
+
+
+def cmd_profile(args) -> int:
+    from xorq_spark.profiles import Profile, Profiles
+
+    d = args.dir
+    if args.profile_cmd == "add":
+        kwargs = dict(kv.split("=", 1) for kv in (args.set or []))
+        prof = Profile.new(args.backend, **kwargs)
+        path = prof.save(profile_dir=d, alias=args.alias, clobber=args.force)
+        print(path)
+    elif args.profile_cmd == "ls":
+        for name in Profiles(d).list():
+            print(name)
+    elif args.profile_cmd == "show":
+        print(Profile.load(args.name, d).as_yaml(), end="")
+    elif args.profile_cmd == "rm":
+        from xorq_spark.profiles import default_profile_dir
+        from pathlib import Path
+
+        target = Path(d or default_profile_dir()) / f"{args.name}.yaml"
+        target.unlink()
+    return 0
+
+
+def cmd_init(args) -> int:
+    from xorq_spark.init_templates import init_project
+
+    root = init_project(args.path, args.template)
+    print(root)
     return 0
 
 
@@ -169,11 +206,41 @@ def main(argv=None) -> int:
     cr = csub.add_parser("rm", help="remove an entry, pruning unreferenced builds")
     cr.add_argument("name")
     cr.add_argument("--root", default=None)
+    for verb, hlp in (("push", "ship builds to a shared remote"),
+                      ("pull", "fetch builds from a shared remote")):
+        cp = csub.add_parser(verb, help=hlp)
+        cp.add_argument("remote")
+        cp.add_argument("--name", default=None)
+        cp.add_argument("--root", default=None)
     c.set_defaults(fn=cmd_catalog)
 
     i = sub.add_parser("inspect", help="print build metadata + IR")
     i.add_argument("build_dir")
     i.set_defaults(fn=cmd_inspect)
+
+    pr = sub.add_parser("profile", help="saved connection profiles")
+    psub = pr.add_subparsers(dest="profile_cmd", required=True)
+    pa = psub.add_parser("add", help="create + save a profile")
+    pa.add_argument("--backend", required=True, choices=["spark", "duckdb", "sqlite"])
+    pa.add_argument("--alias", default=None)
+    pa.add_argument("--set", action="append", metavar="KEY=VALUE",
+                    help="connection kwarg; use '${ENV_VAR}' for secrets")
+    pa.add_argument("--force", action="store_true")
+    pa.add_argument("--dir", default=None)
+    pl = psub.add_parser("ls", help="list saved profiles")
+    pl.add_argument("--dir", default=None)
+    ps = psub.add_parser("show", help="print a profile's YAML")
+    ps.add_argument("name")
+    ps.add_argument("--dir", default=None)
+    prm = psub.add_parser("rm", help="delete a profile file/alias")
+    prm.add_argument("name")
+    prm.add_argument("--dir", default=None)
+    pr.set_defaults(fn=cmd_profile)
+
+    init = sub.add_parser("init", help="scaffold a new project directory")
+    init.add_argument("path")
+    init.add_argument("--template", default="pipeline", choices=["pipeline", "ml"])
+    init.set_defaults(fn=cmd_init)
 
     args = p.parse_args(argv)
     return args.fn(args)

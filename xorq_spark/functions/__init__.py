@@ -11,6 +11,7 @@ from xorq_spark.functions.text import (
     tokenize,
     token_count,
     bpe_token_count,
+    bpe_token_count_exact,
     language_id,
     quality_score,
     fingerprint,
@@ -42,6 +43,7 @@ __all__ = [
     "tokenize",
     "token_count",
     "bpe_token_count",
+    "bpe_token_count_exact",
     "language_id",
     "quality_score",
     "fingerprint",

@@ -36,9 +36,41 @@ def token_count(text: Column) -> Column:
 
 
 def bpe_token_count(text: Column) -> Column:
-    """BPE-ish token count: number of matches of a GPT-2-style
-    pre-tokenizer regex. ~proportional to real BPE token counts."""
+    """APPROXIMATE token count: number of matches of a GPT-2-style
+    pre-tokenizer regex — NOT a real BPE tokenizer (no vocab, no merge
+    table). ~proportional to real BPE counts and fully JVM-side, so at
+    corpus scale it runs at scan speed. When shard budgets must match
+    the training tokenizer exactly, use `bpe_token_count_exact` (real
+    tiktoken BPE, gated on the wheel being installed) and pass it to
+    `assign_token_shards(counter=...)`."""
     return F.regexp_count(text, F.lit(BPE_ISH_PATTERN))
+
+
+def bpe_token_count_exact(text: Column, encoding: str = "cl100k_base") -> Column:
+    """EXACT BPE token count via tiktoken, as an Arrow-batched pandas
+    UDF (raises ImportError where the wheel isn't installed — this
+    container doesn't ship it, so tests gate on importability).
+
+    Scale notes: the encoder loads once per Python worker (module-level
+    cache inside the closure), batches arrive via Arrow, and
+    `encode_ordinary_batch` releases the GIL across a thread pool —
+    ~1-5 MB/s/core, the standard cost of exact counts. Keep the regex
+    approximation for monitoring paths; spend this only where shard
+    budgets feed the actual trainer."""
+    import tiktoken  # noqa: F401  (gate: raise at definition site)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _count(s):  # type: ignore[no-untyped-def]
+        import pandas as pd
+        import tiktoken
+
+        enc = tiktoken.get_encoding(encoding)
+        toks = enc.encode_ordinary_batch(s.fillna("").tolist())
+        return pd.Series([len(t) for t in toks], index=s.index)
+
+    return _count(text)
 
 
 def language_id(text: Column, default: str = "und") -> Column:
@@ -105,10 +137,13 @@ def assign_token_shards(
     id_col: str = "doc_id",
     tokens_per_shard: int = 100_000,
     partition_cols=("lang",),
+    counter=None,
 ):
     """Contiguous training-shard assignment by token budget: order
     documents deterministically within each partition (e.g. language),
-    accumulate BPE-ish token counts, and cut a new shard every
+    accumulate token counts (`counter` defaults to the JVM-side
+    BPE-ish regex; pass `bpe_token_count_exact` when budgets must match
+    the training tokenizer), and cut a new shard every
     `tokens_per_shard` tokens. Returns the input plus (n_tokens,
     shard_id) — shard_id = floor(tokens-before-this-doc / budget), so a
     document always lands in the shard where it STARTS (shards overflow
@@ -128,7 +163,8 @@ def assign_token_shards(
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = df.withColumn("n_tokens", bpe_token_count(F.col(text_col)).cast("long"))
+    count = counter or bpe_token_count
+    out = df.withColumn("n_tokens", count(F.col(text_col)).cast("long"))
     cum = F.sum("n_tokens").over(w)
     return out.withColumn(
         "shard_id",
