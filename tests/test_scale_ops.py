@@ -235,3 +235,35 @@ def test_exact_bpe_counter_gated(spark):
     )
     rows = {r["doc_id"]: r["n_tokens"] for r in sharded.collect()}
     assert rows[1] == len("hello world")
+
+
+def test_redact_pii_and_repetition_edges(spark):
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions import pii_count, redact_pii, repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@x-y.co now, call +1 (555) 123-4567, ip 192.168.0.1"),
+            (2, "no pii here"),
+            (3, None),
+            (4, "a\na\na"),
+            (5, ""),
+        ],
+        "id long, text string",
+    )
+    out = {
+        r["id"]: (r["red"], r["ne"], r["rr"])
+        for r in df.select(
+            "id",
+            redact_pii(F.col("text")).alias("red"),
+            pii_count(F.col("text"), "email").alias("ne"),
+            repetition_ratio(F.col("text")).alias("rr"),
+        ).collect()
+    }
+    assert out[1][0] == "mail [PII] now, call [PII], ip [PII]"
+    assert out[1][1] == 1
+    assert out[2][0] == "no pii here" and out[2][1] == 0
+    assert out[3][0] is None  # null in, null out
+    assert out[4][2] == pytest.approx(2 / 3)  # 3 lines, 1 distinct
+    assert out[5][2] == 0.0

@@ -11,6 +11,9 @@ from xorq_spark.functions.text import (
     tokenize,
     token_count,
     bpe_token_count,
+    pii_count,
+    redact_pii,
+    repetition_ratio,
     bpe_token_count_exact,
     language_id,
     quality_score,
@@ -43,6 +46,9 @@ __all__ = [
     "tokenize",
     "token_count",
     "bpe_token_count",
+    "pii_count",
+    "redact_pii",
+    "repetition_ratio",
     "bpe_token_count_exact",
     "language_id",
     "quality_score",

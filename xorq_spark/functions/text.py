@@ -184,3 +184,44 @@ def rolling_hash(text: Column, base: int = 257) -> Column:
         F.lit(0).cast("long"),
         lambda acc, c: (acc * base + F.ascii(c)) % m,
     )
+
+
+# --- PII redaction ---------------------------------------------------------
+
+# Patterns chosen to mean the same thing in Java regex (Spark) and RE2
+# (DuckDB): no lookaround, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\-\s()]{7,}\d",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def redact_pii(text: Column, kinds=("email", "phone", "ipv4"),
+               token: str = "[PII]") -> Column:
+    """Replace PII-looking spans with `token` — chained JVM-side
+    regexp_replace, codegen'd, no Python workers: a scrub pass a
+    training pipeline runs over every document at scan speed. Order
+    matters (emails before phones so a number inside an address isn't
+    half-eaten); the chain applies kinds in the declared order."""
+    out = text
+    for kind in kinds:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], token)
+    return out
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """How many spans of one PII kind occur (audit metric)."""
+    return F.regexp_count(text, F.lit(PII_PATTERNS[kind]))
+
+
+def repetition_ratio(text: Column, sep: str = "\n") -> Column:
+    """Fraction of repeated lines: 1 - distinct_lines/lines. The
+    classic boilerplate signal (nav bars, cookie banners) — high ratio
+    means the document is mostly repeated structure. Pure array ops,
+    JVM-side, no shuffle."""
+    lines = F.filter(F.split(text, sep), lambda x: F.trim(x) != "")
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(lines)) / n
+    )

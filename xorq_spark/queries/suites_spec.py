@@ -172,6 +172,8 @@ SUITES: dict[str, list[str]] = {
         "text_token_counts",
         "text_language_id",
         "text_quality_score",
+        "text_pii_redaction",
+        "text_repetition_ratio",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",

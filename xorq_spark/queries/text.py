@@ -215,3 +215,92 @@ def text_token_shards(spark, sf_dir):
         .select("doc_id", "lang", "n_tokens", "shard_id")
         .orderBy("doc_id")
     )
+
+
+# Deterministic synthetic PII appended per doc so the redaction check
+# is non-trivial on any corpus (the raw documents table may contain no
+# PII at all). Both engines build the identical input string.
+@query(
+    "text_pii_redaction",
+    oracle="""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact: user' || doc_id ||
+             '@example.com or +1 555-000-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') ||
+             ' at 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS text
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+               '\\+?\\d[\\d\\-\\s()]{7,}\\d', '[PII]', 'g'),
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[PII]', 'g') AS redacted,
+           len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email
+    FROM aug ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark, sf_dir):
+    """PII scrub pass (functions/text.py redact_pii): chained JVM-side
+    regexp_replace over email/phone/ipv4 patterns chosen to mean the
+    same thing in Java regex and RE2. Synthetic deterministic PII is
+    appended per-document so the oracle check exercises every pattern
+    on every row. Codegen'd, zero shuffle — scan-speed at any SF."""
+    from xorq_spark.functions import pii_count, redact_pii
+
+    d = widen(t(spark, sf_dir, "documents"))
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact: user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-000-"),
+            F.lpad(F.col("doc_id").cast("string"), 4, "0"),
+            F.lit(" at 10.0.0."), (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        pii_count(F.col("text"), "email").alias("n_email"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "text_repetition_ratio",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(
+               text || chr(10) || 'dup line' || chr(10) || 'dup line'
+               || chr(10) || 'uniq ' || doc_id, chr(10)),
+               x -> trim(x) <> '') AS ls
+      FROM documents)
+    SELECT doc_id,
+           ROUND(CASE WHEN len(ls) <= 0 THEN 0.0
+                 ELSE 1.0 - len(list_distinct(ls))::DOUBLE / len(ls) END,
+                 9) AS rep_ratio
+    FROM lines ORDER BY doc_id
+    """,
+)
+def text_repetition_ratio(spark, sf_dir):
+    """Boilerplate signal (functions/text.py repetition_ratio):
+    fraction of repeated non-blank lines. Two duplicate lines plus one
+    unique line are appended per doc so the ratio is exercised on every
+    row regardless of corpus shape. Pure array ops, no shuffle."""
+    from xorq_spark.functions import repetition_ratio
+
+    d = widen(t(spark, sf_dir, "documents"))
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\ndup line\ndup line\nuniq "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return aug.select(
+        "doc_id",
+        F.round(repetition_ratio(F.col("text")), 9).alias("rep_ratio"),
+    ).orderBy("doc_id")
