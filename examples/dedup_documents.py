@@ -1,11 +1,12 @@
 """Training-data curation pipeline over the documents table, end to end:
 
 1. exact dedup by content digest (32-byte shuffle keys),
-2. MinHash+LSH near-duplicate pairs on what's left,
-3. connected components over the pair graph (large-star/small-star),
-4. keep one canonical document per cluster (min id),
-5. pack the survivors into contiguous token-budget training shards,
-6. land the shards as hive-partitioned parquet.
+2. PII scrub (codegen'd regex chain) + boilerplate/quality filter,
+3. MinHash+LSH near-duplicate pairs on what's left,
+4. connected components over the pair graph (large-star/small-star),
+5. keep one canonical document per cluster (min id),
+6. pack the survivors into contiguous token-budget training shards,
+7. land the shards as hive-partitioned parquet.
 
     python examples/dedup_documents.py [sf_dir]
 """
@@ -23,6 +24,9 @@ from xorq_spark.functions import (
     connected_components,
     exact_dedup,
     minhash_lsh_pairs,
+    quality_score,
+    redact_pii,
+    repetition_ratio,
 )
 from xorq_spark.session import connect
 
@@ -33,6 +37,17 @@ def main(sf_dir: str):
 
     uniq = exact_dedup(docs, "text", "doc_id")
     print(f"exact dedup: {docs.count()} -> {uniq.count()} docs")
+
+    # Scrub + filter before the expensive near-dup stage: all three are
+    # zero-shuffle scan-speed passes, so they shrink the MinHash input
+    # for free.
+    scrubbed = uniq.withColumn("text", redact_pii(F.col("text")))
+    kept = scrubbed.filter(
+        (quality_score(F.col("text")) >= 0.3)
+        & (repetition_ratio(F.col("text")) <= 0.5)
+    )
+    print(f"quality/boilerplate filter: {uniq.count()} -> {kept.count()} docs")
+    uniq = kept
 
     pairs = minhash_lsh_pairs(
         uniq, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
