@@ -104,6 +104,21 @@ to_pyarrow_stream = _lazy(("xorq_spark.interop", "to_pyarrow_stream"))
 get_object_metadata = _lazy(("xorq_spark.interop", "get_object_metadata"))
 get_plans = _lazy(("xorq_spark.plans", "get_plans"))
 replace_sources = _lazy(("xorq_spark.plans", "replace_sources"))
+def __getattr__(name):
+    # `xo.profiles` — directory-backed profile collection (reference:
+    # xo.options.profiles) — and the Profile class itself; resolved
+    # lazily so `import xorq_spark` stays light.
+    if name == "profiles":
+        from xorq_spark.profiles import Profiles
+
+        return Profiles()
+    if name == "Profile":
+        from xorq_spark.profiles import Profile
+
+        return Profile
+    raise AttributeError(name)
+
+
 train_test_splits = _lazy(("xorq_spark.ml.split", "train_test_splits"))
 calc_split_column = _lazy(("xorq_spark.ml.split", "calc_split_column"))
 
@@ -133,6 +148,8 @@ __all__ = [
     "SessionConfig",
     "selectors",
     "s",
+    "Profile",
+    "profiles",
     "execute",
     "set_backend",
     "get_backend",
