@@ -72,3 +72,19 @@ def test_q1_whole_stage_codegen(spark):
     assert "isFinalPlan=true" in final
     # '*(n)' prefixes mark whole-stage-codegen'd operators in toString.
     assert "*(" in final
+
+
+def test_suite_union_preserves_branch_plans(spark):
+    """A composite suite is a UNION ALL of member plans; Catalyst must
+    optimize each branch exactly as it does the standalone query —
+    pushdown reaches every parquet scan and dimension joins still
+    broadcast. Guards the driver-facing suite layer against plan
+    regressions."""
+    plan = _plan(spark, "suite_tpch_a")
+    pushed = [
+        ln for ln in plan.splitlines()
+        if "PushedFilters: [" in ln and "PushedFilters: []" not in ln
+    ]
+    assert len(pushed) >= 10  # q1-q5 branches each push scan filters
+    assert plan.count("BroadcastHashJoin") >= 10
+    assert "BatchEvalPython" not in plan

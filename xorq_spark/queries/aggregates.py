@@ -189,7 +189,7 @@ def agg_count_distinct(spark, sf_dir):
     "agg_filtered_where",
     oracle="""
     SELECT l_returnflag,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE), 2) AS qty_highdisc,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05), 2) AS DOUBLE) AS qty_highdisc,
            COUNT(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
            CAST(MAX(l_extendedprice) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS max_f
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
@@ -219,7 +219,7 @@ def agg_filtered(spark, sf_dir):
     SELECT l_returnflag, l_linestatus,
            GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     ORDER BY g_rf, g_ls, l_returnflag NULLS LAST, l_linestatus NULLS LAST
     """,

@@ -104,21 +104,25 @@ def as_double(c):
 
 
 def money_out(c):
-    """Final output form for exact decimal aggregates: ROUND(double, 2).
+    """Final output form for exact decimal aggregates: round the
+    DECIMAL to 2 places, THEN cast to double (oracle mirror:
+    CAST(ROUND(sum, 2) AS DOUBLE)).
 
     Accumulation stays decimal (order-independent, exact); only the
     OUTPUT converts. Emitting DECIMAL directly is not portable across
     engines' result representations (a DECIMAL(38,10) output hash-
     mismatched the driver on every money query even though values were
-    identical). The double route converges bit-identically on both
-    sides: the exact sum is m/100 cents with m < 2^53 at any SF, so
-    cast-to-double lands within 1 ulp of m/100, and rounding that
-    double at 2 digits snaps both engines to nearest-double(m/100) —
-    Spark via BigDecimal HALF_UP, DuckDB via nearbyint(x*100)/100; the
-    tiny cast skew cannot straddle a .005 tie because the target is an
-    exact cents integer. Oracle side mirrors this as
-    ROUND(CAST(sum AS DOUBLE), 2)."""
-    return F.round(c.cast("double"), 2)
+    identical). The ORDER of round-vs-cast matters: scale-6 sums like
+    disc_price can land exactly on a .5 tie (q9 at sf0.1 hit
+    ...789.615000), where cast-first diverges — Spark's round(double)
+    re-derives '.615' from the shortest repr and rounds up while
+    DuckDB rounds the binary value just below the tie. Round-on-decimal
+    is tie-exact half-away-from-zero in BOTH engines, and the resulting
+    2-dp decimal converts to the identical nearest double (verified
+    bitwise over 250k random values; DuckDB divides rather than
+    multiplying by 1e-2, so conversion is correctly rounded like
+    Java's BigDecimal.doubleValue)."""
+    return F.round(c, 2).cast("double")
 
 
 def ratio(num, den, digits: int = 9):

@@ -18,7 +18,7 @@ from xorq_spark.queries.base import query
     "engine_filter_agg",
     oracle="""
     SELECT l_returnflag,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     WHERE l_quantity > 30 AND l_discount < 0.05
@@ -33,7 +33,7 @@ def engine_filter_agg(spark, sf_dir):
         li.filter((_.l_quantity > 30) & (_.l_discount < 0.05))
         .group_by("l_returnflag")
         .agg(
-            sum_qty=_.l_quantity.cast("decimal(18,2)").sum().cast("double").round(2),
+            sum_qty=_.l_quantity.cast("decimal(18,2)").sum().round(2).cast("double"),
             n=_.l_returnflag.count(),
         )
         .order_by("l_returnflag")
@@ -45,7 +45,7 @@ def engine_filter_agg(spark, sf_dir):
     "engine_join_groupby",
     oracle="""
     SELECT o.o_orderpriority, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     WHERE o.o_totalprice > 150000
     GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
@@ -61,7 +61,7 @@ def engine_join_groupby(spark, sf_dir):
         .group_by("o_orderpriority")
         .agg(
             n=_.o_orderpriority.count(),
-            total=_.l_extendedprice.cast("decimal(18,2)").sum().cast("double").round(2),
+            total=_.l_extendedprice.cast("decimal(18,2)").sum().round(2).cast("double"),
         )
         .order_by("o_orderpriority")
     )

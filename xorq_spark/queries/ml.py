@@ -26,7 +26,7 @@ def _hash_sql(col: str) -> str:
                   ELSE 'train' END AS split
       FROM orders)
     SELECT split, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM s GROUP BY split ORDER BY split
     """,
 )

@@ -152,7 +152,7 @@ def time_arithmetic(spark, sf_dir):
            date_trunc('hour', ts) + INTERVAL 1 HOUR AS win_end,
            event_type,
            COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM events
     GROUP BY 1, 2, 3
     ORDER BY win_start, event_type
@@ -193,7 +193,7 @@ def time_tumble(spark, sf_dir):
       UNION ALL
       SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000 - 1800000000) AS s0, value FROM events)
     SELECT s0 AS win_start, COUNT(*) AS n,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM h GROUP BY s0 ORDER BY s0
     """,
 )

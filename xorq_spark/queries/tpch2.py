@@ -29,8 +29,8 @@ def _disc_price():
     oracle="""
     SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
            EXTRACT(year FROM o.o_orderdate) AS l_year,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -70,8 +70,8 @@ def q7(spark, sf_dir):
     "tpch_q9_product_type_profit",
     oracle="""
     SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
-           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2) AS profit
+           CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -132,8 +132,8 @@ def q13(spark, sf_dir):
 @query(
     "tpch_q19_discounted_revenue",
     oracle="""
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))) AS DOUBLE), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(8,4)))), 2) AS DOUBLE) AS revenue
     FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#1' AND l.l_quantity BETWEEN 1 AND 11 AND p.p_size BETWEEN 1 AND 5)
        OR (p.p_brand = 'Brand#2' AND l.l_quantity BETWEEN 10 AND 20 AND p.p_size BETWEEN 1 AND 10)
@@ -170,7 +170,7 @@ def q19(spark, sf_dir):
         AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderpriority = '1-URGENT'))
     SELECT c_nationkey, COUNT(*) AS numcust,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS totacctbal
     FROM eligible GROUP BY c_nationkey ORDER BY c_nationkey
     """,
 )
@@ -207,7 +207,7 @@ def q22(spark, sf_dir):
         AND l_shipdate < TIMESTAMP '1997-04-01'
       GROUP BY l_suppkey)
     SELECT s.s_suppkey, s.s_name,
-           ROUND(CAST(r.total_revenue AS DOUBLE), 2) AS total_revenue
+           CAST(ROUND(r.total_revenue, 2) AS DOUBLE) AS total_revenue
     FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
     WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
     ORDER BY s.s_suppkey
@@ -232,7 +232,7 @@ def q15(spark, sf_dir):
         .filter(F.col("total_revenue") == F.col("__mx"))
         .select(
             "s_suppkey", "s_name",
-            F.round(F.col("total_revenue").cast("double"), 2).alias("total_revenue"),
+            F.round(F.col("total_revenue"), 2).cast("double").alias("total_revenue"),
         )
         .orderBy("s_suppkey")
     )
@@ -241,7 +241,7 @@ def q15(spark, sf_dir):
 @query(
     "tpch_q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey

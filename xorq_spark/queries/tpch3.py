@@ -57,7 +57,7 @@ _PS_SQL = """
       JOIN region r ON n.n_regionkey = r.r_regionkey
       WHERE r.r_name = 'EUROPE')
     SELECT eu.s_acctbal, eu.s_name, eu.n_name, p.p_partkey, p.p_name,
-           ROUND(CAST(ps.ps_supplycost AS DOUBLE), 2) AS ps_supplycost
+           CAST(ROUND(ps.ps_supplycost, 2) AS DOUBLE) AS ps_supplycost
     FROM part p
     JOIN ps ON p.p_partkey = ps.ps_partkey
     JOIN eu ON ps.ps_suppkey = eu.s_suppkey
@@ -102,7 +102,7 @@ def q2(spark, sf_dir):
         .join(F.broadcast(p), F.col("ps_partkey") == p.p_partkey)
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
-            F.round(F.col("ps_supplycost").cast("double"), 2).alias("ps_supplycost"),
+            F.round(F.col("ps_supplycost"), 2).cast("double").alias("ps_supplycost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -121,7 +121,7 @@ def q2(spark, sf_dir):
       JOIN nation n ON s.s_nationkey = n.n_nationkey
       WHERE n.n_name IN ('NATION_1', 'NATION_6')
       GROUP BY 1)
-    SELECT ps_partkey, ROUND(CAST(v AS DOUBLE), 2) AS part_value
+    SELECT ps_partkey, CAST(ROUND(v, 2) AS DOUBLE) AS part_value
     FROM val
     WHERE CAST(v AS DOUBLE) > (SELECT 0.001 * SUM(CAST(v AS DOUBLE)) FROM val)
     ORDER BY part_value DESC, ps_partkey
@@ -162,7 +162,7 @@ def q11(spark, sf_dir):
         val.join(F.broadcast(total))
         .filter(F.col("v").cast("double") > F.col("threshold"))
         .select(
-            "ps_partkey", F.round(F.col("v").cast("double"), 2).alias("part_value")
+            "ps_partkey", F.round(F.col("v"), 2).cast("double").alias("part_value")
         )
         .orderBy(F.desc("part_value"), "ps_partkey")
     )

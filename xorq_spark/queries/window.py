@@ -129,9 +129,9 @@ def window_first_last(spark, sf_dir):
     "window_moving_rows_frame",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS moving_sum,
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS moving_sum,
            COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_n
     FROM orders
@@ -187,9 +187,9 @@ def window_range(spark, sf_dir):
     "window_cumulative",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2) AS cum_value,
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS cum_value,
            ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)))
                 OVER (PARTITION BY user_id ORDER BY ts, event_id
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
@@ -223,8 +223,8 @@ def window_cumulative(spark, sf_dir):
     "window_agg_over_partition",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey) AS DOUBLE), 2) AS min_price,
-           ROUND(CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey) AS DOUBLE), 2) AS max_price,
+           CAST(ROUND(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey), 2) AS DOUBLE) AS min_price,
+           CAST(ROUND(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (PARTITION BY l_orderkey), 2) AS DOUBLE) AS max_price,
            COUNT(*) OVER (PARTITION BY l_orderkey) AS n_lines
     FROM lineitem
     ORDER BY l_orderkey, l_linenumber
