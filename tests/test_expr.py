@@ -293,3 +293,14 @@ def test_tag_roundtrips_through_build(spark, lineitem, tmp_path):
     e = lineitem.select("l_orderkey").limit(5).tag("m", k="v").hashing_tag("n")
     back = from_data(to_data(e.node))
     assert back == e.node
+
+
+def test_pipe(spark, sf_dir):
+    import xorq_spark as xo
+    from xorq_spark import _
+
+    def top_regions(t, n):
+        return t.group_by("n_regionkey").agg(c=_.n_nationkey.count()).limit(n)
+
+    e = xo.deferred_read_parquet(f"{sf_dir}/nation.parquet").pipe(top_regions, 2)
+    assert e.to_spark(spark).count() == 2

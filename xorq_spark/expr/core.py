@@ -596,6 +596,11 @@ class Expr:
         )
 
     # --- execution (reference: expr/api.py:294,589-779) -------------------
+    def pipe(self, fn, *args, **kwargs):
+        """Apply `fn(self, *args, **kwargs)` — fluent composition of
+        user transforms (reference: ibis Table.pipe)."""
+        return fn(self, *args, **kwargs)
+
     def execute(self, spark=None, params=None, bindings=None):
         """Run and return a pandas DataFrame."""
         return self.to_spark(spark, params, bindings).toPandas()
