@@ -126,3 +126,71 @@ def make_fake_assets(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("resized_digest", StringType()),
+    ]
+)
+
+
+def _fit_box(w: int, h: int, box: int) -> tuple:
+    """Aspect-preserving fit into a box×box square. Integer-product-
+    then-single-division keeps the arithmetic bit-identical across
+    engines (no chained float ops near integer boundaries)."""
+    m = max(w, h)
+    return max(1, int(w * box / m)), max(1, int(h * box / m))
+
+
+def _fake_resample(payload: bytes, w: int, h: int) -> str:
+    """STUB resampler: deterministic digest of (payload, target dims).
+    A real implementation decodes with PIL/torchvision and re-encodes;
+    this keeps the contract (bytes+dims -> new payload identity)
+    testable without codecs."""
+    if payload is None:
+        raise NotImplementedError("real resize requires a media codec; payload missing")
+    return hashlib.sha256(payload + f"{w}x{h}".encode()).hexdigest()
+
+
+def resize_images(assets: DataFrame, box: int = 64) -> DataFrame:
+    """Batch image resize plan: aspect-preserving target dims computed
+    JVM-side (exactly reproducible), the resample kernel an
+    Arrow-batched mapInPandas pass over the payload bytes — no shuffle,
+    scan-speed, payloads never leave the partition. Output carries only
+    dims + the resized payload identity; downstream joins never drag
+    raw bytes."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "out_width": pdf["out_width"],
+                    "out_height": pdf["out_height"],
+                    "resized_digest": [
+                        _fake_resample(p, w, h)
+                        for p, w, h in zip(
+                            pdf["payload"], pdf["out_width"], pdf["out_height"]
+                        )
+                    ],
+                }
+            )
+
+    m = F.greatest("width", "height")
+    with_dims = assets.withColumns(
+        {
+            "out_width": F.greatest(
+                F.lit(1), F.floor(F.col("width") * box / m)
+            ).cast("int"),
+            "out_height": F.greatest(
+                F.lit(1), F.floor(F.col("height") * box / m)
+            ).cast("int"),
+        }
+    )
+    return with_dims.select(
+        "asset_id", "payload", "out_width", "out_height"
+    ).mapInPandas(batches, RESIZED_SCHEMA)

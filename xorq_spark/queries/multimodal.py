@@ -83,3 +83,52 @@ def mm_frame_sample(spark, sf_dir):
         .select(F.col("asset_id").alias("doc_id"), F.col("ts_ms").cast("bigint").alias("ts_ms"), "frame_digest")
         .orderBy("doc_id", "ts_ms")
     )
+
+
+@query(
+    "mm_resize_plan",
+    oracle="""
+    WITH assets AS (
+      SELECT doc_id,
+             text,
+             (320 + (doc_id % 7) * 80)::INT AS width,
+             (240 + (doc_id % 5) * 60)::INT AS height
+      FROM documents),
+    dims AS (
+      SELECT doc_id, text, width, height,
+             greatest(1, CAST(floor(width * 64.0 / greatest(width, height)) AS INT)) AS out_width,
+             greatest(1, CAST(floor(height * 64.0 / greatest(width, height)) AS INT)) AS out_height
+      FROM assets)
+    SELECT doc_id, out_width, out_height,
+           sha256(text || CAST(out_width AS VARCHAR) || 'x' || CAST(out_height AS VARCHAR)) AS resized_digest
+    FROM dims ORDER BY doc_id
+    """,
+)
+def mm_resize_plan(spark, sf_dir):
+    """Aspect-preserving batch resize (functions/multimodal.py
+    resize_images): target dims computed JVM-side with
+    integer-product/single-division arithmetic (bit-identical in both
+    engines), the resample kernel a deterministic digest stub running
+    in Arrow-batched mapInPandas — the real-codec swap point. Synthetic
+    per-doc dims exercise every aspect ratio bucket."""
+    from xorq_spark.functions.multimodal import resize_images
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("image").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+        (320 + (F.col("doc_id") % 7) * 80).cast("int").alias("width"),
+        (240 + (F.col("doc_id") % 5) * 60).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return (
+        resize_images(assets, box=64)
+        .select(
+            F.col("asset_id").alias("doc_id"),
+            "out_width",
+            "out_height",
+            "resized_digest",
+        )
+        .orderBy("doc_id")
+    )

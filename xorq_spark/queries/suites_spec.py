@@ -207,6 +207,7 @@ SUITES: dict[str, list[str]] = {
     "suite_multimodal": [
         "mm_extract_features",
         "mm_frame_sample",
+        "mm_resize_plan",
     ],
     "suite_engine_a": [
         "engine_filter_agg",
