@@ -28,3 +28,16 @@ def test_entry(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_driver_window_composition():
+    """The external driver hash-checks only the first 50 registry
+    entries; pin that every suite, the 4 streaming queries, and the
+    rows-only IVF entry sit inside that window (a silent reorder would
+    strand whole operator families without driver evidence)."""
+    from xorq_spark.queries import QUERIES
+    from xorq_spark.queries.suites_spec import SUITES, WINDOW_GRANULAR
+
+    window = list(QUERIES)[:50]
+    missing = [n for n in (*SUITES, *WINDOW_GRANULAR) if n not in window]
+    assert not missing, f"outside the driver's 50-slot window: {missing}"

@@ -267,3 +267,28 @@ def test_redact_pii_and_repetition_edges(spark):
     assert out[3][0] is None  # null in, null out
     assert out[4][2] == pytest.approx(2 / 3)  # 3 lines, 1 distinct
     assert out[5][2] == 0.0
+
+
+def test_ann_topk_strategy_dispatch(spark, sf_dir):
+    """ann_topk auto-dispatches: small query sets broadcast brute-force
+    (exact), large ones take the LSH bucket path; the size probe is
+    LIMIT-bounded, never a full count."""
+    from xorq_spark.functions import ann_bruteforce_topk, ann_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    auto = ann_topk(queries, emb, k=5, max_broadcast_queries=10)
+    exact = ann_bruteforce_topk(queries, emb, k=5)
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, exact.collect()))
+
+    # force the big-queries path: must still return k rows per query
+    lsh = ann_topk(queries, emb, k=5, max_broadcast_queries=1)
+    got = lsh.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in got) and got
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        ann_topk(queries, emb, strategy="annoy")

@@ -40,6 +40,7 @@ from xorq_spark.functions.similarity import (
     ann_ivf_topk,
     ann_ivf_fixed_topk,
     ann_lsh_topk,
+    ann_topk,
 )
 
 __all__ = [
@@ -71,4 +72,5 @@ __all__ = [
     "ann_ivf_topk",
     "ann_ivf_fixed_topk",
     "ann_lsh_topk",
+    "ann_topk",
 ]

@@ -334,3 +334,35 @@ def ann_ivf_topk(
             "rank",
         )
     )
+
+
+def ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    strategy: str = "auto",
+    max_broadcast_queries: int = 10_000,
+    **kwargs,
+) -> DataFrame:
+    """Strategy-dispatching ANN entry point.
+
+    The brute-force path is exact but O(|corpus| x |queries|): right
+    when the query set broadcasts (ad-hoc lookups, evaluation probes),
+    a scale-killer when |queries| grows toward corpus size (dedup-style
+    all-against-all). `auto` picks:
+
+    - ``bruteforce`` when the query set is provably small — a cheap
+      LIMIT-bounded count (never a full count of an unbounded input)
+      confirms |queries| <= max_broadcast_queries;
+    - ``lsh`` otherwise — bucketed scoring whose cost is
+      O(|corpus| + sum of bucket x bucket), the 100 TB shape.
+
+    Explicit ``strategy='bruteforce'|'lsh'`` skips the probe."""
+    if strategy == "auto":
+        probe = queries.limit(max_broadcast_queries + 1).count()
+        strategy = "bruteforce" if probe <= max_broadcast_queries else "lsh"
+    if strategy == "bruteforce":
+        return ann_bruteforce_topk(queries, corpus, k, **kwargs)
+    if strategy == "lsh":
+        return ann_lsh_topk(queries, corpus, k, **kwargs)
+    raise ValueError(f"unknown ANN strategy {strategy!r}")
