@@ -304,3 +304,20 @@ def test_pipe(spark, sf_dir):
 
     e = xo.deferred_read_parquet(f"{sf_dir}/nation.parquet").pipe(top_regions, 2)
     assert e.to_spark(spark).count() == 2
+
+
+def test_module_level_bind_params(spark, sf_dir):
+    """xo.bind_params (reference expr/api.py) rebinds named params on a
+    relational tree without executing it."""
+    import xorq_spark as xo
+    from xorq_spark import _
+
+    n = xo.param("min_key", "int64", default=0)
+    e = (
+        xo.deferred_read_parquet(f"{sf_dir}/nation.parquet")
+        .filter(_.n_nationkey >= n)
+        .aggregate(c=_.n_nationkey.count())
+    )
+    default_count = e.to_spark(spark).first()["c"]
+    bound = xo.bind_params(e, {"min_key": 20})
+    assert bound.to_spark(spark).first()["c"] < default_count

@@ -104,6 +104,18 @@ to_pyarrow_stream = _lazy(("xorq_spark.interop", "to_pyarrow_stream"))
 get_object_metadata = _lazy(("xorq_spark.interop", "get_object_metadata"))
 get_plans = _lazy(("xorq_spark.plans", "get_plans"))
 replace_sources = _lazy(("xorq_spark.plans", "replace_sources"))
+def bind_params(expr, params: dict):
+    """Substitute named scalar parameters with literals (reference:
+    expr/api.py bind_params). Accepts a relational Expr (rebinds the
+    whole tree) or a deferred value expression."""
+    from xorq_spark.expr.core import Expr as _Expr, _bind_tree_params
+    from xorq_spark.expr import deferred as _d
+
+    if isinstance(expr, _Expr):
+        return expr._wrap(_bind_tree_params(expr.node, dict(params)))
+    return _d.Deferred(_d.bind_params(expr, dict(params)))
+
+
 def __getattr__(name):
     # `xo.profiles` — directory-backed profile collection (reference:
     # xo.options.profiles) — and the Profile class itself; resolved
