@@ -132,3 +132,53 @@ def test_udf_tokens_stable_in_plan_hash(mt):
     from xorq_spark.tokenize import tokenize
 
     assert tokenize(e1.node) == tokenize(e2.node)
+
+
+def test_make_pandas_udf_on_expr(spark, sf_dir):
+    """Reference make_pandas_udf: fn sees a DataFrame of the schema's
+    columns; .on_expr wires the columns itself."""
+    import xorq_spark as xo
+    from xorq_spark import udf
+
+    e = xo.deferred_read_parquet(f"{sf_dir}/supplier.parquet")
+    ratio = udf.make_pandas_udf(
+        lambda pdf: pdf["s_acctbal"] * 2,
+        schema=["s_acctbal"],
+        return_type="double",
+        name="double_bal",
+    )
+    out = e.mutate(d=ratio.on_expr(e)).select("s_acctbal", "d").limit(5).execute(spark)
+    assert (out["d"] == out["s_acctbal"] * 2).all()
+
+
+def test_agg_namespace_and_udwf_alias(spark, sf_dir):
+    import xorq_spark as xo
+    from xorq_spark import _, udf
+
+    assert udf.agg.pandas_df is udf.agg_pandas_df
+    assert udf.pyarrow_udwf is udf.window_udf
+    e = xo.deferred_read_parquet(f"{sf_dir}/nation.parquet")
+    n = e.aggregate(c=udf.agg.builtin("count")(_.n_nationkey)).execute(spark)
+    assert n["c"][0] == 25
+
+
+def test_cache_flavor_dummy_and_source_snapshot(spark, sf_dir):
+    """ParquetDummySnapshotCache never persists (recompute every time);
+    SourceSnapshotCache materializes a catalog table keyed on structure
+    only."""
+    import xorq_spark as xo
+    from xorq_spark import _
+    from xorq_spark.cache import ParquetDummySnapshotCache, SourceSnapshotCache
+
+    e = (
+        xo.deferred_read_parquet(f"{sf_dir}/region.parquet")
+        .group_by("r_regionkey")
+        .agg(n=_.r_name.count())
+    )
+    dummy = e.cache(storage=ParquetDummySnapshotCache())
+    assert dummy.to_spark(spark).count() == e.to_spark(spark).count()
+
+    snap = e.cache(storage=SourceSnapshotCache())
+    assert snap.to_spark(spark).count() == e.to_spark(spark).count()
+    tables = [t.name for t in spark.catalog.listTables() if t.name.startswith("xorq_cache_")]
+    assert tables  # materialized into the session catalog

@@ -91,12 +91,23 @@ def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> Data
     materialize on miss."""
     from xorq_spark.expr.core import lower
 
+    if node.strategy == "dummy":
+        # ParquetDummySnapshotCache: storage that never persists
+        # (reference ParquetDummyStorage) — every lookup misses, so the
+        # subtree recomputes; the knob that disables caching without
+        # touching the expression.
+        return lower(node.parent, spark, bindings)
     if node.strategy.startswith("source"):
         # SourceCache: materialize into the session catalog (managed
         # table) instead of the parquet artifact store — the reference's
         # "cache into the source backend" flavor. The content key names
-        # the table, so a changed source yields a fresh table.
-        key = calc_key(node.parent, "mtime")
+        # the table, so a changed source yields a fresh table;
+        # SourceSnapshotCache keys on structure only (stable across
+        # source-data changes).
+        key = calc_key(
+            node.parent,
+            "snapshot" if "snapshot" in node.strategy else "mtime",
+        )
         tbl = f"xorq_cache_{key[:16]}"
         if not spark.catalog.tableExists(tbl):
             lower(node.parent, spark, bindings).write.mode(
@@ -139,6 +150,21 @@ class SourceCache:
     """Materialize into the session catalog (managed table)."""
 
     strategy = "source"
+
+
+class SourceSnapshotCache:
+    """Catalog table keyed on expression structure only — source-data
+    changes do NOT invalidate (reference SourceSnapshotCache)."""
+
+    strategy = "source_snapshot"
+
+
+class ParquetDummySnapshotCache:
+    """Storage that never persists: every lookup misses and the subtree
+    recomputes (reference ParquetDummyStorage) — disables caching
+    without rewriting the expression."""
+
+    strategy = "dummy"
 
 
 class GCSCache:

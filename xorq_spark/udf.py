@@ -265,3 +265,65 @@ def lower_window_udf(node: N.WindowUDF, df: DataFrame) -> DataFrame:
         return pdf
 
     return df.groupBy(*node.partition_by).applyInPandas(per_group, schema=out_schema)
+
+
+def make_pandas_udf(fn, schema, return_type: str = "double", name: Optional[str] = None):
+    """Multi-column pandas-DataFrame scalar UDF (reference:
+    expr/udf.py:340 make_pandas_udf): `fn(pdf)` receives an Arrow batch
+    of the schema's columns as a pandas DataFrame and returns a Series.
+    The returned constructor is called with column expressions, or via
+    `.on_expr(expr)` which selects the schema's columns itself."""
+    import pandas as pd
+
+    cols = list(schema)
+    fname = name or getattr(fn, "__name__", "pandas_udf")
+
+    def wrapper(*series):
+        pdf = pd.concat(series, axis=1)
+        pdf.columns = cols
+        return fn(pdf)
+
+    def construct(*args) -> Deferred:
+        return Deferred(
+            PyUDF(
+                fn=wrapper, fn_name=fname,
+                args=tuple(unwrap(a) for a in args),
+                dtype=return_type, kind="pandas",
+            )
+        )
+
+    def on_expr(e):
+        from xorq_spark.expr.deferred import Col
+
+        return construct(*(Deferred(Col(c)) for c in cols))
+
+    construct.on_expr = on_expr
+    construct.fn = fn
+    construct.return_type = return_type
+    return construct
+
+
+class agg:
+    """Aggregate-UDF namespace matching the reference spelling
+    (`udf.agg.pandas_df`, `udf.agg.builtin`, `udf.agg.pyarrow`)."""
+
+    pandas_df = staticmethod(agg_pandas_df)
+    # The pyarrow aggregator rides the same applyInPandas lowering —
+    # batches arrive via Arrow either way.
+    pyarrow = staticmethod(agg_pandas_df)
+
+    @staticmethod
+    def builtin(name: str):
+        """Engine-native aggregate by name (sum, approx_count_distinct,
+        ...): stays JVM-side."""
+
+        def call(*args) -> Deferred:
+            return Deferred(Func(name, tuple(unwrap(a) for a in args)))
+
+        return call
+
+
+# Reference spelling for the window-UDF emulation (pyarrow_udwf,
+# backend.py:88): same applyInPandas-over-ordered-partitions lowering,
+# Arrow-batched either way.
+pyarrow_udwf = window_udf
