@@ -129,3 +129,20 @@ def test_annex_push_pull_drop(spark, sf_dir, tmp_path):
     assert not os.path.isdir(os.path.join(local, "builds", h))
     with pytest.raises(FileNotFoundError):
         annex.drop("deadbeef")
+
+
+def test_catalog_facade(spark, sf_dir, tmp_path):
+    import xorq_spark as xo
+    from xorq_spark import _
+    from xorq_spark.catalog import Catalog
+
+    cat_obj = Catalog(str(tmp_path / "c"))
+    e = xo.deferred_read_parquet(f"{sf_dir}/region.parquet").select("r_name")
+    h = cat_obj.add("regions", e)
+    assert cat_obj.ls() == {"regions": h}
+    assert cat_obj.history("regions")[0]["hash"] == h
+    assert cat_obj.get("regions", spark=spark).to_spark(spark).count() == 5
+    remote = str(tmp_path / "r")
+    assert cat_obj.annex(remote).push() == [h]
+    cat_obj.rm("regions")
+    assert cat_obj.ls() == {}

@@ -214,3 +214,33 @@ class Annex:
                 f"refusing to drop {hash_}: not present on remote"
             )
         shutil.rmtree(os.path.join(self.root, "builds", hash_), ignore_errors=True)
+
+
+class Catalog:
+    """Object facade over the function API (reference: catalog/api.py
+    Catalog): one instance = one catalog root, with the annex reachable
+    through `.annex(remote)`."""
+
+    def __init__(self, root: Optional[str] = None):
+        self.root = root or catalog_root()
+
+    def add(self, name: str, expr: Expr) -> str:
+        return add(name, expr, self.root)
+
+    def ls(self) -> dict:
+        return ls(self.root)
+
+    def history(self, name: str) -> list:
+        return history(name, self.root)
+
+    def get(self, name: str, version: Optional[str] = None, spark=None) -> Expr:
+        return get(name, version, self.root, spark)
+
+    def rm(self, name: str) -> None:
+        rm(name, self.root)
+
+    def git_log(self) -> Optional[str]:
+        return git_log(self.root)
+
+    def annex(self, remote: str) -> "Annex":
+        return Annex(remote, root=self.root)
