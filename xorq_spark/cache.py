@@ -110,6 +110,18 @@ def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> Data
         )
         tbl = f"xorq_cache_{key[:16]}"
         if not spark.catalog.tableExists(tbl):
+            # A previous SESSION may have left the managed-table
+            # location on disk without a catalog entry (saveAsTable
+            # refuses to create over it). Same key = same content, so
+            # clearing and recomputing is always sound.
+            import shutil
+            from urllib.parse import urlparse
+
+            wh = urlparse(spark.conf.get("spark.sql.warehouse.dir"))
+            if wh.scheme in ("", "file"):
+                shutil.rmtree(
+                    os.path.join(wh.path, tbl.lower()), ignore_errors=True
+                )
             lower(node.parent, spark, bindings).write.mode(
                 "overwrite"
             ).saveAsTable(tbl)
