@@ -11,6 +11,7 @@ from xorq_spark.functions.text import (
     tokenize,
     token_count,
     bpe_token_count,
+    contamination_flags,
     pii_count,
     redact_pii,
     repetition_ratio,
@@ -47,6 +48,7 @@ __all__ = [
     "tokenize",
     "token_count",
     "bpe_token_count",
+    "contamination_flags",
     "pii_count",
     "redact_pii",
     "repetition_ratio",

@@ -225,3 +225,52 @@ def repetition_ratio(text: Column, sep: str = "\n") -> Column:
     return F.when(n <= 0, F.lit(0.0)).otherwise(
         1.0 - F.size(F.array_distinct(lines)) / n
     )
+
+
+def contamination_flags(
+    corpus,
+    benchmark,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+):
+    """Benchmark decontamination: flag corpus documents sharing word
+    n-grams with an evaluation set (the standard train/test-overlap
+    scrub before training). Returns the corpus ids plus
+    (contam_hits, contaminated).
+
+    Scale design: benchmarks are tiny relative to a 100 TB corpus, so
+    the benchmark's distinct n-gram set broadcasts; the corpus side is
+    one scan with an explode and a broadcast hash join — no shuffle of
+    corpus data. `n=8` is the common contamination window (large
+    enough that collisions are overwhelmingly true overlap); raise
+    `min_hits` to require multiple independent overlapping windows."""
+    from xorq_spark.functions.dedup import shingles
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingles(F.col(bench_text_col), n)).alias("__gram")
+        )
+        .distinct()
+    )
+    corpus_grams = corpus.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__gram")
+    )
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "__gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("contam_hits"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("contam_hits"), F.lit(0)).alias("contam_hits"),
+            (F.coalesce(F.col("contam_hits"), F.lit(0)) >= min_hits).alias(
+                "contaminated"
+            ),
+        )
+    )

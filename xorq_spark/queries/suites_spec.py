@@ -179,6 +179,7 @@ SUITES: dict[str, list[str]] = {
         "text_fingerprint",
         "text_rolling_hash",
         "text_token_shards",
+        "text_contamination_check",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

@@ -304,3 +304,48 @@ def text_repetition_ratio(spark, sf_dir):
         "doc_id",
         F.round(repetition_ratio(F.col("text")), 9).alias("rep_ratio"),
     ).orderBy("doc_id")
+
+
+_NORM8 = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s一-鿿]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_WORDS8 = f"str_split({_NORM8}, ' ')"
+_SHINGLES8 = (
+    f"CASE WHEN len({_WORDS8}) >= 8 THEN "
+    f"list_transform(range(1, len({_WORDS8}) - 6), i -> array_to_string(({_WORDS8})[i:i+7], ' ')) "
+    f"ELSE [array_to_string({_WORDS8}, ' ')] END"
+)
+
+
+@query(
+    "text_contamination_check",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT unnest({_SHINGLES8}) AS gram
+      FROM documents WHERE doc_id % 97 = 0),
+    corpus AS (
+      SELECT doc_id, unnest({_SHINGLES8}) AS gram FROM documents),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS contam_hits
+      FROM corpus c JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           COALESCE(h.contam_hits, 0) AS contam_hits,
+           COALESCE(h.contam_hits, 0) >= 1 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def text_contamination_check(spark, sf_dir):
+    """Benchmark decontamination (functions/text.py
+    contamination_flags): every doc sharing an 8-word shingle with the
+    'benchmark' slice (doc_id % 97 == 0 stands in for an eval set) is
+    flagged. The benchmark n-gram set broadcasts; the corpus side is
+    one scan + explode + broadcast hash join — corpus rows never
+    shuffle."""
+    from xorq_spark.functions import contamination_flags
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(docs, bench, n=8).orderBy("doc_id")
