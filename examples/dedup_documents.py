@@ -2,11 +2,12 @@
 
 1. exact dedup by content digest (32-byte shuffle keys),
 2. PII scrub (codegen'd regex chain) + boilerplate/quality filter,
-3. MinHash+LSH near-duplicate pairs on what's left,
-4. connected components over the pair graph (large-star/small-star),
-5. keep one canonical document per cluster (min id),
-6. pack the survivors into contiguous token-budget training shards,
-7. land the shards as hive-partitioned parquet.
+3. benchmark decontamination (broadcast n-gram overlap),
+4. MinHash+LSH near-duplicate pairs on what's left,
+5. connected components over the pair graph (large-star/small-star),
+6. keep one canonical document per cluster (min id),
+7. pack the survivors into contiguous token-budget training shards,
+8. land the shards as hive-partitioned parquet.
 
     python examples/dedup_documents.py [sf_dir]
 """
@@ -22,6 +23,7 @@ import pyspark.sql.functions as F
 from xorq_spark.functions import (
     assign_token_shards,
     connected_components,
+    contamination_flags,
     exact_dedup,
     minhash_lsh_pairs,
     quality_score,
@@ -48,6 +50,15 @@ def main(sf_dir: str):
     )
     print(f"quality/boilerplate filter: {uniq.count()} -> {kept.count()} docs")
     uniq = kept
+
+    # Decontaminate against a stand-in eval set (every 97th doc): the
+    # benchmark n-gram set broadcasts, corpus rows never shuffle.
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    flags = contamination_flags(uniq, bench, n=8)
+    uniq = uniq.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id"
+    )
+    print(f"decontamination: -> {uniq.count()} docs")
 
     pairs = minhash_lsh_pairs(
         uniq, "text", "doc_id", num_hashes=16, bands=4, threshold=0.5
