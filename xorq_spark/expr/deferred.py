@@ -35,10 +35,28 @@ class Col(VNode):
     name: str
 
 
-@dataclass(frozen=True)
+@dataclass(frozen=True, eq=False)
 class Lit(VNode):
+    """Literal value. Equality is deliberately STRICTER than Python's
+    numeric equality: `0.0 == -0.0` and `True == 1` are True for
+    Python but produce different literals (different repr, different
+    Spark type), and the token/caching contract requires that
+    equal-by-== nodes tokenize identically — so equality compares
+    (type, repr, dtype), matching exactly what tokenize hashes.
+    Surfaced by hypothesis: two ==-equal graphs differing only in a
+    -0.0/0.0 literal hashed to different cache keys."""
+
     value: Any
     dtype: Optional[str] = None
+
+    def _key(self):
+        return (type(self.value).__name__, repr(self.value), self.dtype)
+
+    def __eq__(self, other):
+        return isinstance(other, Lit) and self._key() == other._key()
+
+    def __hash__(self):
+        return hash((Lit, self._key()))
 
 
 @dataclass(frozen=True)
