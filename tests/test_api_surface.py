@@ -46,11 +46,41 @@ def test_to_sql_top_level(spark, sf_dir):
 
 @pytest.mark.parametrize("name", REFERENCE_API)
 def test_reference_api_name_present(name):
-    if name == "bind_params":
-        from xorq_spark.expr.deferred import bind_params  # noqa: F401
-
-        return
     assert callable(getattr(xo, name)), name
+
+
+def test_round3_api_names_present():
+    """Names added in round 3 — a rename must break loudly."""
+    assert callable(xo.Profile.new)
+    assert hasattr(xo.profiles, "list")
+    assert callable(xo.s.numeric) and callable(xo.selectors.across)
+    assert callable(xo.Expr.pipe)
+    from xorq_spark.ml import Structer
+    from xorq_spark import udf
+    from xorq_spark.catalog import Annex, Catalog
+    from xorq_spark.visualize import to_dot
+    from xorq_spark.interop import arrow_into_sqlite, sqlite_into_spark
+    from xorq_spark.functions import (
+        ann_topk,
+        bpe_token_count_exact,
+        contamination_flags,
+        pii_count,
+        redact_pii,
+        repetition_ratio,
+    )
+    from xorq_spark.functions.multimodal import resize_images
+    from xorq_spark.cache import (
+        ParquetDummySnapshotCache,
+        SourceSnapshotCache,
+    )
+
+    for obj in (Structer, udf.make_pandas_udf, udf.agg.builtin,
+                udf.pyarrow_udwf, Annex, Catalog, to_dot,
+                arrow_into_sqlite, sqlite_into_spark, ann_topk,
+                bpe_token_count_exact, contamination_flags, pii_count,
+                redact_pii, repetition_ratio, resize_images,
+                ParquetDummySnapshotCache, SourceSnapshotCache):
+        assert callable(obj)
 
 
 def test_session_config_shape():
