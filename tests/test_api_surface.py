@@ -52,7 +52,7 @@ def test_reference_api_name_present(name):
 def test_round3_api_names_present():
     """Names added in round 3 — a rename must break loudly."""
     assert callable(xo.Profile.new)
-    assert hasattr(xo.profiles, "list")
+    assert callable(xo.profiles.collection.list) and callable(xo.Profiles)
     assert callable(xo.s.numeric) and callable(xo.selectors.across)
     assert callable(xo.Expr.pipe)
     from xorq_spark.ml import Structer

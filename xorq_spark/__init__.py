@@ -117,17 +117,19 @@ def bind_params(expr, params: dict):
 
 
 def __getattr__(name):
-    # `xo.profiles` — directory-backed profile collection (reference:
-    # xo.options.profiles) — and the Profile class itself; resolved
-    # lazily so `import xorq_spark` stays light.
+    # Profile machinery resolves lazily so `import xorq_spark` stays
+    # light. `xo.profiles` is the submodule (python shadows module
+    # __getattr__ with the real submodule after first import anyway);
+    # the directory-backed collection lives at
+    # `xo.profiles.collection` (reference: xo.options.profiles).
     if name == "profiles":
-        from xorq_spark.profiles import Profiles
+        import xorq_spark.profiles as _p
 
-        return Profiles()
-    if name == "Profile":
-        from xorq_spark.profiles import Profile
+        return _p
+    if name in ("Profile", "Profiles"):
+        from xorq_spark import profiles as _p
 
-        return Profile
+        return getattr(_p, name)
     raise AttributeError(name)
 
 

@@ -221,3 +221,19 @@ class Profiles:
 
     def _ipython_key_completions_(self):
         return self.list()
+
+
+class _DefaultProfiles(Profiles):
+    """Collection bound to whatever the profile dir is AT CALL time
+    (env-var changes take effect immediately) — the module-level
+    `collection` singleton."""
+
+    def __init__(self):
+        pass
+
+    @property
+    def profile_dir(self) -> Path:
+        return default_profile_dir()
+
+
+collection = _DefaultProfiles()
