@@ -163,6 +163,7 @@ __all__ = [
     "selectors",
     "s",
     "Profile",
+    "Profiles",
     "profiles",
     "execute",
     "set_backend",
