@@ -41,3 +41,21 @@ def test_driver_window_composition():
     window = list(QUERIES)[:50]
     missing = [n for n in (*SUITES, *WINDOW_GRANULAR) if n not in window]
     assert not missing, f"outside the driver's 50-slot window: {missing}"
+
+
+def test_suite_type_table_integrity():
+    """The committed suites_types.py must route every column through a
+    known slot category, cover every suite member exactly, and stay
+    sorted by column name — the invariants gen_suite_types.py
+    establishes and suites.py trusts at query time."""
+    from xorq_spark.queries.suites import duck_route
+    from xorq_spark.queries.suites_spec import SUITES
+    from xorq_spark.queries.suites_types import TYPES
+
+    members = {m for ms in SUITES.values() for m in ms}
+    assert set(TYPES) == members
+    for m, rows in TYPES.items():
+        cols = [c for c, _t in rows]
+        assert cols == sorted(cols), m
+        for col, ducktype in rows:
+            assert duck_route(ducktype) in ("k", "n", "d"), (m, col, ducktype)
