@@ -18,9 +18,9 @@ from xorq_spark.session import (
     connect,
     get_backend,
     get_spark,
-    options,
     set_backend,
 )
+from xorq_spark.config import options
 from xorq_spark.expr.api import (
     _,
     asc,

@@ -352,7 +352,81 @@ class Expr:
         return lower(node, self._session(spark), bound)
 
     def __repr__(self):
+        from xorq_spark.config import options
+
+        if options.interactive:
+            try:
+                return self._interactive_repr()
+            except Exception as exc:  # repr must not raise in a REPL
+                note = f"<interactive repr failed: {type(exc).__name__}: {exc}>"
+                return f"{note}\n<Expr {type(self.node).__name__}>\n{_format_tree(self.node)}"
         return f"<Expr {type(self.node).__name__}>\n{_format_tree(self.node)}"
+
+    def _interactive_repr(self) -> str:
+        """Execute a bounded preview and render it as a text table
+        (reference: xo.options.interactive → ibis's rich table repr;
+        ours is plain text honoring the same repr.interactive knobs).
+
+        Fetches ``max_rows + 1`` rows so the footer can say "more rows
+        exist" without counting the full result.
+        """
+        from xorq_spark.config import options
+
+        opts = options.repr.interactive
+        df = self.to_spark().limit(opts.max_rows + 1)
+        pdf = df.toPandas()
+        truncated_rows = len(pdf) > opts.max_rows
+        pdf = pdf.iloc[: opts.max_rows]
+
+        cols = list(pdf.columns)
+        hidden_cols = 0
+        if opts.max_columns is not None and len(cols) > opts.max_columns:
+            hidden_cols = len(cols) - opts.max_columns
+            cols = cols[: opts.max_columns]
+
+        dtypes = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+
+        def render(v):
+            if v is None:
+                return "NULL"
+            s = str(v)
+            if len(s) > opts.max_string:
+                s = s[: opts.max_string - 1] + "…"
+            return s
+
+        table = [[render(v) for v in pdf[c]] for c in cols]
+        headers = [str(c) for c in cols]
+        typerow = [dtypes.get(c, "") for c in cols] if opts.show_types else None
+        widths = [
+            max(
+                len(h),
+                len(typerow[i]) if typerow else 0,
+                *(len(v) for v in table[i] or [""]),
+            )
+            for i, h in enumerate(headers)
+        ]
+
+        def line(cells):
+            return "│ " + " │ ".join(c.ljust(w) for c, w in zip(cells, widths)) + " │"
+
+        sep = "├─" + "─┼─".join("─" * w for w in widths) + "─┤"
+        top = "┌─" + "─┬─".join("─" * w for w in widths) + "─┐"
+        bot = "└─" + "─┴─".join("─" * w for w in widths) + "─┘"
+        out = [top, line(headers)]
+        if typerow:
+            out.append(line(typerow))
+        out.append(sep)
+        for r in range(len(pdf)):
+            out.append(line([table[i][r] for i in range(len(cols))]))
+        out.append(bot)
+        footer = []
+        if truncated_rows:
+            footer.append(f"… more rows (showing {opts.max_rows})")
+        if hidden_cols:
+            footer.append(f"… {hidden_cols} more columns")
+        if footer:
+            out.append("  ".join(footer))
+        return "\n".join(out)
 
     # --- schema / introspection -------------------------------------------
     @property
