@@ -233,3 +233,52 @@ def test_sqlite_cross_engine_join(spark, sqlite_con):
         .order_by("label").execute(spark)
     )
     assert got.s.tolist() == [1.0, 5.0, 4.0]
+
+
+# --- pandas backend federation (reference: backends/pandas) -----------------
+
+
+@pytest.fixture()
+def pandas_con():
+    return interop.pandas_connect()
+
+
+def test_spark_to_pandas_backend(spark, pandas_con):
+    e = xo.memtable({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}).filter(_.k > 1)
+    rel = e.into_backend(pandas_con, "t1")
+    assert pandas_con.list_tables() == ["t1"]
+    pdf = pandas_con.to_pandas("t1")
+    assert sorted(pdf.k.tolist()) == [2, 3]
+    # the returned Expr keeps composing on Spark
+    got = rel.group_by().agg(s=_.v.sum()).execute(spark)
+    assert got.s.tolist() == [50.0]
+
+
+def test_pandas_backend_roundtrip(spark, pandas_con):
+    import pandas as pd
+
+    pandas_con.create_table("src", pd.DataFrame({"k": range(5), "v": [i * 2.0 for i in range(5)]}))
+    e = pandas_con.table("src").filter(_.k >= 2)
+    got = e.order_by("k").execute(spark)
+    assert got.k.tolist() == [2, 3, 4]
+    assert got.v.tolist() == [4.0, 6.0, 8.0]
+    assert pandas_con.to_pyarrow("src").num_rows == 5
+
+
+def test_pandas_backend_cross_engine_join(spark, pandas_con):
+    import pandas as pd
+
+    pandas_con.create_table("dims", pd.DataFrame({"k": range(3), "label": [f"dim{i}" for i in range(3)]}))
+    dims = pandas_con.table("dims")
+    facts = xo.memtable({"k": [0, 1, 1, 2, 9], "x": [1.0, 2.0, 3.0, 4.0, 5.0]})
+    got = (
+        facts.join(dims, ["k"]).group_by("label").agg(s=_.x.sum())
+        .order_by("label").execute(spark)
+    )
+    assert got.s.tolist() == [1.0, 5.0, 4.0]
+
+
+def test_pandas_backend_drop(pandas_con):
+    pandas_con.create_table("a", {"x": [1]})
+    pandas_con.drop_table("a")
+    assert pandas_con.list_tables() == []

@@ -186,6 +186,71 @@ def get_object_metadata(path: str, **kwargs) -> dict:
     return meta
 
 
+class PandasBackend:
+    """In-memory pandas engine (reference: backends/pandas — a
+    dict-of-DataFrames backend used for fixtures, tests, and
+    driver-sized lookup data).
+
+    Scale role: strictly a driver-side sink/source for SMALL tables —
+    broadcast dimensions, fitted-model features, query sets. Fact data
+    never lands here; the transfer is a full collect.
+    """
+
+    def __init__(self):
+        self._tables = {}
+
+    def create_table(self, name: str, obj) -> "Expr":
+        """Register a pandas DataFrame / Arrow table / dict of columns
+        under `name`; returns the table as an Expr (reference:
+        Backend.create_table)."""
+        import pandas as pd
+        import pyarrow as pa
+
+        if isinstance(obj, pa.Table):
+            df = obj.to_pandas()
+        elif isinstance(obj, pd.DataFrame):
+            df = obj.copy()
+        else:
+            df = pd.DataFrame(obj)
+        self._tables[name] = df
+        return self.table(name)
+
+    def table(self, name: str) -> "Expr":
+        """The named table as a Spark-bound memtable Expr."""
+        from xorq_spark.expr.api import memtable
+
+        return memtable(self._tables[name], name=name)
+
+    def list_tables(self):
+        return sorted(self._tables)
+
+    def drop_table(self, name: str) -> None:
+        self._tables.pop(name, None)
+
+    def to_pandas(self, name: str):
+        return self._tables[name]
+
+    def to_pyarrow(self, name: str):
+        import pyarrow as pa
+
+        return pa.Table.from_pandas(self._tables[name], preserve_index=False)
+
+
+def pandas_connect() -> PandasBackend:
+    """A fresh pandas backend (reference: ``xo.pandas.connect()``)."""
+    return PandasBackend()
+
+
+def arrow_into_pandas(expr: Expr, con: PandasBackend, name: Optional[str] = None):
+    """Execute on Spark, land the Arrow result as a pandas DataFrame in
+    the target backend; returns the registered table as an Expr so the
+    pipeline can keep composing (reference: into_backend to the pandas
+    backend, expr/relations.py:430)."""
+    name = name or "xorq_spark_result"
+    tbl = expr.to_pyarrow()
+    return con.create_table(name, tbl)
+
+
 def into_backend(expr: Expr, con=None, name: Optional[str] = None):
     """Dispatch on target engine. `con=None` = Spark-internal barrier:
     materialize through the content-addressed cache so N downstream
@@ -198,4 +263,6 @@ def into_backend(expr: Expr, con=None, name: Optional[str] = None):
         return arrow_into_duckdb(expr, con, name)
     if mod.startswith("sqlite3"):
         return arrow_into_sqlite(expr, con, name)
+    if isinstance(con, PandasBackend):
+        return arrow_into_pandas(expr, con, name)
     raise TypeError(f"unsupported backend connection: {type(con)!r}")
