@@ -169,3 +169,64 @@ def test_dedup_stream(spark, tmp_path):
     S.stream_to_memory(out, "dedup_sink", output_mode="append")
     got = spark.sql("SELECT k FROM dedup_sink ORDER BY k").toPandas()
     assert got.k.tolist() == ["x", "y", "z"]
+
+
+def test_enrich_stream_static_join(spark, events_dir):
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    dims = spark.createDataFrame(
+        [("a", "alpha"), ("b", "beta")], "k string, label string"
+    )
+    enriched = S.enrich_stream(stream, dims, on=["k"])
+    assert enriched.isStreaming
+    S.stream_to_memory(enriched, "enriched", output_mode="append")
+    got = spark.sql("SELECT * FROM enriched ORDER BY ts").toPandas()
+    assert got.label.tolist() == ["alpha", "beta", "alpha", "alpha", "beta"]
+
+
+def test_enrich_stream_rejects_right_join(spark, events_dir):
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    dims = spark.createDataFrame([("a", 1)], "k string, x int")
+    with pytest.raises(ValueError, match="inner/left"):
+        S.enrich_stream(stream, dims, on=["k"], how="right")
+
+
+def test_stream_stream_join(spark, events_dir, tmp_path):
+    # clicks within 2 minutes after an impression, same key
+    imp_dir = tmp_path / "imps"
+    imp_dir.mkdir()
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    pdf = pd.DataFrame(
+        [("a", t0, "i1"), ("b", t0 + dt.timedelta(seconds=5), "i2")],
+        columns=["k", "imp_ts", "imp_id"],
+    )
+    pdf["imp_ts"] = pd.to_datetime(pdf["imp_ts"]).dt.tz_localize("UTC")
+    pdf.to_parquet(imp_dir / "a.parquet", coerce_timestamps="us",
+                   allow_truncated_timestamps=True)
+
+    imps = S.read_stream_parquet(
+        spark, str(imp_dir), "k string, imp_ts timestamp, imp_id string"
+    )
+    clicks = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    joined = S.stream_stream_join(
+        imps, clicks, on=["k"], left_time_col="imp_ts", right_time_col="ts",
+        watermark="10 minutes", max_lag="2 minutes",
+    )
+    assert joined.isStreaming
+    S.stream_to_memory(joined, "ss_join", output_mode="append")
+    got = spark.sql("SELECT imp_id, ts FROM ss_join ORDER BY imp_id, ts").toPandas()
+    # imp i1 (a @ 0:00) matches a-clicks at 0:00, 0:30, 1:10 (within 2 min);
+    # imp i2 (b @ 0:05) matches b-clicks at 0:10 and 2:00 (within 2 min of 0:05)
+    assert got.imp_id.tolist() == ["i1", "i1", "i1", "i2", "i2"]
+
+
+def test_stream_stream_join_same_time_col_rejected(spark, events_dir):
+    s1 = S.read_stream_parquet(spark, events_dir, "k string, ts timestamp, v double")
+    s2 = S.read_stream_parquet(spark, events_dir, "k string, ts timestamp, v double")
+    with pytest.raises(ValueError, match="must differ"):
+        S.stream_stream_join(s1, s2, on=["k"], left_time_col="ts", right_time_col="ts")

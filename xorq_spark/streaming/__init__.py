@@ -14,10 +14,12 @@ Expr layer stays batch (caching a stream is meaningless).
 
 from xorq_spark.streaming.core import (
     dedup_stream,
+    enrich_stream,
     read_stream_kafka,
     read_stream_parquet,
     sessionize,
     stream_foreach_batch,
+    stream_stream_join,
     stream_to_memory,
     stream_to_parquet,
     window_agg,
@@ -25,11 +27,13 @@ from xorq_spark.streaming.core import (
 
 __all__ = [
     "dedup_stream",
+    "enrich_stream",
     "read_stream_kafka",
     "read_stream_parquet",
     "window_agg",
     "sessionize",
     "stream_foreach_batch",
+    "stream_stream_join",
     "stream_to_memory",
     "stream_to_parquet",
 ]

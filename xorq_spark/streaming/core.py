@@ -175,6 +175,72 @@ def dedup_stream(
     return s.dropDuplicates([*subset, time_col])
 
 
+def enrich_stream(
+    stream: DataFrame,
+    static: DataFrame,
+    on: Sequence[str],
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich an event stream with a dimension
+    table (the per-event lookup of a training-data pipeline — language
+    allowlists, source metadata, license tags).
+
+    Scale notes: the static side is broadcast by default — a
+    stream-static join with a shuffled static side would re-shuffle the
+    dimension EVERY micro-batch; broadcasting pins it on the executors
+    once per plan. Works unbounded-state-free: stream-static joins keep
+    no watermark state (each micro-batch joins independently). Inner
+    and left joins are the Spark-supported shapes for the stream side.
+    """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"stream-static joins support inner/left on the stream side, got {how!r}"
+        )
+    right = F.broadcast(static) if broadcast else static
+    return stream.join(right, list(on), how)
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_time_col: str,
+    right_time_col: str,
+    watermark: str = "10 minutes",
+    max_lag: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join with bounded state: joins events from
+    two streams on key columns where the right event arrives within
+    [left_time, left_time + max_lag].
+
+    Both sides carry a watermark and the join condition bounds the
+    event-time skew, so Spark can evict state once the watermark passes
+    `left_time + max_lag` — the ONLY configuration in which a
+    stream-stream join's state doesn't grow forever. Outer variants
+    ('left_outer'/'right_outer') emit unmatched rows only after state
+    eviction proves no match can still arrive.
+
+    The two time columns must have distinct names (both survive into
+    the output so downstream windows can pick either).
+    """
+    if left_time_col == right_time_col:
+        raise ValueError("left_time_col and right_time_col must differ")
+    lw = left.withWatermark(left_time_col, watermark)
+    rw = right.withWatermark(right_time_col, watermark)
+    keys = [lw[c] == rw[c] for c in on]
+    bound = (rw[right_time_col] >= lw[left_time_col]) & (
+        rw[right_time_col] <= lw[left_time_col] + F.expr(f"INTERVAL {max_lag}")
+    )
+    cond = keys[0]
+    for k in keys[1:]:
+        cond = cond & k
+    joined = lw.join(rw, cond & bound, how)
+    # drop the duplicated key columns from the right side
+    return joined.drop(*[rw[c] for c in on])
+
+
 def stream_to_parquet(
     stream: DataFrame,
     path: str,
