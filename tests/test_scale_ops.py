@@ -292,3 +292,37 @@ def test_ann_topk_strategy_dispatch(spark, sf_dir):
 
     with pytest.raises(ValueError):
         ann_topk(queries, emb, strategy="annoy")
+
+
+def test_quantize_embedding_roundtrip(spark):
+    from xorq_spark.functions.similarity import (
+        dequantize_embedding,
+        quantization_error,
+        quantize_embedding,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [127.0, -127.0, 63.5])],
+        "id int, emb array<double>",
+    )
+    got = (
+        df.select("id", "emb", quantize_embedding(F.col("emb")).alias("qs"))
+        .select(
+            "id",
+            F.col("qs.scale").alias("scale"),
+            F.col("qs.q").alias("q"),
+            quantization_error(F.col("emb"), F.col("qs.q"), F.col("qs.scale")).alias("err"),
+            dequantize_embedding(F.col("qs.q"), F.col("qs.scale")).alias("deq"),
+        )
+        .collect()
+    )
+    rows = {r.id: r for r in got}
+    # max|x|=1.0 -> scale=1/127; codes are floor(x*127 + 0.5)
+    assert rows[1].q == [127, -63, 32]
+    # all-zero vector: scale 0, all-zero codes (guarded division)
+    assert rows[2].scale == 0.0 and rows[2].q == [0, 0, 0] and rows[2].err == 0.0
+    assert rows[3].q == [127, -127, 64]
+    for r in got:
+        # symmetric quantization error is bounded by scale/2 per coordinate
+        assert r.err <= r.scale / 2 + 1e-12
+        assert len(r.deq) == 3

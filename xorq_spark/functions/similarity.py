@@ -366,3 +366,39 @@ def ann_topk(
     if strategy == "lsh":
         return ann_lsh_topk(queries, corpus, k, **kwargs)
     raise ValueError(f"unknown ANN strategy {strategy!r}")
+
+
+def quantize_embedding(vec: Column) -> Column:
+    """Symmetric int8 quantization of one embedding vector: struct of
+    (scale double, q array<int>) with q_i = floor(x_i/scale + 0.5),
+    scale = max|x| / 127.
+
+    Scale role: int8 payloads cut ANN corpus memory/shuffle bytes 4x
+    vs float32 (16x vs the doubles Spark promotes to), which decides
+    whether a 100 TB embedding corpus fits executor memory for
+    bucketed probing. All HOFs, JVM codegen, no Python.
+
+    `floor(v + 0.5)` rather than round(): identical double arithmetic
+    is reproducible across engines, while round()'s half-even/half-up
+    tie policy differs by engine/type. All-zero vectors get scale 0 and
+    an all-zero q (guarded division).
+    """
+    v = F.transform(vec, lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    q = F.transform(v, lambda x: F.floor(x / safe + F.lit(0.5)).cast("int"))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_embedding(q: Column, scale: Column) -> Column:
+    """Reconstruct an approximate float vector from int8 codes."""
+    return F.transform(q, lambda x: x.cast("double") * scale)
+
+
+def quantization_error(vec: Column, q: Column, scale: Column) -> Column:
+    """Max absolute reconstruction error (worst coordinate)."""
+    v = F.transform(vec, lambda x: x.cast("double"))
+    return F.array_max(
+        F.zip_with(v, dequantize_embedding(q, scale), lambda x, y: F.abs(x - y))
+    )

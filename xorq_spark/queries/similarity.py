@@ -174,3 +174,58 @@ def sim_ivf(spark, sf_dir):
     return ann_ivf_topk(queries, emb, k=10, n_centroids=8, n_probe=4).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "sim_embedding_quantize",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    s AS (
+      SELECT vec_id, e,
+             list_aggregate(list_transform(e, x -> abs(x)), 'max') / 127.0 AS scale
+      FROM v),
+    g AS (
+      SELECT vec_id, e, scale,
+             CASE WHEN scale = 0.0 THEN 1.0 ELSE scale END AS safe
+      FROM s)
+    SELECT vec_id,
+           ROUND(scale, 9) AS scale,
+           list_transform(e, x -> CAST(floor(x / safe + 0.5) AS INTEGER)) AS q,
+           ROUND(list_aggregate(
+             list_transform(e, x -> abs(x - floor(x / safe + 0.5) * safe)),
+             'max'), 9) AS max_err
+    FROM g ORDER BY vec_id
+    """,
+)
+def sim_quantize(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding corpus: per-vector
+    scale, codes, and worst-coordinate reconstruction error — the 4x
+    memory-reduction pass before bucketed ANN (functions/similarity.py
+    quantize_embedding). floor(x/scale + 0.5) on both engines keeps the
+    code assignment bit-identical (round() tie policy differs)."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    maxabs = F.array_max(F.transform(v, F.abs))
+    scale = maxabs / F.lit(127.0)
+    safe = F.when(scale == 0.0, F.lit(1.0)).otherwise(scale)
+    return (
+        widen(t(spark, sf_dir, "embeddings"))
+        .select(
+            "vec_id",
+            F.round(scale, 9).alias("scale"),
+            F.transform(
+                v, lambda x: F.floor(x / safe + F.lit(0.5)).cast("int")
+            ).alias("q"),
+            F.round(
+                F.array_max(
+                    F.transform(
+                        v,
+                        lambda x: F.abs(
+                            x - F.floor(x / safe + F.lit(0.5)) * safe
+                        ),
+                    )
+                ),
+                9,
+            ).alias("max_err"),
+        )
+        .orderBy("vec_id")
+    )

@@ -198,6 +198,7 @@ SUITES: dict[str, list[str]] = {
         "sim_ann_lsh_topk",
         "sim_norms_and_dots",
         "sim_ann_ivf_fixed_topk",
+        "sim_embedding_quantize",
     ],
     "suite_ml": [
         "ml_train_test_split",
