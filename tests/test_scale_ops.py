@@ -326,3 +326,58 @@ def test_quantize_embedding_roundtrip(spark):
         # symmetric quantization error is bounded by scale/2 per coordinate
         assert r.err <= r.scale / 2 + 1e-12
         assert len(r.deq) == 3
+
+
+def test_chunk_documents_semantics(spark):
+    from xorq_spark.functions import chunk_documents
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(f"t{i}" for i in range(10))),  # 10 tokens
+            (2, "one two"),                              # < chunk size
+            (3, "   "),                                  # whitespace only
+            (4, None),                                   # null text
+        ],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(df, chunk_tokens=4, overlap_tokens=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # stride 3: chunks at tokens [0:4),[3:7),[6:10) -> 3 chunks
+    assert [r.chunk_id for r in by_doc[1]] == [0, 1, 2]
+    assert by_doc[1][0].chunk_text == "t0 t1 t2 t3"
+    assert by_doc[1][1].chunk_text == "t3 t4 t5 t6"
+    assert by_doc[1][2].chunk_text == "t6 t7 t8 t9"
+    # overlap: last token of chunk k = first of chunk k+1
+    assert by_doc[2][0].chunk_text == "one two" and len(by_doc[2]) == 1
+    assert 3 not in by_doc and 4 not in by_doc  # empty docs yield no chunks
+
+    with pytest.raises(ValueError, match="overlap_tokens"):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_stratified_sample_determinism_and_nesting(spark):
+    from xorq_spark.functions import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "de") for i in range(2000)],
+        "id long, lang string",
+    )
+    small = stratified_sample(df, "lang", {"en": 0.1}, ["id"], default_fraction=0.5)
+    big = stratified_sample(df, "lang", {"en": 0.4}, ["id"], default_fraction=0.5)
+    s_ids = {r.id for r in small.collect()}
+    b_ids = {r.id for r in big.collect()}
+    # nested: every row of the 10% en sample is in the 40% en sample
+    assert s_ids <= b_ids
+    # determinism: rerun gives the identical set
+    again = {r.id for r in stratified_sample(df, "lang", {"en": 0.1}, ["id"], default_fraction=0.5).collect()}
+    assert again == s_ids
+    # rates are approximately honored per stratum
+    en_n = sum(1 for r in small.collect() if r.lang == "en")
+    de_n = sum(1 for r in small.collect() if r.lang == "de")
+    assert 50 <= en_n <= 150      # ~10% of 1000
+    assert 400 <= de_n <= 600     # ~50% of 1000
+
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(df, "lang", {"en": 1.5}, ["id"])

@@ -21,7 +21,9 @@ from xorq_spark.functions.text import (
     fingerprint,
     rolling_hash,
     assign_token_shards,
+    chunk_documents,
 )
+from xorq_spark.functions.sampling import stratified_sample
 from xorq_spark.functions.dedup import (
     normalize_text,
     shingles,
@@ -36,7 +38,10 @@ from xorq_spark.functions.dedup import (
 )
 from xorq_spark.functions.similarity import (
     cosine_similarity,
+    dequantize_embedding,
     l2_norm,
+    quantization_error,
+    quantize_embedding,
     ann_bruteforce_topk,
     ann_ivf_topk,
     ann_ivf_fixed_topk,
@@ -57,6 +62,11 @@ __all__ = [
     "quality_score",
     "fingerprint",
     "rolling_hash",
+    "chunk_documents",
+    "stratified_sample",
+    "quantize_embedding",
+    "dequantize_embedding",
+    "quantization_error",
     "normalize_text",
     "shingles",
     "exact_dedup",

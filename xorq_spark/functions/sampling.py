@@ -1,0 +1,62 @@
+"""Deterministic stratified sampling for training-mix construction.
+
+A 100 TB corpus is never trained on wholesale: each source/language
+stratum gets its own sampling rate (up-weight rare languages,
+down-weight boilerplate-heavy crawls). The selection must be a PURE
+FUNCTION of the row key so that reruns, backfills, and a second engine
+(the DuckDB oracle) pick exactly the same rows — Spark's df.sample() is
+seed-stable only within one partitioning, which a 1000-executor rerun
+does not preserve.
+
+Reuses the md5-derived Knuth-mix hash of the ML split layer
+(ml/split.py _key_hash; reference semantics:
+/root/reference/python/xorq/expr/ml/split_lib.py:154) so sampling and
+split assignment come from the same reproducible hash family.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from xorq_spark.ml.split import _key_hash
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    unique_key: Sequence[str],
+    default_fraction: float = 0.0,
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """Keep a deterministic, per-stratum fraction of rows.
+
+    A row survives iff hash(unique_key) % num_buckets falls under its
+    stratum's cutoff — so the sample is stable across runs, partitions,
+    and engines, and a row kept at fraction f is also kept at every
+    fraction > f (nested samples: the 1% sample is a subset of the 10%
+    sample, which makes scaling-law data ladders consistent).
+
+    `fractions` maps stratum value -> fraction in [0, 1]; strata not
+    listed get `default_fraction`. No shuffle: the filter is a pure
+    per-row predicate pushed into the scan stage.
+    """
+    for k, v in fractions.items():
+        if not (0.0 <= v <= 1.0):
+            raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
+    if not (0.0 <= default_fraction <= 1.0):
+        raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    bucket = _key_hash(unique_key) % num_buckets
+    cutoff = F.lit(int(round(default_fraction * num_buckets)))
+    # build CASE stratum WHEN ... chains in sorted order for plan determinism
+    for value in sorted(fractions):
+        cutoff = (
+            F.when(
+                F.col(strata_col) == F.lit(value),
+                F.lit(int(round(fractions[value] * num_buckets))),
+            ).otherwise(cutoff)
+        )
+    return df.filter(bucket < cutoff)

@@ -274,3 +274,64 @@ def contamination_flags(
             ),
         )
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 8,
+):
+    """Split documents into overlapping fixed-token-budget chunks — the
+    context-window packing step of a training/embedding pipeline.
+
+    Chunk i covers whitespace tokens [i*stride, i*stride + chunk_tokens)
+    with stride = chunk_tokens - overlap_tokens, so consecutive chunks
+    share `overlap_tokens` tokens and every token belongs to at least
+    one chunk. Empty/whitespace-only documents yield zero chunks.
+
+    Returns one row per chunk: (id_col, chunk_id, n_chunk_tokens,
+    chunk_text). Entirely JVM-side (split + sequence + slice +
+    posexplode): chunking runs at scan speed with no shuffle — the
+    explode multiplies rows ~n_tokens/stride-fold, so follow with a
+    repartition only if the next stage needs a different key anyway.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    stride = chunk_tokens - overlap_tokens
+    toks = tokenize(F.col(text_col))
+    # null-safe count: under ANSI size(NULL) is NULL, and NULL would
+    # slip past the <= 0 guard via greatest(NULL, 0) = 0 below
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.floor(
+            F.greatest(n - F.lit(overlap_tokens) - F.lit(1), F.lit(0))
+            / F.lit(stride)
+        )
+        + F.lit(1)
+    )
+    # guard: sequence(0, -1) would generate a DESCENDING [0, -1] (Spark
+    # sequences run backwards when start > stop), and size(NULL) is -1 —
+    # so only build the chunk list when there is at least one chunk;
+    # the NULL otherwise-branch makes posexplode emit zero rows.
+    chunks = F.when(
+        n_chunks > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+            lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+        ),
+    )
+    exploded = (
+        df.withColumn("__chunks", chunks)
+        .select(
+            id_col,
+            F.posexplode("__chunks").alias("chunk_id", "__chunk"),
+        )
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size("__chunk").alias("n_chunk_tokens"),
+        F.array_join("__chunk", " ").alias("chunk_text"),
+    )

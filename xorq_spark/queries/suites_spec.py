@@ -180,6 +180,8 @@ SUITES: dict[str, list[str]] = {
         "text_rolling_hash",
         "text_token_shards",
         "text_contamination_check",
+        "text_chunk_documents",
+        "text_stratified_sample",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

@@ -349,3 +349,91 @@ def text_contamination_check(spark, sf_dir):
     docs = widen(t(spark, sf_dir, "documents"))
     bench = docs.filter(F.col("doc_id") % 97 == 0)
     return contamination_flags(docs, bench, n=8).orderBy("doc_id")
+
+
+@query(
+    "text_chunk_documents",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents),
+    meta AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CASE WHEN len(toks) <= 0 THEN 0
+                  ELSE (greatest(len(toks) - 8 - 1, 0) // 56) + 1 END AS n_chunks
+      FROM tok),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, n_chunks::BIGINT - 1)) AS chunk_id,
+             toks
+      FROM meta WHERE n_chunks > 0)
+    SELECT doc_id, chunk_id::INT AS chunk_id,
+           len(list_slice(toks, chunk_id*56 + 1, chunk_id*56 + 64)) AS n_chunk_tokens,
+           md5(array_to_string(list_slice(toks, chunk_id*56 + 1, chunk_id*56 + 64), ' ')) AS chunk_hash
+    FROM chunks ORDER BY doc_id, chunk_id
+    """,
+)
+def text_chunks(spark, sf_dir):
+    """Overlapping 64-token chunks (8-token overlap, stride 56) of each
+    document — the context-window packing operator
+    (functions/text.py chunk_documents). Chunk text hashes to md5 so
+    the certified value is the exact chunk content without shipping
+    full text through the compare."""
+    from xorq_spark.functions import chunk_documents
+
+    out = chunk_documents(
+        t(spark, sf_dir, "documents"),
+        chunk_tokens=64,
+        overlap_tokens=8,
+    )
+    return (
+        widen(out)
+        .select(
+            "doc_id",
+            "chunk_id",
+            "n_chunk_tokens",
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@query(
+    "text_stratified_sample",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang, n_chars,
+             ((((0 * 31 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                % 2147483648) * 2654435761) % 4294967296) % 10000 AS bucket
+      FROM documents),
+    kept AS (
+      SELECT * FROM h
+      WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 1000 END)
+    SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum, SUM(n_chars) AS char_sum
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def text_stratified(spark, sf_dir):
+    """Deterministic per-language sampling for training-mix construction
+    (functions/sampling.py stratified_sample): en kept at 25%, zh
+    up-sampled at 50%, everything else at 10%, keyed on doc_id so the
+    sample is identical across engines/reruns and nested across rates.
+    id_sum certifies the exact kept-row set, not just its size."""
+    from xorq_spark.functions import stratified_sample
+
+    kept = stratified_sample(
+        t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        fractions={"en": 0.25, "zh": 0.50},
+        unique_key=["doc_id"],
+        default_fraction=0.10,
+    )
+    return (
+        widen(kept)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("char_sum"),
+        )
+        .orderBy("lang")
+    )
