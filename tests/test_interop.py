@@ -282,3 +282,45 @@ def test_pandas_backend_drop(pandas_con):
     pandas_con.create_table("a", {"x": [1]})
     pandas_con.drop_table("a")
     assert pandas_con.list_tables() == []
+
+
+# --- postgres federation (gated: no client driver in this container) --------
+
+
+def test_postgres_connect_gated():
+    try:
+        import psycopg2  # noqa: F401
+        has_driver = True
+    except ImportError:
+        try:
+            import pg8000  # noqa: F401
+            has_driver = True
+        except ImportError:
+            has_driver = False
+    if has_driver:
+        pytest.skip("a postgres driver is installed; gate test not applicable")
+    with pytest.raises(ImportError, match="postgres federation needs a client driver"):
+        interop.postgres_connect("postgresql://localhost/x")
+
+
+def test_postgres_into_spark_uses_dbapi_shape(spark):
+    """postgres_into_spark only needs cursor/execute/description/fetchall —
+    prove the contract with a stub so the path is tested without a server."""
+
+    class FakeCursor:
+        description = [("k",), ("v",)]
+
+        def execute(self, q):
+            assert "SELECT" in q
+
+        def fetchall(self):
+            return [(1, "a"), (2, "b")]
+
+    class FakeCon:
+        def cursor(self):
+            return FakeCursor()
+
+    e = interop.postgres_into_spark(FakeCon(), "SELECT k, v FROM t")
+    got = e.order_by("k").execute(spark)
+    assert got.k.tolist() == [1, 2]
+    assert got.v.tolist() == ["a", "b"]

@@ -266,3 +266,99 @@ def into_backend(expr: Expr, con=None, name: Optional[str] = None):
     if isinstance(con, PandasBackend):
         return arrow_into_pandas(expr, con, name)
     raise TypeError(f"unsupported backend connection: {type(con)!r}")
+
+
+def postgres_connect(dsn: str = "", **kwargs):
+    """Connect to postgres for federation (reference:
+    backends/postgres). Gated: needs a postgres client driver
+    (psycopg2, pg8000, or adbc_driver_postgresql), none of which ship
+    in this container — the import error says which to install. The
+    returned DBAPI connection works with `postgres_into_spark` /
+    `arrow_into_postgres` below."""
+    try:
+        import psycopg2  # noqa: PLC0415
+
+        return psycopg2.connect(dsn, **kwargs)
+    except ImportError:
+        pass
+    try:
+        import pg8000.dbapi  # noqa: PLC0415
+
+        return pg8000.dbapi.connect(**kwargs)
+    except ImportError:
+        pass
+    raise ImportError(
+        "postgres federation needs a client driver: pip install psycopg2-binary "
+        "or pg8000 (none found). For cluster-side parallel reads use Spark's "
+        "JDBC source with the postgres JDBC jar on the classpath instead."
+    )
+
+
+def arrow_into_postgres(expr: Expr, con, name: Optional[str] = None):
+    """Execute on Spark, load the result into a postgres table over a
+    DBAPI connection — the reference's most-exercised remote backend
+    (backends/postgres). Column types map through the same conservative
+    rules as sqlite (ints/floats/text/bytea; timestamps as timestamptz).
+
+    Scale note: this is a driver-side executemany — correct for dims and
+    small results. Fact-sized transfers belong on the executors: Spark's
+    JDBC writer (`df.write.jdbc(...)`) with the postgres JDBC jar
+    parallelizes per-partition; this helper intentionally stays
+    dependency-light for the common small-table federation case."""
+    import decimal
+
+    import pyarrow.types as pt
+
+    def pg_type(arrow_type) -> str:
+        if pt.is_boolean(arrow_type):
+            return "BOOLEAN"
+        if pt.is_integer(arrow_type):
+            return "BIGINT"
+        if pt.is_floating(arrow_type) or pt.is_decimal(arrow_type):
+            return "DOUBLE PRECISION"
+        if pt.is_binary(arrow_type) or pt.is_large_binary(arrow_type):
+            return "BYTEA"
+        if pt.is_timestamp(arrow_type):
+            return "TIMESTAMPTZ"
+        if pt.is_date(arrow_type):
+            return "DATE"
+        return "TEXT"
+
+    name = name or "xorq_spark_result"
+    tbl = expr.to_pyarrow()
+    cols = ", ".join(f'"{f.name}" {pg_type(f.type)}' for f in tbl.schema)
+    cur = con.cursor()
+    cur.execute(f'DROP TABLE IF EXISTS "{name}"')
+    cur.execute(f'CREATE TABLE "{name}" ({cols})')
+
+    def conv(v):
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        if isinstance(v, (list, dict, tuple)):
+            import json
+
+            return json.dumps(v, default=str)
+        return v
+
+    rows = [
+        tuple(conv(v) for v in row)
+        for row in zip(*(c.to_pylist() for c in tbl.columns))
+    ]
+    placeholders = ", ".join(["%s"] * tbl.num_columns)
+    if rows:
+        cur.executemany(f'INSERT INTO "{name}" VALUES ({placeholders})', rows)
+    con.commit()
+    return name
+
+
+def postgres_into_spark(con, query: str, spark=None) -> Expr:
+    """Run SQL on postgres, ingest the result as a memtable Expr (the
+    reverse RemoteTable direction, like duckdb_into_spark)."""
+    import pandas as pd
+
+    from xorq_spark.expr.api import memtable
+
+    cur = con.cursor()
+    cur.execute(query)
+    cols = [d[0] for d in cur.description]
+    return memtable(pd.DataFrame(cur.fetchall(), columns=cols))
