@@ -37,6 +37,11 @@ HEADLINE = [
     "sim_ann_lsh_topk",
     "text_quality_score",
     "mm_extract_features",
+    # round 3 additions (new operators; per-query numbers above stay
+    # comparable across rounds, the total line gains these three)
+    "text_chunk_documents",
+    "text_stratified_sample",
+    "sim_embedding_quantize",
 ]
 
 # Measurement policy (pinned since round 3 so BENCH_r{N} files are
