@@ -6,8 +6,11 @@
 4. MinHash+LSH near-duplicate pairs on what's left,
 5. connected components over the pair graph (large-star/small-star),
 6. keep one canonical document per cluster (min id),
-7. pack the survivors into contiguous token-budget training shards,
-8. land the shards as hive-partitioned parquet.
+7. rebalance the training mix with deterministic per-language
+   stratified sampling (nested across rates, engine/rerun-stable),
+8. chunk the survivors into overlapping context-window pieces,
+9. pack the chunks into contiguous token-budget training shards,
+10. land the shards as hive-partitioned parquet.
 
     python examples/dedup_documents.py [sf_dir]
 """
@@ -22,6 +25,7 @@ import pyspark.sql.functions as F
 
 from xorq_spark.functions import (
     assign_token_shards,
+    chunk_documents,
     connected_components,
     contamination_flags,
     exact_dedup,
@@ -29,6 +33,7 @@ from xorq_spark.functions import (
     quality_score,
     redact_pii,
     repetition_ratio,
+    stratified_sample,
 )
 from xorq_spark.session import connect
 
@@ -75,11 +80,31 @@ def main(sf_dir: str):
     canon = uniq.join(losers, "doc_id", "left_anti")
     print(f"near dedup: {uniq.count()} -> {canon.count()} canonical docs")
 
+    # Rebalance the mix: keep all of the rare languages, downsample the
+    # dominant one. Pure per-row hash predicate — no shuffle, and the
+    # same rows survive on every rerun/backfill.
+    mixed = stratified_sample(
+        canon, "lang", {"en": 0.5}, ["doc_id"], default_fraction=1.0
+    )
+    print(f"training-mix sampling: {canon.count()} -> {mixed.count()} docs")
+
+    # Context-window chunking (scan-speed explode), then pack chunks
+    # into contiguous token-budget shards per language.
+    chunks = chunk_documents(mixed, chunk_tokens=256, overlap_tokens=16)
+    chunks = chunks.join(mixed.select("doc_id", "lang"), "doc_id")
+    print(f"chunking: {mixed.count()} docs -> {chunks.count()} chunks")
+
     sharded = assign_token_shards(
-        canon, "text", "doc_id", tokens_per_shard=10_000, partition_cols=("lang",)
+        chunks.withColumn(
+            "chunk_key", F.concat_ws(":", "doc_id", "chunk_id")
+        ),
+        "chunk_text",
+        "chunk_key",
+        tokens_per_shard=10_000,
+        partition_cols=("lang",),
     )
     sharded.groupBy("lang", "shard_id").agg(
-        F.count("*").alias("docs"), F.sum("n_tokens").alias("tokens")
+        F.count("*").alias("chunks"), F.sum("n_tokens").alias("tokens")
     ).orderBy("lang", "shard_id").show(10)
 
     out = os.path.join(tempfile.mkdtemp(prefix="shards_"), "corpus")
