@@ -1,0 +1,178 @@
+"""Minimal Delta Lake reader (xorq_spark/delta.py): transaction-log
+replay without delta-spark — commits, removes, time travel, partitions,
+checkpoints, protocol gating."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pandas as pd
+import pytest
+
+import xorq_spark as xo
+from xorq_spark.delta import DeltaProtocolError, replay_log
+
+
+def _schema_string(fields):
+    return json.dumps(
+        {
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": t, "nullable": True, "metadata": {}}
+                for n, t in fields
+            ],
+        }
+    )
+
+
+def _commit(log_dir, version, actions):
+    with open(os.path.join(log_dir, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _meta(fields, part_cols=()):
+    return {
+        "metaData": {
+            "id": "test",
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": _schema_string(fields),
+            "partitionColumns": list(part_cols),
+            "configuration": {},
+        }
+    }
+
+
+def _make_table(root, part=False):
+    """Two commits: v0 adds f1+f2, v1 removes f2 and adds f3."""
+    os.makedirs(os.path.join(root, "_delta_log"))
+    log = os.path.join(root, "_delta_log")
+
+    def write(fname, rows, sub=""):
+        d = os.path.join(root, sub) if sub else root
+        os.makedirs(d, exist_ok=True)
+        pd.DataFrame(rows).to_parquet(os.path.join(d, fname))
+
+    if part:
+        write("f1.parquet", {"k": [1, 2], "v": [10.0, 20.0]}, "lang=en")
+        write("f2.parquet", {"k": [3], "v": [30.0]}, "lang=de")
+        write("f3.parquet", {"k": [4], "v": [40.0]}, "lang=de")
+        pv = lambda l: {"lang": l}
+        fields = [("k", "long"), ("v", "double"), ("lang", "string")]
+        _commit(log, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(fields, ["lang"]),
+            {"add": {"path": "lang=en/f1.parquet", "partitionValues": pv("en"),
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "lang=de/f2.parquet", "partitionValues": pv("de"),
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+        _commit(log, 1, [
+            {"remove": {"path": "lang=de/f2.parquet", "dataChange": True}},
+            {"add": {"path": "lang=de/f3.parquet", "partitionValues": pv("de"),
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+    else:
+        write("f1.parquet", {"k": [1, 2], "v": [10.0, 20.0]})
+        write("f2.parquet", {"k": [3], "v": [30.0]})
+        write("f3.parquet", {"k": [4], "v": [40.0]})
+        fields = [("k", "long"), ("v", "double")]
+        _commit(log, 0, [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            _meta(fields),
+            {"add": {"path": "f1.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+            {"add": {"path": "f2.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+        _commit(log, 1, [
+            {"remove": {"path": "f2.parquet", "dataChange": True}},
+            {"add": {"path": "f3.parquet", "partitionValues": {},
+                     "size": 1, "modificationTime": 0, "dataChange": True}},
+        ])
+    return root
+
+
+def test_replay_latest_and_time_travel(tmp_path):
+    root = _make_table(str(tmp_path / "t"))
+    adds, meta = replay_log(root)
+    assert sorted(a["path"] for a in adds) == ["f1.parquet", "f3.parquet"]
+    adds0, _ = replay_log(root, version=0)
+    assert sorted(a["path"] for a in adds0) == ["f1.parquet", "f2.parquet"]
+    assert meta["partitionColumns"] == []
+
+
+def test_read_delta_fallback_end_to_end(spark, tmp_path):
+    root = _make_table(str(tmp_path / "t"))
+    e = xo.read_delta(root)
+    got = e.order_by("k").execute(spark)
+    assert got.k.tolist() == [1, 2, 4]       # f2's row removed at v1
+    assert got.v.tolist() == [10.0, 20.0, 40.0]
+    # time travel to v0 sees the removed file, not the later add
+    got0 = xo.read_delta(root, version=0).order_by("k").execute(spark)
+    assert got0.k.tolist() == [1, 2, 3]
+
+
+def test_read_delta_partitioned(spark, tmp_path):
+    root = _make_table(str(tmp_path / "t"), part=True)
+    got = xo.read_delta(root).order_by("k").execute(spark)
+    assert got.k.tolist() == [1, 2, 4]
+    # partition column values come from the log, typed by the schema
+    assert got.lang.tolist() == ["en", "en", "de"]
+
+
+def test_reader_protocol_gate(tmp_path):
+    root = str(tmp_path / "t")
+    os.makedirs(os.path.join(root, "_delta_log"))
+    _commit(os.path.join(root, "_delta_log"), 0, [
+        {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7}},
+        _meta([("k", "long")]),
+    ])
+    with pytest.raises(DeltaProtocolError, match="reader protocol v3"):
+        replay_log(root)
+
+
+def test_not_a_delta_table(tmp_path):
+    with pytest.raises(FileNotFoundError, match="_delta_log"):
+        replay_log(str(tmp_path / "nope"))
+
+
+def test_checkpoint_replay(tmp_path):
+    """Checkpoint at v1 is the replay base; later JSON commits layer on."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = _make_table(str(tmp_path / "t"))
+    log = os.path.join(root, "_delta_log")
+    # checkpoint capturing post-v1 state: f1 + f3 active. (Real
+    # checkpoints carry partitionValues as map<string,string>; pyarrow
+    # can't write an EMPTY struct from pylist, and the reader treats a
+    # missing key as no partition values, so the fixture omits it.)
+    cp_rows = [
+        {"add": {"path": "f1.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True},
+         "metaData": None, "protocol": None},
+        {"add": {"path": "f3.parquet", "size": 1,
+                 "modificationTime": 0, "dataChange": True},
+         "metaData": None, "protocol": None},
+        {"add": None,
+         "metaData": {
+             k: v
+             for k, v in json.loads(
+                 open(os.path.join(log, f"{0:020d}.json")).readlines()[1]
+             )["metaData"].items()
+             # empty structs (configuration, format.options) are
+             # unwritable from pylist; the reader only needs
+             # schemaString + partitionColumns
+             if k in ("id", "schemaString", "partitionColumns")
+         },
+         "protocol": {"minReaderVersion": 1}},
+    ]
+    pq.write_table(pa.Table.from_pylist(cp_rows), os.path.join(log, f"{1:020d}.checkpoint.parquet"))
+    # remove the JSON commits at or before the checkpoint to prove the
+    # checkpoint alone carries the state
+    os.remove(os.path.join(log, f"{0:020d}.json"))
+    adds, m = replay_log(root)
+    assert sorted(a["path"] for a in adds) == ["f1.parquet", "f3.parquet"]
+    assert m is not None

@@ -263,11 +263,12 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert cback.order_by("k").execute(spark).v.tolist() == ["x", "y"]
 
 
-def test_read_delta_gated(spark, tmp_path):
+def test_read_delta_missing_log(spark, tmp_path):
     e = xo.expr.api.deferred_read_delta(str(tmp_path / "dl"))  # builds fine
     assert e.node.path.endswith("dl")
-    with pytest.raises(ImportError, match="delta-spark"):
-        e.count(spark)  # this container has no delta package
+    # no delta-spark jar here AND no _delta_log on disk -> clear error
+    with pytest.raises(FileNotFoundError, match="_delta_log"):
+        e.count(spark)
 
 
 def test_tag_and_hashing_tag(spark, lineitem):

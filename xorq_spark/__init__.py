@@ -26,6 +26,7 @@ from xorq_spark.expr.api import (
     asc,
     case,
     deferred_read_csv,
+    deferred_read_delta,
     deferred_read_json,
     deferred_read_parquet,
     desc,
@@ -33,6 +34,7 @@ from xorq_spark.expr.api import (
     memtable,
     param,
     read_csv,
+    read_delta,
     read_json,
     read_parquet,
     register,
@@ -147,9 +149,11 @@ __all__ = [
     "case",
     "desc",
     "deferred_read_csv",
+    "deferred_read_delta",
     "deferred_read_json",
     "deferred_read_parquet",
     "read_csv",
+    "read_delta",
     "read_json",
     "read_parquet",
     "register",

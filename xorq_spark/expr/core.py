@@ -109,11 +109,10 @@ def lower(
             r = r.option("versionAsOf", node.version)
         try:
             return r.load(node.path)
-        except Exception as exc:  # delta-spark not installed here
-            raise ImportError(
-                "read_delta requires the delta-spark package on the cluster "
-                f"(loading {node.path!r} failed: {exc})"
-            ) from exc
+        except Exception:  # no delta-spark jar: replay the log directly
+            from xorq_spark.delta import read_delta_fallback
+
+            return read_delta_fallback(spark, node.path, node.version)
     if isinstance(node, N.Memtable):
         tbl = get_memtable(node.token)
         return spark.createDataFrame(tbl.to_pandas(), schema=schema_to_struct(node.schema))
