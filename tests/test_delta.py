@@ -176,3 +176,87 @@ def test_checkpoint_replay(tmp_path):
     adds, m = replay_log(root)
     assert sorted(a["path"] for a in adds) == ["f1.parquet", "f3.parquet"]
     assert m is not None
+
+
+# --- writer + WAP on the log ------------------------------------------------
+
+
+def test_write_delta_roundtrip(spark, tmp_path):
+    from xorq_spark.delta import write_delta
+
+    root = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    v0 = write_delta(df1, root)
+    assert v0 == 0
+    df2 = spark.createDataFrame([(3, "c")], "k long, v string")
+    v1 = write_delta(df2, root, mode="append")
+    assert v1 == 1
+    got = xo.read_delta(root).order_by("k").execute(spark)
+    assert got.k.tolist() == [1, 2, 3]
+    # overwrite retires every live file in one commit
+    v2 = write_delta(df2, root, mode="overwrite")
+    assert v2 == 2
+    assert xo.read_delta(root).execute(spark).k.tolist() == [3]
+    # time travel still sees the pre-overwrite snapshot
+    old = xo.read_delta(root, version=1).order_by("k").execute(spark)
+    assert old.k.tolist() == [1, 2, 3]
+
+
+def test_write_delta_partitioned(spark, tmp_path):
+    from xorq_spark.delta import write_delta
+
+    root = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "de")], "k long, lang string"
+    )
+    write_delta(df, root, partition_by=["lang"])
+    got = xo.read_delta(root).order_by("k").execute(spark)
+    assert got.lang.tolist() == ["en", "en", "de"]
+    # partition values live in the log, data files sit under lang=* dirs
+    adds, meta = replay_log(root)
+    assert meta["partitionColumns"] == ["lang"]
+    assert all(a["partitionValues"]["lang"] in ("en", "de") for a in adds)
+
+
+def test_wap_delta_publish_and_isolation(spark, tmp_path):
+    from xorq_spark import writes
+    from xorq_spark.delta import write_delta
+
+    root = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, 10.0)], "k long, v double")
+    write_delta(base, root)
+
+    seen_during_audit = {}
+
+    def audit_counts(staged):
+        # concurrent-reader isolation: while the audit runs, the live
+        # table still shows only the base snapshot
+        seen_during_audit["live_rows"] = len(xo.read_delta(root).execute())
+        return len(staged.execute()) == 2
+
+    e = xo.memtable({"k": [2, 3], "v": [20.0, 30.0]})
+    version = writes.write_audit_publish_delta(e, root, [audit_counts], spark)
+    assert version == 1
+    assert seen_during_audit["live_rows"] == 1
+    got = xo.read_delta(root).order_by("k").execute(spark)
+    assert got.k.tolist() == [1, 2, 3]
+
+
+def test_wap_delta_audit_failure_rolls_back(spark, tmp_path):
+    from xorq_spark import writes
+    from xorq_spark.delta import write_delta
+
+    root = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, 10.0)], "k long, v double"), root)
+
+    def reject(staged):
+        return False
+
+    e = xo.memtable({"k": [9], "v": [90.0]})
+    with pytest.raises(writes.AuditError, match="reject"):
+        writes.write_audit_publish_delta(e, root, [reject], spark)
+    # table unchanged AND the staged files are gone
+    assert xo.read_delta(root).execute(spark).k.tolist() == [1]
+    files = [f for f in os.listdir(root) if f.endswith(".parquet")]
+    adds, _ = replay_log(root)
+    assert sorted(files) == sorted(a["path"] for a in adds)

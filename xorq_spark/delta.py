@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 
 class DeltaProtocolError(NotImplementedError):
@@ -174,7 +174,9 @@ def read_delta_fallback(spark, table_path: str, version: Optional[int] = None):
         groups.setdefault(key, []).append(os.path.join(table_path, a["path"]))
 
     out = None
-    for key, files in sorted(groups.items()):
+    # deterministic group order; repr-key because partition values can
+    # be None (null partitions), which plain tuple sorting rejects
+    for key, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
         df = spark.read.parquet(*files).select(*data_cols)
         for c, v in zip(part_cols, key):
             lit = F.lit(v).cast(types[c]) if v is not None else F.lit(None).cast(types[c])
@@ -182,3 +184,164 @@ def read_delta_fallback(spark, table_path: str, version: Optional[int] = None):
         df = df.select(*[f["name"] for f in schema["fields"]])
         out = df if out is None else out.unionByName(df)
     return out
+
+
+# ---------------------------------------------------------------------------
+# minimal writer (protocol v1) + write-audit-publish on the log
+# ---------------------------------------------------------------------------
+
+_DELTA_TYPE = {
+    "bigint": "long",
+    "int": "integer",
+    "smallint": "short",
+    "tinyint": "byte",
+    "string": "string",
+    "boolean": "boolean",
+    "double": "double",
+    "float": "float",
+    "date": "date",
+    "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz",
+    "binary": "binary",
+}
+
+
+def _delta_schema_string(spark_schema) -> str:
+    fields = []
+    for f in spark_schema.fields:
+        simple = f.dataType.simpleString()
+        fields.append(
+            {
+                "name": f.name,
+                "type": _DELTA_TYPE.get(simple, simple),
+                "nullable": bool(f.nullable),
+                "metadata": {},
+            }
+        )
+    return json.dumps({"type": "struct", "fields": fields})
+
+
+def _commit_version(log_dir: str) -> int:
+    versions = [
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f.split(".")[0].isdigit()
+    ]
+    return (max(versions) + 1) if versions else 0
+
+
+def _atomic_commit(log_dir: str, actions: List[dict]) -> int:
+    """Append the next commit atomically: write a temp file, link it to
+    `{version}.json` (link fails if the version exists — the loser of a
+    concurrent race retries at the next version). This is the Delta
+    protocol's mutual-exclusion contract on a POSIX filesystem; object
+    stores use put-if-absent the same way."""
+    import uuid as _uuid
+
+    tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    while True:
+        version = _commit_version(log_dir)
+        target = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            os.link(tmp, target)
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            continue
+
+
+def stage_delta_files(
+    df, table_path: str, partition_by: Sequence[str] = ()
+) -> List[dict]:
+    """Write `df`'s data files into the table directory WITHOUT
+    committing them: the distributed parquet write lands in a hidden
+    staging dir, files move (same-filesystem rename, no copy) to their
+    final names, and the returned add-actions are NOT yet in the log —
+    invisible to every reader until `_atomic_commit` publishes them."""
+    import shutil
+    import uuid as _uuid
+
+    os.makedirs(table_path, exist_ok=True)
+    staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex[:12]}")
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(staging)
+
+    adds = []
+    for dirpath, _, files in os.walk(staging):
+        rel_dir = os.path.relpath(dirpath, staging)
+        pv = {}
+        if rel_dir != ".":
+            for piece in rel_dir.split(os.sep):
+                k, _, v = piece.partition("=")
+                pv[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            new_name = f"part-{_uuid.uuid4().hex}.parquet"
+            rel = os.path.join(rel_dir, new_name) if rel_dir != "." else new_name
+            dest = os.path.join(table_path, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            shutil.move(os.path.join(dirpath, fn), dest)
+            adds.append(
+                {
+                    "add": {
+                        "path": rel.replace(os.sep, "/"),
+                        "partitionValues": pv,
+                        "size": os.path.getsize(dest),
+                        "modificationTime": int(os.path.getmtime(dest) * 1000),
+                        "dataChange": True,
+                    }
+                }
+            )
+    shutil.rmtree(staging)
+    return adds
+
+
+def write_delta(
+    df,
+    table_path: str,
+    mode: str = "append",
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Minimal Delta protocol v1 writer: stage data files, then commit
+    add-actions (plus protocol/metaData on first commit, remove-actions
+    of every live file for mode='overwrite') in one atomic log entry.
+    Returns the committed version.
+
+    Scale note: the data write is a normal distributed parquet write;
+    only the commit (a small JSON append) is driver-side — the same
+    split delta-spark itself has."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    log_dir = os.path.join(table_path, "_delta_log")
+    new_table = not os.path.isdir(log_dir)
+
+    actions: List[dict] = []
+    if new_table:
+        os.makedirs(log_dir, exist_ok=True)
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(__import__("uuid").uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _delta_schema_string(df.schema),
+                    "partitionColumns": list(partition_by),
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    elif mode == "overwrite":
+        live, _ = replay_log(table_path)
+        actions.extend(
+            {"remove": {"path": a["path"], "dataChange": True}} for a in live
+        )
+
+    actions.extend(stage_delta_files(df, table_path, partition_by))
+    return _atomic_commit(log_dir, actions)

@@ -127,6 +127,82 @@ def write_audit_publish_iceberg(
     return table
 
 
+def write_audit_publish_delta(
+    expr: Expr,
+    table_path: str,
+    audits: Sequence[Callable[[Expr], bool]],
+    spark=None,
+    mode: str = "append",
+    partition_by: Sequence[str] = (),
+) -> int:
+    """WAP on the built-in Delta log (delta.py): stage data files into
+    the table directory WITHOUT committing, audit the staged snapshot,
+    then publish by atomically appending the commit JSON. Returns the
+    committed version.
+
+    This is the lakehouse-grade contract the Iceberg flavor promises —
+    publish is metadata-only (one small file creation; no data movement
+    at any scale) and an uncommitted stage is invisible to every
+    concurrent reader, because readers only see files the log names. On
+    audit failure the staged files are deleted and AuditError raises;
+    the table's live snapshot is untouched throughout."""
+    from xorq_spark.delta import (
+        _atomic_commit,
+        _delta_schema_string,
+        replay_log,
+        stage_delta_files,
+    )
+    from xorq_spark.expr.api import register
+    from xorq_spark.session import get_spark
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    s = spark or get_spark()
+    df = expr.to_spark(s)
+    log_dir = os.path.join(table_path, "_delta_log")
+    new_table = not os.path.isdir(log_dir)
+
+    adds = stage_delta_files(df, table_path, partition_by)
+    staged_paths = [os.path.join(table_path, a["add"]["path"]) for a in adds]
+    staged = register(
+        s,
+        s.read.parquet(*staged_paths) if staged_paths else df.limit(0),
+        f"_wap_delta_{uuid.uuid4().hex[:8]}",
+    )
+    for audit in audits:
+        if not audit(staged):
+            for p in staged_paths:
+                os.unlink(p)
+            raise AuditError(
+                f"audit {getattr(audit, '__name__', repr(audit))} failed; "
+                f"staged files removed, {table_path} unchanged"
+            )
+
+    actions = []
+    if new_table:
+        os.makedirs(log_dir, exist_ok=True)
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(uuid.uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _delta_schema_string(df.schema),
+                    "partitionColumns": list(partition_by),
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    elif mode == "overwrite":
+        live, _ = replay_log(table_path)
+        actions.extend(
+            {"remove": {"path": a["path"], "dataChange": True}} for a in live
+        )
+    actions.extend(adds)
+    return _atomic_commit(log_dir, actions)
+
+
 # --------------------------------------------------------------------------
 # reference-named surface (writes/__init__ __all__): deferred WAP exprs
 # and the write-through/WriteMode spellings. DrainingIterator /
