@@ -260,3 +260,14 @@ def test_wap_delta_audit_failure_rolls_back(spark, tmp_path):
     files = [f for f in os.listdir(root) if f.endswith(".parquet")]
     adds, _ = replay_log(root)
     assert sorted(files) == sorted(a["path"] for a in adds)
+
+
+def test_expr_to_delta_sink(spark, tmp_path):
+    root = str(tmp_path / "t")
+    e = xo.memtable({"k": [1, 2], "v": ["a", "b"]})
+    v = e.to_delta(root, spark)
+    assert v == 0
+    v2 = xo.to_delta(xo.memtable({"k": [3], "v": ["c"]}), root, spark=spark)
+    assert v2 == 1
+    got = xo.read_delta(root).order_by("k").execute(spark)
+    assert got.k.tolist() == [1, 2, 3]

@@ -66,6 +66,10 @@ def to_json(expr: Expr, path: str, **kwargs):
     return expr.to_json(path, **kwargs)
 
 
+def to_delta(expr: Expr, path: str, **kwargs) -> int:
+    return expr.to_delta(path, **kwargs)
+
+
 def to_pyarrow(expr: Expr, **kwargs):
     return expr.to_pyarrow(**kwargs)
 
@@ -175,6 +179,7 @@ __all__ = [
     "to_parquet",
     "to_csv",
     "to_json",
+    "to_delta",
     "to_pyarrow",
     "to_pyarrow_batches",
     "to_pyarrow_stream",

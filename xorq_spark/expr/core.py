@@ -717,6 +717,19 @@ class Expr:
     def to_json(self, path: str, spark=None, params=None, mode: str = "overwrite", **options):
         self.to_spark(spark, params).write.mode(mode).options(**options).json(path)
 
+    def to_delta(
+        self, path: str, spark=None, params=None, mode: str = "append",
+        partition_by=(),
+    ) -> int:
+        """Delta Lake sink via the built-in protocol-v1 writer
+        (delta.py write_delta): distributed parquet data write + one
+        atomic log commit. Returns the committed version. Pairs with
+        `read_delta` for snapshot-isolated, time-travelable round
+        trips without delta-spark."""
+        from xorq_spark.delta import write_delta
+
+        return write_delta(self.to_spark(spark, params), path, mode, partition_by)
+
     def create_table(self, name: str, spark=None, overwrite: bool = True):
         w = self.to_spark(spark).write
         (w.mode("overwrite") if overwrite else w).saveAsTable(name)

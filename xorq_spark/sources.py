@@ -19,6 +19,7 @@ from xorq_spark.expr.api import (
     table,
 )
 from xorq_spark.interop import duckdb_into_spark, read_record_batches
+from xorq_spark.delta import read_delta_fallback, replay_log, write_delta
 
 __all__ = [
     "deferred_read_parquet",
@@ -34,4 +35,7 @@ __all__ = [
     "register",
     "read_record_batches",
     "duckdb_into_spark",
+    "write_delta",
+    "replay_log",
+    "read_delta_fallback",
 ]
