@@ -88,3 +88,57 @@ def test_suite_union_preserves_branch_plans(spark):
     assert len(pushed) >= 10  # q1-q5 branches each push scan filters
     assert plan.count("BroadcastHashJoin") >= 10
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_documents_scan_speed_shape(spark):
+    """Chunking is scan -> explode with no shuffle before the Generate:
+    the only exchanges are the final presentation sort."""
+    import re
+
+    plan = _plan(spark, "text_chunk_documents")
+    assert "Generate" in plan
+    # column pruning: only doc_id + text reach the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["doc_id", "text"]
+    # no Python evaluation anywhere (pure HOFs)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the Generate (explode) runs in the scan pipeline, before any
+    # exchange: lower node numbers execute first in the formatted plan
+    def node_no(label):
+        m2 = re.search(r"\((\d+)\) " + label, plan)
+        assert m2, label
+        return int(m2.group(1))
+
+    assert node_no("Generate") < node_no("Exchange")
+
+
+def test_stratified_sample_filter_at_scan_stage(spark):
+    """The per-row hash predicate evaluates in the scan stage (no
+    pre-filter shuffle), and pruning keeps the scan at 3 columns."""
+    import re
+
+    plan = _plan(spark, "text_stratified_sample")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["doc_id", "lang", "n_chars"]
+    # Filter sits directly on the scan (node (2) over scan (1)),
+    # upstream of every exchange
+    m2 = re.search(r"\((\d+)\) Filter", plan)
+    m3 = re.search(r"\((\d+)\) Exchange", plan)
+    assert m2 and m3 and int(m2.group(1)) < int(m3.group(1))
+    assert "(1) Scan parquet" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quantize_no_shuffle_no_python(spark):
+    """Quantization is a pure projection: HOFs only, no Python eval, no
+    aggregation shuffle — exchanges exist only for the output sort."""
+    plan = _plan(spark, "sim_embedding_quantize")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" not in plan
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
+    assert cols == ["embedding", "vec_id"]
