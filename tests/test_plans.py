@@ -103,14 +103,14 @@ def test_chunk_documents_scan_speed_shape(spark):
     assert cols == ["doc_id", "text"]
     # no Python evaluation anywhere (pure HOFs)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the Generate (explode) runs in the scan pipeline, before any
-    # exchange: lower node numbers execute first in the formatted plan
-    def node_no(label):
-        m2 = re.search(r"\((\d+)\) " + label, plan)
-        assert m2, label
-        return int(m2.group(1))
-
-    assert node_no("Generate") < node_no("Exchange")
+    # the Generate (explode) runs in the scan pipeline: the only
+    # exchange upstream of it is the deliberate widen() rebalance
+    # (lower node numbers execute first in the formatted plan)
+    gen = int(re.search(r"\((\d+)\) Generate", plan).group(1))
+    upstream_exchanges = [
+        int(n) for n in re.findall(r"\((\d+)\) Exchange", plan) if int(n) < gen
+    ]
+    assert len(upstream_exchanges) <= 1, plan
 
 
 def test_stratified_sample_filter_at_scan_stage(spark):

@@ -380,13 +380,15 @@ def text_chunks(spark, sf_dir):
     full text through the compare."""
     from xorq_spark.functions import chunk_documents
 
+    # widen BEFORE chunking: tokenize/slice is the compute-bound pass,
+    # and a small parquet scans as one split otherwise
     out = chunk_documents(
-        t(spark, sf_dir, "documents"),
+        widen(t(spark, sf_dir, "documents")),
         chunk_tokens=64,
         overlap_tokens=8,
     )
     return (
-        widen(out)
+        out
         .select(
             "doc_id",
             "chunk_id",
@@ -427,8 +429,11 @@ def text_stratified(spark, sf_dir):
         unique_key=["doc_id"],
         default_fraction=0.10,
     )
+    # no widen: the hash filter evaluates in the scan stage and the
+    # aggregate repartitions on lang anyway — a rebalance would be a
+    # third, pure-overhead shuffle
     return (
-        widen(kept)
+        kept
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
