@@ -381,3 +381,25 @@ def test_stratified_sample_determinism_and_nesting(spark):
 
     with pytest.raises(ValueError, match="fraction"):
         stratified_sample(df, "lang", {"en": 1.5}, ["id"])
+
+
+def test_cap_per_group(spark):
+    from xorq_spark.functions import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small") for i in range(100)],
+        "id long, src string",
+    )
+    capped = cap_per_group(df, "src", 10, ["id"])
+    got = capped.groupBy("src").count().collect()
+    counts = {r.src: r["count"] for r in got}
+    assert counts == {"big": 10, "small": 10}
+    # deterministic: same keep-set on rerun
+    ids1 = sorted(r.id for r in capped.collect())
+    ids2 = sorted(r.id for r in cap_per_group(df, "src", 10, ["id"]).collect())
+    assert ids1 == ids2
+    # keep='first' takes the lowest ids
+    first = cap_per_group(df, "src", 2, ["id"], keep="first")
+    assert sorted(r.id for r in first.filter("src = 'big'").collect()) == [0, 1]
+    with pytest.raises(ValueError, match="keep"):
+        cap_per_group(df, "src", 1, ["id"], keep="random")

@@ -23,7 +23,7 @@ from xorq_spark.functions.text import (
     assign_token_shards,
     chunk_documents,
 )
-from xorq_spark.functions.sampling import stratified_sample
+from xorq_spark.functions.sampling import cap_per_group, stratified_sample
 from xorq_spark.functions.dedup import (
     normalize_text,
     shingles,
@@ -64,6 +64,7 @@ __all__ = [
     "rolling_hash",
     "chunk_documents",
     "stratified_sample",
+    "cap_per_group",
     "quantize_embedding",
     "dequantize_embedding",
     "quantization_error",

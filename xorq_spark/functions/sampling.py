@@ -60,3 +60,38 @@ def stratified_sample(
             ).otherwise(cutoff)
         )
     return df.filter(bucket < cutoff)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    max_rows: int,
+    unique_key: Sequence[str],
+    keep: str = "hash",
+) -> DataFrame:
+    """Frequency capping: keep at most `max_rows` rows per group — the
+    per-domain/per-source cap that stops a handful of crawl hosts from
+    dominating a pretraining mix.
+
+    keep='hash' ranks rows inside each group by the deterministic key
+    hash (an unbiased, rerun-stable pseudo-random choice); keep='first'
+    ranks by the key columns themselves (lowest ids win, handy for
+    reproducing a published cut exactly). One window shuffle on
+    `group_col`; skewed groups are exactly the rows AQE's skew handling
+    splits, and the rank-filter discards the overflow before anything
+    downstream shuffles again.
+    """
+    from pyspark.sql import Window
+
+    if keep == "hash":
+        order = [_key_hash(unique_key).asc(), *[F.col(c).asc() for c in unique_key]]
+    elif keep == "first":
+        order = [F.col(c).asc() for c in unique_key]
+    else:
+        raise ValueError(f"keep must be 'hash' or 'first', got {keep!r}")
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= max_rows)
+        .drop("__rn")
+    )

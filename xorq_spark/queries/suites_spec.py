@@ -182,6 +182,7 @@ SUITES: dict[str, list[str]] = {
         "text_contamination_check",
         "text_chunk_documents",
         "text_stratified_sample",
+        "text_source_cap",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

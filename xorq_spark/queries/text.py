@@ -442,3 +442,43 @@ def text_stratified(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_source_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY ((((0 * 31 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                          % 2147483648) * 2654435761) % 4294967296) ASC,
+                        doc_id ASC) AS rn
+      FROM documents)
+    SELECT source, COUNT(*) AS n, SUM(doc_id) AS id_sum, SUM(n_chars) AS char_sum
+    FROM ranked WHERE rn <= 25
+    GROUP BY source ORDER BY source
+    """,
+)
+def text_source_cap(spark, sf_dir):
+    """Per-source frequency cap (functions/sampling.py cap_per_group):
+    at most 25 docs per source, chosen by the deterministic key hash so
+    the cut is unbiased and identical across engines/reruns. id_sum
+    certifies the exact kept set."""
+    from xorq_spark.functions.sampling import cap_per_group
+
+    capped = cap_per_group(
+        t(spark, sf_dir, "documents"),
+        group_col="source",
+        max_rows=25,
+        unique_key=["doc_id"],
+    )
+    return (
+        capped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("char_sum"),
+        )
+        .orderBy("source")
+    )
