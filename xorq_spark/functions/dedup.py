@@ -405,18 +405,43 @@ def connected_components(
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    prev_sig = None
-    for _ in range(max_iterations):
-        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        sig = tuple(
-            e.agg(
+    # Size the per-round shuffles to the MEASURED edge count (known free
+    # from the convergence signature): a near-dup graph is typically
+    # orders of magnitude smaller than the corpus, and each star round
+    # is ~6 shuffle stages — at the session's fact-table partition count
+    # those stages are mostly empty-task scheduling overhead (AQE's
+    # coalescing does not reach across the checkpoint boundary). ~500k
+    # edges per partition, clamped to the session default, restored on
+    # exit. Conf mutation is driver-side and scoped to this loop's
+    # eager actions.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+
+    def edge_sig(df):
+        return tuple(
+            df.agg(
                 F.count("*").alias("n"),
                 F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
             ).first()
         )
-        if sig == prev_sig:
-            break
-        prev_sig = sig
+
+    try:
+        # Signature of the INPUT edge set: sizes round 0's shuffles and
+        # lets an already-star-shaped input exit after one confirming
+        # round (fixpoint test: star(e) == e, sig-compared).
+        e = e.localCheckpoint(eager=True)
+        prev_sig = edge_sig(e)
+        for _ in range(max_iterations):
+            fit = max(1, min(int(old_parts), prev_sig[0] // 500_000 + 1))
+            spark.conf.set(conf_key, str(fit))
+            e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            sig = edge_sig(e)
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+    finally:
+        spark.conf.set(conf_key, old_parts)
     # Fixpoint is a forest of depth-1 stars (child -> min root).
     return (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
