@@ -175,3 +175,61 @@ def test_build_writes_profile_and_run_reconnects(spark, sf_dir, tmp_path):
     assert "master" in prof and "spark.sql.adaptive.enabled" in prof["conf"]
     s = load_profile(d)
     assert s is not None and s.sql("SELECT 1").collect()[0][0] == 1
+
+
+def test_cli_run_cached(src, tmp_path):
+    script = tmp_path / "pipeline.py"
+    script.write_text(
+        "import xorq_spark as xo\n"
+        "from xorq_spark import _\n"
+        f"expr = xo.deferred_read_parquet({src!r}).group_by('k').agg(s=_.v.sum()).order_by('k')\n"
+    )
+    bd = str(tmp_path / "builds")
+    r = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "build", str(script), "-e", "expr", "--builds-dir", bd],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    build_dir = r.stdout.strip()
+    import os as _os
+    env = {**_os.environ, "XORQ_SPARK_CACHE_DIR": str(tmp_path / "cache")}
+    r2 = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "run-cached", build_dir],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r2.returncode == 0, r2.stderr
+    assert "30.0" in r2.stdout
+    # the cache artifact landed; a second run replays it
+    import glob as _glob
+    assert _glob.glob(str(tmp_path / "cache" / "**" / "*.parquet"), recursive=True)
+    r3 = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "run-cached", build_dir],
+        capture_output=True, text=True, cwd="/root/repo", env=env,
+    )
+    assert r3.returncode == 0 and "30.0" in r3.stdout
+
+
+def test_cli_serve_unbound_run_unbound(spark, src, tmp_path):
+    """serve-unbound + run-unbound round trip, in-process (the CLI
+    command functions drive the same flight_serve/flight_exchange)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    import xorq_spark as xo
+    from xorq_spark import _
+    from xorq_spark.flight import flight_exchange, flight_serve, unbind
+
+    pytest.importorskip("pyarrow.flight")
+    expr = (
+        xo.deferred_read_parquet(src).filter(_.v > 1.0).group_by("k").agg(s=_.v.sum())
+    )
+    server = flight_serve(unbind(expr, "input"), spark, name="expr")
+    try:
+        inp = tmp_path / "in.parquet"
+        pd.DataFrame({"k": ["a", "a", "b"], "v": [5.0, 0.5, 7.0]}).to_parquet(inp)
+        out = flight_exchange(server.endpoint, "expr", pq.read_table(str(inp)))
+        got = out.to_pandas().sort_values("k")
+        assert got.k.tolist() == ["a", "b"]
+        assert got.s.tolist() == [5.0, 7.0]
+    finally:
+        server.shutdown()

@@ -72,6 +72,64 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_run_cached(args) -> int:
+    """`run-cached` (reference: cli.py run_cached_command): run a build
+    THROUGH the content-addressed cache — the first invocation computes
+    and lands the artifact, every later one replays it without touching
+    the sources."""
+    from xorq_spark.builds import load, load_profile
+
+    spark = load_profile(args.build_dir)
+    expr = load(args.build_dir, spark).cache()
+    if args.output:
+        expr.to_parquet(args.output, spark)
+    else:
+        print(expr.execute(spark).to_string(index=False, max_rows=args.limit))
+    return 0
+
+
+def cmd_serve_unbound(args) -> int:
+    """`serve-unbound` (reference: cli.py unbind_and_serve_command):
+    replace the build's source reads with an unbound placeholder and
+    serve over Flight do_exchange — clients stream a table in, the
+    expression's transformations run on it, results stream back."""
+    from xorq_spark.builds import load, load_profile
+    from xorq_spark.flight import flight_serve, unbind
+
+    spark = load_profile(args.build_dir)
+    expr = unbind(load(args.build_dir, spark), args.unbound_name)
+    server = flight_serve(
+        expr, spark, name=args.name, unbound_name=args.unbound_name,
+        location=f"grpc://0.0.0.0:{args.port}",
+    )
+    print(f"serving unbound {args.name!r} at {server.endpoint} (ctrl-c to stop)")
+    import threading
+
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:  # pragma: no cover
+        server.shutdown()
+    return 0
+
+
+def cmd_run_unbound(args) -> int:
+    """`run-unbound` (reference: cli.py run_unbound_command): client
+    side of serve-unbound — send a local parquet file through a served
+    unbound expression and save/print the exchanged result."""
+    import pyarrow.parquet as pq
+
+    from xorq_spark.flight import flight_exchange
+
+    table = pq.read_table(args.input)
+    out = flight_exchange(args.endpoint, args.name, table)
+    if args.output:
+        pq.write_table(out, args.output)
+        print(args.output)
+    else:
+        print(out.to_pandas().to_string(index=False, max_rows=args.limit))
+    return 0
+
+
 def cmd_serve(args) -> int:
     from xorq_spark.builds import load, load_profile
     from xorq_spark.flight import flight_serve
@@ -190,6 +248,33 @@ def main(argv=None) -> int:
     s.add_argument("--name", default="expr")
     s.add_argument("--port", type=int, default=8815)
     s.set_defaults(fn=cmd_serve)
+
+    rc = sub.add_parser("run-cached", help="run a build through the cache layer")
+    rc.add_argument("build_dir")
+    rc.add_argument("-o", "--output", default=None)
+    rc.add_argument("--limit", type=int, default=50)
+    rc.set_defaults(fn=cmd_run_cached)
+
+    su = sub.add_parser(
+        "serve-unbound",
+        help="unbind a build's sources and serve it over Flight do_exchange",
+    )
+    su.add_argument("build_dir")
+    su.add_argument("--name", default="expr")
+    su.add_argument("--unbound-name", dest="unbound_name", default="input")
+    su.add_argument("--port", type=int, default=8815)
+    su.set_defaults(fn=cmd_serve_unbound)
+
+    ru = sub.add_parser(
+        "run-unbound",
+        help="send a parquet file through a served unbound expression",
+    )
+    ru.add_argument("endpoint", help="grpc://host:port")
+    ru.add_argument("input", help="parquet file to stream in")
+    ru.add_argument("--name", default="expr")
+    ru.add_argument("-o", "--output", default=None)
+    ru.add_argument("--limit", type=int, default=50)
+    ru.set_defaults(fn=cmd_run_unbound)
 
     c = sub.add_parser("catalog", help="named, versioned pipeline registry")
     csub = c.add_subparsers(dest="catalog_cmd", required=True)
