@@ -113,3 +113,120 @@ def test_schema_struct_parses(spark, fields):
 
     struct = schema_to_struct({n: to_spark_ddl(t) for n, t in fields})
     assert [f.name for f in struct.fields] == [n for n, _t in fields]
+
+
+# --- Delta log replay vs a dict-model simulation ---------------------------
+
+_delta_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["add", "remove"]),
+        st.integers(min_value=0, max_value=12),  # file id
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(ops=_delta_ops, split=st.integers(min_value=1, max_value=6))
+@settings(max_examples=60, deadline=None)
+def test_delta_replay_matches_model(tmp_path_factory, ops, split):
+    """replay_log == the obvious dict simulation, for any action
+    sequence split arbitrarily into commits, at every version."""
+    import json as _json
+    import os as _os
+
+    from xorq_spark.delta import replay_log
+
+    root = str(tmp_path_factory.mktemp("dl"))
+    log = _os.path.join(root, "_delta_log")
+    _os.makedirs(log)
+
+    # split ops into `split` commits (first commit carries protocol+meta)
+    chunks = [ops[i::split] for i in range(split)]
+    chunks = [c for c in chunks if c] or [[("add", 0)]]
+    model: dict = {}
+    model_versions = []
+    for v, chunk in enumerate(chunks):
+        actions = []
+        if v == 0:
+            actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+            actions.append({"metaData": {
+                "id": "prop", "format": {"provider": "parquet", "options": {}},
+                "schemaString": _json.dumps({"type": "struct", "fields": [
+                    {"name": "k", "type": "long", "nullable": True, "metadata": {}}]}),
+                "partitionColumns": [], "configuration": {}}})
+        for op, fid in chunk:
+            path = f"f{fid}.parquet"
+            if op == "add":
+                actions.append({"add": {"path": path, "partitionValues": {},
+                                        "size": 1, "modificationTime": 0,
+                                        "dataChange": True}})
+                model[path] = True
+            else:
+                actions.append({"remove": {"path": path, "dataChange": True}})
+                model.pop(path, None)
+        with open(_os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            for a in actions:
+                fh.write(_json.dumps(a) + "\n")
+        model_versions.append(set(model))
+
+    for v, expect in enumerate(model_versions):
+        adds, _meta = replay_log(root, version=v)
+        assert {a["path"] for a in adds} == expect
+    # latest == last version
+    adds, _meta = replay_log(root)
+    assert {a["path"] for a in adds} == model_versions[-1]
+
+
+# --- connected components vs union-find ------------------------------------
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(edges=_edges)
+@settings(max_examples=15, deadline=None)
+def test_connected_components_matches_union_find(spark, edges):
+    """Distributed large-star/small-star CC == driver union-find, with
+    component = min node id, for arbitrary small graphs (self-loops and
+    duplicate edges included)."""
+    from xorq_spark.functions.dedup import connected_components
+
+    # model: union-find with path compression
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    nodes = set()
+    for a, b in edges:
+        if a != b:
+            union(a, b)
+            nodes.update((a, b))
+    if not nodes:
+        return  # all self-loops: CC input is empty, nothing to compare
+    # canonical min-id per component
+    expect = {}
+    for n in nodes:
+        root = find(n)
+        comp = min(m for m in nodes if find(m) == root)
+        expect[n] = comp
+
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.node: r.component
+        for r in connected_components(df, "id_a", "id_b", max_iterations=20).collect()
+    }
+    assert got == expect
