@@ -233,3 +233,32 @@ def test_cli_serve_unbound_run_unbound(spark, src, tmp_path):
         assert got.s.tolist() == [5.0, 7.0]
     finally:
         server.shutdown()
+
+
+def test_cli_uv_group(src, tmp_path):
+    """`uv build` delegates to the normal build (env pins recorded);
+    `uv run` is gated on the uv binary."""
+    import shutil as _shutil
+
+    script = tmp_path / "pipeline.py"
+    script.write_text(
+        "import xorq_spark as xo\n"
+        "from xorq_spark import _\n"
+        f"expr = xo.deferred_read_parquet({src!r}).select('k')\n"
+    )
+    bd = str(tmp_path / "builds")
+    r = subprocess.run(
+        [sys.executable, "-m", "xorq_spark", "uv", "build", str(script), "-e", "expr", "--builds-dir", bd],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    build_dir = r.stdout.strip()
+    import os as _os
+    assert _os.path.exists(_os.path.join(build_dir, "requirements.txt"))
+    if _shutil.which("uv") is None:
+        r2 = subprocess.run(
+            [sys.executable, "-m", "xorq_spark", "uv", "run", build_dir],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert r2.returncode != 0
+        assert "uv binary" in (r2.stderr + r2.stdout)

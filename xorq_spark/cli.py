@@ -72,6 +72,34 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_uv(args) -> int:
+    """`uv build` / `uv run` (reference: cli.py uv_build_command /
+    uv_run_command): same build artifacts, but `uv run` re-executes the
+    build inside a uv-resolved environment pinned by the build's
+    requirements.txt — reproducible dependency resolution across
+    machines. Gated on the `uv` binary being installed."""
+    import shutil
+    import subprocess
+
+    if args.uv_cmd == "build":
+        # a build already pins interpreter+library versions into
+        # requirements.txt/metadata.json; uv adds nothing at build time
+        return cmd_build(args)
+    uv = shutil.which("uv")
+    if uv is None:
+        raise ImportError(
+            "`uv run` needs the uv binary (https://docs.astral.sh/uv/) on PATH"
+        )
+    req = os.path.join(args.build_dir, "requirements.txt")
+    cmd = [
+        uv, "run", "--with-requirements", req,
+        sys.executable, "-m", "xorq_spark", "run", args.build_dir,
+    ]
+    if args.output:
+        cmd += ["-o", args.output]
+    return subprocess.call(cmd)
+
+
 def cmd_run_cached(args) -> int:
     """`run-cached` (reference: cli.py run_cached_command): run a build
     THROUGH the content-addressed cache — the first invocation computes
@@ -248,6 +276,18 @@ def main(argv=None) -> int:
     s.add_argument("--name", default="expr")
     s.add_argument("--port", type=int, default=8815)
     s.set_defaults(fn=cmd_serve)
+
+    uvp = sub.add_parser("uv", help="uv-pinned build/run (gated on the uv binary)")
+    uvsub = uvp.add_subparsers(dest="uv_cmd", required=True)
+    uvb = uvsub.add_parser("build", help="build (env pins are always recorded)")
+    uvb.add_argument("script")
+    uvb.add_argument("-e", "--expr", required=True)
+    uvb.add_argument("--builds-dir", default="builds")
+    uvb.set_defaults(fn=cmd_uv)
+    uvr = uvsub.add_parser("run", help="run a build inside a uv-resolved env")
+    uvr.add_argument("build_dir")
+    uvr.add_argument("-o", "--output", default=None)
+    uvr.set_defaults(fn=cmd_uv)
 
     rc = sub.add_parser("run-cached", help="run a build through the cache layer")
     rc.add_argument("build_dir")
