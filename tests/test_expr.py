@@ -322,3 +322,41 @@ def test_module_level_bind_params(spark, sf_dir):
     default_count = e.to_spark(spark).first()["c"]
     bound = xo.bind_params(e, {"min_key": 20})
     assert bound.to_spark(spark).first()["c"] < default_count
+
+
+def test_compat_spellings(spark):
+    """pandas/reference spellings: dropna/fillna/to_pandas/nunique/
+    first/alias/view/tee/preview."""
+    t = xo.memtable({"k": ["a", "a", None, "b"], "v": [1.0, None, 3.0, 4.0]})
+    assert t.dropna(["k"]).count(spark) == 3
+    filled = t.fillna({"v": 0.0}).execute(spark)
+    assert filled.v.tolist() == [1.0, 0.0, 3.0, 4.0]
+    assert t.nunique(spark) == 4
+    pdf = t.to_pandas(spark)
+    assert len(pdf) == 4
+    row = t.dropna(["v"]).order_by("v").first(spark)
+    assert row["v"] == 1.0
+    assert xo.memtable({"x": []}, schema={"x": "int64"}).first(spark) is None
+
+    # alias feeds .sql's relation name
+    out = (
+        xo.memtable({"x": [1, 2, 3]})
+        .alias("numbers")
+        .sql("SELECT sum(x) AS s FROM numbers")
+        .execute(spark)
+    )
+    assert out.s.tolist() == [6]
+
+    # view(): self-join both sides distinct, token differs
+    base = xo.memtable({"k": [1, 2], "v": [10.0, 20.0]})
+    assert base.view().ls.tokenized != base.ls.tokenized
+    assert base.view().execute(spark).v.tolist() == [10.0, 20.0]
+
+    prev = t.preview(spark, max_rows=2)
+    assert "│" in prev and "more rows" in prev
+
+
+def test_expr_tee(spark, tmp_path):
+    t = xo.memtable({"k": [1, 2], "v": ["a", "b"]})
+    back = t.tee(str(tmp_path / "teed"), spark)
+    assert back.order_by("k").execute(spark).v.tolist() == ["a", "b"]

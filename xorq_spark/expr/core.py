@@ -573,10 +573,49 @@ class Expr:
     def unnest(self, column: str, offset: bool = False, keep_empty: bool = False) -> "Expr":
         return self._wrap(N.Unnest(self.node, column, offset, keep_empty))
 
-    def sql(self, query: str, alias: str = "t") -> "Expr":
+    def sql(self, query: str, alias: Optional[str] = None) -> "Expr":
+        alias = alias or getattr(self, "_sql_alias", None) or "t"
         return self._wrap(N.SQLView(self.node, query, alias))
 
     alias_sql = sql
+
+    def alias(self, name: str) -> "Expr":
+        """Name this relation for a later `.sql()` (reference:
+        Table.alias, vendor ibis relations.py — `t.alias('x').sql('
+        SELECT ... FROM x')`). Implemented as an execution-transparent
+        tag carrying the name; `.sql(query)` on the result registers
+        the relation under it."""
+        out = self.tag("alias", alias_name=name)
+        out._sql_alias = name
+        return out
+
+    # pandas/older-ibis compatibility spellings
+    def dropna(self, subset=None, how: str = "any") -> "Expr":
+        return self.drop_null(subset, how)
+
+    def fillna(self, replacements) -> "Expr":
+        return self.fill_null(replacements)
+
+    def nunique(self, spark=None) -> int:
+        """Count of distinct rows (reference: Table.nunique)."""
+        return self.distinct().count(spark)
+
+    def first(self, spark=None):
+        """First row as a dict, or None on an empty result."""
+        pdf = self.limit(1).execute(spark)
+        return None if pdf.empty else pdf.iloc[0].to_dict()
+
+    def preview(self, spark=None, max_rows: int = 10) -> str:
+        """The interactive-repr table, on demand (ignores
+        options.interactive)."""
+        from xorq_spark.config import options as _opts
+
+        old = _opts.repr.interactive.max_rows
+        _opts.repr.interactive.max_rows = max_rows
+        try:
+            return self._interactive_repr()
+        finally:
+            _opts.repr.interactive.max_rows = old
 
     def cache(self, strategy: str = "mtime", storage=None) -> "Expr":
         """Materialization boundary. `storage` accepts the
@@ -678,6 +717,8 @@ class Expr:
         """Run and return a pandas DataFrame."""
         return self.to_spark(spark, params, bindings).toPandas()
 
+    to_pandas = execute  # reference spelling: Table.to_pandas
+
     def to_pyarrow(self, spark=None, params=None, bindings=None):
         df = self.to_spark(spark, params, bindings)
         return df.toArrow()
@@ -742,6 +783,25 @@ class Expr:
         from xorq_spark.interop import into_backend
 
         return into_backend(self, con, name)
+
+    def tee(self, path: str, spark=None, mode: str = "overwrite") -> "Expr":
+        """Write-through: land this result at `path` exactly once and
+        return an expression reading it back (reference: Table.tee,
+        vendor ibis relations.py:3427; writes/write_through.py)."""
+        from xorq_spark.writes import tee as _tee
+
+        return _tee(self, path, spark, mode)
+
+    def view(self) -> "Expr":
+        """A self-reference: the same data as a DISTINCT relation, so a
+        self-join's two sides stay distinguishable (reference:
+        Table.view, vendor ibis relations.py:191). Implemented as a
+        hashing tag with a fresh id — execution-transparent, but a new
+        node identity (and cache token, correctly: a view is a distinct
+        reference)."""
+        import uuid as _uuid
+
+        return self.hashing_tag("view", id=_uuid.uuid4().hex)
 
 
 class GroupedExpr:
