@@ -148,3 +148,30 @@ def test_reduction(spark, at, at_pd, name, expr_fn, oracle_fn):
         assert got in valid
     else:
         assert got == exp, name
+
+
+def test_ibis_vocabulary_round2(spark):
+    """nunique/approx_nunique/substitute/strftime/fillna — ibis
+    spellings that previously fell through to raw function dispatch."""
+    import xorq_spark as xo
+    from xorq_spark import _
+
+    t = xo.memtable(
+        {"x": [1.0, 2.0, None], "s": ["ab", "cd", "ab"],
+         "d": ["2024-03-05", "2024-06-09", "2024-01-01"]}
+    )
+    assert t.aggregate(n=_.s.nunique()).execute(spark).n.tolist() == [2]
+    assert t.aggregate(n=_.s.approx_nunique()).execute(spark).n.tolist() == [2]
+    assert t.select(v=_.s.substitute({"ab": "AB"})).execute(spark).v.tolist() == [
+        "AB", "cd", "AB"]
+    assert t.select(
+        v=_.s.substitute({"ab": "AB"}, else_="other")
+    ).execute(spark).v.tolist() == ["AB", "other", "AB"]
+    got = t.select(
+        v=_.d.cast("date").strftime("%Y/%m met %d%%")
+    ).execute(spark).v.tolist()
+    assert got == ["2024/03 met 05%", "2024/06 met 09%", "2024/01 met 01%"]
+    assert t.select(v=_.x.fillna(0.0)).execute(spark).v.tolist() == [1.0, 2.0, 0.0]
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="strftime code"):
+        t.select(v=_.d.cast("date").strftime("%Q")).execute(spark)

@@ -178,6 +178,69 @@ def _ibis_find(c, sub, start=None):
     return F.locate(sub, c) - 1
 
 
+_STRFTIME_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd", "%H": "HH",
+    "%I": "hh", "%M": "mm", "%S": "ss", "%f": "SSSSSS", "%j": "DDD",
+    "%a": "EEE", "%A": "EEEE", "%b": "MMM", "%B": "MMMM", "%p": "a",
+    "%%": "'%'",
+}
+
+
+def _strftime(c, fmt: str):
+    """C-strftime format (the reference's strftime contract,
+    operations/temporal.py) -> Java DateTimeFormatter pattern for
+    date_format. Literal letters are quoted so they don't parse as
+    pattern fields."""
+    out, lit, i = [], [], 0
+
+    def flush():
+        if lit:
+            run = "".join(lit)
+            # one quoted run per stretch (per-char quoting would read as
+            # Java's '' = literal apostrophe); quotes only needed when
+            # letters are present
+            out.append("'" + run.replace("'", "''") + "'" if any(
+                ch.isalpha() for ch in run
+            ) else run)
+            lit.clear()
+
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            code = fmt[i : i + 2]
+            if code == "%%":  # literal percent joins the current run, so
+                lit.append("%")  # it can't abut a quoted run as Java's ''
+                i += 2
+                continue
+            if code not in _STRFTIME_TO_JAVA:
+                raise ValueError(f"unsupported strftime code {code!r}")
+            flush()
+            out.append(_STRFTIME_TO_JAVA[code])
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return F.date_format(c, "".join(out))
+
+
+def _substitute(c, mapping, else_=None):
+    """Value substitution CASE (reference: Value.substitute,
+    operations/generic.py): mapped values replace, unmapped keep the
+    original unless `else_` overrides."""
+    if not isinstance(mapping, dict):
+        mapping = {mapping: else_}
+        else_ = None
+    out = None
+    for k, v in mapping.items():
+        vcol = v if isinstance(v, Column) else F.lit(v)
+        cond = c == F.lit(k)
+        out = F.when(cond, vcol) if out is None else out.when(cond, vcol)
+    default = (
+        c if else_ is None else (else_ if isinstance(else_, Column) else F.lit(else_))
+    )
+    return default if out is None else out.otherwise(default)
+
+
 def _clip(c, lower=None, upper=None):
     out = c
     if lower is not None:
@@ -210,7 +273,11 @@ _FUNC_ALIASES = {
     "floordiv": lambda l, r: F.floor(l / r),
     "mean": "avg", "std": "stddev_samp", "var": "var_samp",
     "approx_median": lambda c: F.percentile_approx(c, 0.5),
-    "nullif": "nullif", "strftime": "date_format",
+    "strftime": _strftime,
+    "substitute": _substitute,
+    "nunique": "count_distinct",
+    "approx_nunique": "approx_count_distinct",
+    "fillna": lambda c, v: F.coalesce(c, v if isinstance(v, Column) else F.lit(v)),
     "re_extract": "regexp_extract", "re_replace": "regexp_replace",
     "re_search": lambda c, p: c.rlike(p),
     "replace": lambda c, search, repl: F.replace(
