@@ -28,6 +28,9 @@ CHECK = [
     "text_fingerprint",
     "text_rolling_hash",
     "text_language_id",
+    "text_chunk_documents",
+    "text_stratified_sample",
+    "text_source_cap",
 ]
 
 

@@ -357,9 +357,12 @@ def text_contamination_check(spark, sf_dir):
     WITH tok AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents),
     meta AS (
-      SELECT doc_id, toks, len(toks) AS n,
-             CASE WHEN len(toks) <= 0 THEN 0
-                  ELSE (greatest(len(toks) - 8 - 1, 0) // 56) + 1 END AS n_chunks
+      -- COALESCE mirrors the Spark side's null-safe count: without it a
+      -- NULL text row slips past the <=0 guard (greatest ignores NULLs)
+      -- and fabricates one empty chunk
+      SELECT doc_id, toks, COALESCE(len(toks), 0) AS n,
+             CASE WHEN COALESCE(len(toks), 0) <= 0 THEN 0
+                  ELSE (greatest(COALESCE(len(toks), 0) - 8 - 1, 0) // 56) + 1 END AS n_chunks
       FROM tok),
     chunks AS (
       SELECT doc_id,
