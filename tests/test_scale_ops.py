@@ -403,3 +403,41 @@ def test_cap_per_group(spark):
     assert sorted(r.id for r in first.filter("src = 'big'").collect()) == [0, 1]
     with pytest.raises(ValueError, match="keep"):
         cap_per_group(df, "src", 1, ["id"], keep="random")
+
+
+def test_resample_fill_policies(spark):
+    from xorq_spark.functions.timeseries import resample
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:10", 1.0),
+         ("a", "2024-01-01 00:00:50", 2.0),
+         ("a", "2024-01-01 00:03:30", 7.0),   # 2-minute gap before this
+         ("b", "2024-01-01 00:01:05", 5.0)],
+        "k string, ts string, v double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = resample(
+        df, "ts", step_seconds=60, key_cols=["k"],
+        aggs={"n": F.count(F.lit(1)), "s": F.sum("v")},
+        fill={"n": "zero", "s": "ffill"},
+    ).orderBy("k", "bucket").collect()
+    a = [r for r in out if r.k == "a"]
+    # dense grid: minutes 0..3 for key a, single bucket for key b
+    assert len(a) == 4 and len(out) == 5
+    assert [r.n for r in a] == [2, 0, 0, 1]          # counts zero-filled
+    assert [r.s for r in a] == [3.0, 3.0, 3.0, 7.0]  # sums carried forward
+
+    with pytest.raises(ValueError, match="not agg columns"):
+        resample(df, "ts", 60, ["k"], {"n": F.count(F.lit(1))}, fill={"x": "zero"})
+    with pytest.raises(ValueError, match="none|ffill|zero"):
+        resample(df, "ts", 60, ["k"], {"n": F.count(F.lit(1))}, fill="bfill")
+
+
+def test_resample_bucket_guard(spark):
+    from xorq_spark.functions.timeseries import resample
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00"), ("a", "2024-03-01 00:00:00")],
+        "k string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(ValueError, match="buckets"):
+        resample(df, "ts", 1, ["k"], max_buckets_per_key=1000)

@@ -24,6 +24,7 @@ from xorq_spark.functions.text import (
     chunk_documents,
 )
 from xorq_spark.functions.sampling import cap_per_group, stratified_sample
+from xorq_spark.functions.timeseries import resample
 from xorq_spark.functions.dedup import (
     normalize_text,
     shingles,
@@ -65,6 +66,7 @@ __all__ = [
     "chunk_documents",
     "stratified_sample",
     "cap_per_group",
+    "resample",
     "quantize_embedding",
     "dequantize_embedding",
     "quantization_error",

@@ -1,0 +1,112 @@
+"""Time-series regularization: resample to a fixed grid + gap fill.
+
+The missing piece between event logs and windowed analytics: windows
+aggregate the buckets that HAVE events; a feature pipeline (or chart,
+or join against another series) needs every bucket on a regular grid,
+with explicit policy for the empty ones. Classic single-node tools
+(pandas.resample/ffill) don't distribute; this is the Spark-native
+shape:
+
+1. bucket observed rows (integer-truncated epoch math — exact, no
+   rounding drift between engines),
+2. build the per-key dense grid with sequence()+explode — generated
+   JVM-side, proportional to span/step per key, never a driver loop,
+3. left-join observations onto the grid (both sides partitioned by the
+   same (key, bucket), so AQE plans a co-partitioned join),
+4. optional forward fill = last(value, ignorenulls=True) over the
+   per-key time order — one window over the already-clustered data.
+
+Scale notes: per-key state never materializes beyond (key, span) rows;
+the explode multiplies to span/step rows per key, the same cardinality
+any downstream consumer of the regular series pays by definition. A
+key whose span/step exceeds ~millions of buckets is a modeling
+problem, not an execution one — `max_buckets_per_key` guards against
+it by raising early instead of exploding a pathological key.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def resample(
+    df: DataFrame,
+    time_col: str,
+    step_seconds: int,
+    key_cols: Sequence[str] = (),
+    aggs: Optional[Dict[str, "F.Column"]] = None,
+    fill: str = "none",
+    max_buckets_per_key: int = 10_000_000,
+) -> DataFrame:
+    """Aggregate onto a regular `step_seconds` grid per key, densifying
+    the gaps. Output: key_cols + `bucket` (timestamp, grid-aligned) +
+    one column per `aggs` entry (None on empty buckets unless filled).
+
+    fill: 'none' (empty buckets stay NULL), 'ffill' (carry the last
+    observed value forward within each key), 'zero' (literal 0) — one
+    policy for every agg column, or a dict {agg_name: policy} mixing
+    them (counts usually want 'zero' while level-like values want
+    'ffill'; a blanket ffill on a count would fabricate events).
+    """
+    aggs = aggs or {"n": F.count(F.lit(1))}
+    policies = (
+        dict(fill) if isinstance(fill, dict) else {name: fill for name in aggs}
+    )
+    for name in aggs:
+        p = policies.setdefault(name, "none")
+        if p not in ("none", "ffill", "zero"):
+            raise ValueError(f"fill for {name!r} must be none|ffill|zero, got {p!r}")
+    unknown = set(policies) - set(aggs)
+    if unknown:
+        raise ValueError(f"fill names {sorted(unknown)} are not agg columns")
+    keys = list(key_cols)
+    step_us = int(step_seconds) * 1_000_000
+
+    bucket_us = (
+        F.floor(F.unix_micros(F.col(time_col).cast("timestamp")) / step_us)
+        * step_us
+    ).cast("long")
+    obs = (
+        df.withColumn("__b", bucket_us)
+        .groupBy(*keys, "__b")
+        .agg(*[c.alias(name) for name, c in aggs.items()])
+    )
+
+    spans = obs.groupBy(*keys).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    # explicit guard: a pathological key would explode to span/step rows
+    bad = spans.filter(
+        (F.col("__hi") - F.col("__lo")) / step_us >= max_buckets_per_key
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            f"resample would generate >= {max_buckets_per_key} buckets for "
+            "at least one key; raise max_buckets_per_key or coarsen the step"
+        )
+    grid = spans.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.lit(step_us))
+        ).alias("__b"),
+    )
+
+    out = grid.join(obs, [*keys, "__b"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for name in aggs:
+        if policies[name] == "ffill":
+            out = out.withColumn(
+                name, F.last(F.col(name), ignorenulls=True).over(w)
+            )
+        elif policies[name] == "zero":
+            out = out.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+    return out.withColumn(
+        "bucket", F.timestamp_micros(F.col("__b"))
+    ).drop("__b")

@@ -138,6 +138,7 @@ SUITES: dict[str, list[str]] = {
         "time_between_time",
         "time_unix_roundtrip",
         "time_session_window",
+        "time_resample_ffill",
     ],
     "suite_coll_a": [
         "coll_array_basics",

@@ -299,3 +299,61 @@ def time_session_window(spark, sf_dir):
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "time_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             (epoch_us(ts) // 86400000000) * 86400000000 AS b,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS total
+      FROM events WHERE user_id < 40 GROUP BY 1, 2),
+    spans AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1),
+    grid AS (
+      SELECT s.user_id, g.b
+      FROM spans s, LATERAL (
+        SELECT unnest(generate_series(s.lo, s.hi, 86400000000)) AS b) g),
+    joined AS (
+      SELECT g.user_id, g.b, o.n, o.total FROM grid g
+      LEFT JOIN obs o ON g.user_id = o.user_id AND g.b = o.b),
+    filled AS (
+      SELECT user_id, b,
+             COALESCE(n, 0) AS n,
+             last_value(total IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carried
+      FROM joined)
+    SELECT user_id, b AS bucket_us, n,
+           CAST(ROUND(carried, 2) AS DOUBLE) AS total_ffill
+    FROM filled ORDER BY user_id, bucket_us
+    """,
+)
+def time_resample(spark, sf_dir):
+    """Regular daily grid per user with forward-filled running totals
+    (functions/timeseries.py resample): empty days appear with n=0 and
+    the last observed day's total carried forward — the densify step
+    between an event log and any fixed-step consumer. Decimal-exact
+    sums, integer epoch bucketing (no float drift on either engine)."""
+    from xorq_spark.functions.timeseries import resample
+
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    out = resample(
+        ev,
+        "ts",
+        step_seconds=86400,
+        key_cols=["user_id"],
+        aggs={
+            "n": F.count(F.lit(1)),
+            "total": F.sum(F.col("value").cast(_PRICE)),
+        },
+        fill={"n": "zero", "total": "ffill"},
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros("bucket").alias("bucket_us"),
+        "n",
+        F.round(F.col("total"), 2).cast("double").alias("total_ffill"),
+    ).orderBy("user_id", "bucket_us")
