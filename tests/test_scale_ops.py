@@ -441,3 +441,31 @@ def test_resample_bucket_guard(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     with pytest.raises(ValueError, match="buckets"):
         resample(df, "ts", 1, ["k"], max_buckets_per_key=1000)
+
+
+def test_funnel_semantics(spark):
+    from xorq_spark.functions.timeseries import funnel
+
+    rows = [
+        # u1 completes A->B->C in order
+        (1, "A", "2024-01-01 00:00:00"), (1, "B", "2024-01-01 01:00:00"),
+        (1, "C", "2024-01-01 02:00:00"),
+        # u2 has B BEFORE A: that B must not count; no B after A -> stops at A
+        (2, "B", "2024-01-01 00:00:00"), (2, "A", "2024-01-01 01:00:00"),
+        # u3 completes but outside the conversion window
+        (3, "A", "2024-01-01 00:00:00"), (3, "B", "2024-01-03 00:00:00"),
+        # u4 never does A -> absent from the funnel
+        (4, "C", "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.user_id: r for r in funnel(
+        df, ["A", "B", "C"], within_seconds=86400
+    ).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].t1 is not None and out[1].t2 is not None
+    assert out[2].t1 is None and out[2].t2 is None
+    assert out[3].t1 is None  # B landed after the 1-day window
+    with pytest.raises(ValueError, match="at least 2"):
+        funnel(df, ["A"])

@@ -33,6 +33,9 @@ TEXT_CHECK = [
     "dedup_ngram_jaccard_pairs",
     "text_quality_score",
     "text_fingerprint",
+    "text_chunk_documents",
+    "text_stratified_sample",
+    "text_source_cap",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",

@@ -24,7 +24,7 @@ from xorq_spark.functions.text import (
     chunk_documents,
 )
 from xorq_spark.functions.sampling import cap_per_group, stratified_sample
-from xorq_spark.functions.timeseries import resample
+from xorq_spark.functions.timeseries import funnel, resample
 from xorq_spark.functions.dedup import (
     normalize_text,
     shingles,
@@ -67,6 +67,7 @@ __all__ = [
     "stratified_sample",
     "cap_per_group",
     "resample",
+    "funnel",
     "quantize_embedding",
     "dequantize_embedding",
     "quantization_error",

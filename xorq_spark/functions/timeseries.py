@@ -110,3 +110,57 @@ def resample(
     return out.withColumn(
         "bucket", F.timestamp_micros(F.col("__b"))
     ).drop("__b")
+
+
+def funnel(
+    df: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    type_col: str = "event_type",
+    within_seconds: Optional[int] = None,
+) -> DataFrame:
+    """Ordered-funnel analysis: for each user, the earliest time they
+    completed each step STRICTLY AFTER completing the previous one
+    (the sequential-min semantics every funnel tool implements), with
+    NULL from the first uncompleted step onward. Output: user_col +
+    t0..t{k-1} timestamps.
+
+    `within_seconds` bounds the whole funnel relative to t0 (a
+    conversion window); steps outside it don't count.
+
+    Scale design: k-1 rounds of [filter one step's events -> left join
+    on user -> conditional min]. Every shuffle is keyed on user_col, so
+    AQE reuses one partitioning across all rounds; per-round state is
+    one row per user who reached the previous step (monotonically
+    shrinking). No window over the full event stream, no per-user event
+    collection — the event table is scanned once per step WITH the
+    step filter pushed down, which at 100 TB beats materializing
+    per-user sorted event arrays by orders of magnitude.
+    """
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    out = (
+        df.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(time_col).alias("t0"))
+    )
+    for i, step in enumerate(steps[1:], start=1):
+        cand = df.filter(F.col(type_col) == step).select(
+            F.col(user_col), F.col(time_col).alias("__cts")
+        )
+        cond = F.col("__cts") > F.col(f"t{i - 1}")
+        if within_seconds is not None:
+            cond = cond & (
+                F.col("__cts")
+                <= F.col("t0") + F.expr(f"INTERVAL {int(within_seconds)} SECONDS")
+            )
+        prev_cols = [f"t{j}" for j in range(i)]
+        out = (
+            out.join(cand, user_col, "left")
+            .groupBy(user_col, *prev_cols)
+            .agg(F.min(F.when(cond, F.col("__cts"))).alias(f"t{i}"))
+        )
+        # a user with t{i-1} NULL can't have t{i}: the when-condition is
+        # NULL there, so min() is already NULL — no extra masking needed
+    return out

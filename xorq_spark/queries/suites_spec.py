@@ -139,6 +139,7 @@ SUITES: dict[str, list[str]] = {
         "time_unix_roundtrip",
         "time_session_window",
         "time_resample_ffill",
+        "time_funnel_steps",
     ],
     "suite_coll_a": [
         "coll_array_basics",

@@ -357,3 +357,55 @@ def time_resample(spark, sf_dir):
         "n",
         F.round(F.col("total"), 2).cast("double").alias("total_ffill"),
     ).orderBy("user_id", "bucket_us")
+
+
+@query(
+    "time_funnel_steps",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    s1 AS (
+      SELECT e.user_id, min(e.ts) AS t1
+      FROM events e JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t0
+        AND e.ts <= s0.t0 + INTERVAL 7 DAY
+      GROUP BY 1),
+    s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+        AND e.ts <= s0.t0 + INTERVAL 7 DAY
+      GROUP BY 1)
+    SELECT s0.user_id,
+           epoch_us(s0.t0) AS t0_us,
+           epoch_us(s1.t1) AS t1_us,
+           epoch_us(s2.t2) AS t2_us
+    FROM s0 LEFT JOIN s1 ON s0.user_id = s1.user_id
+            LEFT JOIN s2 ON s0.user_id = s2.user_id
+    ORDER BY s0.user_id
+    """,
+)
+def time_funnel(spark, sf_dir):
+    """view -> click -> purchase funnel with a 7-day conversion window
+    (functions/timeseries.py funnel): per-user sequential-min step
+    times, NULL from the first uncompleted step. All shuffles keyed on
+    user_id; each step scans events with the type filter pushed down."""
+    from xorq_spark.functions.timeseries import funnel
+
+    f = funnel(
+        t(spark, sf_dir, "events"),
+        ["view", "click", "purchase"],
+        within_seconds=7 * 86400,
+    )
+    # events ts is TIMESTAMP_NTZ; unix_micros wants LTZ — session tz is
+    # pinned UTC by t(), so the cast is value-preserving
+    return f.select(
+        "user_id",
+        *[
+            F.unix_micros(F.col(c).cast("timestamp")).alias(f"{c}_us")
+            for c in ("t0", "t1", "t2")
+        ],
+    ).orderBy("user_id")
