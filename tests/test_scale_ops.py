@@ -469,3 +469,27 @@ def test_funnel_semantics(spark):
     assert out[3].t1 is None  # B landed after the 1-day window
     with pytest.raises(ValueError, match="at least 2"):
         funnel(df, ["A"])
+
+
+def test_retention_matrix(spark):
+    from xorq_spark.functions.timeseries import retention
+
+    rows = [
+        (1, "2024-01-01"), (1, "2024-01-08"), (1, "2024-01-22"),  # w0, w1, w3
+        (2, "2024-01-01"),                                          # w0 only
+        (3, "2024-01-08"), (3, "2024-01-15"),                      # later cohort
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (r.cohort, r.period_index): r.n_users
+        for r in retention(df, period_seconds=7 * 86400).collect()
+    }
+    cohorts = sorted({c for c, _ in out})
+    c0, c1 = cohorts[0], cohorts[1]
+    assert out[(c0, 0)] == 2          # users 1 and 2 in the first cohort
+    assert out[(c0, 1)] == 1          # only user 1 returned in week 1
+    assert out[(c0, 3)] == 1          # and again in week 3
+    assert (c0, 2) not in out         # nobody active in week 2
+    assert out[(c1, 0)] == 1 and out[(c1, 1)] == 1  # user 3's cohort

@@ -24,7 +24,7 @@ from xorq_spark.functions.text import (
     chunk_documents,
 )
 from xorq_spark.functions.sampling import cap_per_group, stratified_sample
-from xorq_spark.functions.timeseries import funnel, resample
+from xorq_spark.functions.timeseries import funnel, resample, retention
 from xorq_spark.functions.dedup import (
     normalize_text,
     shingles,
@@ -68,6 +68,7 @@ __all__ = [
     "cap_per_group",
     "resample",
     "funnel",
+    "retention",
     "quantize_embedding",
     "dequantize_embedding",
     "quantization_error",

@@ -164,3 +164,39 @@ def funnel(
         # a user with t{i-1} NULL can't have t{i}: the when-condition is
         # NULL there, so min() is already NULL — no extra masking needed
     return out
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    period_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen period
+    (their cohort), counted distinct in every later period they were
+    active. Output: (cohort, period_index, n_users) where period_index
+    0 is the cohort period itself.
+
+    Scale design: one user-keyed agg for first-seen, one distinct over
+    (user, period) — the state is bounded by users x active-periods,
+    never raw events — then a cohort-keyed count. Integer epoch
+    bucketing, so both engines bucket bit-identically.
+    """
+    p_us = int(period_seconds) * 1_000_000
+    b = (
+        F.floor(F.unix_micros(F.col(time_col).cast("timestamp")) / p_us) * p_us
+    ).cast("long")
+    first = (
+        df.select(F.col(user_col), b.alias("__b"))
+        .groupBy(user_col)
+        .agg(F.min("__b").alias("__cohort"))
+    )
+    active = df.select(F.col(user_col), b.alias("__b")).distinct()
+    return (
+        active.join(first, user_col)
+        .groupBy(
+            F.timestamp_micros(F.col("__cohort")).alias("cohort"),
+            ((F.col("__b") - F.col("__cohort")) / p_us).cast("int").alias("period_index"),
+        )
+        .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
+    )

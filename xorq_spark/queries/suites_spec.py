@@ -140,6 +140,7 @@ SUITES: dict[str, list[str]] = {
         "time_session_window",
         "time_resample_ffill",
         "time_funnel_steps",
+        "time_retention_cohorts",
     ],
     "suite_coll_a": [
         "coll_array_basics",

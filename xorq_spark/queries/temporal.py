@@ -409,3 +409,33 @@ def time_funnel(spark, sf_dir):
             for c in ("t0", "t1", "t2")
         ],
     ).orderBy("user_id")
+
+
+@query(
+    "time_retention_cohorts",
+    oracle="""
+    WITH b AS (
+      SELECT user_id,
+             (epoch_us(ts) // 604800000000) * 604800000000 AS p
+      FROM events),
+    first AS (SELECT user_id, min(p) AS cohort FROM b GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, p FROM b)
+    SELECT f.cohort AS cohort_us,
+           CAST((a.p - f.cohort) // 604800000000 AS INT) AS period_index,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    GROUP BY 1, 2 ORDER BY cohort_us, period_index
+    """,
+)
+def time_retention(spark, sf_dir):
+    """Weekly cohort retention (functions/timeseries.py retention):
+    first-seen week x weeks-since-first activity counts. State bounded
+    by users x active-weeks; integer epoch bucketing on both engines."""
+    from xorq_spark.functions.timeseries import retention
+
+    out = retention(t(spark, sf_dir, "events"), period_seconds=7 * 86400)
+    return out.select(
+        F.unix_micros(F.col("cohort").cast("timestamp")).alias("cohort_us"),
+        "period_index",
+        "n_users",
+    ).orderBy("cohort_us", "period_index")
