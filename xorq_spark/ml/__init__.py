@@ -11,9 +11,19 @@ from xorq_spark.ml.split import (
 )
 from xorq_spark.ml.metrics import accuracy, mae, mse, r2
 from xorq_spark.ml.estimators import (
+    ColumnCenterer,
+    MeanRegressor,
     SimpleLinearRegression,
     SimpleStandardScaler,
+    TokenCountVectorizer,
     default_regressor,
+)
+from xorq_spark.ml.sklearn_adapters import (
+    deferred_fit_predict_sklearn,
+    deferred_fit_transform_series_sklearn,
+    deferred_fit_transform_sklearn,
+    deferred_fit_transform_sklearn_struct,
+    deferred_sklearn_metric,
 )
 from xorq_spark.ml.pipeline import (
     FittedPipeline,
@@ -42,6 +52,14 @@ __all__ = [
     "deferred_fit_predict",
     "deferred_fit_transform",
     "deferred_cross_val_score",
+    "deferred_fit_predict_sklearn",
+    "deferred_fit_transform_sklearn",
+    "deferred_fit_transform_sklearn_struct",
+    "deferred_fit_transform_series_sklearn",
+    "deferred_sklearn_metric",
+    "MeanRegressor",
+    "ColumnCenterer",
+    "TokenCountVectorizer",
     "calc_split_column",
     "make_deterministic_sort_key",
     "train_test_splits",

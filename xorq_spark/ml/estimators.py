@@ -73,3 +73,44 @@ def default_regressor():
 
         return LinearRegression()
     return SimpleLinearRegression()
+
+
+class MeanRegressor:
+    """Baseline regressor: predicts the training-target mean (plus an
+    optional bias) for every row — sklearn's DummyRegressor shape,
+    duck-typed so the *_sklearn adapters run without the wheel."""
+
+    def __init__(self, bias: float = 0.0):
+        self.bias = bias
+
+    def fit(self, X, y=None):
+        self.mean_ = (float(np.asarray(y).mean()) if y is not None else 0.0) + self.bias
+        return self
+
+    def predict(self, X):
+        return np.full(len(X), self.mean_)
+
+
+class ColumnCenterer:
+    """transform() subtracts the fitted per-column means (the centering
+    half of StandardScaler)."""
+
+    def fit(self, X, y=None):
+        self.means_ = np.asarray(X, dtype=float).mean(axis=0)
+        return self
+
+    def transform(self, X):
+        return np.asarray(X, dtype=float) - self.means_
+
+
+class TokenCountVectorizer:
+    """Series-in array-out baseline (the text-vectorizer shape):
+    each string maps to [n_whitespace_tokens, n_chars]."""
+
+    def fit(self, s):
+        return self
+
+    def transform(self, s):
+        return np.array(
+            [[float(len(str(x).split())), float(len(str(x)))] for x in s]
+        )
