@@ -117,3 +117,21 @@ def test_selector_in_registry_query(spark, sf_dir):
 
     df = QUERIES["engine_selectors_across"](spark, sf_dir)
     assert df.columns == ["l_returnflag", "qty_max", "qty_min", "tot_max", "tot_min"]
+
+
+def test_selectors_in_group_by_and_order_by(spark):
+    import xorq_spark as xo
+    from xorq_spark import s, _
+
+    t = xo.memtable(
+        {"cat_a": ["x", "x", "y"], "cat_b": ["p", "q", "p"], "v": [1.0, 2.0, 3.0]}
+    )
+    got = (
+        t.group_by(s.startswith("cat_"))
+        .agg(total=_.v.sum())
+        .order_by(s.startswith("cat_"))
+        .execute(spark)
+    )
+    assert list(got.columns) == ["cat_a", "cat_b", "total"]
+    assert got.total.tolist() == [1.0, 2.0, 3.0]
+    assert got.cat_a.tolist() == ["x", "x", "y"]

@@ -491,6 +491,7 @@ class Expr:
         return self._wrap(N.Rename(self.node, tuple((old, new) for new, old in m.items())))
 
     def order_by(self, *keys) -> "Expr":
+        keys, _ = self._expand_selectors(keys, {})
         return self._wrap(N.Sort(self.node, tuple(_as_sortkey(k) for k in keys)))
 
     def limit(self, n: Optional[int], offset: int = 0) -> "Expr":
@@ -503,6 +504,7 @@ class Expr:
         return self._wrap(N.Distinct(self.node, subset, keep))
 
     def group_by(self, *keys, **named_keys) -> "GroupedExpr":
+        keys, named_keys = self._expand_selectors(keys, named_keys)
         return GroupedExpr(self, _named_exprs(keys, named_keys))
 
     def aggregate(self, *metrics, **named_metrics) -> "Expr":
