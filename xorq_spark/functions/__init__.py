@@ -30,6 +30,7 @@ from xorq_spark.functions.dedup import (
     shingles,
     exact_dedup,
     minhash_signature,
+    near_dedup,
     minhash_lsh_pairs,
     simhash,
     simhash_neardup_pairs,
@@ -82,6 +83,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "connected_components",
+    "near_dedup",
     "assign_token_shards",
     "cosine_similarity",
     "l2_norm",

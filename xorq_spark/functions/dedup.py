@@ -543,3 +543,35 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def near_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_bucket_size: int = 2000,
+) -> DataFrame:
+    """One-call near-duplicate removal: MinHash-LSH candidate pairs ->
+    Jaccard-verified edges -> connected components -> keep the
+    canonical (min-id) document per cluster. Returns the surviving
+    rows of `df` unchanged — the composition every curation pipeline
+    writes by hand (examples/dedup_documents.py does it stepwise).
+
+    Scale: inherits the banded-LSH / star-CC designs of its parts; the
+    final keep is one left-anti join on the id column against the
+    (small) non-canonical node set.
+    """
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, k=k,
+        threshold=threshold, max_bucket_size=max_bucket_size,
+    )
+    comps = connected_components(pairs, "id_a", "id_b")
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -192,6 +192,7 @@ SUITES: dict[str, list[str]] = {
         "dedup_minhash_signatures",
         "dedup_minhash_lsh_pairs",
         "dedup_minhash_components",
+        "dedup_minhash_canonical",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
