@@ -360,3 +360,26 @@ def test_expr_tee(spark, tmp_path):
     t = xo.memtable({"k": [1, 2], "v": ["a", "b"]})
     back = t.tee(str(tmp_path / "teed"), spark)
     assert back.order_by("k").execute(spark).v.tolist() == ["a", "b"]
+
+
+def test_grouped_having_and_mutate(spark):
+    t = xo.memtable(
+        {"k": ["a", "a", "b", "b", "c"], "v": [1.0, 9.0, 2.0, 3.0, 4.0]}
+    )
+    # having: keep groups whose max v exceeds 3
+    got = (
+        t.group_by("k").having(_.v.max() > 3.0).agg(n=_.v.count(), s=_.v.sum())
+        .order_by("k").execute(spark)
+    )
+    assert got.k.tolist() == ["a", "c"]
+    assert got.s.tolist() == [10.0, 4.0]
+    assert list(got.columns) == ["k", "n", "s"]  # hidden having cols dropped
+
+    # grouped mutate: group aggregate broadcast to every row, no join
+    gm = (
+        t.group_by("k").mutate(gmean=_.v.mean()).order_by("k", "v").execute(spark)
+    )
+    assert gm.gmean.tolist() == [5.0, 5.0, 2.5, 2.5, 4.0]
+
+    # size alias
+    assert t.group_by("k").size().order_by("k").execute(spark)["count"].tolist() == [2, 2, 1]

@@ -20,6 +20,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from xorq_spark.expr import nodes as N
 from xorq_spark.expr.datatypes import schema_to_struct
 from xorq_spark.expr.deferred import (
+    Col as _VCol,
     Deferred,
     SortKey,
     VNode,
@@ -807,11 +808,33 @@ class Expr:
 
 
 class GroupedExpr:
-    def __init__(self, parent: Expr, keys, mode: str = "groupby"):
+    def __init__(self, parent: Expr, keys, mode: str = "groupby", having=()):
         self.parent, self.keys, self.mode = parent, keys, mode
+        self._having = tuple(having)
+
+    def having(self, *predicates) -> "GroupedExpr":
+        """Group-level filter on aggregate expressions (reference:
+        GroupedTable.having, vendor ibis groupby.py) — e.g.
+        `t.group_by('k').having(_.v.max() > 5).agg(n=_.v.count())`.
+        Predicates are evaluated as extra aggregates per group and the
+        groups failing any are dropped after aggregation."""
+        return GroupedExpr(
+            self.parent, self.keys, self.mode, self._having + tuple(predicates)
+        )
 
     def aggregate(self, *metrics, **named_metrics) -> Expr:
         m = _named_exprs(metrics, named_metrics)
+        if self._having:
+            hidden = {
+                f"__having_{i}": unwrap(p) for i, p in enumerate(self._having)
+            }
+            m_all = m + tuple(hidden.items())
+            out = self.parent._wrap(
+                N.Aggregate(self.parent.node, self.keys, m_all)
+            )
+            for name in hidden:
+                out = out.filter(Deferred(_VCol(name)))
+            return out.drop(*hidden)
         if self.mode in ("cube", "rollup"):
             return self.parent._wrap(
                 N.GroupingSetsAgg(self.parent.node, self.keys, m, self.mode)
@@ -820,10 +843,24 @@ class GroupedExpr:
 
     agg = aggregate
 
+    def mutate(self, *metrics, **named_metrics) -> Expr:
+        """Grouped mutate (reference: GroupedTable.mutate): each metric
+        becomes a window aggregate partitioned by the group keys,
+        broadcast back onto every row — no join, one window shuffle."""
+        group_cols = tuple(Deferred(vnode) for _name, vnode in self.keys)
+        named = dict(_named_exprs(metrics, named_metrics))
+        windowed = {
+            name: Deferred(vnode).over(group_by=group_cols)
+            for name, vnode in named.items()
+        }
+        return self.parent.mutate(**windowed)
+
     def count(self, name: str = "count") -> Expr:
         from xorq_spark.expr.deferred import Func, Lit
 
         return self.agg(**{name: Deferred(Func("count", (Lit(1),)))})
+
+    size = count
 
 
 class LsAccessor:
