@@ -34,6 +34,8 @@ CHECK = [
     "text_token_counts",
     "text_fingerprint",
     "text_quality_score",
+    "text_chunk_documents",
+    "text_source_cap",
 ]
 
 
