@@ -84,3 +84,15 @@ def test_to_dot_visualize(spark, sf_dir):
     out = visualize(e)  # no graphviz in container -> DOT text back
     assert isinstance(out, str) and out == dot
     assert "Aggregate" in format_tree(e)
+
+
+def test_ls_backends_and_multiengine(spark):
+    import xorq_spark as xo
+    from xorq_spark import _
+
+    t = xo.memtable({"x": [1, 2]})
+    e = t.filter(_.x > 0)
+    assert e.ls.is_multiengine is False
+    assert len(e.ls.backends) == 1
+    bound = xo.Expr(e.node, spark)
+    assert bound.ls.backends == (spark,)

@@ -897,6 +897,23 @@ class LsAccessor:
             if isinstance(n, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.Memtable, N.TableRef, N.UnboundTable))
         )
 
+    @property
+    def backends(self) -> tuple:
+        """Engines this expression touches (reference: .ls.backends,
+        vendor ibis core.py:1130). One Spark engine executes the whole
+        tree here, so this is the bound session (or the default marker
+        when unbound) — federation to DuckDB/sqlite/pandas happens
+        through into_backend materialization, outside the tree."""
+        bound = self.expr._spark
+        return (bound,) if bound is not None else ("default-spark",)
+
+    @property
+    def is_multiengine(self) -> bool:
+        """Always False on this engine (reference: .ls.is_multiengine):
+        one Catalyst plan executes every node — the property exists so
+        reference code probing it keeps working."""
+        return False
+
 
 def _strip_cache(node: N.RNode) -> N.RNode:
     from dataclasses import fields, replace
