@@ -175,3 +175,18 @@ def test_ibis_vocabulary_round2(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="strftime code"):
         t.select(v=_.d.cast("date").strftime("%Q")).execute(spark)
+
+
+def test_value_cases(spark):
+    import xorq_spark as xo
+    from xorq_spark import _
+
+    t = xo.memtable({"s": ["1", "x", "3"]})
+    got = t.select(
+        v=_.s.cases(("1", "one"), ("3", "three"), else_="other")
+    ).execute(spark)
+    assert got.v.tolist() == ["one", "other", "three"]
+    got2 = t.select(v=_.s.cases(("1", "one"))).execute(spark)
+    assert got2.v.tolist() == ["one", None, None]
+    with pytest.raises(Exception, match="at least one"):
+        t.select(v=_.s.cases()).execute(spark)

@@ -241,6 +241,25 @@ def _substitute(c, mapping, else_=None):
     return default if out is None else out.otherwise(default)
 
 
+def _cases(c, *branches, else_=None):
+    """Value.cases (reference: vendor ibis generic.py Value.cases):
+    ordered (match_value, result) branches compared by equality against
+    the subject column, with an optional else_ (NULL when absent)."""
+    out = None
+    for pair in branches:
+        k, v = pair
+        kcol = k if isinstance(k, Column) else F.lit(k)
+        vcol = v if isinstance(v, Column) else F.lit(v)
+        cond = c == kcol
+        out = F.when(cond, vcol) if out is None else out.when(cond, vcol)
+    if out is None:
+        raise ValueError("cases() needs at least one (value, result) branch")
+    default = else_ if isinstance(else_, Column) else (
+        F.lit(else_) if else_ is not None else F.lit(None)
+    )
+    return out.otherwise(default)
+
+
 def _clip(c, lower=None, upper=None):
     out = c
     if lower is not None:
@@ -275,6 +294,7 @@ _FUNC_ALIASES = {
     "approx_median": lambda c: F.percentile_approx(c, 0.5),
     "strftime": _strftime,
     "substitute": _substitute,
+    "cases": _cases,
     "nunique": "count_distinct",
     "approx_nunique": "approx_count_distinct",
     "fillna": lambda c, v: F.coalesce(c, v if isinstance(v, Column) else F.lit(v)),
