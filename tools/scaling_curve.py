@@ -1,0 +1,86 @@
+"""Scaling evidence: run representative queries at sf0.001 / 0.01 / 0.1
+and write SCALING.md with the 10x-data time ratios.
+
+The per-query interesting number is t(sf0.1)/t(sf0.01) — data grows
+10x; a ratio well under 10 means fixed scheduling overhead still
+dominates at these sizes (good: the plan has headroom), a ratio near
+10 means the operator is already data-bound and scaling linearly, and
+a ratio far above 10 would flag a super-linear plan (the thing that
+kills 100 TB runs).
+
+Usage: python tools/scaling_curve.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+OPS = [
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume_customer",
+    "join_asof_backward",
+    "dedup_exact_text",
+    "dedup_minhash_lsh_pairs",
+    "dedup_minhash_components",
+    "sim_embedding_quantize",
+    "sim_ann_lsh_topk",
+    "text_chunk_documents",
+    "text_token_shards",
+    "time_funnel_steps",
+    "mm_extract_features",
+]
+
+
+def main() -> None:
+    from xorq_spark.session import connect
+    from xorq_spark.queries import QUERIES
+
+    spark = connect(app_name="xorq_spark_scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    # same warm-up policy as bench.py
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long"
+    ).write.mode("overwrite").format("noop").save()
+
+    times: dict = {}
+    for sf in SFS:
+        for name in OPS:
+            # two passes, min — drop per-query codegen noise
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+            times[(sf, name)] = best
+            print(f"{sf.split('/')[-1]:8s} {name:32s} {best:7.3f}s", flush=True)
+
+    lines = [
+        "# SCALING — representative operators across sf0.001 / 0.01 / 0.1",
+        "",
+        "local[32], noop sink, best-of-2 per cell. `x10 ratio` is",
+        "t(sf0.1)/t(sf0.01) — data grows 10x between those columns, so a",
+        "ratio << 10 = still overhead-bound (plan has headroom), ~10 =",
+        "data-bound linear scaling, >> 10 would flag a super-linear plan.",
+        "",
+        "| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | x10 ratio |",
+        "|---|---|---|---|---|",
+    ]
+    for name in OPS:
+        t1, t2, t3 = (times[(sf, name)] for sf in SFS)
+        lines.append(
+            f"| {name} | {t1:.3f} | {t2:.3f} | {t3:.3f} | {t3 / t2:.2f} |"
+        )
+    with open("SCALING.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote SCALING.md")
+
+
+if __name__ == "__main__":
+    main()
