@@ -230,3 +230,47 @@ def test_stream_stream_join_same_time_col_rejected(spark, events_dir):
     s2 = S.read_stream_parquet(spark, events_dir, "k string, ts timestamp, v double")
     with pytest.raises(ValueError, match="must differ"):
         S.stream_stream_join(s1, s2, on=["k"], left_time_col="ts", right_time_col="ts")
+
+
+def test_watermark_drops_too_late_events(spark, tmp_path):
+    """A checkpointed append-mode windowed agg persists its watermark:
+    an event arriving in a LATER RUN, older than (max event time -
+    watermark delay), must not reopen its closed window. Two
+    availableNow runs sharing one checkpoint make batch boundaries (and
+    therefore watermark advancement) deterministic."""
+    d = tmp_path / "late_events"
+    d.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def run():
+        stream = S.read_stream_parquet(
+            spark, str(d), "k string, ts timestamp, v double"
+        )
+        agg = S.window_agg(
+            stream, "ts", "1 minute",
+            aggs={"s": F.sum("v")},
+            group_by=["k"],
+            watermark="2 minutes",
+        )
+        S.stream_to_parquet(agg, out, ckpt)
+
+    # run 1: events advance the watermark to T+28min; minute-0 window
+    # closes and is appended to the sink
+    _write_events(
+        d / "a.parquet",
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(minutes=30), 2.0)],
+    )
+    run()
+    # run 2 (same checkpoint): one event 30 min late, one fresh event
+    _write_events(
+        d / "b.parquet",
+        [("a", t0 + dt.timedelta(seconds=30), 99.0),
+         ("a", t0 + dt.timedelta(minutes=31), 3.0)],
+    )
+    run()
+    got = spark.read.parquet(out).orderBy("window_start").toPandas()
+    m0 = got[got.window_start == t0]
+    # the late 99.0 was dropped: minute-0 emitted once, with run-1 data
+    assert m0.s.tolist() == [1.0]
