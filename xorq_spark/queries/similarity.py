@@ -229,3 +229,65 @@ def sim_quantize(spark, sf_dir):
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "sim_ann_lsh_recall",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+      FROM embeddings WHERE vec_id < 5),
+    c AS (
+      SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS bucket
+      FROM embeddings),
+    exact AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 6) DESC,
+                          e.vec_id) AS rank
+        FROM q CROSS JOIN embeddings e)
+      WHERE rank <= 10),
+    approx AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND({_COS}, 6) DESC, c.vec_id) AS rank
+        FROM q JOIN c ON q.bucket = c.bucket)
+      WHERE rank <= 10)
+    SELECT e.query_id,
+           COUNT(a.vec_id) AS n_hit,
+           ROUND(COUNT(a.vec_id) / 10.0, 9) AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def sim_lsh_recall(spark, sf_dir):
+    """Recall@10 of the LSH index vs exact brute force, per query — the
+    quality metric that decides num_planes/probe settings before
+    trusting an approximate index at corpus scale. Both arms run
+    distributed; the compare is a key join of two top-10 sets."""
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = ann_bruteforce_topk(queries, emb, k=10).select("query_id", "vec_id")
+    approx = ann_lsh_topk(queries, emb, k=10, num_planes=6).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid")) & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vid").alias("n_hit"),
+            F.round(F.count("a_vid") / F.lit(10.0), 9).alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

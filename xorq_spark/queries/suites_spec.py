@@ -206,6 +206,7 @@ SUITES: dict[str, list[str]] = {
         "sim_norms_and_dots",
         "sim_ann_ivf_fixed_topk",
         "sim_embedding_quantize",
+        "sim_ann_lsh_recall",
     ],
     "suite_ml": [
         "ml_train_test_split",
