@@ -493,3 +493,26 @@ def test_retention_matrix(spark):
     assert out[(c0, 3)] == 1          # and again in week 3
     assert (c0, 2) not in out         # nobody active in week 2
     assert out[(c1, 0)] == 1 and out[(c1, 1)] == 1  # user 3's cohort
+
+
+def test_temperature_sample_rebalances(spark):
+    from xorq_spark.functions.sampling import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        "doc_id long, src string",
+    )
+    # alpha=0: expected counts equalize (small keeps all 100, big keeps ~100)
+    eq = temperature_sample(df, "src", alpha=0.0).groupBy("src").count().collect()
+    c = {r.src: r["count"] for r in eq}
+    assert c["small"] == 100            # the largest fraction (1.0) hits the tail stratum
+    assert 60 <= c["big"] <= 140        # ~100 of 900 via hash filter
+    # alpha=1: natural proportions (everything kept at max_fraction=1)
+    nat = temperature_sample(df, "src", alpha=1.0).count()
+    assert nat == 1000
+    # deterministic across reruns
+    a = {r.doc_id for r in temperature_sample(df, "src", alpha=0.3).collect()}
+    b = {r.doc_id for r in temperature_sample(df, "src", alpha=0.3).collect()}
+    assert a == b
+    with pytest.raises(ValueError, match="alpha"):
+        temperature_sample(df, "src", alpha=2.0)

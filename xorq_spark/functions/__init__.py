@@ -23,7 +23,7 @@ from xorq_spark.functions.text import (
     assign_token_shards,
     chunk_documents,
 )
-from xorq_spark.functions.sampling import cap_per_group, stratified_sample
+from xorq_spark.functions.sampling import cap_per_group, stratified_sample, temperature_sample
 from xorq_spark.functions.timeseries import funnel, resample, retention
 from xorq_spark.functions.dedup import (
     normalize_text,
@@ -67,6 +67,7 @@ __all__ = [
     "chunk_documents",
     "stratified_sample",
     "cap_per_group",
+    "temperature_sample",
     "resample",
     "funnel",
     "retention",

@@ -49,14 +49,21 @@ def stratified_sample(
             raise ValueError(f"fraction for {k!r} must be in [0,1], got {v}")
     if not (0.0 <= default_fraction <= 1.0):
         raise ValueError(f"default_fraction must be in [0,1], got {default_fraction}")
+    import math
+
+    # floor(x + 0.5), not round(): Python round is banker's; an engine
+    # recomputing the cutoff in SQL (floor(x*N + 0.5)) must agree
+    def cut(f: float) -> int:
+        return int(math.floor(f * num_buckets + 0.5))
+
     bucket = _key_hash(unique_key) % num_buckets
-    cutoff = F.lit(int(round(default_fraction * num_buckets)))
+    cutoff = F.lit(cut(default_fraction))
     # build CASE stratum WHEN ... chains in sorted order for plan determinism
     for value in sorted(fractions):
         cutoff = (
             F.when(
                 F.col(strata_col) == F.lit(value),
-                F.lit(int(round(fractions[value] * num_buckets))),
+                F.lit(cut(fractions[value])),
             ).otherwise(cutoff)
         )
     return df.filter(bucket < cutoff)
@@ -94,4 +101,44 @@ def cap_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= max_rows)
         .drop("__rn")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    unique_key: Sequence[str] = ("doc_id",),
+    max_fraction: float = 1.0,
+    num_buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-based mix rebalancing (the count^alpha reweighting of
+    multilingual/multi-source training mixes): stratum s is kept with
+    probability proportional to count(s)^(alpha-1), scaled so the
+    largest per-stratum fraction equals `max_fraction` — alpha=1 keeps
+    natural proportions, alpha=0 equalizes expected counts across
+    strata, values between damp the head and boost the tail.
+
+    Selection reuses the deterministic hash filter (stratified_sample),
+    so the draw is engine/rerun-stable and nested across alphas with
+    the same ordering guarantees. Two passes: a stratum-count aggregate
+    (tiny result, collected to compute fractions) then the pure per-row
+    filter — the same shape any weighted sampler needs, with no
+    second shuffle of the fact data.
+    """
+    if not (0.0 <= alpha <= 1.0):
+        raise ValueError(f"alpha must be in [0,1], got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        return df
+    # weight per ROW ∝ count^(alpha-1); normalize so max fraction hits cap
+    weights = {s: float(n) ** (alpha - 1.0) for s, n in counts.items()}
+    top = max(weights.values())
+    fractions = {s: max_fraction * w / top for s, w in weights.items()}
+    return stratified_sample(
+        df, strata_col, fractions, unique_key,
+        default_fraction=0.0, num_buckets=num_buckets,
     )

@@ -186,6 +186,7 @@ SUITES: dict[str, list[str]] = {
         "text_chunk_documents",
         "text_stratified_sample",
         "text_source_cap",
+        "text_temperature_sample",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

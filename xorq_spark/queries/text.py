@@ -485,3 +485,48 @@ def text_source_cap(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_temperature_sample",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    cuts AS (
+      SELECT lang,
+             CAST(FLOOR(10000.0 * (POW(n, -0.5) / MAX(POW(n, -0.5)) OVER ()) + 0.5) AS BIGINT) AS cutoff
+      FROM counts),
+    h AS (
+      SELECT d.doc_id, d.lang, d.n_chars, c.cutoff,
+             ((((0 * 31 + ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT)
+                % 2147483648) * 2654435761) % 4294967296) % 10000 AS bucket
+      FROM documents d JOIN cuts c ON d.lang = c.lang),
+    kept AS (SELECT * FROM h WHERE bucket < cutoff)
+    SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum, SUM(n_chars) AS char_sum
+    FROM kept GROUP BY lang ORDER BY lang
+    """,
+)
+def text_temperature(spark, sf_dir):
+    """Temperature-based mix rebalancing at alpha=0.5
+    (functions/sampling.py temperature_sample): per-language keep
+    fractions proportional to count^-0.5, scaled so the rarest language
+    keeps everything — identical floor(x+0.5) cutoff math on both
+    engines, hash-deterministic row selection, id_sum certifying the
+    exact kept set."""
+    from xorq_spark.functions.sampling import temperature_sample
+
+    kept = temperature_sample(
+        t(spark, sf_dir, "documents"),
+        strata_col="lang",
+        alpha=0.5,
+        unique_key=["doc_id"],
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("n_chars").alias("char_sum"),
+        )
+        .orderBy("lang")
+    )
