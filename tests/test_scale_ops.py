@@ -516,3 +516,19 @@ def test_temperature_sample_rebalances(spark):
     assert a == b
     with pytest.raises(ValueError, match="alpha"):
         temperature_sample(df, "src", alpha=2.0)
+
+
+def test_char_entropy(spark):
+    import math
+
+    from xorq_spark.functions import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, ""), (4, None), (5, "abcd")],
+        "id int, t string",
+    )
+    got = {r.id: r.e for r in df.select("id", char_entropy(F.col("t")).alias("e")).collect()}
+    assert got[1] == 0.0                        # single symbol: zero entropy
+    assert got[2] == pytest.approx(math.log(2)) # two equiprobable symbols
+    assert got[3] == 0.0 and got[4] == 0.0      # empty/null
+    assert got[5] == pytest.approx(math.log(4)) # four equiprobable symbols

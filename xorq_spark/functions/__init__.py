@@ -21,6 +21,7 @@ from xorq_spark.functions.text import (
     fingerprint,
     rolling_hash,
     assign_token_shards,
+    char_entropy,
     chunk_documents,
 )
 from xorq_spark.functions.sampling import cap_per_group, stratified_sample, temperature_sample
@@ -65,6 +66,7 @@ __all__ = [
     "fingerprint",
     "rolling_hash",
     "chunk_documents",
+    "char_entropy",
     "stratified_sample",
     "cap_per_group",
     "temperature_sample",

@@ -335,3 +335,27 @@ def chunk_documents(
         F.size("__chunk").alias("n_chunk_tokens"),
         F.array_join("__chunk", " ").alias("chunk_text"),
     )
+
+
+def char_entropy(text: Column) -> Column:
+    """Character-unigram Shannon entropy (nats) — the cheap perplexity
+    proxy: repetitive/boilerplate garbage scores low, natural text
+    high, making it a useful curation filter when no language model is
+    available. NULL/empty text scores 0.
+
+    Entirely JVM HOFs: O(distinct_chars x length) per row, no shuffle.
+    The distinct-char list is SORTED before the fold so the
+    floating-point summation order is identical on every engine
+    (docs/ORACLE_PARITY.md)."""
+    chars = F.filter(F.split(text, ""), lambda x: x != "")
+    n = F.size(chars).cast("double")
+    d = F.array_sort(F.array_distinct(chars))
+    term = lambda c: let_p(chars, c, n)
+    ent = F.aggregate(d, F.lit(0.0), lambda acc, c: acc - term(c))
+    return F.coalesce(F.when(n > 0, ent), F.lit(0.0))
+
+
+def let_p(chars: Column, c: Column, n: Column) -> Column:
+    """p*ln(p) for one character's frequency (helper for char_entropy)."""
+    p = F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
+    return p * F.log(p)

@@ -177,6 +177,7 @@ SUITES: dict[str, list[str]] = {
         "text_quality_score",
         "text_pii_redaction",
         "text_repetition_ratio",
+        "text_char_entropy",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",

@@ -530,3 +530,36 @@ def text_temperature(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "text_char_entropy",
+    oracle="""
+    WITH cs AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ''), x -> x <> '') AS chars
+      FROM documents),
+    d AS (
+      SELECT doc_id, chars, len(chars) AS n,
+             list_sort(list_distinct(chars)) AS dchars
+      FROM cs)
+    SELECT doc_id,
+           ROUND(CASE WHEN n > 0 THEN
+             -list_aggregate(list_transform(dchars, c ->
+                (len(list_filter(chars, x -> x = c))::DOUBLE / n)
+                * ln(len(list_filter(chars, x -> x = c))::DOUBLE / n)), 'sum')
+           ELSE 0.0 END, 6) AS entropy
+    FROM d ORDER BY doc_id
+    """,
+)
+def text_entropy(spark, sf_dir):
+    """Character-unigram entropy per document (functions/text.py
+    char_entropy) — the perplexity-proxy curation signal; sorted-fold
+    summation keeps the double math engine-identical."""
+    from xorq_spark.functions.text import char_entropy
+
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select("doc_id", F.round(char_entropy(F.col("text")), 6).alias("entropy"))
+        .orderBy("doc_id")
+    )
