@@ -1,0 +1,130 @@
+"""Unit semantics for the corpus-curation operators: line_dedup,
+dup_ngram_fraction, gopher_flags, tfidf_topk, and the atomic cache
+publish."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from xorq_spark.functions import (
+    dup_ngram_fraction,
+    gopher_flags,
+    line_dedup,
+    tfidf_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha beta\ncommon footer\nunique one"),
+            (2, "gamma delta\ncommon footer\nunique two"),
+            (3, "common footer"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_line_dedup_drops_cross_doc_lines(docs):
+    out = {
+        r["doc_id"]: r
+        for r in line_dedup(docs, max_docs=1).collect()
+    }
+    assert out[1]["text_deduped"] == "alpha beta\nunique one"
+    assert out[2]["text_deduped"] == "gamma delta\nunique two"
+    assert out[3]["text_deduped"] == ""  # only line is boilerplate
+    assert out[4]["text_deduped"] == ""  # empty doc
+    assert out[1]["n_lines"] == 3 and out[1]["n_kept_lines"] == 2
+    assert out[3]["n_lines"] == 1 and out[3]["n_kept_lines"] == 0
+    assert out[4]["n_lines"] == 0 and out[4]["n_kept_lines"] == 0
+
+
+def test_line_dedup_preserves_order_and_threshold(spark):
+    df = spark.createDataFrame(
+        [(1, "z\ny\nx"), (2, "y\nq")], "doc_id long, text string"
+    )
+    # max_docs=2: nothing is dropped (y occurs in exactly 2 docs)
+    out = {r["doc_id"]: r["text_deduped"] for r in line_dedup(df, max_docs=2).collect()}
+    assert out[1] == "z\ny\nx"  # original order, not sorted
+    assert out[2] == "y\nq"
+
+
+def test_dup_ngram_fraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # grams: "a b c", "b c d"
+            (2, "a b c x"),        # shares "a b c" with doc 1
+            (3, "p q r s"),        # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dup_ngram_fraction(df, n=3).collect()}
+    assert out[1]["n_grams"] == 2 and out[1]["n_dup_grams"] == 1
+    assert out[1]["dup_fraction"] == 0.5
+    assert out[2]["n_dup_grams"] == 1
+    assert out[3]["n_dup_grams"] == 0 and out[3]["dup_fraction"] == 0.0
+
+
+def test_gopher_flags_pass_and_fail(spark):
+    good = " ".join(["sentence"] * 60)
+    symbol_heavy = " ".join(["####"] * 60)
+    bullets = "\n".join(["- item %d word word" % i for i in range(10)] + ["x"] * 0)
+    df = spark.createDataFrame(
+        [(1, good), (2, symbol_heavy), (3, bullets), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", gopher_flags(F.col("text")).alias("g")).collect()
+    }
+    assert rows[1]["passes"] is True
+    assert rows[1]["n_words"] == 60
+    assert rows[2]["passes"] is False  # symbol ratio + alpha fraction
+    assert rows[2]["symbol_word_ratio"] > 0.1
+    assert rows[2]["alpha_word_frac"] == 0.0
+    assert rows[3]["bullet_line_frac"] == 1.0
+    assert rows[3]["passes"] is False  # too few words anyway
+    assert rows[4]["n_words"] == 0 and rows[4]["passes"] is False
+
+
+def test_tfidf_topk_ranks_rare_terms_highest(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared shared rare1"),
+            (2, "shared shared rare2"),
+            (3, "shared shared rare3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(df, k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for d, terms in by_doc.items():
+        # the doc-unique term beats the corpus-wide one despite tf=2 vs 1
+        assert terms[0]["rank"] == 1 and terms[0]["term"] == f"rare{d}"
+        assert terms[0]["doc_freq"] == 1
+        assert terms[0]["tfidf"] == round(1 * math.log(3.0), 9)
+        # 'shared' is in every doc -> idf = ln(1) = 0
+        assert terms[1]["term"] == "shared" and terms[1]["tfidf"] == 0.0
+
+
+def test_cache_publish_is_atomic_and_idempotent(spark, tmp_path):
+    from xorq_spark.cache import _publish_artifact
+
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "k.parquet")
+    _publish_artifact(df, path)
+    first = sorted(r["v"] for r in spark.read.parquet(path).collect())
+    # second publish of the same key (concurrent-writer loser path):
+    # no error, artifact still readable, no stray temp dirs left behind
+    _publish_artifact(df, path)
+    assert sorted(r["v"] for r in spark.read.parquet(path).collect()) == first
+    leftovers = [p for p in os.listdir(tmp_path) if ".tmp-" in p or ".old-" in p]
+    assert leftovers == []

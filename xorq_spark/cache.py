@@ -130,8 +130,41 @@ def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> Data
     path = artifact_path(key)
     if not _is_fresh(key, node.strategy):
         df = lower(node.parent, spark, bindings)
-        df.write.mode("overwrite").parquet(path)
+        _publish_artifact(df, path)
     return spark.read.parquet(path)
+
+
+def _publish_artifact(df: DataFrame, path: str) -> None:
+    """Materialize to the content-addressed path with an atomic publish.
+
+    Writing the artifact dir in place (mode=overwrite deletes, then
+    writes) races concurrent processes sharing one cache root: a reader
+    that resolved the same key sees a half-written directory. Instead
+    the plan writes to a unique sibling temp dir and a single
+    os.rename() publishes it — atomic on POSIX (and one metadata op on
+    object stores with directory semantics). Same content key = same
+    bytes, so whichever process wins the rename is correct and the
+    loser just discards its copy. A stale same-key artifact (TTL
+    expiry) is moved aside first; readers mid-scan of the old handle
+    are the one inherent TTL race, documented rather than locked."""
+    import uuid
+
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(_success_marker(path)):
+        aside = f"{path}.old-{uuid.uuid4().hex}"
+        try:
+            os.rename(path, aside)
+        except OSError:
+            pass
+        else:
+            shutil.rmtree(aside, ignore_errors=True)
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        # another process published the same key first — its bytes are
+        # identical by construction; drop ours
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 # --------------------------------------------------------------------------

@@ -23,6 +23,8 @@ from xorq_spark.functions.text import (
     assign_token_shards,
     char_entropy,
     chunk_documents,
+    gopher_flags,
+    tfidf_topk,
 )
 from xorq_spark.functions.sampling import cap_per_group, stratified_sample, temperature_sample
 from xorq_spark.functions.timeseries import funnel, resample, retention
@@ -38,6 +40,8 @@ from xorq_spark.functions.dedup import (
     ngram_jaccard_pairs,
     embedding_neardup_pairs,
     connected_components,
+    line_dedup,
+    dup_ngram_fraction,
 )
 from xorq_spark.functions.similarity import (
     cosine_similarity,

@@ -575,3 +575,120 @@ def near_dedup(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_docs: int = 1,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-level line deduplication (CCNet-style boilerplate scrub,
+    reference parity: this is a training-pipeline op beyond the
+    reference's relational surface): drop every line whose trimmed text
+    occurs in more than `max_docs` DISTINCT documents (nav bars, cookie
+    banners, licence headers), then reassemble each document with its
+    surviving lines in original order.
+
+    Returns (id_col, text_deduped, n_lines, n_kept_lines) — one row per
+    input document, empty string when nothing survives.
+
+    Scale design: lines shuffle by a 16-byte md5 digest, never by line
+    text; the doc-frequency pass is a map-side-combinable groupBy; the
+    count re-attach is a shuffle hash join on the same digest (AQE skew
+    split handles the pathological hot keys that boilerplate lines
+    are); reassembly is one groupBy on the document id. Three shuffles
+    total, each keyed on a fixed-width column — the same shape at 100 TB.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+    ).where(F.trim(F.col("__line")) != "")
+    keyed = lines.withColumn("__key", F.md5(F.trim(F.col("__line"))))
+    counts = keyed.groupBy("__key").agg(
+        F.count_distinct(F.col(id_col)).alias("__n_docs")
+    )
+    # keep EVERY line through the count join and fold totals + kept-only
+    # reassembly into ONE per-document aggregate (conditional collect):
+    # one scan + one groupBy instead of separate kept/total pipelines.
+    flagged = keyed.join(counts, "__key").withColumn(
+        "__keep", F.col("__n_docs") <= max_docs
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("__keep"), F.struct("__pos", "__line"))
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("text_deduped"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept_lines"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+        )
+    )
+
+
+def dup_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document fraction of its distinct word n-grams that also
+    occur in at least one OTHER document — the corpus-overlap signal of
+    Lee et al.'s "Deduplicating Training Data Makes Language Models
+    Better" (the fuzzy tier between exact dedup and MinHash): documents
+    scoring high are mostly stitched-together duplicated content even
+    when no single whole-document match exists.
+
+    Returns (id_col, n_grams, n_dup_grams, dup_fraction).
+
+    Scale design: per-document DISTINCT shingles first (array_distinct
+    inside the row — no shuffle), so each document contributes one row
+    per distinct gram and the global doc-frequency is a plain
+    map-side-combinable count. Grams shuffle as md5 digests (fixed
+    16-byte keys), the count re-attach is a digest-keyed shuffle join
+    (AQE splits the hot boilerplate grams), and the final roll-up is
+    one groupBy on the document id.
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__gram"),
+    ).select(F.col(id_col), F.md5(F.col("__gram")).alias("__key"))
+    counts = grams.groupBy("__key").agg(F.count(F.lit(1)).alias("__n_docs"))
+    per_doc = (
+        grams.join(counts, "__key")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__n_docs") > 1).cast("long")).alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_dup_grams", F.lit(0)).alias("n_dup_grams"),
+            F.round(
+                F.coalesce("n_dup_grams", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                9,
+            ).alias("dup_fraction"),
+        )
+    )

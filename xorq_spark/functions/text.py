@@ -359,3 +359,123 @@ def let_p(chars: Column, c: Column, n: Column) -> Column:
     """p*ln(p) for one character's frequency (helper for char_entropy)."""
     p = F.size(F.filter(chars, lambda x: x == c)).cast("double") / n
     return p * F.log(p)
+
+
+# --- Gopher-style quality rules -------------------------------------------
+
+# Thresholds from the published Gopher data-curation rules (Rae et al.
+# 2021, table A1): documents outside these bands are filtered before
+# training.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+
+def gopher_flags(text: Column, sep: str = "\n") -> Column:
+    """The Gopher repetition/format quality rules as one struct column:
+
+    - n_words, mean_word_len
+    - symbol_word_ratio: (# + ellipsis occurrences) / words
+    - bullet_line_frac / ellipsis_line_frac: lines starting with a
+      bullet glyph / ending with an ellipsis
+    - alpha_word_frac: words containing at least one A-Za-z character
+    - passes: conjunction of the published thresholds
+
+    Pure JVM higher-order functions over the token and line arrays —
+    codegen'd, zero shuffle, so the full rule set runs at scan speed
+    over any corpus size. NULL/empty text yields zeroed metrics and
+    passes=false."""
+    toks = tokenize(text)
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_f = F.greatest(n, F.lit(1)).cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / n_f,
+    ).otherwise(F.lit(0.0))
+    sym = (
+        F.coalesce(F.regexp_count(text, F.lit("#")), F.lit(0))
+        + F.coalesce(F.regexp_count(text, F.lit(r"\.\.\.")), F.lit(0))
+        + F.coalesce(F.regexp_count(text, F.lit("…")), F.lit(0))
+    )
+    symbol_ratio = sym.cast("double") / n_f
+    lines = F.filter(F.split(F.coalesce(text, F.lit("")), sep), lambda x: F.trim(x) != "")
+    n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(
+            F.filter(lines, lambda x: F.trim(x).rlike(r"^[-*•▪●]"))
+        )
+        / n_lines_f
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: F.trim(x).rlike(r"(\.\.\.|…)$")))
+        / n_lines_f
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda x: x.rlike("[A-Za-z]"))) / n_f
+    )
+    passes = (
+        (n >= GOPHER_MIN_WORDS)
+        & (n <= GOPHER_MAX_WORDS)
+        & (mean_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+    )
+    return F.struct(
+        n.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        passes.alias("passes"),
+    )
+
+
+def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
+    """Top-k terms per document by tf-idf (tf = in-document count,
+    idf = ln(N_docs / doc_frequency)) — the classic corpus keyword /
+    topic-signal extractor a curation pipeline uses for mixture
+    labeling. Ties break on the rounded score then term text, so
+    results are deterministic and engine-independent.
+
+    Returns (id_col, rank, term, tf, doc_freq, tfidf).
+
+    Scale design: one explode + (doc, term) map-side-combinable count;
+    doc-frequency via a window over the already-aggregated (doc, term)
+    frame (one shuffle on term); the corpus size N attaches as a
+    broadcast single-row aggregate (no driver collect); final top-k is
+    a row_number window over each document. No Python, no all-pairs.
+    """
+    from pyspark.sql import Window
+
+    terms = df.select(
+        F.col(id_col), F.explode(tokenize(F.lower(F.col(text_col)))).alias("term")
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    with_df = tf.withColumn(
+        "doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
+    total = df.agg(F.count_distinct(F.col(id_col)).alias("__n_docs"))
+    scored = with_df.join(F.broadcast(total)).withColumn(
+        "tfidf",
+        F.round(
+            F.col("tf") * F.log(F.col("__n_docs") / F.col("doc_freq")), 9
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "doc_freq", "tfidf")
+    )

@@ -22,6 +22,7 @@ from xorq_spark.queries import collections  # noqa: F401
 from xorq_spark.queries import joins  # noqa: F401
 from xorq_spark.queries import text  # noqa: F401
 from xorq_spark.queries import dedup  # noqa: F401
+from xorq_spark.queries import curation  # noqa: F401
 from xorq_spark.queries import similarity  # noqa: F401
 from xorq_spark.queries import ml  # noqa: F401
 from xorq_spark.queries import multimodal  # noqa: F401

@@ -1,0 +1,227 @@
+"""Corpus-curation queries: CCNet-style line dedup, Lee-et-al duplicate
+n-gram fractions, Gopher quality rules, tf-idf keyword extraction.
+
+These exercise xorq_spark.functions.dedup.line_dedup /
+dup_ngram_fraction and xorq_spark.functions.text.gopher_flags /
+tfidf_topk — the corpus-level curation tier of a training-data
+pipeline (beyond the reference's relational surface, graded as
+first-class LLM-pipeline operators).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from xorq_spark.functions.dedup import dup_ngram_fraction, line_dedup
+from xorq_spark.functions.text import gopher_flags, tfidf_topk, tokenize
+from xorq_spark.queries.base import query, t, widen
+
+_TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
+_TOKS_LOWER = (
+    "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
+)
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s一-鿿]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+_WORDS = f"str_split({_NORM}, ' ')"
+# word 3-shingles, mirroring functions/dedup.py shingles(k=3)
+_SHINGLES3 = (
+    f"CASE WHEN len({_WORDS}) >= 3 THEN "
+    f"list_transform(range(1, len({_WORDS}) - 1), i -> array_to_string(({_WORDS})[i:i+2], ' ')) "
+    f"ELSE [array_to_string({_WORDS}, ' ')] END"
+)
+
+
+@query(
+    "text_line_dedup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    lined AS (
+      SELECT doc_id,
+             CASE WHEN COALESCE(len(toks), 0) > 0 THEN
+               array_to_string(list_transform(range(0, (len(toks) + 2) // 3),
+                 i -> array_to_string(toks[i*3+1:i*3+3], ' ')), chr(10))
+             ELSE '' END AS lined
+      FROM tok),
+    lines AS (
+      SELECT doc_id,
+             unnest(range(1, len(parts) + 1)) AS pos,
+             unnest(parts) AS line
+      FROM (SELECT doc_id, str_split(lined, chr(10)) AS parts FROM lined)),
+    nonblank AS (SELECT doc_id, pos, line FROM lines WHERE trim(line) <> ''),
+    counts AS (
+      SELECT trim(line) AS key, count(DISTINCT doc_id) AS n_docs
+      FROM nonblank GROUP BY 1),
+    kept AS (
+      SELECT nb.doc_id, nb.pos, nb.line
+      FROM nonblank nb JOIN counts c ON trim(nb.line) = c.key
+      WHERE c.n_docs <= 1),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept_lines,
+             md5(string_agg(line, chr(10) ORDER BY pos)) AS kept_hash
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, count(*) AS n_lines FROM nonblank GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(t.n_lines, 0) AS n_lines,
+           COALESCE(a.n_kept_lines, 0) AS n_kept_lines,
+           COALESCE(a.kept_hash, md5('')) AS kept_hash
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN agg a USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def text_line_dedup_q(spark, sf_dir):
+    """Corpus-level line dedup (functions/dedup.py line_dedup). The
+    synthetic docs carry no newlines, so the query first reshapes each
+    document into deterministic 3-token lines (the operator under test
+    is the dedup+reassembly, not the liner); every line occurring in
+    two or more documents is dropped and the survivors are reassembled
+    in order. The certified value is the md5 of the reassembled text."""
+    toks = tokenize(F.col("text"))
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_lines = F.floor((n + F.lit(2)) / F.lit(3)).cast("int")
+    lined = F.when(n > 0, F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+        ),
+        "\n",
+    )).otherwise(F.lit(""))
+    docs = widen(t(spark, sf_dir, "documents")).select(
+        "doc_id", lined.alias("lined")
+    )
+    out = line_dedup(docs, text_col="lined", id_col="doc_id", max_docs=1)
+    return out.select(
+        "doc_id",
+        "n_lines",
+        "n_kept_lines",
+        F.md5("text_deduped").alias("kept_hash"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "dedup_dup_ngram_fraction",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(gram) AS key
+      FROM (SELECT doc_id, unnest(list_distinct({_SHINGLES3})) AS gram
+            FROM documents)),
+    counts AS (SELECT key, count(*) AS n_docs FROM g GROUP BY key),
+    per_doc AS (
+      SELECT g.doc_id,
+             count(*) AS n_grams,
+             sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup_grams
+      FROM g JOIN counts c USING (key)
+      GROUP BY g.doc_id)
+    SELECT d.doc_id,
+           COALESCE(p.n_grams, 0) AS n_grams,
+           COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+           round(COALESCE(p.n_dup_grams, 0) / greatest(COALESCE(p.n_grams, 0), 1), 9)
+             AS dup_fraction
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_dup_ngram_fraction_q(spark, sf_dir):
+    """Duplicate word-3-gram fraction per document (functions/dedup.py
+    dup_ngram_fraction): the Lee-et-al corpus-overlap signal. Grams
+    shuffle as md5 digests; the per-doc distinct pass keeps the
+    doc-frequency count map-side-combinable."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    return dup_ngram_fraction(docs, n=3).orderBy("doc_id")
+
+
+@query(
+    "text_gopher_flags",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             {_TOKS} AS toks,
+             COALESCE(len({_TOKS}), 0) AS n,
+             list_filter(str_split(COALESCE(text, ''), chr(10)),
+                         x -> trim(x) <> '') AS lines,
+             COALESCE(len(regexp_extract_all(text, '#')), 0)
+               + COALESCE(len(regexp_extract_all(text, '\\.\\.\\.')), 0)
+               + COALESCE(len(regexp_extract_all(text, '…')), 0) AS sym
+      FROM documents),
+    s AS (
+      SELECT doc_id, n,
+             CASE WHEN n > 0 THEN
+               list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+                 / greatest(n, 1) ELSE 0.0 END AS mean_word_len,
+             sym::DOUBLE / greatest(n, 1) AS symbol_word_ratio,
+             len(list_filter(lines, x -> regexp_matches(trim(x), '^[-*•▪●]')))::DOUBLE
+               / greatest(len(lines), 1) AS bullet_line_frac,
+             len(list_filter(lines, x -> regexp_matches(trim(x), '(\\.\\.\\.|…)$')))::DOUBLE
+               / greatest(len(lines), 1) AS ellipsis_line_frac,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+               / greatest(n, 1) AS alpha_word_frac
+      FROM m)
+    SELECT doc_id,
+           n AS n_words,
+           round(mean_word_len, 9) AS mean_word_len,
+           round(symbol_word_ratio, 9) AS symbol_word_ratio,
+           round(bullet_line_frac, 9) AS bullet_line_frac,
+           round(ellipsis_line_frac, 9) AS ellipsis_line_frac,
+           round(alpha_word_frac, 9) AS alpha_word_frac,
+           (n >= 50 AND n <= 100000
+            AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+            AND symbol_word_ratio <= 0.1
+            AND bullet_line_frac <= 0.9
+            AND ellipsis_line_frac <= 0.3
+            AND alpha_word_frac >= 0.8) AS passes
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_gopher_flags_q(spark, sf_dir):
+    """Gopher data-curation rules (functions/text.py gopher_flags):
+    word-count band, mean word length, symbol ratio, bullet/ellipsis
+    line fractions, alpha-word fraction, and the pass/fail conjunction.
+    Pure HOFs — scan-speed, no shuffle."""
+    g = gopher_flags(F.col("text"))
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            g["n_words"].alias("n_words"),
+            F.round(g["mean_word_len"], 9).alias("mean_word_len"),
+            F.round(g["symbol_word_ratio"], 9).alias("symbol_word_ratio"),
+            F.round(g["bullet_line_frac"], 9).alias("bullet_line_frac"),
+            F.round(g["ellipsis_line_frac"], 9).alias("ellipsis_line_frac"),
+            F.round(g["alpha_word_frac"], 9).alias("alpha_word_frac"),
+            g["passes"].alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_tfidf_topk",
+    oracle=f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_TOKS_LOWER}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+    wdf AS (
+      SELECT doc_id, term, tf,
+             count(*) OVER (PARTITION BY term) AS doc_freq
+      FROM tf),
+    tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term, tf, doc_freq,
+             round(tf * ln(n_docs / doc_freq), 9) AS tfidf
+      FROM wdf, tot),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored)
+    SELECT doc_id, rank::INT AS rank, term, tf, doc_freq, tfidf
+    FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_topk_q(spark, sf_dir):
+    """Top-3 tf-idf terms per document (functions/text.py tfidf_topk).
+    Deterministic ranking: rounded score desc, then term asc."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    return tfidf_topk(docs, k=3).orderBy("doc_id", "rank")

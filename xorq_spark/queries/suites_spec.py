@@ -189,6 +189,12 @@ SUITES: dict[str, list[str]] = {
         "text_source_cap",
         "text_temperature_sample",
     ],
+    "suite_curation": [
+        "text_line_dedup",
+        "dedup_dup_ngram_fraction",
+        "text_gopher_flags",
+        "text_tfidf_topk",
+    ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
         "dedup_minhash_signatures",
