@@ -42,6 +42,10 @@ HEADLINE = [
     "text_chunk_documents",
     "text_stratified_sample",
     "sim_embedding_quantize",
+    # round 3, second batch: corpus-curation tier (multi-shuffle
+    # digest-keyed designs — the 100 TB-representative shapes)
+    "text_line_dedup",
+    "dedup_dup_ngram_fraction",
 ]
 
 # Measurement policy (pinned since round 3 so BENCH_r{N} files are

@@ -31,6 +31,10 @@ CHECK = [
     "text_chunk_documents",
     "text_stratified_sample",
     "text_source_cap",
+    "text_line_dedup",
+    "dedup_dup_ngram_fraction",
+    "text_gopher_flags",
+    "text_tfidf_topk",
 ]
 
 

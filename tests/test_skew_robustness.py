@@ -36,6 +36,9 @@ TEXT_CHECK = [
     "text_chunk_documents",
     "text_stratified_sample",
     "text_source_cap",
+    "text_line_dedup",
+    "dedup_dup_ngram_fraction",
+    "text_tfidf_topk",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",

@@ -36,6 +36,10 @@ CHECK = [
     "text_quality_score",
     "text_chunk_documents",
     "text_source_cap",
+    "text_line_dedup",
+    "dedup_dup_ngram_fraction",
+    "text_gopher_flags",
+    "text_tfidf_topk",
 ]
 
 

@@ -594,26 +594,30 @@ def line_dedup(
     Returns (id_col, text_deduped, n_lines, n_kept_lines) — one row per
     input document, empty string when nothing survives.
 
-    Scale design: lines shuffle by a 16-byte md5 digest, never by line
-    text; the doc-frequency pass is a map-side-combinable groupBy; the
-    count re-attach is a shuffle hash join on the same digest (AQE skew
-    split handles the pathological hot keys that boilerplate lines
-    are); reassembly is one groupBy on the document id. Three shuffles
-    total, each keyed on a fixed-width column — the same shape at 100 TB.
+    Scale design: lines shuffle ONCE, keyed by a 16-byte md5 digest,
+    never by line text. Per-line doc-frequency comes from two window
+    functions over that single exchange (sort by (doc, pos) inside each
+    digest partition; a lag marks each document's first occurrence and
+    a partition-wide sum of those marks is the distinct-doc count) — no
+    second computation of the exploded lines, no self-join, and no
+    per-key collected set, so a boilerplate line in millions of
+    documents costs a sort, not memory. Reassembly is one groupBy on
+    the document id. Two shuffles total, each on a fixed-width key.
     """
+    from pyspark.sql import Window
+
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
     ).where(F.trim(F.col("__line")) != "")
     keyed = lines.withColumn("__key", F.md5(F.trim(F.col("__line"))))
-    counts = keyed.groupBy("__key").agg(
-        F.count_distinct(F.col(id_col)).alias("__n_docs")
-    )
-    # keep EVERY line through the count join and fold totals + kept-only
-    # reassembly into ONE per-document aggregate (conditional collect):
-    # one scan + one groupBy instead of separate kept/total pipelines.
-    flagged = keyed.join(counts, "__key").withColumn(
-        "__keep", F.col("__n_docs") <= max_docs
+    by_key = Window.partitionBy("__key").orderBy(id_col, "__pos")
+    first_in_doc = F.when(
+        F.lag(id_col).over(by_key).eqNullSafe(F.col(id_col)), F.lit(0)
+    ).otherwise(F.lit(1))
+    flagged = keyed.withColumn("__first", first_in_doc).withColumn(
+        "__keep",
+        F.sum("__first").over(Window.partitionBy("__key")) <= max_docs,
     )
     per_doc = flagged.groupBy(id_col).agg(
         F.array_join(
@@ -659,19 +663,27 @@ def dup_ngram_fraction(
 
     Scale design: per-document DISTINCT shingles first (array_distinct
     inside the row — no shuffle), so each document contributes one row
-    per distinct gram and the global doc-frequency is a plain
-    map-side-combinable count. Grams shuffle as md5 digests (fixed
-    16-byte keys), the count re-attach is a digest-keyed shuffle join
-    (AQE splits the hot boilerplate grams), and the final roll-up is
-    one groupBy on the document id.
+    per distinct gram and the doc-frequency is a plain count over the
+    gram's digest partition. Grams shuffle ONCE as md5 digests (fixed
+    16-byte keys) and the frequency attaches via a window over that
+    single exchange — shingling runs once, there is no count self-join
+    to recompute it. The final roll-up is one groupBy on the document
+    id.
     """
+    from pyspark.sql import Window
+
     grams = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__gram"),
     ).select(F.col(id_col), F.md5(F.col("__gram")).alias("__key"))
-    counts = grams.groupBy("__key").agg(F.count(F.lit(1)).alias("__n_docs"))
+    # a NULL gram (null/empty text) carries no dedup signal; the window
+    # would otherwise group all NULL digests into one phantom partition
+    grams = grams.where(F.col("__key").isNotNull())
+    with_freq = grams.withColumn(
+        "__n_docs", F.count(F.lit(1)).over(Window.partitionBy("__key"))
+    )
     per_doc = (
-        grams.join(counts, "__key")
+        with_freq
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
