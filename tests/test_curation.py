@@ -128,3 +128,47 @@ def test_cache_publish_is_atomic_and_idempotent(spark, tmp_path):
     assert sorted(r["v"] for r in spark.read.parquet(path).collect()) == first
     leftovers = [p for p in os.listdir(tmp_path) if ".tmp-" in p or ".old-" in p]
     assert leftovers == []
+
+
+def test_pack_sequences_crosses_doc_boundaries(spark):
+    from xorq_spark.functions import pack_sequences
+
+    df = spark.createDataFrame(
+        [
+            (1, "en", "a b c"),
+            (2, "en", "d e f g"),
+            (3, "fr", "x y"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    out = {
+        (r["lang"], r["seq_id"]): r
+        for r in pack_sequences(df, seq_tokens=4, partition_cols=("lang",)).collect()
+    }
+    # en stream: a b c | d e f g  -> [a b c d] [e f g]
+    assert out[("en", 0)]["seq_text"] == "a b c d"
+    assert out[("en", 0)]["n_tokens"] == 4
+    assert out[("en", 1)]["seq_text"] == "e f g"  # final partial sequence
+    assert out[("en", 1)]["n_tokens"] == 3
+    # fr stream independent
+    assert out[("fr", 0)]["seq_text"] == "x y"
+    assert len(out) == 3
+
+
+def test_pack_sequences_deterministic_and_lossless(spark):
+    from xorq_spark.functions import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "en", " ".join(f"t{i}_{j}" for j in range(7))) for i in range(20)],
+        "doc_id long, lang string, text string",
+    )
+    a = pack_sequences(df, seq_tokens=16).collect()
+    b = pack_sequences(df, seq_tokens=16).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # every token lands in exactly one sequence, in stream order
+    stream = " ".join(
+        r["seq_text"]
+        for r in sorted(a, key=lambda r: r["seq_id"])
+    ).split()
+    expect = [f"t{i}_{j}" for i in range(20) for j in range(7)]
+    assert stream == expect

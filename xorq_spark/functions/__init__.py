@@ -24,6 +24,7 @@ from xorq_spark.functions.text import (
     char_entropy,
     chunk_documents,
     gopher_flags,
+    pack_sequences,
     tfidf_topk,
 )
 from xorq_spark.functions.sampling import cap_per_group, stratified_sample, temperature_sample

@@ -479,3 +479,72 @@ def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
         .where(F.col("rank") <= k)
         .select(id_col, "rank", "term", "tf", "doc_freq", "tfidf")
     )
+
+
+def pack_sequences(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_tokens: int = 512,
+    partition_cols=("lang",),
+):
+    """Training-sequence packing: concatenate documents (in
+    deterministic id order within each partition group) into one token
+    stream and cut it into fixed-length sequences of `seq_tokens`,
+    crossing document boundaries — the standard last step before a
+    trainer consumes the corpus (every sequence but each group's final
+    one is exactly full; nothing is padded or dropped).
+
+    Returns one row per packed sequence: (*partition_cols, seq_id,
+    n_tokens, seq_text), with seq_id dense from 0 within each group.
+
+    Scale design: per-document token counts first (whitespace tokens —
+    the same unit the packer splits on, so offsets and token positions
+    agree exactly; for BPE-budget whole-document packing use
+    assign_token_shards), then ONE window
+    prefix-sum per partition group gives each document its global token
+    offset — the same single sort a shard writer needs. The token-level
+    explode is the honest cost of packing (every token must move to its
+    sequence); rows shuffle once, keyed by the (group, seq_id) pair,
+    and sequence reassembly is an ordered in-group collect bounded by
+    seq_tokens elements. Partition groups must be fine enough that one
+    group's documents fit a task's sort spill at the target scale —
+    language (x date bucket) is the usual choice."""
+    from pyspark.sql import Window
+
+    parts = list(partition_cols)
+    toks = tokenize(F.col(text_col))
+    count = lambda c: F.coalesce(F.size(tokenize(c)), F.lit(0))
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    with_off = df.withColumn("__n", count(F.col(text_col)).cast("long")).withColumn(
+        "__off", F.sum("__n").over(w) - F.col("__n")
+    )
+    token_rows = with_off.select(
+        *parts,
+        F.col("__off"),
+        F.posexplode(toks).alias("__pos", "__tok"),
+    ).select(
+        *parts,
+        ((F.col("__off") + F.col("__pos")) / F.lit(seq_tokens))
+        .cast("long")
+        .alias("seq_id"),
+        ((F.col("__off") + F.col("__pos")) % F.lit(seq_tokens)).alias("__seq_pos"),
+        F.col("__tok"),
+    )
+    return (
+        token_rows.groupBy(*parts, "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__seq_pos", "__tok"))),
+                    lambda s: s["__tok"],
+                ),
+                " ",
+            ).alias("seq_text"),
+        )
+    )

@@ -225,3 +225,45 @@ def text_tfidf_topk_q(spark, sf_dir):
     Deterministic ranking: rounded score desc, then term asc."""
     docs = widen(t(spark, sf_dir, "documents"))
     return tfidf_topk(docs, k=3).orderBy("doc_id", "rank")
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, {_TOKS} AS toks, COALESCE(len({_TOKS}), 0) AS n
+      FROM documents),
+    off AS (
+      SELECT doc_id, lang, toks,
+             sum(n) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n AS off
+      FROM tok),
+    tokens AS (
+      SELECT lang, off,
+             unnest(range(0, len(toks))) AS pos,
+             unnest(toks) AS tok
+      FROM off)
+    SELECT lang,
+           (off + pos) // 32 AS seq_id,
+           count(*) AS n_tokens,
+           md5(string_agg(tok, ' ' ORDER BY (off + pos) % 32)) AS seq_hash
+    FROM tokens
+    GROUP BY lang, (off + pos) // 32
+    ORDER BY lang, seq_id
+    """,
+)
+def text_pack_sequences_q(spark, sf_dir):
+    """Fixed-length training-sequence packing (functions/text.py
+    pack_sequences): concatenate each language's documents in id order
+    and cut 32-token sequences across document boundaries. The
+    certified value is the md5 of each packed sequence's exact text."""
+    from xorq_spark.functions import pack_sequences
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    out = pack_sequences(docs, seq_tokens=32, partition_cols=("lang",))
+    return out.select(
+        "lang",
+        "seq_id",
+        "n_tokens",
+        F.md5("seq_text").alias("seq_hash"),
+    ).orderBy("lang", "seq_id")

@@ -194,6 +194,7 @@ SUITES: dict[str, list[str]] = {
         "dedup_dup_ngram_fraction",
         "text_gopher_flags",
         "text_tfidf_topk",
+        "text_pack_sequences",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
