@@ -33,6 +33,10 @@ OPS = [
     "text_token_shards",
     "time_funnel_steps",
     "mm_extract_features",
+    "text_line_dedup",
+    "dedup_dup_ngram_fraction",
+    "text_pack_sequences",
+    "text_tfidf_topk",
 ]
 
 
