@@ -235,3 +235,87 @@ def stream_dedup(spark, sf_dir):
     out = S.dedup_stream(ev, ["user_id"], "ts", watermark="10 minutes")
     res = _run(out.select("user_id"), "stream_dedup", "append")
     return res.select("user_id").distinct().orderBy("user_id")
+
+
+@query(
+    "stream_enrich_customer",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    ORDER BY e.event_id
+    """,
+)
+def stream_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment (streaming/core.py
+    enrich_stream): every event in the stream picks up its customer
+    dimension row. The static side broadcasts once per plan (a shuffled
+    static side would re-shuffle the dimension every micro-batch);
+    stream-static joins hold no watermark state, so the drained
+    finite source must equal the batch join the oracle runs."""
+    ev = _events_stream(spark, sf_dir)
+    dim = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+        )
+    )
+    enriched = S.enrich_stream(ev, dim, on=["user_id"], how="inner")
+    out = _run(
+        enriched.select("event_id", "user_id", "c_name", "c_mktsegment", "value"),
+        "stream_enrich",
+        "append",
+    )
+    return out.orderBy("event_id")
+
+
+@query(
+    "stream_stream_purchase_click",
+    oracle="""
+    SELECT a.event_id AS purchase_id, b.event_id AS click_id, a.user_id,
+           a.ts AS purchase_ts, b.ts AS click_ts
+    FROM events a JOIN events b ON a.user_id = b.user_id
+    WHERE a.event_type = 'purchase' AND b.event_type = 'click'
+      AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 4 HOUR
+    ORDER BY purchase_id, click_id
+    """,
+)
+def stream_stream_pc(spark, sf_dir):
+    """Watermarked stream-stream interval join (streaming/core.py
+    stream_stream_join): purchases joined to each user's clicks landing
+    within 4 hours. Both sides carry a 2-hour watermark and the
+    interval bounds the skew, so join state is evicted once the
+    watermark passes purchase_ts + 4h — bounded state on an unbounded
+    stream. Inner joins emit on match, so the drained finite source
+    equals the batch self-join oracle."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    joined = S.stream_stream_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_time_col="purchase_ts",
+        right_time_col="click_ts",
+        watermark="2 hours",
+        max_lag="4 hours",
+    )
+    out = _run(
+        joined.select(
+            "purchase_id",
+            "click_id",
+            "user_id",
+            F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+            F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        ),
+        "stream_pc",
+        "append",
+    )
+    return out.orderBy("purchase_id", "click_id")

@@ -268,5 +268,7 @@ WINDOW_GRANULAR = [
     "stream_hop_event_counts",
     "stream_session_user_visits",
     "stream_dedup_user_ids",
+    "stream_enrich_customer",
+    "stream_stream_purchase_click",
     "sim_ann_ivf_topk",
 ]
