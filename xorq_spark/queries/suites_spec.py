@@ -261,8 +261,9 @@ PRE_SQL = {
 }
 
 # Granular entries that stay individually inside the driver's 50-slot
-# window (streaming jobs can't union into a batch suite; the KMeans IVF
-# variant is rows-only by design).
+# window (streaming jobs — window aggs, dedup, stream-static enrich,
+# stream-stream interval join — can't union into a batch suite; the
+# KMeans IVF variant is rows-only by design).
 WINDOW_GRANULAR = [
     "stream_tumble_event_counts",
     "stream_hop_event_counts",
