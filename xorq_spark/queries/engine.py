@@ -237,3 +237,31 @@ def engine_selectors(spark, sf_dir):
         .order_by("l_returnflag")
     )
     return e.to_spark(spark)
+
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from xorq_spark.operators.layout import z_value, z_value_sql  # noqa: E402
+from xorq_spark.queries.base import t  # noqa: E402
+
+_Z_SQL = z_value_sql(["user_id", "event_id"], bits=10)
+
+
+@query(
+    "engine_zorder_keys",
+    oracle=f"""
+    SELECT event_id, {_Z_SQL} AS zkey
+    FROM events ORDER BY event_id
+    """,
+)
+def engine_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering keys (operators/layout.py z_value):
+    the bit-interleave both engines must compute identically — the key
+    zorder_by() range-partitions file writes on so multi-column scan
+    predicates prune at rest. Pure static shift/mask expression tree,
+    codegen'd, no shuffle."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        z_value([F.col("user_id"), F.col("event_id")], bits=10).alias("zkey"),
+    ).orderBy("event_id")

@@ -240,6 +240,7 @@ SUITES: dict[str, list[str]] = {
         "engine_split_deferred",
         "engine_cached_subtree",
         "engine_selectors_across",
+        "engine_zorder_keys",
     ],
 }
 
