@@ -42,20 +42,62 @@ def cache_root() -> str:
     )
 
 
-def artifact_path(key: str) -> str:
-    return os.path.join(cache_root(), f"{key}.parquet")
+def split_strategy(strategy: str) -> tuple:
+    """'mtime@gs://bucket/prefix' -> ('mtime', 'gs://bucket/prefix').
+
+    The optional '@<root>' suffix points a CachedNode at an explicit
+    artifact root (object store or any Hadoop-FS URI) instead of the
+    process-wide cache_root(); the base strategy alone determines the
+    content key, so moving a cache between stores never re-keys it."""
+    base, _, root = strategy.partition("@")
+    return base, (root or None)
+
+
+def artifact_path(key: str, root: Optional[str] = None) -> str:
+    base = root or cache_root()
+    return f"{base.rstrip('/')}/{key}.parquet"
 
 
 def _success_marker(path: str) -> str:
-    return os.path.join(path, "_SUCCESS")
+    return f"{path}/_SUCCESS"
 
 
-def exists(key: str) -> bool:
-    return os.path.exists(_success_marker(artifact_path(key)))
+def _is_uri(path: str) -> bool:
+    return "://" in path
 
 
-def drop(key: str) -> None:
-    p = artifact_path(key)
+def _hfs(spark, path: str):
+    """(Hadoop FileSystem, Path) for a URI — the same FS layer Spark's
+    own reads/writes go through, so whatever store the cluster can scan
+    (gs://, s3a://, hdfs://, file://) the cache can publish to with no
+    extra client library."""
+    jvm = spark._jvm
+    hp = jvm.org.apache.hadoop.fs.Path(path)
+    return hp.getFileSystem(spark._jsc.hadoopConfiguration()), hp
+
+
+def _require_spark(spark=None):
+    if spark is None:
+        from xorq_spark.session import get_spark
+
+        spark = get_spark()
+    return spark
+
+
+def exists(key: str, root: Optional[str] = None, spark=None) -> bool:
+    p = _success_marker(artifact_path(key, root))
+    if _is_uri(p):
+        fs, hp = _hfs(_require_spark(spark), p)
+        return bool(fs.exists(hp))
+    return os.path.exists(p)
+
+
+def drop(key: str, root: Optional[str] = None, spark=None) -> None:
+    p = artifact_path(key, root)
+    if _is_uri(p):
+        fs, hp = _hfs(_require_spark(spark), p)
+        fs.delete(hp, True)
+        return
     if os.path.exists(p):
         shutil.rmtree(p)
 
@@ -66,7 +108,8 @@ def drop_all() -> None:
 
 
 def calc_key(node: N.RNode, strategy: str = "mtime") -> str:
-    return tokenize(node, strategy)
+    base, _root = split_strategy(strategy)
+    return tokenize(node, base)
 
 
 def _ttl_seconds(strategy: str) -> Optional[float]:
@@ -75,14 +118,20 @@ def _ttl_seconds(strategy: str) -> Optional[float]:
     return None
 
 
-def _is_fresh(key: str, strategy: str) -> bool:
-    if not exists(key):
+def _is_fresh(key: str, strategy: str, spark=None) -> bool:
+    base, root = split_strategy(strategy)
+    if not exists(key, root, spark):
         return False
-    ttl = _ttl_seconds(strategy)
+    ttl = _ttl_seconds(base)
     if ttl is None:
         return True
-    age = time.time() - os.path.getmtime(_success_marker(artifact_path(key)))
-    return age <= ttl
+    marker = _success_marker(artifact_path(key, root))
+    if _is_uri(marker):
+        fs, hp = _hfs(_require_spark(spark), marker)
+        mtime = fs.getFileStatus(hp).getModificationTime() / 1000.0
+    else:
+        mtime = os.path.getmtime(marker)
+    return time.time() - mtime <= ttl
 
 
 def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> DataFrame:
@@ -91,13 +140,14 @@ def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> Data
     materialize on miss."""
     from xorq_spark.expr.core import lower
 
-    if node.strategy == "dummy":
+    base_strategy, _ = split_strategy(node.strategy)
+    if base_strategy == "dummy":
         # ParquetDummySnapshotCache: storage that never persists
         # (reference ParquetDummyStorage) — every lookup misses, so the
         # subtree recomputes; the knob that disables caching without
         # touching the expression.
         return lower(node.parent, spark, bindings)
-    if node.strategy.startswith("source"):
+    if base_strategy.startswith("source"):
         # SourceCache: materialize into the session catalog (managed
         # table) instead of the parquet artifact store — the reference's
         # "cache into the source backend" flavor. The content key names
@@ -106,7 +156,7 @@ def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> Data
         # source-data changes).
         key = calc_key(
             node.parent,
-            "snapshot" if "snapshot" in node.strategy else "mtime",
+            "snapshot" if "snapshot" in base_strategy else "mtime",
         )
         tbl = f"xorq_cache_{key[:16]}"
         if not spark.catalog.tableExists(tbl):
@@ -127,8 +177,9 @@ def lower_cached_node(node: N.CachedNode, spark: SparkSession, bindings) -> Data
             ).saveAsTable(tbl)
         return spark.table(tbl)
     key = calc_key(node.parent, node.strategy)
-    path = artifact_path(key)
-    if not _is_fresh(key, node.strategy):
+    _, root = split_strategy(node.strategy)
+    path = artifact_path(key, root)
+    if not _is_fresh(key, node.strategy, spark):
         df = lower(node.parent, spark, bindings)
         _publish_artifact(df, path)
     return spark.read.parquet(path)
@@ -151,6 +202,20 @@ def _publish_artifact(df: DataFrame, path: str) -> None:
 
     tmp = f"{path}.tmp-{uuid.uuid4().hex}"
     df.write.mode("overwrite").parquet(tmp)
+    if _is_uri(path):
+        # object-store / HDFS root: same protocol through the Hadoop FS
+        # layer. rename() is atomic on HDFS; on gs:// / s3a:// it is a
+        # (fast, server-side) copy — the _SUCCESS check in exists()
+        # still gates readers, the window just isn't zero there.
+        spark = df.sparkSession
+        fs, dst = _hfs(spark, path)
+        _, src = _hfs(spark, tmp)
+        marker = _hfs(spark, _success_marker(path))[1]
+        if fs.exists(marker):
+            fs.delete(dst, True)
+        if not fs.rename(src, dst):
+            fs.delete(src, True)  # concurrent publisher won; drop ours
+        return
     if os.path.exists(_success_marker(path)):
         aside = f"{path}.old-{uuid.uuid4().hex}"
         try:
@@ -212,16 +277,35 @@ class ParquetDummySnapshotCache:
     strategy = "dummy"
 
 
-class GCSCache:
-    """Reference ships a GCS-backed artifact store; no GCS client is in
-    this container, so the gate raises at construction."""
+class ObjectStoreCache:
+    """Artifact store on any Hadoop-FS URI root (gs://, s3a://,
+    hdfs://, file://) — the cluster deployment shape, where the cache
+    must outlive every node's local disk. No extra client library: the
+    cache publishes through the same Hadoop FileSystem layer Spark's
+    own reads and writes use, so any store the cluster can scan it can
+    cache to. file:// exercises the exact code path locally
+    (tests/test_cache.py)."""
 
-    def __init__(self, *a, **k):
-        raise ImportError(
-            "GCSCache needs a google-cloud-storage client, which is not "
-            "available in this environment; use ParquetCache on a "
-            "GCS-mounted path instead"
-        )
+    def __init__(self, root: str, strategy: str = "mtime"):
+        if not _is_uri(root):
+            raise ValueError(
+                f"ObjectStoreCache root must be a URI (got {root!r}); "
+                "plain paths use ParquetCache + XORQ_SPARK_CACHE_DIR"
+            )
+        self.root = root
+        self.strategy = f"{strategy}@{root}"
+
+
+class GCSCache(ObjectStoreCache):
+    """Reference-named GCS flavor (reference caching GCStorage): an
+    ObjectStoreCache pinned to a gs:// root. Runtime needs the GCS
+    connector on the Spark classpath (standard on Dataproc/GKE images);
+    the artifact protocol itself is store-agnostic."""
+
+    def __init__(self, root: str, strategy: str = "mtime"):
+        if not root.startswith(("gs://", "gcs://")):
+            raise ValueError(f"GCSCache needs a gs:// root, got {root!r}")
+        super().__init__(root, strategy)
 
 
 # --------------------------------------------------------------------------
@@ -237,7 +321,8 @@ def pin(expr):
         n = _rewrite_children(n, rewrite)
         if isinstance(n, N.CachedNode):
             key = calc_key(n.parent, n.strategy)
-            if not exists(key):
+            _, root = split_strategy(n.strategy)
+            if not exists(key, root):
                 from xorq_spark.session import get_spark
 
                 lower_cached_node(n, get_spark(), {})

@@ -7,6 +7,7 @@ the implementations live in :mod:`xorq_spark.cache`.
 
 from xorq_spark.cache import (
     GCSCache,
+    ObjectStoreCache,
     ParquetCache,
     ParquetDummySnapshotCache,
     ParquetSnapshotCache,
@@ -23,4 +24,5 @@ __all__ = [
     "SourceCache",
     "SourceSnapshotCache",
     "GCSCache",
+    "ObjectStoreCache",
 ]
