@@ -172,3 +172,66 @@ def test_pack_sequences_deterministic_and_lossless(spark):
     ).split()
     expect = [f"t{i}_{j}" for i in range(20) for j in range(7)]
     assert stream == expect
+
+
+def test_dedup_incremental_flags_known_dups(spark):
+    from xorq_spark.functions import build_dedup_index, dedup_incremental
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sleepy cats watch from the old wooden fence near the river "
+        "bank every single morning"
+    )
+    old = spark.createDataFrame(
+        [
+            (1, base),
+            (2, "completely different historical content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of old doc 1 (one word changed; shares 2 of 4
+            # LSH bands with it — minhash is deterministic, so this
+            # collision is stable across runs/engines)
+            (10, base.replace("river", "lake")),
+            # genuinely new
+            (11, "fresh unrelated text with novel vocabulary entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bands, digests = build_dedup_index(old)
+    out = {
+        r["doc_id"]: r
+        for r in dedup_incremental(new, bands, digests, threshold=0.3).collect()
+    }
+    assert out[10]["is_dup"] is True and out[10]["n_candidates"] >= 1
+    assert out[10]["max_sim"] > 0.3
+    assert out[11]["is_dup"] is False and out[11]["n_candidates"] == 0
+    assert out[11]["max_sim"] == 0.0
+
+
+def test_dedup_incremental_index_grows_per_batch(spark):
+    from xorq_spark.functions import build_dedup_index, dedup_incremental
+    import pyspark.sql.functions as F
+
+    batch1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    batch2 = spark.createDataFrame(
+        [(2, "alpha beta gamma delta epsilon zeta")], "doc_id long, text string"
+    )
+    b1, d1 = build_dedup_index(batch1)
+    res = dedup_incremental(batch2, b1, d1, threshold=0.9)
+    [r] = res.collect()
+    assert r["is_dup"] is True and r["max_sim"] == 1.0
+    # survivors (none here) would be appended; a fresh doc passes
+    batch3 = spark.createDataFrame(
+        [(3, "totally different words entirely here now")], "doc_id long, text string"
+    )
+    [r3] = dedup_incremental(batch3, b1, d1, threshold=0.9).collect()
+    assert r3["is_dup"] is False
+    b3, d3 = build_dedup_index(batch3)
+    grown_b, grown_d = b1.unionByName(b3), d1.unionByName(d3)
+    [r3b] = dedup_incremental(batch3, grown_b, grown_d, threshold=0.9).collect()
+    assert r3b["is_dup"] is True  # now indexed, an exact re-crawl is caught

@@ -704,3 +704,117 @@ def dup_ngram_fraction(
             ).alias("dup_fraction"),
         )
     )
+
+
+def shingle_digests(text: Column, k: int = 3) -> Column:
+    """32-bit digests of the document's distinct shingle set — the
+    compact verification payload an incremental dedup index persists
+    instead of text (the Jaccard of digest sets equals the Jaccard of
+    shingle sets up to negligible 32-bit collisions, and digests are
+    engine-portable: md5-prefix ints, same formula as the MinHash base
+    hash)."""
+    return F.array_distinct(
+        F.transform(
+            shingles(text, k),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+            % MINHASH_P,
+        )
+    )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+) -> tuple:
+    """The persistable near-dup index of a corpus: returns
+    (bands_df, digests_df) where bands_df = (id, band, band_key) —
+    32-byte LSH bucket keys — and digests_df = (id, digests) — the
+    compact shingle-digest sets for exact Jaccard verification.
+
+    This is what a repeated-crawl pipeline stores between runs (parquet
+    partitioned by band, bucketed by band_key at real scale): the index
+    is orders of magnitude smaller than the corpus, and matching a new
+    batch against it never touches old document text."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(text_col), num_hashes, k)
+    base = df.select(
+        F.col(id_col),
+        lsh_band_keys(sig, bands, rows_per_band).alias("__keys"),
+        shingle_digests(F.col(text_col), k).alias("digests"),
+    )
+    bands_df = base.select(
+        id_col, F.posexplode("__keys").alias("band", "band_key")
+    ).where(F.col("band_key").isNotNull())
+    return bands_df, base.select(id_col, "digests")
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    index_bands: DataFrame,
+    index_digests: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dedup: match a NEW batch of documents against a
+    previously-built corpus index (build_dedup_index) without touching
+    the historical corpus itself — the production shape of dedup under
+    repeated crawls, where re-running all-corpus LSH per batch would be
+    quadratic over time.
+
+    Returns one row per new document: (id, n_candidates, max_sim,
+    is_dup) — is_dup when some indexed document's verified digest
+    Jaccard reaches `threshold`; survivors (~is_dup) get indexed by the
+    caller via build_dedup_index and appended for the next batch.
+
+    Scale design: the batch's band keys join the index on (band,
+    32-byte key) — candidates only, never all-pairs, AQE splitting hot
+    boilerplate buckets; verification joins ship the compact digest
+    arrays for candidate pairs only; one final per-new-doc rollup.
+    """
+    nb, nd = build_dedup_index(
+        new_docs, text_col, id_col, num_hashes, bands, k
+    )
+    old_b = index_bands.select(
+        F.col(id_col).alias("__old_id"), "band", "band_key"
+    )
+    cand = (
+        nb.join(old_b, ["band", "band_key"])
+        .select(F.col(id_col), "__old_id")
+        .distinct()
+    )
+    sims = (
+        cand.join(nd, id_col)
+        .join(
+            index_digests.select(
+                F.col(id_col).alias("__old_id"),
+                F.col("digests").alias("__old_digests"),
+            ),
+            "__old_id",
+        )
+        .withColumn("__sim", jaccard(F.col("digests"), F.col("__old_digests")))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.max("__sim").alias("__max_sim"),
+        )
+    )
+    return (
+        new_docs.select(id_col)
+        .join(sims, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_candidates", F.lit(0)).alias("n_candidates"),
+            F.round(F.coalesce("__max_sim", F.lit(0.0)), 9).alias("max_sim"),
+            (F.round(F.coalesce("__max_sim", F.lit(0.0)), 9) >= threshold).alias(
+                "is_dup"
+            ),
+        )
+    )

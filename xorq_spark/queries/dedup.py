@@ -361,3 +361,63 @@ def dedup_canonical(spark, sf_dir):
         num_hashes=16, bands=4, k=3, threshold=0.2,
     )
     return kept.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
+_OLD_FILTER = "doc_id % 3 <> 0"
+_NEW_FILTER = "doc_id % 3 = 0"
+# digest sets: same md5-prefix ints the minhash base hash uses
+_DIGESTS = "list_distinct(list_transform(shd, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647))"
+
+
+@query(
+    "dedup_incremental_vs_index",
+    oracle=f"""
+    WITH old_s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd, {_SHINGLES} AS sh
+                   FROM documents WHERE {_OLD_FILTER}),
+    new_s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd, {_SHINGLES} AS sh
+              FROM documents WHERE {_NEW_FILTER}),
+    old_h AS (SELECT doc_id, shd, {_HS} AS hs FROM old_s),
+    new_h AS (SELECT doc_id, shd, {_HS} AS hs FROM new_s),
+    old_sig AS (SELECT doc_id, shd, {_SIG} AS sig FROM old_h),
+    new_sig AS (SELECT doc_id, shd, {_SIG} AS sig FROM new_h),
+    old_b AS (SELECT doc_id, unnest(range(0, 4)) AS band, unnest({_BANDS}) AS bkey FROM old_sig),
+    new_b AS (SELECT doc_id, unnest(range(0, 4)) AS band, unnest({_BANDS}) AS bkey FROM new_sig),
+    cand AS (
+      SELECT DISTINCT n.doc_id, o.doc_id AS old_id
+      FROM new_b n JOIN old_b o ON n.band = o.band AND n.bkey = o.bkey),
+    old_d AS (SELECT doc_id, {_DIGESTS} AS digests FROM old_s),
+    new_d AS (SELECT doc_id, {_DIGESTS} AS digests FROM new_s),
+    sims AS (
+      SELECT c.doc_id,
+             count(*) AS n_candidates,
+             max(len(list_intersect(nd.digests, od.digests))::DOUBLE
+                 / greatest(len(list_distinct(list_concat(nd.digests, od.digests))), 1)) AS max_sim
+      FROM cand c
+      JOIN new_d nd ON nd.doc_id = c.doc_id
+      JOIN old_d od ON od.doc_id = c.old_id
+      GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.n_candidates, 0) AS n_candidates,
+           round(COALESCE(s.max_sim, 0.0), 9) AS max_sim,
+           round(COALESCE(s.max_sim, 0.0), 9) >= 0.2 AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE {_NEW_FILTER}) d
+    LEFT JOIN sims s USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_incremental_q(spark, sf_dir):
+    """Incremental near-dedup of a new batch against a persisted corpus
+    index (functions/dedup.py build_dedup_index + dedup_incremental):
+    docs with doc_id % 3 != 0 stand in for the historical corpus whose
+    index survives between crawls; the % 3 == 0 batch is matched
+    against it — band-key join for candidates, digest-set Jaccard for
+    verification, old text never touched."""
+    from xorq_spark.functions.dedup import build_dedup_index, dedup_incremental
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    old = docs.where(F.expr(_OLD_FILTER))
+    new = docs.where(F.expr(_NEW_FILTER))
+    idx_bands, idx_digests = build_dedup_index(old)
+    return dedup_incremental(
+        new, idx_bands, idx_digests, threshold=0.2
+    ).orderBy("doc_id")

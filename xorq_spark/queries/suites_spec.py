@@ -202,6 +202,7 @@ SUITES: dict[str, list[str]] = {
         "dedup_minhash_lsh_pairs",
         "dedup_minhash_components",
         "dedup_minhash_canonical",
+        "dedup_incremental_vs_index",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
