@@ -319,3 +319,85 @@ def stream_stream_pc(spark, sf_dir):
         "append",
     )
     return out.orderBy("purchase_id", "click_id")
+
+
+_DOCS_SCHEMA = (
+    "doc_id bigint, text string, lang string, source string, n_chars bigint"
+)
+
+
+@query(
+    "stream_dedup_incremental",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s一-鿿]', ' ', 'g'),
+                  '\\s+', ' ', 'g')) AS nt
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(str_split(nt, ' ')) >= 3 THEN
+               list_transform(range(1, len(str_split(nt, ' ')) - 1),
+                 i -> array_to_string((str_split(nt, ' '))[i:i+2], ' '))
+             ELSE [nt] END AS sh
+      FROM norm),
+    h AS (SELECT doc_id,
+                 list_transform(sh, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % 2147483647) AS hs
+          FROM s),
+    sig AS (SELECT doc_id,
+                   list_transform(range(0, 16), i ->
+                     list_aggregate(list_transform(hs, x ->
+                       (((2654435761 * (i + 1)) % 2147483647) * x
+                        + (40503 * (i + 1)) % 2147483647) % 2147483647), 'min')) AS sig
+            FROM h),
+    b AS (SELECT doc_id,
+                 unnest(range(0, 4)) AS band,
+                 unnest(list_transform(range(0, 4), k ->
+                   md5(array_to_string(list_transform(sig[k*4+1 : k*4+4],
+                     x -> x::VARCHAR), '|')))) AS bkey
+          FROM sig)
+    SELECT DISTINCT n.doc_id
+    FROM b n JOIN b o ON n.band = o.band AND n.bkey = o.bkey
+    WHERE n.doc_id % 3 = 0 AND o.doc_id % 3 <> 0
+    ORDER BY n.doc_id
+    """,
+)
+def stream_dedup_inc(spark, sf_dir):
+    """Streaming incremental dedup: a document STREAM is matched
+    against the persisted LSH band index of the historical corpus
+    (functions/dedup.py build_dedup_index) with a broadcast
+    stream-static LEFT SEMI join — each arriving doc that shares any
+    band bucket with an indexed doc surfaces as a near-dup candidate,
+    deduplicated per doc id by streaming dropDuplicates. This is the
+    production repeated-crawl shape with the batch index swapped under
+    a live stream; state is one id per emitted candidate.
+
+    The batch oracle computes the same candidate set relationally."""
+    from xorq_spark.functions.dedup import build_dedup_index
+
+    old = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") % 3 != 0)
+    )
+    idx_bands, _ = build_dedup_index(old)
+
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .parquet(f"{sf_dir}/*documents.parquet")
+        .where(F.col("doc_id") % 3 == 0)
+    )
+    from xorq_spark.functions.dedup import lsh_band_keys, minhash_signature
+
+    banded = stream.select(
+        "doc_id",
+        F.posexplode(
+            lsh_band_keys(minhash_signature(F.col("text"), 16, 3), 4, 4)
+        ).alias("band", "band_key"),
+    ).where(F.col("band_key").isNotNull())
+    candidates = (
+        banded.join(F.broadcast(idx_bands), ["band", "band_key"], "left_semi")
+        .select("doc_id")
+        .dropDuplicates(["doc_id"])
+    )
+    out = _run(candidates, "stream_dedup_inc", "append")
+    return out.orderBy("doc_id")

@@ -273,5 +273,6 @@ WINDOW_GRANULAR = [
     "stream_dedup_user_ids",
     "stream_enrich_customer",
     "stream_stream_purchase_click",
+    "stream_dedup_incremental",
     "sim_ann_ivf_topk",
 ]
