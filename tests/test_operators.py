@@ -102,3 +102,41 @@ def test_positional_join(spark):
     b = spark.createDataFrame(pd.DataFrame({"y": ["c", "a", "b"]}))
     got = positional_join(a, b, ["x"], ["y"]).orderBy("x").collect()
     assert [(r["x"], r["y"]) for r in got] == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    from xorq_spark.functions import hard_negatives
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.14], "a"),   # nearest neighbor but SAME label
+            (3, [0.9, 0.43], "b"),    # nearest different-label
+            (4, [0.0, 1.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = hard_negatives(df, k=2).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r["vec_id"], []).append(r)
+    # anchor 1: top negative must be 3 (2 is same-label, excluded)
+    assert by_anchor[1][0]["neg_id"] == 3
+    assert all(r["label"] != r["neg_label"] for r in out)
+    assert all(r["neg_id"] != r["vec_id"] for r in out)
+
+
+def test_label_centroids_mean_and_order(spark):
+    from xorq_spark.functions import label_centroids
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 3.0], "a"),
+            (2, [3.0, 5.0], "a"),
+            (3, [10.0, 20.0], "b"),
+        ],
+        "vec_id long, embedding array<float>, label string",
+    )
+    out = {r["label"]: r for r in label_centroids(df).collect()}
+    assert out["a"]["centroid"] == [2.0, 4.0] and out["a"]["n"] == 2
+    assert out["b"]["centroid"] == [10.0, 20.0] and out["b"]["n"] == 1

@@ -402,3 +402,106 @@ def quantization_error(vec: Column, q: Column, scale: Column) -> Column:
     return F.array_max(
         F.zip_with(v, dequantize_embedding(q, scale), lambda x, y: F.abs(x - y))
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    num_planes: int = 0,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each vector,
+    the k most-similar vectors carrying a DIFFERENT label — the
+    near-boundary examples a triplet/InfoNCE loss learns most from.
+
+    Returns (id_col, neg_id, label, neg_label, cos_sim, rank), rank
+    1..k per anchor, deterministically tie-broken by candidate id.
+
+    Scale design: num_planes=0 is the exact variant (broadcast anchors
+    x one corpus scan — fine while one side broadcasts); num_planes>0
+    routes through random-hyperplane LSH buckets so candidate pairs are
+    bucket-local (the 100 TB shape, same recall trade as ann_lsh_topk).
+    The label inequality filters BEFORE the top-k window, so positives
+    never crowd out the negative list."""
+    a = df.select(
+        F.col(id_col).alias("__aid"),
+        F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("__alabel"),
+    )
+    b = df.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        F.col(label_col).alias("__blabel"),
+    )
+    if num_planes > 0:
+        a = a.withColumn("__bucket", _lsh_bucket(F.col("__av"), num_planes))
+        b = b.withColumn("__bucket", _lsh_bucket(F.col("__bv"), num_planes))
+        paired = a.join(b, "__bucket")
+    else:
+        paired = F.broadcast(a).crossJoin(b)
+    scored = paired.where(
+        (F.col("__aid") != F.col("__bid"))
+        & ~F.col("__alabel").eqNullSafe(F.col("__blabel"))
+    ).select(
+        "__aid",
+        "__bid",
+        "__alabel",
+        "__blabel",
+        F.round(
+            cosine_similarity(F.col("__av"), F.col("__bv")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("__aid").orderBy(F.desc("cos_sim"), F.asc("__bid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            F.col("__aid").alias(id_col),
+            F.col("__bid").alias("neg_id"),
+            F.col("__alabel").alias(label_col),
+            F.col("__blabel").alias("neg_label"),
+            "cos_sim",
+            "rank",
+        )
+    )
+
+
+def label_centroids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label centroid (class prototype) of an embedding column:
+    returns (label, n, centroid array<double>) — the prototype vectors
+    a curation pipeline uses for cheap class-conditional filtering
+    (distance-to-own-prototype as an outlier score) or as deterministic
+    IVF seeds.
+
+    Scale design: one posexplode to (label, dim, value) rows and one
+    map-side-combinable groupBy — the standard distributed dense-vector
+    mean; no vector ever collects to the driver, and the output is one
+    row per label (tiny, broadcastable downstream)."""
+    dims = df.select(
+        F.col(label_col).alias("label"),
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    per_dim = dims.groupBy("label", "dim").agg(
+        F.sum(F.col("val").cast("double")).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            (F.max("n")).alias("n"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("dim", F.round(F.col("s") / F.col("n"), 9).alias("m")))
+                ),
+                lambda st: st["m"],
+            ).alias("centroid"),
+        )
+    )

@@ -291,3 +291,64 @@ def sim_lsh_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "sim_hard_negatives",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 40),
+    scored AS (
+      SELECT q.vec_id, c.vec_id AS neg_id, q.label, c.label AS neg_label,
+             ROUND({_COS}, 6) AS cos_sim
+      FROM a q JOIN embeddings c
+        ON q.vec_id <> c.vec_id AND q.label IS DISTINCT FROM c.label),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos_sim DESC, neg_id) AS rank
+      FROM scored)
+    SELECT vec_id, neg_id, label, neg_label, cos_sim, rank
+    FROM ranked WHERE rank <= 5
+    ORDER BY vec_id, rank
+    """,
+)
+def sim_hard_negatives_q(spark, sf_dir):
+    """Hard-negative mining (functions/similarity.py hard_negatives):
+    for each of 40 anchor vectors, the 5 most-cosine-similar vectors
+    with a DIFFERENT label — the contrastive-training mining op. Exact
+    variant (broadcast anchors); num_planes>0 gives the LSH-bucketed
+    scale path."""
+    from xorq_spark.functions.similarity import hard_negatives
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < 40)
+    full = hard_negatives(
+        anchors.unionByName(emb.filter(F.col("vec_id") >= 40)), k=5
+    )
+    return full.where(F.col("vec_id") < 40).orderBy("vec_id", "rank")
+
+
+@query(
+    "sim_label_centroids",
+    oracle="""
+    WITH dims AS (
+      SELECT label,
+             unnest(range(0, len(embedding))) AS dim,
+             unnest(embedding::DOUBLE[]) AS val
+      FROM embeddings),
+    per_dim AS (
+      SELECT label, dim, sum(val) AS s, count(*) AS n
+      FROM dims GROUP BY label, dim)
+    SELECT label, max(n) AS n,
+           list(round(s / n, 9) ORDER BY dim) AS centroid
+    FROM per_dim GROUP BY label ORDER BY label
+    """,
+)
+def sim_label_centroids_q(spark, sf_dir):
+    """Per-label embedding centroids (functions/similarity.py
+    label_centroids): one explode + map-side-combinable groupBy, no
+    driver collect — class prototypes for conditional filtering / IVF
+    seeding."""
+    from xorq_spark.functions.similarity import label_centroids
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    return label_centroids(emb).orderBy("label")

@@ -217,6 +217,8 @@ SUITES: dict[str, list[str]] = {
         "sim_ann_ivf_fixed_topk",
         "sim_embedding_quantize",
         "sim_ann_lsh_recall",
+        "sim_hard_negatives",
+        "sim_label_centroids",
     ],
     "suite_ml": [
         "ml_train_test_split",
@@ -253,12 +255,19 @@ PRE_SPARK = {
     "agg_quantiles": lambda df: df.select(
         "l_returnflag", "med", "q25", "med_disc", F.explode("qs").alias("q")
     ),
+    "sim_label_centroids": lambda df: df.select(
+        "label", "n", F.posexplode("centroid").alias("dim", "c")
+    ),
 }
 
 PRE_SQL = {
     "agg_quantiles": lambda sql: (
         "SELECT l_returnflag, med, q25, med_disc, UNNEST(qs) AS q "
         f"FROM ({sql}) _pre"
+    ),
+    "sim_label_centroids": lambda sql: (
+        "SELECT label, n, unnest(range(0, len(centroid))) AS dim, "
+        f"unnest(centroid) AS c FROM ({sql}) _pre"
     ),
 }
 
