@@ -191,3 +191,59 @@ def test_object_store_cache_file_uri_roundtrip(spark, tmp_path):
     # no stray temp dirs from the publish
     stray = [p for p in _os.listdir(tmp_path / "store") if ".tmp-" in p]
     assert stray == []
+
+
+def test_publish_replaces_markerless_debris_local(spark, tmp_path):
+    """A crashed publish leaves the artifact dir WITHOUT _SUCCESS; the
+    next publish must replace the debris with the fresh bytes, not
+    discard them and serve the stale partial dir (review regression)."""
+    import os as _os
+
+    from xorq_spark.cache import _publish_artifact
+
+    path = str(tmp_path / "k.parquet")
+    # fabricate debris: stale rows, no _SUCCESS marker
+    spark.range(3).selectExpr("id * 100 as v").write.parquet(path)
+    _os.remove(_os.path.join(path, "_SUCCESS"))
+    fresh = spark.range(5).selectExpr("id * 2 as v")
+    _publish_artifact(fresh, path)
+    got = sorted(r["v"] for r in spark.read.parquet(path).collect())
+    assert got == [0, 2, 4, 6, 8]
+    assert _os.path.exists(_os.path.join(path, "_SUCCESS"))
+
+
+def test_publish_replaces_markerless_debris_uri(spark, tmp_path):
+    """Same debris scenario through the Hadoop-FS URI branch: rename
+    into an existing dir must not nest the temp dir inside the
+    artifact (review regression)."""
+    import os as _os
+
+    from xorq_spark.cache import _publish_artifact
+
+    local = str(tmp_path / "k.parquet")
+    spark.range(3).selectExpr("id * 100 as v").write.parquet(local)
+    _os.remove(_os.path.join(local, "_SUCCESS"))
+    uri = f"file://{local}"
+    fresh = spark.range(5).selectExpr("id * 2 as v")
+    _publish_artifact(fresh, uri)
+    got = sorted(r["v"] for r in spark.read.parquet(uri).collect())
+    assert got == [0, 2, 4, 6, 8]
+    # nothing nested inside the artifact dir
+    nested = [p for p in _os.listdir(local) if ".tmp-" in p]
+    assert nested == []
+
+
+def test_pinned_object_store_cache_reads_uri_root(spark, tmp_path):
+    """pin() on an ObjectStoreCache expression must replay from the
+    URI root, not the local cache_root (review regression)."""
+    import xorq_spark as xo
+    from xorq_spark.cache import ObjectStoreCache, pin
+
+    root = f"file://{tmp_path}/store"
+    df = spark.createDataFrame([(1, 5.0), (2, 7.0)], "k long, v double")
+    e = xo.register(spark, df, "pin_uri_src").cache(
+        storage=ObjectStoreCache(root, strategy="snapshot")
+    )
+    pinned = pin(e)
+    out = pinned.execute(spark)
+    assert sorted(out.v) == [5.0, 7.0]

@@ -235,3 +235,17 @@ def test_dedup_incremental_index_grows_per_batch(spark):
     grown_b, grown_d = b1.unionByName(b3), d1.unionByName(d3)
     [r3b] = dedup_incremental(batch3, grown_b, grown_d, threshold=0.9).collect()
     assert r3b["is_dup"] is True  # now indexed, an exact re-crawl is caught
+
+
+def test_line_dedup_literal_separator(spark):
+    """sep is a LITERAL, not a regex: '|' must split on pipes, not on
+    the empty-alternation regex (review regression)."""
+    df = spark.createDataFrame(
+        [(1, "a b|common x"), (2, "c d|common x")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["text_deduped"]
+        for r in line_dedup(df, max_docs=1, sep="|").collect()
+    }
+    assert out[1] == "a b"
+    assert out[2] == "c d"

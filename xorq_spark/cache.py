@@ -211,12 +211,28 @@ def _publish_artifact(df: DataFrame, path: str) -> None:
         fs, dst = _hfs(spark, path)
         _, src = _hfs(spark, tmp)
         marker = _hfs(spark, _success_marker(path))[1]
-        if fs.exists(marker):
+        # An existing dst is either a finished artifact (marker) or
+        # debris from a crashed publish — either way clear it: Hadoop
+        # rename moves src INTO an existing dst dir (nesting the temp
+        # dir inside the artifact) instead of failing.
+        if fs.exists(dst):
             fs.delete(dst, True)
-        if not fs.rename(src, dst):
-            fs.delete(src, True)  # concurrent publisher won; drop ours
+        if fs.rename(src, dst):
+            # a concurrent winner may have recreated dst between our
+            # delete and rename, nesting our temp dir inside theirs —
+            # detect by basename and clean up (their artifact is
+            # byte-identical, so losing is fine)
+            nested = _hfs(spark, f"{path}/{tmp.rsplit('/', 1)[-1]}")[1]
+            if fs.exists(nested):
+                fs.delete(nested, True)
+        else:
+            fs.delete(src, True)  # rename refused: winner holds dst
         return
-    if os.path.exists(_success_marker(path)):
+    if os.path.exists(path):
+        # finished artifact (marker) or crash debris (no marker): move
+        # aside + remove either way — retrying rename over debris would
+        # otherwise discard the FRESH tmp and serve the stale partial
+        # dir forever
         aside = f"{path}.old-{uuid.uuid4().hex}"
         try:
             os.rename(path, aside)

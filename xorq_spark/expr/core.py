@@ -128,9 +128,13 @@ def lower(
 
         return lower_cached_node(node, spark, b)
     if isinstance(node, N.CacheTag):
-        from xorq_spark.cache import artifact_path
+        from xorq_spark.cache import artifact_path, split_strategy
 
-        return spark.read.parquet(artifact_path(node.key))
+        # honor an '@<uri-root>' strategy suffix: a pinned
+        # ObjectStoreCache must read the URI root it was pinned under,
+        # not the process-local cache_root
+        _, _root = split_strategy(node.strategy)
+        return spark.read.parquet(artifact_path(node.key, _root))
     if isinstance(node, N.Tag):
         return rec(node.parent)
     if isinstance(node, N.Project):

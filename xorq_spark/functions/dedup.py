@@ -604,11 +604,17 @@ def line_dedup(
     documents costs a sort, not memory. Reassembly is one groupBy on
     the document id. Two shuffles total, each on a fixed-width key.
     """
+    import re as _re
+
     from pyspark.sql import Window
 
+    # split() takes a REGEX; sep is a literal separator (splitting on
+    # '|' or '.' must not explode every character)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("__pos", "__line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "__pos", "__line"
+        ),
     ).where(F.trim(F.col("__line")) != "")
     keyed = lines.withColumn("__key", F.md5(F.trim(F.col("__line"))))
     by_key = Window.partitionBy("__key").orderBy(id_col, "__pos")

@@ -411,21 +411,25 @@ def hard_negatives(
     vec_col: str = "embedding",
     label_col: str = "label",
     num_planes: int = 0,
+    anchors: Optional[DataFrame] = None,
 ) -> DataFrame:
-    """Hard-negative mining for contrastive training: for each vector,
-    the k most-similar vectors carrying a DIFFERENT label — the
-    near-boundary examples a triplet/InfoNCE loss learns most from.
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the k most-similar vectors in `df` carrying a DIFFERENT
+    label — the near-boundary examples a triplet/InfoNCE loss learns
+    most from. `anchors` defaults to `df` itself (self-mining).
 
     Returns (id_col, neg_id, label, neg_label, cos_sim, rank), rank
     1..k per anchor, deterministically tie-broken by candidate id.
 
-    Scale design: num_planes=0 is the exact variant (broadcast anchors
-    x one corpus scan — fine while one side broadcasts); num_planes>0
-    routes through random-hyperplane LSH buckets so candidate pairs are
-    bucket-local (the 100 TB shape, same recall trade as ann_lsh_topk).
-    The label inequality filters BEFORE the top-k window, so positives
-    never crowd out the negative list."""
-    a = df.select(
+    Scale design: num_planes=0 is the exact variant and broadcasts the
+    ANCHOR side over one corpus scan — pass an `anchors` subset that
+    fits a broadcast; exact self-mining over a corpus too big to
+    broadcast is exactly the all-pairs trap, use num_planes>0 there.
+    num_planes>0 routes through random-hyperplane LSH buckets so
+    candidate pairs are bucket-local (the 100 TB shape, same recall
+    trade as ann_lsh_topk). The label inequality filters BEFORE the
+    top-k window, so positives never crowd out the negative list."""
+    a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("__aid"),
         F.col(vec_col).alias("__av"),
         F.col(label_col).alias("__alabel"),
@@ -470,7 +474,6 @@ def hard_negatives(
 
 def label_centroids(
     df: DataFrame,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
     label_col: str = "label",
 ) -> DataFrame:
@@ -486,7 +489,6 @@ def label_centroids(
     row per label (tiny, broadcastable downstream)."""
     dims = df.select(
         F.col(label_col).alias("label"),
-        F.col(id_col).alias("__id"),
         F.posexplode(F.col(vec_col)).alias("dim", "val"),
     )
     per_dim = dims.groupBy("label", "dim").agg(

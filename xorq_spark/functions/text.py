@@ -404,7 +404,12 @@ def gopher_flags(text: Column, sep: str = "\n") -> Column:
         + F.coalesce(F.regexp_count(text, F.lit("…")), F.lit(0))
     )
     symbol_ratio = sym.cast("double") / n_f
-    lines = F.filter(F.split(F.coalesce(text, F.lit("")), sep), lambda x: F.trim(x) != "")
+    import re as _re
+
+    lines = F.filter(
+        F.split(F.coalesce(text, F.lit("")), _re.escape(sep)),
+        lambda x: F.trim(x) != "",
+    )
     n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
     bullet_frac = (
         F.size(

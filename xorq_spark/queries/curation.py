@@ -20,17 +20,9 @@ _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 _TOKS_LOWER = (
     "list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '')"
 )
-_NORM = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s一-鿿]', ' ', 'g'),"
-    " '\\s+', ' ', 'g'))"
-)
-_WORDS = f"str_split({_NORM}, ' ')"
-# word 3-shingles, mirroring functions/dedup.py shingles(k=3)
-_SHINGLES3 = (
-    f"CASE WHEN len({_WORDS}) >= 3 THEN "
-    f"list_transform(range(1, len({_WORDS}) - 1), i -> array_to_string(({_WORDS})[i:i+2], ' ')) "
-    f"ELSE [array_to_string({_WORDS}, ' ')] END"
-)
+# the normalize/shingle SQL fragments live in queries/dedup.py — ONE
+# definition per engine-mirrored formula (ORACLE_PARITY.md contract)
+from xorq_spark.queries.dedup import _SHINGLES as _SHINGLES3  # noqa: E402
 
 
 @query(

@@ -321,10 +321,7 @@ def sim_hard_negatives_q(spark, sf_dir):
 
     emb = widen(t(spark, sf_dir, "embeddings"))
     anchors = emb.filter(F.col("vec_id") < 40)
-    full = hard_negatives(
-        anchors.unionByName(emb.filter(F.col("vec_id") >= 40)), k=5
-    )
-    return full.where(F.col("vec_id") < 40).orderBy("vec_id", "rank")
+    return hard_negatives(emb, k=5, anchors=anchors).orderBy("vec_id", "rank")
 
 
 @query(

@@ -325,36 +325,20 @@ _DOCS_SCHEMA = (
     "doc_id bigint, text string, lang string, source string, n_chars bigint"
 )
 
+# shared engine-mirrored minhash SQL fragments — single definition
+# (ORACLE_PARITY.md contract)
+from xorq_spark.queries.dedup import _SHINGLES, _HS, _SIG, _BANDS  # noqa: E402
+
 
 @query(
     "stream_dedup_incremental",
-    oracle="""
-    WITH norm AS (
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s一-鿿]', ' ', 'g'),
-                  '\\s+', ' ', 'g')) AS nt
-      FROM documents),
-    s AS (
-      SELECT doc_id,
-             CASE WHEN len(str_split(nt, ' ')) >= 3 THEN
-               list_transform(range(1, len(str_split(nt, ' ')) - 1),
-                 i -> array_to_string((str_split(nt, ' '))[i:i+2], ' '))
-             ELSE [nt] END AS sh
-      FROM norm),
-    h AS (SELECT doc_id,
-                 list_transform(sh, x -> ('0x' || substring(md5(x), 1, 8))::BIGINT % 2147483647) AS hs
-          FROM s),
-    sig AS (SELECT doc_id,
-                   list_transform(range(0, 16), i ->
-                     list_aggregate(list_transform(hs, x ->
-                       (((2654435761 * (i + 1)) % 2147483647) * x
-                        + (40503 * (i + 1)) % 2147483647) % 2147483647), 'min')) AS sig
-            FROM h),
+    oracle=f"""
+    WITH s AS (SELECT doc_id, {_SHINGLES} AS sh FROM documents),
+    h AS (SELECT doc_id, {_HS} AS hs FROM s),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
     b AS (SELECT doc_id,
                  unnest(range(0, 4)) AS band,
-                 unnest(list_transform(range(0, 4), k ->
-                   md5(array_to_string(list_transform(sig[k*4+1 : k*4+4],
-                     x -> x::VARCHAR), '|')))) AS bkey
+                 unnest({_BANDS}) AS bkey
           FROM sig)
     SELECT DISTINCT n.doc_id
     FROM b n JOIN b o ON n.band = o.band AND n.bkey = o.bkey
