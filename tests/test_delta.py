@@ -271,3 +271,37 @@ def test_expr_to_delta_sink(spark, tmp_path):
     assert v2 == 1
     got = xo.read_delta(root).order_by("k").execute(spark)
     assert got.k.tolist() == [1, 2, 3]
+
+
+def test_append_enforces_table_schema(spark, tmp_path):
+    """Appending a wider-typed frame (int64 memtable onto an int32
+    table) must cast to the committed schema — mixed physical widths
+    previously made reads fail nondeterministically depending on which
+    file won parquet schema inference (review regression)."""
+    import pyarrow.parquet as pq
+
+    from xorq_spark.delta import read_delta_fallback, write_delta
+
+    table = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    write_delta(base, table)
+    wide = spark.createDataFrame([(900, "z")], "k long, v string")
+    write_delta(wide, table, mode="append")
+
+    # every data file carries the committed physical type
+    for fn in os.listdir(table):
+        if fn.endswith(".parquet"):
+            typ = str(pq.read_schema(os.path.join(table, fn)).field("k").type)
+            assert typ == "int32", (fn, typ)
+    out = read_delta_fallback(spark, table)
+    assert dict(out.dtypes)["k"] == "int"
+    assert sorted(r["k"] for r in out.collect()) == [1, 2, 900]
+
+
+def test_append_missing_column_rejected(spark, tmp_path):
+    from xorq_spark.delta import write_delta
+
+    table = str(tmp_path / "t2")
+    write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), table)
+    with pytest.raises(ValueError, match="missing table columns"):
+        write_delta(spark.createDataFrame([(2,)], "k int"), table, mode="append")

@@ -176,8 +176,13 @@ def read_delta_fallback(spark, table_path: str, version: Optional[int] = None):
     out = None
     # deterministic group order; repr-key because partition values can
     # be None (null partitions), which plain tuple sorting rejects
+    # Read with the schema the LOG declares (authoritative per spec),
+    # never parquet-footer inference: inference samples an arbitrary
+    # file, so a mixed-width table would read or fail
+    # nondeterministically run to run.
+    data_ddl = ", ".join(f"`{c}` {types[c]}" for c in data_cols)
     for key, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-        df = spark.read.parquet(*files).select(*data_cols)
+        df = spark.read.schema(data_ddl).parquet(*files).select(*data_cols)
         for c, v in zip(part_cols, key):
             lit = F.lit(v).cast(types[c]) if v is not None else F.lit(None).cast(types[c])
             df = df.withColumn(c, lit)
@@ -264,7 +269,32 @@ def stage_delta_files(
     import shutil
     import uuid as _uuid
 
+    import pyspark.sql.functions as F
+
     os.makedirs(table_path, exist_ok=True)
+    # Schema ENFORCEMENT on append (Delta semantics): cast the incoming
+    # frame to the table's committed schema. Without this, a frame with
+    # wider types (e.g. an int64 memtable appended to an int32 table)
+    # lands physical INT64 files under int metadata — and a later read
+    # fails (or not) depending on which file wins schema inference.
+    try:
+        _, existing_meta = replay_log(table_path)
+    except (FileNotFoundError, ValueError, DeltaProtocolError):
+        existing_meta = None
+    if existing_meta is not None:
+        schema = json.loads(existing_meta["schemaString"])
+        types = {f["name"]: _spark_type_for(f["type"]) for f in schema["fields"]}
+        missing = [f["name"] for f in schema["fields"] if f["name"] not in df.columns]
+        if missing:
+            raise ValueError(
+                f"append is missing table columns {missing} for {table_path!r}"
+            )
+        df = df.select(
+            *[
+                F.col(f["name"]).cast(types[f["name"]]).alias(f["name"])
+                for f in schema["fields"]
+            ]
+        )
     staging = os.path.join(table_path, f".staging-{_uuid.uuid4().hex[:12]}")
     w = df.write.mode("overwrite")
     if partition_by:

@@ -30,3 +30,106 @@ def r2(pred: Column, label: Column) -> Column:
     ss_res = F.sum((y - yhat) * (y - yhat))
     ss_tot = F.sum(y * y) - (F.sum(y) * F.sum(y)) / n
     return F.lit(1.0) - ss_res / ss_tot
+
+
+def precision_recall_f1(df, pred_col: str, label_col: str):
+    """Per-class precision / recall / F1 from one confusion-count pass.
+
+    Returns (class, tp, fp, fn, precision, recall, f1) — one row per
+    class observed in predictions or labels, ratios rounded to 9 for
+    engine-independent comparison.
+
+    Scale: one groupBy over (label, pred) — map-side combinable, the
+    confusion matrix is tiny (|classes|^2) however large the input."""
+    conf = df.groupBy(
+        F.col(label_col).alias("__l"), F.col(pred_col).alias("__p")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    pred_marg = conf.groupBy(F.col("__p").alias("class")).agg(
+        F.sum("__n").alias("__pred_n")
+    )
+    label_marg = conf.groupBy(F.col("__l").alias("class")).agg(
+        F.sum("__n").alias("__label_n")
+    )
+    diag = conf.where(F.col("__l") == F.col("__p")).select(
+        F.col("__l").alias("class"), F.col("__n").alias("tp")
+    )
+    base = (
+        pred_marg.join(label_marg, "class", "full")
+        .join(diag, "class", "left")
+        .select(
+            "class",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            (F.coalesce("__pred_n", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fp"),
+            (F.coalesce("__label_n", F.lit(0)) - F.coalesce("tp", F.lit(0))).alias("fn"),
+        )
+    )
+    prec = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    rec = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return base.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        F.round(prec, 9).alias("precision"),
+        F.round(rec, 9).alias("recall"),
+        F.round(f1, 9).alias("f1"),
+    )
+
+
+def roc_auc(df, score_col: str, label_col: str):
+    """Binary ROC-AUC via the rank (Mann-Whitney) formulation with
+    exact tie handling — returns a single-row DataFrame (auc, n_pos,
+    n_neg).
+
+    Scale design: scores aggregate per DISTINCT value first (map-side
+    combinable), so the ordered prefix-sum window runs over the
+    distinct-score frame — at most |distinct scores| rows, typically
+    orders of magnitude below the input. The one global ordering is
+    the inherent cost of an exact AUC; for 100 TB score columns bin
+    scores first (fixed-width buckets give an AUC within bin
+    resolution). Everything stays integer until the final division, so
+    two engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    y = (F.col(label_col).cast("int") > 0).cast("long")
+    per_score = (
+        df.select(F.col(score_col).alias("__s"), y.alias("__y"))
+        .groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__npos"))
+    )
+    w = (
+        Window.orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = per_score.withColumn(
+        "__cum", F.sum("__n").over(w) - F.col("__n")
+    ).withColumn(
+        # average rank of the tie group: ranks __cum+1 .. __cum+__n
+        "__avg_rank",
+        F.col("__cum") + (F.col("__n") + F.lit(1)) / F.lit(2.0),
+    )
+    return ranked.agg(
+        F.round(
+            (
+                F.sum(F.col("__npos") * F.col("__avg_rank"))
+                - F.sum("__npos") * (F.sum("__npos") + 1) / 2.0
+            )
+            / F.greatest(
+                F.sum("__npos") * (F.sum("__n") - F.sum("__npos")), F.lit(1)
+            ),
+            9,
+        ).alias("auc"),
+        F.sum("__npos").alias("n_pos"),
+        (F.sum("__n") - F.sum("__npos")).alias("n_neg"),
+    )
+
+
+def log_loss(prob: Column, label: Column, eps: float = 1e-15) -> Column:
+    """Binary cross-entropy aggregate: -mean(y ln p + (1-y) ln(1-p)),
+    probabilities clipped to [eps, 1-eps]."""
+    p = F.least(F.greatest(prob, F.lit(eps)), F.lit(1.0 - eps))
+    y = (label.cast("int") > 0).cast("double")
+    return -F.avg(y * F.log(p) + (1 - y) * F.log(1 - p))

@@ -115,3 +115,78 @@ def ml_metrics_reg(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ml_metrics_prf",
+    oracle="""
+    WITH conf AS (
+      SELECT label AS l, (vec_id % 10)::INTEGER AS p, count(*) AS n
+      FROM embeddings GROUP BY 1, 2),
+    pm AS (SELECT p AS class, sum(n) AS pred_n FROM conf GROUP BY p),
+    lm AS (SELECT l AS class, sum(n) AS label_n FROM conf GROUP BY l),
+    diag AS (SELECT l AS class, n AS tp FROM conf WHERE l = p),
+    base AS (
+      SELECT class,
+             COALESCE(tp, 0) AS tp,
+             COALESCE(pred_n, 0) - COALESCE(tp, 0) AS fp,
+             COALESCE(label_n, 0) - COALESCE(tp, 0) AS fn
+      FROM pm FULL JOIN lm USING (class) LEFT JOIN diag USING (class))
+    SELECT class, tp, fp, fn,
+           round(tp / greatest(tp + fp, 1), 9) AS precision,
+           round(tp / greatest(tp + fn, 1), 9) AS recall,
+           round(CASE WHEN (tp / greatest(tp + fp, 1) + tp / greatest(tp + fn, 1)) > 0
+                 THEN 2 * (tp / greatest(tp + fp, 1)) * (tp / greatest(tp + fn, 1))
+                      / (tp / greatest(tp + fp, 1) + tp / greatest(tp + fn, 1))
+                 ELSE 0.0 END, 9) AS f1
+    FROM base ORDER BY class
+    """,
+)
+def ml_metrics_prf_q(spark, sf_dir):
+    """Per-class precision/recall/F1 (ml/metrics.py
+    precision_recall_f1) for the deterministic predictor vec_id % 10
+    against the embeddings labels — one confusion-count groupBy, tiny
+    output."""
+    from xorq_spark.ml.metrics import precision_recall_f1
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 10).cast("int").alias("pred"), "label"
+    )
+    return precision_recall_f1(emb, "pred", "label").orderBy("class")
+
+
+@query(
+    "ml_metrics_auc",
+    oracle="""
+    WITH s AS (
+      SELECT ((vec_id * 37) % 100) / 100.0
+               + CASE WHEN label >= 5 THEN 0.4 ELSE 0.0 END AS sc,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    per AS (SELECT sc, count(*) AS n, sum(y) AS npos FROM s GROUP BY sc),
+    r AS (SELECT sc, n, npos,
+                 sum(n) OVER (ORDER BY sc ROWS UNBOUNDED PRECEDING) - n AS cum
+          FROM per)
+    SELECT round((sum(npos * (cum + (n + 1) / 2.0))
+                  - sum(npos) * (sum(npos) + 1) / 2.0)
+                 / greatest(sum(npos) * (sum(n) - sum(npos)), 1), 9) AS auc,
+           sum(npos) AS n_pos,
+           sum(n) - sum(npos) AS n_neg
+    FROM r
+    """,
+)
+def ml_metrics_auc_q(spark, sf_dir):
+    """Exact binary ROC-AUC via the tie-aware rank formulation
+    (ml/metrics.py roc_auc) over a deterministic synthetic score: the
+    per-distinct-score aggregate keeps the ordered window tiny, and
+    all arithmetic stays integer until the final division."""
+    from xorq_spark.ml.metrics import roc_auc
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        (
+            ((F.col("vec_id") * 37) % 100) / F.lit(100.0)
+            + F.when(F.col("label") >= 5, 0.4).otherwise(0.0)
+        ).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    return roc_auc(emb, "score", "y")
