@@ -105,3 +105,50 @@ def test_make_deterministic_sort_key(spark, data):
     # different seed -> different shuffle of the same rows
     assert not a.equals(c)
     assert sorted(a.id.tolist()) == sorted(c.id.tolist())
+
+
+def test_precision_recall_f1_known_values(spark):
+    from xorq_spark.ml.metrics import precision_recall_f1
+
+    df = spark.createDataFrame(
+        # class 1: tp=2 fp=1 fn=1 -> p=2/3 r=2/3 f1=2/3
+        # class 2: tp=1 fp=2 fn=1 -> p=1/3 r=1/2 f1=0.4
+        [(1, 1), (1, 1), (2, 1), (1, 2), (2, 2), (2, 3)],
+        "pred int, label int",
+    )
+    out = {r["class"]: r for r in precision_recall_f1(df, "pred", "label").collect()}
+    assert out[1]["tp"] == 2 and out[1]["fp"] == 1 and out[1]["fn"] == 1
+    assert out[1]["precision"] == round(2 / 3, 9)
+    assert out[1]["f1"] == round(2 / 3, 9)
+    assert out[2]["precision"] == round(1 / 3, 9) and out[2]["recall"] == 0.5
+    assert out[2]["f1"] == 0.4
+    # class 3 appears only in labels: all-zero precision/recall
+    assert out[3]["tp"] == 0 and out[3]["fn"] == 1 and out[3]["f1"] == 0.0
+
+
+def test_roc_auc_matches_rank_model(spark):
+    from xorq_spark.ml.metrics import roc_auc
+
+    # perfect separation -> 1.0; with one inversion and ties handled
+    rows = [(0.9, 1), (0.8, 1), (0.4, 0), (0.2, 0)]
+    [r] = roc_auc(spark.createDataFrame(rows, "s double, y int"), "s", "y").collect()
+    assert r["auc"] == 1.0 and r["n_pos"] == 2 and r["n_neg"] == 2
+
+    rows = [(0.9, 1), (0.5, 0), (0.5, 1), (0.1, 0)]  # tie across classes
+    [r] = roc_auc(spark.createDataFrame(rows, "s double, y int"), "s", "y").collect()
+    # ranks: 0.1->1, 0.5->2.5 avg, 0.9->4; pos rank sum = 6.5
+    # auc = (6.5 - 3) / 4 = 0.875
+    assert r["auc"] == 0.875
+
+
+def test_log_loss_known_value(spark):
+    import math
+
+    import pyspark.sql.functions as F
+
+    from xorq_spark.ml.metrics import log_loss
+
+    df = spark.createDataFrame([(0.8, 1), (0.3, 0)], "p double, y int")
+    [r] = df.agg(log_loss(F.col("p"), F.col("y")).alias("ll")).collect()
+    expect = -(math.log(0.8) + math.log(0.7)) / 2
+    assert abs(r["ll"] - expect) < 1e-12

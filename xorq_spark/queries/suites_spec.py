@@ -225,6 +225,8 @@ SUITES: dict[str, list[str]] = {
         "ml_kfold_assignment",
         "ml_metrics_classification",
         "ml_metrics_regression",
+        "ml_metrics_prf",
+        "ml_metrics_auc",
     ],
     "suite_multimodal": [
         "mm_extract_features",
