@@ -140,3 +140,35 @@ def test_label_centroids_mean_and_order(spark):
     out = {r["label"]: r for r in label_centroids(df).collect()}
     assert out["a"]["centroid"] == [2.0, 4.0] and out["a"]["n"] == 2
     assert out["b"]["centroid"] == [10.0, 20.0] and out["b"]["n"] == 1
+
+
+def test_interval_point_join_exact_and_no_nested_loop(spark):
+    from xorq_spark.operators import interval_point_join
+
+    iv = spark.createDataFrame(
+        [(1, 0, 10), (2, 25, 30), (3, 8, 26)], "iid long, lo long, hi long"
+    )
+    pt = spark.createDataFrame(
+        [(100, 5), (101, 10), (102, 11), (103, 26), (104, 50)],
+        "pid long, p long",
+    )
+    out = interval_point_join(iv, pt, "lo", "hi", "p", bin_size=7)
+    pairs = sorted((r["iid"], r["pid"]) for r in out.collect())
+    assert pairs == [(1, 100), (1, 101), (2, 103), (3, 101), (3, 102), (3, 103)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_overlap_join_dedups_multibin_pairs(spark):
+    from xorq_spark.operators import interval_overlap_join
+
+    # intervals spanning many bins must still pair exactly once
+    l = spark.createDataFrame([(1, 0, 100), (2, 90, 95)], "lid long, llo long, lhi long")
+    r = spark.createDataFrame(
+        [(10, 50, 120), (11, 200, 210)], "rid long, rlo long, rhi long"
+    )
+    out = interval_overlap_join(l, r, "llo", "lhi", "rlo", "rhi", bin_size=10)
+    pairs = sorted((x["lid"], x["rid"]) for x in out.collect())
+    # (1,10): overlap 50..100 (spans 6 bins -> must emit once)
+    # (2,10): overlap 90..95
+    assert pairs == [(1, 10), (2, 10)]

@@ -249,3 +249,46 @@ def join_any(spark, sf_dir):
         .select("o_orderkey", as_double(F.col("o_totalprice")).alias("o_totalprice"))
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "join_range_binned",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id AS p_user, c.user_id AS c_user
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS lo,
+                 epoch_us(ts) + 14400000000 AS hi
+          FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT event_id, user_id, epoch_us(ts) AS pt
+          FROM events WHERE event_type = 'click') c
+      ON c.pt >= p.lo AND c.pt <= p.hi
+    ORDER BY purchase_id, click_id
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Binned range join (operators/rangejoin.py interval_point_join):
+    every purchase's 4-hour window joined to ALL clicks falling inside
+    it — no equi key at all, the classic cartesian trap. The bin
+    discretization (1h bins over epoch-us) turns it into a hash
+    equi-join on bin id; the oracle runs the plain theta SQL."""
+    from xorq_spark.operators import interval_point_join
+
+    ev = t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        us.alias("lo"),
+        (us + F.lit(14400000000)).alias("hi"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("c_user"),
+        us.alias("pt"),
+    )
+    out = interval_point_join(
+        purchases, clicks, "lo", "hi", "pt", bin_size=3_600_000_000
+    )
+    return out.select(
+        "purchase_id", "click_id", "p_user", "c_user"
+    ).orderBy("purchase_id", "click_id")

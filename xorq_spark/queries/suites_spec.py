@@ -170,6 +170,7 @@ SUITES: dict[str, list[str]] = {
         "join_self_window_share",
         "join_asof_backward",
         "join_positional",
+        "join_range_binned",
     ],
     "suite_text": [
         "text_token_counts",
