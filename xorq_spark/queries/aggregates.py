@@ -299,3 +299,57 @@ def agg_first_last_ordered(spark, sf_dir):
         )
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "agg_hll_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_exact,
+           TRUE AS hll_within_2pct,
+           TRUE AS merged_within_2pct
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def agg_hll(spark, sf_dir):
+    """Mergeable distinct-count sketches (Datasketches HLL via
+    hll_sketch_agg / hll_union_agg): the scale path for COUNT DISTINCT
+    over 100 TB — per-partition sketches combine associatively, so the
+    shuffle carries fixed-size binaries instead of value sets, and
+    sketches persisted per shard union incrementally across runs.
+
+    The oracle pins the EXACT per-group count; the query certifies on
+    top of it that (a) the sketch estimate lands within 2% of exact
+    and (b) a two-level union of per-bucket sketches also lands within
+    2% (mergeability; union may promote representations, so estimates
+    can differ by a few counts from the direct pass) — booleans, so the
+    hash compare is engine-independent while the accuracy claim stays
+    falsifiable."""
+    li = t(spark, sf_dir, "lineitem")
+    direct = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("__est"),
+    )
+    merged = (
+        li.withColumn("__b", F.col("l_orderkey") % 16)
+        .groupBy("l_returnflag", "__b")
+        .agg(F.hll_sketch_agg("l_partkey").alias("__sk"))
+        .groupBy("l_returnflag")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__mest"))
+    )
+    return (
+        direct.join(merged, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("__est") - F.col("n_exact"))
+                <= 0.02 * F.col("n_exact")
+            ).alias("hll_within_2pct"),
+            (
+                F.abs(F.col("__mest") - F.col("n_exact"))
+                <= 0.02 * F.col("n_exact")
+            ).alias("merged_within_2pct"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -125,6 +125,7 @@ SUITES: dict[str, list[str]] = {
         "agg_filtered_where",
         "agg_rollup",
         "agg_cube",
+        "agg_hll_sketch",
     ],
     "suite_time_a": [
         "time_trunc_extract",
