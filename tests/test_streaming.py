@@ -274,3 +274,39 @@ def test_watermark_drops_too_late_events(spark, tmp_path):
     m0 = got[got.window_start == t0]
     # the late 99.0 was dropped: minute-0 emitted once, with run-1 data
     assert m0.s.tolist() == [1.0]
+
+
+def test_stream_to_delta_exactly_once(spark, tmp_path):
+    """availableNow drain into the Delta sink; a rerun with the same
+    checkpoint re-emits nothing; and a simulated crash-window
+    re-delivery (same batch id, checkpoint NOT advanced) is a txn-dedup
+    no-op."""
+    import pyspark.sql.functions as F
+
+    from xorq_spark import streaming as S
+    from xorq_spark.delta import last_txn_version, read_delta_fallback, write_delta_txn
+
+    src = str(tmp_path / "src")
+    spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).write.parquet(src)
+    table = str(tmp_path / "sink_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    stream = spark.readStream.schema("k long, v long").parquet(f"{src}/*.parquet")
+    S.stream_to_delta(stream, table, ckpt, app_id="t-app")
+    assert read_delta_fallback(spark, table).count() == 100
+    assert last_txn_version(table, "t-app") == 0
+
+    # restart with the same checkpoint: nothing new -> no re-emit
+    stream2 = spark.readStream.schema("k long, v long").parquet(f"{src}/*.parquet")
+    S.stream_to_delta(stream2, table, ckpt, app_id="t-app")
+    assert read_delta_fallback(spark, table).count() == 100
+
+    # crash-window re-delivery: the SAME batch id arrives again
+    batch = spark.createDataFrame([(999, 999)], "k long, v long")
+    assert write_delta_txn(batch, table, "t-app", 0) is None  # deduped
+    assert read_delta_fallback(spark, table).count() == 100
+    # a NEW batch id commits normally
+    assert write_delta_txn(batch, table, "t-app", 1) is not None
+    assert read_delta_fallback(spark, table).count() == 101

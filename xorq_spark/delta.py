@@ -375,3 +375,69 @@ def write_delta(
 
     actions.extend(stage_delta_files(df, table_path, partition_by))
     return _atomic_commit(log_dir, actions)
+
+
+def last_txn_version(table_path: str, app_id: str) -> int:
+    """Highest committed `txn` version for `app_id` in the table's log
+    (-1 when none): the Delta protocol's idempotent-writer handshake —
+    a streaming sink records (appId, batchVersion) in the SAME atomic
+    commit as its add-actions, so a re-delivered micro-batch (crash
+    between sink commit and source checkpoint) is detected and skipped
+    instead of double-appended."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    best = -1
+    if not os.path.isdir(log_dir):
+        return best
+    for fn in sorted(os.listdir(log_dir)):
+        if not fn.endswith(".json") or fn.startswith("."):
+            continue
+        with open(os.path.join(log_dir, fn)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                action = json.loads(line)
+                txn = action.get("txn")
+                if txn and txn.get("appId") == app_id:
+                    best = max(best, int(txn.get("version", -1)))
+    return best
+
+
+def write_delta_txn(
+    df,
+    table_path: str,
+    app_id: str,
+    txn_version: int,
+    partition_by: Sequence[str] = (),
+) -> Optional[int]:
+    """Idempotent append: commit `df`'s files together with a `txn`
+    action (app_id, txn_version) in one atomic log entry. Returns the
+    committed log version, or None when this (app_id, txn_version) —
+    or a later one — is already in the log (the re-delivery no-op).
+
+    This is the building block of the exactly-once streaming sink:
+    data files and the dedup marker land in the same commit, so there
+    is no window where one exists without the other."""
+    if last_txn_version(table_path, app_id) >= txn_version:
+        return None
+    log_dir = os.path.join(table_path, "_delta_log")
+    new_table = not os.path.isdir(log_dir)
+    actions: List[dict] = []
+    if new_table:
+        os.makedirs(log_dir, exist_ok=True)
+        actions.append({"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+        actions.append(
+            {
+                "metaData": {
+                    "id": str(__import__("uuid").uuid4()),
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": _delta_schema_string(df.schema),
+                    "partitionColumns": list(partition_by),
+                    "configuration": {},
+                    "createdTime": 0,
+                }
+            }
+        )
+    actions.append({"txn": {"appId": app_id, "version": txn_version}})
+    actions.extend(stage_delta_files(df, table_path, partition_by))
+    _atomic_commit(log_dir, actions)
+    return _commit_version(log_dir) - 1

@@ -20,6 +20,7 @@ from xorq_spark.streaming.core import (
     sessionize,
     stream_foreach_batch,
     stream_stream_join,
+    stream_to_delta,
     stream_to_memory,
     stream_to_parquet,
     window_agg,
@@ -34,6 +35,7 @@ __all__ = [
     "sessionize",
     "stream_foreach_batch",
     "stream_stream_join",
+    "stream_to_delta",
     "stream_to_memory",
     "stream_to_parquet",
 ]

@@ -326,3 +326,52 @@ def stream_to_memory(
         else:
             q.awaitTermination()
     return q
+
+
+def stream_to_delta(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    app_id: str = None,
+    partition_by: Sequence[str] = (),
+    await_termination: bool = True,
+):
+    """Exactly-once streaming Delta sink on the built-in protocol-v1
+    writer: each micro-batch commits its data files TOGETHER with a
+    `txn` (appId, batchId) action in one atomic log entry
+    (delta.py write_delta_txn).
+
+    Why the txn action matters: the source checkpoint alone leaves a
+    crash window — sink committed, checkpoint not yet advanced — where
+    a restarted query re-delivers the batch. Because the dedup marker
+    and the add-actions land in the SAME commit, the re-delivered batch
+    is detected (`last_txn_version >= batchId`) and skipped: no
+    double-append, no missing data, under any crash point. This is the
+    Delta protocol's idempotent-writer contract, the same one
+    delta-spark's own streaming sink uses.
+
+    app_id defaults to a stable digest of (table, checkpoint) so a
+    restarted query resumes the same txn lineage; pass it explicitly
+    when several queries append to one table."""
+    import hashlib
+
+    from xorq_spark.delta import write_delta_txn
+
+    app = app_id or (
+        "xorq-stream-"
+        + hashlib.md5(f"{table_path}|{checkpoint}".encode()).hexdigest()[:16]
+    )
+
+    def write_batch(df, batch_id):
+        write_delta_txn(df, table_path, app, int(batch_id), partition_by)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
