@@ -305,3 +305,89 @@ def test_append_missing_column_rejected(spark, tmp_path):
     write_delta(spark.createDataFrame([(1, "a")], "k int, v string"), table)
     with pytest.raises(ValueError, match="missing table columns"):
         write_delta(spark.createDataFrame([(2,)], "k int"), table, mode="append")
+
+
+def test_optimize_compact_preserves_rows_and_reduces_files(spark, tmp_path):
+    import glob
+
+    from xorq_spark.delta import (
+        optimize_compact,
+        read_delta_fallback,
+        write_delta,
+    )
+
+    table = str(tmp_path / "t3")
+    # many small appends -> many files
+    for i in range(6):
+        write_delta(
+            spark.createDataFrame([(i, i * 10)], "k int, v int"),
+            table,
+            mode="append" if i else "append",
+        )
+    before = len(glob.glob(os.path.join(table, "*.parquet")))
+    assert before >= 6
+    v = optimize_compact(spark, table, target_files=1)
+    out = read_delta_fallback(spark, table)
+    assert sorted(r["k"] for r in out.collect()) == list(range(6))
+    # live snapshot now reads from the compacted file set
+    live_files = len(
+        read_delta_fallback(spark, table).inputFiles()
+    )
+    assert live_files < before
+    # time travel to the pre-compaction version still works (old files
+    # remain on disk until vacuum)
+    prev = read_delta_fallback(spark, table, version=v - 1)
+    assert prev.count() == 6
+
+
+def test_optimize_zorder_tightens_stats(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from xorq_spark.delta import optimize_compact, read_delta_fallback, write_delta
+
+    table = str(tmp_path / "t4")
+    df = spark.range(20_000).select(
+        (F.col("id") * 48271 % 1021).cast("int").alias("a"),
+        (F.col("id") * 16807 % 1019).cast("int").alias("b"),
+    )
+    write_delta(df.repartition(8), table)
+    optimize_compact(spark, table, zorder=("a", "b"), target_files=16)
+    out = read_delta_fallback(spark, table)
+    assert out.count() == 20_000
+    spans = []
+    for f in out.inputFiles():
+        path = f.replace("file://", "").replace("file:", "")
+        md = pq.ParquetFile(path).metadata
+        c = md.row_group(0).column(0)
+        spans.append((c.path_in_schema, c.statistics.max - c.statistics.min))
+    # z-ordered files cover narrow ranges of the first column: 16
+    # z-range files = a 4x4 quadrant grid, ~1/4 the domain per file
+    assert sum(s for _, s in spans) < 16 * 1020 / 2
+
+
+def test_vacuum_removes_only_old_unreferenced_files(spark, tmp_path):
+    import glob
+
+    from xorq_spark.delta import (
+        optimize_compact,
+        read_delta_fallback,
+        vacuum,
+        write_delta,
+    )
+
+    table = str(tmp_path / "t5")
+    for i in range(3):
+        write_delta(spark.createDataFrame([(i,)], "k int"), table, mode="append")
+    optimize_compact(spark, table, target_files=1)
+    all_before = set(glob.glob(os.path.join(table, "*.parquet")))
+    # retention window: nothing old enough yet
+    assert vacuum(table, retention_hours=1.0) == []
+    # zero retention (test only): unreferenced pre-compaction files go
+    doomed = vacuum(table, retention_hours=0.0)
+    assert len(doomed) >= 3
+    out = read_delta_fallback(spark, table)
+    assert sorted(r["k"] for r in out.collect()) == [0, 1, 2]
+    assert set(glob.glob(os.path.join(table, "*.parquet"))) < all_before
+    # dry_run reports nothing left to delete
+    assert vacuum(table, retention_hours=0.0, dry_run=True) == []

@@ -441,3 +441,87 @@ def write_delta_txn(
     actions.extend(stage_delta_files(df, table_path, partition_by))
     _atomic_commit(log_dir, actions)
     return _commit_version(log_dir) - 1
+
+
+def optimize_compact(
+    spark,
+    table_path: str,
+    zorder: Sequence[str] = (),
+    target_files: Optional[int] = None,
+) -> int:
+    """OPTIMIZE: rewrite the table's live data files into fewer, larger
+    ones — the small-file compaction every streaming-append table needs
+    (thousands of micro-batch files make every scan pay per-file open
+    cost and starve row-group pruning). With `zorder`, rows are
+    re-clustered along the Morton curve of those columns
+    (operators/layout.py) so per-file min/max stats tighten on every
+    listed dimension — OPTIMIZE ZORDER on the protocol writer.
+
+    The rewrite is one atomic commit: remove(every old file) +
+    add(every new file) with dataChange=false (per spec: readers see
+    identical rows before and after; streaming readers skip
+    no-data-change commits). Old files stay on disk for time travel
+    until `vacuum`.
+
+    Returns the committed version."""
+    live, meta = replay_log(table_path)
+    part_cols = list(meta.get("partitionColumns") or [])
+    df = read_delta_fallback(spark, table_path)
+    n_files = target_files or max(
+        1, spark.sparkContext.defaultParallelism // 2
+    )
+    if zorder:
+        from xorq_spark.operators.layout import zorder_by
+
+        df = zorder_by(df, list(zorder), num_partitions=n_files)
+    else:
+        df = df.repartition(n_files)
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    actions: List[dict] = [
+        {"remove": {"path": a["path"], "dataChange": False}} for a in live
+    ]
+    adds = stage_delta_files(df, table_path, part_cols)
+    for a in adds:
+        a["add"]["dataChange"] = False
+    actions.extend(adds)
+    return _atomic_commit(log_dir, actions)
+
+
+def vacuum(
+    table_path: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+) -> List[str]:
+    """Delete data files no longer referenced by the CURRENT table
+    version and older than `retention_hours` (default 7 days, the
+    protocol's safety default: shorter retention can break in-flight
+    readers and time travel). Returns the deleted (or would-delete)
+    paths.
+
+    Driver-side metadata work plus unlinks — the log itself is never
+    touched, so history replay still works for versions whose files
+    survive."""
+    import time as _time
+
+    live, _ = replay_log(table_path)
+    live_paths = {a["path"] for a in live}
+    cutoff = _time.time() - retention_hours * 3600.0
+    doomed: List[str] = []
+    for dirpath, dirnames, files in os.walk(table_path):
+        dirnames[:] = [
+            d for d in dirnames if d != "_delta_log" and not d.startswith(".")
+        ]
+        for fn in files:
+            if not fn.endswith(".parquet"):
+                continue
+            full = os.path.join(dirpath, fn)
+            rel = os.path.relpath(full, table_path).replace(os.sep, "/")
+            if rel in live_paths:
+                continue
+            if os.path.getmtime(full) > cutoff:
+                continue
+            doomed.append(rel)
+            if not dry_run:
+                os.unlink(full)
+    return doomed
