@@ -391,3 +391,47 @@ def test_vacuum_removes_only_old_unreferenced_files(spark, tmp_path):
     assert set(glob.glob(os.path.join(table, "*.parquet"))) < all_before
     # dry_run reports nothing left to delete
     assert vacuum(table, retention_hours=0.0, dry_run=True) == []
+
+
+def test_merge_upsert_updates_inserts_and_skips_files(spark, tmp_path):
+    from xorq_spark.delta import merge_upsert, read_delta_fallback, replay_log, write_delta
+
+    table = str(tmp_path / "t6")
+    # two appends with DISJOINT key ranges -> two files with disjoint stats
+    write_delta(
+        spark.createDataFrame([(k, k * 10) for k in range(0, 5)], "k int, v int"),
+        table,
+    )
+    write_delta(
+        spark.createDataFrame([(k, k * 10) for k in range(100, 105)], "k int, v int"),
+        table,
+        mode="append",
+    )
+    live_before, _ = replay_log(table)
+    assert len(live_before) >= 2
+    assert all("stats" in a for a in live_before)  # stats recorded
+
+    # source touches only the low range: update k=2, insert k=7
+    src = spark.createDataFrame([(2, 999), (7, 777)], "k int, v int")
+    merge_upsert(spark, table, src, ["k"])
+
+    out = {r["k"]: r["v"] for r in read_delta_fallback(spark, table).collect()}
+    assert out[2] == 999 and out[7] == 777          # updated + inserted
+    assert out[0] == 0 and out[104] == 1040          # untouched rows intact
+    assert len(out) == 11
+
+    # file skipping: the high-range file must have survived unrewritten
+    live_after, _ = replay_log(table)
+    before_paths = {a["path"] for a in live_before}
+    after_paths = {a["path"] for a in live_after}
+    assert before_paths & after_paths, "stats-disjoint file was rewritten"
+
+
+def test_merge_upsert_empty_source_is_noop_rows(spark, tmp_path):
+    from xorq_spark.delta import merge_upsert, read_delta_fallback, write_delta
+
+    table = str(tmp_path / "t7")
+    write_delta(spark.createDataFrame([(1, 1)], "k int, v int"), table)
+    src = spark.createDataFrame([], "k int, v int")
+    merge_upsert(spark, table, src, ["k"])
+    assert read_delta_fallback(spark, table).count() == 1

@@ -317,17 +317,17 @@ def stage_delta_files(
             dest = os.path.join(table_path, rel)
             os.makedirs(os.path.dirname(dest), exist_ok=True)
             shutil.move(os.path.join(dirpath, fn), dest)
-            adds.append(
-                {
-                    "add": {
-                        "path": rel.replace(os.sep, "/"),
-                        "partitionValues": pv,
-                        "size": os.path.getsize(dest),
-                        "modificationTime": int(os.path.getmtime(dest) * 1000),
-                        "dataChange": True,
-                    }
-                }
-            )
+            add = {
+                "path": rel.replace(os.sep, "/"),
+                "partitionValues": pv,
+                "size": os.path.getsize(dest),
+                "modificationTime": int(os.path.getmtime(dest) * 1000),
+                "dataChange": True,
+            }
+            stats = _file_stats(dest)
+            if stats:
+                add["stats"] = stats
+            adds.append({"add": add})
     shutil.rmtree(staging)
     return adds
 
@@ -525,3 +525,146 @@ def vacuum(
             if not dry_run:
                 os.unlink(full)
     return doomed
+
+
+_STATS_TYPES = ("int32", "int64", "double", "float", "string", "date32[day]")
+
+
+def _file_stats(path: str) -> Optional[str]:
+    """Delta `add.stats` JSON for one parquet file from its footer:
+    numRecords + min/max/nullCount per primitive leaf column. Footer
+    reads are metadata-only (no data pages); a real cluster collects
+    these during the write itself — the log contract is identical."""
+    import pyarrow.parquet as pq
+
+    try:
+        md = pq.ParquetFile(path).metadata
+    except OSError:
+        return None
+    mins: Dict[str, object] = {}
+    maxs: Dict[str, object] = {}
+    nulls: Dict[str, int] = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            c = md.row_group(rg).column(ci)
+            name = c.path_in_schema
+            if "." in name or c.statistics is None:
+                continue
+            st = c.statistics
+            if not st.has_min_max:
+                nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                continue  # binary: not a useful pruning key
+            if hasattr(lo, "isoformat"):
+                lo, hi = lo.isoformat(), hi.isoformat()
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+            nulls[name] = nulls.get(name, 0) + (st.null_count or 0)
+    return json.dumps(
+        {
+            "numRecords": md.num_rows,
+            "minValues": mins,
+            "maxValues": maxs,
+            "nullCount": nulls,
+        }
+    )
+
+
+def merge_upsert(
+    spark,
+    table_path: str,
+    source,
+    key_cols: Sequence[str],
+) -> int:
+    """MERGE (upsert): update rows whose `key_cols` match a source row
+    with the source's values, insert source rows with no match — the
+    incremental-maintenance primitive of every CDC / feature-store
+    pipeline.
+
+    File skipping on log stats: only data files whose per-file
+    min/max range over the key columns OVERLAPS the source's key range
+    are rewritten; everything else is untouched — the same pruning
+    delta-spark does, driven by the `stats` JSON our writer records in
+    each add action (files without stats are conservatively
+    rewritten). One atomic commit: remove(candidate files) +
+    add(rewritten files + merged rows).
+
+    Scale notes: the source key range is one tiny aggregate; candidate
+    selection is driver-side log metadata; the rewrite itself is a
+    distributed anti-join (kept rows) union the source — shuffle keyed
+    on the merge keys only.
+
+    Returns the committed version."""
+    import pyspark.sql.functions as F
+
+    keys = list(key_cols)
+    live, meta = replay_log(table_path)
+    part_cols = list(meta.get("partitionColumns") or [])
+
+    # source key envelope (one scalar row)
+    env = source.agg(
+        *[F.min(k).alias(f"__lo_{k}") for k in keys],
+        *[F.max(k).alias(f"__hi_{k}") for k in keys],
+    ).first()
+
+    def overlaps(a: dict) -> bool:
+        raw = a.get("stats")
+        if not raw:
+            return True  # no stats: must assume a match
+        st = json.loads(raw)
+        mins, maxs = st.get("minValues", {}), st.get("maxValues", {})
+        for k in keys:
+            if k not in mins or k not in maxs:
+                return True
+            if env[f"__lo_{k}"] is None:
+                return False  # empty source: nothing overlaps
+            if maxs[k] < env[f"__lo_{k}"] or mins[k] > env[f"__hi_{k}"]:
+                return False
+        return True
+
+    candidates = [a for a in live if overlaps(a)]
+    log_dir = os.path.join(table_path, "_delta_log")
+
+    schema = json.loads(meta["schemaString"])
+    cols = [f["name"] for f in schema["fields"]]
+    src = source.select(*cols)
+
+    if candidates:
+        cand_df = read_delta_fallback(spark, table_path)
+        # restrict the rewrite to candidate files only
+        cand_paths = {
+            os.path.join(table_path, a["path"]) for a in candidates
+        }
+        data_cols = [c for c in cols if c not in part_cols]
+        types = {f["name"]: _spark_type_for(f["type"]) for f in schema["fields"]}
+        data_ddl = ", ".join(f"`{c}` {types[c]}" for c in data_cols)
+        cand_df = spark.read.schema(data_ddl).parquet(*sorted(cand_paths))
+        if part_cols:
+            # partition values come from the log per file group; for a
+            # merge rewrite we re-derive them by reading per group
+            groups: Dict[tuple, List[str]] = {}
+            for a in candidates:
+                pv = a.get("partitionValues") or {}
+                key = tuple(pv.get(c) for c in part_cols)
+                groups.setdefault(key, []).append(
+                    os.path.join(table_path, a["path"])
+                )
+            cand_df = None
+            for key, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
+                g = spark.read.schema(data_ddl).parquet(*files)
+                for c, v in zip(part_cols, key):
+                    g = g.withColumn(c, F.lit(v).cast(types[c]))
+                g = g.select(*cols)
+                cand_df = g if cand_df is None else cand_df.unionByName(g)
+        kept = cand_df.join(src.select(*keys).distinct(), keys, "left_anti")
+        merged = kept.unionByName(src)
+    else:
+        merged = src
+
+    actions: List[dict] = [
+        {"remove": {"path": a["path"], "dataChange": True}} for a in candidates
+    ]
+    actions.extend(stage_delta_files(merged, table_path, part_cols))
+    return _atomic_commit(log_dir, actions)
