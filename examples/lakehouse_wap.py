@@ -64,6 +64,20 @@ def main(sf_dir: str):
 
     # time travel
     print(f"v0 snapshot still has {xo.read_delta(table, version=0).count(spark)} rows")
+    # maintenance: MERGE upsert (stats-pruned), OPTIMIZE ZORDER, VACUUM
+    from xorq_spark.delta import merge_upsert, optimize_compact, vacuum, read_delta_fallback
+
+    updates = spark.createDataFrame(
+        [(900, "ATLANTIS-2", 0), (950, "MU", 2)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    merge_upsert(spark, table, updates, ["n_nationkey"])
+    print(f"after merge: {read_delta_fallback(spark, table).count()} rows "
+          f"(900 updated, 950 inserted)")
+    optimize_compact(spark, table, zorder=("n_nationkey", "n_regionkey"), target_files=2)
+    removed = vacuum(table, retention_hours=0.0)
+    print(f"optimized to 2 z-ordered files; vacuum removed {len(removed)} old files")
+
     top = (
         xo.read_delta(table)
         .group_by("n_regionkey")
