@@ -435,3 +435,59 @@ def test_merge_upsert_empty_source_is_noop_rows(spark, tmp_path):
     src = spark.createDataFrame([], "k int, v int")
     merge_upsert(spark, table, src, ["k"])
     assert read_delta_fallback(spark, table).count() == 1
+
+
+def test_checkpoint_log_bounds_replay_and_keeps_txns(spark, tmp_path):
+    import glob
+
+    from xorq_spark.delta import (
+        checkpoint_log,
+        last_txn_version,
+        read_delta_fallback,
+        write_delta,
+        write_delta_txn,
+    )
+
+    table = str(tmp_path / "t8")
+    for i in range(4):
+        write_delta_txn(
+            spark.createDataFrame([(i,)], "k int"), table, "appA", i
+        )
+    v = checkpoint_log(table)
+    assert glob.glob(os.path.join(table, "_delta_log", "*.checkpoint.parquet"))
+    # replay from the checkpoint sees the same rows
+    assert sorted(r["k"] for r in read_delta_fallback(spark, table).collect()) == [0, 1, 2, 3]
+    # txn state survives in the checkpoint: dedup still works even if
+    # later lookups start from it
+    assert last_txn_version(table, "appA") == 3
+    assert write_delta_txn(spark.createDataFrame([(9,)], "k int"), table, "appA", 3) is None
+    # post-checkpoint commits replay on top
+    write_delta(spark.createDataFrame([(10,)], "k int"), table, mode="append")
+    assert read_delta_fallback(spark, table).count() == 5
+    # time travel to the checkpointed version itself still works
+    assert read_delta_fallback(spark, table, version=v).count() == 4
+
+
+def test_merge_upsert_on_date_key(spark, tmp_path):
+    """Date/timestamp merge keys: stats store isoformat strings while
+    the source envelope holds date objects — both sides must normalize
+    before comparison (review regression)."""
+    import datetime
+
+    from xorq_spark.delta import merge_upsert, read_delta_fallback, write_delta
+
+    table = str(tmp_path / "t9")
+    write_delta(
+        spark.createDataFrame(
+            [(datetime.date(2024, 1, 1), 1), (datetime.date(2024, 6, 1), 2)],
+            "d date, v int",
+        ),
+        table,
+    )
+    src = spark.createDataFrame(
+        [(datetime.date(2024, 6, 1), 99), (datetime.date(2024, 7, 1), 7)],
+        "d date, v int",
+    )
+    merge_upsert(spark, table, src, ["d"])
+    out = {r["d"].isoformat(): r["v"] for r in read_delta_fallback(spark, table).collect()}
+    assert out == {"2024-01-01": 1, "2024-06-01": 99, "2024-07-01": 7}

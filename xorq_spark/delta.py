@@ -33,13 +33,15 @@ class DeltaProtocolError(NotImplementedError):
     pass
 
 
-def _read_checkpoint(path: str) -> Tuple[list, Optional[dict], int]:
-    """Actions from a parquet checkpoint: (adds, metaData, protocol_reader)."""
+def _read_checkpoint(path: str) -> Tuple[list, Optional[dict], int, Dict[str, int]]:
+    """Actions from a parquet checkpoint:
+    (adds, metaData, protocol_reader, {appId: max txn version})."""
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(path)
     cols = set(tbl.column_names)
     adds, meta, reader = [], None, 1
+    txns: Dict[str, int] = {}
     rows = tbl.to_pylist()
     for r in rows:
         if "add" in cols and r.get("add") and r["add"].get("path"):
@@ -48,7 +50,10 @@ def _read_checkpoint(path: str) -> Tuple[list, Optional[dict], int]:
             meta = r["metaData"]
         if "protocol" in cols and r.get("protocol") and r["protocol"].get("minReaderVersion"):
             reader = r["protocol"]["minReaderVersion"]
-    return adds, meta, reader
+        if "txn" in cols and r.get("txn") and r["txn"].get("appId"):
+            t = r["txn"]
+            txns[t["appId"]] = max(txns.get(t["appId"], -1), int(t.get("version", -1)))
+    return adds, meta, reader, txns
 
 
 def replay_log(
@@ -92,7 +97,7 @@ def replay_log(
 
     if start_from is not None:
         cp = os.path.join(log_dir, f"{start_from:020d}.checkpoint.parquet")
-        adds, cp_meta, reader_version = _read_checkpoint(cp)
+        adds, cp_meta, reader_version, _cp_txns = _read_checkpoint(cp)
         for a in adds:
             active[a["path"]] = a
         meta = cp_meta or meta
@@ -158,6 +163,19 @@ def read_delta_fallback(spark, table_path: str, version: Optional[int] = None):
     import pyspark.sql.functions as F
 
     adds, meta = replay_log(table_path, version)
+    return _frame_for_adds(spark, table_path, adds, meta)
+
+
+def _frame_for_adds(spark, table_path: str, adds: List[dict], meta: dict):
+    """DataFrame over an explicit add-action list — the one scan
+    implementation shared by reads, OPTIMIZE, and MERGE, so a caller
+    that snapshots the log once operates on exactly that snapshot.
+    Reads with the schema the LOG declares (authoritative per spec),
+    never parquet-footer inference: inference samples an arbitrary
+    file, so a mixed-width table would read or fail
+    nondeterministically run to run."""
+    import pyspark.sql.functions as F
+
     schema = json.loads(meta["schemaString"])
     part_cols = list(meta.get("partitionColumns") or [])
     types = {f["name"]: _spark_type_for(f["type"]) for f in schema["fields"]}
@@ -176,10 +194,6 @@ def read_delta_fallback(spark, table_path: str, version: Optional[int] = None):
     out = None
     # deterministic group order; repr-key because partition values can
     # be None (null partitions), which plain tuple sorting rejects
-    # Read with the schema the LOG declares (authoritative per spec),
-    # never parquet-footer inference: inference samples an arbitrary
-    # file, so a mixed-width table would read or fail
-    # nondeterministically run to run.
     data_ddl = ", ".join(f"`{c}` {types[c]}" for c in data_cols)
     for key, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
         df = spark.read.schema(data_ddl).parquet(*files).select(*data_cols)
@@ -287,7 +301,7 @@ def stage_delta_files(
         missing = [f["name"] for f in schema["fields"] if f["name"] not in df.columns]
         if missing:
             raise ValueError(
-                f"append is missing table columns {missing} for {table_path!r}"
+                f"frame is missing table columns {missing} for {table_path!r}"
             )
         df = df.select(
             *[
@@ -377,28 +391,59 @@ def write_delta(
     return _atomic_commit(log_dir, actions)
 
 
+def _txn_in_commit(log_dir: str, commit: int, app_id: str) -> int:
+    """Max `txn` version for app_id in ONE commit file (-1 if absent)."""
+    best = -1
+    fp = os.path.join(log_dir, f"{commit:020d}.json")
+    try:
+        fh = open(fp)
+    except FileNotFoundError:
+        return best
+    with fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            txn = json.loads(line).get("txn")
+            if txn and txn.get("appId") == app_id:
+                best = max(best, int(txn.get("version", -1)))
+    return best
+
+
 def last_txn_version(table_path: str, app_id: str) -> int:
     """Highest committed `txn` version for `app_id` in the table's log
     (-1 when none): the Delta protocol's idempotent-writer handshake —
     a streaming sink records (appId, batchVersion) in the SAME atomic
     commit as its add-actions, so a re-delivered micro-batch (crash
     between sink commit and source checkpoint) is detected and skipped
-    instead of double-appended."""
+    instead of double-appended.
+
+    Checkpoint-aware: starts from the newest parquet checkpoint's txn
+    column and scans only the JSON commits after it, so the lookup cost
+    is bounded by the checkpoint interval, not table age (and txn state
+    survives log cleanup past a checkpoint, per spec)."""
     log_dir = os.path.join(table_path, "_delta_log")
     best = -1
     if not os.path.isdir(log_dir):
         return best
-    for fn in sorted(os.listdir(log_dir)):
-        if not fn.endswith(".json") or fn.startswith("."):
+    entries = os.listdir(log_dir)
+    checkpoints = sorted(
+        int(f.split(".")[0])
+        for f in entries
+        if f.endswith(".checkpoint.parquet") and f.split(".")[0].isdigit()
+    )
+    start_after = -1
+    if checkpoints:
+        cp = os.path.join(log_dir, f"{checkpoints[-1]:020d}.checkpoint.parquet")
+        _, _, _, txns = _read_checkpoint(cp)
+        best = txns.get(app_id, -1)
+        start_after = checkpoints[-1]
+    for fn in entries:
+        if not fn.endswith(".json") or not fn.split(".")[0].isdigit():
             continue
-        with open(os.path.join(log_dir, fn)) as fh:
-            for line in fh:
-                if not line.strip():
-                    continue
-                action = json.loads(line)
-                txn = action.get("txn")
-                if txn and txn.get("appId") == app_id:
-                    best = max(best, int(txn.get("version", -1)))
+        c = int(fn.split(".")[0])
+        if c <= start_after:
+            continue
+        best = max(best, _txn_in_commit(log_dir, c, app_id))
     return best
 
 
@@ -420,6 +465,7 @@ def write_delta_txn(
     if last_txn_version(table_path, app_id) >= txn_version:
         return None
     log_dir = os.path.join(table_path, "_delta_log")
+    scanned_upto = _commit_version(log_dir) if os.path.isdir(log_dir) else 0
     new_table = not os.path.isdir(log_dir)
     actions: List[dict] = []
     if new_table:
@@ -439,8 +485,46 @@ def write_delta_txn(
         )
     actions.append({"txn": {"appId": app_id, "version": txn_version}})
     actions.extend(stage_delta_files(df, table_path, partition_by))
-    _atomic_commit(log_dir, actions)
-    return _commit_version(log_dir) - 1
+
+    # Race-free publish: the dedup check above is check-then-act, so a
+    # concurrent writer re-delivering the SAME (app_id, txn_version)
+    # could pass it too. Before every link attempt, re-scan exactly the
+    # commits that appeared since our last look; the hard-link mutual
+    # exclusion then guarantees whoever wins is the only committer of
+    # this txn version — the loser sees the winner's txn and aborts.
+    import uuid as _uuid
+
+    tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    while True:
+        version = _commit_version(log_dir)
+        for c in range(scanned_upto, version):
+            if _txn_in_commit(log_dir, c, app_id) >= txn_version:
+                os.unlink(tmp)
+                _cleanup_orphan_adds(table_path, actions)
+                return None
+        scanned_upto = version
+        target = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            os.link(tmp, target)
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            continue
+
+
+def _cleanup_orphan_adds(table_path: str, actions: List[dict]) -> None:
+    """Remove the data files of an aborted commit (they were staged but
+    never entered the log, so no reader can see them)."""
+    for a in actions:
+        add = a.get("add")
+        if add:
+            try:
+                os.unlink(os.path.join(table_path, add["path"]))
+            except OSError:
+                pass
 
 
 def optimize_compact(
@@ -466,7 +550,10 @@ def optimize_compact(
     Returns the committed version."""
     live, meta = replay_log(table_path)
     part_cols = list(meta.get("partitionColumns") or [])
-    df = read_delta_fallback(spark, table_path)
+    # Build the frame from the SAME `live` snapshot the remove list
+    # uses — a second log replay could see a commit that landed in
+    # between, duplicating its rows while leaving its file live.
+    df = _frame_for_adds(spark, table_path, live, meta)
     n_files = target_files or max(
         1, spark.sparkContext.defaultParallelism // 2
     )
@@ -525,9 +612,6 @@ def vacuum(
             if not dry_run:
                 os.unlink(full)
     return doomed
-
-
-_STATS_TYPES = ("int32", "int64", "double", "float", "string", "date32[day]")
 
 
 def _file_stats(path: str) -> Optional[str]:
@@ -604,10 +688,18 @@ def merge_upsert(
     part_cols = list(meta.get("partitionColumns") or [])
 
     # source key envelope (one scalar row)
-    env = source.agg(
+    env_row = source.agg(
         *[F.min(k).alias(f"__lo_{k}") for k in keys],
         *[F.max(k).alias(f"__hi_{k}") for k in keys],
     ).first()
+
+    def _norm_env(v):
+        # stats JSON stores date/timestamp min/max as isoformat strings
+        # (_file_stats); normalize the source envelope the same way so
+        # comparisons stay same-type
+        return v.isoformat() if hasattr(v, "isoformat") else v
+
+    env = {k: _norm_env(v) for k, v in env_row.asDict().items()}
 
     def overlaps(a: dict) -> bool:
         raw = a.get("stats")
@@ -632,32 +724,9 @@ def merge_upsert(
     src = source.select(*cols)
 
     if candidates:
-        cand_df = read_delta_fallback(spark, table_path)
-        # restrict the rewrite to candidate files only
-        cand_paths = {
-            os.path.join(table_path, a["path"]) for a in candidates
-        }
-        data_cols = [c for c in cols if c not in part_cols]
-        types = {f["name"]: _spark_type_for(f["type"]) for f in schema["fields"]}
-        data_ddl = ", ".join(f"`{c}` {types[c]}" for c in data_cols)
-        cand_df = spark.read.schema(data_ddl).parquet(*sorted(cand_paths))
-        if part_cols:
-            # partition values come from the log per file group; for a
-            # merge rewrite we re-derive them by reading per group
-            groups: Dict[tuple, List[str]] = {}
-            for a in candidates:
-                pv = a.get("partitionValues") or {}
-                key = tuple(pv.get(c) for c in part_cols)
-                groups.setdefault(key, []).append(
-                    os.path.join(table_path, a["path"])
-                )
-            cand_df = None
-            for key, files in sorted(groups.items(), key=lambda kv: repr(kv[0])):
-                g = spark.read.schema(data_ddl).parquet(*files)
-                for c, v in zip(part_cols, key):
-                    g = g.withColumn(c, F.lit(v).cast(types[c]))
-                g = g.select(*cols)
-                cand_df = g if cand_df is None else cand_df.unionByName(g)
+        # rewrite exactly the candidate snapshot (same add list the
+        # remove actions below name)
+        cand_df = _frame_for_adds(spark, table_path, candidates, meta).select(*cols)
         kept = cand_df.join(src.select(*keys).distinct(), keys, "left_anti")
         merged = kept.unionByName(src)
     else:
@@ -668,3 +737,84 @@ def merge_upsert(
     ]
     actions.extend(stage_delta_files(merged, table_path, part_cols))
     return _atomic_commit(log_dir, actions)
+
+
+def _all_txns(log_dir: str) -> Dict[str, int]:
+    """{appId: max txn version} across the newest checkpoint and every
+    later commit."""
+    txns: Dict[str, int] = {}
+    if not os.path.isdir(log_dir):
+        return txns
+    entries = os.listdir(log_dir)
+    checkpoints = sorted(
+        int(f.split(".")[0])
+        for f in entries
+        if f.endswith(".checkpoint.parquet") and f.split(".")[0].isdigit()
+    )
+    start_after = -1
+    if checkpoints:
+        cp = os.path.join(log_dir, f"{checkpoints[-1]:020d}.checkpoint.parquet")
+        _, _, _, txns = _read_checkpoint(cp)
+        txns = dict(txns)
+        start_after = checkpoints[-1]
+    for fn in entries:
+        if not fn.endswith(".json") or not fn.split(".")[0].isdigit():
+            continue
+        if int(fn.split(".")[0]) <= start_after:
+            continue
+        with open(os.path.join(log_dir, fn)) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                txn = json.loads(line).get("txn")
+                if txn and txn.get("appId"):
+                    a = txn["appId"]
+                    txns[a] = max(txns.get(a, -1), int(txn.get("version", -1)))
+    return txns
+
+
+def checkpoint_log(table_path: str) -> int:
+    """Write a parquet checkpoint of the CURRENT log state (active
+    add-actions + metaData + protocol + per-app txn maxima) named
+    `{version}.checkpoint.parquet` — after which replay and txn lookup
+    start from the checkpoint and touch only later JSON commits. This
+    is the Delta log-compaction contract: replay cost stays bounded by
+    the checkpoint interval however long the table lives (the streaming
+    sink writes one every `checkpoint_interval` batches).
+
+    Returns the checkpointed version."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    live, meta = replay_log(table_path)
+    version = _commit_version(log_dir) - 1
+    meta_slim = {
+        "id": meta.get("id", ""),
+        "schemaString": meta["schemaString"],
+        "partitionColumns": list(meta.get("partitionColumns") or []),
+    }
+    rows: List[dict] = [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": meta_slim},
+    ]
+    # parquet cannot store an EMPTY struct: unpartitioned tables carry
+    # partitionValues={} in JSON commits — null it in the checkpoint
+    # (readers treat None and {} identically)
+    def _cp_add(a: dict) -> dict:
+        a = dict(a)
+        if not a.get("partitionValues"):
+            a["partitionValues"] = None
+        return a
+
+    rows.extend({"add": _cp_add(a)} for a in live)
+    rows.extend(
+        {"txn": {"appId": a, "version": v}} for a, v in sorted(_all_txns(log_dir).items())
+    )
+    # unify row keys so pyarrow infers one nullable struct column each
+    keys = ("protocol", "metaData", "add", "txn")
+    tbl = pa.Table.from_pylist([{k: r.get(k) for k in keys} for r in rows])
+    tmp = os.path.join(log_dir, f".cp-tmp-{version}.parquet")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
+    return version

@@ -90,8 +90,11 @@ def roc_auc(df, score_col: str, label_col: str):
     orders of magnitude below the input. The one global ordering is
     the inherent cost of an exact AUC; for 100 TB score columns bin
     scores first (fixed-width buckets give an AUC within bin
-    resolution). Everything stays integer until the final division, so
-    two engines agree bit-for-bit."""
+    resolution). Counts accumulate exactly — DECIMAL(38,1) for the
+    rank-sum products, so n_pos beyond the int64 product limit (~3e9)
+    cannot silently wrap — and the engines agree bit-for-bit up to
+    ~2^53 ROWS PER TIE GROUP (the avg-rank double); past that, bin
+    first."""
     from pyspark.sql import Window
 
     y = (F.col(label_col).cast("int") > 0).cast("long")
@@ -111,14 +114,17 @@ def roc_auc(df, score_col: str, label_col: str):
         "__avg_rank",
         F.col("__cum") + (F.col("__n") + F.lit(1)) / F.lit(2.0),
     )
+    dec = "decimal(38,1)"
+    npos = F.sum("__npos").cast(dec)
+    nneg = (F.sum("__n") - F.sum("__npos")).cast(dec)
+    rank_sum = F.sum(
+        (F.col("__npos").cast(dec) * F.col("__avg_rank").cast(dec))
+    )
     return ranked.agg(
         F.round(
             (
-                F.sum(F.col("__npos") * F.col("__avg_rank"))
-                - F.sum("__npos") * (F.sum("__npos") + 1) / 2.0
-            )
-            / F.greatest(
-                F.sum("__npos") * (F.sum("__n") - F.sum("__npos")), F.lit(1)
+                (rank_sum - npos * (npos + 1) / 2).cast("double")
+                / F.greatest(npos * nneg, F.lit(1).cast(dec)).cast("double")
             ),
             9,
         ).alias("auc"),

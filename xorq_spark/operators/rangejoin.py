@@ -42,7 +42,6 @@ def interval_point_join(
     point_col: str,
     bin_size,
     keys: Sequence[str] = (),
-    how: str = "inner",
 ) -> DataFrame:
     """Join every interval [lo, hi] to the points p with lo <= p <= hi
     (plus optional equi `keys`), as an equi-join on bin ids.
@@ -51,7 +50,11 @@ def interval_point_join(
     (floor(lo/b)..floor(hi/b)); a point lives in exactly one bin, so
     each true pair matches exactly once — no dedup pass. Columns from
     both inputs survive; numeric domains only (cast timestamps to
-    epoch numbers first)."""
+    epoch numbers first). Inner semantics only: an outer variant would
+    need the null-extended rows re-attached AFTER the bin explode and
+    range filter (explode multiplies unmatched rows, the filter drops
+    null-extended ones) — compose with a left-anti join against the
+    matched keys when you need the unmatched side."""
     binned_iv = intervals.withColumn(
         "__bin",
         F.explode(
@@ -61,7 +64,7 @@ def interval_point_join(
     binned_pt = points.withColumn("__bin", _bin(F.col(point_col), bin_size))
     on = ["__bin", *keys]
     return (
-        binned_iv.join(binned_pt, on, how)
+        binned_iv.join(binned_pt, on)
         .where(
             (F.col(point_col) >= F.col(lo_col))
             & (F.col(point_col) <= F.col(hi_col))

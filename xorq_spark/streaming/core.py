@@ -335,6 +335,7 @@ def stream_to_delta(
     app_id: str = None,
     partition_by: Sequence[str] = (),
     await_termination: bool = True,
+    checkpoint_interval: int = 10,
 ):
     """Exactly-once streaming Delta sink on the built-in protocol-v1
     writer: each micro-batch commits its data files TOGETHER with a
@@ -355,15 +356,32 @@ def stream_to_delta(
     when several queries append to one table."""
     import hashlib
 
-    from xorq_spark.delta import write_delta_txn
+    from xorq_spark.delta import checkpoint_log, last_txn_version, write_delta_txn
 
     app = app_id or (
         "xorq-stream-"
         + hashlib.md5(f"{table_path}|{checkpoint}".encode()).hexdigest()[:16]
     )
+    # in-run memo: scan the log once at start, then track locally so a
+    # long run doesn't re-scan per batch (write_delta_txn still
+    # re-checks authoritatively inside its commit loop)
+    state = {"known": None}
 
     def write_batch(df, batch_id):
-        write_delta_txn(df, table_path, app, int(batch_id), partition_by)
+        b = int(batch_id)
+        if state["known"] is None:
+            state["known"] = last_txn_version(table_path, app)
+        if b <= state["known"]:
+            return
+        v = write_delta_txn(df, table_path, app, b, partition_by)
+        state["known"] = max(state["known"], b)
+        if (
+            v is not None
+            and checkpoint_interval
+            and v > 0
+            and v % checkpoint_interval == 0
+        ):
+            checkpoint_log(table_path)
 
     q = (
         stream.writeStream.foreachBatch(write_batch)
