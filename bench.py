@@ -46,6 +46,9 @@ HEADLINE = [
     # digest-keyed designs — the 100 TB-representative shapes)
     "text_line_dedup",
     "dedup_dup_ngram_fraction",
+    # round 3, third batch: non-equi join via bin discretization (the
+    # cartesian-trap shape, keyless)
+    "join_range_binned",
 ]
 
 # Measurement policy (pinned since round 3 so BENCH_r{N} files are

@@ -310,3 +310,31 @@ def test_stream_to_delta_exactly_once(spark, tmp_path):
     # a NEW batch id commits normally
     assert write_delta_txn(batch, table, "t-app", 1) is not None
     assert read_delta_fallback(spark, table).count() == 101
+
+
+def test_streaming_cdc_upsert_into_delta(spark, tmp_path):
+    """CDC-style streaming MERGE: each micro-batch upserts into a Delta
+    table via foreachBatch + merge_upsert — later batches win on key
+    collisions, new keys insert."""
+    import pyspark.sql.functions as F
+
+    from xorq_spark import streaming as S
+    from xorq_spark.delta import merge_upsert, read_delta_fallback, write_delta
+
+    table = str(tmp_path / "cdc_table")
+    write_delta(
+        spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string"), table
+    )
+    src = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [(2, "updated"), (3, "inserted")], "k long, v string"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema("k long, v string").parquet(f"{src}/*.parquet")
+    S.stream_foreach_batch(
+        stream,
+        lambda df, bid: merge_upsert(spark, table, df, ["k"]),
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    out = {r["k"]: r["v"] for r in read_delta_fallback(spark, table).collect()}
+    assert out == {1: "old", 2: "updated", 3: "inserted"}

@@ -37,6 +37,8 @@ OPS = [
     "dedup_dup_ngram_fraction",
     "text_pack_sequences",
     "text_tfidf_topk",
+    "join_range_binned",
+    "dedup_incremental_vs_index",
 ]
 
 
