@@ -288,4 +288,15 @@ WINDOW_GRANULAR = [
     "stream_stream_purchase_click",
     "stream_dedup_incremental",
     "sim_ann_ivf_topk",
+    # flagship round-3 operators ALSO get individual driver rows (all
+    # are suite-certified too; these fill the window to exactly 50)
+    "text_line_dedup",
+    "dedup_dup_ngram_fraction",
+    "text_pack_sequences",
+    "dedup_incremental_vs_index",
+    "join_range_binned",
+    "engine_zorder_keys",
+    "agg_hll_sketch",
+    "ml_metrics_auc",
+    "sim_hard_negatives",
 ]
