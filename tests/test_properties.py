@@ -227,6 +227,8 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, "id_a long, id_b long")
     got = {
         r.node: r.component
-        for r in connected_components(df, "id_a", "id_b", max_iterations=20).collect()
+        for r in connected_components(
+            df, "id_a", "id_b", max_iterations=20, small_graph_threshold=0
+        ).collect()
     }
     assert got == expect

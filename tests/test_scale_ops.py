@@ -125,6 +125,8 @@ def test_connected_components_chain_and_clique(spark):
     got = {
         (r.node, r.component)
         for r in connected_components(df, "id_a", "id_b").collect()
+        # (this exercises the measured-size union-find fast path;
+        # test_properties forces the distributed star path)
     }
     want = {(n, 1) for n in range(1, 7)} | {(n, 10) for n in (10, 11, 12)} | {
         (20, 20), (21, 20)

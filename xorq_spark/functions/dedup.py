@@ -379,6 +379,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    small_graph_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components of the undirected graph given as an edge
     list. Returns (node, component) where component = min node id in the
@@ -432,6 +433,15 @@ def connected_components(
         # round (fixpoint test: star(e) == e, sig-compared).
         e = e.localCheckpoint(eager=True)
         prev_sig = edge_sig(e)
+        # Measured-size fast path (the same adaptivity as an AQE
+        # broadcast decision): a near-dup pair graph is typically
+        # orders of magnitude smaller than the corpus, and each star
+        # round costs ~6 scheduled stages. Under the bound (~16 bytes/
+        # edge driver memory; 2M edges ~= 32 MB) a single bounded
+        # collect + union-find replaces O(log^2 n) distributed rounds.
+        # Above it, the star algorithm proceeds untouched.
+        if prev_sig[0] <= small_graph_threshold:
+            return _cc_driver_side(spark, e)
         for _ in range(max_iterations):
             fit = max(1, min(int(old_parts), prev_sig[0] // 500_000 + 1))
             spark.conf.set(conf_key, str(fit))
@@ -449,6 +459,36 @@ def connected_components(
         .groupBy("node")
         .agg(F.min("component").alias("component"))
     )
+
+
+def _cc_driver_side(spark, e: DataFrame) -> DataFrame:
+    """Union-find over a bounded collected edge list; same output
+    contract as the distributed path (component = min node id)."""
+    utype = dict(e.dtypes)["u"]
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in e.collect():
+        u, v = r["u"], r["v"]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict = {}
+    roots = {n: find(n) for n in parent}
+    for n, rt in roots.items():
+        if rt not in comp_min or n < comp_min[rt]:
+            comp_min[rt] = n
+    rows = [(n, comp_min[rt]) for n, rt in roots.items()]
+    if not rows:
+        return spark.createDataFrame([], f"node {utype}, component {utype}")
+    return spark.createDataFrame(rows, f"node {utype}, component {utype}")
 
 
 def simhash_neardup_pairs(
