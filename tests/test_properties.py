@@ -232,3 +232,73 @@ def test_connected_components_matches_union_find(spark, edges):
         ).collect()
     }
     assert got == expect
+
+
+# --- Delta write lifecycle vs a dict-model simulation ----------------------
+
+_lifecycle_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("append"),
+            st.lists(st.integers(0, 30), min_size=1, max_size=4, unique=True),
+        ),
+        st.tuples(
+            st.just("merge"),
+            st.lists(st.integers(0, 30), min_size=1, max_size=4, unique=True),
+        ),
+        st.tuples(st.just("optimize"), st.just([])),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_lifecycle_ops)
+@settings(max_examples=8, deadline=None)
+def test_delta_lifecycle_matches_model(spark, tmp_path_factory, ops):
+    """Random append / merge-upsert / optimize sequences must leave the
+    table equal to the obvious dict model (k -> last written v), with
+    row multiplicity right after every step (appends may duplicate a
+    key; merge collapses it to one row)."""
+    from collections import Counter
+
+    from xorq_spark.delta import (
+        merge_upsert,
+        optimize_compact,
+        read_delta_fallback,
+        write_delta,
+    )
+
+    table = str(tmp_path_factory.mktemp("dlc") / "t")
+    model = Counter()  # (k, v) -> multiplicity
+    seq = 0
+    for op, keys in ops:
+        seq += 1
+        if op == "append":
+            df = spark.createDataFrame(
+                [(k, seq * 1000 + k) for k in keys], "k int, v int"
+            )
+            write_delta(df, table, mode="append")
+            for k in keys:
+                model[(k, seq * 1000 + k)] += 1
+        elif op == "merge":
+            df = spark.createDataFrame(
+                [(k, seq * 1000 + k) for k in keys], "k int, v int"
+            )
+            merge_upsert(spark, table, df, ["k"])
+            for (mk, mv) in list(model):
+                if mk in keys:
+                    del model[(mk, mv)]
+            for k in keys:
+                model[(k, seq * 1000 + k)] += 1
+        else:
+            import os as _os
+
+            if _os.path.isdir(_os.path.join(table, "_delta_log")):
+                optimize_compact(spark, table, target_files=2)
+        if model:
+            got = Counter(
+                (r["k"], r["v"])
+                for r in read_delta_fallback(spark, table).collect()
+            )
+            assert got == model, (op, keys)

@@ -684,7 +684,12 @@ def merge_upsert(
     import pyspark.sql.functions as F
 
     keys = list(key_cols)
-    live, meta = replay_log(table_path)
+    try:
+        live, meta = replay_log(table_path)
+    except FileNotFoundError:
+        # MERGE into a nonexistent table: every source row is unmatched
+        # -> create the table and insert them all
+        return write_delta(source, table_path)
     part_cols = list(meta.get("partitionColumns") or [])
 
     # source key envelope (one scalar row)
