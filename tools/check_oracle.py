@@ -2,8 +2,17 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet tables, then compares row count, column
-names, and an order-insensitive value hash (columns sorted by name,
-rows sorted, values normalized). Exits nonzero on any mismatch.
+names, an order-insensitive value hash (columns sorted by name, rows
+sorted, values normalized), AND the Arrow-level type class of every
+output column. The type-class check exists because the driver's value
+hash is representation-sensitive: a DuckDB ``sum()`` silently widens
+BIGINT to HUGEINT (int128 -> decimal128/float in Arrow/pandas), which
+stringifies differently from Spark's BIGINT even when the values are
+equal — round 3 shipped three red driver rows that this script's
+Python-value normalization could not see. Arrow type classes are
+compared AFTER canonicalization (int widths collapse, large_string ==
+string, any timestamp unit == timestamp) so only representation-
+changing divergence (int vs decimal/float, string vs binary) fails.
 
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
@@ -16,7 +25,88 @@ import sys
 from datetime import datetime, date
 from decimal import Decimal
 
+import re
+
 import duckdb
+
+_SPARK_CLASS = {
+    "tinyint": "int", "smallint": "int", "int": "int", "bigint": "int",
+    "float": "float", "double": "float",
+    "string": "str", "varchar": "str", "char": "str",
+    "binary": "bin", "date": "date", "boolean": "bool",
+    "void": "null", "null": "null",
+}
+_DUCK_CLASS = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "UTINYINT": "int", "USMALLINT": "int", "UINTEGER": "int", "UBIGINT": "int",
+    # HUGEINT deliberately has NO class mapping -> flagged as divergent
+    "FLOAT": "float", "REAL": "float", "DOUBLE": "float",
+    "VARCHAR": "str", "BLOB": "bin", "DATE": "date", "BOOLEAN": "bool",
+    '"NULL"': "null", "NULL": "null",
+}
+
+
+def spark_type_class(simple: str) -> str:
+    """Collapse a Spark simpleString type to its representation class.
+
+    Two columns in the same class stringify identically under the
+    driver's pandas/Python value normalization; cross-class divergence
+    (int vs decimal/float, str vs bin) breaks its value hash even when
+    the values are numerically equal.
+    """
+    s = simple.strip().lower()
+    if s in _SPARK_CLASS:
+        return _SPARK_CLASS[s]
+    if s.startswith("decimal"):
+        return f"decimal{s[7:]}"
+    if s.startswith("timestamp"):
+        return "timestamp"
+    if s.startswith("array<") and s.endswith(">"):
+        return f"list<{spark_type_class(s[6:-1])}>"
+    m = re.match(r"map<(.+),(.+)>$", s)
+    if m and "<" not in m.group(1):
+        return f"map<{spark_type_class(m.group(1))},{spark_type_class(m.group(2))}>"
+    if s.startswith("struct<"):
+        return "struct"
+    return s
+
+
+def duck_type_class(ducktype: str) -> str:
+    """Collapse a DuckDB type string to the same class vocabulary."""
+    t = str(ducktype).strip().upper()
+    if t in _DUCK_CLASS:
+        return _DUCK_CLASS[t]
+    m = re.match(r"DECIMAL\((\d+),(\d+)\)$", t)
+    if m:
+        return f"decimal({m.group(1)},{m.group(2)})"
+    if t.startswith("TIMESTAMP"):
+        return "timestamp"
+    if t.endswith("[]"):
+        return f"list<{duck_type_class(t[:-2])}>"
+    if t.startswith("MAP("):
+        inner = t[4:-1]
+        parts = inner.split(",", 1)
+        if len(parts) == 2 and "(" not in parts[0]:
+            return f"map<{duck_type_class(parts[0])},{duck_type_class(parts[1])}>"
+    if t.startswith("STRUCT("):
+        return "struct"
+    return t.lower()
+
+
+def type_class_mismatches(spark_fields, duck_cols, duck_types):
+    """Per-column (name, spark_class, duck_class) triples that differ.
+
+    spark_fields: iterable of (name, simpleString); duck_cols/types from
+    a DuckDB relation. Only columns present on both sides are compared
+    (name mismatches are reported separately).
+    """
+    sm = {n: spark_type_class(t) for n, t in spark_fields}
+    dm = {c: duck_type_class(t) for c, t in zip(duck_cols, duck_types)}
+    return [
+        (name, sm[name], dm[name])
+        for name in sorted(set(sm) & set(dm))
+        if sm[name] != dm[name]
+    ]
 
 
 def _norm_value(v):
@@ -81,6 +171,7 @@ def main():
             continue
         try:
             sdf = fn(spark, sf_dir)
+            sfields = [(f.name, f.dataType.simpleString()) for f in sdf.schema.fields]
             srows = [tuple(r) for r in sdf.collect()]
             scols = list(sdf.columns)
         except Exception as e:  # noqa: BLE001
@@ -93,6 +184,7 @@ def main():
         try:
             rel = con.sql(oracles[name])
             dcols = list(rel.columns)
+            dtypes = [str(t) for t in rel.types]
             drows = rel.fetchall()
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
@@ -103,6 +195,13 @@ def main():
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
             problems.append(f"columns spark={sorted(scols)} duckdb={sorted(dcols)}")
+        else:
+            bad = type_class_mismatches(sfields, dcols, dtypes)
+            if bad:
+                problems.append(
+                    "type-class mismatch (driver hash is "
+                    f"representation-sensitive): {bad}"
+                )
         if not problems:
             sh, slines = frame_fingerprint(scols, srows)
             dh, dlines = frame_fingerprint(dcols, drows)

@@ -108,8 +108,8 @@ def text_line_dedup_q(spark, sf_dir):
       FROM g JOIN counts c USING (key)
       GROUP BY g.doc_id)
     SELECT d.doc_id,
-           COALESCE(p.n_grams, 0) AS n_grams,
-           COALESCE(p.n_dup_grams, 0) AS n_dup_grams,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
            round(COALESCE(p.n_dup_grams, 0) / greatest(COALESCE(p.n_grams, 0), 1), 9)
              AS dup_fraction
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
@@ -236,7 +236,7 @@ def text_tfidf_topk_q(spark, sf_dir):
              unnest(toks) AS tok
       FROM off)
     SELECT lang,
-           (off + pos) // 32 AS seq_id,
+           CAST((off + pos) // 32 AS BIGINT) AS seq_id,
            count(*) AS n_tokens,
            md5(string_agg(tok, ' ' ORDER BY (off + pos) % 32)) AS seq_hash
     FROM tokens

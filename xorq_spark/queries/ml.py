@@ -170,8 +170,8 @@ def ml_metrics_prf_q(spark, sf_dir):
     SELECT round((sum(npos * (cum + (n + 1) / 2.0))
                   - sum(npos) * (sum(npos) + 1) / 2.0)
                  / greatest(sum(npos) * (sum(n) - sum(npos)), 1), 9) AS auc,
-           sum(npos) AS n_pos,
-           sum(n) - sum(npos) AS n_neg
+           CAST(sum(npos) AS BIGINT) AS n_pos,
+           CAST(sum(n) - sum(npos) AS BIGINT) AS n_neg
     FROM r
     """,
 )

@@ -277,8 +277,9 @@ PRE_SQL = {
 
 # Granular entries that stay individually inside the driver's 50-slot
 # window (streaming jobs — window aggs, dedup, stream-static enrich,
-# stream-stream interval join — can't union into a batch suite; the
-# KMeans IVF variant is rows-only by design).
+# stream-stream interval join — can't union into a batch suite).
+# sim_ann_ivf_topk (KMeans, rows-only by design: no oracle) lives in
+# the tail past slot 50 so every window slot is hash-certifiable.
 WINDOW_GRANULAR = [
     "stream_tumble_event_counts",
     "stream_hop_event_counts",
@@ -287,7 +288,7 @@ WINDOW_GRANULAR = [
     "stream_enrich_customer",
     "stream_stream_purchase_click",
     "stream_dedup_incremental",
-    "sim_ann_ivf_topk",
+    "text_gopher_flags",
     # flagship round-3 operators ALSO get individual driver rows (all
     # are suite-certified too; these fill the window to exactly 50)
     "text_line_dedup",
