@@ -65,6 +65,20 @@ def replay_log(
     newest eligible parquet checkpoint when one exists so replay cost is
     bounded by the checkpoint interval, not table age.
     """
+    adds, meta, _applied = _replay_log_full(table_path, version)
+    return adds, meta
+
+
+def _replay_log_full(
+    table_path: str, version: Optional[int] = None
+) -> Tuple[List[dict], dict, int]:
+    """replay_log plus the highest commit version actually APPLIED.
+
+    Rewrite commits (OPTIMIZE/MERGE) and checkpoints must reason about
+    the exact snapshot they replayed — re-listing the log directory
+    afterwards is a TOCTOU race: a commit landing between the two
+    listings would get a checkpoint named for it but not containing its
+    actions (silent data loss for checkpoint-based readers)."""
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path!r}")
@@ -462,10 +476,16 @@ def write_delta_txn(
     This is the building block of the exactly-once streaming sink:
     data files and the dedup marker land in the same commit, so there
     is no window where one exists without the other."""
+    log_dir = os.path.join(table_path, "_delta_log")
+    # Capture the re-scan cursor BEFORE the dedup lookup: every commit
+    # at or after this point is re-checked in the publish loop below,
+    # so a competing writer of the same (app_id, txn_version) landing
+    # between this listing and the lookup's cannot slip past both —
+    # versions are sequential, so anything the lookup's later listing
+    # missed is numbered >= scanned_upto and gets re-scanned.
+    scanned_upto = _commit_version(log_dir) if os.path.isdir(log_dir) else 0
     if last_txn_version(table_path, app_id) >= txn_version:
         return None
-    log_dir = os.path.join(table_path, "_delta_log")
-    scanned_upto = _commit_version(log_dir) if os.path.isdir(log_dir) else 0
     new_table = not os.path.isdir(log_dir)
     actions: List[dict] = []
     if new_table:

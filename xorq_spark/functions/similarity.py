@@ -412,6 +412,7 @@ def hard_negatives(
     label_col: str = "label",
     num_planes: int = 0,
     anchors: Optional[DataFrame] = None,
+    exact_self_mine_bound: int = 100_000,
 ) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor
     vector, the k most-similar vectors in `df` carrying a DIFFERENT
@@ -428,7 +429,25 @@ def hard_negatives(
     num_planes>0 routes through random-hyperplane LSH buckets so
     candidate pairs are bucket-local (the 100 TB shape, same recall
     trade as ann_lsh_topk). The label inequality filters BEFORE the
-    top-k window, so positives never crowd out the negative list."""
+    top-k window, so positives never crowd out the negative list.
+
+    Guard: exact all-pairs SELF-mining (anchors=None, num_planes=0)
+    refuses above ``exact_self_mine_bound`` rows — at corpus scale that
+    path is an O(n^2) cartesian that no cluster survives. Pass a
+    broadcastable ``anchors`` subset, set ``num_planes>0``, or raise
+    the bound explicitly if the corpus is genuinely small."""
+    if anchors is None and num_planes <= 0:
+        # bounded probe: limit(n+1).count() early-exits the scan, so
+        # the guard costs O(bound) rows, not a full corpus count
+        probe = df.select(id_col).limit(exact_self_mine_bound + 1).count()
+        if probe > exact_self_mine_bound:
+            raise ValueError(
+                f"hard_negatives: exact all-pairs self-mining over >"
+                f"{exact_self_mine_bound} rows is an O(n^2) cross join. "
+                "Pass num_planes>0 (LSH-bucketed candidates), supply a "
+                "small `anchors` DataFrame to broadcast, or raise "
+                "exact_self_mine_bound if the corpus is truly small."
+            )
     a = (anchors if anchors is not None else df).select(
         F.col(id_col).alias("__aid"),
         F.col(vec_col).alias("__av"),
