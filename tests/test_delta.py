@@ -491,3 +491,81 @@ def test_merge_upsert_on_date_key(spark, tmp_path):
     merge_upsert(spark, table, src, ["d"])
     out = {r["d"].isoformat(): r["v"] for r in read_delta_fallback(spark, table).collect()}
     assert out == {"2024-01-01": 1, "2024-06-01": 99, "2024-07-01": 7}
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark, tmp_path):
+    """Delta MERGE contract: >1 source row per key is an error, not a
+    silent multi-insert (a CDC feed with two updates for one key must
+    be collapsed to last-write-wins BEFORE the merge)."""
+    import pytest
+
+    from xorq_spark.delta import merge_upsert, write_delta
+
+    table = str(tmp_path / "t10")
+    write_delta(spark.createDataFrame([(1, 10)], "k int, v int"), table)
+    src = spark.createDataFrame([(1, 11), (1, 12), (2, 20)], "k int, v int")
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_upsert(spark, table, src, ["k"])
+
+
+def test_commit_rewrite_detects_concurrent_remove(spark, tmp_path):
+    """Optimistic concurrency: a rewrite commit whose snapshot is stale
+    (a commit after it removed a file this rewrite also removes) must
+    abort instead of resurrecting/doubling rows."""
+    import os
+
+    import pytest
+
+    from xorq_spark.delta import (
+        DeltaConcurrentWriteError,
+        _atomic_commit,
+        _commit_rewrite,
+        _replay_log_full,
+        write_delta,
+    )
+
+    table = str(tmp_path / "t11")
+    write_delta(spark.createDataFrame([(k,) for k in range(4)], "k int"), table)
+    log_dir = os.path.join(table, "_delta_log")
+    live, _, snap = _replay_log_full(table)
+    victim = live[0]["path"]
+
+    # a competing writer removes the same file after our snapshot
+    _atomic_commit(log_dir, [{"remove": {"path": victim, "dataChange": True}}])
+
+    with pytest.raises(DeltaConcurrentWriteError, match="removed"):
+        _commit_rewrite(
+            log_dir,
+            table,
+            [{"remove": {"path": victim, "dataChange": False}}],
+            snap,
+        )
+    # a non-conflicting rewrite (different file) still commits fine
+    other = live[1]["path"]
+    v = _commit_rewrite(
+        log_dir, table, [{"remove": {"path": other, "dataChange": False}}], snap
+    )
+    assert v == snap + 2
+
+
+def test_checkpoint_version_names_replayed_snapshot(spark, tmp_path):
+    """checkpoint_log names the checkpoint for the snapshot it actually
+    replayed (returned by _replay_log_full), and its txn map is capped
+    at that version."""
+    from xorq_spark.delta import (
+        checkpoint_log,
+        read_delta_fallback,
+        write_delta,
+        write_delta_txn,
+    )
+
+    table = str(tmp_path / "t12")
+    write_delta(spark.createDataFrame([(1,)], "k int"), table)
+    write_delta_txn(spark.createDataFrame([(2,)], "k int"), table, "app", 7)
+    v = checkpoint_log(table)
+    assert v == 1  # two commits: 0, 1
+    # replay from the checkpoint sees both rows and the txn marker
+    assert read_delta_fallback(spark, table).count() == 2
+    from xorq_spark.delta import last_txn_version
+
+    assert last_txn_version(table, "app") == 7

@@ -144,7 +144,8 @@ def _replay_log_full(
         raise DeltaProtocolError(
             f"Delta log for {table_path!r} has no metaData action"
         )
-    return list(active.values()), meta
+    applied = commits[-1] if commits else (start_from if start_from is not None else -1)
+    return list(active.values()), meta, applied
 
 
 def _spark_type_for(delta_type) -> str:
@@ -261,6 +262,68 @@ def _commit_version(log_dir: str) -> int:
         if f.endswith(".json") and f.split(".")[0].isdigit()
     ]
     return (max(versions) + 1) if versions else 0
+
+
+class DeltaConcurrentWriteError(RuntimeError):
+    """A rewrite commit (OPTIMIZE / MERGE) lost an optimistic-
+    concurrency check: a commit that landed after its snapshot removed
+    a file this commit also names in its remove list. Re-run the
+    operation against the new table state."""
+
+
+def _commit_rewrite(
+    log_dir: str,
+    table_path: str,
+    actions: List[dict],
+    snapshot_version: int,
+) -> int:
+    """Atomic commit for rewrite commits (remove + add) with the Delta
+    protocol's optimistic-concurrency re-check: every commit that
+    landed AFTER the snapshot this rewrite was computed from is
+    validated before publishing — if any of them removed a file this
+    commit also removes (a concurrent MERGE/OPTIMIZE rewrote it), this
+    commit would resurrect deleted rows or double compacted ones, so it
+    aborts with DeltaConcurrentWriteError and unstages its data files.
+    Plain appends (adds only) are always safe to serialize after."""
+    import uuid as _uuid
+
+    remove_paths = {
+        a["remove"]["path"] for a in actions if "remove" in a
+    }
+    tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}.json")
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+    checked_upto = snapshot_version + 1  # commits < this are our snapshot
+    while True:
+        version = _commit_version(log_dir)
+        for c in range(checked_upto, version):
+            fp = os.path.join(log_dir, f"{c:020d}.json")
+            try:
+                fh = open(fp)
+            except FileNotFoundError:
+                continue
+            with fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    rm = json.loads(line).get("remove")
+                    if rm and rm.get("path") in remove_paths:
+                        os.unlink(tmp)
+                        _cleanup_orphan_adds(table_path, actions)
+                        raise DeltaConcurrentWriteError(
+                            f"commit {c} removed {rm['path']!r}, which this "
+                            "rewrite's snapshot still considered live; "
+                            "retry against the current table state"
+                        )
+        checked_upto = version
+        target = os.path.join(log_dir, f"{version:020d}.json")
+        try:
+            os.link(tmp, target)
+            os.unlink(tmp)
+            return version
+        except FileExistsError:
+            continue
 
 
 def _atomic_commit(log_dir: str, actions: List[dict]) -> int:
@@ -568,7 +631,7 @@ def optimize_compact(
     until `vacuum`.
 
     Returns the committed version."""
-    live, meta = replay_log(table_path)
+    live, meta, snapshot_version = _replay_log_full(table_path)
     part_cols = list(meta.get("partitionColumns") or [])
     # Build the frame from the SAME `live` snapshot the remove list
     # uses — a second log replay could see a commit that landed in
@@ -592,7 +655,7 @@ def optimize_compact(
     for a in adds:
         a["add"]["dataChange"] = False
     actions.extend(adds)
-    return _atomic_commit(log_dir, actions)
+    return _commit_rewrite(log_dir, table_path, actions, snapshot_version)
 
 
 def vacuum(
@@ -700,12 +763,29 @@ def merge_upsert(
     distributed anti-join (kept rows) union the source — shuffle keyed
     on the merge keys only.
 
+    Raises ValueError when the source carries more than one row per
+    key (the reference Delta MERGE contract: multiple source matches
+    per target row is an error, not a silent multi-insert — a CDC feed
+    must be collapsed to last-write-wins BEFORE the merge).
+
     Returns the committed version."""
     import pyspark.sql.functions as F
 
     keys = list(key_cols)
+    # Delta MERGE contract: a key may appear at most once in the source
+    # (checked before any staging; limit(1) keeps the probe cheap)
+    dup = (
+        source.groupBy(*keys).count().where(F.col("count") > 1).limit(1).collect()
+    )
+    if dup:
+        raise ValueError(
+            f"merge_upsert: source has multiple rows for key "
+            f"{tuple(dup[0][k] for k in keys)!r}; Delta MERGE requires at "
+            "most one source match per target row — pre-aggregate the "
+            "source (e.g. last-write-wins on a version column) first"
+        )
     try:
-        live, meta = replay_log(table_path)
+        live, meta, snapshot_version = _replay_log_full(table_path)
     except FileNotFoundError:
         # MERGE into a nonexistent table: every source row is unmatched
         # -> create the table and insert them all
@@ -761,12 +841,14 @@ def merge_upsert(
         {"remove": {"path": a["path"], "dataChange": True}} for a in candidates
     ]
     actions.extend(stage_delta_files(merged, table_path, part_cols))
-    return _atomic_commit(log_dir, actions)
+    return _commit_rewrite(log_dir, table_path, actions, snapshot_version)
 
 
-def _all_txns(log_dir: str) -> Dict[str, int]:
+def _all_txns(log_dir: str, upto: Optional[int] = None) -> Dict[str, int]:
     """{appId: max txn version} across the newest checkpoint and every
-    later commit."""
+    later commit. With `upto`, only commits/checkpoints <= that version
+    count — a checkpoint must carry exactly the txn state of the
+    snapshot it is named for, not whatever landed while it was built."""
     txns: Dict[str, int] = {}
     if not os.path.isdir(log_dir):
         return txns
@@ -775,6 +857,7 @@ def _all_txns(log_dir: str) -> Dict[str, int]:
         int(f.split(".")[0])
         for f in entries
         if f.endswith(".checkpoint.parquet") and f.split(".")[0].isdigit()
+        and (upto is None or int(f.split(".")[0]) <= upto)
     )
     start_after = -1
     if checkpoints:
@@ -786,6 +869,8 @@ def _all_txns(log_dir: str) -> Dict[str, int]:
         if not fn.endswith(".json") or not fn.split(".")[0].isdigit():
             continue
         if int(fn.split(".")[0]) <= start_after:
+            continue
+        if upto is not None and int(fn.split(".")[0]) > upto:
             continue
         with open(os.path.join(log_dir, fn)) as fh:
             for line in fh:
@@ -812,8 +897,13 @@ def checkpoint_log(table_path: str) -> int:
     import pyarrow.parquet as pq
 
     log_dir = os.path.join(table_path, "_delta_log")
-    live, meta = replay_log(table_path)
-    version = _commit_version(log_dir) - 1
+    # The checkpoint is named for the highest commit replay ACTUALLY
+    # applied — re-listing the directory here would be a TOCTOU race: a
+    # commit landing between replay and listing would get a checkpoint
+    # named for it but not containing its adds (readers starting from
+    # the checkpoint silently drop that commit's rows) and its txn
+    # markers would vanish from dedup lookups.
+    live, meta, version = _replay_log_full(table_path)
     meta_slim = {
         "id": meta.get("id", ""),
         "schemaString": meta["schemaString"],
@@ -834,7 +924,8 @@ def checkpoint_log(table_path: str) -> int:
 
     rows.extend({"add": _cp_add(a)} for a in live)
     rows.extend(
-        {"txn": {"appId": a, "version": v}} for a, v in sorted(_all_txns(log_dir).items())
+        {"txn": {"appId": a, "version": v}}
+        for a, v in sorted(_all_txns(log_dir, upto=version).items())
     )
     # unify row keys so pyarrow infers one nullable struct column each
     keys = ("protocol", "metaData", "add", "txn")

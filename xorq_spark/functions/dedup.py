@@ -463,32 +463,47 @@ def connected_components(
 
 def _cc_driver_side(spark, e: DataFrame) -> DataFrame:
     """Union-find over a bounded collected edge list; same output
-    contract as the distributed path (component = min node id)."""
+    contract as the distributed path (component = min node id).
+
+    Memory discipline: the edges arrive via Arrow into PRIMITIVE pandas
+    columns (int64 ids: ~16 bytes/edge — 2M edges ~= 32 MB), never as
+    Python Row objects (whose per-object overhead is 10-20x and would
+    OOM a default-sized driver at the same threshold). Ids are
+    factorized to dense int codes so the union-find itself runs over
+    one numpy int64 array regardless of id type."""
+    import numpy as np
+    import pandas as pd
+
     utype = dict(e.dtypes)["u"]
-    parent: dict = {}
+    pdf = e.select("u", "v").toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], f"node {utype}, component {utype}")
+    codes, uniques = pd.factorize(
+        pd.concat([pdf["u"], pdf["v"]], ignore_index=True), sort=False
+    )
+    n_edges = len(pdf)
+    uu, vv = codes[:n_edges], codes[n_edges:]
+    parent = np.arange(len(uniques), dtype=np.int64)
 
     def find(x):
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
 
-    for r in e.collect():
-        u, v = r["u"], r["v"]
-        parent.setdefault(u, u)
-        parent.setdefault(v, v)
-        ru, rv = find(u), find(v)
-        if ru != rv:
-            parent[ru] = rv
-    comp_min: dict = {}
-    roots = {n: find(n) for n in parent}
-    for n, rt in roots.items():
-        if rt not in comp_min or n < comp_min[rt]:
-            comp_min[rt] = n
-    rows = [(n, comp_min[rt]) for n, rt in roots.items()]
-    if not rows:
-        return spark.createDataFrame([], f"node {utype}, component {utype}")
-    return spark.createDataFrame(rows, f"node {utype}, component {utype}")
+    for a, b in zip(uu.tolist(), vv.tolist()):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    roots = np.fromiter(
+        (find(i) for i in range(len(uniques))), dtype=np.int64, count=len(uniques)
+    )
+    vals = pd.Series(np.asarray(uniques))
+    comp = vals.groupby(roots).transform("min")
+    out = pd.DataFrame({"node": vals, "component": comp})
+    return spark.createDataFrame(out, f"node {utype}, component {utype}")
 
 
 def simhash_neardup_pairs(
