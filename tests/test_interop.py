@@ -324,3 +324,61 @@ def test_postgres_into_spark_uses_dbapi_shape(spark):
     got = e.order_by("k").execute(spark)
     assert got.k.tolist() == [1, 2]
     assert got.v.tolist() == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# JDBC warehouse federation (embedded Derby — ships in pyspark's jars)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture
+def jdbc_con(spark, tmp_path):
+    return interop.jdbc_connect(path=str(tmp_path / "derby"), spark=spark)
+
+
+def test_spark_to_jdbc_roundtrip(spark, jdbc_con):
+    """Full warehouse round-trip over Spark's executor-parallel JDBC
+    writer/reader — the runnable stand-in for the reference's
+    postgres/trino adapters (backends/postgres)."""
+    e = xo.memtable({"k": [1, 2, 3], "v": [10.0, 20.0, 30.0]}).filter(_.k > 1)
+    name = e.into_backend(jdbc_con, "jt1")
+    assert name == "jt1"
+    back = jdbc_con.table("jt1", spark=spark)
+    rows = sorted(tuple(r) for r in back.execute(spark).itertuples(index=False))
+    assert rows == [(2, 20.0), (3, 30.0)]
+
+
+def test_jdbc_query_pushdown_to_warehouse(spark, jdbc_con):
+    """jdbc_into_spark executes SQL ON the warehouse; identifiers are
+    quoted because Spark's writer preserves column case."""
+    xo.memtable({"k": [1, 2, 3, 4], "v": [1.0, 2.0, 3.0, 4.0]}).into_backend(
+        jdbc_con, "jt2"
+    )
+    e = interop.jdbc_into_spark(
+        jdbc_con, 'SELECT "k", "v" FROM jt2 WHERE "k" > 2', spark=spark
+    )
+    out = e.execute(spark)
+    assert sorted(out["k"].tolist()) == [3, 4]
+
+
+def test_jdbc_cross_engine_join(spark, jdbc_con, sf_dir):
+    """Warehouse dim table joined against a Spark fact scan — the
+    into_backend federation shape."""
+    import pyspark.sql.functions as F
+
+    dims = xo.memtable({"r_regionkey": [0, 1, 2, 3, 4], "tag": list("abcde")})
+    dims.into_backend(jdbc_con, "jdim")
+    dim_expr = jdbc_con.table("jdim", spark=spark)
+    fact = xo.deferred_read_parquet(f"{sf_dir}/region.parquet", table_name="jregion")
+    joined = fact.join(dim_expr, ["r_regionkey"]).select("r_name", "tag")
+    out = joined.execute(spark)
+    assert len(out) == 5
+    assert set(out["tag"]) == set("abcde")
+
+
+def test_jdbc_append_mode(spark, jdbc_con):
+    e = xo.memtable({"k": [1], "v": [1.0]})
+    e.into_backend(jdbc_con, "jt3")
+    jdbc_con.write(e.to_spark(spark), "jt3", mode="append")
+    back = jdbc_con.table("jt3", spark=spark)
+    assert back.execute(spark).shape[0] == 2

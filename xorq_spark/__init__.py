@@ -108,6 +108,7 @@ to_sql = _lazy(("xorq_spark.sql_compile", "to_sql"))
 read_pyarrow_stream = _lazy(("xorq_spark.interop", "read_pyarrow_stream"))
 to_pyarrow_stream = _lazy(("xorq_spark.interop", "to_pyarrow_stream"))
 get_object_metadata = _lazy(("xorq_spark.interop", "get_object_metadata"))
+jdbc_connect = _lazy(("xorq_spark.interop", "jdbc_connect"))
 get_plans = _lazy(("xorq_spark.plans", "get_plans"))
 replace_sources = _lazy(("xorq_spark.plans", "replace_sources"))
 def bind_params(expr, params: dict):
@@ -186,6 +187,7 @@ __all__ = [
     "to_sql",
     "read_pyarrow_stream",
     "get_object_metadata",
+    "jdbc_connect",
     "get_plans",
     "replace_sources",
     "build_expr",

@@ -265,7 +265,109 @@ def into_backend(expr: Expr, con=None, name: Optional[str] = None):
         return arrow_into_sqlite(expr, con, name)
     if isinstance(con, PandasBackend):
         return arrow_into_pandas(expr, con, name)
+    if isinstance(con, JdbcBackend):
+        return arrow_into_jdbc(expr, con, name)
     raise TypeError(f"unsupported backend connection: {type(con)!r}")
+
+
+class JdbcBackend:
+    """A warehouse reachable through Spark's OWN JDBC source/sink — the
+    executor-parallel federation path (reference: the warehouse backend
+    adapters under backends/; entry points pyproject.toml:207-220).
+    Unlike the DBAPI helpers below, reads and writes here run on the
+    EXECUTORS: `predicates`/`partitionColumn` shard the read, and the
+    writer opens one JDBC connection per partition — the shape that
+    scales to a real warehouse.
+
+    Embedded Derby (`jdbc_connect()` with no args) ships inside
+    pyspark's own jars, so the full round-trip is exercisable with zero
+    extra dependencies; point `url`/`driver` at postgres/mysql/trino by
+    dropping the matching JDBC jar on the classpath.
+
+    Identifier caveat (Derby, also postgres): Spark's JDBC writer
+    quotes column names, so they keep their exact case; unquoted
+    identifiers in a raw `query=` are case-folded by the engine. Quote
+    column names in raw queries ('SELECT "id" FROM t').
+    """
+
+    def __init__(self, url: str, driver: Optional[str] = None, spark=None, **properties):
+        self.url = url
+        self.properties = dict(properties)
+        if driver:
+            self.properties["driver"] = driver
+        self._spark = spark
+
+    def _session(self, spark=None):
+        if spark is not None:
+            return spark
+        if self._spark is not None:
+            return self._spark
+        from xorq_spark.session import connect as _connect
+
+        return _connect()
+
+    def write(self, df, name: str, mode: str = "overwrite") -> str:
+        df.write.jdbc(self.url, name, mode=mode, properties=self.properties)
+        return name
+
+    def table(self, name: str, spark=None) -> Expr:
+        """Live JDBC-backed Expr over a warehouse table — scans stream
+        from the warehouse at execution time (filters Spark can express
+        in the dialect are pushed into the remote WHERE clause)."""
+        from xorq_spark.expr.api import register
+
+        spark = self._session(spark)
+        df = spark.read.jdbc(self.url, name, properties=self.properties)
+        return register(spark, df, f"jdbc_{name}")
+
+    def sql(self, query: str, spark=None) -> Expr:
+        """Run a raw SQL query ON the warehouse; result becomes a
+        JDBC-backed Expr (remote engine executes the query, Spark
+        streams the result set)."""
+        from xorq_spark.expr.api import register
+
+        spark = self._session(spark)
+        reader = spark.read.format("jdbc").option("url", self.url).option("query", query)
+        for k, v in self.properties.items():
+            reader = reader.option(k, v)
+        import hashlib
+
+        tag = hashlib.md5(query.encode()).hexdigest()[:8]
+        return register(spark, reader.load(), f"jdbc_q_{tag}")
+
+
+def jdbc_connect(
+    url: Optional[str] = None,
+    driver: Optional[str] = None,
+    path: Optional[str] = None,
+    spark=None,
+    **properties,
+) -> JdbcBackend:
+    """Open a JDBC federation target. With no `url`, an embedded Derby
+    database is created under `path` (default: a per-process temp dir)
+    using the Derby jars pyspark already ships — the zero-dependency
+    warehouse stand-in for the reference's postgres/trino adapters."""
+    if url is None:
+        import tempfile
+
+        base = path or tempfile.mkdtemp(prefix="xorq_spark_derby_")
+        url = f"jdbc:derby:{base}/db;create=true"
+        driver = driver or "org.apache.derby.jdbc.EmbeddedDriver"
+    return JdbcBackend(url, driver=driver, spark=spark, **properties)
+
+
+def arrow_into_jdbc(expr: Expr, con: JdbcBackend, name: Optional[str] = None) -> str:
+    """Execute on Spark, land the result in the JDBC warehouse via the
+    executor-parallel writer (one connection per partition — no
+    driver-side row loop). Returns the remote table name."""
+    name = name or "xorq_spark_result"
+    return con.write(expr.to_spark(), name)
+
+
+def jdbc_into_spark(con: JdbcBackend, query: str, spark=None) -> Expr:
+    """Run SQL on the warehouse, ingest as a live Expr (the reverse
+    RemoteTable direction; mirrors duckdb_into_spark)."""
+    return con.sql(query, spark=spark)
 
 
 def postgres_connect(dsn: str = "", **kwargs):
