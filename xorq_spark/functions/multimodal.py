@@ -1,11 +1,12 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed via Arrow-batched mapInPandas.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBBED (deterministic fakes derived from the bytes, clearly marked);
-everything Spark-side — schemas, batch iteration, partitioning, UDF
-signatures — is real and tested. Swapping a stub for Pillow/librosa
-changes one inner function, not the pipeline.
+PNG decode is REAL (functions/imagecodec.py — pure-stdlib zlib codec):
+decode_image_stats / resize_images_decoded do actual pixel math on
+actual PNG bytes, end to end. JPEG/audio/video decode stays honestly
+gated behind NotImplementedError (no codec libraries in-container);
+for those, the digest-stub variants below certify the Spark plumbing
+(schemas, Arrow batch iteration, partitioning) without faking pixels.
 
 Scale notes: binary payloads ride in Arrow record batches
 (spark.sql.execution.arrow.maxRecordsPerBatch caps batch memory);
@@ -126,6 +127,169 @@ def make_fake_assets(spark, n: int = 64) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL pixel path (pure-stdlib PNG codec, functions/imagecodec.py)
+# ---------------------------------------------------------------------------
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sum_c0", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+        StructField("px_sha256", StringType()),
+    ]
+)
+
+
+def synth_png_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic PNG fixture generator: for each id, a real encoded
+    PNG whose pixels follow the closed-form grid
+    ``channel c at (x, y) = (id*7 + 3x + 5y + 11c) mod 256`` with
+    ``width = 8 + id%9`` and ``height = 8 + id%7``. The closed form is
+    what makes real decoding CERTIFIABLE: an SQL oracle recomputes the
+    expected channel sums from the formula while Spark recovers them
+    from the decoded bytes — hash equality proves the codec."""
+    from xorq_spark.functions.imagecodec import png_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            widths, heights = [], []
+            for i in pdf[id_col].tolist():
+                w, h = 8 + i % 9, 8 + i % 7
+                px = bytes(
+                    (i * 7 + 3 * x + 5 * y + 11 * c) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                payloads.append(png_encode(px, w, h, 3))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "duration_ms": pd.array([None] * len(payloads), dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def _channel_sums(pixels: bytes, channels: int) -> list:
+    sums = [0, 0, 0]
+    for c in range(min(channels, 3)):
+        sums[c] = sum(pixels[c::channels])
+    return sums
+
+
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """REAL image decode: parse each payload's PNG stream (inflate,
+    unfilter, de-interleave) and emit exact per-channel pixel sums +
+    the decoded-buffer digest. Integer outputs keep the oracle compare
+    exact — no float tolerance hiding a broken filter path."""
+    from xorq_spark.functions.imagecodec import decode_image
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, px = decode_image(bytes(payload))
+                s = _channel_sums(px, ch)
+                rows.append(
+                    (
+                        aid,
+                        w,
+                        h,
+                        ch,
+                        s[0],
+                        s[1],
+                        s[2],
+                        hashlib.sha256(px).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "channels",
+                    "sum_c0",
+                    "sum_c1",
+                    "sum_c2",
+                    "px_sha256",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, PIXEL_STATS_SCHEMA
+    )
+
+
+RESIZED_PIXELS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("sum_c0", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+    ]
+)
+
+
+def resize_images_decoded(assets: DataFrame, box: int = 6) -> DataFrame:
+    """REAL resize: decode PNG -> aspect-fit target dims (integer
+    product/single division) -> nearest-neighbor resample -> re-encode
+    -> decode AGAIN and emit the resized image's channel sums. The
+    double round-trip certifies encoder and decoder against each other;
+    the nearest-neighbor map (src = floor(out*dim/out_dim)) is integer
+    math an SQL oracle reproduces exactly."""
+    from xorq_spark.functions.imagecodec import (
+        decode_image,
+        png_decode,
+        png_encode,
+        resize_nearest,
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, px = decode_image(bytes(payload))
+                m = max(w, h)
+                ow, oh = max(1, w * box // m), max(1, h * box // m)
+                resized = resize_nearest(px, w, h, ch, ow, oh)
+                rw, rh, rch, rpx = png_decode(png_encode(resized, ow, oh, ch))
+                assert (rw, rh, rch) == (ow, oh, ch) and rpx == resized
+                s = _channel_sums(rpx, rch)
+                rows.append((aid, ow, oh, s[0], s[1], s[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "out_width",
+                    "out_height",
+                    "sum_c0",
+                    "sum_c1",
+                    "sum_c2",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, RESIZED_PIXELS_SCHEMA
+    )
 
 
 RESIZED_SCHEMA = StructType(

@@ -1,8 +1,17 @@
-"""Multimodal plumbing queries: the documents table's text bytes stand
-in for opaque media payloads (the container ships no codecs — decode is
-a deterministic stub, SURVEY north-star item), so the REAL parts —
-binary columns, Arrow-batched mapInPandas feature extraction, schema
-contracts, frame-grid explode — are oracle-checked end to end.
+"""Multimodal queries. Two tiers:
+
+1. REAL pixel math (round 4): mm_decode_png_stats / mm_resize_decoded
+   encode genuine PNG payloads (pure-stdlib codec,
+   functions/imagecodec.py), decode them — inflate, unfilter,
+   de-interleave — inside Arrow-batched mapInPandas, and emit exact
+   integer channel sums. The pixels follow a closed-form grid, so the
+   DuckDB oracle recomputes the expected sums from the formula while
+   Spark recovers them from the decoded bytes: hash equality certifies
+   the codec and the pipeline end to end.
+2. Plumbing with stub digests: formats with no in-container codec
+   (JPEG/audio/video) keep deterministic digest kernels so the Spark
+   plumbing — binary columns, schema contracts, frame-grid explode —
+   stays oracle-checked without faking pixels.
 """
 
 from __future__ import annotations
@@ -132,3 +141,89 @@ def mm_resize_plan(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "mm_decode_png_stats",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 64),
+    gx AS (SELECT asset_id, w, h, unnest(range(0, w)) AS x FROM ids),
+    g AS (SELECT asset_id, w, h, x, unnest(range(0, h)) AS y FROM gx)
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum((asset_id*7 + 3*x + 5*y) % 256) AS BIGINT) AS sum_c0,
+           CAST(sum((asset_id*7 + 3*x + 5*y + 11) % 256) AS BIGINT) AS sum_c1,
+           CAST(sum((asset_id*7 + 3*x + 5*y + 22) % 256) AS BIGINT) AS sum_c2
+    FROM g GROUP BY asset_id, w, h ORDER BY asset_id
+    """,
+)
+def mm_decode_png_stats(spark, sf_dir):
+    """REAL PNG decode, certified: Spark encodes deterministic PNGs
+    (pixel(c,x,y) = (id*7+3x+5y+11c) mod 256), decodes them with the
+    pure-stdlib codec (functions/imagecodec.py), and emits exact
+    per-channel sums; the oracle recomputes the sums from the closed
+    form. A broken inflate/unfilter path cannot hash-match."""
+    from xorq_spark.functions.multimodal import (
+        decode_image_stats,
+        synth_png_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return (
+        decode_image_stats(synth_png_assets(ids))
+        .drop("px_sha256")
+        .orderBy("asset_id")
+    )
+
+
+@query(
+    "mm_resize_decoded",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+      FROM documents WHERE doc_id < 64),
+    dims AS (
+      SELECT asset_id, w, h,
+             greatest(1, w * 6 // greatest(w, h)) AS ow,
+             greatest(1, h * 6 // greatest(w, h)) AS oh
+      FROM ids),
+    gx AS (SELECT asset_id, w, h, ow, oh, unnest(range(0, ow)) AS ox FROM dims),
+    g AS (SELECT asset_id, w, h, ow, oh, ox, unnest(range(0, oh)) AS oy FROM gx),
+    src AS (
+      SELECT asset_id, ow, oh,
+             (ox * w) // ow AS sx,
+             (oy * h) // oh AS sy
+      FROM g)
+    SELECT asset_id,
+           CAST(ow AS INT) AS out_width,
+           CAST(oh AS INT) AS out_height,
+           CAST(sum((asset_id*7 + 3*sx + 5*sy) % 256) AS BIGINT) AS sum_c0,
+           CAST(sum((asset_id*7 + 3*sx + 5*sy + 11) % 256) AS BIGINT) AS sum_c1,
+           CAST(sum((asset_id*7 + 3*sx + 5*sy + 22) % 256) AS BIGINT) AS sum_c2
+    FROM src GROUP BY asset_id, ow, oh ORDER BY asset_id
+    """,
+)
+def mm_resize_decoded(spark, sf_dir):
+    """REAL resize: decode -> nearest-neighbor resample -> re-encode ->
+    decode again (double round-trip pins encoder against decoder); the
+    oracle replays the integer NN map src=floor(out*dim/out_dim) on the
+    closed-form pixel grid."""
+    from xorq_spark.functions.multimodal import (
+        resize_images_decoded,
+        synth_png_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return resize_images_decoded(synth_png_assets(ids), box=6).orderBy("asset_id")

@@ -234,6 +234,10 @@ SUITES: dict[str, list[str]] = {
         "mm_extract_features",
         "mm_frame_sample",
         "mm_resize_plan",
+        # round 4: REAL pixel math — pure-stdlib PNG decode certified
+        # against closed-form oracles
+        "mm_decode_png_stats",
+        "mm_resize_decoded",
     ],
     "suite_engine_a": [
         "engine_filter_agg",
