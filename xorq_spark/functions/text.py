@@ -492,6 +492,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     seq_tokens: int = 512,
     partition_cols=("lang",),
+    tokenizer=None,
 ):
     """Training-sequence packing: concatenate documents (in
     deterministic id order within each partition group) into one token
@@ -514,24 +515,38 @@ def pack_sequences(
     and sequence reassembly is an ordered in-group collect bounded by
     seq_tokens elements. Partition groups must be fine enough that one
     group's documents fit a task's sort spill at the target scale —
-    language (x date bucket) is the usual choice."""
+    language (x date bucket) is the usual choice.
+
+    `tokenizer`: None packs in whitespace tokens (JVM-side, the
+    oracle-stable default); a functions.bpe.BPETokenizer packs in REAL
+    trainer tokens (Arrow-batched pandas UDF computes each document's
+    token array once; everything downstream — offsets, explode,
+    reassembly — is identical)."""
     from pyspark.sql import Window
 
     parts = list(partition_cols)
-    toks = tokenize(F.col(text_col))
-    count = lambda c: F.coalesce(F.size(tokenize(c)), F.lit(0))
+    if tokenizer is not None:
+        from xorq_spark.functions.bpe import bpe_tokens
+
+        toks = bpe_tokens(F.col(text_col), tokenizer)
+    else:
+        toks = tokenize(F.col(text_col))
     w = (
         Window.partitionBy(*parts)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    with_off = df.withColumn("__n", count(F.col(text_col)).cast("long")).withColumn(
-        "__off", F.sum("__n").over(w) - F.col("__n")
-    )
+    # one __toks projection: the (possibly Python-UDF) tokenization runs
+    # once per document; count and explode both read the materialized
+    # array
+    with_toks = df.withColumn("__toks", toks)
+    with_off = with_toks.withColumn(
+        "__n", F.coalesce(F.size("__toks"), F.lit(0)).cast("long")
+    ).withColumn("__off", F.sum("__n").over(w) - F.col("__n"))
     token_rows = with_off.select(
         *parts,
         F.col("__off"),
-        F.posexplode(toks).alias("__pos", "__tok"),
+        F.posexplode(F.col("__toks")).alias("__pos", "__tok"),
     ).select(
         *parts,
         ((F.col("__off") + F.col("__pos")) / F.lit(seq_tokens))
