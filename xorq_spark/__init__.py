@@ -105,6 +105,7 @@ def _lazy(name):
 
 
 to_sql = _lazy(("xorq_spark.sql_compile", "to_sql"))
+parse_sql = _lazy(("xorq_spark.sql_parse", "parse_sql"))
 read_pyarrow_stream = _lazy(("xorq_spark.interop", "read_pyarrow_stream"))
 to_pyarrow_stream = _lazy(("xorq_spark.interop", "to_pyarrow_stream"))
 get_object_metadata = _lazy(("xorq_spark.interop", "get_object_metadata"))
@@ -188,6 +189,7 @@ __all__ = [
     "read_pyarrow_stream",
     "get_object_metadata",
     "jdbc_connect",
+    "parse_sql",
     "get_plans",
     "replace_sources",
     "build_expr",
