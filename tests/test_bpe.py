@@ -129,3 +129,32 @@ class TestSparkSurface:
         for r in sorted(out, key=lambda r: r["doc_id"]):
             assert r["n_tokens"] == per_doc
             assert r["shard_id"] == (r["doc_id"] * per_doc) // 100
+
+
+class TestBpeProperties:
+    """Hypothesis invariants: determinism, count == len(encode),
+    trained-tokenizer counts never exceed character-level counts, and
+    serialization round-trip identity for any trained table."""
+
+    def test_invariants_random_corpora(self):
+        from hypothesis import given, settings, strategies as st
+
+        words = st.text(alphabet="abcde '!.7", min_size=0, max_size=12)
+        corpora = st.lists(words, min_size=1, max_size=12)
+
+        @settings(max_examples=40, deadline=None)
+        @given(corpus=corpora, text=words, n=st.integers(0, 20))
+        def inner(corpus, text, n):
+            tok = BPETokenizer.train(corpus, num_merges=n, min_freq=2)
+            enc = tok.encode(text)
+            assert tok.count(text) == len(enc)
+            assert "".join(enc) == "".join(PRETOKEN_RE.findall(text))
+            assert tok.encode(text) == enc  # deterministic / cache-safe
+            # merges never increase the token count over raw pre-token chars
+            raw = sum(len(p) for p in PRETOKEN_RE.findall(text))
+            assert len(enc) <= raw
+            # serialization round-trip preserves behavior
+            tok2 = BPETokenizer.from_lines(tok.to_lines())
+            assert tok2.encode(text) == enc
+
+        inner()

@@ -182,3 +182,46 @@ class TestSparkPixelOperators:
                     for ox in range(ow)
                 )
                 assert r[f"sum_c{c}"] == expect
+
+
+class TestCodecProperties:
+    """Hypothesis: round-trip identity over arbitrary pixel buffers,
+    dims, color types, and filter choices — the PNG spec's whole
+    contract in one invariant."""
+
+    def test_roundtrip_random_buffers(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=60, deadline=None)
+        @given(
+            w=st.integers(1, 24),
+            h=st.integers(1, 16),
+            ch=st.sampled_from([1, 3, 4]),
+            f=st.integers(0, 4),
+            data=st.data(),
+        )
+        def inner(w, h, ch, f, data):
+            px = bytes(
+                data.draw(
+                    st.lists(
+                        st.integers(0, 255),
+                        min_size=w * h * ch,
+                        max_size=w * h * ch,
+                    )
+                )
+            )
+            got = png_decode(png_encode(px, w, h, ch, filter_type=f))
+            assert got == (w, h, ch, px)
+
+        inner()
+
+    def test_resize_identity_when_same_dims(self):
+        from hypothesis import given, settings, strategies as st
+
+        @settings(max_examples=30, deadline=None)
+        @given(w=st.integers(1, 16), h=st.integers(1, 12))
+        def inner(w, h):
+            px = _grid(w, h, 3)
+            assert resize_nearest(px, w, h, 3, w, h) == px
+
+        inner()
