@@ -267,6 +267,10 @@ def into_backend(expr: Expr, con=None, name: Optional[str] = None):
         return arrow_into_pandas(expr, con, name)
     if isinstance(con, JdbcBackend):
         return arrow_into_jdbc(expr, con, name)
+    from xorq_spark.backends import DbapiBackend, arrow_into_dbapi
+
+    if isinstance(con, DbapiBackend):
+        return arrow_into_dbapi(expr, con, name)
     raise TypeError(f"unsupported backend connection: {type(con)!r}")
 
 
