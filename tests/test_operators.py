@@ -193,3 +193,35 @@ def test_interval_overlap_join_dedups_multibin_pairs(spark):
     # (1,10): overlap 50..100 (spans 6 bins -> must emit once)
     # (2,10): overlap 90..95
     assert pairs == [(1, 10), (2, 10)]
+
+
+class TestPagerank:
+    def test_pagerank_integer_exact_properties(self, spark):
+        """Sanity on a hand-analyzable graph: authority ordering, rank
+        conservation (up to floor loss), dangling-mass redistribution."""
+        from xorq_spark.functions.graph import pagerank
+
+        # star: 1,2,3 -> 0 ; 0 -> 4 ; 4 dangles
+        edges = spark.createDataFrame(
+            [(1, 0), (2, 0), (3, 0), (0, 4)], "src long, dst long"
+        )
+        out = {r["node"]: r["rank_scaled"] for r in pagerank(edges, iterations=3).collect()}
+        assert set(out) == {0, 1, 2, 3, 4}
+        # leaves 1,2,3 only get the teleport base -> equal and minimal;
+        # 0 (three in-links) and 4 (inherits 0's whole mass + dangling
+        # redistribution) both rank strictly above them
+        assert out[1] == out[2] == out[3] == min(out.values())
+        assert out[0] > out[1] and out[4] > out[1]
+        # total mass stays ~scale (floor losses only: << 0.1%)
+        total = sum(out.values())
+        assert abs(total - 10**12) < 10**9
+
+    def test_pagerank_dedups_and_drops_self_loops(self, spark):
+        from xorq_spark.functions.graph import pagerank
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 1), (2, 1)], "src long, dst long"
+        )
+        out = {r["node"]: r["rank_scaled"] for r in pagerank(edges, iterations=2).collect()}
+        assert set(out) == {1, 2}
+        assert out[1] == out[2]  # symmetric 2-cycle after cleanup

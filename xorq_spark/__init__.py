@@ -110,6 +110,7 @@ read_pyarrow_stream = _lazy(("xorq_spark.interop", "read_pyarrow_stream"))
 to_pyarrow_stream = _lazy(("xorq_spark.interop", "to_pyarrow_stream"))
 get_object_metadata = _lazy(("xorq_spark.interop", "get_object_metadata"))
 jdbc_connect = _lazy(("xorq_spark.interop", "jdbc_connect"))
+sqlite_backend = _lazy(("xorq_spark.backends", "sqlite_backend"))
 get_plans = _lazy(("xorq_spark.plans", "get_plans"))
 replace_sources = _lazy(("xorq_spark.plans", "replace_sources"))
 def bind_params(expr, params: dict):
@@ -190,6 +191,7 @@ __all__ = [
     "get_object_metadata",
     "jdbc_connect",
     "parse_sql",
+    "sqlite_backend",
     "get_plans",
     "replace_sources",
     "build_expr",

@@ -205,6 +205,9 @@ SUITES: dict[str, list[str]] = {
         "dedup_minhash_components",
         "dedup_minhash_canonical",
         "dedup_incremental_vs_index",
+        # round 4: graph tier — integer-exact PageRank (same family as
+        # connected components: shuffle-iterated graph algorithms)
+        "graph_pagerank_parts",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
