@@ -249,3 +249,42 @@ def test_line_dedup_literal_separator(spark):
     }
     assert out[1] == "a b"
     assert out[2] == "c d"
+
+
+class TestLmScore:
+    def test_bigram_lm_hand_computed(self, spark):
+        """Two-doc corpus small enough to verify the smoothed bigram
+        model by hand."""
+        import math
+
+        from xorq_spark.functions import lm_score
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c"), (3, "x"), (4, None)],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in lm_score(docs).collect()}
+        # corpus bigrams: (a,b)x3, (b,a)x1, (b,c)x1 ; vocab {a,b,c,x} V=4
+        # c(a,*)=3, c(b,*)=2
+        p_ab = (3 + 1) / (3 + 4)
+        p_ba = (1 + 1) / (2 + 4)
+        p_bc = (1 + 1) / (2 + 4)
+        r = lambda x: round(math.log(x), 9)
+        exp1 = round(-(r(p_ab) + r(p_ba) + r(p_ab)) / 3, 6)
+        exp2 = round(-(r(p_ab) + r(p_bc)) / 2, 6)
+        assert out[1]["n_bigrams"] == 3 and abs(out[1]["neg_avg_logprob"] - exp1) < 1e-9
+        assert out[2]["n_bigrams"] == 2 and abs(out[2]["neg_avg_logprob"] - exp2) < 1e-9
+        # <2 tokens / null text: no bigrams, NULL score
+        assert out[3]["n_bigrams"] == 0 and out[3]["neg_avg_logprob"] is None
+        assert out[4]["n_bigrams"] == 0 and out[4]["neg_avg_logprob"] is None
+
+    def test_gibberish_scores_worse_than_repetitive_text(self, spark):
+        from xorq_spark.functions import lm_score
+
+        natural = "the cat sat on the mat and the cat sat on the mat"
+        docs = spark.createDataFrame(
+            [(1, natural), (2, natural), (3, "zq wv kj pl mn bx cd ef gh ij")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["neg_avg_logprob"] for r in lm_score(docs).collect()}
+        assert out[3] > out[1]  # one-off bigrams are less probable

@@ -568,3 +568,84 @@ def pack_sequences(
             ).alias("seq_text"),
         )
     )
+
+
+def lm_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 1,
+):
+    """CCNet-style language-model quality signal: per-document average
+    negative log-probability under an add-k-smoothed bigram model
+    trained on the corpus itself. High scores flag unnatural text
+    (boilerplate, machine gibberish, wrong-language fragments) — the
+    perplexity-filtering half of CCNet, next to `line_dedup`'s
+    boilerplate-scrub half.
+
+    Model (pure counting, engine-mirrorable):
+        P(w2|w1) = (c(w1,w2) + k) / (c(w1,*) + k*V)
+        score(d) = -(1/T_d) * sum over d's bigrams of ln P(w2|w1)
+    with V = corpus vocabulary size. Tokens are lowercased whitespace
+    words; documents with < 2 tokens get a NULL score.
+
+    Determinism contract: each bigram's log-prob rounds to 9 decimals
+    (the same contract the green tf-idf oracle relies on — ln of a
+    rational of small ints agrees across engines), and the per-doc mean
+    rounds to 6, far above the double-summation order noise (~1e-10).
+
+    Scale: two groupBy shuffles build the model (bigram + left-context
+    counts, map-side combinable), one bigram-keyed join scores the
+    corpus. Vocabulary size is a single-row aggregate joined via
+    broadcast — nothing collects to the driver.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    n_tok = F.size("__toks")
+    bigrams = base.select(
+        "__id",
+        F.explode(
+            F.zip_with(
+                F.slice("__toks", 1, F.greatest(n_tok - 1, F.lit(0))),
+                F.slice("__toks", 2, F.greatest(n_tok - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    c_bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c_uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = base.select(F.explode("__toks").alias("w")).agg(
+        F.count_distinct("w").alias("V")
+    )
+
+    scored = (
+        bigrams.join(c_bi, ["w1", "w2"])
+        .join(c_uni, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__id",
+            F.round(
+                F.log(
+                    (F.col("cb") + F.lit(k)).cast("double")
+                    / (F.col("cu") + F.lit(k) * F.col("V")).cast("double")
+                ),
+                9,
+            ).alias("lp"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(-F.sum("lp") / F.count(F.lit(1)), 6).alias("neg_avg_logprob"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "neg_avg_logprob",
+        )
+    )

@@ -259,3 +259,42 @@ def text_pack_sequences_q(spark, sf_dir):
         "n_tokens",
         F.md5("seq_text").alias("seq_hash"),
     ).orderBy("lang", "seq_id")
+
+
+@query(
+    "text_lm_perplexity",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_TOKS_LOWER} AS toks FROM documents),
+    bi AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tok)),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+    cu AS (SELECT w1, count(*) AS cu FROM bi GROUP BY w1),
+    v AS (SELECT count(DISTINCT w) AS V
+          FROM (SELECT unnest(toks) AS w FROM tok)),
+    lp AS (
+      SELECT bi.doc_id,
+             round(ln((cb.cb + 1)::DOUBLE / (cu.cu + 1 * v.V)), 9) AS lp
+      FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
+    per AS (
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(-sum(lp) / count(*), 6) AS neg_avg_logprob
+      FROM lp GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           p.neg_avg_logprob
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_lm_perplexity_q(spark, sf_dir):
+    """CCNet's perplexity-filtering half (functions/text.py lm_score):
+    per-doc average negative log-prob under an add-1 bigram LM trained
+    on the corpus. Two combinable count shuffles build the model, one
+    bigram-keyed join scores; vocab size broadcasts as a single-row
+    aggregate. Per-bigram log-probs round to 9 (the proven tf-idf ln
+    contract), per-doc means to 6 — far above double-sum order noise."""
+    from xorq_spark.functions.text import lm_score
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return lm_score(docs).orderBy("doc_id")

@@ -197,6 +197,8 @@ SUITES: dict[str, list[str]] = {
         "text_gopher_flags",
         "text_tfidf_topk",
         "text_pack_sequences",
+        # round 4: CCNet's perplexity-filtering half (bigram LM score)
+        "text_lm_perplexity",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
