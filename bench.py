@@ -49,6 +49,11 @@ HEADLINE = [
     # round 3, third batch: non-equi join via bin discretization (the
     # cartesian-trap shape, keyless)
     "join_range_binned",
+    # round 4: iterative graph algorithm (integer-exact PageRank, 3
+    # shuffle-join rounds) and the CCNet bigram-LM perplexity scorer
+    # (model-build shuffles + bigram-keyed scoring join)
+    "graph_pagerank_parts",
+    "text_lm_perplexity",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —
