@@ -142,3 +142,46 @@ def test_quantize_no_shuffle_no_python(spark):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     cols = sorted(c.split(":")[0] for c in m.group(1).split(","))
     assert cols == ["embedding", "vec_id"]
+
+
+def test_pagerank_no_cartesian_no_python(spark):
+    """Each PageRank iteration must stay a keyed shuffle join (edges x
+    ranks) + hash aggregate: no Python eval, no nested-loop joins, and
+    the only cross joins are the broadcast single-row dangling/vocab
+    terms (BroadcastNestedLoopJoin over a 1-row side is the intended
+    scalar-attach shape, never a CartesianProduct)."""
+    plan = _plan(spark, "graph_pagerank_parts")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # scan pruning: only the two edge columns leave the parquet reader
+    import re
+
+    cols = sorted(
+        {
+            c.split(":")[0]
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+            for c in m.split(",")
+            if c
+        }
+    )
+    assert cols == ["l_partkey", "l_suppkey"]
+
+
+def test_lm_perplexity_shape(spark):
+    """The LM scorer reads exactly (doc_id, text), keeps everything
+    JVM-side, and attaches the vocab scalar by broadcast — no
+    CartesianProduct, no Python eval."""
+    plan = _plan(spark, "text_lm_perplexity")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    import re
+
+    cols = sorted(
+        {
+            c.split(":")[0]
+            for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+            for c in m.split(",")
+            if c
+        }
+    )
+    assert cols == ["doc_id", "text"]

@@ -52,6 +52,13 @@ def pagerank(
     first (standard PageRank preprocessing).
     """
     num, den = damping
+    # The edge/node/degree frames are read by EVERY iteration; without
+    # materialization Spark re-derives them from the source once per
+    # reference (the iteration DAG nests), turning 3 iterations into
+    # ~7 scans+distincts. Eager localCheckpoint pins them once and
+    # truncates the per-iteration lineage exactly as
+    # connected_components does (cluster note: prefer checkpoint() with
+    # a checkpoint dir, which survives executor loss).
     e = (
         edges.select(
             F.col(src).cast("long").alias("src"),
@@ -60,19 +67,45 @@ def pagerank(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint(eager=True)
     n = nodes.count()  # one bounded scalar; everything else stays distributed
     if n == 0:
         return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
     base = (den - num) * scale // den // n
 
+    # Size the per-iteration shuffles to the MEASURED edge count (known
+    # free from the checkpoint materialization) — same adaptivity as
+    # connected_components: each iteration is ~4 shuffle stages, and at
+    # the session's fact-table partition count they are mostly
+    # empty-task scheduling overhead on a sparse graph. ~500k edges per
+    # partition, clamped to the session default, restored on exit.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    n_edges = e.count()
+    fit = max(1, min(int(old_parts), n_edges // 500_000 + 1))
+
     ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    try:
+        spark.conf.set(conf_key, str(fit))
+        return _pagerank_iterations(
+            e, nodes, outdeg, ranks, iterations, base, n, num, den
+        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+
+def _pagerank_iterations(e, nodes, outdeg, ranks, iterations, base, n, num, den):
     for _ in range(iterations):
         rd = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
             "node", "r", "outdeg"
@@ -102,5 +135,6 @@ def pagerank(
                     + F.expr(f"({num} * (coalesce(inc, 0) + dang DIV {n})) DIV {den}")
                 ).cast("long").alias("r"),
             )
+            .localCheckpoint(eager=True)  # each iteration runs once
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
