@@ -39,6 +39,8 @@ OPS = [
     "text_tfidf_topk",
     "join_range_binned",
     "dedup_incremental_vs_index",
+    "graph_pagerank_parts",
+    "text_lm_perplexity",
 ]
 
 
