@@ -534,3 +534,65 @@ def test_char_entropy(spark):
     assert got[2] == pytest.approx(math.log(2)) # two equiprobable symbols
     assert got[3] == 0.0 and got[4] == 0.0      # empty/null
     assert got[5] == pytest.approx(math.log(4)) # four equiprobable symbols
+
+
+class TestCountMinSketch:
+    def test_estimates_overestimate_and_bound(self, spark):
+        """CMS invariants on a skewed stream: every estimate >= truth;
+        with width >> distinct keys estimates are exact."""
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.sketches import (
+            count_min_build,
+            count_min_estimate,
+        )
+
+        df = spark.range(3000).select((F.col("id") % 30).alias("k"))
+        # wide sketch: effectively collision-free -> exact counts
+        sk = count_min_build(df, "k", depth=4, width=4096)
+        est = {
+            r["k"]: r["cms_est"]
+            for r in count_min_estimate(
+                sk, df.select("k").distinct(), "k", depth=4, width=4096
+            ).collect()
+        }
+        assert all(v == 100 for v in est.values())
+        # narrow sketch: collisions -> still never underestimates
+        sk2 = count_min_build(df, "k", depth=4, width=8)
+        est2 = count_min_estimate(
+            sk2, df.select("k").distinct(), "k", depth=4, width=8
+        )
+        assert all(r["cms_est"] >= 100 for r in est2.collect())
+
+    def test_merge_is_exact(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.sketches import (
+            count_min_build,
+            count_min_estimate,
+            count_min_merge,
+        )
+
+        df = spark.range(1000).select((F.col("id") % 17).alias("k"))
+        whole = count_min_build(df, "k", depth=3, width=32)
+        parts = [
+            count_min_build(df.where(F.col("k") % 2 == i), "k", depth=3, width=32)
+            for i in (0, 1)
+        ]
+        merged = count_min_merge(*parts)
+        a = sorted(tuple(r) for r in whole.collect())
+        b = sorted(tuple(r) for r in merged.collect())
+        assert a == b
+        keys = df.select("k").distinct()
+        ea = {r["k"]: r["cms_est"] for r in count_min_estimate(whole, keys, "k", 3, 32).collect()}
+        eb = {r["k"]: r["cms_est"] for r in count_min_estimate(merged, keys, "k", 3, 32).collect()}
+        assert ea == eb
+
+    def test_sketch_size_bounded_by_depth_width(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.sketches import count_min_build
+
+        df = spark.range(20000).select((F.col("id") % 999).alias("k"))
+        sk = count_min_build(df, "k", depth=4, width=64)
+        assert sk.count() <= 4 * 64

@@ -1,0 +1,101 @@
+"""Mergeable frequency sketches as plain DataFrames.
+
+Count-min sketch (Cormode-Muthukrishnan) re-expressed relationally: the
+sketch IS a (row, bucket, count) table — depth hash rows x width
+counters — built with one map-side-combinable groupBy. Merging sketches
+is a union + groupBy-sum (counters are additive), and a point estimate
+is min over rows of the key's counter. At 100 TB this is the
+heavy-hitters / frequency-estimation path: the shuffle carries
+depth*width counters per partition instead of the full key set, and
+per-shard sketch tables persisted as parquet merge incrementally across
+runs — same operational story as the HLL distinct sketches
+(queries/aggregates.py agg_hll_sketch).
+
+Engine-mirrored hashing: bucket = first-32-bits-of-md5('cms{row}|key')
+mod width — md5 is bit-identical on Spark and DuckDB (the repo's
+standard hash family, functions/sampling.py), so an external engine
+replays the ENTIRE sketch construction and every estimate value, not
+just an error bound. Spark's builtin `F.count_min_sketch` returns an
+opaque binary with no SQL-side estimator; this formulation trades a
+constant factor for full certifiability and engine independence.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _bucket(row_col, key_col, width: int):
+    """First 32 bits of md5('cms{row}|{key}') mod width — identical in
+    DuckDB as ('0x' || substr(md5('cms' || row || '|' || key), 1, 8))
+    ::BIGINT % width."""
+    h = F.md5(
+        F.concat(
+            F.lit("cms"),
+            row_col.cast("string"),
+            F.lit("|"),
+            key_col.cast("string"),
+        )
+    )
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("long")
+
+
+def count_min_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Build a CMS table (row, bucket, c) over the occurrences of
+    `key_col` (nulls excluded). One explode x depth + one combinable
+    groupBy; output size is bounded by depth*width regardless of input."""
+    keyed = df.select(F.col(key_col).cast("string").alias("__k")).where(
+        F.col("__k").isNotNull()
+    )
+    expanded = keyed.select(
+        "__k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    )
+    return (
+        expanded.select(
+            "row", _bucket(F.col("row"), F.col("__k"), width).alias("bucket")
+        )
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def count_min_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge CMS tables built with the same (depth, width): counters
+    add. Exact — merging partial sketches reproduces the whole-corpus
+    sketch bit-for-bit."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "bucket").agg(F.sum("c").cast("long").alias("c"))
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """Point-frequency estimates for each key in `keys`: min over the
+    depth rows of the key's counter (0 when a row never saw the
+    bucket). CMS guarantee: estimate >= true count always; estimate <=
+    true + eps*N with probability 1-delta for width=ceil(e/eps),
+    depth=ceil(ln(1/delta))."""
+    qx = keys.select(F.col(key_col).cast("string").alias("__k")).distinct().select(
+        "__k", F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row")
+    )
+    qb = qx.select(
+        "__k", "row", _bucket(F.col("row"), F.col("__k"), width).alias("bucket")
+    )
+    return (
+        qb.join(sketch, ["row", "bucket"], "left")
+        .groupBy("__k")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
+        .select(F.col("__k").alias(key_col), "cms_est")
+    )

@@ -353,3 +353,75 @@ def agg_hll(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "agg_countmin_sketch",
+    oracle="""
+    WITH occ AS (SELECT CAST(l_suppkey AS VARCHAR) AS k FROM lineitem),
+    ex AS (SELECT k, unnest(range(0, 4)) AS row FROM occ),
+    sk AS (SELECT row,
+                  ('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || '|' || k), 1, 8))::BIGINT % 64 AS bucket,
+                  count(*) AS c
+           FROM ex GROUP BY 1, 2),
+    qk AS (SELECT DISTINCT k FROM occ),
+    qx AS (SELECT k, unnest(range(0, 4)) AS row FROM qk),
+    qb AS (SELECT k, row,
+                  ('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || '|' || k), 1, 8))::BIGINT % 64 AS bucket
+           FROM qx),
+    est AS (SELECT k, CAST(min(COALESCE(sk.c, 0)) AS BIGINT) AS cms_est
+            FROM qb LEFT JOIN sk USING (row, bucket) GROUP BY k),
+    exact AS (SELECT k, count(*) AS n_exact FROM occ GROUP BY k)
+    SELECT CAST(exact.k AS BIGINT) AS l_suppkey,
+           CAST(exact.n_exact AS BIGINT) AS n_exact,
+           est.cms_est,
+           est.cms_est AS cms_est_merged,
+           est.cms_est >= exact.n_exact AS overestimates
+    FROM exact JOIN est USING (k)
+    ORDER BY l_suppkey
+    """,
+)
+def agg_countmin(spark, sf_dir):
+    """Count-min frequency sketch as a DataFrame (functions/sketches.py)
+    — the heavy-hitters path for 100 TB frequency estimation next to
+    the HLL distinct sketches. depth=4 x width=64 forces real collisions
+    at this scale, so the oracle certifies genuine CMS behavior (every
+    estimate value AND the overestimate-only guarantee), not a trivially
+    collision-free table. The merged column rebuilds the sketch from 8
+    disjoint order-bucket partials via counter addition and re-estimates
+    — bit-equal to the direct sketch, certifying mergeability."""
+    from xorq_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    depth, width = 4, 64
+    direct = count_min_build(li, "l_suppkey", depth, width)
+    partials = [
+        count_min_build(
+            li.where(F.col("l_orderkey") % 8 == b), "l_suppkey", depth, width
+        )
+        for b in range(8)
+    ]
+    merged = count_min_merge(*partials)
+    keys = li.select("l_suppkey").distinct()
+    est = count_min_estimate(direct, keys, "l_suppkey", depth, width)
+    est_m = count_min_estimate(merged, keys, "l_suppkey", depth, width).select(
+        F.col("l_suppkey").alias("__k2"), F.col("cms_est").alias("cms_est_merged")
+    )
+    exact = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        exact.select(F.col("l_suppkey").cast("string").alias("__k"), "n_exact")
+        .join(est.select(F.col("l_suppkey").alias("__k"), "cms_est"), "__k")
+        .join(est_m, F.col("__k") == F.col("__k2"))
+        .select(
+            F.col("__k").cast("long").alias("l_suppkey"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            "cms_est",
+            "cms_est_merged",
+            (F.col("cms_est") >= F.col("n_exact")).alias("overestimates"),
+        )
+        .orderBy("l_suppkey")
+    )

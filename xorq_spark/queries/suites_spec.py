@@ -126,6 +126,8 @@ SUITES: dict[str, list[str]] = {
         "agg_rollup",
         "agg_cube",
         "agg_hll_sketch",
+        # round 4: engine-mirrored count-min sketch (heavy hitters)
+        "agg_countmin_sketch",
     ],
     "suite_time_a": [
         "time_trunc_extract",
