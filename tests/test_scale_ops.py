@@ -596,3 +596,43 @@ class TestCountMinSketch:
         df = spark.range(20000).select((F.col("id") % 999).alias("k"))
         sk = count_min_build(df, "k", depth=4, width=64)
         assert sk.count() <= 4 * 64
+
+
+class TestWeightedSample:
+    def test_weight_bias_and_determinism(self, spark):
+        """A-ES property: across many strata, heavy items are selected
+        far more often than light ones; reruns select identically."""
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.sampling import weighted_sample
+
+        # 50 strata x 20 items; the FIRST item of each stratum carries
+        # 100x weight (id // 20 = stratum, id % 20 = position)
+        df = spark.range(1000).select(
+            (F.col("id") / 20).cast("long").alias("g"),
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 20 == 0, 1000.0).otherwise(10.0).alias("w"),
+        )
+        out = weighted_sample(df, k=3, weight_col="w", unique_key="doc_id", strata=("g",))
+        rows = out.collect()
+        assert len(rows) == 150  # 3 per stratum
+        heavy_selected = sum(1 for r in rows if r["doc_id"] % 20 == 0)
+        # each stratum has exactly one heavy item; with 100x weight it
+        # should be picked in the vast majority of strata
+        assert heavy_selected >= 40
+        rows2 = weighted_sample(
+            df, k=3, weight_col="w", unique_key="doc_id", strata=("g",)
+        ).collect()
+        assert sorted(r["doc_id"] for r in rows) == sorted(r["doc_id"] for r in rows2)
+
+    def test_nonpositive_weights_excluded(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.sampling import weighted_sample
+
+        df = spark.createDataFrame(
+            [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+            "doc_id long, w double",
+        )
+        out = weighted_sample(df, k=10, weight_col="w", unique_key="doc_id")
+        assert [r["doc_id"] for r in out.collect()] == [1]

@@ -142,3 +142,49 @@ def temperature_sample(
         df, strata_col, fractions, unique_key,
         default_fraction=0.0, num_buckets=num_buckets,
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    unique_key: str = "doc_id",
+    strata: Sequence[str] = (),
+    salt: str = "wrs",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-ES): within each stratum, keep the k rows with the largest
+    u^(1/w) — equivalently the largest ln(u)/w — where u is a uniform
+    draw per row. Inclusion probability is proportional to weight, the
+    standard one-pass scheme for weighted training-mix selection.
+
+    Determinism: u is NOT random() — it is a 52-bit dyadic rational
+    derived from md5(salt|key) ((bits + 0.5) / 2^52, exactly
+    representable), so reruns and external engines draw the SAME u;
+    the selection score rounds to 9 digits with a total tie-break on
+    the key (the tf-idf ln contract, docs/ORACLE_PARITY.md). Rows with
+    NULL or non-positive weight are excluded (they have probability 0).
+
+    Scale: one window shuffle keyed on the strata — identical cost to
+    any per-group top-k; no collect, no iteration.
+    """
+    from pyspark.sql import Window
+
+    key = F.col(unique_key).cast("string")
+    bits = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), key)), 1, 13), 16, 10
+    ).cast("long")
+    u = (bits.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    w = F.col(weight_col).cast("double")
+    score = F.round(F.log(u) / w, 9)
+    win = Window.partitionBy(*[F.col(s) for s in strata]).orderBy(
+        F.desc("__wrs_score"), F.asc(unique_key)
+    )
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .withColumn("__wrs_score", score)
+        .withColumn("__wrs_rank", F.row_number().over(win))
+        .where(F.col("__wrs_rank") <= k)
+        .withColumnRenamed("__wrs_score", "sample_score")
+        .withColumnRenamed("__wrs_rank", "sample_rank")
+    )

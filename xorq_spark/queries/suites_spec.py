@@ -192,6 +192,9 @@ SUITES: dict[str, list[str]] = {
         "text_stratified_sample",
         "text_source_cap",
         "text_temperature_sample",
+        # round 4: Efraimidis-Spirakis weighted sampling (deterministic
+        # md5-derived uniform draws, exact selection certified)
+        "text_weighted_sample",
     ],
     "suite_curation": [
         "text_line_dedup",

@@ -563,3 +563,41 @@ def text_entropy(spark, sf_dir):
         .select("doc_id", F.round(char_entropy(F.col("text")), 6).alias("entropy"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+             ('0x' || substr(md5('wrs|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS bits
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+    s AS (
+      SELECT doc_id, lang,
+             round(ln((CAST(bits AS DOUBLE) + 0.5) / 4503599627370496.0) / w, 9)
+               AS sample_score
+      FROM w),
+    r AS (
+      SELECT doc_id, lang, sample_score,
+             row_number() OVER (
+               PARTITION BY lang ORDER BY sample_score DESC, doc_id ASC
+             ) AS sample_rank
+      FROM s)
+    SELECT lang, doc_id, sample_score, CAST(sample_rank AS INT) AS sample_rank
+    FROM r WHERE sample_rank <= 5 ORDER BY lang, sample_rank
+    """,
+)
+def text_weighted_sample_q(spark, sf_dir):
+    """Weighted sampling without replacement (functions/sampling.py
+    weighted_sample, Efraimidis-Spirakis A-ES): 5 docs per language
+    with inclusion probability proportional to n_chars. The uniform
+    draw is a 52-bit md5-derived dyadic rational, so the oracle draws
+    the SAME randomness and certifies the exact selection, scores and
+    ranks — a deterministic weighted training-mix selection."""
+    from xorq_spark.functions.sampling import weighted_sample
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    out = weighted_sample(docs, k=5, weight_col="n_chars", strata=("lang",))
+    return out.select("lang", "doc_id", "sample_score", "sample_rank").orderBy(
+        "lang", "sample_rank"
+    )
