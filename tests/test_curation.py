@@ -288,3 +288,33 @@ class TestLmScore:
         )
         out = {r["doc_id"]: r["neg_avg_logprob"] for r in lm_score(docs).collect()}
         assert out[3] > out[1]  # one-off bigrams are less probable
+
+    def test_train_df_scores_out_of_domain_worse(self, spark):
+        """DSIR shape: a model trained on a target slice must score
+        target-like docs better (lower NLL) than alien docs, and unseen
+        bigrams must fall back to the smoothed mass, not drop."""
+        from xorq_spark.functions import lm_score
+
+        target = spark.createDataFrame(
+            [(100 + i, "the cat sat on the mat") for i in range(5)],
+            "doc_id long, text string",
+        )
+        docs = spark.createDataFrame(
+            [(1, "the cat sat on the mat"), (2, "zq wv kj pl mn")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in lm_score(docs, train_df=target).collect()}
+        # alien doc: every bigram unseen -> still scored (smoothed), worse
+        assert out[2]["n_bigrams"] == 4
+        assert out[2]["neg_avg_logprob"] > out[1]["neg_avg_logprob"]
+
+    def test_train_df_self_equivalence(self, spark):
+        """train_df=df must equal the self-scoring default exactly."""
+        from xorq_spark.functions import lm_score
+
+        docs = spark.createDataFrame(
+            [(1, "a b a b"), (2, "a b c")], "doc_id long, text string"
+        )
+        a = sorted(tuple(r) for r in lm_score(docs).collect())
+        b = sorted(tuple(r) for r in lm_score(docs, train_df=docs).collect())
+        assert a == b

@@ -575,13 +575,16 @@ def lm_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 1,
+    train_df=None,
 ):
     """CCNet-style language-model quality signal: per-document average
     negative log-probability under an add-k-smoothed bigram model
-    trained on the corpus itself. High scores flag unnatural text
-    (boilerplate, machine gibberish, wrong-language fragments) — the
-    perplexity-filtering half of CCNet, next to `line_dedup`'s
-    boilerplate-scrub half.
+    trained on `train_df` (default: the scored corpus itself — the
+    self-scoring CCNet shape; pass a target-domain slice to get
+    DSIR-style domain-affinity scores instead). High scores flag
+    unnatural text (boilerplate, machine gibberish, wrong-language
+    fragments) — the perplexity-filtering half of CCNet, next to
+    `line_dedup`'s boilerplate-scrub half.
 
     Model (pure counting, engine-mirrorable):
         P(w2|w1) = (c(w1,w2) + k) / (c(w1,*) + k*V)
@@ -602,35 +605,49 @@ def lm_score(
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
-    n_tok = F.size("__toks")
-    bigrams = base.select(
-        "__id",
-        F.explode(
-            F.zip_with(
-                F.slice("__toks", 1, F.greatest(n_tok - 1, F.lit(0))),
-                F.slice("__toks", 2, F.greatest(n_tok - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-            )
-        ).alias("bg"),
-    ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    c_bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
-    c_uni = bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
-    vocab = base.select(F.explode("__toks").alias("w")).agg(
+    def _bigrams(frame, id_expr):
+        base = frame.select(id_expr.alias("__id"), toks.alias("__toks"))
+        n_tok = F.size("__toks")
+        bg = base.select(
+            "__id",
+            F.explode(
+                F.zip_with(
+                    F.slice("__toks", 1, F.greatest(n_tok - 1, F.lit(0))),
+                    F.slice("__toks", 2, F.greatest(n_tok - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bg"),
+        ).select("__id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        return base, bg
+
+    base, bigrams = _bigrams(df, F.col(id_col))
+    if train_df is None:
+        model_base, model_bigrams = base, bigrams
+    else:
+        model_base, model_bigrams = _bigrams(train_df, F.lit(0))
+
+    c_bi = model_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    c_uni = model_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    vocab = model_base.select(F.explode("__toks").alias("w")).agg(
         F.count_distinct("w").alias("V")
     )
 
+    # LEFT joins: bigrams/contexts unseen by the model fall back to the
+    # smoothed k/(0 + kV) mass (a no-op for self-scoring, where every
+    # scored bigram is in the model by construction)
     scored = (
-        bigrams.join(c_bi, ["w1", "w2"])
-        .join(c_uni, ["w1"])
+        bigrams.join(c_bi, ["w1", "w2"], "left")
+        .join(c_uni, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
         .select(
             "__id",
             F.round(
                 F.log(
-                    (F.col("cb") + F.lit(k)).cast("double")
-                    / (F.col("cu") + F.lit(k) * F.col("V")).cast("double")
+                    (F.coalesce(F.col("cb"), F.lit(0)) + F.lit(k)).cast("double")
+                    / (
+                        F.coalesce(F.col("cu"), F.lit(0)) + F.lit(k) * F.col("V")
+                    ).cast("double")
                 ),
                 9,
             ).alias("lp"),
