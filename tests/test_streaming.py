@@ -338,3 +338,61 @@ def test_streaming_cdc_upsert_into_delta(spark, tmp_path):
     )
     out = {r["k"]: r["v"] for r in read_delta_fallback(spark, table).collect()}
     assert out == {1: "old", 2: "updated", 3: "inserted"}
+
+
+def test_streaming_countmin_maintenance(spark, events_dir, tmp_path):
+    """Incremental heavy-hitters: each micro-batch builds a bounded CMS
+    table and merges it into a persisted sketch by counter addition —
+    the production shape for streaming frequency estimation (sketch
+    size stays depth*width however long the stream runs). The merged
+    sketch must equal a batch-built sketch over all data, and estimates
+    must never underestimate."""
+    import os
+
+    from xorq_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+        count_min_merge,
+    )
+
+    depth, width = 3, 16
+    sk_dir, ckpt = str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+
+    def update_sketch(df, batch_id):
+        part = count_min_build(df, "k", depth, width)
+        if os.path.isdir(sk_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(sk_dir)
+        ):
+            prev = spark.read.parquet(sk_dir)
+            merged = count_min_merge(prev, part)
+        else:
+            merged = part
+        # two-phase publish: stage then swap (same-batch read/overwrite
+        # of one path is unsafe)
+        staged = merged.collect()
+        spark.createDataFrame(staged, "row int, bucket long, c long").write.mode(
+            "overwrite"
+        ).parquet(sk_dir)
+
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    S.stream_foreach_batch(stream, update_sketch, ckpt)
+
+    streamed = spark.read.parquet(sk_dir)
+    batch = count_min_build(
+        spark.read.parquet(events_dir), "k", depth, width
+    )
+    assert sorted(tuple(r) for r in streamed.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
+    keys = spark.read.parquet(events_dir).select("k").distinct()
+    exact = {
+        r["k"]: r["n"]
+        for r in spark.read.parquet(events_dir).groupBy("k").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r["k"]: r["cms_est"]
+        for r in count_min_estimate(streamed, keys, "k", depth, width).collect()
+    }
+    assert all(est[k] >= exact[k] for k in exact)
