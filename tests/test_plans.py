@@ -145,26 +145,17 @@ def test_quantize_no_shuffle_no_python(spark):
 
 
 def test_pagerank_no_cartesian_no_python(spark):
-    """Each PageRank iteration must stay a keyed shuffle join (edges x
-    ranks) + hash aggregate: no Python eval, no nested-loop joins, and
-    the only cross joins are the broadcast single-row dangling/vocab
-    terms (BroadcastNestedLoopJoin over a 1-row side is the intended
-    scalar-attach shape, never a CartesianProduct)."""
+    """PageRank materializes its iterations through eager
+    localCheckpoints (so the returned plan is checkpoint-backed — an
+    ExistingRDD scan, no parquet ReadSchema to assert here; pruning is
+    the explicit 2-column select feeding the first checkpoint). The
+    final plan must still be free of Python eval and CartesianProduct,
+    and the checkpoint boundary must actually be there — without it the
+    nested iteration DAG re-derives the edge table once per reference."""
     plan = _plan(spark, "graph_pagerank_parts")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
-    # scan pruning: only the two edge columns leave the parquet reader
-    import re
-
-    cols = sorted(
-        {
-            c.split(":")[0]
-            for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-            for c in m.split(",")
-            if c
-        }
-    )
-    assert cols == ["l_partkey", "l_suppkey"]
+    assert "ExistingRDD" in plan or "LocalTableScan" in plan
 
 
 def test_lm_perplexity_shape(spark):
