@@ -160,3 +160,85 @@ class TestErrors:
     def test_trailing_garbage_raises(self, spark, catalog):
         with pytest.raises(SqlParseError, match="unconsumed"):
             parse_sql("SELECT n_name FROM nation extra garbage, here", catalog, spark=spark)
+
+
+class TestParserProperties:
+    """Hypothesis: generated SELECTs must execute identically through
+    parse_sql -> Expr -> DataFrame and through spark.sql (Spark's own
+    parser as ground truth)."""
+
+    def test_random_selects_match_spark_sql(self, spark, sf_dir, catalog):
+        from hypothesis import given, settings, strategies as st
+
+        for name in ("region", "nation", "orders"):
+            spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+        cols = ["n_nationkey", "n_regionkey"]
+        compare = st.sampled_from(["<", "<=", ">", ">=", "=", "<>"])
+        arith = st.sampled_from(["+", "-", "*"])
+
+        @st.composite
+        def queries(draw):
+            c1, c2 = draw(st.sampled_from(cols)), draw(st.sampled_from(cols))
+            lit = draw(st.integers(-3, 25))
+            lit2 = draw(st.integers(0, 4))
+            parts = [
+                f"SELECT n_name, {c1} {draw(arith)} {lit2} AS x FROM nation"
+            ]
+            if draw(st.booleans()):
+                pred = f"{c1} {draw(compare)} {lit}"
+                if draw(st.booleans()):
+                    pred += f" AND {c2} {draw(compare)} {draw(st.integers(-3, 25))}"
+                parts.append(f"WHERE {pred}")
+            parts.append("ORDER BY n_name")
+            if draw(st.booleans()):
+                parts.append(f"LIMIT {draw(st.integers(1, 30))}")
+            return " ".join(parts)
+
+        @settings(max_examples=25, deadline=None)
+        @given(sql=queries())
+        def inner(sql):
+            got = (
+                parse_sql(sql, catalog, spark=spark)
+                .execute(spark)
+                .reset_index(drop=True)
+            )
+            want = spark.sql(sql).toPandas().reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        inner()
+
+    def test_random_aggregates_match_spark_sql(self, spark, sf_dir, catalog):
+        from hypothesis import given, settings, strategies as st
+
+        for name in ("nation", "orders"):
+            spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+        agg = st.sampled_from(
+            ["count(*)", "sum(o_totalprice)", "min(o_totalprice)", "max(o_custkey)", "avg(o_totalprice)"]
+        )
+
+        @st.composite
+        def queries(draw):
+            a = draw(agg)
+            q = f"SELECT o_orderpriority, {a} AS m FROM orders"
+            if draw(st.booleans()):
+                q += f" WHERE o_custkey > {draw(st.integers(0, 500))}"
+            q += " GROUP BY o_orderpriority"
+            if draw(st.booleans()):
+                q += " HAVING count(*) > 2"
+            q += " ORDER BY o_orderpriority"
+            return q
+
+        @settings(max_examples=15, deadline=None)
+        @given(sql=queries())
+        def inner(sql):
+            got = (
+                parse_sql(sql, catalog, spark=spark)
+                .execute(spark)
+                .reset_index(drop=True)
+            )
+            want = spark.sql(sql).toPandas().reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+        inner()
