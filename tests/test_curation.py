@@ -318,3 +318,38 @@ class TestLmScore:
         a = sorted(tuple(r) for r in lm_score(docs).collect())
         b = sorted(tuple(r) for r in lm_score(docs, train_df=docs).collect())
         assert a == b
+
+
+class TestDupSpanDetect:
+    def test_long_verbatim_passage_detected(self, spark):
+        """A 120-char passage copied between two docs must flag spans in
+        BOTH, while a doc sharing only words (different order) stays
+        clean — the character-level signal word n-grams miss."""
+        from xorq_spark.functions.dedup import dup_span_detect
+
+        passage = "the quick brown fox jumps over the lazy dog " * 3  # 135 chars
+        docs = spark.createDataFrame(
+            [
+                (1, "intro text. " + passage + " closing remarks here."),
+                (2, "totally different opening. " + passage),
+                (3, "dog lazy the over jumps fox brown quick the " * 3),
+                (4, None),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in dup_span_detect(docs, span=48, stride=16).collect()}
+        assert out[1]["n_dup_spans"] > 0 and out[2]["n_dup_spans"] > 0
+        assert out[3]["n_dup_spans"] == 0  # same words, no verbatim span
+        assert out[4]["n_spans"] == 0 and out[4]["dup_span_fraction"] == 0.0
+
+    def test_self_repetition_does_not_self_flag(self, spark):
+        """A document repeating ITS OWN text is not cross-document
+        duplication: per-doc distinct spans keep doc-frequency at 1."""
+        from xorq_spark.functions.dedup import dup_span_detect
+
+        docs = spark.createDataFrame(
+            [(1, "unique self repeating block of text here okay! " * 10)],
+            "doc_id long, text string",
+        )
+        [r] = dup_span_detect(docs, span=48, stride=16).collect()
+        assert r["n_dup_spans"] == 0

@@ -879,3 +879,85 @@ def dedup_incremental(
             ),
         )
     )
+
+
+def dup_span_detect(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span: int = 64,
+    stride: int = 16,
+    anchor_k: int = 8,
+) -> DataFrame:
+    """Long verbatim-duplicate detection at CHARACTER granularity: the
+    scalable approximation of Lee et al.'s exact-substring dedup (their
+    suffix-array pass removes >=50-char verbatim repeats). Word-level
+    n-gram fractions (dup_ngram_fraction) miss long verbatim passages
+    that differ only at tokenization edges — this catches them.
+
+    Span starts are CONTENT-DEFINED (winnowing/CDC-style): a position p
+    anchors a `span`-char window iff the hash of its `anchor_k`-char
+    prefix is ≡ 0 mod `stride` (expected one anchor per `stride`
+    chars). A fixed-grid stride is phase-sensitive — the same passage
+    at different offsets in two documents never aligns — while content
+    anchors land at the SAME positions inside any shared run, so a
+    duplicated passage of length >= span + O(stride) chars produces
+    identical windows in both documents with overwhelming probability.
+
+    Returns (id_col, n_spans, n_dup_spans, dup_span_fraction).
+    Documents shorter than `span` chars have no spans.
+
+    Scale design: anchor hashing is scan-side JVM work (one 8-char md5
+    per position); windows shuffle ONCE as md5 digests (16-byte keys —
+    raw text never leaves the scan), cross-document frequency is a
+    window over that single exchange (distinct-per-doc first, so a
+    self-repeating document does not inflate its own doc-frequency),
+    and the roll-up is one groupBy on the id.
+    """
+    from pyspark.sql import Window
+
+    text = F.col(text_col)
+    length = F.coalesce(F.length(text), F.lit(0))
+    all_pos = F.when(
+        length >= span, F.sequence(F.lit(0), length - span)
+    ).otherwise(F.array().cast("array<int>"))
+    anchors = F.filter(
+        all_pos,
+        lambda p: F.conv(
+            F.substring(F.md5(F.substring(text, p + 1, anchor_k)), 1, 8), 16, 10
+        ).cast("long")
+        % stride
+        == 0,
+    )
+    spans = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(
+                F.transform(anchors, lambda p: F.substring(text, p + 1, span))
+            )
+        ).alias("__span"),
+    ).select(F.col(id_col), F.md5(F.col("__span")).alias("__key"))
+    w = Window.partitionBy("__key")
+    flagged = spans.withColumn(
+        "__docs", F.size(F.collect_set(F.col(id_col)).over(w))
+    )
+    per_doc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_spans"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0))
+                / F.greatest(F.coalesce("n_spans", F.lit(0)), F.lit(1)),
+                9,
+            ).alias("dup_span_fraction"),
+        )
+    )

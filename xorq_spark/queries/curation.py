@@ -298,3 +298,47 @@ def text_lm_perplexity_q(spark, sf_dir):
 
     docs = widen(t(spark, sf_dir, "documents"))
     return lm_score(docs).orderBy("doc_id")
+
+
+@query(
+    "dedup_dup_span_detect",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, COALESCE(text, '') AS t,
+             length(COALESCE(text, '')) AS L
+      FROM documents),
+    sp AS (
+      SELECT doc_id, md5(s) AS key
+      FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 list_filter(range(0, L - 48 + 1),
+                   p -> ('0x' || substr(md5(substr(t, CAST(p + 1 AS INT), 8)), 1, 8))::BIGINT % 16 = 0),
+                 p -> substr(t, CAST(p + 1 AS INT), 48)))) AS s
+        FROM base WHERE L >= 48)),
+    counts AS (SELECT key, count(DISTINCT doc_id) AS n_docs FROM sp GROUP BY key),
+    per AS (
+      SELECT sp.doc_id, count(*) AS n_spans,
+             sum(CASE WHEN c.n_docs > 1 THEN 1 ELSE 0 END) AS n_dup
+      FROM sp JOIN counts c USING (key) GROUP BY sp.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_spans,
+           round(COALESCE(p.n_dup, 0) / greatest(COALESCE(p.n_spans, 0), 1), 9)
+             AS dup_span_fraction
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_dup_span_detect_q(spark, sf_dir):
+    """Character-level long-verbatim-span duplication (functions/
+    dedup.py dup_span_detect): 48-char windows at content-defined
+    anchors (winnowing-style, expected one per 16 chars — fixed grids
+    are phase-sensitive and miss shifted passages), shuffled once as
+    md5 digests — the scalable stand-in for Lee-et-al's suffix-array
+    exact-substring pass, catching copied passages that word-level
+    n-grams miss."""
+    from xorq_spark.functions.dedup import dup_span_detect
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return dup_span_detect(docs, span=48, stride=16).orderBy("doc_id")

@@ -203,7 +203,9 @@ SUITES: dict[str, list[str]] = {
         "text_tfidf_topk",
         "text_pack_sequences",
         # round 4: CCNet's perplexity-filtering half (bigram LM score)
+        # + character-level long-verbatim-span detection
         "text_lm_perplexity",
+        "dedup_dup_span_detect",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
