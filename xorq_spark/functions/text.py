@@ -635,7 +635,13 @@ def lm_score(
 
     # LEFT joins: bigrams/contexts unseen by the model fall back to the
     # smoothed k/(0 + kV) mass (a no-op for self-scoring, where every
-    # scored bigram is in the model by construction)
+    # scored bigram is in the model by construction).
+    # Accumulation is INTEGER nano-nats: ln(p) quantized to 1e-9 as a
+    # BIGINT per bigram, summed exactly — a double sum's order noise
+    # (~1e-8 over thousands of terms) can flip the 6-digit mean at a
+    # rounding boundary between engines (observed at sf0.1); integer
+    # sums are order-independent, so the final divide+round sees
+    # bit-identical input on both sides.
     scored = (
         bigrams.join(c_bi, ["w1", "w2"], "left")
         .join(c_uni, ["w1"], "left")
@@ -648,14 +654,19 @@ def lm_score(
                     / (
                         F.coalesce(F.col("cu"), F.lit(0)) + F.lit(k) * F.col("V")
                     ).cast("double")
-                ),
-                9,
-            ).alias("lp"),
+                )
+                * F.lit(1e9),
+                0,
+            ).cast("long").alias("lp_nano"),
         )
     )
     per_doc = scored.groupBy("__id").agg(
         F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(-F.sum("lp") / F.count(F.lit(1)), 6).alias("neg_avg_logprob"),
+        F.round(
+            -F.sum("lp_nano").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(1e9)),
+            6,
+        ).alias("neg_avg_logprob"),
     )
     return (
         df.select(F.col(id_col))

@@ -274,11 +274,13 @@ def text_pack_sequences_q(spark, sf_dir):
           FROM (SELECT unnest(toks) AS w FROM tok)),
     lp AS (
       SELECT bi.doc_id,
-             round(ln((cb.cb + 1)::DOUBLE / (cu.cu + 1 * v.V)), 9) AS lp
+             CAST(round(ln((cb.cb + 1)::DOUBLE / (cu.cu + 1 * v.V)) * 1e9, 0)
+                  AS BIGINT) AS lp_nano
       FROM bi JOIN cb USING (w1, w2) JOIN cu USING (w1), v),
     per AS (
       SELECT doc_id, count(*) AS n_bigrams,
-             round(-sum(lp) / count(*), 6) AS neg_avg_logprob
+             round(-CAST(sum(lp_nano) AS DOUBLE)
+                   / (CAST(count(*) AS DOUBLE) * 1e9), 6) AS neg_avg_logprob
       FROM lp GROUP BY doc_id)
     SELECT d.doc_id,
            CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
