@@ -225,3 +225,23 @@ class TestPagerank:
         out = {r["node"]: r["rank_scaled"] for r in pagerank(edges, iterations=2).collect()}
         assert set(out) == {1, 2}
         assert out[1] == out[2]  # symmetric 2-cycle after cleanup
+
+
+def test_embedding_contamination_flags_and_broadcast_side(spark):
+    """Eval members score 1.0 against themselves (flag certainty); a
+    near-copy crosses the threshold; an orthogonal vector does not."""
+    from xorq_spark.functions.similarity import embedding_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),   # the eval item itself
+            (2, [0.999, 0.04, 0.0]),  # paraphrase-near copy
+            (3, [0.0, 1.0, 0.0]),   # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    ev = corpus.where("vec_id = 1")
+    out = {r["vec_id"]: r for r in embedding_contamination(corpus, ev, threshold=0.95).collect()}
+    assert out[1]["max_eval_cosine"] == 1.0 and out[1]["contaminated"]
+    assert out[2]["contaminated"] and out[2]["nearest_eval_id"] == 1
+    assert not out[3]["contaminated"] and out[3]["max_eval_cosine"] == 0.0

@@ -526,3 +526,54 @@ def label_centroids(
             ).alias("centroid"),
         )
     )
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eval_id_col: str = "vec_id",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Semantic eval-set decontamination: for every corpus vector, the
+    maximum cosine similarity to ANY eval-set vector, the offending
+    eval id, and a contamination flag — the embedding-space sibling of
+    the n-gram `contamination_flags` (paraphrased benchmark leakage
+    that shares no 8-gram still lands near the eval item in embedding
+    space).
+
+    Scale design: the eval set is small by definition — it BROADCASTS,
+    and the corpus is scanned once with no shuffle except the per-id
+    max aggregate (map-side combinable). Never the reverse: the corpus
+    side must not be collected or broadcast.
+
+    Deterministic tie-break on eval id; cosine rounded to 6 (the
+    certified similarity contract)."""
+    ev = F.broadcast(
+        eval_set.select(
+            F.col(eval_id_col).alias("__eid"), F.col(vec_col).alias("__ev")
+        )
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        .crossJoin(ev)
+        .select(
+            id_col,
+            "__eid",
+            F.round(cosine_similarity(F.col("__cv"), F.col("__ev")), 6).alias(
+                "__cos"
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos"), F.asc("__eid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            id_col,
+            F.col("__eid").alias("nearest_eval_id"),
+            F.col("__cos").alias("max_eval_cosine"),
+            (F.col("__cos") >= threshold).alias("contaminated"),
+        )
+    )

@@ -349,3 +349,36 @@ def sim_label_centroids_q(spark, sf_dir):
 
     emb = widen(t(spark, sf_dir, "embeddings"))
     return label_centroids(emb).orderBy("label")
+
+
+@query(
+    "sim_embedding_contamination",
+    oracle=f"""
+    WITH ev AS (SELECT vec_id AS eid, embedding FROM embeddings WHERE vec_id % 97 = 0),
+    scored AS (
+      SELECT c.vec_id, ev.eid,
+             ROUND(list_cosine_similarity(c.embedding::DOUBLE[], ev.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings c CROSS JOIN ev),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, eid ASC) AS rn
+      FROM scored)
+    SELECT vec_id,
+           eid AS nearest_eval_id,
+           cos AS max_eval_cosine,
+           cos >= 0.9 AS contaminated
+    FROM ranked WHERE rn = 1 ORDER BY vec_id
+    """,
+)
+def sim_embedding_contamination_q(spark, sf_dir):
+    """Semantic decontamination (functions/similarity.py
+    embedding_contamination): every 97th vector stands in as the eval
+    set (broadcast side); each corpus vector gets its max cosine to the
+    eval set, the offending eval id, and the >= 0.9 contamination flag.
+    The eval members themselves score 1.0 — built-in positives that
+    certify the flag logic."""
+    from xorq_spark.functions.similarity import embedding_contamination
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    ev = emb.filter(F.col("vec_id") % 97 == 0)
+    return embedding_contamination(emb, ev, threshold=0.9).orderBy("vec_id")

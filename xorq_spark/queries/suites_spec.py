@@ -233,6 +233,8 @@ SUITES: dict[str, list[str]] = {
         "sim_ann_lsh_recall",
         "sim_hard_negatives",
         "sim_label_centroids",
+        # round 4: semantic eval-set decontamination (broadcast eval)
+        "sim_embedding_contamination",
     ],
     "suite_ml": [
         "ml_train_test_split",
