@@ -97,7 +97,7 @@ def coll_array_algebra(spark, sf_dir):
     SELECT doc_id,
            list_transform(words[1:5], x -> upper(x)) AS upper5,
            list_filter(words, x -> len(x) > 4) AS long_words,
-           list_aggregate(list_transform(words, x -> len(x)), 'sum') AS total_chars,
+           CAST(list_aggregate(list_transform(words, x -> len(x)), 'sum') AS BIGINT) AS total_chars,
            len(list_filter(words, x -> x = 'data')) AS n_data,
            list_aggregate(list_transform(words, x -> len(x)), 'max') AS max_len,
            list_aggregate(list_transform(words, x -> len(x)), 'min') AS min_len

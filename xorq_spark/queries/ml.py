@@ -129,8 +129,8 @@ def ml_metrics_reg(spark, sf_dir):
     base AS (
       SELECT class,
              COALESCE(tp, 0) AS tp,
-             COALESCE(pred_n, 0) - COALESCE(tp, 0) AS fp,
-             COALESCE(label_n, 0) - COALESCE(tp, 0) AS fn
+             CAST(COALESCE(pred_n, 0) - COALESCE(tp, 0) AS BIGINT) AS fp,
+             CAST(COALESCE(label_n, 0) - COALESCE(tp, 0) AS BIGINT) AS fn
       FROM pm FULL JOIN lm USING (class) LEFT JOIN diag USING (class))
     SELECT class, tp, fp, fn,
            round(tp / greatest(tp + fp, 1), 9) AS precision,

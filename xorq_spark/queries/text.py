@@ -413,7 +413,7 @@ def text_chunks(spark, sf_dir):
     kept AS (
       SELECT * FROM h
       WHERE bucket < CASE lang WHEN 'en' THEN 2500 WHEN 'zh' THEN 5000 ELSE 1000 END)
-    SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum, SUM(n_chars) AS char_sum
+    SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum, CAST(SUM(n_chars) AS BIGINT) AS char_sum
     FROM kept GROUP BY lang ORDER BY lang
     """,
 )
@@ -458,7 +458,7 @@ def text_stratified(spark, sf_dir):
                           % 2147483648) * 2654435761) % 4294967296) ASC,
                         doc_id ASC) AS rn
       FROM documents)
-    SELECT source, COUNT(*) AS n, SUM(doc_id) AS id_sum, SUM(n_chars) AS char_sum
+    SELECT source, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum, CAST(SUM(n_chars) AS BIGINT) AS char_sum
     FROM ranked WHERE rn <= 25
     GROUP BY source ORDER BY source
     """,
@@ -502,7 +502,7 @@ def text_source_cap(spark, sf_dir):
                 % 2147483648) * 2654435761) % 4294967296) % 10000 AS bucket
       FROM documents d JOIN cuts c ON d.lang = c.lang),
     kept AS (SELECT * FROM h WHERE bucket < cutoff)
-    SELECT lang, COUNT(*) AS n, SUM(doc_id) AS id_sum, SUM(n_chars) AS char_sum
+    SELECT lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum, CAST(SUM(n_chars) AS BIGINT) AS char_sum
     FROM kept GROUP BY lang ORDER BY lang
     """,
 )
