@@ -353,3 +353,75 @@ class TestDupSpanDetect:
         )
         [r] = dup_span_detect(docs, span=48, stride=16).collect()
         assert r["n_dup_spans"] == 0
+
+
+class TestGopherRepetition:
+    """Gopher repetition rules (functions/text.py gopher_repetition):
+    hand-verified duplicate-segment fractions, top-n-gram chars with
+    deterministic tie-break, and overlap-once n-gram coverage."""
+
+    def _run(self, spark, rows, **kw):
+        from xorq_spark.functions import gopher_repetition
+
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        return {
+            r["doc_id"]: r
+            for r in gopher_repetition(df, **kw).collect()
+        }
+
+    def test_duplicate_lines_and_paragraphs(self, spark):
+        out = self._run(
+            spark,
+            [(1, "a b c\na b c\nd e f"), (5, "p q\n\nr s\n\np q")],
+            para_sep="\n\n",
+        )
+        # doc 1: 3 lines, one repeat -> 1/3 of lines and of chars
+        assert out[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-9)
+        assert out[1]["dup_line_char_frac"] == pytest.approx(1 / 3, abs=1e-9)
+        assert out[1]["dup_para_frac"] == 0.0
+        # doc 5: paragraph "p q" repeats; its lines repeat too
+        assert out[5]["dup_para_frac"] == pytest.approx(1 / 3, abs=1e-9)
+        assert out[5]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-9)
+
+    def test_top_ngram_tiebreak_and_fraction(self, spark):
+        # "a b c a b c d e f": top 2-gram "a b" (count 2, len 3) over
+        # 17 chars; all 4-grams unique -> smallest gram asc wins
+        out = self._run(spark, [(1, "a b c\na b c\nd e f")])
+        assert out[1]["top_2gram_char_frac"] == pytest.approx(
+            round(6 / 17, 9), abs=1e-9
+        )
+        assert out[1]["top_3gram_char_frac"] == pytest.approx(
+            round(10 / 17, 9), abs=1e-9
+        )
+        # count x length can exceed the text length when occurrences
+        # overlap - published-formula behavior, not clamped
+        out2 = self._run(spark, [(2, "x y x y x y x y z")])
+        assert out2[2]["top_4gram_char_frac"] > 1.0
+
+    def test_dup_ngram_coverage_counts_overlap_once(self, spark):
+        # "x y x y x y x y z": dup 5-grams cover token positions 0..7
+        # (8 of 9 single-char tokens); 7-grams are all unique
+        out = self._run(spark, [(2, "x y x y x y x y z")])
+        assert out[2]["dup_5gram_char_frac"] == pytest.approx(
+            round(8 / 9, 9), abs=1e-9
+        )
+        assert out[2]["dup_6gram_char_frac"] == pytest.approx(
+            round(8 / 9, 9), abs=1e-9
+        )
+        assert out[2]["dup_7gram_char_frac"] == 0.0
+
+    def test_null_and_short_documents(self, spark):
+        out = self._run(spark, [(3, None), (4, "tiny")])
+        for d in (3, 4):
+            assert out[d]["dup_line_frac"] == 0.0
+            assert out[d]["dup_10gram_char_frac"] == 0.0
+        assert out[3]["passes"] and out[4]["passes"]
+
+    def test_passes_thresholds(self, spark):
+        # heavy repetition fails; long varied text passes (the
+        # published thresholds assume real-document lengths — a
+        # 10-word doc exceeds top-n-gram fractions trivially)
+        varied = " ".join(f"word{i:03d}" for i in range(200))
+        out = self._run(spark, [(1, "spam ham " * 50), (2, varied)])
+        assert not out[1]["passes"]
+        assert out[2]["passes"]

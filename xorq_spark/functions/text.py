@@ -445,6 +445,252 @@ def gopher_flags(text: Column, sep: str = "\n") -> Column:
     )
 
 
+# Gopher repetition thresholds (Rae et al. 2021, table A1): maximum
+# allowed duplicate-segment and repeated-n-gram character fractions.
+GOPHER_MAX_DUP_LINE_FRAC = 0.30
+GOPHER_MAX_DUP_PARA_FRAC = 0.30
+GOPHER_MAX_DUP_LINE_CHAR_FRAC = 0.20
+GOPHER_MAX_DUP_PARA_CHAR_FRAC = 0.20
+GOPHER_MAX_TOP_NGRAM_CHAR_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_MAX_DUP_NGRAM_CHAR_FRAC = {
+    5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10,
+}
+
+
+def _dup_segment_fracs(txt: Column, sep: str):
+    """(dup_frac, dup_char_frac) for sep-delimited segments: the
+    fraction of segments (and of segment characters) that are repeats
+    beyond each segment's first occurrence. Trimmed, blank-dropped.
+    Pure HOFs — order-independent sums, zero shuffle."""
+    import re as _re
+
+    segs = F.transform(
+        F.filter(F.split(txt, _re.escape(sep)), lambda x: F.trim(x) != ""),
+        F.trim,
+    )
+    uniq = F.array_distinct(segs)
+    n = F.size(segs)
+    chars = F.aggregate(segs, F.lit(0), lambda a, x: a + F.length(x))
+    uchars = F.aggregate(uniq, F.lit(0), lambda a, x: a + F.length(x))
+    dup_frac = (n - F.size(uniq)).cast("double") / F.greatest(n, F.lit(1))
+    dup_char_frac = (chars - uchars).cast("double") / F.greatest(
+        chars, F.lit(1)
+    )
+    return dup_frac, dup_char_frac
+
+
+def _ngram_array(toks: Column, n: int) -> Column:
+    """Word n-grams (space-joined) of a token array; empty when the
+    document is shorter than n."""
+    n_toks = F.coalesce(F.size(toks), F.lit(0))
+    return F.when(
+        n_toks >= n,
+        F.transform(
+            F.sequence(F.lit(0), n_toks - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _sorted_run_top_chars(s: Column) -> Column:
+    """count(top) * length(top) for the most frequent n-gram (ties
+    break to the lexicographically smallest — deterministic across
+    engines), given the SORTED gram array as a materialized column
+    attribute. Sorting makes duplicates adjacent, so one aggregate()
+    fold finds the longest run: O(G) per document, zero shuffle."""
+    acc = F.aggregate(
+        s,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+            F.lit("").alias("bestg"),
+        ),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.when(
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+                > a["best"],
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1)),
+            ).otherwise(a["best"]).alias("best"),
+            F.when(
+                F.when(x == a["prev"], a["run"] + 1).otherwise(F.lit(1))
+                > a["best"],
+                x,
+            ).otherwise(a["bestg"]).alias("bestg"),
+        ),
+    )
+    return acc["best"] * F.length(acc["bestg"])
+
+
+def _dupset(s: Column) -> Column:
+    """Distinct grams occurring 2+ times, given the SORTED gram array
+    as a materialized column attribute: duplicates are adjacent after
+    sorting, so equality-with-previous finds them in one pass."""
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                s,
+                lambda x, j: F.when(
+                    (j >= 1) & (x == F.element_at(s, j)), x
+                ),
+            ),
+            lambda v: v.isNotNull(),
+        )
+    )
+
+
+def gopher_repetition(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    para_sep: str | None = None,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """The Gopher REPETITION rules (Rae et al. 2021, table A1) — the
+    companion of `gopher_flags`' format rules. Returns (id_col,
+    metrics..., passes):
+
+    - dup_line_frac / dup_line_char_frac: fraction of sep-delimited
+      segments (and their characters) that are repeats beyond the
+      first occurrence
+    - dup_para_frac / dup_para_char_frac: same over para_sep (emitted
+      only when para_sep is given)
+    - top_{n}gram_char_frac for n in top_ns: chars of the most
+      frequent word n-gram (count × length, ties to the smallest
+      gram) over the document's character count
+    - dup_{n}gram_char_frac for n in dup_ns: chars of tokens covered
+      by any n-gram occurring 2+ times, over total token chars
+      (overlaps counted once)
+    - passes: conjunction of the published thresholds
+
+    Scale design: ENTIRELY per-document JVM higher-order functions —
+    duplicate detection via array_distinct / sorted-run folding, no
+    explode, no groupBy, ZERO shuffle: scan-speed and embarrassingly
+    parallel at any corpus size. Intermediate arrays (tokens, each
+    n-gram array, its sorted copy, its duplicate set) are materialized
+    as staged projection columns so every array is built ONCE per row —
+    a single nested column expression would re-evaluate the gram array
+    inside each lambda element, turning O(G log G) per document into
+    O(G²) array rebuilds (measured: pathological). Fractions round to
+    9 digits (exact-integer ratios — engine-independent)."""
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+
+    # stage 1: base arrays, built once per row
+    stage = df.select(
+        F.col(id_col),
+        txt.alias("_txt"),
+        tokenize(txt).alias("_toks"),
+    ).select(
+        id_col,
+        "_txt",
+        "_toks",
+        F.transform("_toks", F.length).alias("_lens"),
+    )
+    # stage 2: per-n gram arrays (one build each)
+    gram_cols = {}
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        gram_cols[n] = f"_g{n}"
+    stage = stage.select(
+        "*",
+        *[
+            _ngram_array(F.col("_toks"), n).alias(c)
+            for n, c in gram_cols.items()
+        ],
+    )
+    # stage 3: sorted copies (adjacent duplicates); stage 4: duplicate
+    # sets for dup_ns — from the sorted ATTRIBUTE so the one-pass
+    # adjacency scan never rebuilds the array per element
+    sorted_cols = {n: f"_s{n}" for n in sorted(set(top_ns) | set(dup_ns))}
+    dup_cols = {n: f"_d{n}" for n in dup_ns}
+    stage = stage.select(
+        "*",
+        *[F.array_sort(gram_cols[n]).alias(c) for n, c in sorted_cols.items()],
+    )
+    stage = stage.select(
+        "*",
+        *[
+            _dupset(F.col(sorted_cols[n])).alias(c)
+            for n, c in dup_cols.items()
+        ],
+    )
+
+    fields = [F.col(id_col)]
+    passes = F.lit(True)
+
+    dl, dlc = _dup_segment_fracs(F.col("_txt"), sep)
+    dl, dlc = F.round(dl, 9), F.round(dlc, 9)
+    fields += [dl.alias("dup_line_frac"), dlc.alias("dup_line_char_frac")]
+    passes = (
+        passes
+        & (dl <= GOPHER_MAX_DUP_LINE_FRAC)
+        & (dlc <= GOPHER_MAX_DUP_LINE_CHAR_FRAC)
+    )
+
+    if para_sep is not None:
+        dp, dpc = _dup_segment_fracs(F.col("_txt"), para_sep)
+        dp, dpc = F.round(dp, 9), F.round(dpc, 9)
+        fields += [
+            dp.alias("dup_para_frac"),
+            dpc.alias("dup_para_char_frac"),
+        ]
+        passes = (
+            passes
+            & (dp <= GOPHER_MAX_DUP_PARA_FRAC)
+            & (dpc <= GOPHER_MAX_DUP_PARA_CHAR_FRAC)
+        )
+
+    text_chars = F.greatest(F.length("_txt"), F.lit(1))
+    for n in top_ns:
+        frac = F.round(
+            _sorted_run_top_chars(F.col(sorted_cols[n])).cast("double")
+            / text_chars,
+            9,
+        )
+        fields.append(frac.alias(f"top_{n}gram_char_frac"))
+        passes = passes & (
+            frac <= GOPHER_MAX_TOP_NGRAM_CHAR_FRAC.get(n, 1.0)
+        )
+
+    tok_chars = F.greatest(
+        F.aggregate("_lens", F.lit(0), lambda a, x: a + x), F.lit(1)
+    )
+    for n in dup_ns:
+        # duplicated-gram start indices via the index-lambda (the gram
+        # and dupset columns are plain attributes here — cheap per
+        # element, no array rebuilds)
+        starts = F.filter(
+            F.transform(
+                gram_cols[n],
+                lambda x, i: F.when(
+                    F.array_contains(F.col(dup_cols[n]), x), i
+                ),
+            ),
+            lambda v: v.isNotNull(),
+        )
+        covered = F.array_distinct(
+            F.flatten(
+                F.transform(starts, lambda i: F.sequence(i, i + n - 1))
+            )
+        )
+        chars = F.aggregate(
+            covered,
+            F.lit(0),
+            lambda a, p: a + F.element_at(F.col("_lens"), p + 1),
+        )
+        frac = F.round(chars.cast("double") / tok_chars, 9)
+        fields.append(frac.alias(f"dup_{n}gram_char_frac"))
+        passes = passes & (
+            frac <= GOPHER_MAX_DUP_NGRAM_CHAR_FRAC.get(n, 1.0)
+        )
+
+    fields.append(passes.alias("passes"))
+    return stage.select(*fields)
+
+
 def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
     """Top-k terms per document by tf-idf (tf = in-document count,
     idf = ln(N_docs / doc_frequency)) — the classic corpus keyword /

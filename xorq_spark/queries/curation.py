@@ -189,6 +189,181 @@ def text_gopher_flags_q(spark, sf_dir):
     )
 
 
+def _gopher_rep_oracle() -> str:
+    """DuckDB oracle for text_gopher_repetition: recomputes every
+    repetition metric relationally (unnest + GROUP BY + windows) from
+    the same lined text the Spark side builds — an independent
+    formulation, not a mirror of the HOF fold."""
+    top_ns, dup_ns = (2, 3), (5, 10)
+    # lined: 3-token lines joined by \n, every 3rd separator doubled
+    # (paragraph break) — deterministic reshape, no newlines in the
+    # synthetic corpus otherwise.
+    lined = """
+    base AS (
+      SELECT doc_id, {toks} AS toks, COALESCE(len({toks}), 0) AS n
+      FROM documents),
+    lined AS (
+      SELECT doc_id, n,
+             CASE WHEN n > 0 THEN
+               list_reduce(list_transform(range(0, (n + 2) // 3),
+                 i -> CASE WHEN i = 0 THEN array_to_string(toks[i*3+1:i*3+3], ' ')
+                      WHEN i % 3 = 0 THEN chr(10) || chr(10) || array_to_string(toks[i*3+1:i*3+3], ' ')
+                      ELSE chr(10) || array_to_string(toks[i*3+1:i*3+3], ' ') END),
+                 (a, x) -> a || x)
+             ELSE '' END AS txt
+      FROM base)
+    """.format(toks=_TOKS)
+    segs = """
+    seg{k} AS (
+      SELECT doc_id,
+             list_transform(list_filter(str_split(txt, {sep}),
+               x -> trim(x) <> ''), x -> trim(x)) AS segs
+      FROM lined),
+    segm{k} AS (
+      SELECT doc_id,
+             round((len(segs) - len(list_distinct(segs)))::DOUBLE
+                   / greatest(len(segs), 1), 9) AS dup_frac,
+             round((COALESCE(list_sum(list_transform(segs, x -> length(x))), 0)
+                    - COALESCE(list_sum(list_transform(list_distinct(segs),
+                        x -> length(x))), 0))::DOUBLE
+                   / greatest(COALESCE(list_sum(list_transform(segs,
+                       x -> length(x))), 0), 1), 9) AS dup_char_frac
+      FROM seg{k})
+    """
+    parts = [lined.strip().rstrip(",").strip()]
+    parts.append(segs.format(k="L", sep="chr(10)").strip())
+    parts.append(segs.format(k="P", sep="chr(10) || chr(10)").strip())
+    # token positions + lengths of the LINED text (same token stream)
+    parts.append(
+        """
+    ltok AS (SELECT doc_id, {toks_txt} AS toks FROM lined),
+    tp AS (
+      SELECT doc_id, unnest(range(0, len(toks))) AS p,
+             unnest(list_transform(toks, x -> length(x))) AS l
+      FROM ltok),
+    tchars AS (SELECT doc_id, COALESCE(sum(l), 0) AS tok_chars
+               FROM tp GROUP BY doc_id)
+    """.format(
+            toks_txt="list_filter(regexp_split_to_array(trim(txt), '\\s+'),"
+            " x -> x <> '')"
+        ).strip()
+    )
+    for n in top_ns + dup_ns:
+        parts.append(
+            f"""
+    g{n} AS (
+      SELECT doc_id, i,
+             array_to_string(toks[i+1:i+{n}], ' ') AS gram
+      FROM (SELECT doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - {n} + 1, 0))) AS i
+            FROM ltok)),
+    c{n} AS (SELECT doc_id, gram, count(*) AS c
+             FROM g{n} GROUP BY doc_id, gram)
+    """.strip()
+        )
+    for n in top_ns:
+        parts.append(
+            f"""
+    top{n} AS (
+      SELECT doc_id, c * length(gram) AS chars
+      FROM (SELECT doc_id, gram, c, row_number() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+            FROM c{n})
+      WHERE rn = 1)
+    """.strip()
+        )
+    for n in dup_ns:
+        parts.append(
+            f"""
+    cov{n} AS (
+      SELECT q.doc_id, COALESCE(sum(tp.l), 0) AS chars
+      FROM (SELECT DISTINCT g.doc_id, g.i + r.o AS p
+            FROM g{n} g
+            JOIN c{n} c USING (doc_id, gram)
+            CROSS JOIN range(0, {n}) r(o)
+            WHERE c.c > 1) q
+      JOIN tp ON q.doc_id = tp.doc_id AND q.p = tp.p
+      GROUP BY q.doc_id)
+    """.strip()
+        )
+    sel = [
+        "d.doc_id",
+        "sL.dup_frac AS dup_line_frac",
+        "sL.dup_char_frac AS dup_line_char_frac",
+        "sP.dup_frac AS dup_para_frac",
+        "sP.dup_char_frac AS dup_para_char_frac",
+    ]
+    joins = [
+        "FROM documents d",
+        "JOIN lined li USING (doc_id)",
+        "JOIN segmL sL USING (doc_id)",
+        "JOIN segmP sP USING (doc_id)",
+        "JOIN tchars tc USING (doc_id)",
+    ]
+    for n in top_ns:
+        sel.append(
+            f"round(COALESCE(t{n}.chars, 0)::DOUBLE"
+            f" / greatest(length(li.txt), 1), 9) AS top_{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN top{n} t{n} USING (doc_id)")
+    for n in dup_ns:
+        sel.append(
+            f"round(COALESCE(v{n}.chars, 0)::DOUBLE"
+            f" / greatest(tc.tok_chars, 1), 9) AS dup_{n}gram_char_frac"
+        )
+        joins.append(f"LEFT JOIN cov{n} v{n} USING (doc_id)")
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + "\nSELECT "
+        + ",\n       ".join(sel)
+        + "\n"
+        + "\n".join(joins)
+        + "\nORDER BY d.doc_id"
+    )
+
+
+@query("text_gopher_repetition", oracle=_gopher_rep_oracle())
+def text_gopher_repetition_q(spark, sf_dir):
+    """Gopher REPETITION rules (functions/text.py gopher_repetition):
+    duplicate line/paragraph (char) fractions, top-{2,3}-gram char
+    fraction, duplicate-{5,10}-gram coverage fraction. Documents are
+    reshaped into deterministic 3-token lines / 3-line paragraphs
+    (the corpus has no newlines); the operator under test is the
+    zero-shuffle HOF repetition analysis. The oracle recomputes every
+    metric relationally in DuckDB — independent formulation, same
+    defined outputs."""
+    from xorq_spark.functions.text import gopher_repetition, tokenize as tk
+
+    toks = tk(F.col("text"))  # noqa: shadows module tokenize on purpose
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_lines = F.floor((n + F.lit(2)) / F.lit(3)).cast("int")
+    lined = F.when(n > 0, F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.when(i == 0, F.lit("")).otherwise(
+                    F.when((i % 3) == 0, F.lit("\n\n")).otherwise(F.lit("\n"))
+                ),
+                F.array_join(F.slice(toks, i * 3 + 1, 3), " "),
+            ),
+        ),
+        "",
+    )).otherwise(F.lit(""))
+    docs = widen(t(spark, sf_dir, "documents")).select(
+        "doc_id", lined.alias("lined")
+    )
+    out = gopher_repetition(
+        docs,
+        text_col="lined",
+        id_col="doc_id",
+        para_sep="\n\n",
+        top_ns=(2, 3),
+        dup_ns=(5, 10),
+    )
+    return out.drop("passes").orderBy("doc_id")
+
+
 @query(
     "text_tfidf_topk",
     oracle=f"""

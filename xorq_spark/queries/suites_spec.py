@@ -206,6 +206,9 @@ SUITES: dict[str, list[str]] = {
         # + character-level long-verbatim-span detection
         "text_lm_perplexity",
         "dedup_dup_span_detect",
+        # round 4 (cont.): the Gopher REPETITION rule set (dup lines/
+        # paragraphs, top-n-gram and dup-n-gram char coverage)
+        "text_gopher_repetition",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
