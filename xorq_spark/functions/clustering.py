@@ -1,0 +1,259 @@
+"""Distributed clustering for embedding corpora: integer-exact KMeans
+and SemDeDup-style semantic deduplication (Abbas et al. 2023 — cluster
+the corpus, then prune near-duplicate neighbors within each cluster).
+
+Integer-exact design (same philosophy as functions/graph.py pagerank):
+float KMeans is not reproducible across engines — per-partition sum
+order perturbs centroid low bits, which flips assignments near cell
+boundaries. Here every vector is quantized to scaled int64 and SHIFTED
+to the non-negative domain (+scale), so
+
+- distances (invariant under the shift) are exact int64 sums,
+- centroid updates are order-independent integer sums with truncating
+  division (identical semantics to DuckDB's `//` on non-negatives),
+- the nearest-centroid tie breaks to the smallest cluster index,
+
+making the whole Lloyd iteration bit-reproducible and SQL-replayable:
+an external engine certifies every assignment. Quantization error is
+bounded by 1/scale per dimension — for corpus curation (coarse cells
+for SemDeDup / IVF) that is far below cell granularity.
+
+Scale notes (100 TB): each iteration is one broadcast of the k×d
+centroid table against the corpus (map-side assignment, NO shuffle)
+plus one (cluster, dim)-keyed map-side-combinable aggregation whose
+output is k×d rows. SemDeDup's pair pruning joins within cluster only
+— the cluster key bounds the self-join exactly like an LSH band
+bucket. k and d are pipeline constants; nothing driver-side grows
+with the corpus.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+DEFAULT_QUANT_SCALE = 10**6
+
+
+def _quantize_shift(vec, scale: int):
+    """floor(x*scale + 0.5) + scale per dimension: scaled int64,
+    shifted non-negative (assumes |x| <= 1, true for normalized or
+    bounded embeddings; values beyond the bound only cost headroom).
+    The floor(v + 0.5) form is the repo's proven engine-mirrored
+    rounding (see similarity.quantize_embedding)."""
+    return F.transform(
+        vec,
+        lambda x: (F.floor(x.cast("double") * scale + F.lit(0.5)))
+        .cast("long")
+        + F.lit(scale).cast("long"),
+    )
+
+
+def _sq_dist_int(a, b):
+    """Exact int64 squared L2 distance of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kmeans(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    scale: int = DEFAULT_QUANT_SCALE,
+    return_centroids: bool = False,
+):
+    """Integer-exact Lloyd KMeans. Returns (id_col, cluster) — the
+    final assignment after `iterations` rounds from deterministic
+    seeds (the k vectors with smallest (md5(id), id) — a hash-order
+    pseudo-random sample, reproducible everywhere).
+
+    Empty clusters drop out of later rounds (standard Lloyd variant);
+    cluster ids are seed ranks 0..k-1.
+
+    Exact recurrence (mirrored by the SQL oracle):
+      q(v)    = floor(v*scale + 0.5) + scale        per dimension
+      seeds   = k smallest by (md5(cast(id as string)), id)
+      assign  = argmin over centroids of sum((q_i-c_i)^2),
+                ties to smallest cluster index
+      update  = per-dim sum(q_i) DIV count          (truncating int
+                division == floor on the non-negative domain)
+    """
+    pts = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        _quantize_shift(F.col(vec_col), scale).alias("qv"),
+    ).where(F.col("qv").isNotNull())
+    pts = pts.localCheckpoint(eager=True)
+
+    # deterministic seeds: bounded k-row sort+limit (like the IVF
+    # fixed-centroid LIMIT-n pattern — never grows with the corpus)
+    seeds = (
+        pts.select(
+            "id", "qv", F.md5(F.col("id").cast("string")).alias("__h")
+        )
+        .orderBy("__h", "id")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    centroids = seeds.select(
+        (
+            F.row_number().over(Window.orderBy("__h", "id")) - 1
+        ).alias("cluster"),
+        F.col("qv").alias("cv"),
+    ).localCheckpoint(eager=True)
+
+    assigned = None
+    for _ in range(iterations):
+        # k×d ints — the bounded centroid collect of the IVF-fixed
+        # pattern (constant size, never grows with the corpus); as a
+        # literal the assignment is pure map-side, zero shuffle
+        rows = sorted(
+            (r["cluster"], list(r["cv"])) for r in centroids.collect()
+        )
+        if not rows:  # empty corpus: no seeds, well-defined empty result
+            assigned = pts.select(
+                "id", F.lit(0).cast("int").alias("cluster")
+            ).where(F.lit(False))
+            break
+        assigned = _assign(pts, rows)
+        centroids = _update(pts, assigned).localCheckpoint(eager=True)
+
+    out = assigned.select(F.col("id").alias(id_col), "cluster")
+    if return_centroids:
+        # the loop updates AFTER the final assignment, so `centroids`
+        # is the post-final-assignment update — certifiable downstream
+        return out, centroids
+    return out
+
+
+def _assign(pts: DataFrame, centroid_rows) -> DataFrame:
+    """Nearest centroid per point from a LITERAL centroid table
+    (constant-folded): per-row argmin over k structs, lexicographic
+    array_min for the deterministic (min dist, then min cluster)
+    tie-break. Map-side only — no shuffle on the corpus."""
+    ctr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cluster"),
+                F.array(
+                    *[F.lit(int(v)).cast("long") for v in cv]
+                ).alias("cv"),
+            )
+            for c, cv in centroid_rows
+        ]
+    )
+    best = F.array_min(
+        F.transform(
+            ctr,
+            lambda s: F.struct(
+                _sq_dist_int(F.col("qv"), s["cv"]).alias("d"),
+                s["cluster"].alias("cluster"),
+            ),
+        )
+    )
+    return pts.select("id", best["cluster"].alias("cluster"))
+
+
+def _update(pts: DataFrame, assigned: DataFrame) -> DataFrame:
+    """New centroids: one posexplode + (cluster, dim)-keyed
+    map-side-combinable sum, repacked to k×d arrays."""
+    return (
+        assigned.join(pts, "id")
+        .select("cluster", F.posexplode("qv").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+        .select(
+            "cluster", "dim", F.expr("s DIV c").cast("long").alias("v")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "v"))),
+                lambda st: st["v"],
+            ).alias("cv")
+        )
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 2,
+    tau: tuple = (1, 2),
+    sim_scale: int = 10**3,
+    kmeans_scale: int = DEFAULT_QUANT_SCALE,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): KMeans-cluster the corpus, then
+    within each cluster mark every point that has a LOWER-id neighbor
+    with cosine similarity >= tau as a semantic duplicate. Returns
+    (id_col, cluster, keep).
+
+    tau is a RATIONAL (num, den) and the test is all-integer:
+        dot > 0  AND  dot² · den² >= num² · ‖a‖² · ‖b‖²
+    over sim_scale-quantized vectors — no float enters the decision,
+    so the exact keep/drop set is engine-reproducible. sim_scale=1e3
+    keeps every term within int64 for |x|<=1 vectors up to ~2000 dims.
+
+    Scale: the pair join is keyed by cluster (bounded buckets, the LSH
+    band shape); everything else is the kmeans cost."""
+    num, den = tau
+    clusters = kmeans(
+        df, vec_col=vec_col, id_col=id_col, k=k,
+        iterations=iterations, scale=kmeans_scale,
+    )
+    q = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * sim_scale + F.lit(0.5))
+            .cast("long"),
+        ).alias("q"),
+    )
+    pts = clusters.withColumnRenamed(id_col, "id").join(q, "id").select(
+        "id", "cluster", "q",
+        F.aggregate(
+            F.transform(F.col("q"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n2"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("b.id") < F.col("a.id")),
+            "inner",
+        )
+        .where(
+            (dot > 0)
+            & (
+                dot * dot * F.lit(den * den)
+                >= F.lit(num * num) * F.col("a.n2") * F.col("b.n2")
+            )
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        pts.join(dups.withColumn("__dup", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "cluster",
+            F.coalesce(~F.col("__dup"), F.lit(True)).alias("keep"),
+        )
+    )

@@ -27,6 +27,7 @@ from xorq_spark.queries import similarity  # noqa: F401
 from xorq_spark.queries import ml  # noqa: F401
 from xorq_spark.queries import multimodal  # noqa: F401
 from xorq_spark.queries import graph  # noqa: F401
+from xorq_spark.queries import clustering  # noqa: F401
 from xorq_spark.queries import engine  # noqa: F401
 from xorq_spark.queries import streaming_queries  # noqa: F401
 

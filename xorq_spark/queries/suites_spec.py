@@ -238,6 +238,10 @@ SUITES: dict[str, list[str]] = {
         "sim_label_centroids",
         # round 4: semantic eval-set decontamination (broadcast eval)
         "sim_embedding_contamination",
+        # round 4 (cont.): integer-exact KMeans + SemDeDup semantic
+        # dedup (Abbas et al. 2023) — Lloyd rounds in shifted int64
+        "cluster_kmeans_int",
+        "cluster_semdedup",
     ],
     "suite_ml": [
         "ml_train_test_split",
