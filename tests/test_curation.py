@@ -425,3 +425,73 @@ class TestGopherRepetition:
         out = self._run(spark, [(1, "spam ham " * 50), (2, varied)])
         assert not out[1]["passes"]
         assert out[2]["passes"]
+
+
+class TestNBClassify:
+    """Multinomial NB classifier (functions/text.py nb_classify):
+    textbook counts verified by hand, tie-break, and train/score
+    separation with unseen-token fallback."""
+
+    def test_textbook_example(self, spark):
+        # classic 2-class toy: P(spam) favors doc with spam-y tokens
+        import math
+
+        train = spark.createDataFrame(
+            [
+                (1, "buy cheap pills", "spam"),
+                (2, "cheap pills now", "spam"),
+                (3, "meeting at noon", "ham"),
+                (4, "lunch meeting today", "ham"),
+            ],
+            "doc_id long, text string, lang string",
+        )
+        score = spark.createDataFrame(
+            [(10, "cheap pills"), (11, "meeting today")],
+            "doc_id long, text string",
+        )
+        from xorq_spark.functions.text import nb_classify
+
+        out = {
+            r["doc_id"]: r
+            for r in nb_classify(score, train_df=train).collect()
+        }
+        assert out[10]["pred"] == "spam"
+        assert out[11]["pred"] == "ham"
+        # hand-check doc 10 spam score: V=9 (buy cheap pills now
+        # meeting at noon lunch today), spam tokens=6, den=6+9=15;
+        # P(cheap|spam)=(2+1)/15, P(pills|spam)=(2+1)/15, prior=2/4
+        exp = (
+            round(math.log(2 / 4) * 1e9)
+            + round(math.log(3 / 15) * 1e9)
+            + round(math.log(3 / 15) * 1e9)
+        )
+        assert out[10]["score_nano"] == exp
+
+    def test_unseen_tokens_use_fallback(self, spark):
+        from xorq_spark.functions.text import nb_classify
+
+        train = spark.createDataFrame(
+            [(1, "alpha beta", "x"), (2, "gamma delta", "y")],
+            "doc_id long, text string, lang string",
+        )
+        score = spark.createDataFrame(
+            [(10, "zzz qqq")], "doc_id long, text string"
+        )
+        [r] = nb_classify(score, train_df=train).collect()
+        # all tokens unseen -> equal likelihoods, equal priors ->
+        # tie breaks to smallest class label
+        assert r["pred"] == "x"
+        assert r["n_tokens"] == 2
+
+    def test_empty_doc_gets_prior_argmax(self, spark):
+        from xorq_spark.functions.text import nb_classify
+
+        train = spark.createDataFrame(
+            [(1, "a", "x"), (2, "b", "y"), (3, "c", "y")],
+            "doc_id long, text string, lang string",
+        )
+        score = spark.createDataFrame(
+            [(10, "")], "doc_id long, text string"
+        )
+        [r] = nb_classify(score, train_df=train).collect()
+        assert r["pred"] == "y" and r["n_tokens"] == 0

@@ -923,3 +923,139 @@ def lm_score(
             "neg_avg_logprob",
         )
     )
+
+
+def nb_classify(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+    k: int = 1,
+    train_df=None,
+):
+    """Multinomial Naive Bayes text classifier — the fasttext-style
+    linear classifier shape CCNet/quality pipelines use for language
+    and quality filtering, as pure counting over tokens. Trains on
+    `train_df` (default: the scored corpus itself, self-supervised on
+    its own labels) and returns (id_col, pred, score_nano, n_tokens):
+    the argmax class and its UNNORMALIZED log-posterior in integer
+    nano-nats.
+
+    Model (add-k smoothing, engine-mirrorable):
+        P(c)   = n_docs_c / n_docs
+        P(w|c) = (count(w,c) + k) / (n_tok_c + k*V)
+        score(d,c) = ln P(c) + sum over occurrences of ln P(w|c)
+    Ties break to the lexicographically smallest class.
+
+    Determinism contract (the lm_score pattern): every ln term — the
+    prior, each seen (w,c) log-prob, and the per-class unseen-token
+    fallback ln(k/(n_tok_c+kV)) — is a ln of a rational of small ints,
+    rounded to 9 digits and quantized to BIGINT nano-nats; all sums
+    are integer, so accumulation order cannot perturb the argmax.
+
+    Scale: model = two map-side-combinable count shuffles over the
+    training tokens; scoring = ONE token-keyed join of the corpus
+    occurrences against the (w, class) table, then a (doc, class)
+    combinable aggregation; the per-class prior/fallback table is a
+    broadcast of |classes| rows. Unseen tokens never join — they are
+    accounted as (doc_len - matched) * fallback_c, so the grid stays
+    (docs × classes), never (docs × vocab)."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    tdf = df if train_df is None else train_df
+
+    train_base = tdf.select(
+        F.col(label_col).alias("__c"), toks.alias("__toks")
+    )
+    occ_t = train_base.select("__c", F.explode("__toks").alias("w"))
+    n_docs = train_base.agg(F.count(F.lit(1)).alias("nd"))
+    cls_docs = train_base.groupBy("__c").agg(F.count(F.lit(1)).alias("ndc"))
+    cls_toks = occ_t.groupBy("__c").agg(F.count(F.lit(1)).alias("ntc"))
+    vocab = occ_t.agg(F.count_distinct("w").alias("V"))
+
+    def _nano(x):
+        return F.round(F.log(x) * F.lit(1e9), 0).cast("long")
+
+    # per-class broadcast table: prior + unseen-token fallback
+    classes = (
+        cls_docs.join(cls_toks, "__c", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "__c",
+            _nano(
+                F.col("ndc").cast("double") / F.col("nd").cast("double")
+            ).alias("prior_nano"),
+            (F.coalesce(F.col("ntc"), F.lit(0)) + F.lit(k) * F.col("V"))
+            .alias("den"),
+        )
+        .select(
+            "__c",
+            "prior_nano",
+            _nano(F.lit(k).cast("double") / F.col("den").cast("double"))
+            .alias("lp0_nano"),
+            "den",
+        )
+    )
+    tok_cls = (
+        occ_t.groupBy("__c", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(classes.select("__c", "den"), "__c")
+        .select(
+            "__c",
+            "w",
+            _nano(
+                (F.col("cnt") + F.lit(k)).cast("double")
+                / F.col("den").cast("double")
+            ).alias("lp_nano"),
+        )
+    )
+
+    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
+    occ = base.select("__id", F.explode("__toks").alias("w"))
+    doc_len = base.select(
+        "__id", F.size("__toks").alias("n_tokens")
+    )
+    matched = (
+        occ.join(tok_cls, "w")
+        .groupBy("__id", "__c")
+        .agg(
+            F.sum("lp_nano").alias("msum"),
+            F.count(F.lit(1)).alias("mcnt"),
+        )
+    )
+    grid = (
+        doc_len.crossJoin(
+            F.broadcast(classes.select("__c", "prior_nano", "lp0_nano"))
+        )
+        .join(matched, ["__id", "__c"], "left")
+        .select(
+            "__id",
+            "__c",
+            "n_tokens",
+            (
+                F.col("prior_nano")
+                + F.coalesce(F.col("msum"), F.lit(0))
+                + (
+                    F.col("n_tokens")
+                    - F.coalesce(F.col("mcnt"), F.lit(0))
+                ).cast("long")
+                * F.col("lp0_nano")
+            ).alias("score_nano"),
+        )
+    )
+    best = grid.groupBy("__id").agg(
+        F.min(
+            F.struct(
+                (-F.col("score_nano")).alias("ns"), F.col("__c").alias("c")
+            )
+        ).alias("m"),
+        F.first("n_tokens").alias("n_tokens"),
+    )
+    return best.select(
+        F.col("__id").alias(id_col),
+        F.col("m.c").alias("pred"),
+        (-F.col("m.ns")).alias("score_nano"),
+        "n_tokens",
+    )

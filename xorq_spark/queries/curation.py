@@ -519,3 +519,66 @@ def dedup_dup_span_detect_q(spark, sf_dir):
 
     docs = widen(t(spark, sf_dir, "documents"))
     return dup_span_detect(docs, span=48, stride=16).orderBy("doc_id")
+
+
+@query(
+    "text_nb_classifier",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, {_TOKS_LOWER} AS toks FROM documents),
+    occ AS (SELECT doc_id, lang, unnest(toks) AS w FROM tk),
+    nd AS (SELECT count(*) AS nd FROM documents),
+    cd AS (SELECT lang, count(*) AS ndc FROM documents GROUP BY lang),
+    ct AS (SELECT lang, count(*) AS ntc FROM occ GROUP BY lang),
+    v AS (SELECT count(DISTINCT w) AS V FROM occ),
+    cls AS (
+      SELECT cd.lang,
+             CAST(round(ln(cd.ndc::DOUBLE / nd.nd) * 1e9, 0) AS BIGINT)
+               AS prior_nano,
+             CAST(COALESCE(ct.ntc, 0) + v.V AS BIGINT) AS den
+      FROM cd LEFT JOIN ct USING (lang), nd, v),
+    cls2 AS (
+      SELECT lang, prior_nano, den,
+             CAST(round(ln(1.0 / den) * 1e9, 0) AS BIGINT) AS lp0_nano
+      FROM cls),
+    tc AS (SELECT lang, w, count(*) AS cnt FROM occ GROUP BY lang, w),
+    lp AS (
+      SELECT tc.lang, tc.w,
+             CAST(round(ln((tc.cnt + 1)::DOUBLE / c.den) * 1e9, 0) AS BIGINT)
+               AS lp_nano
+      FROM tc JOIN cls2 c USING (lang)),
+    mt AS (
+      SELECT o.doc_id, l.lang,
+             CAST(sum(l.lp_nano) AS BIGINT) AS msum, count(*) AS mcnt
+      FROM occ o JOIN lp l ON o.w = l.w GROUP BY o.doc_id, l.lang),
+    dl AS (SELECT doc_id, COALESCE(len(toks), 0) AS n_tokens FROM tk),
+    grid AS (
+      SELECT dl.doc_id, c.lang, dl.n_tokens,
+             c.prior_nano + COALESCE(mt.msum, 0)
+               + (dl.n_tokens - COALESCE(mt.mcnt, 0)) * c.lp0_nano
+               AS score_nano
+      FROM dl CROSS JOIN cls2 c
+      LEFT JOIN mt ON mt.doc_id = dl.doc_id AND mt.lang = c.lang),
+    best AS (
+      SELECT doc_id, lang, score_nano, n_tokens,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_nano DESC, lang ASC) AS rn
+      FROM grid)
+    SELECT doc_id, lang AS pred,
+           CAST(score_nano AS BIGINT) AS score_nano,
+           CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM best WHERE rn = 1 ORDER BY doc_id
+    """,
+)
+def text_nb_classifier_q(spark, sf_dir):
+    """Multinomial Naive Bayes classifier (functions/text.py
+    nb_classify) self-trained on the corpus's language labels — the
+    fasttext-style linear-filter shape of CCNet quality/language
+    classification. All-integer nano-nat scoring (the lm_score
+    contract): the DuckDB oracle replays training counts, every
+    smoothed log-prob, the unseen-token fallback accounting, and the
+    argmax tie-break, so one mis-smoothed count anywhere flips the
+    hash."""
+    from xorq_spark.functions.text import nb_classify
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return nb_classify(docs).orderBy("doc_id")

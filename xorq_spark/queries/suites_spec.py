@@ -209,6 +209,8 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): the Gopher REPETITION rule set (dup lines/
         # paragraphs, top-n-gram and dup-n-gram char coverage)
         "text_gopher_repetition",
+        # + the NB classifier (fasttext-style quality/language filter)
+        "text_nb_classifier",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
