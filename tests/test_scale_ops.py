@@ -636,3 +636,54 @@ class TestWeightedSample:
         )
         out = weighted_sample(df, k=10, weight_col="w", unique_key="doc_id")
         assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_some_false_positives(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.sketches import bloom_build, bloom_probe
+
+        members = spark.range(50).select(F.col("id").alias("k"))
+        bf = bloom_build(members, "k", k=3, m=128)
+        probes = spark.range(1000).select(F.col("id").alias("k"))
+        # probe returns the key re-cast to string (the sketch key
+        # domain), same contract as count_min_estimate
+        out = {int(r["k"]): r["maybe_present"] for r in bloom_probe(bf, probes, "k", k=3, m=128).collect()}
+        # every member answers yes
+        assert all(out[i] for i in range(50))
+        # tiny m over 950 non-members must produce some false positives
+        fps = sum(1 for i in range(50, 1000) if out[i])
+        assert 0 < fps < 950
+
+    def test_merge_equals_direct(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.sketches import (
+            bloom_build,
+            bloom_merge,
+            bloom_probe,
+        )
+
+        df = spark.range(200).select(F.col("id").alias("k"))
+        whole = bloom_build(df, "k", k=4, m=512)
+        merged = bloom_merge(
+            bloom_build(df.where(F.col("k") % 2 == 0), "k", k=4, m=512),
+            bloom_build(df.where(F.col("k") % 2 == 1), "k", k=4, m=512),
+        )
+        assert sorted(r["bit"] for r in whole.collect()) == sorted(
+            r["bit"] for r in merged.collect()
+        )
+
+    def test_size_bounded_and_nulls_excluded(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.sketches import bloom_build, bloom_probe
+
+        df = spark.createDataFrame(
+            [(1,), (2,), (None,)], "k int"
+        )
+        bf = bloom_build(df, "k", k=8, m=16)
+        assert bf.count() <= 16
+        out = bloom_probe(bf, df, "k", k=8, m=16)
+        assert out.where(F.col("k").isNull()).count() == 0

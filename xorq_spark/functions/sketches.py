@@ -99,3 +99,89 @@ def count_min_estimate(
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_est"))
         .select(F.col("__k").alias(key_col), "cms_est")
     )
+
+
+def _bloom_bit(j_col, key_col, m: int):
+    """First 32 bits of md5('bf{j}|{key}') mod m — identical in DuckDB
+    as ('0x' || substr(md5('bf' || j || '|' || key), 1, 8))::BIGINT % m."""
+    h = F.md5(
+        F.concat(
+            F.lit("bf"),
+            j_col.cast("string"),
+            F.lit("|"),
+            key_col.cast("string"),
+        )
+    )
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % m).cast("long")
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    k: int = 4,
+    m: int = 8192,
+) -> DataFrame:
+    """Build a Bloom filter as a DataFrame of set bit positions
+    (bit BIGINT, distinct) over the values of `key_col` (nulls
+    excluded): k md5-derived hash functions per key. Output is bounded
+    by m rows regardless of input — the join-pruning membership sketch
+    next to the CMS frequency sketch and HLL distinct sketches.
+
+    Scale notes: at 100 TB the build is one explode×k + distinct whose
+    shuffle carries at most m bit positions per partition; the filter
+    table (≤ m rows) broadcasts for probe-side pruning (the manual
+    analog of the runtime bloom pruning Spark's AQE applies to shuffle
+    joins — here it is persistent, mergeable, and engine-replayable).
+    """
+    keyed = df.select(F.col(key_col).cast("string").alias("__k")).where(
+        F.col("__k").isNotNull()
+    )
+    return (
+        keyed.select(
+            "__k",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        )
+        .select(_bloom_bit(F.col("j"), F.col("__k"), m).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_merge(*filters: DataFrame) -> DataFrame:
+    """Union of set bits: merging partial filters built with the same
+    (k, m) reproduces the whole-corpus filter exactly."""
+    out = filters[0]
+    for f in filters[1:]:
+        out = out.unionByName(f)
+    return out.distinct()
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    k: int = 4,
+    m: int = 8192,
+) -> DataFrame:
+    """Membership probe: a key is maybe-present iff ALL k of its bits
+    are set. Bloom guarantee: NO false negatives; false-positive rate
+    ~(1 - e^{-kn/m})^k. Returns (key_col, maybe_present)."""
+    qb = (
+        keys.select(F.col(key_col).cast("string").alias("__k"))
+        .where(F.col("__k").isNotNull())
+        .distinct()
+        .select(
+            "__k",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+        )
+        .select("__k", _bloom_bit(F.col("j"), F.col("__k"), m).alias("bit"))
+    )
+    return (
+        qb.join(F.broadcast(bloom.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy("__k")
+        .agg(
+            (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(k)).alias(
+                "maybe_present"
+            )
+        )
+        .select(F.col("__k").alias(key_col), "maybe_present")
+    )

@@ -425,3 +425,83 @@ def agg_countmin(spark, sf_dir):
         )
         .orderBy("l_suppkey")
     )
+
+
+@query(
+    "agg_bloom_filter",
+    oracle="""
+    WITH memb AS (SELECT CAST(s_suppkey AS VARCHAR) AS k, s_suppkey
+                  FROM supplier WHERE s_nationkey = 1),
+    bits AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || '|' || k), 1, 8))::BIGINT
+          % 256 AS bit
+      FROM (SELECT k, unnest(range(0, 3)) AS j FROM memb)),
+    qk AS (SELECT DISTINCT l_suppkey, CAST(l_suppkey AS VARCHAR) AS k
+           FROM lineitem WHERE l_suppkey IS NOT NULL),
+    qbb AS (
+      SELECT l_suppkey,
+        ('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || '|' || k), 1, 8))::BIGINT
+          % 256 AS bit
+      FROM (SELECT l_suppkey, k, unnest(range(0, 3)) AS j FROM qk)),
+    pr AS (
+      SELECT qbb.l_suppkey,
+             (sum(CASE WHEN bits.bit IS NULL THEN 0 ELSE 1 END) = 3)
+               AS maybe_present
+      FROM qbb LEFT JOIN bits USING (bit)
+      GROUP BY qbb.l_suppkey)
+    SELECT pr.l_suppkey AS suppkey,
+           (m.s_suppkey IS NOT NULL) AS truly_in,
+           pr.maybe_present,
+           pr.maybe_present AS maybe_merged,
+           (m.s_suppkey IS NULL) OR pr.maybe_present AS no_false_negative
+    FROM pr LEFT JOIN (SELECT DISTINCT s_suppkey FROM memb) m
+      ON pr.l_suppkey = m.s_suppkey
+    ORDER BY suppkey
+    """,
+)
+def agg_bloom_filter(spark, sf_dir):
+    """Bloom filter as a DataFrame of set bit positions
+    (functions/sketches.py bloom_build/merge/probe) — the membership /
+    join-pruning sketch next to CMS (frequency) and HLL (distinct).
+    k=3 × m=256 over one nation's suppliers forces REAL false
+    positives when probing every lineitem supplier, so the oracle
+    certifies genuine Bloom behavior: every membership verdict, the
+    merge (two half-filters union to the direct filter exactly), and
+    the no-false-negative guarantee as an always-true column."""
+    from xorq_spark.functions.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    k, m = 3, 256
+    sup = t(spark, sf_dir, "supplier")
+    memb = sup.where(F.col("s_nationkey") == 1)
+    direct = bloom_build(memb, "s_suppkey", k, m)
+    merged = bloom_merge(
+        bloom_build(memb.where(F.col("s_suppkey") % 2 == 0), "s_suppkey", k, m),
+        bloom_build(memb.where(F.col("s_suppkey") % 2 == 1), "s_suppkey", k, m),
+    )
+    li = t(spark, sf_dir, "lineitem")
+    keys = li.select("l_suppkey").where(F.col("l_suppkey").isNotNull())
+    p1 = bloom_probe(direct, keys, "l_suppkey", k, m)
+    p2 = bloom_probe(merged, keys, "l_suppkey", k, m).select(
+        F.col("l_suppkey").alias("__k2"),
+        F.col("maybe_present").alias("maybe_merged"),
+    )
+    truth = memb.select("s_suppkey").distinct()
+    return (
+        p1.join(p2, F.col("l_suppkey") == F.col("__k2"))
+        .join(truth, F.col("l_suppkey") == F.col("s_suppkey"), "left")
+        .select(
+            F.col("l_suppkey").cast("long").alias("suppkey"),
+            F.col("s_suppkey").isNotNull().alias("truly_in"),
+            "maybe_present",
+            "maybe_merged",
+            (F.col("s_suppkey").isNull() | F.col("maybe_present")).alias(
+                "no_false_negative"
+            ),
+        )
+        .orderBy("suppkey")
+    )

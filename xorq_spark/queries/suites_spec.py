@@ -128,6 +128,9 @@ SUITES: dict[str, list[str]] = {
         "agg_hll_sketch",
         # round 4: engine-mirrored count-min sketch (heavy hitters)
         "agg_countmin_sketch",
+        # + Bloom membership filter (join pruning; no-false-negative
+        # guarantee certified as an always-true column)
+        "agg_bloom_filter",
     ],
     "suite_time_a": [
         "time_trunc_extract",
