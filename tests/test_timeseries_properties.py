@@ -101,3 +101,90 @@ def test_funnel_matches_sequential_min_model(spark, rows, within):
         assert g0 == t0
         assert (g1 is None) == (t1 is None) and (t1 is None or g1 == t1)
         assert (g2 is None) == (t2 is None) and (t2 is None or g2 == t2)
+
+
+class TestSCD2:
+    def test_basic_history(self, spark):
+        from datetime import datetime
+
+        from xorq_spark.functions.timeseries import scd2
+
+        rows = [
+            (1, datetime(2024, 1, 1), "a", 1),
+            (1, datetime(2024, 1, 2), "a", 2),   # unchanged -> collapsed
+            (1, datetime(2024, 1, 3), "b", 3),   # change
+            (1, datetime(2024, 1, 4), "a", 4),   # change back
+            (2, datetime(2024, 1, 1), "x", 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+        )
+        out = scd2(
+            df, ("user_id",), ("event_type",), "ts", ("event_id",)
+        ).collect()
+        h1 = sorted(
+            [r for r in out if r["user_id"] == 1], key=lambda r: r["version"]
+        )
+        assert [r["event_type"] for r in h1] == ["a", "b", "a"]
+        assert h1[0]["valid_from"] == datetime(2024, 1, 1)
+        assert h1[0]["valid_to"] == datetime(2024, 1, 3)
+        assert h1[1]["valid_to"] == datetime(2024, 1, 4)
+        assert h1[2]["valid_to"] is None and h1[2]["is_current"]
+        assert not h1[0]["is_current"] and not h1[1]["is_current"]
+        [h2] = [r for r in out if r["user_id"] == 2]
+        assert h2["version"] == 1 and h2["is_current"]
+
+    def test_null_attr_is_null_safe(self, spark):
+        from datetime import datetime
+
+        from xorq_spark.functions.timeseries import scd2
+
+        rows = [
+            (1, datetime(2024, 1, 1), None, 1),
+            (1, datetime(2024, 1, 2), None, 2),  # NULL->NULL: no change
+            (1, datetime(2024, 1, 3), "a", 3),   # NULL->a: change
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+        )
+        out = sorted(
+            scd2(df, ("user_id",), ("event_type",), "ts", ("event_id",)).collect(),
+            key=lambda r: r["version"],
+        )
+        assert len(out) == 2
+        assert out[0]["event_type"] is None
+        assert out[1]["event_type"] == "a"
+
+    def test_intervals_tile_timeline(self, spark):
+        """valid_to of version k == valid_from of version k+1; exactly
+        one current row per key."""
+        import random
+        from datetime import datetime, timedelta
+
+        from xorq_spark.functions.timeseries import scd2
+
+        rng = random.Random(11)
+        rows = []
+        eid = 0
+        for u in range(20):
+            t0 = datetime(2024, 1, 1)
+            for i in range(rng.randint(1, 15)):
+                eid += 1
+                rows.append(
+                    (u, t0 + timedelta(hours=i), rng.choice("abc"), eid)
+                )
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp_ntz, event_type string, event_id long"
+        )
+        out = scd2(df, ("user_id",), ("event_type",), "ts", ("event_id",)).collect()
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r["user_id"], []).append(r)
+        for u, hist in by_user.items():
+            hist.sort(key=lambda r: r["version"])
+            assert [r["version"] for r in hist] == list(range(1, len(hist) + 1))
+            assert sum(1 for r in hist if r["is_current"]) == 1
+            for a, b in zip(hist, hist[1:]):
+                assert a["valid_to"] == b["valid_from"]
+                # consecutive versions always differ in the tracked attr
+                assert a["event_type"] != b["event_type"]

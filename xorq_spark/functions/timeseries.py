@@ -200,3 +200,52 @@ def retention(
         )
         .agg(F.count_distinct(F.col(user_col)).alias("n_users"))
     )
+
+
+def scd2(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log (the
+    dbt-snapshot / CDC-compaction shape): per key, collapse consecutive
+    rows whose tracked attributes are unchanged, then emit one validity
+    interval per change with
+
+      valid_from = the change's timestamp
+      valid_to   = the next change's timestamp (NULL while current)
+      version    = 1-based change ordinal
+      is_current = valid_to IS NULL
+
+    Attribute comparison is null-safe (NULL -> NULL is "no change").
+    `order_cols` breaks timestamp ties deterministically (e.g. an
+    event id); zero-duration intervals from same-timestamp changes are
+    kept, matching warehouse SCD2 semantics.
+
+    Scale notes: two window passes over the SAME (key, ts, order)
+    partitioning — Spark plans one sort+shuffle keyed on `key_cols`
+    and reuses it for both lag (change detection) and lead/row_number
+    (interval stitching). Map-side combinable nothing-else: this is
+    the minimal one-shuffle shape for per-key history building."""
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    order = [ts_col, *order_cols]
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    marked = df.select(*keys, *attrs, *order).withColumn(
+        "__rn", F.row_number().over(w)
+    ).withColumn("__chg", changed)
+    ch = marked.where((F.col("__rn") == 1) | F.col("__chg"))
+    w2 = Window.partitionBy(*keys).orderBy(*[F.col(c) for c in order])
+    return ch.select(
+        *keys,
+        *attrs,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+        F.row_number().over(w2).cast("int").alias("version"),
+        F.lead(ts_col).over(w2).isNull().alias("is_current"),
+    )

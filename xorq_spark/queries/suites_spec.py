@@ -147,6 +147,9 @@ SUITES: dict[str, list[str]] = {
         "time_resample_ffill",
         "time_funnel_steps",
         "time_retention_cohorts",
+        # round 4 (cont.): SCD2 history builder (dbt-snapshot / CDC
+        # compaction shape, one-shuffle two-window plan)
+        "time_scd2_history",
     ],
     "suite_coll_a": [
         "coll_array_basics",

@@ -439,3 +439,48 @@ def time_retention(spark, sf_dir):
         "period_index",
         "n_users",
     ).orderBy("cohort_us", "period_index")
+
+
+@query(
+    "time_scd2_history",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+      FROM events),
+    ch AS (
+      SELECT user_id, ts, event_type, event_id FROM ord
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+    v AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS valid_to,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS version
+      FROM ch)
+    SELECT user_id, event_type, valid_from, valid_to,
+           CAST(version AS INT) AS version,
+           (valid_to IS NULL) AS is_current
+    FROM v ORDER BY user_id, version
+    """,
+)
+def time_scd2_history(spark, sf_dir):
+    """SCD2 history builder (functions/timeseries.py scd2) — the
+    dbt-snapshot / CDC-compaction shape: per-user event_type change
+    intervals with valid_from/valid_to/version/is_current. One
+    shuffle keyed on user_id, both window passes reuse the same sort.
+    Null-safe change detection and (ts, event_id) tie-break make the
+    history deterministic across engines."""
+    from xorq_spark.functions.timeseries import scd2
+
+    ev = t(spark, sf_dir, "events")
+    return scd2(
+        ev,
+        key_cols=("user_id",),
+        attr_cols=("event_type",),
+        ts_col="ts",
+        order_cols=("event_id",),
+    ).orderBy("user_id", "version")
