@@ -245,3 +245,55 @@ def test_embedding_contamination_flags_and_broadcast_side(spark):
     assert out[1]["max_eval_cosine"] == 1.0 and out[1]["contaminated"]
     assert out[2]["contaminated"] and out[2]["nearest_eval_id"] == 1
     assert not out[3]["contaminated"] and out[3]["max_eval_cosine"] == 0.0
+
+
+def test_asof_nearest_matches_merge_asof(trades_quotes):
+    trades, quotes = trades_quotes
+    got = (
+        asof_join(trades, quotes, on="t", by=["sym"], direction="nearest", right_prefix="q_")
+        .orderBy("sym", "t")
+        .toPandas()
+    )
+    expected = pd.merge_asof(
+        trades.toPandas().sort_values("t"),
+        quotes.toPandas().sort_values("t").rename(columns={"bid": "q_bid", "t": "q_t"}),
+        left_on="t",
+        right_on="q_t",
+        by="sym",
+        direction="nearest",
+    ).sort_values(["sym", "t"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["sym", "t", "q_bid", "q_t"]].reset_index(drop=True),
+        expected[["sym", "t", "q_bid", "q_t"]],
+        check_dtype=False,
+    )
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    # left t=5: right at 3 (dist 2) and 7 (dist 2) -> backward (3) wins
+    left = spark.createDataFrame(pd.DataFrame({"k": [1], "t": [5]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [3, 7], "v": [30, 70]})
+    )
+    got = asof_join(
+        left, right, on="t", by=["k"], direction="nearest", right_prefix="r_"
+    ).collect()
+    assert got[0]["r_v"] == 30 and got[0]["r_t"] == 3
+
+
+def test_asof_nearest_picks_closer_side_and_tolerance(spark):
+    left = spark.createDataFrame(pd.DataFrame({"k": [1, 1, 1], "t": [5, 18, 100]}))
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": [1, 1], "t": [8, 20], "v": [1, 2]})
+    )
+    got = {
+        r["t"]: r
+        for r in asof_join(
+            left, right, on="t", by=["k"], direction="nearest",
+            right_prefix="r_", tolerance=10,
+        ).collect()
+    }
+    assert got[5]["r_v"] == 1     # forward 8 (dist 3) beats nothing backward
+    assert got[18]["r_v"] == 2    # forward 20 (dist 2) beats backward 8 (10)
+    assert got[100]["r_v"] is None  # both beyond tolerance
+    assert got[100]["r_t"] is None

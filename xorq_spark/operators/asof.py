@@ -44,13 +44,21 @@ def asof_join(
     """For each left row, attach the nearest right row by `on` within `by`.
 
     direction='backward' matches right.on <= left.on (most recent prior);
-    'forward' matches right.on >= left.on (next). Right payload columns
-    (everything except `on`/`by`) are returned nullable, optionally
-    prefixed. `tolerance` (a Column-compatible interval/number) bounds
+    'forward' matches right.on >= left.on (next); 'nearest' matches the
+    closer of the two (ties prefer the backward match — deterministic,
+    pandas-merge_asof-compatible). Right payload columns (everything
+    except `on`/`by`) are returned nullable, optionally prefixed.
+    `tolerance` (a Column-compatible interval/number) bounds
     |left.on - right.on|.
+
+    'nearest' computes both candidates in the SAME union+window pass —
+    two frames (preceding / following) over one (by, on, side) sort, so
+    the cost stays one shuffle, identical to the directional joins.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward|forward|nearest, got {direction!r}"
+        )
     by = list(by or [])
 
     left_payload = [c for c in left.columns]
@@ -61,8 +69,10 @@ def asof_join(
         raise ValueError(f"right columns clash with left: {sorted(clash)}; pass right_prefix")
 
     # Side marker: for backward joins right must sort before left at equal
-    # `on` so the match is inclusive; for forward the reverse.
-    l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
+    # `on` so the match is inclusive; for forward the reverse. Nearest
+    # uses the backward layout: an equal-`on` right row is a distance-0
+    # backward match, and backward wins ties by definition.
+    l_side, r_side = (0, 1) if direction == "forward" else (1, 0)
 
     l_part = left.select(
         *[F.col(c) for c in by],
@@ -85,6 +95,59 @@ def asof_join(
         F.col(on).alias("__ron"),
     )
     unioned = l_part.unionByName(r_part)
+
+    if direction == "nearest":
+        base = Window.partitionBy(*by).orderBy(
+            F.col("__on").asc(), F.col("__side").asc()
+        )
+        wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        cand = (
+            unioned.withColumn(
+                "__mb", F.last(F.col("__rpay"), ignorenulls=True).over(wb)
+            )
+            .withColumn(
+                "__mbon", F.last(F.col("__ron"), ignorenulls=True).over(wb)
+            )
+            .withColumn(
+                "__mf", F.first(F.col("__rpay"), ignorenulls=True).over(wf)
+            )
+            .withColumn(
+                "__mfon", F.first(F.col("__ron"), ignorenulls=True).over(wf)
+            )
+        )
+        out = cand.filter(F.col("__side") == l_side)
+        if tolerance is not None:
+            far_b = (F.col("__on") - F.col("__mbon")) > tolerance
+            far_f = (F.col("__mfon") - F.col("__on")) > tolerance
+            out = (
+                out.withColumn("__mb", F.when(~far_b, F.col("__mb")))
+                .withColumn("__mbon", F.when(~far_b, F.col("__mbon")))
+                .withColumn("__mf", F.when(~far_f, F.col("__mf")))
+                .withColumn("__mfon", F.when(~far_f, F.col("__mfon")))
+            )
+        choose_b = F.col("__mf").isNull() | (
+            F.col("__mb").isNotNull()
+            & (
+                (F.col("__on") - F.col("__mbon"))
+                <= (F.col("__mfon") - F.col("__on"))
+            )
+        )
+        out = out.withColumn(
+            "__m", F.when(choose_b, F.col("__mb")).otherwise(F.col("__mf"))
+        ).withColumn(
+            "__mon",
+            F.when(choose_b, F.col("__mbon")).otherwise(F.col("__mfon")),
+        )
+        cols = [F.col("__lpay")[c].alias(c) for c in left_payload]
+        cols += [F.col("__m")[c].alias(out_right[c]) for c in right_payload]
+        if right_prefix:
+            cols.append(
+                F.when(F.col("__m").isNotNull(), F.col("__mon")).alias(
+                    right_prefix + on
+                )
+            )
+        return out.select(*cols)
 
     if direction == "backward":
         w = (

@@ -292,3 +292,44 @@ def join_range_binned(spark, sf_dir):
     return out.select(
         "purchase_id", "click_id", "p_user", "c_user"
     ).orderBy("purchase_id", "click_id")
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type <> 'signup'),
+    s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup'),
+    b AS (SELECT e.event_id, s.ts AS bts FROM e
+          ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts),
+    f AS (SELECT e.event_id, s.ts AS fts FROM e
+          ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts <= s.ts)
+    SELECT e.event_id, e.user_id, e.ts,
+           CASE WHEN f.fts IS NULL THEN b.bts
+                WHEN b.bts IS NULL THEN f.fts
+                WHEN (e.ts - b.bts) <= (f.fts - e.ts) THEN b.bts
+                ELSE f.fts END AS nearest_ts
+    FROM e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+    ORDER BY e.event_id
+    """,
+)
+def join_asof_nearest_q(spark, sf_dir):
+    """Nearest-direction as-of join (operators/asof.py): each event
+    matched to the user's CLOSEST signup in either direction, ties to
+    the prior one (pandas merge_asof 'nearest' semantics). Both
+    candidates come from one union + two window frames over a single
+    (user_id, ts, side) sort — still exactly one shuffle. The DuckDB
+    oracle composes its native backward+forward ASOF joins and picks
+    the closer."""
+    ev = t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        left, right, on="ts", by=["user_id"],
+        direction="nearest", right_prefix="signup_",
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("signup_ts").alias("nearest_ts")
+    ).orderBy("event_id")

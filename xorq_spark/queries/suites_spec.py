@@ -180,6 +180,9 @@ SUITES: dict[str, list[str]] = {
         "join_asof_backward",
         "join_positional",
         "join_range_binned",
+        # round 4 (cont.): nearest-direction as-of (pandas-compatible,
+        # one shuffle, two frames over one sort)
+        "join_asof_nearest",
     ],
     "suite_text": [
         "text_token_counts",
