@@ -396,3 +396,49 @@ def test_streaming_countmin_maintenance(spark, events_dir, tmp_path):
         for r in count_min_estimate(streamed, keys, "k", depth, width).collect()
     }
     assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_streaming_bloom_maintenance(spark, events_dir, tmp_path):
+    """Incremental membership filter: each micro-batch builds a bounded
+    bit table and unions it into a persisted Bloom filter — streaming
+    join-pruning that never grows past m bits. The merged filter must
+    equal a batch-built filter over all data (union-distinct is exact),
+    and members must always probe true (no false negatives ever)."""
+    import os
+
+    from xorq_spark.functions.sketches import (
+        bloom_build,
+        bloom_merge,
+        bloom_probe,
+    )
+
+    k, m = 3, 64
+    bf_dir, ckpt = str(tmp_path / "bloom"), str(tmp_path / "ckpt")
+
+    def update_filter(df, batch_id):
+        part = bloom_build(df, "k", k, m)
+        if os.path.isdir(bf_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(bf_dir)
+        ):
+            prev = spark.read.parquet(bf_dir)
+            merged = bloom_merge(prev, part)
+        else:
+            merged = part
+        staged = merged.collect()
+        spark.createDataFrame(staged, "bit long").write.mode(
+            "overwrite"
+        ).parquet(bf_dir)
+
+    stream = S.read_stream_parquet(
+        spark, events_dir, "k string, ts timestamp, v double"
+    )
+    S.stream_foreach_batch(stream, update_filter, ckpt)
+
+    streamed = spark.read.parquet(bf_dir)
+    batch = bloom_build(spark.read.parquet(events_dir), "k", k, m)
+    assert sorted(r["bit"] for r in streamed.collect()) == sorted(
+        r["bit"] for r in batch.collect()
+    )
+    keys = spark.read.parquet(events_dir).select("k").distinct()
+    probed = bloom_probe(streamed, keys, "k", k, m)
+    assert probed.where(~F.col("maybe_present")).count() == 0
