@@ -54,6 +54,14 @@ HEADLINE = [
     # (model-build shuffles + bigram-keyed scoring join)
     "graph_pagerank_parts",
     "text_lm_perplexity",
+    # round 4, second batch: Gopher repetition rules (zero-shuffle HOF
+    # scan), integer-exact KMeans + SemDeDup (iterative + bounded
+    # cluster-keyed pair join), NB classifier (token-keyed scoring
+    # join), SCD2 history (one-shuffle two-window)
+    "text_gopher_repetition",
+    "cluster_semdedup",
+    "text_nb_classifier",
+    "time_scd2_history",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —
