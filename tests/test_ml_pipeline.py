@@ -152,3 +152,51 @@ def test_log_loss_known_value(spark):
     [r] = df.agg(log_loss(F.col("p"), F.col("y")).alias("ll")).collect()
     expect = -(math.log(0.8) + math.log(0.7)) / 2
     assert abs(r["ll"] - expect) < 1e-12
+
+
+class TestLeakageSafeSplit:
+    def test_near_dups_share_split(self, spark):
+        from xorq_spark.ml.split import leakage_safe_split
+
+        base = (
+            "the quick brown fox jumps over the lazy dog while many "
+            "sleepy cats watch from the old wooden fence near the "
+            "river bank every single morning without fail"
+        )
+        rows = [
+            (1, base),
+            (2, base.replace("river", "lake")),      # near-dup of 1
+            (3, base.replace("morning", "evening")), # near-dup of 1
+            (10, "completely different text about database engines"),
+            (11, "another unrelated document concerning space travel"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in leakage_safe_split(df).collect()}
+        # the dup cluster shares one group and therefore one split
+        assert out[1]["group_id"] == out[2]["group_id"] == out[3]["group_id"] == 1
+        assert out[1]["split"] == out[2]["split"] == out[3]["split"]
+        # singletons group to themselves
+        assert out[10]["group_id"] == 10 and out[11]["group_id"] == 11
+
+    def test_split_matches_plain_hash_on_group(self, spark):
+        """The split label is exactly calc_split_column applied to the
+        group id — group-level determinism, not a new RNG."""
+        import pyspark.sql.functions as F
+
+        from xorq_spark.ml.split import calc_split_column, leakage_safe_split
+
+        df = spark.createDataFrame(
+            [(i, f"unique document number {i} with its own words {i*7}") for i in range(40)],
+            "doc_id long, text string",
+        )
+        out = leakage_safe_split(df).collect()
+        expect = {
+            r["doc_id"]: r["split"]
+            for r in df.select(
+                "doc_id",
+                calc_split_column("doc_id", [0.25, 0.75], 10000, ["test", "train"]).alias("split"),
+            ).collect()
+        }
+        for r in out:
+            if r["group_id"] == r["doc_id"]:  # singleton: same as plain
+                assert r["split"] == expect[r["doc_id"]]

@@ -6,6 +6,7 @@ from xorq_spark.ml.split import (
     expr_kfold_column,
     expr_split_column,
     kfold_column,
+    leakage_safe_split,
     make_deterministic_sort_key,
     train_test_splits,
 )
@@ -63,6 +64,7 @@ __all__ = [
     "calc_split_column",
     "make_deterministic_sort_key",
     "train_test_splits",
+    "leakage_safe_split",
     "kfold_column",
     "accuracy",
     "mse",

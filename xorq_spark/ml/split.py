@@ -156,3 +156,57 @@ def make_deterministic_sort_key(expr, random_seed: int = 0):
     salted = Func("concat", (concat, Lit(str(random_seed))))
     key = Deferred(Func("md5", (salted,)))
     return expr.mutate(**{key_name: key}).order_by(key_name), key_name
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    test_sizes: Sequence[float] = (0.25, 0.75),
+    labels: Sequence[str] = ("test", "train"),
+    num_buckets: int = 10000,
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate-aware train/test split: the classic
+    train-eval contamination guard. A plain per-document hash split
+    puts near-copies of the same text on BOTH sides of the boundary,
+    leaking eval content into training; here the split key is the
+    document's near-dup GROUP (MinHash-LSH pairs -> connected
+    components -> min-id canonical), so every member of a duplicate
+    cluster lands in the same partition by construction.
+
+    Returns (id_col, group_id, split). Deterministic end to end:
+    minhash, banding, components, and the Knuth-mix bucket hash are
+    all pure functions of the text/ids.
+
+    Scale: exactly the certified near-dedup pipeline (digest-only
+    shuffles, bucket-local pair generation, O(log^2 n)
+    star-contraction components) plus one hash expression — no new
+    shuffle beyond the components it already computes."""
+    from xorq_spark.functions.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        df, text_col, id_col,
+        num_hashes=num_hashes, bands=bands, k=k, threshold=threshold,
+    )
+    comp = connected_components(pairs, "id_a", "id_b").select(
+        F.col("node").alias("__node"), F.col("component").alias("__comp")
+    )
+    grouped = (
+        df.select(F.col(id_col))
+        .join(comp, F.col(id_col) == F.col("__node"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("__comp"), F.col(id_col)).alias("group_id"),
+        )
+    )
+    return grouped.withColumn(
+        "split",
+        calc_split_column("group_id", list(test_sizes), num_buckets, labels),
+    )

@@ -190,3 +190,65 @@ def ml_metrics_auc_q(spark, sf_dir):
         (F.col("label") >= 5).cast("int").alias("y"),
     )
     return roc_auc(emb, "score", "y")
+
+
+def _leakage_split_oracle() -> str:
+    from xorq_spark.queries.dedup import _BANDS, _SHINGLES, _SIG
+
+    return f"""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd FROM documents),
+    h AS (SELECT doc_id, shd,
+                 list_transform(shd, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT
+                   % 2147483647) AS hs
+          FROM s),
+    sig AS (SELECT doc_id, shd, {_SIG} AS sig FROM h),
+    banded AS (
+      SELECT doc_id, shd,
+             unnest(range(0, 4)) AS band,
+             unnest({_BANDS}) AS bkey
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.shd, sb.shd))::DOUBLE
+            / len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.2),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component_id
+      FROM reach GROUP BY u),
+    g AS (
+      SELECT d.doc_id, COALESCE(c.component_id, d.doc_id) AS group_id
+      FROM documents d LEFT JOIN comp c USING (doc_id))
+    SELECT doc_id, group_id,
+           CASE WHEN {_hash_sql('group_id')} % 10000 < 2500 THEN 'test'
+                ELSE 'train' END AS split
+    FROM g ORDER BY doc_id
+    """
+
+
+@query("ml_leakage_safe_split", oracle=_leakage_split_oracle())
+def ml_leakage_safe_split_q(spark, sf_dir):
+    """Near-duplicate-aware train/test split (ml/split.py
+    leakage_safe_split): split key = the document's near-dup group
+    (certified MinHash-LSH -> connected-components pipeline), so a
+    duplicate cluster can never straddle the train/eval boundary. The
+    oracle replays pairs, the transitive closure, the group fallback,
+    and the Knuth-mix bucket hash."""
+    from xorq_spark.ml.split import leakage_safe_split
+
+    docs = t(spark, sf_dir, "documents")
+    return leakage_safe_split(docs).orderBy("doc_id")

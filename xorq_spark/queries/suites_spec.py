@@ -261,6 +261,9 @@ SUITES: dict[str, list[str]] = {
         "ml_metrics_regression",
         "ml_metrics_prf",
         "ml_metrics_auc",
+        # round 4 (cont.): near-duplicate-aware split (contamination
+        # guard: dup clusters never straddle train/eval)
+        "ml_leakage_safe_split",
     ],
     "suite_multimodal": [
         "mm_extract_features",
