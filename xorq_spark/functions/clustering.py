@@ -83,45 +83,50 @@ def kmeans(
       update  = per-dim sum(q_i) DIV count          (truncating int
                 division == floor on the non-negative domain)
     """
+    # No checkpoint: pts is a narrow quantize-projection over the
+    # source scan — re-deriving it per pass is a column-pruned parquet
+    # read, cheaper than a materialization job at any size (AQE handles
+    # post-shuffle widths; lineage stays two nodes deep, no growth).
     pts = df.select(
         F.col(id_col).cast("long").alias("id"),
         _quantize_shift(F.col(vec_col), scale).alias("qv"),
     ).where(F.col("qv").isNotNull())
-    pts = pts.localCheckpoint(eager=True)
 
-    # deterministic seeds: bounded k-row sort+limit (like the IVF
-    # fixed-centroid LIMIT-n pattern — never grows with the corpus)
-    seeds = (
+    # deterministic seeds: bounded k-row sort+limit collected straight
+    # to (cluster, cv) literals (the IVF fixed-centroid LIMIT-n
+    # pattern — k×d ints, never grows with the corpus). Centroids are
+    # collected as literals every round anyway, so no intermediate
+    # DataFrame/checkpoint round-trip.
+    seed_rows = (
         pts.select(
             "id", "qv", F.md5(F.col("id").cast("string")).alias("__h")
         )
         .orderBy("__h", "id")
         .limit(k)
+        .collect()
     )
-    from pyspark.sql import Window
+    rows = [(c, list(r["qv"])) for c, r in enumerate(seed_rows)]
 
-    centroids = seeds.select(
-        (
-            F.row_number().over(Window.orderBy("__h", "id")) - 1
-        ).alias("cluster"),
-        F.col("qv").alias("cv"),
-    ).localCheckpoint(eager=True)
-
-    assigned = None
-    for _ in range(iterations):
-        # k×d ints — the bounded centroid collect of the IVF-fixed
-        # pattern (constant size, never grows with the corpus); as a
-        # literal the assignment is pure map-side, zero shuffle
-        rows = sorted(
-            (r["cluster"], list(r["cv"])) for r in centroids.collect()
-        )
+    assigned, centroids = None, None
+    for it in range(iterations):
         if not rows:  # empty corpus: no seeds, well-defined empty result
             assigned = pts.select(
                 "id", F.lit(0).cast("int").alias("cluster")
             ).where(F.lit(False))
+            centroids = df.sparkSession.createDataFrame(
+                [], "cluster int, cv array<bigint>"
+            )
             break
         assigned = _assign(pts, rows)
-        centroids = _update(pts, assigned).localCheckpoint(eager=True)
+        # the post-final-assignment update is only consumed by
+        # return_centroids callers — skip its shuffle otherwise
+        if it < iterations - 1:
+            rows = sorted(
+                (r["cluster"], list(r["cv"]))
+                for r in _update(pts, assigned).collect()
+            )
+        elif return_centroids:
+            centroids = _update(pts, assigned).localCheckpoint(eager=True)
 
     out = assigned.select(F.col("id").alias(id_col), "cluster")
     if return_centroids:
@@ -182,6 +187,39 @@ def _update(pts: DataFrame, assigned: DataFrame) -> DataFrame:
     )
 
 
+def _cluster_dups_gemm(pts: DataFrame, num: int, den: int) -> DataFrame:
+    """Duplicate ids via one exact int64 GEMM per cluster
+    (applyInPandas): G = Q·Qᵀ gives every within-cluster dot at BLAS
+    speed; the rational-cosine test and the lower-triangle (lower id
+    wins) rule vectorize over the matrix. Numerically IDENTICAL to the
+    relational path — all int64, no float — so certified results don't
+    depend on which path ran. The standard SemDeDup shape: per-cluster
+    matrices must fit a task (pick k so corpus/k is bounded — same
+    contract as any LSH bucket)."""
+    import pandas as pd
+
+    def f(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": np.array([], dtype=np.int64)})
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        Q = np.vstack(pdf["q"].to_numpy()[order]).astype(np.int64)
+        n2 = (Q * Q).sum(axis=1)
+        G = Q @ Q.T
+        cond = (G > 0) & (
+            G * G * (den * den) >= (num * num) * np.outer(n2, n2)
+        )
+        dup = np.tril(cond, -1).any(axis=1)
+        return pd.DataFrame({"id": ids[dup]})
+
+    return pts.select("cluster", "id", "q").groupBy("cluster").applyInPandas(
+        f, "id long"
+    )
+
+
 def semdedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -191,6 +229,7 @@ def semdedup(
     tau: tuple = (1, 2),
     sim_scale: int = 10**3,
     kmeans_scale: int = DEFAULT_QUANT_SCALE,
+    pairs: str = "gemm",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): KMeans-cluster the corpus, then
     within each cluster mark every point that has a LOWER-id neighbor
@@ -226,29 +265,43 @@ def semdedup(
             lambda a, x: a + x,
         ).alias("n2"),
     )
-    a, b = pts.alias("a"), pts.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dups = (
-        a.join(
+    # materialize ONCE before the self-join: both sides would otherwise
+    # re-embed (and re-plan) the whole kmeans assignment lineage —
+    # standard practice before any self-join on a derived frame
+    pts = pts.localCheckpoint(eager=True)
+    if pairs == "gemm":
+        dups = _cluster_dups_gemm(pts, num, den).distinct()
+    else:
+        a, b = pts.alias("a"), pts.alias("b")
+        dot = F.aggregate(
+            F.zip_with(F.col("a.q"), F.col("b.q"), lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        # project the dot ONCE before filtering: higher-order functions
+        # are interpreted (not codegen'd), and an expression repeated in
+        # the predicate is re-evaluated per occurrence — measured ~2x
+        cand = a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
             & (F.col("b.id") < F.col("a.id")),
             "inner",
+        ).select(
+            F.col("a.id").alias("id"),
+            dot.alias("__dot"),
+            (F.col("a.n2") * F.col("b.n2")).alias("__nn"),
         )
-        .where(
-            (dot > 0)
-            & (
-                dot * dot * F.lit(den * den)
-                >= F.lit(num * num) * F.col("a.n2") * F.col("b.n2")
+        dups = (
+            cand.where(
+                (F.col("__dot") > 0)
+                & (
+                    F.col("__dot") * F.col("__dot") * F.lit(den * den)
+                    >= F.lit(num * num) * F.col("__nn")
+                )
             )
+            .select("id")
+            .distinct()
         )
-        .select(F.col("a.id").alias("id"))
-        .distinct()
-    )
     return (
         pts.join(dups.withColumn("__dup", F.lit(True)), "id", "left")
         .select(
