@@ -383,3 +383,36 @@ def test_grouped_having_and_mutate(spark):
 
     # size alias
     assert t.group_by("k").size().order_by("k").execute(spark)["count"].tolist() == [2, 2, 1]
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """ORC source/sink: schema-declared deferred read builds without
+    files; write -> read -> identical rows; direct-path Spark SQL scan
+    (orc.`path`) matches the DataFrame lowering."""
+    from xorq_spark.expr.api import memtable, read_orc
+    from xorq_spark.sql_compile import to_sql
+
+    path = str(tmp_path / "t.orc")
+    src = memtable([(1, "a"), (2, "b"), (3, None)], schema="id bigint, s string")
+    src.to_orc(path, spark=spark)
+
+    # deferred read with declared schema: plan builds with no session
+    e = read_orc(path, schema="id bigint, s string")
+    assert e.schema() is not None
+    got = sorted(
+        (r["id"], r["s"]) for r in e.to_spark(spark).collect()
+    )
+    assert got == [(1, "a"), (2, "b"), (3, None)]
+
+    # inferred-schema read
+    e2 = read_orc(path)
+    assert sorted((r["id"], r["s"]) for r in e2.to_spark(spark).collect()) == got
+
+    # filter pushes into the scan like parquet
+    filtered = e.filter(_.id >= 2)
+    assert filtered.count(spark) == 2
+
+    # direct-path SQL
+    sql = to_sql(e)
+    assert "orc." in sql
+    assert sorted((r["id"], r["s"]) for r in spark.sql(sql).collect()) == got

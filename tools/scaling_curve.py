@@ -41,6 +41,12 @@ OPS = [
     "dedup_incremental_vs_index",
     "graph_pagerank_parts",
     "text_lm_perplexity",
+    "text_gopher_repetition",
+    "cluster_semdedup",
+    "text_nb_classifier",
+    "time_scd2_history",
+    "join_asof_nearest",
+    "ml_leakage_safe_split",
 ]
 
 

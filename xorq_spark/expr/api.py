@@ -29,6 +29,7 @@ from xorq_spark.expr.deferred import (
 __all__ = [
     "_", "asc", "desc", "case", "literal", "param", "memtable", "table",
     "deferred_read_parquet", "deferred_read_csv", "deferred_read_json",
+    "deferred_read_orc", "read_orc",
     "read_parquet", "read_csv", "read_json", "register", "row_number",
 ]
 
@@ -79,6 +80,12 @@ def deferred_read_json(path, schema=None, table_name: Optional[str] = None, **op
     )
 
 
+def deferred_read_orc(path, schema=None, table_name: Optional[str] = None) -> Expr:
+    """Deferred ORC read — same contract as deferred_read_parquet
+    (schema-declared plans build without touching files)."""
+    return Expr(N.ReadORC(_paths(path), _ddl(schema), table_name))
+
+
 def deferred_read_delta(path, version: Optional[int] = None, table_name: Optional[str] = None) -> Expr:
     """Deferred Delta Lake read (gated: needs delta-spark at execution;
     graph construction is always allowed)."""
@@ -88,6 +95,7 @@ def deferred_read_delta(path, version: Optional[int] = None, table_name: Optiona
 read_parquet = deferred_read_parquet
 read_csv = deferred_read_csv
 read_json = deferred_read_json
+read_orc = deferred_read_orc
 read_delta = deferred_read_delta
 
 

@@ -104,6 +104,11 @@ def lower(
         if node.schema:
             r = r.schema(schema_to_struct(node.schema))
         return r.json(list(node.paths))
+    if isinstance(node, N.ReadORC):
+        r = spark.read
+        if node.schema:
+            r = r.schema(schema_to_struct(node.schema))
+        return r.orc(*node.paths)
     if isinstance(node, N.ReadDelta):
         r = spark.read.format("delta")
         if node.version is not None:
@@ -765,6 +770,19 @@ class Expr:
     def to_json(self, path: str, spark=None, params=None, mode: str = "overwrite", **options):
         self.to_spark(spark, params).write.mode(mode).options(**options).json(path)
 
+    def to_orc(
+        self, path: str, spark=None, params=None, mode: str = "overwrite",
+        partition_by=None, **options,
+    ):
+        """ORC sink (columnar; same partition-pruning layout story as
+        to_parquet)."""
+        w = self.to_spark(spark, params).write.mode(mode).options(**options)
+        if partition_by:
+            w = w.partitionBy(*(
+                [partition_by] if isinstance(partition_by, str) else list(partition_by)
+            ))
+        w.orc(path)
+
     def to_delta(
         self, path: str, spark=None, params=None, mode: str = "append",
         partition_by=(),
@@ -898,7 +916,7 @@ class LsAccessor:
     def source_nodes(self) -> tuple:
         return tuple(
             n for n in N.walk(self.expr.node)
-            if isinstance(n, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.Memtable, N.TableRef, N.UnboundTable))
+            if isinstance(n, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.ReadORC, N.Memtable, N.TableRef, N.UnboundTable))
         )
 
     @property

@@ -49,6 +49,17 @@ class ReadJSON(RNode):
 
 
 @dataclass(frozen=True)
+class ReadORC(RNode):
+    """ORC file read — Spark ships the ORC datasource in core, so this
+    format costs nothing to support (columnar, predicate-pushdown
+    capable like parquet)."""
+
+    paths: Tuple[str, ...]
+    schema: Optional[str] = None
+    table_name: Optional[str] = None
+
+
+@dataclass(frozen=True)
 class ReadDelta(RNode):
     """Delta Lake table dir (reference: read_delta, backend.py:688).
     Requires the delta-spark package at lowering time (gated — not in

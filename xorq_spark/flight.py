@@ -46,7 +46,7 @@ def unbind(expr: Expr, name: str = "input") -> Expr:
     import dataclasses
 
     def rewrite(node: N.RNode) -> N.RNode:
-        if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.Memtable, N.TableRef)):
+        if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.ReadORC, N.Memtable, N.TableRef)):
             schema = getattr(node, "schema", None) or ""
             return N.UnboundTable(name, schema or "")
         changes = {}

@@ -43,7 +43,7 @@ def _tuple_refs(t) -> Set[str]:
 
 
 def _leaf_label(node: N.RNode) -> str:
-    if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON)):
+    if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.ReadORC)):
         return node.table_name or node.paths[0]
     if isinstance(node, N.Memtable):
         return node.name or f"memtable:{node.token}"
@@ -62,7 +62,7 @@ def column_lineage(expr, spark=None) -> Lineage:
         return Expr(node, getattr(expr, "_spark", None)).to_spark(spark).columns
 
     def rec(node: N.RNode) -> Lineage:
-        if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.Memtable,
+        if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.ReadORC, N.Memtable,
                              N.TableRef, N.UnboundTable)):
             label = _leaf_label(node)
             return {c: {(label, c)} for c in leaf_cols(node)}

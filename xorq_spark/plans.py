@@ -75,7 +75,7 @@ def replace_sources(expr: Expr, mapping: dict) -> Expr:
                     updates[attr] = nv
         if updates:
             node = dataclasses.replace(node, **updates)
-        if isinstance(node, (nodes.ReadParquet, nodes.ReadCSV, nodes.ReadJSON)):
+        if isinstance(node, (nodes.ReadParquet, nodes.ReadCSV, nodes.ReadJSON, nodes.ReadORC)):
             new_paths = tuple(map_path(p) for p in node.paths)
             if new_paths != node.paths:
                 node = dataclasses.replace(node, paths=new_paths)

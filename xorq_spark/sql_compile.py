@@ -321,7 +321,7 @@ def static_columns(node: N.RNode) -> Optional[list]:
     opaque construct blocks it. Mirrors the lowering's column order."""
     if isinstance(node, (N.CachedNode, N.CacheTag, N.Tag)):
         return static_columns(node.parent)
-    if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON)):
+    if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.ReadORC)):
         return _ddl_names(node.schema)
     if isinstance(node, (N.Memtable, N.UnboundTable)):
         return _ddl_names(node.schema)
@@ -382,6 +382,9 @@ def rel_sql(node: N.RNode, depth: int = 0) -> str:
         return rel_sql(node.parent, depth)
     if isinstance(node, N.ReadParquet):
         scans = [f"SELECT * FROM parquet.{_q(p)}" for p in node.paths]
+        return " UNION ALL ".join(scans)
+    if isinstance(node, N.ReadORC):
+        scans = [f"SELECT * FROM orc.{_q(p)}" for p in node.paths]
         return " UNION ALL ".join(scans)
     if isinstance(node, (N.ReadCSV, N.ReadJSON)):
         if node.table_name:

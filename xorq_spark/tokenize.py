@@ -26,7 +26,7 @@ from xorq_spark.expr.deferred import PyUDF, VNode
 
 
 def _source_paths(node: N.RNode) -> tuple:
-    if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON)):
+    if isinstance(node, (N.ReadParquet, N.ReadCSV, N.ReadJSON, N.ReadORC)):
         return node.paths
     return ()
 
