@@ -505,3 +505,40 @@ def agg_bloom_filter(spark, sf_dir):
         )
         .orderBy("suppkey")
     )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT GROUPING(o_orderstatus) AS g_st,
+           GROUPING(o_orderpriority) AS g_pr,
+           o_orderstatus, o_orderpriority,
+           count(*) AS n,
+           CAST(SUM(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_large
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority), ())
+    ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the third grouping-extension next to
+    the certified ROLLUP/CUBE: arbitrary subtotal combinations in ONE
+    pass over the fact table (Spark expands sets into a single
+    Expand+partial-agg plan — no N scans). GROUPING() markers
+    disambiguate 'subtotal' from genuine NULL keys on both engines."""
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT GROUPING(o_orderstatus) AS g_st,
+               GROUPING(o_orderpriority) AS g_pr,
+               o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(SUM(CASE WHEN o_totalprice >= 100000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_large
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority), ())
+        ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
+    """)

@@ -125,6 +125,7 @@ SUITES: dict[str, list[str]] = {
         "agg_filtered_where",
         "agg_rollup",
         "agg_cube",
+        "agg_grouping_sets",
         "agg_hll_sketch",
         # round 4: engine-mirrored count-min sketch (heavy hitters)
         "agg_countmin_sketch",
