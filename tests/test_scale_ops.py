@@ -687,3 +687,35 @@ class TestBloomFilter:
         assert bf.count() <= 16
         out = bloom_probe(bf, df, "k", k=8, m=16)
         assert out.where(F.col("k").isNull()).count() == 0
+
+
+class TestCorpusReport:
+    def test_hand_built_corpus(self, spark):
+        import math
+
+        from xorq_spark.functions import corpus_report
+
+        rows = [
+            (1, "a b c", "en", "web"),
+            (2, "a b c", "en", "web"),      # exact dup of 1
+            (3, "d e f g", "fr", "web"),
+            (4, "h i", "en", "book"),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        out = {r["source"]: r for r in corpus_report(df).collect()}
+        web = out["web"]
+        assert web["n_docs"] == 3 and web["total_tokens"] == 10
+        # two of three docs participate in an exact-dup group
+        assert web["dup_rate"] == pytest.approx(round(2 / 3, 9))
+        assert web["n_langs"] == 2 and web["top_lang"] == "en"
+        p = [2 / 3, 1 / 3]
+        exp_ent = round(
+            sum(round(-x * math.log(x) * 1e9) for x in p) / 1e9, 9
+        )
+        assert web["lang_entropy"] == pytest.approx(exp_ent, abs=1e-9)
+        book = out["book"]
+        assert book["n_docs"] == 1 and book["dup_rate"] == 0.0
+        assert book["lang_entropy"] == 0.0
+        assert book["p50_chars"] == 3.0

@@ -1059,3 +1059,104 @@ def nb_classify(
         (-F.col("m.ns")).alias("score_nano"),
         "n_tokens",
     )
+
+
+def corpus_report(
+    df,
+    text_col: str = "text",
+    source_col: str = "source",
+    lang_col: str = "lang",
+):
+    """Per-source corpus health report — the daily dashboard a curation
+    pipeline runs before training: volume (docs, tokens), length shape
+    (char quartiles), language mix (count, top language, Shannon
+    entropy), and the exact-duplicate rate within each source.
+
+    Returns one row per source:
+      (source, n_docs, total_tokens, mean_tokens,
+       p25_chars, p50_chars, p75_chars,
+       n_langs, top_lang, lang_entropy, dup_rate)
+
+    Determinism: quartiles via exact interpolated percentile (the
+    proven quantile_cont contract); entropy accumulates per-language
+    -p·ln(p) terms as nano-int BIGINTs (the lm_score contract — sums
+    of rounded doubles are order-sensitive, integer sums are not);
+    top_lang ties break to the lexicographically largest (struct-max).
+
+    Scale: three source-keyed combinable aggregations over one scan
+    shape + two small joins; the (source, lang) and (source, digest)
+    intermediates are map-side combinable, output is |sources| rows."""
+    toks_n = token_count(F.col(text_col))
+    base = df.select(
+        F.col(source_col).alias("source"),
+        F.col(lang_col).alias("lang"),
+        toks_n.alias("__nt"),
+        F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__nc"),
+        F.md5(F.coalesce(F.col(text_col), F.lit(""))).alias("__dg"),
+    )
+    vol = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").cast("long").alias("total_tokens"),
+        F.round(F.avg(F.col("__nt").cast("double")), 9).alias("mean_tokens"),
+        F.round(F.percentile(F.col("__nc").cast("double"), 0.25), 9).alias(
+            "p25_chars"
+        ),
+        F.round(F.percentile(F.col("__nc").cast("double"), 0.5), 9).alias(
+            "p50_chars"
+        ),
+        F.round(F.percentile(F.col("__nc").cast("double"), 0.75), 9).alias(
+            "p75_chars"
+        ),
+    )
+    lc = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lang_stats = (
+        lc.join(vol.select("source", "n_docs"), "source")
+        .select(
+            "source",
+            "lang",
+            "c",
+            F.round(
+                -(F.col("c").cast("double") / F.col("n_docs"))
+                * F.log(F.col("c").cast("double") / F.col("n_docs"))
+                * F.lit(1e9),
+                0,
+            ).cast("long").alias("__e_nano"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.struct(F.col("c"), F.col("lang"))).alias("__top"),
+            F.round(
+                F.sum("__e_nano").cast("double") / F.lit(1e9), 9
+            ).alias("lang_entropy"),
+        )
+        .select(
+            "source", "n_langs", F.col("__top.lang").alias("top_lang"),
+            "lang_entropy",
+        )
+    )
+    dg = base.groupBy("source", "__dg").agg(F.count(F.lit(1)).alias("c"))
+    dup = dg.groupBy("source").agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("__dup_docs")
+    )
+    return (
+        vol.join(lang_stats, "source")
+        .join(dup, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "mean_tokens",
+            "p25_chars",
+            "p50_chars",
+            "p75_chars",
+            "n_langs",
+            "top_lang",
+            "lang_entropy",
+            F.round(
+                F.col("__dup_docs").cast("double") / F.col("n_docs"), 9
+            ).alias("dup_rate"),
+        )
+    )

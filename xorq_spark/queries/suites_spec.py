@@ -205,6 +205,9 @@ SUITES: dict[str, list[str]] = {
         # round 4: Efraimidis-Spirakis weighted sampling (deterministic
         # md5-derived uniform draws, exact selection certified)
         "text_weighted_sample",
+        # round 4 (cont.): per-source corpus health report (volume,
+        # quartiles, lang entropy, dup rate)
+        "text_corpus_report",
     ],
     "suite_curation": [
         "text_line_dedup",

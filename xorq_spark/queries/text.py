@@ -601,3 +601,61 @@ def text_weighted_sample_q(spark, sf_dir):
     return out.select("lang", "doc_id", "sample_score", "sample_rank").orderBy(
         "lang", "sample_rank"
     )
+
+
+@query(
+    "text_corpus_report",
+    oracle=f"""
+    WITH base AS (
+      SELECT source, lang,
+             COALESCE(len({_TOKS}), 0) AS nt,
+             length(COALESCE(text, '')) AS nc,
+             md5(COALESCE(text, '')) AS dg
+      FROM documents),
+    vol AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS total_tokens,
+             round(avg(CAST(nt AS DOUBLE)), 9) AS mean_tokens,
+             round(quantile_cont(CAST(nc AS DOUBLE), 0.25), 9) AS p25_chars,
+             round(quantile_cont(CAST(nc AS DOUBLE), 0.5), 9) AS p50_chars,
+             round(quantile_cont(CAST(nc AS DOUBLE), 0.75), 9) AS p75_chars
+      FROM base GROUP BY source),
+    lc AS (SELECT source, lang, count(*) AS c FROM base GROUP BY source, lang),
+    ls AS (
+      SELECT lc.source,
+             count(*) AS n_langs,
+             round(CAST(sum(CAST(round(
+               -(lc.c::DOUBLE / v.n_docs) * ln(lc.c::DOUBLE / v.n_docs) * 1e9,
+               0) AS BIGINT)) AS DOUBLE) / 1e9, 9) AS lang_entropy
+      FROM lc JOIN vol v USING (source) GROUP BY lc.source),
+    top AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY c DESC, lang DESC) AS rn
+        FROM lc) WHERE rn = 1),
+    dg AS (SELECT source, dg, count(*) AS c FROM base GROUP BY source, dg),
+    dup AS (
+      SELECT source,
+             CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_docs
+      FROM dg GROUP BY source)
+    SELECT v.source, v.n_docs, v.total_tokens, v.mean_tokens,
+           v.p25_chars, v.p50_chars, v.p75_chars,
+           ls.n_langs, top.top_lang, ls.lang_entropy,
+           round(dup.dup_docs::DOUBLE / v.n_docs, 9) AS dup_rate
+    FROM vol v
+    JOIN ls ON v.source = ls.source
+    JOIN top ON v.source = top.source
+    JOIN dup ON v.source = dup.source
+    ORDER BY v.source
+    """,
+)
+def text_corpus_report_q(spark, sf_dir):
+    """Per-source corpus health report (functions/text.py
+    corpus_report): volume, length quartiles, language mix + Shannon
+    entropy (nano-int accumulation), exact-duplicate rate. Three
+    source-keyed combinable aggregations; output is |sources| rows."""
+    from xorq_spark.functions.text import corpus_report
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return corpus_report(docs).orderBy("source")
