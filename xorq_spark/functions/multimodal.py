@@ -358,3 +358,102 @@ def resize_images(assets: DataFrame, box: int = 64) -> DataFrame:
     return with_dims.select(
         "asset_id", "payload", "out_width", "out_height"
     ).mapInPandas(batches, RESIZED_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_sq", LongType()),
+        StructField("n_zero_cross", LongType()),
+        StructField("pcm_sha256", StringType()),
+    ]
+)
+
+
+def synth_wav_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic WAV fixture generator: for each id, a real PCM
+    16-bit WAV whose interleaved samples follow the closed form
+    ``s(id, n) = ((id*31 + 11*n) mod 4001) - 2000`` with
+    ``frames = 64 + id%33``, ``channels = 1 + id%2`` and
+    ``rate = 8000 + (id%3)*4000``. Same certification trick as
+    synth_png_assets: the SQL oracle recomputes sums/energy/zero
+    crossings from the formula while Spark recovers them from the
+    DECODED bytes — a broken RIFF walk or PCM unpack cannot
+    hash-match."""
+    from xorq_spark.functions.audiocodec import wav_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, rates, durs = [], [], []
+            for i in pdf[id_col].tolist():
+                ch = 1 + i % 2
+                frames = 64 + i % 33
+                rate = 8000 + (i % 3) * 4000
+                n = frames * ch
+                samples = [((i * 31 + 11 * k) % 4001) - 2000 for k in range(n)]
+                payloads.append(wav_encode(samples, rate, ch, 2))
+                rates.append(rate)
+                durs.append(frames * 1000 // rate)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "width": pd.array([None] * len(payloads), dtype="Int32"),
+                    "height": pd.array([None] * len(payloads), dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def decode_audio_stats(assets: DataFrame) -> DataFrame:
+    """REAL audio decode: walk each payload's RIFF chunks, unpack PCM,
+    and emit integer-exact DSP features (sum, energy, zero crossings)
+    plus the raw-PCM digest. Arrow-batched mapInPandas, no shuffle —
+    scan-speed over any corpus of audio blobs."""
+    from xorq_spark.functions.audiocodec import audio_features, decode_audio
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, ch, sw, samples = decode_audio(bytes(payload))
+                f = audio_features(samples)
+                import struct as _struct
+
+                pcm = _struct.pack("<%dh" % len(samples), *samples)
+                rows.append(
+                    (
+                        aid,
+                        rate,
+                        ch,
+                        f["n_samples"],
+                        f["sum_samples"],
+                        f["sum_sq"],
+                        f["n_zero_cross"],
+                        hashlib.sha256(pcm).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "sample_rate",
+                    "channels",
+                    "n_samples",
+                    "sum_samples",
+                    "sum_sq",
+                    "n_zero_cross",
+                    "pcm_sha256",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, AUDIO_STATS_SCHEMA
+    )

@@ -277,6 +277,9 @@ SUITES: dict[str, list[str]] = {
         # against closed-form oracles
         "mm_decode_png_stats",
         "mm_resize_decoded",
+        # round 4 (cont.): REAL audio — pure-stdlib RIFF/PCM decode
+        # certified against closed-form sample oracles
+        "mm_decode_wav_stats",
     ],
     "suite_engine_a": [
         "engine_filter_agg",
