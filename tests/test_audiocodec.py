@@ -124,3 +124,64 @@ def test_decode_audio_stats_spark(spark):
         assert r["sum_sq"] == f["sum_sq"]
         assert r["n_zero_cross"] == f["n_zero_cross"]
         assert len(r["pcm_sha256"]) == 64
+
+
+class TestAviCodec:
+    def test_roundtrip_with_padding(self):
+        from xorq_spark.functions.audiocodec import avi_encode, decode_video
+
+        w, h = 5, 3  # row = 15 bytes -> 1 pad byte
+        stride = 16
+        frames = [
+            bytes((f * 7 + i) % 256 for i in range(stride * h))
+            for f in range(3)
+        ]
+        payload = avi_encode(frames, w, h, fps=12)
+        gw, gh, gfps, got = decode_video(payload)
+        assert (gw, gh, gfps) == (w, h, 12)
+        assert got == frames
+
+    def test_compressed_fourcc_gated(self):
+        import struct as s
+
+        from xorq_spark.functions.audiocodec import avi_encode, decode_video
+
+        payload = bytearray(avi_encode([bytes(16 * 3)], 5, 3))
+        idx = payload.index(b"DIB ")
+        payload[idx : idx + 4] = b"MJPG"
+        with pytest.raises(NotImplementedError, match="MJPG"):
+            decode_video(bytes(payload))
+
+    def test_frame_pixel_sums_skips_padding(self):
+        from xorq_spark.functions.audiocodec import frame_pixel_sums
+
+        w, h = 1, 2  # row 3 bytes + 1 pad
+        frame = bytes([1, 2, 3, 255, 4, 5, 6, 255])
+        assert frame_pixel_sums(frame, w, h) == (5, 7, 9)
+
+
+def test_decode_video_stats_spark(spark):
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.multimodal import (
+        decode_video_stats,
+        synth_avi_assets,
+    )
+
+    ids = spark.range(5).select(F.col("id").alias("asset_id"))
+    rows = decode_video_stats(synth_avi_assets(ids)).collect()
+    for r in rows:
+        i, f, w, h = r["asset_id"], r["frame_idx"], r["width"], r["height"]
+        assert (w, h) == (4 + i % 5, 3 + i % 4)
+        for cname, coff in (("sum_b", 0), ("sum_g", 17), ("sum_r", 34)):
+            exp = sum(
+                (i * 13 + 7 * f + 3 * x + 5 * y + coff) % 256
+                for x in range(w)
+                for y in range(h)
+            )
+            assert r[cname] == exp
+    # frame counts per asset
+    import collections
+
+    cnt = collections.Counter(r["asset_id"] for r in rows)
+    assert all(cnt[i] == 2 + i % 3 for i in range(5))

@@ -112,3 +112,111 @@ def audio_features(samples) -> dict:
         "sum_sq": sum(s * s for s in samples),
         "n_zero_cross": zc,
     }
+
+
+# --- AVI (RIFF) video: uncompressed-DIB frames --------------------------
+#
+# AVI shares the RIFF container with WAV, so the same chunk walk reads
+# it. We support the honest subset a pure-stdlib codec can: 24-bit
+# uncompressed DIB ('00db') frames. Compressed fourccs (MJPG/H264/...)
+# raise NotImplementedError naming the codec, like the audio gates.
+
+
+def avi_encode(frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Encode a list of frames (each `bytes` of BGR24, bottom-up row
+    order, rows padded to 4 bytes — the DIB convention) as an
+    uncompressed AVI."""
+    row = width * 3
+    pad = (-row) % 4
+    stride = row + pad
+    fsize = stride * height
+    for f in frames:
+        if len(f) != fsize:
+            raise ValueError(f"frame must be {fsize} bytes (got {len(f)})")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, fsize * fps, 0, 0x10, len(frames), 0, 1, fsize,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(frames), fsize, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, fsize, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_video(payload: bytes):
+    """(width, height, fps, frames) from an uncompressed-DIB AVI;
+    frames are BGR24 bytes in the stored (bottom-up, padded) layout.
+    Compressed streams raise NotImplementedError naming the fourcc."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI stream")
+
+    def walk(buf, pos, end):
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)
+
+    width = height = fps = None
+    frames = []
+    for cid, off, size in walk(payload, 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])):
+        if cid != b"LIST":
+            continue
+        kind = payload[off : off + 4]
+        if kind == b"hdrl":
+            for c2, o2, s2 in walk(payload, off + 4, off + size):
+                if c2 == b"avih":
+                    vals = struct.unpack("<IIIIIIIIIIIIII", payload[o2 : o2 + 56])
+                    fps = 1_000_000 // vals[0] if vals[0] else 0
+                    width, height = vals[8], vals[9]
+                elif c2 == b"LIST" and payload[o2 : o2 + 4] == b"strl":
+                    for c3, o3, s3 in walk(payload, o2 + 4, o2 + s2):
+                        if c3 == b"strh":
+                            fourcc = payload[o3 + 4 : o3 + 8]
+                            if fourcc not in (b"DIB ", b"\x00\x00\x00\x00"):
+                                raise NotImplementedError(
+                                    f"video fourcc {fourcc!r} requires a "
+                                    "codec library; only uncompressed DIB "
+                                    "is built in"
+                                )
+        elif kind == b"movi":
+            for c2, o2, s2 in walk(payload, off + 4, off + size):
+                if c2 in (b"00db", b"00dc"):
+                    frames.append(payload[o2 : o2 + s2])
+    if width is None:
+        raise ValueError("missing hdrl/avih")
+    return width, height, fps, frames
+
+
+def frame_pixel_sums(frame: bytes, width: int, height: int) -> tuple:
+    """(sum_b, sum_g, sum_r) over a stored DIB frame, skipping the row
+    padding — integer-exact, certifiable."""
+    row = width * 3
+    stride = row + ((-row) % 4)
+    sb = sg = sr = 0
+    for y in range(height):
+        base = y * stride
+        r = frame[base : base + row]
+        sb += sum(r[0::3])
+        sg += sum(r[1::3])
+        sr += sum(r[2::3])
+    return sb, sg, sr

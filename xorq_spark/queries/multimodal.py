@@ -283,3 +283,48 @@ def mm_decode_wav_stats(spark, sf_dir):
     )
     assets = synth_wav_assets(ids)
     return decode_audio_stats(assets).drop("pcm_sha256").orderBy("asset_id")
+
+
+@query(
+    "mm_decode_avi_frames",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id,
+             4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents WHERE doc_id < 64),
+    fr AS (SELECT asset_id, w, h, unnest(range(0, nf)) AS f FROM ids),
+    px AS (
+      SELECT asset_id, w, h, f, x, unnest(range(0, h)) AS y
+      FROM (SELECT asset_id, w, h, f, unnest(range(0, w)) AS x FROM fr))
+    SELECT asset_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(sum((asset_id*13 + 7*f + 3*x + 5*y) % 256) AS BIGINT) AS sum_b,
+           CAST(sum((asset_id*13 + 7*f + 3*x + 5*y + 17) % 256) AS BIGINT) AS sum_g,
+           CAST(sum((asset_id*13 + 7*f + 3*x + 5*y + 34) % 256) AS BIGINT) AS sum_r
+    FROM px
+    GROUP BY asset_id, f, w, h
+    ORDER BY asset_id, frame_idx
+    """,
+)
+def mm_decode_avi_frames(spark, sf_dir):
+    """REAL video decode (functions/audiocodec.py avi/DIB): walk the
+    RIFF tree of genuine uncompressed AVI files, recover every frame,
+    and emit per-frame integer channel sums (DIB row padding
+    excluded — an off-by-one in the stride shows immediately). The
+    DuckDB oracle recomputes each frame's sums from the closed-form
+    pixel formula. Compressed fourccs stay honestly gated."""
+    from xorq_spark.functions.multimodal import (
+        decode_video_stats,
+        synth_avi_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 64
+    )
+    return decode_video_stats(synth_avi_assets(ids)).orderBy(
+        "asset_id", "frame_idx"
+    )

@@ -280,6 +280,7 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): REAL audio — pure-stdlib RIFF/PCM decode
         # certified against closed-form sample oracles
         "mm_decode_wav_stats",
+        "mm_decode_avi_frames",
     ],
     "suite_engine_a": [
         "engine_filter_agg",
