@@ -719,3 +719,39 @@ class TestCorpusReport:
         assert book["n_docs"] == 1 and book["dup_rate"] == 0.0
         assert book["lang_entropy"] == 0.0
         assert book["p50_chars"] == 3.0
+
+
+class TestUrlNormalize:
+    def test_rules(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.text import url_normalize
+
+        cases = [
+            # case folding + www + default port + tracking + sort + frag
+            ("HTTPS://WWW.News.Example.com:443/a/1?utm_source=x&b=2&a=1#f",
+             "https://news.example.com/a/1?a=1&b=2"),
+            ("https://news.example.com/a/1?a=1&b=2",
+             "https://news.example.com/a/1?a=1&b=2"),
+            ("HTTP://HOST.COM:80/b", "http://host.com/b"),
+            ("http://www.host.com/b/", "http://host.com/b"),
+            # non-default port kept; https :80 kept
+            ("https://host.com:80/x", "https://host.com:80/x"),
+            ("http://host.com:8080/x", "http://host.com:8080/x"),
+            # tracking-only query drops the '?' entirely
+            ("https://h.com/x?gclid=1", "https://h.com/x"),
+            # bare host, trailing slash off
+            ("https://h.com/", "https://h.com"),
+            # no scheme: passthrough (trimmed)
+            ("  not a url  ", "not a url"),
+            (None, ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, u) for i, (u, _) in enumerate(cases)], "i int, u string"
+        )
+        got = {
+            r["i"]: r["n"]
+            for r in df.select("i", url_normalize(F.col("u")).alias("n")).collect()
+        }
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, (i, got[i], want)

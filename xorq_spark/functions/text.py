@@ -1160,3 +1160,49 @@ def corpus_report(
             ).alias("dup_rate"),
         )
     )
+
+
+# Tracking parameters stripped by url_normalize (the C4/CCNet-style
+# canonicalization list: analytics noise that splits duplicate URLs).
+URL_TRACKING_PARAM_RE = r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)="
+
+
+def url_normalize(url: Column) -> Column:
+    """Canonical URL for crawl-level dedup — the FIRST pass of a web
+    corpus pipeline (C4/CCNet dedup by URL before any text compare):
+
+    - scheme and host lowercased, leading ``www.`` dropped
+    - default ports stripped (``:80`` for http, ``:443`` for https)
+    - fragment dropped
+    - tracking query params dropped (URL_TRACKING_PARAM_RE), the rest
+      SORTED so param order doesn't split duplicates
+    - trailing ``/`` normalized off the path (bare host keeps none)
+
+    Pure JVM expression (regex extracts + one small array sort per
+    URL) — scan-speed, zero shuffle, and the same regex steps run in
+    external engines (no lookaheads), so the canonical key is
+    engine-reproducible."""
+    u = F.trim(F.coalesce(url, F.lit("")))
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(
+        (scheme == "http") & host.endswith(":80"),
+        F.regexp_replace(host, r":80$", ""),
+    ).when(
+        (scheme == "https") & host.endswith(":443"),
+        F.regexp_replace(host, r":443$", ""),
+    ).otherwise(host)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_PARAM_RE),
+        )
+    )
+    qs = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(F.lit(""))
+    return F.when(scheme == "", u).otherwise(
+        F.concat(scheme, F.lit("://"), host, path, qs)
+    )

@@ -208,6 +208,8 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): per-source corpus health report (volume,
         # quartiles, lang entropy, dup rate)
         "text_corpus_report",
+        # + canonical-URL dedup key (the crawl pipeline's first pass)
+        "text_url_normalize",
     ],
     "suite_curation": [
         "text_line_dedup",

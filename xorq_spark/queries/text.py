@@ -659,3 +659,83 @@ def text_corpus_report_q(spark, sf_dir):
 
     docs = widen(t(spark, sf_dir, "documents"))
     return corpus_report(docs).orderBy("source")
+
+
+_RAW_URL = """
+      CASE doc_id % 6
+        WHEN 0 THEN 'HTTPS://WWW.' || source || '.Example.com:443/a/'
+                    || CAST(doc_id % 7 AS VARCHAR)
+                    || '?utm_source=x&b=2&a=1#frag'
+        WHEN 1 THEN 'https://' || source || '.example.com/a/'
+                    || CAST(doc_id % 7 AS VARCHAR) || '?a=1&b=2'
+        WHEN 2 THEN 'HTTP://' || source || '.EXAMPLE.com:80/b'
+        WHEN 3 THEN 'http://www.' || source || '.example.com/b/'
+        WHEN 4 THEN 'https://cdn.' || source || '.example.com/x?gclid=123'
+        ELSE 'not a url at all ' || CAST(doc_id % 3 AS VARCHAR)
+      END
+"""
+
+
+@query(
+    "text_url_normalize",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, trim({_RAW_URL}) AS u FROM documents),
+    parts AS (
+      SELECT doc_id, u,
+             lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS hostport,
+             regexp_replace(
+               regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+               '/+$', '') AS path,
+             regexp_extract(u, '\\?([^#]*)', 1) AS query
+      FROM raw),
+    hosts AS (
+      SELECT doc_id, u, scheme, path, query,
+             CASE WHEN scheme = 'http'
+                    AND regexp_replace(hostport, '^www\\.', '') LIKE '%:80'
+                  THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':80$', '')
+                  WHEN scheme = 'https'
+                    AND regexp_replace(hostport, '^www\\.', '') LIKE '%:443'
+                  THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''), ':443$', '')
+                  ELSE regexp_replace(hostport, '^www\\.', '') END AS host
+      FROM parts),
+    normed AS (
+      SELECT doc_id,
+             CASE WHEN scheme = '' THEN u ELSE
+               scheme || '://' || host || path ||
+               CASE WHEN len(kept) > 0
+                    THEN '?' || array_to_string(kept, '&') ELSE '' END
+             END AS url_norm
+      FROM (SELECT *,
+                   list_sort(list_filter(str_split(query, '&'),
+                     p -> p <> '' AND NOT regexp_matches(p,
+                       '^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=')))
+                     AS kept
+            FROM hosts))
+    SELECT doc_id, url_norm,
+           count(*) OVER (PARTITION BY url_norm) AS n_same_url
+    FROM normed ORDER BY doc_id
+    """,
+)
+def text_url_normalize_q(spark, sf_dir):
+    """Canonical-URL dedup key (functions/text.py url_normalize) — the
+    crawl pipeline's first dedup pass (C4/CCNet dedup by URL before
+    any text compare): case folding, www/default-port stripping,
+    fragment drop, tracking-param removal, query-param sorting. The
+    synthesized raw URLs cover every rule (cases 0/1 and 2/3 collapse
+    to the same canonical URL); n_same_url certifies the actual dedup
+    value, not just string cosmetics."""
+    from pyspark.sql import Window
+
+    from xorq_spark.functions.text import url_normalize
+
+    raw = F.expr(f"trim({_RAW_URL.replace('AS VARCHAR', 'AS STRING')})")
+    docs = widen(t(spark, sf_dir, "documents"))
+    return (
+        docs.select("doc_id", url_normalize(raw).alias("url_norm"))
+        .withColumn(
+            "n_same_url",
+            F.count(F.lit(1)).over(Window.partitionBy("url_norm")),
+        )
+        .orderBy("doc_id")
+    )
