@@ -755,3 +755,39 @@ class TestUrlNormalize:
         }
         for i, (_, want) in enumerate(cases):
             assert got[i] == want, (i, got[i], want)
+
+
+class TestHtmlToText:
+    def test_extraction_rules(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.text import html_to_text
+
+        cases = [
+            ("<p>hello <b>world</b></p>", "hello world"),
+            # script/style payloads must NOT leak
+            ("<script>var a = 'SECRET';</script><p>ok</p>", "ok"),
+            ("<style>p{color:red}</style>visible", "visible"),
+            ("<!-- SECRET -->shown", "shown"),
+            # block tags become line breaks, inline tags spaces
+            ("<p>one</p><p>two</p>", "one\ntwo"),
+            ("a<br>b", "a\nb"),
+            ("<ul><li>x</li><li>y</li></ul>", "x\ny"),
+            # entities
+            ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39;&nbsp;f",
+             "a & b <c> \"d\" 'e' f"),
+            # whitespace collapse
+            ("  lots    of\t\tspace  ", "lots of space"),
+            # multiline script with operators that look like tags
+            ("<script>\nif (x < 2 && y > 1) {}\n</script>after", "after"),
+            (None, ""),
+        ]
+        df = spark.createDataFrame(
+            [(i, h) for i, (h, _) in enumerate(cases)], "i int, h string"
+        )
+        got = {
+            r["i"]: r["t"]
+            for r in df.select("i", html_to_text(F.col("h")).alias("t")).collect()
+        }
+        for i, (_, want) in enumerate(cases):
+            assert got[i] == want, (i, repr(got[i]), repr(want))

@@ -210,6 +210,8 @@ SUITES: dict[str, list[str]] = {
         "text_corpus_report",
         # + canonical-URL dedup key (the crawl pipeline's first pass)
         "text_url_normalize",
+        # + HTML->text boilerplate strip (the pass before everything)
+        "text_html_extract",
     ],
     "suite_curation": [
         "text_line_dedup",

@@ -739,3 +739,73 @@ def text_url_normalize_q(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+_HTML_SYNTH_SQL = """
+      '<html><head><title>T</title>'
+      || '<script type="text/javascript">var x = 1 && 2 < 3; // junk</script>'
+      || '<style>p { color: red }</style></head>'
+      || '<body><!-- hidden comment --><h1 class="big">Doc '
+      || CAST(doc_id AS VARCHAR) || '</h1><p>'
+      || replace(COALESCE(text, ''), ' ', ' </p><p>')
+      || '</p><ul><li>a &amp; b</li><li>&lt;tag&gt; &nbsp;x&#39;s &quot;q&quot;</li></ul></body></html>'
+"""
+
+
+@query(
+    "text_html_extract",
+    oracle=f"""
+    WITH raw AS (SELECT doc_id, {_HTML_SYNTH_SQL} AS h FROM documents),
+    s1 AS (SELECT doc_id,
+             regexp_replace(h, '<script[^>]*>.*?</script>', ' ', 'gis') AS t
+           FROM raw),
+    s2 AS (SELECT doc_id,
+             regexp_replace(t, '<style[^>]*>.*?</style>', ' ', 'gis') AS t
+           FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(t, '<!--.*?-->', ' ', 'gs') AS t FROM s2),
+    s4 AS (SELECT doc_id,
+             regexp_replace(t,
+               '</?(p|div|br|li|ul|ol|h[1-6]|tr|table|section|article)[^>]*>',
+               chr(10), 'gi') AS t
+           FROM s3),
+    s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]+>', ' ', 'gs') AS t FROM s4),
+    s6 AS (SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(t,
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', chr(39)) AS t
+           FROM s5),
+    s7 AS (SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(t,
+               '[ \t]+', ' ', 'g'), ' ?\n ?', chr(10), 'g'),
+               '\n{{2,}}', chr(10), 'g') AS t
+           FROM s6),
+    s8 AS (SELECT doc_id,
+             regexp_replace(trim(t), '^\n+|\n+$', '', 'g') AS t
+           FROM s7)
+    SELECT doc_id,
+           md5(t) AS text_md5,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           CAST(len(str_split(t, chr(10))) AS BIGINT) AS n_lines
+    FROM s8 ORDER BY doc_id
+    """,
+)
+def text_html_extract_q(spark, sf_dir):
+    """HTML→text extraction (functions/text.py html_to_text): the
+    boilerplate-strip pass that precedes everything else on a crawl —
+    script/style/comment payload removal, block tags to newlines, tag
+    strip, entity decode, whitespace collapse. Each document is
+    wrapped in a deterministic HTML shell (headers, junk script with
+    &&/< operators, entities, list items), and the oracle replays the
+    identical RE2-compatible regex pipeline — a leaked script body or
+    a broken entity decode breaks the hash."""
+    from xorq_spark.functions.text import html_to_text
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    html = F.expr(_HTML_SYNTH_SQL.replace("AS VARCHAR", "AS STRING"))
+    out = docs.select("doc_id", html_to_text(html).alias("txt"))
+    return out.select(
+        "doc_id",
+        F.md5("txt").alias("text_md5"),
+        F.length("txt").cast("long").alias("n_chars"),
+        F.size(F.split("txt", "\n")).cast("long").alias("n_lines"),
+    ).orderBy("doc_id")
