@@ -541,6 +541,18 @@ def _dupset(s: Column) -> Column:
     )
 
 
+def _pushdown_barrier(c: Column) -> Column:
+    """Optimizer-only barrier: wrapping a metric in an always-true
+    nondeterministic guard stops predicate pushdown / projection
+    collapse from substituting the metric's DEFINITION into a filter
+    below the staged array projections — which would re-inline the
+    gram arrays inside lambda elements and bring back the O(G²)
+    rebuild pathology (measured: a filter on dup_5gram_char_frac hung
+    a 500-doc count). Values are unchanged; only the plan shape is
+    pinned."""
+    return F.when(F.monotonically_increasing_id() >= 0, c)
+
+
 def gopher_repetition(
     df,
     text_col: str = "text",
@@ -618,12 +630,12 @@ def gopher_repetition(
         ],
     )
 
-    fields = [F.col(id_col)]
+    named = []  # (name, raw column) pairs; barrier applied at the end
     passes = F.lit(True)
 
     dl, dlc = _dup_segment_fracs(F.col("_txt"), sep)
     dl, dlc = F.round(dl, 9), F.round(dlc, 9)
-    fields += [dl.alias("dup_line_frac"), dlc.alias("dup_line_char_frac")]
+    named += [("dup_line_frac", dl), ("dup_line_char_frac", dlc)]
     passes = (
         passes
         & (dl <= GOPHER_MAX_DUP_LINE_FRAC)
@@ -633,9 +645,9 @@ def gopher_repetition(
     if para_sep is not None:
         dp, dpc = _dup_segment_fracs(F.col("_txt"), para_sep)
         dp, dpc = F.round(dp, 9), F.round(dpc, 9)
-        fields += [
-            dp.alias("dup_para_frac"),
-            dpc.alias("dup_para_char_frac"),
+        named += [
+            ("dup_para_frac", dp),
+            ("dup_para_char_frac", dpc),
         ]
         passes = (
             passes
@@ -650,7 +662,7 @@ def gopher_repetition(
             / text_chars,
             9,
         )
-        fields.append(frac.alias(f"top_{n}gram_char_frac"))
+        named.append((f"top_{n}gram_char_frac", frac))
         passes = passes & (
             frac <= GOPHER_MAX_TOP_NGRAM_CHAR_FRAC.get(n, 1.0)
         )
@@ -682,13 +694,19 @@ def gopher_repetition(
             lambda a, p: a + F.element_at(F.col("_lens"), p + 1),
         )
         frac = F.round(chars.cast("double") / tok_chars, 9)
-        fields.append(frac.alias(f"dup_{n}gram_char_frac"))
+        named.append((f"dup_{n}gram_char_frac", frac))
         passes = passes & (
             frac <= GOPHER_MAX_DUP_NGRAM_CHAR_FRAC.get(n, 1.0)
         )
 
-    fields.append(passes.alias("passes"))
-    return stage.select(*fields)
+    named.append(("passes", passes))
+    # id passes through untouched (join keys may push); every metric
+    # gets the barrier so downstream filters evaluate the PROJECTED
+    # column, never an inlined redefinition
+    return stage.select(
+        F.col(id_col),
+        *[_pushdown_barrier(c).alias(name) for name, c in named],
+    )
 
 
 def tfidf_topk(df, text_col: str = "text", id_col: str = "doc_id", k: int = 3):
