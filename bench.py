@@ -62,6 +62,11 @@ HEADLINE = [
     "cluster_semdedup",
     "text_nb_classifier",
     "time_scd2_history",
+    # round 4, third batch: crawl-ingest tier (regex pipelines at scan
+    # speed) + real codec decodes
+    "text_url_normalize",
+    "text_html_extract",
+    "mm_decode_avi_frames",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

@@ -495,3 +495,31 @@ class TestNBClassify:
         )
         [r] = nb_classify(score, train_df=train).collect()
         assert r["pred"] == "y" and r["n_tokens"] == 0
+
+
+def test_near_dedup_keep_longest(spark):
+    from xorq_spark.functions.dedup import near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while many sleepy "
+        "cats watch from the old wooden fence near the river bank"
+    )
+    rows = [
+        (1, base),                              # near-dup, shorter
+        (2, base + " every single morning"),    # near-dup, LONGEST
+        (3, "unrelated text about database engines and storage"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kept_min = sorted(
+        r["doc_id"] for r in near_dedup(df, threshold=0.3).collect()
+    )
+    kept_long = sorted(
+        r["doc_id"]
+        for r in near_dedup(df, threshold=0.3, keep="longest").collect()
+    )
+    assert kept_min == [1, 3]    # min-id keeps doc 1
+    assert kept_long == [2, 3]   # longest keeps doc 2
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        near_dedup(df, keep="nope")

@@ -609,26 +609,54 @@ def near_dedup(
     k: int = 3,
     threshold: float = 0.5,
     max_bucket_size: int = 2000,
+    keep: str = "min_id",
 ) -> DataFrame:
     """One-call near-duplicate removal: MinHash-LSH candidate pairs ->
-    Jaccard-verified edges -> connected components -> keep the
-    canonical (min-id) document per cluster. Returns the surviving
-    rows of `df` unchanged — the composition every curation pipeline
-    writes by hand (examples/dedup_documents.py does it stepwise).
+    Jaccard-verified edges -> connected components -> keep one
+    canonical document per cluster. Returns the surviving rows of `df`
+    unchanged — the composition every curation pipeline writes by hand
+    (examples/dedup_documents.py does it stepwise).
+
+    keep='min_id' keeps the lowest id (stable default);
+    keep='longest' keeps the LONGEST text per cluster (ties to lowest
+    id) — C4's rule, on the theory the longest variant carries the
+    most content. Integer keys both ways: deterministic everywhere.
 
     Scale: inherits the banded-LSH / star-CC designs of its parts; the
     final keep is one left-anti join on the id column against the
-    (small) non-canonical node set.
+    (small) non-canonical node set (for 'longest', one extra bounded
+    length lookup join + a component-keyed max).
     """
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"keep must be min_id|longest, got {keep!r}")
     pairs = minhash_lsh_pairs(
         df, text_col, id_col,
         num_hashes=num_hashes, bands=bands, k=k,
         threshold=threshold, max_bucket_size=max_bucket_size,
     )
     comps = connected_components(pairs, "id_a", "id_b")
-    losers = comps.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_col)
-    )
+    if keep == "min_id":
+        losers = comps.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias(id_col)
+        )
+    else:
+        lens = df.select(
+            F.col(id_col).alias("node"),
+            F.length(F.coalesce(F.col(text_col), F.lit(""))).alias("__len"),
+        )
+        ranked = comps.join(lens, "node")
+        # winner per component: max (len, -id) — longest, ties to the
+        # LOWEST id (negate id inside the lexicographic struct max)
+        winners = ranked.groupBy("component").agg(
+            F.max(
+                F.struct(
+                    F.col("__len"), (-F.col("node")).alias("__nid")
+                )
+            ).alias("m")
+        ).select((-F.col("m.__nid")).alias("__winner"))
+        losers = ranked.join(
+            winners, ranked["node"] == winners["__winner"], "left_anti"
+        ).select(F.col("node").alias(id_col))
     return df.join(losers, id_col, "left_anti")
 
 

@@ -421,3 +421,79 @@ def dedup_incremental_q(spark, sf_dir):
     return dedup_incremental(
         new, idx_bands, idx_digests, threshold=0.2
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_canonical_longest",
+    oracle=f"""
+    WITH RECURSIVE
+    s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd FROM documents),
+    h AS (SELECT doc_id, shd, list_transform(shd, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647) AS hs FROM s),
+    sig AS (SELECT doc_id, shd, {_SIG} AS sig FROM h),
+    banded AS (
+      SELECT doc_id, shd,
+             unnest(range(0, 4)) AS band,
+             unnest({_BANDS}) AS bkey
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+      WHERE a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN s sa ON sa.doc_id = c.id_a
+      JOIN s sb ON sb.doc_id = c.id_b
+      WHERE len(list_intersect(sa.shd, sb.shd))::DOUBLE
+            / len(list_distinct(list_concat(sa.shd, sb.shd))) >= 0.2),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    reach AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component_id
+      FROM reach GROUP BY u),
+    lens AS (SELECT c.doc_id, c.component_id,
+                    length(COALESCE(d.text, '')) AS l
+             FROM comp c JOIN documents d USING (doc_id)),
+    winners AS (
+      SELECT component_id, doc_id AS winner FROM (
+        SELECT component_id, doc_id,
+               row_number() OVER (PARTITION BY component_id
+                 ORDER BY l DESC, doc_id ASC) AS rn
+        FROM lens) WHERE rn = 1),
+    losers AS (
+      SELECT lens.doc_id FROM lens
+      LEFT JOIN winners ON lens.doc_id = winners.winner
+      WHERE winners.winner IS NULL)
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(length(COALESCE(d.text, '')) AS BIGINT) AS n_chars_kept
+    FROM documents d
+    LEFT JOIN losers l ON d.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_canonical_longest_q(spark, sf_dir):
+    """End-to-end near-dedup with C4's keep-longest rule
+    (functions/dedup.py near_dedup(keep='longest')): per duplicate
+    cluster the longest text survives, ties to the lowest id —
+    all-integer keys, deterministic everywhere. Exercises the
+    component-keyed struct-max winner selection on top of the
+    certified pairs->components pipeline."""
+    from xorq_spark.functions.dedup import near_dedup
+
+    kept = near_dedup(
+        t(spark, sf_dir, "documents"),
+        num_hashes=16, bands=4, k=3, threshold=0.2, keep="longest",
+    )
+    return kept.select(
+        "doc_id", "lang", "source",
+        F.length(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_chars_kept"
+        ),
+    ).orderBy("doc_id")

@@ -239,6 +239,8 @@ SUITES: dict[str, list[str]] = {
         # round 4: graph tier — integer-exact PageRank (same family as
         # connected components: shuffle-iterated graph algorithms)
         "graph_pagerank_parts",
+        # round 4 (cont.): C4's keep-longest canonical selection
+        "dedup_canonical_longest",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
