@@ -185,3 +185,31 @@ def test_decode_video_stats_spark(spark):
 
     cnt = collections.Counter(r["asset_id"] for r in rows)
     assert all(cnt[i] == 2 + i % 3 for i in range(5))
+
+
+def test_image_dhash_pairs_spark(spark):
+    """dHash finds the planted near-dup pairs and nothing random: each
+    (2k, 2k+1) pair differs by one source pixel -> small hamming;
+    different bases use different quadratic patterns -> far apart."""
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+        synth_png_pairs,
+    )
+
+    ids = spark.range(16).select(F.col("id").alias("asset_id"))
+    hashes = image_dhash(synth_png_pairs(ids))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in image_neardup_pairs(hashes, max_hamming=10).collect()
+    }
+    for k in range(8):
+        assert (2 * k, 2 * k + 1) in pairs
+        assert pairs[(2 * k, 2 * k + 1)] <= 10
+    # identical images hash identically (hamming 0 on exact dup)
+    dup_ids = spark.createDataFrame([(100,), (100,)], "asset_id long")
+    # (same id twice -> identical payloads; rename one side)
+    h = image_dhash(synth_png_pairs(dup_ids)).collect()
+    assert h[0]["h_lo"] == h[1]["h_lo"] and h[0]["h_hi"] == h[1]["h_hi"]

@@ -542,3 +542,151 @@ def decode_video_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         batches, VIDEO_STATS_SCHEMA
     )
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("h_lo", LongType()),
+        StructField("h_hi", LongType()),
+    ]
+)
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded pixels: integer
+    luma ((299r + 587g + 114b) // 1000), nearest-neighbor sample onto
+    the canonical 9×8 dHash grid (sx = x·w//9, sy = y·h//8 — the same
+    integer NN map the certified resize uses), bit b=y·8+x set when
+    gray(x,y) < gray(x+1,y) strictly. Packed as two 32-bit words
+    (h_lo = bits 0..31, h_hi = bits 32..63) so every value stays
+    positive int64 on any engine. All-integer: bit-identical
+    everywhere, SQL-replayable."""
+    from xorq_spark.functions.imagecodec import decode_image
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, ch, px = decode_image(bytes(payload))
+                a = np.frombuffer(px, dtype=np.uint8).reshape(h, w, ch)
+                if ch >= 3:
+                    gray = (
+                        a[:, :, 0].astype(np.int64) * 299
+                        + a[:, :, 1].astype(np.int64) * 587
+                        + a[:, :, 2].astype(np.int64) * 114
+                    ) // 1000
+                else:
+                    gray = a[:, :, 0].astype(np.int64)
+                sx = (np.arange(9) * w) // 9
+                sy = (np.arange(8) * h) // 8
+                g = gray[np.ix_(sy, sx)]
+                bits = (g[:, :-1] < g[:, 1:]).astype(np.int64)  # 8x8
+                flat = bits.reshape(-1)  # b = y*8 + x
+                lo = int((flat[:32] << np.arange(32, dtype=np.int64)).sum())
+                hi = int((flat[32:] << np.arange(32, dtype=np.int64)).sum())
+                rows.append((aid, lo, hi))
+            yield pd.DataFrame(rows, columns=["asset_id", "h_lo", "h_hi"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 6,
+    id_col: str = "asset_id",
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs from dHashes: 16-bit band blocking
+    (pigeonhole: hamming <= 3·bands_missed guarantees a shared band at
+    small distances; larger thresholds trade recall like any LSH),
+    then EXACT hamming verification via xor + bit_count. Returns
+    (id_a, id_b, hamming).
+
+    Scale: the classic two-phase shape — candidates from 4 band-keyed
+    equi-joins (shuffle carries 16-bit keys + ids only), verification
+    is two xors per candidate. Never all-pairs."""
+    b = hashes.select(
+        F.col(id_col).alias("id"),
+        "h_lo",
+        "h_hi",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("h_lo") % 65536).alias("key")),
+                F.struct(F.lit(1).alias("band"), (F.col("h_lo") / 65536).cast("long").alias("key")),
+                F.struct(F.lit(2).alias("band"), (F.col("h_hi") % 65536).alias("key")),
+                F.struct(F.lit(3).alias("band"), (F.col("h_hi") / 65536).cast("long").alias("key")),
+            )
+        ).alias("bk"),
+    ).select("id", "h_lo", "h_hi", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.h_lo").alias("la"),
+            F.col("a.h_hi").alias("ha"),
+            F.col("b.h_lo").alias("lb"),
+            F.col("b.h_hi").alias("hb"),
+        )
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("la").bitwiseXOR(F.col("lb")))
+        + F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    )
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def synth_png_pairs(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Near-duplicate PNG pair generator: assets 2k and 2k+1 share the
+    closed-form pixel grid of base=k (same dims), with the ODD asset
+    perturbed at source pixel (0,0), channel 0, by +37 mod 256 — a
+    small localized edit, the image analog of a one-word text change.
+    Closed-form (including the perturbation) → the dHash pipeline is
+    SQL-replayable end to end."""
+    from xorq_spark.functions.imagecodec import png_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, ws, hs = [], [], []
+            for i in pdf[id_col].tolist():
+                base, odd = i // 2, i % 2
+                w, h = 8 + base % 9, 8 + base % 7
+                cx, cy = 3 + base % 11, 5 + base % 13
+                px = bytearray(
+                    (base * 7 + cx * x * x + cy * y * y + x * y + 11 * c)
+                    % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                if odd:
+                    px[0] = (px[0] + 37) % 256
+                payloads.append(png_encode(bytes(px), w, h, 3))
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "width": pd.array(ws, dtype="int32"),
+                    "height": pd.array(hs, dtype="int32"),
+                    "duration_ms": pd.array([None] * len(payloads), dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)

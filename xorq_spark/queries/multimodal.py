@@ -328,3 +328,88 @@ def mm_decode_avi_frames(spark, sf_dir):
     return decode_video_stats(synth_avi_assets(ids)).orderBy(
         "asset_id", "frame_idx"
     )
+
+
+@query(
+    "mm_image_dhash_pairs",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS aid, doc_id // 2 AS base, doc_id % 2 AS odd,
+             8 + (doc_id // 2) % 9 AS w, 8 + (doc_id // 2) % 7 AS h
+      FROM documents WHERE doc_id < 64),
+    gx AS (SELECT aid, base, odd, w, h, unnest(range(0, 9)) AS x FROM ids),
+    grid AS (SELECT aid, base, odd, w, h, x, unnest(range(0, 8)) AS y FROM gx),
+    src AS (
+      SELECT aid, base, odd, x, y,
+             (x * w) // 9 AS sx, (y * h) // 8 AS sy
+      FROM grid),
+    gray AS (
+      SELECT aid, x, y,
+             (299 * ((base*7 + (3 + base % 11)*sx*sx + (5 + base % 13)*sy*sy
+                      + sx*sy
+                      + CASE WHEN odd = 1 AND sx = 0 AND sy = 0
+                             THEN 37 ELSE 0 END) % 256)
+              + 587 * ((base*7 + (3 + base % 11)*sx*sx + (5 + base % 13)*sy*sy
+                        + sx*sy + 11) % 256)
+              + 114 * ((base*7 + (3 + base % 11)*sx*sx + (5 + base % 13)*sy*sy
+                        + sx*sy + 22) % 256)) // 1000 AS g
+      FROM src),
+    bits AS (
+      SELECT a.aid, a.y * 8 + a.x AS b,
+             CASE WHEN a.g < c.g THEN 1 ELSE 0 END AS bit
+      FROM gray a JOIN gray c
+        ON a.aid = c.aid AND a.y = c.y AND c.x = a.x + 1
+      WHERE a.x < 8),
+    words AS (
+      SELECT aid,
+             CAST(sum(CASE WHEN b < 32 THEN bit * (CAST(1 AS BIGINT) << b)
+                           ELSE 0 END) AS BIGINT) AS h_lo,
+             CAST(sum(CASE WHEN b >= 32 THEN bit * (CAST(1 AS BIGINT) << (b - 32))
+                           ELSE 0 END) AS BIGINT) AS h_hi
+      FROM bits GROUP BY aid),
+    bands AS (
+      SELECT aid, h_lo, h_hi, band,
+             CASE band WHEN 0 THEN h_lo % 65536
+                       WHEN 1 THEN h_lo // 65536
+                       WHEN 2 THEN h_hi % 65536
+                       ELSE h_hi // 65536 END AS key
+      FROM words CROSS JOIN range(0, 4) r(band)),
+    cand AS (
+      SELECT DISTINCT a.aid AS id_a, b.aid AS id_b,
+             a.h_lo AS la, a.h_hi AS ha, b.h_lo AS lb, b.h_hi AS hb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.aid < b.aid)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) <= 10
+    ORDER BY id_a, id_b
+    """,
+)
+def mm_image_dhash_pairs(spark, sf_dir):
+    """IMAGE near-duplicate detection on REAL pixels
+    (functions/multimodal.py image_dhash + image_neardup_pairs): the
+    multimodal leg of the dedup matrix next to text MinHash and
+    embedding cosine. dHash = integer luma → NN 9×8 grid →
+    horizontal-gradient bits; pairs via 16-bit band blocking + exact
+    xor/bit_count Hamming. Assets come in perturbed near-dup pairs
+    (one source pixel edited), and the DuckDB oracle replays the
+    ENTIRE pipeline — luma, NN map, every bit, the banding, and the
+    Hamming verify — from the closed-form pixel formula."""
+    from xorq_spark.functions.multimodal import (
+        image_dhash,
+        image_neardup_pairs,
+        synth_png_pairs,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 64
+    )
+    hashes = image_dhash(synth_png_pairs(ids))
+    return (
+        image_neardup_pairs(hashes, max_hamming=10)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

@@ -287,6 +287,8 @@ SUITES: dict[str, list[str]] = {
         # certified against closed-form sample oracles
         "mm_decode_wav_stats",
         "mm_decode_avi_frames",
+        # + perceptual image near-dup (dHash over real decoded pixels)
+        "mm_image_dhash_pairs",
     ],
     "suite_engine_a": [
         "engine_filter_agg",
