@@ -188,3 +188,41 @@ class TestSCD2:
                 assert a["valid_to"] == b["valid_from"]
                 # consecutive versions always differ in the tracked attr
                 assert a["event_type"] != b["event_type"]
+
+
+class TestZScoreAnomalies:
+    def test_flags_planted_outlier(self, spark):
+        from datetime import datetime, timedelta
+
+        from xorq_spark.functions.timeseries import zscore_anomalies
+
+        t0 = datetime(2024, 1, 1)
+        rows = [
+            ("m", t0 + timedelta(minutes=i), i, 10.0 + (i % 3) * 0.1)
+            for i in range(30)
+        ]
+        rows.append(("m", t0 + timedelta(minutes=31), 31, 500.0))  # spike
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp_ntz, event_id long, value double"
+        )
+        out = {r["event_id"]: r for r in zscore_anomalies(df, order_cols=("event_id",)).collect()}
+        assert out[31]["is_anomaly"] is True and out[31]["z"] > 3
+        # steady points unflagged; first point has no window -> False
+        assert out[0]["is_anomaly"] is False and out[0]["z"] is None
+        assert all(not out[i]["is_anomaly"] for i in range(30))
+
+    def test_window_excludes_self(self, spark):
+        """The spike must not mask itself by inflating its own window."""
+        from datetime import datetime, timedelta
+
+        from xorq_spark.functions.timeseries import zscore_anomalies
+
+        t0 = datetime(2024, 1, 1)
+        rows = [("m", t0 + timedelta(minutes=i), i, 1.0 + 0.001 * (i % 5)) for i in range(10)]
+        rows.append(("m", t0 + timedelta(minutes=11), 11, 100.0))
+        df = spark.createDataFrame(
+            rows, "event_type string, ts timestamp_ntz, event_id long, value double"
+        )
+        [r] = [x for x in zscore_anomalies(df, order_cols=("event_id",)).collect() if x["event_id"] == 11]
+        # mean_prev reflects only the calm history
+        assert r["mean_prev"] < 1.01 and r["is_anomaly"] is True

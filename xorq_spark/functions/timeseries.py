@@ -249,3 +249,51 @@ def scd2(
         F.row_number().over(w2).cast("int").alias("version"),
         F.lead(ts_col).over(w2).isNull().alias("is_current"),
     )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    value_col: str = "value",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    order_cols: Sequence[str] = (),
+    window: int = 20,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Rolling z-score anomaly detection — the monitoring primitive a
+    data pipeline runs over its own metrics (ingest volume, quality
+    scores, loss curves): per key, each point is scored against the
+    mean/std of the PRECEDING `window` points (excluding itself — no
+    self-masking), and flagged when |z| > threshold.
+
+    Returns the input keys + (mean_prev, std_prev, z, is_anomaly);
+    points with fewer than 2 preceding samples get NULL z and FALSE.
+
+    Determinism contract: mean/std/z round to 9 (ratios of window-
+    bounded sums — the proven tf-idf ln/ratio contract); ordering
+    ties break on `order_cols`.
+
+    Scale: ONE window shuffle on the key; both aggregates share the
+    same frame sort. The frame is row-bounded, so state per key is
+    O(window) regardless of history length."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(-window, -1)
+    )
+    v = F.col(value_col).cast("double")
+    mean_prev = F.avg(v).over(w)
+    std_prev = F.stddev_samp(v).over(w)
+    z = F.when(
+        std_prev > 0, F.round((v - mean_prev) / std_prev, 9)
+    )
+    return df.select(
+        key_col,
+        ts_col,
+        *order_cols,
+        v.alias(value_col),
+        F.round(mean_prev, 9).alias("mean_prev"),
+        F.round(std_prev, 9).alias("std_prev"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

@@ -151,6 +151,8 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): SCD2 history builder (dbt-snapshot / CDC
         # compaction shape, one-shuffle two-window plan)
         "time_scd2_history",
+        # + rolling z-score anomaly detection (pipeline health metric)
+        "time_zscore_anomaly",
     ],
     "suite_coll_a": [
         "coll_array_basics",

@@ -484,3 +484,36 @@ def time_scd2_history(spark, sf_dir):
         ts_col="ts",
         order_cols=("event_id",),
     ).orderBy("user_id", "version")
+
+
+@query(
+    "time_zscore_anomaly",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, event_id, CAST(value AS DOUBLE) AS value,
+             avg(CAST(value AS DOUBLE)) OVER wp AS m,
+             stddev_samp(CAST(value AS DOUBLE)) OVER wp AS sd
+      FROM events
+      WINDOW wp AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, ts, event_id, value,
+           round(m, 9) AS mean_prev,
+           round(sd, 9) AS std_prev,
+           CASE WHEN sd > 0 THEN round((value - m) / sd, 9) END AS z,
+           COALESCE(abs(CASE WHEN sd > 0 THEN round((value - m) / sd, 9) END)
+                    > 3.0, false) AS is_anomaly
+    FROM s ORDER BY event_type, ts, event_id
+    """,
+)
+def time_zscore_anomaly(spark, sf_dir):
+    """Rolling z-score anomaly detection (functions/timeseries.py
+    zscore_anomalies): each event scored against the mean/std of its
+    20 preceding same-type events (self excluded). One window shuffle,
+    row-bounded frame state. The monitoring primitive for pipeline
+    health metrics."""
+    from xorq_spark.functions.timeseries import zscore_anomalies
+
+    ev = t(spark, sf_dir, "events")
+    return zscore_anomalies(
+        ev, order_cols=("event_id",), window=20, threshold=3.0
+    ).orderBy("event_type", "ts", "event_id")
