@@ -213,3 +213,25 @@ def test_image_dhash_pairs_spark(spark):
     # (same id twice -> identical payloads; rename one side)
     h = image_dhash(synth_png_pairs(dup_ids)).collect()
     assert h[0]["h_lo"] == h[1]["h_lo"] and h[0]["h_hi"] == h[1]["h_hi"]
+
+
+def test_audio_fingerprint_pairs_spark(spark):
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+        synth_wav_pairs,
+    )
+
+    ids = spark.range(16).select(F.col("id").alias("asset_id"))
+    fps = audio_fingerprint(synth_wav_pairs(ids))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in audio_neardup_pairs(fps, max_hamming=4).collect()
+    }
+    # every planted pair found with tiny distance (a click at sample 0
+    # moves at most frame 0's energy -> <= 1 gradient bit)
+    for k in range(8):
+        assert (2 * k, 2 * k + 1) in pairs
+        assert pairs[(2 * k, 2 * k + 1)] <= 1

@@ -690,3 +690,118 @@ def synth_png_pairs(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
             )
 
     return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("fp", LongType()),
+    ]
+)
+
+
+def synth_wav_pairs(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Near-duplicate WAV pair generator: assets 2k and 2k+1 share
+    base=k's closed-form samples ``((base*31 + 11k + base*k) mod 4001)
+    - 2000`` (base-keyed so unrelated clips fingerprint apart); the
+    ODD asset perturbs sample 0 by +150 — a click at the start, the
+    audio analog of a one-pixel edit."""
+    from xorq_spark.functions.audiocodec import wav_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, durs = [], []
+            for i in pdf[id_col].tolist():
+                base, odd = i // 2, i % 2
+                n = 256 + base % 65
+                samples = [
+                    ((base * 31 + 11 * k + base * k) % 4001) - 2000
+                    for k in range(n)
+                ]
+                if odd:
+                    samples[0] += 150
+                payloads.append(wav_encode(samples, 8000, 1, 2))
+                durs.append(n * 1000 // 8000)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "width": pd.array([None] * len(payloads), dtype="Int32"),
+                    "height": pd.array([None] * len(payloads), dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def audio_fingerprint(assets: DataFrame, n_frames: int = 32) -> DataFrame:
+    """Acoustic fingerprint over REAL decoded samples — the audio
+    analog of image_dhash: balanced-partition the stream into
+    `n_frames` frames (frame(k) = k·n_frames // n, the SQL-replayable
+    integer map), exact int64 energy per frame, bit i set when
+    e_i < e_{i+1} strictly. n_frames-1 gradient bits in ONE positive
+    int64 word; robust to level-preserving edits, all-integer,
+    engine-reproducible."""
+    from xorq_spark.functions.audiocodec import decode_audio
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _r, _c, _w, samples = decode_audio(bytes(payload))
+                s = np.asarray(samples, dtype=np.int64)
+                n = len(s)
+                e = np.zeros(n_frames, dtype=np.int64)
+                if n:
+                    fr = (np.arange(n) * n_frames) // n
+                    np.add.at(e, fr, s * s)
+                bits = (e[:-1] < e[1:]).astype(np.int64)
+                fp = int((bits << np.arange(n_frames - 1, dtype=np.int64)).sum())
+                rows.append((aid, fp))
+            yield pd.DataFrame(rows, columns=["asset_id", "fp"])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, AUDIO_FP_SCHEMA
+    )
+
+
+def audio_neardup_pairs(
+    fps: DataFrame, max_hamming: int = 4, id_col: str = "asset_id"
+) -> DataFrame:
+    """Near-duplicate audio pairs: 16-bit band blocking over the
+    fingerprint word, exact xor/bit_count Hamming verify — the same
+    two-phase shape as image_neardup_pairs."""
+    b = fps.select(
+        F.col(id_col).alias("id"),
+        "fp",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), (F.col("fp") % 65536).alias("key")),
+                F.struct(F.lit(1).alias("band"), (F.col("fp") / 65536).cast("long").alias("key")),
+            )
+        ).alias("bk"),
+    ).select("id", "fp", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, c = b.alias("a"), b.alias("b")
+    cand = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    return cand.select("id_a", "id_b", ham.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

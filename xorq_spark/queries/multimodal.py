@@ -413,3 +413,68 @@ def mm_image_dhash_pairs(spark, sf_dir):
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "mm_audio_fp_pairs",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS aid, doc_id // 2 AS base, doc_id % 2 AS odd,
+             256 + (doc_id // 2) % 65 AS n
+      FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT aid, n, k,
+             ((base*31 + 11*k + base*k) % 4001) - 2000
+               + CASE WHEN odd = 1 AND k = 0 THEN 150 ELSE 0 END AS v
+      FROM (SELECT aid, base, odd, n, unnest(range(0, n)) AS k FROM ids)),
+    e AS (
+      SELECT aid, (k * 32) // n AS f, CAST(sum(v * v) AS BIGINT) AS e
+      FROM s GROUP BY aid, (k * 32) // n),
+    bits AS (
+      SELECT a.aid, a.f AS i,
+             CASE WHEN a.e < b.e THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON a.aid = b.aid AND b.f = a.f + 1),
+    words AS (
+      SELECT aid,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << i)) AS BIGINT) AS fp
+      FROM bits GROUP BY aid),
+    bands AS (
+      SELECT aid, fp, band,
+             CASE band WHEN 0 THEN fp % 65536 ELSE fp // 65536 END AS key
+      FROM words CROSS JOIN range(0, 2) r(band)),
+    cand AS (
+      SELECT DISTINCT a.aid AS id_a, b.aid AS id_b, a.fp AS fa, b.fp AS fb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.aid < b.aid)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(fa, fb)) <= 4
+    ORDER BY id_a, id_b
+    """,
+)
+def mm_audio_fp_pairs(spark, sf_dir):
+    """AUDIO near-duplicate detection on REAL decoded samples
+    (functions/multimodal.py audio_fingerprint + audio_neardup_pairs):
+    frame-energy gradient bits (the acoustic dHash), 16-bit band
+    blocking, exact Hamming verify — completing the dedup matrix's
+    multimodal row (text MinHash / embedding cosine / image dHash /
+    audio fingerprint). Clips come in perturbed near-dup pairs (a
+    click at sample 0) over base-keyed waveforms; the oracle replays
+    frames, energies, every bit, and the banding from the closed
+    form."""
+    from xorq_spark.functions.multimodal import (
+        audio_fingerprint,
+        audio_neardup_pairs,
+        synth_wav_pairs,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 64
+    )
+    fps = audio_fingerprint(synth_wav_pairs(ids))
+    return (
+        audio_neardup_pairs(fps, max_hamming=4)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

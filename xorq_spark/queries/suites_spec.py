@@ -291,6 +291,7 @@ SUITES: dict[str, list[str]] = {
         "mm_decode_avi_frames",
         # + perceptual image near-dup (dHash over real decoded pixels)
         "mm_image_dhash_pairs",
+        "mm_audio_fp_pairs",
     ],
     "suite_engine_a": [
         "engine_filter_agg",
