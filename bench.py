@@ -67,6 +67,8 @@ HEADLINE = [
     "text_url_normalize",
     "text_html_extract",
     "mm_decode_avi_frames",
+    "mm_image_dhash_pairs",
+    "time_zscore_anomaly",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

@@ -321,3 +321,128 @@ def test_scd2_matches_model(spark, rows):
         got[u].sort(key=lambda x: x[3])
     model = _scd2_model(data)
     assert got == model
+
+
+# ---- url_normalize vs a stdlib urllib model; html_to_text invariants --
+
+
+def _url_model(u):
+    """Independent model built on urllib.parse (not regexes): same
+    canonicalization rules, different machinery."""
+    from urllib.parse import urlsplit
+
+    u = (u or "").strip()
+    try:
+        parts = urlsplit(u)
+    except ValueError:
+        return u
+    if not parts.scheme or "://" not in u:
+        return u
+    scheme = parts.scheme.lower()
+    host = (parts.netloc or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    if scheme == "http" and host.endswith(":80"):
+        host = host[:-3]
+    elif scheme == "https" and host.endswith(":443"):
+        host = host[:-4]
+    path = parts.path.rstrip("/")
+    import re
+
+    kept = sorted(
+        p
+        for p in parts.query.split("&")
+        if p
+        and not re.match(
+            r"^(utm_[a-z]+|gclid|fbclid|msclkid|ref|mc_cid|mc_eid)=", p
+        )
+    )
+    qs = "?" + "&".join(kept) if kept else ""
+    return f"{scheme}://{host}{path}{qs}"
+
+
+_url_strategy = st.builds(
+    lambda scheme, www, host, port, path, params, frag: (
+        scheme
+        + "://"
+        + ("www." if www else "")
+        + host
+        + port
+        + path
+        + ("?" + "&".join(params) if params else "")
+        + frag
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+    www=st.booleans(),
+    host=st.sampled_from(["Example.com", "a.b.co", "X9.org"]),
+    port=st.sampled_from(["", ":80", ":443", ":8080"]),
+    path=st.sampled_from(["", "/", "/a", "/a/b/", "/a%20b"]),
+    params=st.lists(
+        st.sampled_from(
+            ["a=1", "b=2", "z=9", "utm_source=x", "gclid=5", "ref=t"]
+        ),
+        max_size=4,
+        unique=True,
+    ),
+    frag=st.sampled_from(["", "#f", "#x=1"]),
+)
+
+
+@given(urls=st.lists(_url_strategy, min_size=1, max_size=8))
+@settings(max_examples=15, deadline=None)
+def test_url_normalize_matches_urllib_model(spark, urls):
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.text import url_normalize
+
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, u string"
+    )
+    got = {
+        r["i"]: r["n"]
+        for r in df.select("i", url_normalize(F.col("u")).alias("n")).collect()
+    }
+    for i, u in enumerate(urls):
+        assert got[i] == _url_model(u), (u, got[i], _url_model(u))
+
+
+_html_bits = st.lists(
+    st.sampled_from(
+        [
+            "plain words here",
+            "<p>para</p>",
+            "<div class='x'>block</div>",
+            "<b>bold</b>",
+            "<script>var SECRET = '<p>fake</p>';</script>",
+            "<style>.c { color: red; }</style>",
+            "<!-- HIDDEN -->",
+            "a &amp; b",
+            "<ul><li>item</li></ul>",
+            "<br>",
+        ]
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(bits=_html_bits)
+@settings(max_examples=15, deadline=None)
+def test_html_to_text_invariants(spark, bits):
+    """No tags survive, script/style/comment payloads never leak,
+    plain words always survive."""
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.text import html_to_text
+
+    html = "".join(bits)
+    df = spark.createDataFrame([(html,)], "h string")
+    [r] = df.select(html_to_text(F.col("h")).alias("t")).collect()
+    out = r["t"]
+    assert "<p>" not in out and "</" not in out
+    assert "SECRET" not in out and "HIDDEN" not in out
+    assert "color" not in out
+    if "plain words here" in html:
+        assert "plain words here" in out
+    if "<p>para</p>" in html:
+        assert "para" in out

@@ -47,6 +47,12 @@ OPS = [
     "time_scd2_history",
     "join_asof_nearest",
     "ml_leakage_safe_split",
+    "text_url_normalize",
+    "text_html_extract",
+    "mm_image_dhash_pairs",
+    "mm_audio_fp_pairs",
+    "time_zscore_anomaly",
+    "dedup_canonical_longest",
 ]
 
 
