@@ -442,3 +442,44 @@ def test_streaming_bloom_maintenance(spark, events_dir, tmp_path):
     keys = spark.read.parquet(events_dir).select("k").distinct()
     probed = bloom_probe(streamed, keys, "k", k, m)
     assert probed.where(~F.col("maybe_present")).count() == 0
+
+
+def test_stream_zscore_anomalies(spark, tmp_path):
+    """Streaming Welford z-score: a calm history then a spike — the
+    spike (and only the spike) is emitted, scored against state built
+    across MICRO-BATCHES (two files -> two batches exercises the
+    state carry)."""
+    d = tmp_path / "zs"
+    d.mkdir()
+    t0 = dt.datetime(2026, 1, 1)
+    calm = [
+        ("m", t0 + dt.timedelta(minutes=i), 10.0 + 0.01 * (i % 4))
+        for i in range(12)
+    ]
+    _write_events(d / "a.parquet", calm)
+    _write_events(
+        d / "b.parquet",
+        [("m", t0 + dt.timedelta(minutes=20), 99.0),
+         ("m", t0 + dt.timedelta(minutes=21), 10.02)],
+    )
+    stream = S.read_stream_parquet(
+        spark, str(d), "k string, ts timestamp, v double"
+    )
+    out = S.stream_zscore_anomalies(stream, "k", "v", "ts", threshold=3.0)
+    S.stream_to_memory(out, "zs_anoms", timeout=60)
+    got = spark.sql("SELECT * FROM zs_anoms").toPandas()
+    assert got.v.tolist() == [99.0]
+    assert abs(got.z.iloc[0]) > 3
+    # batch counterpart agrees on WHICH event is anomalous
+    from xorq_spark.functions.timeseries import zscore_anomalies
+
+    batch = spark.createDataFrame(
+        [(k, ts, i, v) for i, (k, ts, v) in enumerate(calm + [("m", t0 + dt.timedelta(minutes=20), 99.0), ("m", t0 + dt.timedelta(minutes=21), 10.02)])],
+        "event_type string, ts timestamp_ntz, event_id long, value double",
+    )
+    banoms = [
+        r["value"]
+        for r in zscore_anomalies(batch, order_cols=("event_id",)).collect()
+        if r["is_anomaly"]
+    ]
+    assert banoms == [99.0]

@@ -18,6 +18,7 @@ from xorq_spark.streaming.core import (
     read_stream_kafka,
     read_stream_parquet,
     sessionize,
+    stream_zscore_anomalies,
     stream_foreach_batch,
     stream_stream_join,
     stream_to_delta,
@@ -33,6 +34,7 @@ __all__ = [
     "read_stream_parquet",
     "window_agg",
     "sessionize",
+    "stream_zscore_anomalies",
     "stream_foreach_batch",
     "stream_stream_join",
     "stream_to_delta",

@@ -393,3 +393,68 @@ def stream_to_delta(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def stream_zscore_anomalies(
+    stream: DataFrame,
+    key_col: str,
+    value_col: str,
+    time_col: str,
+    threshold: float = 3.0,
+    min_samples: int = 5,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming anomaly detection via applyInPandasWithState: per-key
+    RUNNING mean/variance maintained with Welford's online algorithm
+    (count, mean, M2) — O(1) state per key forever, the streaming
+    counterpart of the batch `zscore_anomalies` window op. Each
+    micro-batch scores its events against the state BEFORE folding
+    them in (self-excluded, same contract as the batch op) and emits
+    only the anomalies (key, ts, value, z).
+
+    Within a batch, events fold in ascending `time_col` order so the
+    stream result is deterministic for a given micro-batch slicing."""
+    out_schema = (
+        f"{key_col} string, {time_col} timestamp, {value_col} double, z double"
+    )
+    state_schema = "n bigint, mean double, m2 double"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import math
+
+        if state.hasTimedOut:  # pragma: no cover - no timeout configured
+            state.remove()
+            return
+        n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
+        rows = {key_col: [], time_col: [], value_col: [], "z": []}
+        for pdf in pdfs:
+            pdf = pdf.sort_values(time_col)
+            for ts, v in zip(pd.to_datetime(pdf[time_col]), pdf[value_col]):
+                v = float(v)
+                if n >= min_samples:
+                    var = m2 / (n - 1)
+                    if var > 0:
+                        z = (v - mean) / math.sqrt(var)
+                        if abs(z) > threshold:
+                            rows[key_col].append(key[0])
+                            rows[time_col].append(ts)
+                            rows[value_col].append(v)
+                            rows["z"].append(z)
+                # Welford fold (after scoring: self-excluded)
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2))
+        yield pd.DataFrame(rows)
+
+    return (
+        stream.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
