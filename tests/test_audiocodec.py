@@ -235,3 +235,28 @@ def test_audio_fingerprint_pairs_spark(spark):
     for k in range(8):
         assert (2 * k, 2 * k + 1) in pairs
         assert pairs[(2 * k, 2 * k + 1)] <= 1
+
+
+@given(
+    n_frames=st.integers(min_value=0, max_value=4),
+    w=st.integers(min_value=1, max_value=7),
+    h=st.integers(min_value=1, max_value=5),
+    seed=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=40, deadline=None)
+def test_avi_roundtrip_hypothesis(n_frames, w, h, seed):
+    """Arbitrary frame payloads round-trip through the AVI writer and
+    the RIFF walk, any dims (odd widths exercise DIB padding)."""
+    import random
+
+    from xorq_spark.functions.audiocodec import avi_encode, decode_video
+
+    stride = w * 3 + ((-(w * 3)) % 4)
+    rng = random.Random(seed)
+    frames = [
+        bytes(rng.randrange(256) for _ in range(stride * h))
+        for _ in range(n_frames)
+    ]
+    gw, gh, gfps, got = decode_video(avi_encode(frames, w, h, fps=10))
+    assert (gw, gh, gfps) == (w, h, 10)
+    assert got == frames

@@ -176,3 +176,55 @@ def test_lm_perplexity_shape(spark):
         }
     )
     assert cols == ["doc_id", "text"]
+
+
+def test_scd2_single_shuffle_two_windows(spark):
+    """SCD2's two window passes must share ONE sort/exchange on the
+    user key — a second Exchange means the change-detection and
+    interval-stitching frames diverged."""
+    plan = _plan(spark, "time_scd2_history")
+    # exactly one HASH exchange (the second Exchange in the plan is the
+    # demo query's global orderBy — rangepartitioning, not a shuffle of
+    # the windowed computation)
+    n_ex = plan.count("hashpartitioning(")
+    assert n_ex == 1, f"expected 1 hash exchange, found {n_ex}"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_url_and_html_scan_speed_shape(spark):
+    """The crawl-ingest regex ops are pure scans: no join, no
+    aggregate exchange beyond the demo window/sort, no Python."""
+    for name in ("text_html_extract",):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+        assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_nb_classifier_broadcasts_class_table(spark):
+    """The (doc x class) grid must come from a BROADCAST of the tiny
+    class table — a shuffled cross join here would be the 100 TB
+    killer."""
+    plan = _plan(spark, "text_nb_classifier")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_no_cartesian(spark):
+    """SemDeDup's pair phase is cluster-keyed (GEMM per group) — no
+    all-pairs anywhere in the plan."""
+    plan = _plan(spark, "cluster_semdedup")
+    assert "CartesianProduct" not in plan
+
+
+def test_dhash_pairs_band_keyed(spark):
+    """Image near-dup candidates come from band-keyed equi-joins —
+    CartesianProduct would mean the blocking broke."""
+    plan = _plan(spark, "mm_image_dhash_pairs")
+    assert "CartesianProduct" not in plan
+
+
+def test_zscore_anomaly_single_window_exchange(spark):
+    plan = _plan(spark, "time_zscore_anomaly")
+    assert plan.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
