@@ -251,10 +251,18 @@ def ann_ivf_topk(
     query_vec: str = "query_vec",
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
+    quantizer: str = "int",
+    iterations: int = 2,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     partitions the corpus into cells; each query probes its `n_probe`
     nearest cells only.
+
+    quantizer='int' (default) trains the cells with the INTEGER-EXACT
+    Lloyd iteration (functions/clustering.py) — deterministic and
+    SQL-replayable, so the full IVF path is oracle-certifiable;
+    'mllib' keeps the float pyspark.ml quantizer (seeded but
+    engine-opaque) for users who want its init heuristics.
 
     Scale path: at 100 TB the quantizer fits on a sample
     (KMeans over ~1M vectors), the corpus is written once partitioned by
@@ -262,6 +270,11 @@ def ann_ivf_topk(
     tuned by (n_centroids, n_probe) — the standard IVF trade. The
     centroid table (n_centroids x dim floats) broadcasts trivially.
     """
+    if quantizer == "int":
+        return _ann_ivf_int_topk(
+            queries, corpus, k, n_centroids, n_probe, iterations,
+            query_id, query_vec, corpus_id, corpus_vec,
+        )
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -575,5 +588,101 @@ def embedding_contamination(
             F.col("__eid").alias("nearest_eval_id"),
             F.col("__cos").alias("max_eval_cosine"),
             (F.col("__cos") >= threshold).alias("contaminated"),
+        )
+    )
+
+
+def _ann_ivf_int_topk(
+    queries, corpus, k, n_centroids, n_probe, iterations,
+    query_id, query_vec, corpus_id, corpus_vec,
+):
+    """IVF over the integer-exact KMeans cells: corpus assignments and
+    the k×d centroid table come from functions/clustering.py kmeans
+    (shifted int64 — bit-reproducible); query-side probing ranks cells
+    by exact integer distance (ties to the lowest cell), and the final
+    scoring is the same broadcast-probe + rounded-cosine + row_number
+    shape as every other ANN path."""
+    from xorq_spark.functions.clustering import (
+        DEFAULT_QUANT_SCALE,
+        _quantize_shift,
+        _sq_dist_int,
+        kmeans,
+    )
+
+    spark = corpus.sparkSession
+    empty_schema = (
+        f"{query_id} {dict(queries.dtypes)[query_id]}, "
+        f"{corpus_id} {dict(corpus.dtypes)[corpus_id]}, "
+        "cos_sim double, rank int"
+    )
+    assigned, centroids = kmeans(
+        corpus, vec_col=corpus_vec, id_col=corpus_id,
+        k=n_centroids, iterations=iterations, return_centroids=True,
+    )
+    rows = sorted(
+        (r["cluster"], list(r["cv"])) for r in centroids.collect()
+    )
+    if not rows:
+        return spark.createDataFrame([], empty_schema)
+    cells = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
+    ).join(
+        assigned.select(
+            F.col(corpus_id).alias("__cid"), F.col("cluster").alias("__cell")
+        ),
+        "__cid",
+    )
+    ctr = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("cell"),
+                F.array(*[F.lit(int(v)).cast("long") for v in cv]).alias("cv"),
+            )
+            for c, cv in rows
+        ]
+    )
+    ranked_cells = F.slice(
+        F.array_sort(
+            F.transform(
+                ctr,
+                lambda s: F.struct(
+                    _sq_dist_int(F.col("__qq"), s["cv"]).alias("d"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            F.col(query_vec).alias("__qv"),
+            _quantize_shift(F.col(query_vec), DEFAULT_QUANT_SCALE).alias("__qq"),
+        )
+        .select(
+            "__qid",
+            "__qv",
+            F.explode(
+                F.transform(ranked_cells, lambda s: s["cell"])
+            ).alias("__cell"),
+        )
+    )
+    scored = F.broadcast(q).join(cells, "__cell").select(
+        "__qid",
+        "__cid",
+        F.round(
+            cosine_similarity(F.col("__qv"), F.col("__cv")), 6
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.desc("cos_sim"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cos_sim",
+            "rank",
         )
     )

@@ -160,11 +160,53 @@ def sim_ivf_fixed(spark, sf_dir):
     )
 
 
-@query("sim_ann_ivf_topk")  # no oracle: the KMeans coarse quantizer is
-# not SQL-expressible; the driver records the rows-only check.
+def _ivf_int_oracle() -> str:
+    from xorq_spark.queries.clustering import _ITERS, _kmeans_ctes
+
+    dist = (
+        "CAST(list_sum(list_transform(range(1, 65),"
+        " i -> (q.qv[i]-c.cv[i])*(q.qv[i]-c.cv[i]))) AS BIGINT)"
+    )
+    return f"""
+    WITH {_kmeans_ctes()},
+    qq AS (SELECT e.vec_id AS qid, q0.qv, e.embedding
+           FROM embeddings e JOIN qv0 q0 ON e.vec_id = q0.vec_id
+           WHERE e.vec_id < 5),
+    qd AS (
+      SELECT q.qid, q.embedding, c.cluster, {dist} AS d
+      FROM qq q CROSS JOIN c{_ITERS} c),
+    probe AS (
+      SELECT qid, embedding, cluster FROM (
+        SELECT qid, embedding, cluster,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY d ASC, cluster ASC) AS rn
+        FROM qd) WHERE rn <= 4),
+    scored AS (
+      SELECT p.qid AS query_id, a.vec_id,
+             ROUND(list_cosine_similarity(p.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM probe p
+      JOIN a{_ITERS} a ON p.cluster = a.cluster
+      JOIN embeddings e ON a.vec_id = e.vec_id),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id) AS rank
+      FROM scored)
+    SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """
+
+
+@query("sim_ann_ivf_topk", oracle=_ivf_int_oracle())
 def sim_ivf(spark, sf_dir):
-    """IVF approximate top-10: KMeans cells + n_probe nearest-cell
-    probing — the tunable-recall scale path beyond LSH."""
+    """IVF approximate top-10: INTEGER-EXACT KMeans cells (the
+    round-4 quantizer — deterministic Lloyd in shifted int64, so the
+    path that was rows-only when it rode pyspark.ml's float KMeans is
+    now fully oracle-certified) + n_probe nearest-cell probing by
+    exact integer distance — the tunable-recall scale path beyond
+    LSH. The oracle replays the quantizer training, every cell
+    assignment, the probe ranking, and the final rounded-cosine
+    top-k."""
     from xorq_spark.functions import ann_ivf_topk
 
     emb = widen(t(spark, sf_dir, "embeddings"))

@@ -265,6 +265,9 @@ SUITES: dict[str, list[str]] = {
         # dedup (Abbas et al. 2023) — Lloyd rounds in shifted int64
         "cluster_kmeans_int",
         "cluster_semdedup",
+        # + IVF on the integer quantizer (previously the one rows-only
+        # registry entry; now fully oracle-certified)
+        "sim_ann_ivf_topk",
     ],
     "suite_ml": [
         "ml_train_test_split",
@@ -336,8 +339,9 @@ PRE_SQL = {
 # Granular entries that stay individually inside the driver's 50-slot
 # window (streaming jobs — window aggs, dedup, stream-static enrich,
 # stream-stream interval join — can't union into a batch suite).
-# sim_ann_ivf_topk (KMeans, rows-only by design: no oracle) lives in
-# the tail past slot 50 so every window slot is hash-certifiable.
+# sim_ann_ivf_topk lives in the tail past slot 50 (window already
+# full); since round 4's integer quantizer it is oracle-backed like
+# everything else AND suite-certified via suite_similarity.
 WINDOW_GRANULAR = [
     "stream_tumble_event_counts",
     "stream_hop_event_counts",
