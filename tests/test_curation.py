@@ -523,3 +523,27 @@ def test_near_dedup_keep_longest(spark):
 
     with _pytest.raises(ValueError):
         near_dedup(df, keep="nope")
+
+
+def test_fuzzy_match_pairs(spark):
+    from xorq_spark.functions.dedup import fuzzy_match_pairs
+
+    rows = [
+        (1, "john smith"),
+        (2, "jon smith"),      # dist 1, same block "smith"
+        (3, "john smyth"),     # different block (smyth) -> not matched
+        (4, "jane smith"),     # dist 2 from "jon smith"? j-a-n-e vs j-o-n: check
+        (5, "bob jones"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_match_pairs(df, "name", "id", max_distance=2).collect()
+    }
+    assert pairs[(1, 2)] == 1
+    assert (1, 3) not in pairs          # blocking excludes cross-block
+    assert (2, 5) not in pairs and (1, 5) not in pairs
+    # symmetric mode doubles every pair
+    sym = fuzzy_match_pairs(df, "name", "id", max_distance=2, symmetric=True)
+    spairs = {(r["id_a"], r["id_b"]) for r in sym.collect()}
+    assert (2, 1) in spairs and (1, 2) in spairs

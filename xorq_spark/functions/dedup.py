@@ -989,3 +989,53 @@ def dup_span_detect(
             ).alias("dup_span_fraction"),
         )
     )
+
+
+def fuzzy_match_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_col: Column = None,
+    max_distance: int = 2,
+    symmetric: bool = False,
+) -> DataFrame:
+    """Record linkage / entity resolution by edit distance with
+    blocking — the structured-data sibling of the text near-dedup
+    tier: candidate pairs come from an EQUI-join on a blocking key
+    (default: the value's last whitespace word — surname/noun-style
+    blocking), then exact Levenshtein verification keeps pairs within
+    `max_distance`. Returns (id_a, id_b, distance) with id_a < id_b
+    (or both directions when `symmetric`, for per-record summaries).
+
+    Levenshtein is an integer DP — bit-identical across engines, so
+    linkage decisions are fully certifiable.
+
+    Scale: the classic blocking shape — the shuffle is keyed on the
+    block value and carries (id, string); quadratic work is confined
+    to each block (choose the key so blocks stay bounded, exactly the
+    LSH-bucket contract). Never all-pairs."""
+    if block_col is None:
+        block_col = F.coalesce(
+            F.element_at(F.split(F.col(text_col), r"\s+"), -1), F.lit("")
+        )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        block_col.alias("blk"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    cond = (F.col("a.blk") == F.col("b.blk")) & (
+        (F.col("a.id") != F.col("b.id"))
+        if symmetric
+        else (F.col("a.id") < F.col("b.id"))
+    )
+    d = F.levenshtein(F.col("a.t"), F.col("b.t"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            d.alias("distance"),
+        )
+        .where(F.col("distance") <= max_distance)
+    )

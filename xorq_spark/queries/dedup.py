@@ -497,3 +497,53 @@ def dedup_canonical_longest_q(spark, sf_dir):
             "n_chars_kept"
         ),
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_fuzzy_linkage",
+    oracle="""
+    WITH b AS (
+      SELECT p_partkey AS id, p_name AS t,
+             regexp_split_to_array(p_name, '\\s+')[-1] AS blk
+      FROM part),
+    pr AS (
+      SELECT a.id AS id_a, b2.id AS id_b, levenshtein(a.t, b2.t) AS d
+      FROM b a JOIN b b2 ON a.blk = b2.blk AND a.id <> b2.id
+      WHERE levenshtein(a.t, b2.t) <= 2),
+    enc AS (
+      SELECT id_a, count(*) AS n_links,
+             min(d * 10000000 + id_b) AS code
+      FROM pr GROUP BY id_a)
+    SELECT id_a AS p_partkey,
+           CAST(n_links AS BIGINT) AS n_links,
+           CAST(code // 10000000 AS INT) AS best_dist,
+           CAST(code % 10000000 AS BIGINT) AS best_id
+    FROM enc ORDER BY p_partkey
+    """,
+)
+def dedup_fuzzy_linkage_q(spark, sf_dir):
+    """Record linkage / entity resolution (functions/dedup.py
+    fuzzy_match_pairs): per part, how many same-block (last word)
+    names sit within Levenshtein distance 2, and the closest match
+    (ties to the lowest id, encoded as d*1e7+id so both engines pick
+    identically). Blocking confines the quadratic verify to each
+    block — the classic linkage shape; edit distance is an integer DP,
+    bit-identical everywhere."""
+    from xorq_spark.functions.dedup import fuzzy_match_pairs
+
+    part = t(spark, sf_dir, "part")
+    pairs = fuzzy_match_pairs(
+        part, "p_name", "p_partkey", max_distance=2, symmetric=True
+    )
+    enc = pairs.groupBy("id_a").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.min(
+            F.col("distance").cast("long") * 10000000 + F.col("id_b")
+        ).alias("code"),
+    )
+    return enc.select(
+        F.col("id_a").alias("p_partkey"),
+        F.col("n_links").cast("long").alias("n_links"),
+        (F.col("code") / 10000000).cast("int").alias("best_dist"),
+        (F.col("code") % 10000000).cast("long").alias("best_id"),
+    ).orderBy("p_partkey")

@@ -243,6 +243,8 @@ SUITES: dict[str, list[str]] = {
         "graph_pagerank_parts",
         # round 4 (cont.): C4's keep-longest canonical selection
         "dedup_canonical_longest",
+        # + record linkage: blocked Levenshtein entity resolution
+        "dedup_fuzzy_linkage",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
