@@ -299,3 +299,68 @@ def rel_describe(spark, sf_dir):
         as_double(F.min("o_totalprice")).alias("min_v"),
         as_double(F.max("o_totalprice")).alias("max_v"),
     )
+
+
+@query(
+    "rel_validate_quality",
+    oracle="""
+    WITH row_checks AS (
+      SELECT count(*) AS n,
+             CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+             CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                            OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+             CAST(sum(CASE WHEN l_returnflag IS NULL
+                            OR l_returnflag NOT IN ('A', 'N', 'R')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+             CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0.0
+                            OR l_discount > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS v3
+      FROM lineitem),
+    uniq AS (
+      SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n,
+             CAST(COALESCE(sum(c - 1), 0) AS BIGINT) AS v
+      FROM (SELECT count(*) AS c FROM lineitem
+            GROUP BY l_orderkey, l_linenumber)),
+    rows_out AS (
+      SELECT 'not_null(l_shipdate)' AS rule, 'not_null' AS kind,
+             n AS n_rows, v0 AS n_violations FROM row_checks
+      UNION ALL
+      SELECT 'in_range(l_quantity,1,50)', 'in_range', n, v1 FROM row_checks
+      UNION ALL
+      SELECT 'accepted_values(l_returnflag)', 'accepted_values', n, v2
+      FROM row_checks
+      UNION ALL
+      SELECT 'in_range(l_discount,0.0,0.5)', 'in_range', n, v3 FROM row_checks
+      UNION ALL
+      SELECT 'unique(l_orderkey,l_linenumber)', 'unique', n, v FROM uniq)
+    SELECT rule, kind, n_rows, n_violations, (n_violations = 0) AS passed
+    FROM rows_out ORDER BY rule
+    """,
+)
+def rel_validate_quality(spark, sf_dir):
+    """Declarative data-quality validation (functions/validate.py) —
+    the dbt-tests / expectations gate: four row-local rules fold into
+    ONE scan + one combinable aggregation (stack-pivoted to rule
+    rows), the uniqueness rule adds one keyed count. Certifies exact
+    violation counts and pass verdicts per rule."""
+    from xorq_spark.functions.validate import (
+        accepted_values,
+        in_range,
+        not_null,
+        unique,
+        validate,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    report = validate(
+        li,
+        [
+            not_null("l_shipdate"),
+            in_range("l_quantity", 1, 50),
+            accepted_values("l_returnflag", ["A", "N", "R"]),
+            in_range("l_discount", 0.0, 0.5),
+            unique(["l_orderkey", "l_linenumber"]),
+        ],
+    )
+    return report.select(
+        "rule", "kind", "n_rows", "n_violations", "passed"
+    ).orderBy("rule")

@@ -82,6 +82,9 @@ SUITES: dict[str, list[str]] = {
         "rel_fill_drop_null",
         "rel_value_counts",
         "hist_bucket",
+        # round 4 (cont.): declarative data-quality gate (dbt-tests /
+        # expectations shape, one scan for all row rules)
+        "rel_validate_quality",
     ],
     "suite_rel_pivot": [
         "rel_pivot_wider",
