@@ -81,3 +81,61 @@ def test_zorder_write_tightens_file_stats(spark, tmp_path):
         # z-ordered write must cut the summed span at least in half on
         # BOTH dimensions simultaneously (observed ~0.25-0.35)
         assert tight < base / 2, (col, tight, base)
+
+
+class TestCompactParquet:
+    def test_compacts_small_files_atomically(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.writes import compact_parquet
+
+        path = str(tmp_path / "t")
+        spark.range(10000).withColumn("v", F.col("id") * 2).repartition(
+            16
+        ).write.parquet(path)
+        before = sorted(
+            r["id"] for r in spark.read.parquet(path).collect()
+        )
+        stats = compact_parquet(spark, path, target_file_bytes=10**9)
+        assert stats["files_before"] == 16 and stats["files_after"] == 1
+        # data identical after rewrite
+        after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+        assert after == before
+        # idempotent: second call is a no-op
+        stats2 = compact_parquet(spark, path, target_file_bytes=10**9)
+        assert stats2["files_after"] == stats2["files_before"] == 1
+        import os
+
+        assert not [p for p in os.listdir(tmp_path) if ".old-" in p or ".compact-" in p]
+
+    def test_sorted_compaction_clusters_ranges(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.writes import compact_parquet
+
+        path = str(tmp_path / "s")
+        spark.range(20000).withColumn(
+            "k", (F.col("id") * 2654435761 % 1000).cast("long")
+        ).repartition(12).write.parquet(path)
+        compact_parquet(
+            spark, path, target_file_bytes=40_000, sort_by=("k",)
+        )
+        import os
+
+        import pyarrow.parquet as pq
+
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        assert 1 < len(files) < 12
+        # range-partitioned + sorted: per-file k spans must not overlap
+        spans = []
+        for f in files:
+            md = pq.read_metadata(os.path.join(path, f))
+            ks = [
+                (md.row_group(i).column(1).statistics.min,
+                 md.row_group(i).column(1).statistics.max)
+                for i in range(md.num_row_groups)
+            ]
+            spans.append((min(k[0] for k in ks), max(k[1] for k in ks)))
+        spans.sort()
+        for (a_lo, a_hi), (b_lo, b_hi) in zip(spans, spans[1:]):
+            assert a_hi <= b_lo + 1  # contiguous ranges, no interleave

@@ -275,3 +275,64 @@ def make_iceberg_wap_expr(expr: Expr, table: str, audit_fn) -> Expr:
     """Deferred Iceberg WAP (reference: writes/wap.py:214); gated on a
     configured Iceberg catalog like write_audit_publish_iceberg."""
     return _WapExpr(expr, None, table, audit_fn, iceberg_table=table)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by=(),
+) -> dict:
+    """Small-files maintenance for a plain parquet directory — the
+    OPTIMIZE counterpart for tables without a transaction log (the
+    Delta writer has its own `optimize_compact`): measure the current
+    layout, rewrite to ceil(total_bytes / target) files (optionally
+    sorted for range-scan locality), publish atomically via the
+    temp-dir + rename pattern (readers mid-scan keep the old handle;
+    new readers see the new layout — same contract as the cache
+    publish).
+
+    Returns {"files_before", "files_after", "bytes"}. No-op (no
+    rewrite) when the layout already meets the target.
+
+    Scale notes: one read + one write of the data — the unavoidable
+    compaction cost; the file count comes from the directory listing,
+    not a scan. At 100 TB run it per partition directory, not on the
+    root."""
+    import math
+    import os
+    import uuid
+
+    files = [
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    want = max(1, math.ceil(total / target_file_bytes))
+    if len(files) <= want:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+        }
+    df = spark.read.parquet(path)
+    if sort_by:
+        df = df.sort(*list(sort_by))
+        out = df.coalesce(want) if not sort_by else df.repartitionByRange(
+            want, *list(sort_by)
+        ).sortWithinPartitions(*list(sort_by))
+    else:
+        out = df.coalesce(want)
+    tmp = f"{path}.compact-{uuid.uuid4().hex}"
+    out.write.mode("overwrite").parquet(tmp)
+    old = f"{path}.old-{uuid.uuid4().hex}"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    after = len(
+        [f for f in os.listdir(path) if f.endswith(".parquet")]
+    )
+    return {"files_before": len(files), "files_after": after, "bytes": total}
