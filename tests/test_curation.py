@@ -547,3 +547,20 @@ def test_fuzzy_match_pairs(spark):
     sym = fuzzy_match_pairs(df, "name", "id", max_distance=2, symmetric=True)
     spairs = {(r["id_a"], r["id_b"]) for r in sym.collect()}
     assert (2, 1) in spairs and (1, 2) in spairs
+
+
+def test_fuzzy_match_soundex_blocking(spark):
+    """block_col takes any expression: phonetic (soundex) blocking
+    catches same-sounding spellings that last-word blocking splits."""
+    from xorq_spark.functions.dedup import fuzzy_match_pairs
+
+    rows = [(1, "smith"), (2, "smyth"), (3, "jones")]
+    df = spark.createDataFrame(rows, "id long, name string")
+    # last-word blocking separates smith/smyth (different words)
+    plain = fuzzy_match_pairs(df, "name", "id", max_distance=2).collect()
+    assert plain == []
+    # soundex blocking puts them in one block; distance 1 links them
+    snd = fuzzy_match_pairs(
+        df, "name", "id", block_col=F.soundex(F.col("name")), max_distance=2
+    ).collect()
+    assert [(r["id_a"], r["id_b"], r["distance"]) for r in snd] == [(1, 2, 1)]
