@@ -564,3 +564,30 @@ def test_fuzzy_match_soundex_blocking(spark):
         df, "name", "id", block_col=F.soundex(F.col("name")), max_distance=2
     ).collect()
     assert [(r["id_a"], r["id_b"], r["distance"]) for r in snd] == [(1, 2, 1)]
+
+
+def test_c4_flags_rules(spark):
+    from xorq_spark.functions.text import c4_flags
+
+    rows = [
+        (1, "This is a proper sentence.\nAnd another good one!\nA third one here?"),
+        (2, "no punctuation at all\njust words"),
+        (3, "Has code { int x = 1; } in it. Two more. Sentences here."),
+        (4, "Lorem ipsum dolor sit amet. More text. And more."),
+        (5, "ok\nshort"),
+        (6, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["g"]
+        for r in df.select("doc_id", c4_flags(F.col("text")).alias("g")).collect()
+    }
+    assert out[1]["passes"] is True
+    assert out[1]["terminal_punct_line_frac"] == 1.0
+    assert out[1]["n_sentences"] == 3
+    assert out[2]["passes"] is False and out[2]["n_sentences"] == 0
+    assert out[3]["has_curly_brace"] and not out[3]["passes"]
+    assert out[4]["has_lorem_ipsum"] and not out[4]["passes"]
+    # both lines under 3 words
+    assert out[5]["short_line_frac"] == 1.0
+    assert out[6]["n_sentences"] == 0 and out[6]["passes"] is False

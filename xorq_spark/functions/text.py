@@ -1256,3 +1256,69 @@ def html_to_text(html: Column) -> Column:
     t = F.regexp_replace(t, r" ?\n ?", "\n")
     t = F.regexp_replace(t, r"\n{2,}", "\n")
     return F.regexp_replace(F.trim(t), r"^\n+|\n+$", "")
+
+
+# C4 cleanup thresholds (Raffel et al. 2020, §2.2): the rule set that
+# built the original C4 corpus from Common Crawl.
+C4_MIN_WORDS_PER_LINE = 3
+C4_MIN_SENTENCES = 3
+
+
+def c4_flags(text: Column, sep: str = "\n") -> Column:
+    """The C4 cleanup rules (Raffel et al. 2020) as one struct column —
+    the third named filter set next to gopher_flags (format) and
+    gopher_repetition:
+
+    - terminal_punct_line_frac: lines ending in . ! ? or a closing
+      quote (C4 keeps only such lines)
+    - short_line_frac: lines under 3 words (C4 drops them)
+    - n_sentences: terminal-punctuation sentence count (C4 requires
+      >= 3 per page)
+    - has_lorem_ipsum / has_curly_brace / has_javascript: the
+      published page-level drop triggers (curly braces flag code,
+      'javascript' flags script warnings)
+    - passes: >= 3 sentences and none of the drop triggers
+
+    Pure JVM regex/HOF expressions — zero shuffle, scan-speed, and the
+    same regexes run in external engines (no lookaheads)."""
+    import re as _re
+
+    t = F.coalesce(text, F.lit(""))
+    lines = F.filter(
+        F.split(t, _re.escape(sep)), lambda x: F.trim(x) != ""
+    )
+    n_lines_f = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    term = F.size(
+        F.filter(lines, lambda x: F.trim(x).rlike("[.!?][\"']?$"))
+    )
+    short = F.size(
+        F.filter(
+            lines,
+            lambda x: F.size(
+                F.filter(F.split(F.trim(x), r"\s+"), lambda w: w != "")
+            )
+            < C4_MIN_WORDS_PER_LINE,
+        )
+    )
+    low = F.lower(t)
+    n_sent = F.coalesce(F.regexp_count(t, F.lit(r"[.!?]")), F.lit(0))
+    has_lorem = low.contains("lorem ipsum")
+    has_curly = t.contains("{")
+    has_js = low.contains("javascript")
+    passes = (
+        (n_sent >= C4_MIN_SENTENCES)
+        & ~has_lorem
+        & ~has_curly
+        & ~has_js
+    )
+    return F.struct(
+        F.round(term.cast("double") / n_lines_f, 9).alias(
+            "terminal_punct_line_frac"
+        ),
+        F.round(short.cast("double") / n_lines_f, 9).alias("short_line_frac"),
+        n_sent.cast("long").alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_curly.alias("has_curly_brace"),
+        has_js.alias("has_javascript"),
+        passes.alias("passes"),
+    )

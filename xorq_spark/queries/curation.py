@@ -582,3 +582,82 @@ def text_nb_classifier_q(spark, sf_dir):
 
     docs = widen(t(spark, sf_dir, "documents"))
     return nb_classify(docs).orderBy("doc_id")
+
+
+@query(
+    "text_c4_flags",
+    oracle=f"""
+    WITH lined AS (
+      SELECT doc_id,
+             CASE WHEN COALESCE(len({_TOKS}), 0) > 0 THEN
+               array_to_string(list_transform(
+                 range(0, (len({_TOKS}) + 3) // 4),
+                 i -> array_to_string({_TOKS}[i*4+1:i*4+4], ' ')
+                   || CASE WHEN i % 2 = 0 THEN '.' ELSE '' END), chr(10))
+             ELSE '' END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             list_filter(str_split(t, chr(10)), x -> trim(x) <> '') AS lines
+      FROM lined),
+    s AS (
+      SELECT doc_id, t, greatest(len(lines), 1) AS nl,
+             len(list_filter(lines,
+               x -> regexp_matches(trim(x), '[.!?]["'']?$'))) AS term,
+             len(list_filter(lines,
+               x -> len(list_filter(regexp_split_to_array(trim(x), '\\s+'),
+                        w -> w <> '')) < 3)) AS short
+      FROM m)
+    SELECT doc_id,
+           round(term::DOUBLE / nl, 9) AS terminal_punct_line_frac,
+           round(short::DOUBLE / nl, 9) AS short_line_frac,
+           CAST(COALESCE(len(regexp_extract_all(t, '[.!?]')), 0) AS BIGINT)
+             AS n_sentences,
+           contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+           contains(t, '{{') AS has_curly_brace,
+           contains(lower(t), 'javascript') AS has_javascript,
+           (COALESCE(len(regexp_extract_all(t, '[.!?]')), 0) >= 3
+            AND NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{{')
+            AND NOT contains(lower(t), 'javascript')) AS passes
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_c4_flags_q(spark, sf_dir):
+    """C4 cleanup rules (functions/text.py c4_flags) — the third named
+    filter set next to the two Gopher halves. Documents reshape into
+    deterministic 4-token lines with a period after every other line
+    (the corpus has no sentence punctuation), so the terminal-punct
+    and sentence-count rules exercise both branches. Zero shuffle;
+    oracle replays every regex and trigger."""
+    from xorq_spark.functions.text import c4_flags, tokenize as tk
+
+    toks = tk(F.col("text"))
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_lines = F.floor((n + F.lit(3)) / F.lit(4)).cast("int")
+    lined = F.when(n > 0, F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 4 + 1, 4), " "),
+                F.when((i % 2) == 0, F.lit(".")).otherwise(F.lit("")),
+            ),
+        ),
+        "\n",
+    )).otherwise(F.lit(""))
+    g = c4_flags(F.col("lined"))
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select("doc_id", lined.alias("lined"))
+        .select(
+            "doc_id",
+            g["terminal_punct_line_frac"].alias("terminal_punct_line_frac"),
+            g["short_line_frac"].alias("short_line_frac"),
+            g["n_sentences"].alias("n_sentences"),
+            g["has_lorem_ipsum"].alias("has_lorem_ipsum"),
+            g["has_curly_brace"].alias("has_curly_brace"),
+            g["has_javascript"].alias("has_javascript"),
+            g["passes"].alias("passes"),
+        )
+        .orderBy("doc_id")
+    )

@@ -233,6 +233,8 @@ SUITES: dict[str, list[str]] = {
         "text_gopher_repetition",
         # + the NB classifier (fasttext-style quality/language filter)
         "text_nb_classifier",
+        # + the C4 cleanup rule set (third named filter set)
+        "text_c4_flags",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
