@@ -791,3 +791,242 @@ class TestHtmlToText:
         }
         for i, (_, want) in enumerate(cases):
             assert got[i] == want, (i, repr(got[i]), repr(want))
+
+
+class TestHdrQuantileSketch:
+    def _vals(self, spark, xs):
+        return spark.createDataFrame([(int(x),) for x in xs], "v long")
+
+    def test_counts_and_bounds_contain_values(self, spark):
+        from xorq_spark.functions.sketches import hdr_build, hdr_bounds
+
+        import random
+
+        rng = random.Random(11)
+        xs = (
+            [rng.randint(-10**6, 10**6) for _ in range(500)]
+            + [0, 1, -1, 15, 16, 17, 2**40, -(2**40)]
+        )
+        sk = hdr_build(self._vals(spark, xs), "v")
+        rows = hdr_bounds(sk).collect()
+        # total mass preserved
+        assert sum(r["c"] for r in rows) == len(xs)
+        # structural relative-error bound on every positive bucket
+        for r in rows:
+            if r["lo_int"] > 0:
+                assert (r["hi_int"] - r["lo_int"] + 1) <= max(
+                    r["lo_int"] >> 4, 1
+                )
+            assert r["lo_int"] <= r["hi_int"]
+        # every value falls in exactly one bucket
+        ivs = sorted((r["lo_int"], r["hi_int"]) for r in rows)
+        for a, b in zip(ivs, ivs[1:]):
+            assert a[1] < b[0]
+        for x in xs:
+            assert any(lo <= x <= hi for lo, hi in ivs)
+
+    def test_merge_equals_direct(self, spark):
+        from xorq_spark.functions.sketches import hdr_build, hdr_merge
+
+        import random
+
+        rng = random.Random(5)
+        xs = [rng.randint(0, 10**9) for _ in range(400)]
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "i long, v long"
+        )
+        whole = hdr_build(df, "v")
+        parts = [
+            hdr_build(df.where(F.col("i") % 3 == s), "v") for s in range(3)
+        ]
+        merged = hdr_merge(*parts)
+        a = {(r["sign"], r["e"], r["sub"]): r["c"] for r in whole.collect()}
+        b = {(r["sign"], r["e"], r["sub"]): r["c"] for r in merged.collect()}
+        assert a == b
+
+    def test_quantiles_bracket_exact(self, spark):
+        from xorq_spark.functions.sketches import hdr_build, hdr_quantiles
+
+        import random
+
+        rng = random.Random(3)
+        xs = sorted(int(rng.lognormvariate(10, 2)) for _ in range(2000))
+        sk = hdr_build(self._vals(spark, xs), "v")
+        qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+        out = {r["q"]: (r["est_lo"], r["est_hi"]) for r in
+               hdr_quantiles(sk, qs).collect()}
+        n = len(xs)
+        for label, num, den in qs:
+            need = -(-num * n // den)  # ceil
+            exact = xs[need - 1]  # type-1 quantile
+            lo, hi = out[label]
+            assert lo <= exact <= hi
+            # 1/16 relative error on the bucket
+            assert (hi - lo + 1) <= max(lo >> 4, 1)
+
+    def test_sketch_size_bounded(self, spark):
+        from xorq_spark.functions.sketches import hdr_build
+
+        df = spark.range(0, 200_000).select(
+            (F.col("id") * 7919 % 1_000_003).alias("v")
+        )
+        assert hdr_build(df, "v").count() <= 16 * 63 + 20
+
+    def test_signs_and_zero(self, spark):
+        from xorq_spark.functions.sketches import hdr_build, hdr_quantiles
+
+        xs = list(range(-100, 101))  # symmetric incl. zero
+        sk = hdr_build(self._vals(spark, xs), "v")
+        out = {r["q"]: (r["est_lo"], r["est_hi"]) for r in
+               hdr_quantiles(sk, [("p50", 1, 2)]).collect()}
+        lo, hi = out["p50"]
+        assert lo <= 0 <= hi
+
+
+class TestBM25:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    @staticmethod
+    def _ref_bm25(texts, query_terms, topk=5):
+        """Python replay of the integer BM25 contract."""
+        import math
+
+        toks = [t.lower().split() for t in texts]
+        N = len(toks)
+        T = sum(len(t) for t in toks)
+        df = {}
+        for t in toks:
+            for w in set(t):
+                df[w] = df.get(w, 0) + 1
+        scores = {}
+        for qid, terms in query_terms.items():
+            for d, t in enumerate(toks):
+                s = 0
+                for w in terms:
+                    tf = t.count(w)
+                    if tf == 0:
+                        continue
+                    idf_nano = round(
+                        math.log((2 * N + 2) / (2 * df.get(w, 0) + 1)) * 1e9
+                    )
+                    s += (idf_nano * 44 * T * tf) // (
+                        20 * T * tf + 6 * T + 18 * len(t) * N
+                    )
+                if s != 0:
+                    scores[(qid, d)] = s
+        out = {}
+        for qid in query_terms:
+            ranked = sorted(
+                ((d, s) for (q, d), s in scores.items() if q == qid),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[:topk]
+            out[qid] = [(d, s, r + 1) for r, (d, s) in enumerate(ranked)]
+        return out
+
+    def test_matches_python_reference(self, spark):
+        from xorq_spark.functions.retrieval import bm25_topk
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog chased the cat",
+            "quantum computing is the future of computing",
+            "the mat was red",
+            "dog dog dog",
+        ]
+        qts = {1: ["cat", "mat"], 2: ["dog"], 3: ["computing", "future"]}
+        qdf = spark.createDataFrame(
+            [(q, w) for q, ws in qts.items() for w in ws],
+            "query_id int, term string",
+        )
+        got = {}
+        for r in bm25_topk(self._docs(spark, texts), qdf, topk=5).collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score_nano"], r["rank"])
+            )
+        ref = self._ref_bm25(texts, qts)
+        for q in qts:
+            assert sorted(got.get(q, [])) == sorted(ref[q]), q
+
+    def test_rare_term_outranks_common(self, spark):
+        from xorq_spark.functions.retrieval import bm25_topk
+
+        texts = ["alpha beta", "alpha beta", "alpha zeta", "alpha beta"]
+        qdf = spark.createDataFrame(
+            [(1, "zeta"), (1, "alpha")], "query_id int, term string"
+        )
+        rows = bm25_topk(self._docs(spark, texts), qdf, topk=4).collect()
+        top = min(rows, key=lambda r: r["rank"])
+        assert top["doc_id"] == 2  # the only zeta doc wins on idf
+
+    def test_derived_queries_deterministic(self, spark):
+        from xorq_spark.functions.retrieval import derive_query_terms
+
+        texts = ["a b c d", "a b c", "a b", "a"]
+        d = self._docs(spark, texts)
+        one = sorted(map(tuple, derive_query_terms(d, n_queries=2, terms_per_query=2).collect()))
+        two = sorted(map(tuple, derive_query_terms(d, n_queries=2, terms_per_query=2).collect()))
+        assert one == two
+        # df order: a(4) b(3) c(2) d(1) -> q1={a,b}, q2={c,d}
+        assert one == [(1, "a"), (1, "b"), (2, "c"), (2, "d")]
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _ref_lpa(edges, iterations):
+        """Python replay: synchronous, most-frequent neighbor label,
+        ties to smallest label."""
+        from collections import Counter
+
+        und = set()
+        for a, b in edges:
+            if a != b:
+                und.add((a, b))
+                und.add((b, a))
+        nodes = sorted({x for e in und for x in e})
+        nbrs = {n: [] for n in nodes}
+        for a, b in und:
+            nbrs[a].append(b)
+        lab = {n: n for n in nodes}
+        for _ in range(iterations):
+            new = {}
+            for n in nodes:
+                c = Counter(lab[m] for m in nbrs[n])
+                new[n] = min(c, key=lambda l: (-c[l], l)) if c else n
+            lab = new
+        return lab
+
+    def _run(self, spark, edges, iterations):
+        from xorq_spark.functions.graph import label_propagation
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["node"]: r["community"]
+            for r in label_propagation(df, iterations=iterations).collect()
+        }
+
+    def test_two_triangles_with_bridge(self, spark):
+        edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+        for it in (1, 2, 3):
+            assert self._run(spark, edges, it) == self._ref_lpa(edges, it)
+
+    def test_random_graph_matches_reference(self, spark):
+        import random
+
+        rng = random.Random(23)
+        edges = [
+            (rng.randint(0, 30), rng.randint(0, 30)) for _ in range(120)
+        ]
+        assert self._run(spark, edges, 2) == self._ref_lpa(edges, 2)
+
+    def test_dense_community_outvotes_bridge(self, spark):
+        # K4 on {1..4} + pendant chain 4-10-11: the K4 keeps its own
+        # label mass; this is NOT connected components (which would
+        # collapse everything to one label).
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+                 (4, 10), (10, 11)]
+        out = self._run(spark, edges, 2)
+        assert out == self._ref_lpa(edges, 2)
+        assert len(set(out.values())) > 1

@@ -138,3 +138,66 @@ def _pagerank_iterations(e, nodes, outdeg, ranks, iterations, base, n, num, den)
             .localCheckpoint(eager=True)  # each iteration runs once
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community
+    detection) over an undirected graph — the cheap clustering signal
+    for crawl graphs (mirror/host communities) next to PageRank's
+    authority weights.
+
+    Semantics (engine-replayable, no randomness): labels start as node
+    ids; each round EVERY node simultaneously adopts the most frequent
+    label among its neighbors, ties to the smallest label. A fixed
+    small iteration count (curation wants coarse communities, not
+    convergence); unlike min-label propagation this is NOT connected
+    components — dense neighborhoods out-vote bridges.
+
+    Scale: symmetrized edge list checkpointed once; each round is one
+    edges⋈labels shuffle keyed on src plus one (node, label) groupBy —
+    the same per-iteration cost shape as pagerank. Tie-break via
+    min(struct(-count, label)) keeps the reduction combinable.
+
+    Returns (node, community)."""
+    e0 = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    labels = nodes.select("node", F.col("node").alias("lab"))
+    for _ in range(iterations):
+        nb = e.join(
+            labels.withColumnRenamed("node", "__n"),
+            F.col("src") == F.col("__n"),
+        ).select(F.col("dst").alias("node"), "lab")
+        cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+        best = cnt.groupBy("node").agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))).alias("m")
+        ).select("node", F.col("m.lab").alias("__newlab"))
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("__newlab"), F.col("node")).alias("lab"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select("node", F.col("lab").alias("community"))

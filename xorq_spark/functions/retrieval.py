@@ -1,0 +1,142 @@
+"""Full-text relevance retrieval: BM25 scoring as an inverted-index join.
+
+The RAG / eval-retrieval shape over a document corpus, built the way a
+100 TB engine must: an explicit postings table (term -> doc, tf) — ONE
+explode + one map-side-combinable groupBy — joined against a broadcast
+query-term list, so the work is |postings ∩ query terms|, never
+|docs| x |queries|. Document-frequency and corpus totals are the usual
+combinable aggregates; the final top-k is a per-query window.
+
+Scoring is Lucene-convention BM25 with k1 = 6/5, b = 3/4, made
+engine-exact with the repo's standard integer contracts:
+
+    idf_nano      = round(ln((2N+2)/(2·df+1)) · 1e9)      (BIGINT nano-nats;
+                    ln of a ratio of small ints — the proven lm_score rule)
+    tf_part       = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+                  = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)    (avgdl = T/N —
+                    exact rational once multiplied through by 20·T)
+    score_nano    = idf_nano · 44·T·tf  DIV  (20·T·tf + 6·T + 18·dl·N)
+
+The numerator product can exceed int64 (idf_nano ~1e10 times a ~1e15
+token-scaled term at corpus scale), so it is computed in DECIMAL(38,0)
+(HUGEINT on the DuckDB side) and the quotient — always < idf_nano·11/5,
+comfortably BIGINT — is truncated identically by both engines (positive
+operands). Per-(query, doc) scores are integer sums of term scores, so
+accumulation order cannot perturb the ranking; ties break on doc_id.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from xorq_spark.functions.text import tokenize
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str):
+    """(doc, term, tf) postings + (doc, dl) lengths + (N, T) totals."""
+    toks = docs.select(
+        F.col(id_col).alias("__doc"),
+        tokenize(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
+    )
+    lens = toks.select("__doc", F.size("__t").cast("long").alias("dl"))
+    occ = toks.select("__doc", F.explode("__t").alias("term"))
+    post = occ.groupBy("__doc", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    totals = lens.agg(
+        F.count(F.lit(1)).cast("long").alias("N"),
+        F.sum("dl").cast("long").alias("T"),
+    )
+    return post, lens, totals
+
+
+def derive_query_terms(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_queries: int = 3,
+    terms_per_query: int = 3,
+) -> DataFrame:
+    """Deterministic corpus-derived query set: the top
+    n_queries*terms_per_query terms by document frequency (ties to the
+    lexicographically smaller term), chunked in rank order into
+    (query_id, term) rows. Gives every corpus a reproducible retrieval
+    workload without external fixtures."""
+    post, _, _ = _postings(docs, text_col, id_col)
+    df_tbl = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
+    top = (
+        df_tbl.select("term", "df", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= n_queries * terms_per_query)
+    )
+    return top.select(
+        F.expr(f"CAST((rk - 1) div {terms_per_query} + 1 AS INT)").alias(
+            "query_id"
+        ),
+        "term",
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 5,
+) -> DataFrame:
+    """Top-k documents per query by BM25 (k1=6/5, b=3/4), integer-exact
+    (see module docstring). `query_terms` is a (query_id, term)
+    DataFrame — small by construction, broadcast into the postings
+    join. Returns (query_id, doc_id, score_nano, rank)."""
+    post, lens, totals = _postings(docs, text_col, id_col)
+    df_tbl = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qt = (
+        query_terms.join(df_tbl, "term", "left")
+        .na.fill({"df": 0})
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.log((2 * F.col("N") + 2) / (2 * F.col("df") + 1))
+                * F.lit(1e9),
+                0,
+            ).cast("long").alias("idf_nano"),
+        )
+    )
+    scored = (
+        post.join(F.broadcast(qt), "term")
+        .join(lens, "__doc")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "__doc",
+            F.expr(
+                "CAST(CAST(idf_nano AS DECIMAL(38,0)) * CAST(44 AS DECIMAL(38,0))"
+                " * CAST(T AS DECIMAL(38,0)) * CAST(tf AS DECIMAL(38,0))"
+                " div (CAST(20 AS DECIMAL(38,0)) * T * tf"
+                "      + CAST(6 AS DECIMAL(38,0)) * T"
+                "      + CAST(18 AS DECIMAL(38,0)) * dl * N) AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+    per_doc = scored.groupBy("query_id", "__doc").agg(
+        F.sum("s").cast("long").alias("score_nano")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col("__doc").asc()
+    )
+    return (
+        per_doc.select(
+            "query_id",
+            F.col("__doc").alias(id_col),
+            "score_nano",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= topk)
+    )

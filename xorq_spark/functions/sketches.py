@@ -185,3 +185,134 @@ def bloom_probe(
         )
         .select(F.col("__k").alias(key_col), "maybe_present")
     )
+
+
+# ---------------------------------------------------------------------------
+# Log-linear quantile sketch (HDR-histogram / OpenTelemetry exponential-
+# histogram family) — the mergeable-percentiles sibling of the HLL distinct
+# sketches, CMS frequency sketch, and Bloom membership filter.
+#
+# Values are quantized to BIGINT (floor(x*scale + 0.5), the repo's standard
+# engine-mirrored quantization) and bucketed log-linearly: exponent
+# e = floor(log2(|v|)) computed EXACTLY as length(bin(|v|)) - 1 (identical
+# in Spark and DuckDB — no float log), then the octave [2^e, 2^(e+1)) is
+# split into 2^4 = 16 linear sub-buckets with pure shifts:
+# sub = (|v| - 2^e) >> (e-4) for e >= 4 (width 2^(e-4), relative error
+# <= 1/16), exact unit buckets for e < 4. Sign-aware (negative values
+# bucket by magnitude and flip bounds; zero is its own bucket).
+#
+# The sketch IS a (sign, e, sub, c) DataFrame: at most ~16*63*2+1 rows no
+# matter the input size — THE property that makes it the 100 TB percentile
+# path. Build is one map-side-combinable groupBy; merge is union+sum;
+# a quantile readout is a window cumsum over <=2k bucket rows. Every step
+# is integer arithmetic both engines replay bit-for-bit, so the oracle
+# certifies exact bucket bounds AND the within-bucket containment of the
+# true (type-1) quantile — not just an error claim.
+# ---------------------------------------------------------------------------
+
+_HDR_SUB_BITS = 4
+
+
+def hdr_build(df: DataFrame, int_col) -> DataFrame:
+    """Build the log-linear sketch over a BIGINT column expression
+    (caller quantizes doubles via floor(x*scale+0.5); nulls excluded).
+    Output: (sign TINYINT-ish INT, e INT, sub BIGINT, c BIGINT) — bounded
+    at ~2k rows regardless of input cardinality."""
+    c = F.col(int_col) if isinstance(int_col, str) else int_col
+    v = df.select(c.cast("long").alias("v")).where(F.col("v").isNotNull())
+    parts = v.select(
+        F.expr(
+            "CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END"
+        ).cast("int").alias("sign"),
+        F.expr("abs(v)").alias("mag"),
+    ).select(
+        "sign",
+        F.expr(
+            "CASE WHEN mag > 0 THEN cast(length(bin(mag)) - 1 AS INT) ELSE 0 END"
+        ).alias("e"),
+        F.expr(
+            "CASE WHEN mag = 0 THEN CAST(0 AS BIGINT) "
+            " WHEN length(bin(mag)) - 1 >= 4 THEN "
+            "   shiftright(mag - shiftleft(1L, length(bin(mag)) - 1), "
+            "              length(bin(mag)) - 1 - 4) "
+            " ELSE mag - shiftleft(1L, length(bin(mag)) - 1) END"
+        ).alias("sub"),
+    )
+    return parts.groupBy("sign", "e", "sub").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def hdr_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge sketches built with the same quantization: counters add.
+    Exact — partial sketches over disjoint shards reproduce the
+    whole-corpus sketch bit-for-bit (certified by agg_hdr_quantiles)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("sign", "e", "sub").agg(
+        F.sum("c").cast("long").alias("c")
+    )
+
+
+def hdr_bounds(sketch: DataFrame) -> DataFrame:
+    """Attach exact signed integer bucket bounds [lo_int, hi_int]
+    (inclusive, in quantized units). Width is 2^(e-4) for e >= 4, 1
+    below — so (hi-lo+1) <= max(lo>>4, 1): the 1/16 relative-error
+    guarantee is structural, not statistical."""
+    lo_m = (
+        "CASE WHEN sign = 0 THEN CAST(0 AS BIGINT) "
+        "WHEN e >= 4 THEN shiftleft(1L, e) + sub * shiftleft(1L, e - 4) "
+        "ELSE shiftleft(1L, e) + sub END"
+    )
+    w_m = "CASE WHEN sign = 0 THEN 1L WHEN e >= 4 THEN shiftleft(1L, e - 4) ELSE 1L END"
+    b = sketch.select(
+        "sign", "e", "sub", "c",
+        F.expr(lo_m).alias("__lo_m"),
+        F.expr(w_m).alias("__w_m"),
+    )
+    return b.select(
+        "sign", "e", "sub", "c",
+        F.expr(
+            "CASE WHEN sign >= 0 THEN __lo_m * sign "
+            "ELSE -(__lo_m + __w_m - 1) END"
+        ).cast("long").alias("lo_int"),
+        F.expr(
+            "CASE WHEN sign >= 0 THEN (__lo_m + __w_m - 1) * sign "
+            "ELSE -__lo_m END"
+        ).cast("long").alias("hi_int"),
+    )
+
+
+def hdr_quantiles(sketch: DataFrame, qs) -> DataFrame:
+    """Type-1 (inverse-ECDF) quantile bounds from the sketch: for each
+    (label, num, den) rational q, the bucket holding the rank-
+    ceil(q*N) value. Returns (q, est_lo, est_hi) in quantized units —
+    the true quantile is guaranteed inside [est_lo, est_hi].
+
+    The cumsum window is deliberately single-partition: it runs over
+    the BUCKET table, whose size is bounded by the sketch geometry
+    (~2k rows) independent of data volume."""
+    from pyspark.sql import Window
+
+    spark = sketch.sparkSession
+    qdf = spark.createDataFrame(list(qs), "q string, num long, den long")
+    b = hdr_bounds(sketch)
+    w = Window.orderBy("lo_int").rowsBetween(Window.unboundedPreceding, 0)
+    cum = b.select(
+        "lo_int", "hi_int", F.sum("c").over(w).cast("long").alias("cum")
+    )
+    tot = sketch.agg(F.sum("c").cast("long").alias("N"))
+    needs = qdf.crossJoin(F.broadcast(tot)).select(
+        "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
+    )
+    hit = cum.crossJoin(F.broadcast(needs)).where(F.col("cum") >= F.col("need"))
+    return (
+        hit.groupBy("q")
+        .agg(F.min(F.struct("lo_int", "hi_int")).alias("m"))
+        .select(
+            "q",
+            F.col("m.lo_int").alias("est_lo"),
+            F.col("m.hi_int").alias("est_hi"),
+        )
+    )

@@ -542,3 +542,166 @@ def agg_grouping_sets(spark, sf_dir):
                                 (o_orderstatus, o_orderpriority), ())
         ORDER BY g_st, g_pr, o_orderstatus, o_orderpriority
     """)
+
+
+@query(
+    "agg_hdr_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v,
+             l_orderkey
+      FROM lineitem),
+    parts AS (
+      SELECT CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+             abs(v) AS mag, l_orderkey
+      FROM v),
+    bk0 AS (
+      SELECT sign,
+             CASE WHEN mag > 0 THEN length(bin(mag)) - 1 ELSE 0 END AS e,
+             CASE WHEN mag = 0 THEN CAST(0 AS BIGINT)
+                  WHEN length(bin(mag)) - 1 >= 4 THEN
+                    (mag - (CAST(1 AS BIGINT) << (length(bin(mag)) - 1)))
+                      >> (length(bin(mag)) - 1 - 4)
+                  ELSE mag - (CAST(1 AS BIGINT) << (length(bin(mag)) - 1))
+             END AS sub,
+             l_orderkey
+      FROM parts),
+    -- direct sketch and a 4-shard merged rebuild (counters add) must agree
+    sk AS (SELECT sign, e, sub, count(*) AS c FROM bk0 GROUP BY 1, 2, 3),
+    skm AS (SELECT sign, e, sub, CAST(SUM(c) AS BIGINT) AS c FROM (
+              SELECT sign, e, sub, l_orderkey % 4 AS shard, count(*) AS c
+              FROM bk0 GROUP BY 1, 2, 3, 4) GROUP BY 1, 2, 3),
+    bd AS (
+      SELECT sign, e, sub, c,
+             CASE WHEN sign = 0 THEN CAST(0 AS BIGINT)
+                  WHEN e >= 4 THEN (CAST(1 AS BIGINT) << e) + sub * (CAST(1 AS BIGINT) << (e - 4))
+                  ELSE (CAST(1 AS BIGINT) << e) + sub END AS lo_m,
+             CASE WHEN sign = 0 THEN CAST(1 AS BIGINT)
+                  WHEN e >= 4 THEN (CAST(1 AS BIGINT) << (e - 4))
+                  ELSE CAST(1 AS BIGINT) END AS w_m
+      FROM sk),
+    bdm AS (
+      SELECT sign, e, sub, c,
+             CASE WHEN sign = 0 THEN CAST(0 AS BIGINT)
+                  WHEN e >= 4 THEN (CAST(1 AS BIGINT) << e) + sub * (CAST(1 AS BIGINT) << (e - 4))
+                  ELSE (CAST(1 AS BIGINT) << e) + sub END AS lo_m,
+             CASE WHEN sign = 0 THEN CAST(1 AS BIGINT)
+                  WHEN e >= 4 THEN (CAST(1 AS BIGINT) << (e - 4))
+                  ELSE CAST(1 AS BIGINT) END AS w_m
+      FROM skm),
+    cum AS (
+      SELECT CASE WHEN sign >= 0 THEN lo_m * sign ELSE -(lo_m + w_m - 1) END AS lo_int,
+             CASE WHEN sign >= 0 THEN (lo_m + w_m - 1) * sign ELSE -lo_m END AS hi_int,
+             SUM(c) OVER (ORDER BY CASE WHEN sign >= 0 THEN lo_m * sign
+                                        ELSE -(lo_m + w_m - 1) END
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM bd),
+    cumm AS (
+      SELECT CASE WHEN sign >= 0 THEN lo_m * sign ELSE -(lo_m + w_m - 1) END AS lo_int,
+             CASE WHEN sign >= 0 THEN (lo_m + w_m - 1) * sign ELSE -lo_m END AS hi_int,
+             SUM(c) OVER (ORDER BY CASE WHEN sign >= 0 THEN lo_m * sign
+                                        ELSE -(lo_m + w_m - 1) END
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM bdm),
+    tot AS (SELECT count(*) AS N FROM v),
+    qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                 ('p99', 99, 100), ('p999', 999, 1000)) q(q, num, den)),
+    needs AS (SELECT q, (num * N + den - 1) // den AS need FROM qs, tot),
+    est AS (
+      SELECT q, CAST(min(lo_int) AS BIGINT) AS est_lo,
+             CAST(min_by(hi_int, lo_int) AS BIGINT) AS est_hi
+      FROM cum JOIN needs ON cum.cum >= needs.need GROUP BY q),
+    estm AS (
+      SELECT q, CAST(min(lo_int) AS BIGINT) AS est_lo_merged
+      FROM cumm JOIN needs ON cumm.cum >= needs.need GROUP BY q),
+    exv AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+    exc AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM exv),
+    exq AS (SELECT q, CAST(min(v) AS BIGINT) AS exact
+            FROM exc JOIN needs ON exc.cum >= needs.need GROUP BY q)
+    SELECT est.q, est.est_lo, est.est_hi, estm.est_lo_merged, exq.exact,
+           (est.est_lo <= exq.exact AND exq.exact <= est.est_hi) AS contains_exact,
+           ((est.est_hi - est.est_lo + 1) <= CASE WHEN (est.est_lo >> 4) > 1
+                                                  THEN est.est_lo >> 4 ELSE 1 END)
+             AS within_rel_bound
+    FROM est JOIN estm USING (q) JOIN exq USING (q)
+    ORDER BY q
+    """,
+)
+def agg_hdr_quantiles(spark, sf_dir):
+    """Mergeable log-linear quantile sketch (functions/sketches.py
+    hdr_build/merge/quantiles) — the 100 TB percentile path next to
+    HLL (distinct), CMS (frequency), and Bloom (membership): the
+    sketch is a <=2k-row (sign, e, sub, c) table whatever the input
+    size, built by one map-side-combinable groupBy over pure-integer
+    shift bucketing (e = length(bin(m))-1, 16 linear sub-buckets per
+    octave => structural 1/16 relative error).
+
+    Certification is total: the DuckDB oracle replays quantization,
+    bucketing, a 4-shard merge rebuild (must equal the direct sketch's
+    readout), the cumsum readout at p50/p90/p99/p999, AND the exact
+    type-1 quantile — `contains_exact` proves each estimate bucket
+    brackets the true quantile; `within_rel_bound` proves the error
+    geometry. A single off-by-one in any shift breaks the hash."""
+    from xorq_spark.functions.sketches import (
+        hdr_build,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    li = t(spark, sf_dir, "lineitem")
+    vint = F.expr(
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    )
+    vals = li.select(vint.alias("v"), "l_orderkey")
+    direct = hdr_build(vals, "v")
+    partials = [
+        hdr_build(vals.where(F.col("l_orderkey") % 4 == s), "v")
+        for s in range(4)
+    ]
+    merged = hdr_merge(*partials)
+    qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000)]
+    est = hdr_quantiles(direct, qs)
+    est_m = hdr_quantiles(merged, qs).select(
+        F.col("q").alias("__qm"), F.col("est_lo").alias("est_lo_merged")
+    )
+
+    # exact type-1 quantiles, replayed with the same integer rank rule
+    from pyspark.sql import Window
+
+    tot = vals.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    qdf = spark.createDataFrame(qs, "q string, num long, den long")
+    needs = qdf.crossJoin(F.broadcast(tot)).select(
+        "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    exc = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("v", F.sum("c").over(wv).cast("long").alias("cum"))
+    )
+    exq = (
+        exc.crossJoin(F.broadcast(needs))
+        .where(F.col("cum") >= F.col("need"))
+        .groupBy("q")
+        .agg(F.min("v").cast("long").alias("exact"))
+    )
+    return (
+        est.join(est_m, F.col("q") == F.col("__qm"))
+        .join(exq, "q")
+        .select(
+            "q",
+            "est_lo",
+            "est_hi",
+            "est_lo_merged",
+            "exact",
+            (
+                (F.col("est_lo") <= F.col("exact"))
+                & (F.col("exact") <= F.col("est_hi"))
+            ).alias("contains_exact"),
+            (
+                (F.col("est_hi") - F.col("est_lo") + 1)
+                <= F.greatest(F.expr("shiftright(est_lo, 4)"), F.lit(1))
+            ).alias("within_rel_bound"),
+        )
+        .orderBy("q")
+    )

@@ -661,3 +661,53 @@ def text_c4_flags_q(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM occ GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                   (SELECT CAST(sum(dl) AS BIGINT) FROM lens) AS T
+            FROM documents),
+    topt AS (SELECT term, df,
+                    row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+             FROM dfq QUALIFY rk <= 9),
+    qt AS (SELECT CAST((rk - 1) // 3 + 1 AS INT) AS query_id, term,
+                  CAST(round(ln((2 * N + 2) / (2 * df + 1)) * 1e9, 0) AS BIGINT)
+                    AS idf_nano
+           FROM topt, tot),
+    sc AS (SELECT query_id, post.doc_id,
+                  CAST(CAST(idf_nano AS HUGEINT) * 44 * T * tf
+                       // (CAST(20 AS HUGEINT) * T * tf
+                           + CAST(6 AS HUGEINT) * T
+                           + CAST(18 AS HUGEINT) * dl * N) AS BIGINT) AS s
+           FROM post JOIN qt USING (term) JOIN lens USING (doc_id), tot),
+    pd AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_nano
+           FROM sc GROUP BY 1, 2),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_nano DESC, doc_id ASC)
+                       AS rank
+           FROM pd)
+    SELECT query_id, doc_id, score_nano, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def text_bm25_topk_q(spark, sf_dir):
+    """BM25 top-5 retrieval (functions/retrieval.py bm25_topk) over a
+    corpus-derived 3x3-term query set — the RAG/eval retrieval shape as
+    an inverted-index join: postings ⋈ broadcast query terms, never
+    docs x queries. Integer-exact Lucene BM25 (k1=6/5, b=3/4): nano-nat
+    idf + a DECIMAL(38,0)/HUGEINT exact-rational tf saturation term,
+    identical truncation on both engines, so the oracle certifies every
+    score AND the full ranking, ties broken on doc_id."""
+    from xorq_spark.functions.retrieval import bm25_topk, derive_query_terms
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    qterms = derive_query_terms(docs, n_queries=3, terms_per_query=3)
+    return bm25_topk(docs, qterms, topk=5).orderBy("query_id", "rank")

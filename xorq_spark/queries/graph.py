@@ -61,3 +61,48 @@ def graph_pagerank_parts(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return pagerank(edges, iterations=3).orderBy("node")
+
+
+_LPA_ITER = """
+nb{k} AS (SELECT e.dst AS node, l{p}.lab FROM e JOIN l{p} ON e.src = l{p}.node),
+c{k} AS (SELECT node, lab, count(*) AS c FROM nb{k} GROUP BY 1, 2),
+p{k} AS (SELECT node, lab, row_number() OVER (
+           PARTITION BY node ORDER BY c DESC, lab ASC) AS rn FROM c{k}),
+l{k} AS (SELECT nodes.node, COALESCE(b.lab, nodes.node) AS lab
+         FROM nodes LEFT JOIN (SELECT node, lab FROM p{k} WHERE rn = 1) b
+         USING (node))"""
+
+
+def _lpa_oracle(iterations: int = 2) -> str:
+    iters = ",".join(
+        _LPA_ITER.format(k=k, p=k - 1) for k in range(1, iterations + 1)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS a, l_partkey AS b
+      FROM lineitem WHERE l_suppkey <> l_partkey),
+    e AS (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS lab FROM nodes),
+    {iters}
+    SELECT node, lab AS community FROM l{iterations} ORDER BY node
+    """
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle(2))
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous label-propagation communities (functions/graph.py
+    label_propagation, 2 rounds, ties to smallest label) over the
+    undirected supplier—part co-occurrence graph. Each round is one
+    edges⋈labels shuffle + one (node,label) groupBy; the oracle
+    replays both rounds as unrolled CTEs, so a single mis-voted node
+    breaks the hash. Deterministic by construction — no float, no
+    randomness."""
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    from xorq_spark.functions.graph import label_propagation
+
+    return label_propagation(edges, iterations=2).orderBy("node")

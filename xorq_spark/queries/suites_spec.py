@@ -135,6 +135,10 @@ SUITES: dict[str, list[str]] = {
         # + Bloom membership filter (join pruning; no-false-negative
         # guarantee certified as an always-true column)
         "agg_bloom_filter",
+        # round 5: mergeable log-linear quantile sketch (HDR/exponential-
+        # histogram family — the 100 TB percentile path; bracket + merge
+        # + error-geometry certified in-query)
+        "agg_hdr_quantiles",
     ],
     "suite_time_a": [
         "time_trunc_extract",
@@ -235,6 +239,9 @@ SUITES: dict[str, list[str]] = {
         "text_nb_classifier",
         # + the C4 cleanup rule set (third named filter set)
         "text_c4_flags",
+        # round 5: BM25 inverted-index retrieval (integer-exact Lucene
+        # scoring; ranking certified with doc_id tie-break)
+        "text_bm25_topk",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
@@ -250,6 +257,9 @@ SUITES: dict[str, list[str]] = {
         "dedup_canonical_longest",
         # + record linkage: blocked Levenshtein entity resolution
         "dedup_fuzzy_linkage",
+        # round 5: label-propagation communities (second graph-tier
+        # member beside PageRank; deterministic synchronous voting)
+        "graph_label_propagation",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
