@@ -107,13 +107,32 @@ def kmeans(
     )
     rows = [(c, list(r["qv"])) for c, r in enumerate(seed_rows)]
 
+    assigned, centroids = _kmeans_assigned(
+        df.sparkSession, pts, rows, iterations, return_centroids
+    )
+    out = assigned.select(F.col("id").alias(id_col), "cluster")
+    if return_centroids:
+        # the loop updates AFTER the final assignment, so `centroids`
+        # is the post-final-assignment update — certifiable downstream
+        return out, centroids
+    return out
+
+
+def _kmeans_assigned(spark, pts, rows, iterations, return_centroids=False):
+    """Shared Lloyd loop over a (id, qv, *carried) frame: returns the
+    FULL assigned frame (all input columns + cluster) so callers like
+    semdedup read their carried columns with no join-back. The centroid
+    update reads qv straight off the assigned frame — assignment is a
+    narrow projection of pts, so no shuffle join on id ever happens
+    (round 4 shipped one per iteration plus one in semdedup; at corpus
+    scale those were the dominant non-inherent exchanges)."""
     assigned, centroids = None, None
     for it in range(iterations):
         if not rows:  # empty corpus: no seeds, well-defined empty result
             assigned = pts.select(
-                "id", F.lit(0).cast("int").alias("cluster")
+                "*", F.lit(0).cast("int").alias("cluster")
             ).where(F.lit(False))
-            centroids = df.sparkSession.createDataFrame(
+            centroids = spark.createDataFrame(
                 [], "cluster int, cv array<bigint>"
             )
             break
@@ -123,34 +142,32 @@ def kmeans(
         if it < iterations - 1:
             rows = sorted(
                 (r["cluster"], list(r["cv"]))
-                for r in _update(pts, assigned).collect()
+                for r in _update(assigned).collect()
             )
         elif return_centroids:
-            centroids = _update(pts, assigned).localCheckpoint(eager=True)
-
-    out = assigned.select(F.col("id").alias(id_col), "cluster")
-    if return_centroids:
-        # the loop updates AFTER the final assignment, so `centroids`
-        # is the post-final-assignment update — certifiable downstream
-        return out, centroids
-    return out
+            centroids = _update(assigned).localCheckpoint(eager=True)
+    return assigned, centroids
 
 
 def _assign(pts: DataFrame, centroid_rows) -> DataFrame:
     """Nearest centroid per point from a LITERAL centroid table
     (constant-folded): per-row argmin over k structs, lexicographic
     array_min for the deterministic (min dist, then min cluster)
-    tie-break. Map-side only — no shuffle on the corpus."""
-    ctr = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cluster"),
-                F.array(
-                    *[F.lit(int(v)).cast("long") for v in cv]
-                ).alias("cv"),
+    tie-break. Map-side only — no shuffle on the corpus. Keeps every
+    input column (narrow projection), so downstream consumers never
+    join back on id."""
+    # ONE parsed SQL literal, not k*d F.lit() Column objects: building
+    # the centroid array column-by-column costs a py4j round trip per
+    # literal (~2.7 s per assign at k=8, d=64 — measured, and it scales
+    # with k*d); a single expr() string is one call and parses JVM-side
+    # in microseconds. Semantics identical (INT cluster, BIGINT cv).
+    ctr = F.expr(
+        "array(" + ",".join(
+            "named_struct('cluster', {c}, 'cv', array({vs}))".format(
+                c=int(c), vs=",".join(f"{int(v)}L" for v in cv)
             )
             for c, cv in centroid_rows
-        ]
+        ) + ")"
     )
     best = F.array_min(
         F.transform(
@@ -161,15 +178,14 @@ def _assign(pts: DataFrame, centroid_rows) -> DataFrame:
             ),
         )
     )
-    return pts.select("id", best["cluster"].alias("cluster"))
+    return pts.select("*", best["cluster"].alias("cluster"))
 
 
-def _update(pts: DataFrame, assigned: DataFrame) -> DataFrame:
+def _update(assigned: DataFrame) -> DataFrame:
     """New centroids: one posexplode + (cluster, dim)-keyed
     map-side-combinable sum, repacked to k×d arrays."""
     return (
-        assigned.join(pts, "id")
-        .select("cluster", F.posexplode("qv").alias("dim", "x"))
+        assigned.select("cluster", F.posexplode("qv").alias("dim", "x"))
         .groupBy("cluster", "dim")
         .agg(
             F.sum("x").alias("s"), F.count(F.lit(1)).alias("c")
@@ -245,19 +261,32 @@ def semdedup(
     Scale: the pair join is keyed by cluster (bounded buckets, the LSH
     band shape); everything else is the kmeans cost."""
     num, den = tau
-    clusters = kmeans(
-        df, vec_col=vec_col, id_col=id_col, k=k,
-        iterations=iterations, scale=kmeans_scale,
-    )
-    q = df.select(
+    # ONE projection carries both quantizations (kmeans qv + sim q):
+    # the Lloyd loop threads q through untouched, so the assignment
+    # comes back with q attached — no clusters⋈q shuffle join (and no
+    # second read of the embedding column).
+    pts0 = df.select(
         F.col(id_col).cast("long").alias("id"),
+        _quantize_shift(F.col(vec_col), kmeans_scale).alias("qv"),
         F.transform(
             F.col(vec_col),
             lambda x: F.floor(x.cast("double") * sim_scale + F.lit(0.5))
             .cast("long"),
         ).alias("q"),
+    ).where(F.col("qv").isNotNull())
+    seed_rows = (
+        pts0.select(
+            "id", "qv", F.md5(F.col("id").cast("string")).alias("__h")
+        )
+        .orderBy("__h", "id")
+        .limit(k)
+        .collect()
     )
-    pts = clusters.withColumnRenamed(id_col, "id").join(q, "id").select(
+    rows = [(c, list(r["qv"])) for c, r in enumerate(seed_rows)]
+    assigned, _ = _kmeans_assigned(
+        df.sparkSession, pts0, rows, iterations
+    )
+    pts = assigned.select(
         "id", "cluster", "q",
         F.aggregate(
             F.transform(F.col("q"), lambda x: x * x),
@@ -270,7 +299,10 @@ def semdedup(
     # standard practice before any self-join on a derived frame
     pts = pts.localCheckpoint(eager=True)
     if pairs == "gemm":
-        dups = _cluster_dups_gemm(pts, num, den).distinct()
+        # no distinct: each id lives in exactly one cluster group and
+        # the per-group matrix emits it at most once — the extra
+        # exchange bought nothing
+        dups = _cluster_dups_gemm(pts, num, den)
     else:
         a, b = pts.alias("a"), pts.alias("b")
         dot = F.aggregate(

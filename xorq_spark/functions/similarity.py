@@ -21,6 +21,24 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, Window
 
 
+def _lit_double(x) -> str:
+    """SQL double literal (D suffix — bare decimals parse as DECIMAL)."""
+    return repr(float(x)) + "D"
+
+
+def _lit_float_matrix(mat) -> Column:
+    """array<array<double>> literal built as ONE parsed SQL expression.
+
+    Building it element-by-element with F.lit costs a py4j round trip
+    per element — measured ~2.7 s at 8x64 in the kmeans assign (see
+    clustering._assign) and it scales with k*d; one expr() string is a
+    single call and parses JVM-side in microseconds."""
+    rows = ",".join(
+        "array(" + ",".join(_lit_double(x) for x in r) + ")" for r in mat
+    )
+    return F.expr("array(" + rows + ")")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -184,7 +202,7 @@ def ann_ivf_fixed_topk(
             "cos_sim double, rank int",
         )
     centroids = [list(map(float, r[1])) for r in cent_rows]
-    ctr_lit = F.array(*[F.array(*[F.lit(x) for x in c]) for c in centroids])
+    ctr_lit = _lit_float_matrix(centroids)
 
     def ranked_cells(vec: Column, n: int) -> Column:
         # (-cos, cell) structs: array_sort ascending = cosine descending
@@ -300,9 +318,7 @@ def ann_ivf_topk(
     # Query-side cell assignment: distances to the (tiny) centroid list
     # computed JVM-side from a literal array-of-arrays.
     centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
-    ctr_lit = F.array(*[
-        F.array(*[F.lit(x) for x in ctr]) for ctr in centroids
-    ])
+    ctr_lit = _lit_float_matrix(centroids)
 
     def _sq_dist(a: Column, b: Column) -> Column:
         return F.aggregate(
@@ -632,14 +648,15 @@ def _ann_ivf_int_topk(
         ),
         "__cid",
     )
-    ctr = F.array(
-        *[
-            F.struct(
-                F.lit(c).alias("cell"),
-                F.array(*[F.lit(int(v)).cast("long") for v in cv]).alias("cv"),
+    # one parsed literal, not k*d F.lit py4j round trips (see
+    # _lit_float_matrix / clustering._assign)
+    ctr = F.expr(
+        "array(" + ",".join(
+            "named_struct('cell', {c}, 'cv', array({vs}))".format(
+                c=int(c), vs=",".join(f"{int(v)}L" for v in cv)
             )
             for c, cv in rows
-        ]
+        ) + ")"
     )
     ranked_cells = F.slice(
         F.array_sort(
