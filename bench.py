@@ -69,6 +69,15 @@ HEADLINE = [
     "mm_decode_avi_frames",
     "mm_image_dhash_pairs",
     "time_zscore_anomaly",
+    # round 5: mergeable quantile sketch (bounded-size percentile path),
+    # BM25 inverted-index retrieval + hybrid RRF fusion, label-
+    # propagation communities (second iterative graph shape), exact
+    # per-group winsorization
+    "agg_hdr_quantiles",
+    "text_bm25_topk",
+    "text_rrf_hybrid",
+    "graph_label_propagation",
+    "time_winsorize_values",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

@@ -591,3 +591,48 @@ def test_c4_flags_rules(spark):
     # both lines under 3 words
     assert out[5]["short_line_frac"] == 1.0
     assert out[6]["n_sentences"] == 0 and out[6]["passes"] is False
+
+
+class TestGopherRepetitionArrowParity:
+    """The arrow (mapInPandas) and hof (pure-JVM) paths must be
+    row-identical — same contract, different execution engine (the
+    semdedup GEMM precedent)."""
+
+    def _cmp(self, spark, df, **kw):
+        from xorq_spark.functions.text import gopher_repetition
+
+        a = gopher_repetition(df, impl="arrow", **kw).orderBy("doc_id")
+        h = gopher_repetition(df, impl="hof", **kw).orderBy("doc_id")
+        ra, rh = a.collect(), h.collect()
+        assert a.columns == h.columns
+        assert [tuple(r) for r in ra] == [tuple(r) for r in rh]
+
+    def test_corpus_parity(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        self._cmp(
+            spark, docs, sep="\n", para_sep="\n\n",
+            top_ns=(2, 3), dup_ns=(5, 10),
+        )
+
+    def test_adversarial_unicode_and_edges(self, spark):
+        rows = [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "a"),
+            (4, "a a a a a a a a a a"),
+            (5, "x y z\tz\nz z"),          # NBSP is NOT Java \\s
+            (6, "line\nline\nother\n\npara\n\npara"),
+            (7, "你好 你好 世界"),
+            (8, " lead and trail \n lead and trail \n"),
+            (9, "one two three four five six seven eight nine ten "
+                "one two three four five six seven eight nine ten"),
+            (10, "\x0b\x0c\r mixed \x0b ws \f tokens \r here"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        self._cmp(
+            spark, df, sep="\n", para_sep="\n\n",
+            top_ns=(2, 3), dup_ns=(5, 10),
+        )
+        self._cmp(spark, df, sep="\n", para_sep=None,
+                  top_ns=(2,), dup_ns=(3,))

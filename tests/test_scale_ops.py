@@ -1030,3 +1030,89 @@ class TestLabelPropagation:
         out = self._run(spark, edges, 2)
         assert out == self._ref_lpa(edges, 2)
         assert len(set(out.values())) > 1
+
+
+class TestRRFFusion:
+    def test_fusion_matches_reference(self, spark):
+        from xorq_spark.functions.retrieval import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+            "query_id int, doc_id long, rank int",
+        )
+        r2 = spark.createDataFrame(
+            [(1, 12, 1), (1, 10, 2), (1, 13, 3)],
+            "query_id int, doc_id long, rank int",
+        )
+        out = {
+            r["doc_id"]: (r["rrf_nano"], r["rank"])
+            for r in rrf_fuse(r1, r2, k=60, topk=10).collect()
+        }
+        c = lambda rk: 10**9 // (60 + rk)
+        expect = {
+            10: c(1) + c(2),
+            12: c(3) + c(1),
+            11: c(2),
+            13: c(3),
+        }
+        assert {d: s for d, (s, _) in out.items()} == expect
+        # ranking: doc 10 (32255735) > doc 12 (32259127)? compute order
+        ordered = sorted(expect.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert [d for d, _ in ordered] == [
+            d for d, (_, rk) in sorted(out.items(), key=lambda kv: kv[1][1])
+        ]
+
+    def test_tie_breaks_on_doc_id(self, spark):
+        from xorq_spark.functions.retrieval import rrf_fuse
+
+        r1 = spark.createDataFrame(
+            [(1, 20, 1), (1, 21, 2)], "query_id int, doc_id long, rank int"
+        )
+        r2 = spark.createDataFrame(
+            [(1, 21, 1), (1, 20, 2)], "query_id int, doc_id long, rank int"
+        )
+        rows = sorted(
+            (r["rank"], r["doc_id"])
+            for r in rrf_fuse(r1, r2, k=60, topk=10).collect()
+        )
+        # symmetric scores -> tie -> smaller doc_id first
+        assert rows == [(1, 20), (2, 21)]
+
+
+class TestWinsorize:
+    def test_matches_numpy_type1(self, spark):
+        import random
+
+        from xorq_spark.functions.timeseries import winsorize
+
+        rng = random.Random(9)
+        vals = [round(rng.uniform(-50, 50), 3) for _ in range(500)]
+        df = spark.createDataFrame(
+            [(i, "g", v) for i, v in enumerate(vals)],
+            "event_id long, grp string, value double",
+        )
+        out = winsorize(
+            df, value_col="value", group_cols=("grp",),
+            q_lo=(5, 100), q_hi=(95, 100),
+        ).collect()
+        sv = sorted(vals)
+        n = len(sv)
+        lo = sv[-(-5 * n // 100) - 1]   # ceil rank, 1-indexed
+        hi = sv[-(-95 * n // 100) - 1]
+        for r in out:
+            assert r["lo"] == lo and r["hi"] == hi
+            assert r["value_w"] == max(lo, min(hi, r["value"]))
+
+    def test_null_values_pass_through(self, spark):
+        from xorq_spark.functions.timeseries import winsorize
+
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", None), (3, "a", 100.0), (4, "a", 2.0)],
+            "event_id long, grp string, value double",
+        )
+        out = {r["event_id"]: r["value_w"] for r in winsorize(
+            df, value_col="value", group_cols=("grp",),
+            q_lo=(1, 100), q_hi=(99, 100),
+        ).collect()}
+        assert out[2] is None
+        assert out[1] == 1.0 and out[3] == 100.0

@@ -135,7 +135,12 @@ def _pagerank_iterations(e, nodes, outdeg, ranks, iterations, base, n, num, den)
                     + F.expr(f"({num} * (coalesce(inc, 0) + dang DIV {n})) DIV {den}")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=True)  # each iteration runs once
+            # lazy checkpoint: lineage still truncates (each iteration
+            # computes once, shared by next round's three consumers),
+            # but materialization happens inside the next job instead
+            # of as its own scheduling round-trip — one job chain for
+            # the whole recurrence rather than one job per iteration
+            .localCheckpoint(eager=False)
         )
     return ranks.select("node", F.col("r").alias("rank_scaled"))
 

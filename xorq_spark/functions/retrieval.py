@@ -140,3 +140,95 @@ def bm25_topk(
         )
         .where(F.col("rank") <= topk)
     )
+
+
+def tfidf_rank_topk(
+    docs: DataFrame,
+    query_terms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    topk: int = 10,
+) -> DataFrame:
+    """Second retrieval signal for hybrid fusion: per-query document
+    ranking by the tf·idf dot product (idf_nano = round(ln(N/df)·1e9),
+    the certified tfidf_topk contract; score = Σ tf·idf_nano — integer,
+    order-independent). Same inverted-index join shape as bm25_topk.
+    Returns (query_id, doc_id, score_nano, rank)."""
+    post, _, totals = _postings(docs, text_col, id_col)
+    df_tbl = post.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    qt = (
+        query_terms.join(df_tbl, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "query_id",
+            "term",
+            F.round(
+                F.log(F.col("N").cast("double") / F.col("df").cast("double"))
+                * F.lit(1e9),
+                0,
+            ).cast("long").alias("idf_nano"),
+        )
+    )
+    per_doc = (
+        post.join(F.broadcast(qt), "term")
+        .groupBy("query_id", "__doc")
+        .agg(F.sum(F.col("tf") * F.col("idf_nano")).cast("long").alias("score_nano"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_nano").desc(), F.col("__doc").asc()
+    )
+    return (
+        per_doc.select(
+            "query_id",
+            F.col("__doc").alias(id_col),
+            "score_nano",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= topk)
+    )
+
+
+def rrf_fuse(
+    *rankings: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    topk: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner (lexical BM25 ⊕ dense ANN ⊕ priors):
+    each input ranking contributes 1/(k + rank) for the documents it
+    retrieved; fused score orders the union. Integer-exact:
+    contribution = 1e9 DIV (k + rank), summed as BIGINT, so the fused
+    ranking is engine-reproducible; ties break on doc id.
+
+    Scale: inputs are already top-k-per-query (bounded); fusion is one
+    union + one (query, doc) groupBy + one per-query window over
+    O(queries·k·signals) rows — nothing corpus-sized.
+    Returns (query_col, id_col, rrf_nano, rank)."""
+    contrib = None
+    for r in rankings:
+        c = r.select(
+            F.col(query_col).alias("__q"),
+            F.col(id_col).alias("__d"),
+            F.expr(f"1000000000 div ({k} + {rank_col})").cast("long").alias("__c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("__q", "__d").agg(
+        F.sum("__c").cast("long").alias("rrf_nano")
+    )
+    w = Window.partitionBy("__q").orderBy(
+        F.col("rrf_nano").desc(), F.col("__d").asc()
+    )
+    return (
+        fused.select(
+            F.col("__q").alias(query_col),
+            F.col("__d").alias(id_col),
+            "rrf_nano",
+            F.row_number().over(w).alias("rank"),
+        )
+        .where(F.col("rank") <= topk)
+    )

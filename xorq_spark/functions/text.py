@@ -553,6 +553,128 @@ def _pushdown_barrier(c: Column) -> Column:
     return F.when(F.monotonically_increasing_id() >= 0, c)
 
 
+def _gopher_repetition_arrow(
+    df, text_col, id_col, sep, para_sep, top_ns, dup_ns
+):
+    """Arrow-batched replay of the gopher_repetition contract: the same
+    integers per document, computed with Counter/set in Python instead
+    of ~20 interpreted JVM HOF array builds. Contract details mirrored
+    EXACTLY (pytest-asserted equal to the 'hof' path):
+
+    - tokenization = Spark `trim` (space chars only) + Java-regex
+      `\\s+` (ASCII [ \\t\\n\\x0b\\f\\r] — NOT Python's unicode \\s),
+      empty tokens dropped;
+    - segment split = literal separator, segments space-trimmed,
+      blanks dropped; char counts are codepoint counts of the
+      TRIMMED segments;
+    - rounding = Spark ROUND on double: BigDecimal(repr).setScale(9,
+      HALF_UP) — Decimal(repr(x)).quantize(1e-9, HALF_UP) in Python,
+      NOT round() (banker's).
+
+    Zero shuffle, embarrassingly parallel — same scale story as the
+    HOF path, minus the interpreted-lambda constant factor."""
+    import re as _re
+    from decimal import Decimal, ROUND_HALF_UP
+
+    _ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+    _q = Decimal("0.000000001")
+
+    def _round9(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(_q, ROUND_HALF_UP))
+
+    top_thr = {n: GOPHER_MAX_TOP_NGRAM_CHAR_FRAC.get(n, 1.0) for n in top_ns}
+    dup_thr = {n: GOPHER_MAX_DUP_NGRAM_CHAR_FRAC.get(n, 1.0) for n in dup_ns}
+
+    def _seg_fracs(txt: str, s: str):
+        segs = [p.strip(" ") for p in txt.split(s)]
+        segs = [p for p in segs if p != ""]
+        n = len(segs)
+        uniq = set(segs)
+        chars = sum(len(p) for p in segs)
+        uchars = sum(len(p) for p in uniq)
+        df_ = (n - len(uniq)) / max(n, 1)
+        dcf = (chars - uchars) / max(chars, 1)
+        return _round9(df_), _round9(dcf)
+
+    id_type = dict(df.dtypes)[id_col]
+    fields = [f"{id_col} {id_type}", "dup_line_frac double",
+              "dup_line_char_frac double"]
+    if para_sep is not None:
+        fields += ["dup_para_frac double", "dup_para_char_frac double"]
+    fields += [f"top_{n}gram_char_frac double" for n in top_ns]
+    fields += [f"dup_{n}gram_char_frac double" for n in dup_ns]
+    fields += ["passes boolean"]
+    schema = ", ".join(fields)
+
+    def compute(batches):
+        import pandas as pd
+        from collections import Counter
+
+        for pdf in batches:
+            out = {f.split()[0]: [] for f in fields}
+            for did, raw in zip(pdf[id_col], pdf[text_col]):
+                txt = raw if isinstance(raw, str) else ""
+                toks = [t for t in _ws.split(txt.strip(" ")) if t != ""]
+                lens = [len(t) for t in toks]
+                tok_chars = max(sum(lens), 1)
+                text_chars = max(len(txt), 1)
+                passes = True
+
+                dl, dlc = _seg_fracs(txt, sep)
+                out["dup_line_frac"].append(dl)
+                out["dup_line_char_frac"].append(dlc)
+                passes = (
+                    passes
+                    and dl <= GOPHER_MAX_DUP_LINE_FRAC
+                    and dlc <= GOPHER_MAX_DUP_LINE_CHAR_FRAC
+                )
+                if para_sep is not None:
+                    dp, dpc = _seg_fracs(txt, para_sep)
+                    out["dup_para_frac"].append(dp)
+                    out["dup_para_char_frac"].append(dpc)
+                    passes = (
+                        passes
+                        and dp <= GOPHER_MAX_DUP_PARA_FRAC
+                        and dpc <= GOPHER_MAX_DUP_PARA_CHAR_FRAC
+                    )
+
+                grams_by_n = {}
+                for n in sorted(set(top_ns) | set(dup_ns)):
+                    grams_by_n[n] = (
+                        [" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)]
+                        if len(toks) >= n else []
+                    )
+                for n in top_ns:
+                    grams = grams_by_n[n]
+                    if grams:
+                        c = Counter(grams)
+                        m = max(c.values())
+                        g = min(x for x, k in c.items() if k == m)
+                        frac = _round9(m * len(g) / text_chars)
+                    else:
+                        frac = 0.0
+                    out[f"top_{n}gram_char_frac"].append(frac)
+                    passes = passes and frac <= top_thr[n]
+                for n in dup_ns:
+                    grams = grams_by_n[n]
+                    c = Counter(grams)
+                    dupg = {x for x, k in c.items() if k >= 2}
+                    covered = set()
+                    for i, g in enumerate(grams):
+                        if g in dupg:
+                            covered.update(range(i, i + n))
+                    chars = sum(lens[p] for p in covered)
+                    frac = _round9(chars / tok_chars)
+                    out[f"dup_{n}gram_char_frac"].append(frac)
+                    passes = passes and frac <= dup_thr[n]
+                out[id_col].append(did)
+                out["passes"].append(passes)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema)
+
+
 def gopher_repetition(
     df,
     text_col: str = "text",
@@ -561,6 +683,7 @@ def gopher_repetition(
     para_sep: str | None = None,
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+    impl: str = "arrow",
 ):
     """The Gopher REPETITION rules (Rae et al. 2021, table A1) — the
     companion of `gopher_flags`' format rules. Returns (id_col,
@@ -588,7 +711,21 @@ def gopher_repetition(
     a single nested column expression would re-evaluate the gram array
     inside each lambda element, turning O(G log G) per document into
     O(G²) array rebuilds (measured: pathological). Fractions round to
-    9 digits (exact-integer ratios — engine-independent)."""
+    9 digits (exact-integer ratios — engine-independent).
+
+    `impl` picks the execution path — the semdedup GEMM precedent:
+    'arrow' (default) computes the identical integers per document in
+    an Arrow-batched mapInPandas pass (Counter/set per doc beats ~20
+    interpreted HOF array builds per row by ~6x, measured at sf0.1);
+    'hof' keeps the pure-JVM staged-projection path. Both replicate
+    the same contract — Java-ASCII whitespace tokenization, space-only
+    trim, repr-based HALF_UP rounding — and a pytest asserts they are
+    row-identical on the corpus and on unicode adversaries; the DuckDB
+    oracle certifies whichever path ran."""
+    if impl == "arrow":
+        return _gopher_repetition_arrow(
+            df, text_col, id_col, sep, para_sep, top_ns, dup_ns
+        )
     txt = F.coalesce(F.col(text_col), F.lit(""))
 
     # stage 1: base arrays, built once per row
@@ -886,10 +1023,18 @@ def lm_score(
         return base, bg
 
     base, bigrams = _bigrams(df, F.col(id_col))
+    # Pin the bigram stream: the model counts (c_bi, c_uni) and the
+    # scoring join all consume it — without materialization each branch
+    # re-scans the source and re-runs tokenize+zip+explode (the
+    # nb_classify lesson; at cluster scale persist it MEMORY_AND_DISK
+    # instead). base stays lazy: its only other consumer is the
+    # single-row vocabulary aggregate.
+    bigrams = bigrams.localCheckpoint(eager=True)
     if train_df is None:
         model_base, model_bigrams = base, bigrams
     else:
         model_base, model_bigrams = _bigrams(train_df, F.lit(0))
+        model_bigrams = model_bigrams.localCheckpoint(eager=True)
 
     c_bi = model_bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
     c_uni = model_bigrams.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
@@ -981,11 +1126,27 @@ def nb_classify(
     toks = F.filter(
         F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
     )
-    tdf = df if train_df is None else train_df
-
-    train_base = tdf.select(
-        F.col(label_col).alias("__c"), toks.alias("__toks")
-    )
+    # Tokenize ONCE and pin it: the model needs ~6 aggregates over the
+    # token stream and the scorer two more — without materialization
+    # every branch re-scans the source and re-runs the regex split
+    # (measured: 35 exchanges, each from raw text, on a 5k-doc corpus).
+    # At cluster scale this is the standard persist-before-multi-pass
+    # pattern (use MEMORY_AND_DISK persistence of the tokenized frame).
+    if train_df is None:
+        both = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(label_col).alias("__c"),
+            toks.alias("__toks"),
+        ).localCheckpoint(eager=True)
+        train_base = both.select("__c", "__toks")
+        base = both.select("__id", "__toks")
+    else:
+        train_base = train_df.select(
+            F.col(label_col).alias("__c"), toks.alias("__toks")
+        ).localCheckpoint(eager=True)
+        base = df.select(
+            F.col(id_col).alias("__id"), toks.alias("__toks")
+        ).localCheckpoint(eager=True)
     occ_t = train_base.select("__c", F.explode("__toks").alias("w"))
     n_docs = train_base.agg(F.count(F.lit(1)).alias("nd"))
     cls_docs = train_base.groupBy("__c").agg(F.count(F.lit(1)).alias("ndc"))
@@ -1030,13 +1191,18 @@ def nb_classify(
         )
     )
 
-    base = df.select(F.col(id_col).alias("__id"), toks.alias("__toks"))
     occ = base.select("__id", F.explode("__toks").alias("w"))
     doc_len = base.select(
         "__id", F.size("__toks").alias("n_tokens")
     )
+    # The (w, class) model table is vocabulary-bounded (never corpus-
+    # bounded) — broadcast it so the corpus token stream is scored
+    # map-side with NO shuffle on occurrences, exactly how fasttext-
+    # style filters deploy: the model ships to workers, the corpus
+    # stays put. (For a vocabulary too large to broadcast, drop the
+    # hint and this degrades to a token-keyed shuffle join.)
     matched = (
-        occ.join(tok_cls, "w")
+        occ.join(F.broadcast(tok_cls), "w")
         .groupBy("__id", "__c")
         .agg(
             F.sum("lp_nano").alias("msum"),

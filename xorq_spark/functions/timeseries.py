@@ -297,3 +297,76 @@ def zscore_anomalies(
         z.alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: Sequence[str] = (),
+    q_lo: tuple = (5, 100),
+    q_hi: tuple = (95, 100),
+) -> DataFrame:
+    """Winsorization — clamp a metric to its per-group [q_lo, q_hi]
+    quantiles, the robust-statistics companion of `zscore_anomalies`
+    for pipeline-health metrics and quality-score normalization (tail
+    outliers saturate instead of dominating means/thresholds).
+
+    Quantiles are exact type-1 (inverse ECDF, rank = ceil(q·N) with q
+    a RATIONAL (num, den)) — selected FROM the data values with pure
+    integer rank arithmetic, so both bounds and every clamped value
+    are engine-exact; no interpolation, no float rank math.
+
+    Returns the input columns + (__lo, __hi renamed) lo / hi /
+    `{value_col}_w` (the clamped value).
+
+    Scale: one (group, value) map-side-combinable count, one window
+    cumsum over the DISTINCT-value table (bounded by value
+    cardinality, not row count), and a broadcast-sized per-group
+    bounds table joined back — the corpus itself is never shuffled."""
+    from pyspark.sql import Window
+
+    gl = list(group_cols)
+    v = F.col(value_col)
+    cnt = df.where(v.isNotNull()).groupBy(*gl, value_col).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = (
+        Window.partitionBy(*gl) if gl else Window.partitionBy(F.lit(1))
+    ).orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    wg = (
+        Window.partitionBy(*gl) if gl else Window.partitionBy(F.lit(1))
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = cnt.select(
+        *gl, value_col,
+        F.sum("__c").over(w).cast("long").alias("__cum"),
+        F.sum("__c").over(wg).cast("long").alias("__n"),
+    )
+    lo_n, lo_d = q_lo
+    hi_n, hi_d = q_hi
+    bounds = cum.groupBy(*gl).agg(
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.expr(f"({lo_n} * __n + {lo_d} - 1) div {lo_d}"),
+                v,
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(
+                F.col("__cum")
+                >= F.expr(f"({hi_n} * __n + {hi_d} - 1) div {hi_d}"),
+                v,
+            )
+        ).alias("hi"),
+    )
+    joined = (
+        df.join(F.broadcast(bounds), gl) if gl else df.crossJoin(F.broadcast(bounds))
+    )
+    return joined.select(
+        *df.columns,
+        "lo",
+        "hi",
+        F.when(v.isNull(), None)
+        .otherwise(F.greatest(F.col("lo"), F.least(F.col("hi"), v)))
+        .alias(f"{value_col}_w"),
+    )

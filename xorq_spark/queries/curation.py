@@ -711,3 +711,78 @@ def text_bm25_topk_q(spark, sf_dir):
     docs = widen(t(spark, sf_dir, "documents"))
     qterms = derive_query_terms(docs, n_queries=3, terms_per_query=3)
     return bm25_topk(docs, qterms, topk=5).orderBy("query_id", "rank")
+
+
+@query(
+    "text_rrf_hybrid",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM occ GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                   (SELECT CAST(sum(dl) AS BIGINT) FROM lens) AS T
+            FROM documents),
+    topt AS (SELECT term, df,
+                    row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+             FROM dfq QUALIFY rk <= 9),
+    qt AS (SELECT CAST((rk - 1) // 3 + 1 AS INT) AS query_id, term, df FROM topt),
+    -- signal 1: BM25 top-20 (the certified text_bm25_topk contract)
+    bsc AS (SELECT query_id, post.doc_id,
+                  CAST(CAST(round(ln((2 * N + 2) / (2 * qt.df + 1)) * 1e9, 0) AS HUGEINT)
+                       * 44 * T * tf
+                       // (CAST(20 AS HUGEINT) * T * tf
+                           + CAST(6 AS HUGEINT) * T
+                           + CAST(18 AS HUGEINT) * dl * N) AS BIGINT) AS s
+           FROM post JOIN qt USING (term) JOIN lens USING (doc_id), tot),
+    bpd AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_nano
+            FROM bsc GROUP BY 1, 2),
+    brk AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_nano DESC, doc_id ASC) AS rank
+            FROM bpd QUALIFY rank <= 20),
+    -- signal 2: tf-idf dot-product top-20
+    tsc AS (SELECT query_id, post.doc_id,
+                   CAST(sum(tf * CAST(round(ln(CAST(N AS DOUBLE) / CAST(qt.df AS DOUBLE)) * 1e9, 0) AS BIGINT)) AS BIGINT) AS score_nano
+            FROM post JOIN qt USING (term), tot GROUP BY 1, 2),
+    trk AS (SELECT query_id, doc_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score_nano DESC, doc_id ASC) AS rank
+            FROM tsc QUALIFY rank <= 20),
+    -- reciprocal-rank fusion: 1e9 // (60 + rank), integer sum
+    contrib AS (
+      SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c FROM brk
+      UNION ALL
+      SELECT query_id, doc_id, 1000000000 // (60 + rank) AS c FROM trk),
+    fused AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf_nano
+              FROM contrib GROUP BY 1, 2),
+    frk AS (SELECT query_id, doc_id, rrf_nano,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_nano DESC, doc_id ASC) AS rank
+            FROM fused QUALIFY rank <= 10)
+    SELECT query_id, doc_id, rrf_nano, CAST(rank AS INT) AS rank
+    FROM frk ORDER BY query_id, rank
+    """,
+)
+def text_rrf_hybrid_q(spark, sf_dir):
+    """Hybrid retrieval by reciprocal-rank fusion (functions/
+    retrieval.py rrf_fuse, Cormack et al. 2009): BM25 top-20 ⊕ tf-idf
+    dot-product top-20 over the same corpus-derived query set, fused
+    with 1e9 DIV (60 + rank) integer contributions — the standard
+    lexical⊕secondary-signal combiner in RAG stacks. Fusion runs over
+    bounded top-k lists (never corpus-sized); the oracle replays both
+    signal rankings and the fused ranking end-to-end."""
+    from xorq_spark.functions.retrieval import (
+        bm25_topk,
+        derive_query_terms,
+        rrf_fuse,
+        tfidf_rank_topk,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    qterms = derive_query_terms(docs, n_queries=3, terms_per_query=3)
+    b = bm25_topk(docs, qterms, topk=20)
+    s = tfidf_rank_topk(docs, qterms, topk=20)
+    return rrf_fuse(b, s, k=60, topk=10).orderBy("query_id", "rank")

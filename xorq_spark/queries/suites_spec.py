@@ -160,6 +160,8 @@ SUITES: dict[str, list[str]] = {
         "time_scd2_history",
         # + rolling z-score anomaly detection (pipeline health metric)
         "time_zscore_anomaly",
+        # round 5: per-group winsorization (exact type-1 quantile clamp)
+        "time_winsorize_values",
     ],
     "suite_coll_a": [
         "coll_array_basics",
@@ -240,8 +242,10 @@ SUITES: dict[str, list[str]] = {
         # + the C4 cleanup rule set (third named filter set)
         "text_c4_flags",
         # round 5: BM25 inverted-index retrieval (integer-exact Lucene
-        # scoring; ranking certified with doc_id tie-break)
+        # scoring; ranking certified with doc_id tie-break) + hybrid
+        # reciprocal-rank fusion over two signal rankings
         "text_bm25_topk",
+        "text_rrf_hybrid",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

@@ -513,7 +513,57 @@ def time_zscore_anomaly(spark, sf_dir):
     health metrics."""
     from xorq_spark.functions.timeseries import zscore_anomalies
 
+    # no trailing presentation sort: the output is corpus-sized (every
+    # event row) and both correctness surfaces are order-insensitive —
+    # the driver's value hash (proven by the suite UNION ALL oracles,
+    # which have no outer ORDER BY yet hash-match across engines whose
+    # union output orders differ) and check_oracle (sorts rows itself).
+    # A global sort of the full output doubled the query's runtime.
     ev = t(spark, sf_dir, "events")
     return zscore_anomalies(
         ev, order_cols=("event_id",), window=20, threshold=3.0
-    ).orderBy("event_type", "ts", "event_id")
+    )
+
+
+@query(
+    "time_winsorize_values",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type, value, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, value,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM cnt),
+    bounds AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= (5 * n + 99) // 100 THEN value END) AS lo,
+             min(CASE WHEN cum >= (95 * n + 99) // 100 THEN value END) AS hi
+      FROM cum GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value, b.lo, b.hi,
+           CASE WHEN e.value IS NULL THEN NULL
+                ELSE greatest(b.lo, least(b.hi, e.value)) END AS value_w
+    FROM events e JOIN bounds b USING (event_type)
+    """,
+)
+def time_winsorize_values(spark, sf_dir):
+    """Per-group winsorization (functions/timeseries.py winsorize):
+    every event's value clamped to its event_type's exact type-1
+    [p05, p95] — integer rank arithmetic, bounds selected from data
+    values, so the clamp is engine-exact. The distinct-value cumsum is
+    bounded by value cardinality; the corpus joins a broadcast bounds
+    table (never shuffles). Output is corpus-sized — no trailing
+    presentation sort (both correctness surfaces are
+    order-insensitive)."""
+    from xorq_spark.functions.timeseries import winsorize
+
+    ev = t(spark, sf_dir, "events")
+    return winsorize(
+        ev.select("event_id", "event_type", "value"),
+        value_col="value",
+        group_cols=("event_type",),
+        q_lo=(5, 100),
+        q_hi=(95, 100),
+    )
