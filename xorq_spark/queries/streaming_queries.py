@@ -385,3 +385,114 @@ def stream_dedup_inc(spark, sf_dir):
     )
     out = _run(candidates, "stream_dedup_inc", "append")
     return out.orderBy("doc_id")
+
+
+@query(
+    "stream_hdr_quantiles",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    parts AS (
+      SELECT CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END AS sign,
+             abs(v) AS mag
+      FROM v),
+    sk AS (
+      SELECT sign,
+             CASE WHEN mag > 0 THEN length(bin(mag)) - 1 ELSE 0 END AS e,
+             CASE WHEN mag = 0 THEN CAST(0 AS BIGINT)
+                  WHEN length(bin(mag)) - 1 >= 4 THEN
+                    (mag - (CAST(1 AS BIGINT) << (length(bin(mag)) - 1)))
+                      >> (length(bin(mag)) - 1 - 4)
+                  ELSE mag - (CAST(1 AS BIGINT) << (length(bin(mag)) - 1))
+             END AS sub,
+             count(*) AS c
+      FROM parts GROUP BY 1, 2, 3),
+    bd AS (
+      SELECT sign, e, sub, c,
+             CASE WHEN sign = 0 THEN CAST(0 AS BIGINT)
+                  WHEN e >= 4 THEN (CAST(1 AS BIGINT) << e) + sub * (CAST(1 AS BIGINT) << (e - 4))
+                  ELSE (CAST(1 AS BIGINT) << e) + sub END AS lo_m,
+             CASE WHEN sign = 0 THEN CAST(1 AS BIGINT)
+                  WHEN e >= 4 THEN (CAST(1 AS BIGINT) << (e - 4))
+                  ELSE CAST(1 AS BIGINT) END AS w_m
+      FROM sk),
+    cum AS (
+      SELECT CASE WHEN sign >= 0 THEN lo_m * sign ELSE -(lo_m + w_m - 1) END AS lo_int,
+             CASE WHEN sign >= 0 THEN (lo_m + w_m - 1) * sign ELSE -lo_m END AS hi_int,
+             SUM(c) OVER (ORDER BY CASE WHEN sign >= 0 THEN lo_m * sign
+                                        ELSE -(lo_m + w_m - 1) END
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM bd),
+    tot AS (SELECT count(*) AS N FROM v),
+    qs AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                 ('p99', 99, 100)) q(q, num, den)),
+    needs AS (SELECT q, (num * N + den - 1) // den AS need FROM qs, tot),
+    est AS (
+      SELECT q, CAST(min(lo_int) AS BIGINT) AS est_lo,
+             CAST(min_by(hi_int, lo_int) AS BIGINT) AS est_hi
+      FROM cum JOIN needs ON cum.cum >= needs.need GROUP BY q),
+    exv AS (SELECT v, count(*) AS c FROM v GROUP BY v),
+    exc AS (SELECT v, SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM exv),
+    exq AS (SELECT q, CAST(min(v) AS BIGINT) AS exact
+            FROM exc JOIN needs ON exc.cum >= needs.need GROUP BY q)
+    SELECT est.q, est.est_lo, est.est_hi, exq.exact,
+           (est.est_lo <= exq.exact AND exq.exact <= est.est_hi) AS contains_exact
+    FROM est JOIN exq USING (q)
+    ORDER BY est.q
+    """,
+)
+def stream_hdr(spark, sf_dir):
+    """Streaming percentile-sketch maintenance: the log-linear quantile
+    sketch (functions/sketches.py hdr_build) run AS the streaming
+    aggregation — readStream -> integer shift bucketing -> unwatermarked
+    groupBy(sign, e, sub) in complete mode. Uniquely among unwatermarked
+    streaming aggregates this has BOUNDED state by construction: the
+    sketch geometry caps it at ~2k rows no matter how long the stream
+    runs — the production shape for live p50/p99 dashboards over
+    pipeline metrics. The quantile readout is a batch window over the
+    drained sink (production: query the continuously-updated sink);
+    the oracle replays bucketing, readout, and exact type-1 bracketing
+    over the same events."""
+    from xorq_spark.functions.sketches import hdr_build, hdr_quantiles
+    from pyspark.sql import Window
+
+    ev = _events_stream(spark, sf_dir)
+    vint = F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
+    sketch_stream = hdr_build(ev.select(vint.alias("v")), "v")
+    sink = _run(sketch_stream, "stream_hdr", "complete")
+
+    qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)]
+    est = hdr_quantiles(sink, qs)
+
+    # exact bracketing reference from the batch table (same file)
+    ev_b = spark.read.parquet(f"{sf_dir}/events.parquet")
+    vals = ev_b.select(vint.alias("v")).where(F.col("v").isNotNull())
+    tot = vals.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    qdf = spark.createDataFrame(qs, "q string, num long, den long")
+    needs = qdf.crossJoin(F.broadcast(tot)).select(
+        "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
+    )
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    exc = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select("v", F.sum("c").over(wv).cast("long").alias("cum"))
+    )
+    exq = (
+        exc.crossJoin(F.broadcast(needs))
+        .where(F.col("cum") >= F.col("need"))
+        .groupBy("q")
+        .agg(F.min("v").cast("long").alias("exact"))
+    )
+    return (
+        est.join(exq, "q")
+        .select(
+            "q", "est_lo", "est_hi", "exact",
+            (
+                (F.col("est_lo") <= F.col("exact"))
+                & (F.col("exact") <= F.col("est_hi"))
+            ).alias("contains_exact"),
+        )
+        .orderBy("q")
+    )
