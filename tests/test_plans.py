@@ -228,3 +228,43 @@ def test_zscore_anomaly_single_window_exchange(spark):
     plan = _plan(spark, "time_zscore_anomaly")
     assert plan.count("hashpartitioning(") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bm25_broadcasts_query_terms(spark):
+    """The inverted-index join ships the (query, term) list to the
+    postings, never the reverse; the corpus must not nested-loop."""
+    plan = _plan(spark, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rrf_fusion_bounded_no_corpus_shuffle(spark):
+    """Fusion operates on bounded top-k lists; no cartesian, no
+    Python, and the final ranking is one window."""
+    plan = _plan(spark, "text_rrf_hybrid")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_winsorize_broadcast_bounds(spark):
+    """The per-group bounds table joins back via broadcast — the
+    corpus itself is never shuffled for the clamp."""
+    plan = _plan(spark, "time_winsorize_values")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_hdr_sketch_combinable_build(spark):
+    """Sketch build is a partial+final hash aggregate over integer
+    shift bucketing — JVM-side, map-side combinable."""
+    plan = _plan(spark, "agg_hdr_quantiles")
+    assert "HashAggregate" in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_label_propagation_no_cartesian_no_python(spark):
+    plan = _plan(spark, "graph_label_propagation")
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan and "BatchEvalPython" not in plan

@@ -53,6 +53,12 @@ OPS = [
     "mm_audio_fp_pairs",
     "time_zscore_anomaly",
     "dedup_canonical_longest",
+    # round 5
+    "agg_hdr_quantiles",
+    "text_bm25_topk",
+    "text_rrf_hybrid",
+    "graph_label_propagation",
+    "time_winsorize_values",
 ]
 
 

@@ -187,22 +187,37 @@ def label_propagation(
     nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
         eager=True
     )
+    # Size the per-round shuffles to the MEASURED edge count (free from
+    # the checkpoint materialization) — the pagerank pattern: at the
+    # session's fact-table width a sparse graph's per-round stages are
+    # mostly empty-task scheduling overhead.
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    fit = max(1, min(int(old_parts), e.count() // 500_000 + 1))
     labels = nodes.select("node", F.col("node").alias("lab"))
-    for _ in range(iterations):
-        nb = e.join(
-            labels.withColumnRenamed("node", "__n"),
-            F.col("src") == F.col("__n"),
-        ).select(F.col("dst").alias("node"), "lab")
-        cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
-        best = cnt.groupBy("node").agg(
-            F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))).alias("m")
-        ).select("node", F.col("m.lab").alias("__newlab"))
-        labels = (
-            nodes.join(best, "node", "left")
-            .select(
-                "node",
-                F.coalesce(F.col("__newlab"), F.col("node")).alias("lab"),
+    try:
+        spark.conf.set(conf_key, str(fit))
+        for _ in range(iterations):
+            nb = e.join(
+                labels.withColumnRenamed("node", "__n"),
+                F.col("src") == F.col("__n"),
+            ).select(F.col("dst").alias("node"), "lab")
+            cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+            best = cnt.groupBy("node").agg(
+                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))).alias("m")
+            ).select("node", F.col("m.lab").alias("__newlab"))
+            labels = (
+                nodes.join(best, "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("__newlab"), F.col("node")).alias("lab"),
+                )
+                # lazy checkpoint: lineage truncates, materialization
+                # folds into the next round's first consumer (see
+                # _pagerank_iterations)
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        spark.conf.set(conf_key, old_parts)
     return labels.select("node", F.col("lab").alias("community"))
