@@ -78,6 +78,11 @@ HEADLINE = [
     "text_rrf_hybrid",
     "graph_label_propagation",
     "time_winsorize_values",
+    # round 5, second batch: triangle counting (degree-oriented wedge
+    # closure — the m^(3/2)-bounded graph-density shape) and CDC
+    # snapshot reconciliation (one full-outer keyed shuffle)
+    "graph_triangle_counts",
+    "rel_snapshot_diff",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

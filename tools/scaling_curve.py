@@ -59,6 +59,8 @@ OPS = [
     "text_rrf_hybrid",
     "graph_label_propagation",
     "time_winsorize_values",
+    "graph_triangle_counts",
+    "rel_snapshot_diff",
 ]
 
 

@@ -106,3 +106,59 @@ def graph_label_propagation(spark, sf_dir):
     from xorq_spark.functions.graph import label_propagation
 
     return label_propagation(edges, iterations=2).orderBy("node")
+
+
+_TRIANGLE_ORACLE = """
+WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e0 AS (SELECT DISTINCT a.p AS u, b.p AS v
+       FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+deg AS (SELECT node, count(*) AS degree FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY node),
+o AS (SELECT CASE WHEN du.degree < dv.degree OR (du.degree = dv.degree AND u < v)
+                  THEN u ELSE v END AS s,
+             CASE WHEN du.degree < dv.degree OR (du.degree = dv.degree AND u < v)
+                  THEN v ELSE u END AS t,
+             CASE WHEN du.degree < dv.degree OR (du.degree = dv.degree AND u < v)
+                  THEN dv.degree ELSE du.degree END AS dt
+      FROM e0 JOIN deg du ON e0.u = du.node JOIN deg dv ON e0.v = dv.node),
+w AS (SELECT o1.s, o1.t AS b, o2.t AS c
+      FROM o o1 JOIN o o2 ON o1.s = o2.s
+      WHERE o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t)),
+tri AS (SELECT w.s, w.b, w.c FROM w JOIN o ON w.b = o.s AND w.c = o.t),
+cnt AS (SELECT node, count(*) AS n_triangles FROM (
+          SELECT s AS node FROM tri UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri) GROUP BY node)
+SELECT deg.node AS node,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(COALESCE(cnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN deg.degree > 1
+            THEN (2 * COALESCE(cnt.n_triangles, 0) * 1000000000)
+                 // (deg.degree * (deg.degree - 1))
+            ELSE 0 END AS BIGINT) AS clustering_coef_e9
+FROM deg LEFT JOIN cnt USING (node)
+ORDER BY node
+"""
+
+
+@query("graph_triangle_counts", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_counts(spark, sf_dir):
+    """Per-node triangle counts + local clustering coefficient
+    (functions/graph.py triangle_counts) over the part co-purchase
+    graph (parts co-occurring in one order). Degree-orientation keeps
+    the wedge stage m^(3/2)-bounded — three equi-join shuffles, no
+    cartesian, skew-immune (a celebrity node's edges all point into
+    it). The oracle replays orientation, wedge generation and closure
+    exactly; the scaled coefficient is integer division on both
+    engines, so one missed or double-counted triangle breaks the
+    hash."""
+    from xorq_spark.functions.graph import triangle_counts
+
+    li = t(spark, sf_dir, "lineitem")
+    pe = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    edges = pe.alias("a").join(
+        pe.alias("b"),
+        (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    return triangle_counts(edges).orderBy("node")

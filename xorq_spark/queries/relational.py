@@ -364,3 +364,77 @@ def rel_validate_quality(spark, sf_dir):
     return report.select(
         "rule", "kind", "n_rows", "n_violations", "passed"
     ).orderBy("rule")
+
+
+@query(
+    "rel_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 0),
+    new AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 19 = 0 THEN lower(o_orderpriority)
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders WHERE o_orderkey % 17 <> 0),
+    j AS (
+      SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+             old.o_orderkey IS NOT NULL AS in_old,
+             new.o_orderkey IS NOT NULL AS in_new,
+             old.o_orderstatus IS DISTINCT FROM new.o_orderstatus AS f_status,
+             old.o_totalprice IS DISTINCT FROM new.o_totalprice AS f_price,
+             old.o_orderpriority IS DISTINCT FROM new.o_orderpriority AS f_priority
+      FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey)
+    SELECT o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN f_status OR f_price OR f_priority THEN 'changed'
+                ELSE 'unchanged' END AS diff_status,
+           CAST(CASE WHEN in_old AND in_new
+                THEN CAST(f_status AS INT) + CAST(f_price AS INT)
+                     + CAST(f_priority AS INT)
+                ELSE 0 END AS BIGINT) AS n_changed_cols,
+           CASE WHEN in_old AND in_new THEN concat_ws(',',
+                CASE WHEN f_status THEN 'o_orderstatus' END,
+                CASE WHEN f_price THEN 'o_totalprice' END,
+                CASE WHEN f_priority THEN 'o_orderpriority' END)
+                ELSE '' END AS changed_cols
+    FROM j
+    WHERE NOT (in_old AND in_new
+               AND NOT (f_status OR f_price OR f_priority))
+    ORDER BY o_orderkey
+    """,
+)
+def rel_snapshot_diff(spark, sf_dir):
+    """CDC-style snapshot reconciliation (functions/reconcile.py
+    snapshot_diff): two versions of the orders table — rows dropped,
+    rows added, o_totalprice bumped, o_orderpriority re-cased — diffed in ONE
+    full-outer shuffle join on the key with null-safe per-column
+    comparison map-side. The oracle replays the identical diff, so a
+    missed change, a wrong status, or a mis-listed changed column
+    breaks the hash."""
+    from xorq_spark.functions.reconcile import snapshot_diff
+
+    orders = t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    old = orders.select(*cols).where(F.expr("o_orderkey % 13 <> 0"))
+    new = (
+        orders.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.expr("o_orderkey % 11 = 0"), F.col("o_totalprice") + 1
+            ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+            F.when(
+                F.expr("o_orderkey % 19 = 0"), F.lower("o_orderpriority")
+            ).otherwise(F.col("o_orderpriority")).alias("o_orderpriority"),
+        )
+        .where(F.expr("o_orderkey % 17 <> 0"))
+    )
+    return snapshot_diff(
+        old, new, keys=["o_orderkey"],
+        compare=["o_orderstatus", "o_totalprice", "o_orderpriority"],
+    ).orderBy("o_orderkey")

@@ -85,6 +85,9 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): declarative data-quality gate (dbt-tests /
         # expectations shape, one scan for all row rules)
         "rel_validate_quality",
+        # round 5 (cont.): CDC-style snapshot reconciliation (one
+        # full-outer keyed shuffle, map-side null-safe column compare)
+        "rel_snapshot_diff",
     ],
     "suite_rel_pivot": [
         "rel_pivot_wider",
@@ -162,6 +165,8 @@ SUITES: dict[str, list[str]] = {
         "time_zscore_anomaly",
         # round 5: per-group winsorization (exact type-1 quantile clamp)
         "time_winsorize_values",
+        # + snapshot distribution drift (integer-rational per-bin TVD)
+        "time_histogram_drift",
     ],
     "suite_coll_a": [
         "coll_array_basics",
@@ -264,6 +269,9 @@ SUITES: dict[str, list[str]] = {
         # round 5: label-propagation communities (second graph-tier
         # member beside PageRank; deterministic synchronous voting)
         "graph_label_propagation",
+        # + triangle counts / clustering coefficient (degree-oriented
+        # wedge closure: m^(3/2)-bounded, skew-immune)
+        "graph_triangle_counts",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",

@@ -567,3 +567,46 @@ def time_winsorize_values(spark, sf_dir):
         q_lo=(5, 100),
         q_hi=(95, 100),
     )
+
+
+@query(
+    "time_histogram_drift",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(floor(o_totalprice) AS BIGINT) // 25000 AS bin,
+             CASE WHEN o_orderdate < TIMESTAMP '1995-06-01'
+                  THEN 0 ELSE 1 END AS side
+      FROM orders),
+    per AS (
+      SELECT bin,
+             sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS old_n,
+             sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS new_n
+      FROM b GROUP BY bin),
+    tot AS (SELECT sum(old_n) AS ot, sum(new_n) AS nt FROM per)
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(old_n AS BIGINT) AS old_n,
+           CAST(new_n AS BIGINT) AS new_n,
+           CAST((old_n * 1000000000) // ot AS BIGINT) AS old_p_e9,
+           CAST((new_n * 1000000000) // nt AS BIGINT) AS new_p_e9,
+           CAST(abs((old_n * 1000000000) // ot
+                    - (new_n * 1000000000) // nt) AS BIGINT) AS drift_e9
+    FROM per, tot
+    ORDER BY bin
+    """,
+)
+def time_histogram_drift(spark, sf_dir):
+    """Distribution drift between two corpus snapshots
+    (functions/reconcile.py histogram_drift): order-value histograms
+    before vs after a cutover date, integer-binned, proportions in
+    exact 1/1e9 units, per-bin TVD contribution — the monitoring gate
+    before a new snapshot replaces the old. One union scan + a
+    groupBy over the bounded bin domain + a broadcast single-row
+    totals aggregate; the oracle replays the identical integer
+    rationals, so one misbinned row breaks the hash."""
+    from xorq_spark.functions.reconcile import histogram_drift
+
+    orders = t(spark, sf_dir, "orders")
+    cut = F.lit("1995-06-01").cast("timestamp_ntz")
+    old = orders.where(F.col("o_orderdate") < cut)
+    new = orders.where(F.col("o_orderdate") >= cut)
+    return histogram_drift(old, new, "o_totalprice", 25000).orderBy("bin")
