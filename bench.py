@@ -83,6 +83,10 @@ HEADLINE = [
     # snapshot reconciliation (one full-outer keyed shuffle)
     "graph_triangle_counts",
     "rel_snapshot_diff",
+    # round 5, third batch: token-budget mixture planning (water-fill
+    # + hash-filter realization) and quantile-thresholded k-core
+    "text_mixture_plan",
+    "graph_kcore_prune",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

@@ -61,6 +61,8 @@ OPS = [
     "time_winsorize_values",
     "graph_triangle_counts",
     "rel_snapshot_diff",
+    "text_mixture_plan",
+    "graph_kcore_prune",
 ]
 
 

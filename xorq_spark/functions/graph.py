@@ -321,3 +321,94 @@ def triangle_counts(
             .alias("clustering_coef_e9"),
         )
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = None,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    k_percentile: tuple = (25, 100),
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected simple graph —
+    the crawl-graph pruning signal (nodes that survive k-core peeling
+    sit in densely connected regions; spam farms and long chains peel
+    away). Each round simultaneously removes every node whose current
+    degree is below k; `rounds` is a fixed small count, so the result
+    is the graph after `rounds` peels — a superset of the true k-core
+    that converges to it (curation wants coarse pruning, and a fixed
+    count is what lets an external engine replay every round as an
+    unrolled CTE, the pagerank/LPA precedent).
+
+    When `k` is None it is derived from the data as the exact type-1
+    `k_percentile` quantile of the INITIAL degree distribution
+    (integer ceil-rank over the distinct-degree cumsum — the winsorize
+    pattern), so the same pruning pressure applies at any scale
+    instead of a hand-picked constant that under-peels at 100x the
+    data. The threshold stays a one-row broadcast — never collected,
+    fixed across rounds.
+
+    Scale: per round one degree aggregation (combinable groupBy) plus
+    two semi-join filters of the edge list against the >=k survivor
+    set — the same bounded per-iteration cost shape as
+    connected_components' star rounds; lineage truncates per round via
+    lazy checkpoints.
+
+    Returns (node, degree): survivors after `rounds` peels with their
+    residual degree.
+    """
+    e0 = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .where(F.col("a") < F.col("b"))
+        .distinct()
+    )
+    e = (
+        e0.select(F.col("a").alias("s"), F.col("b").alias("d"))
+        .union(e0.select(F.col("b").alias("s"), F.col("a").alias("d")))
+        .localCheckpoint(eager=True)
+    )
+    if k is not None:
+        kdf = e.sparkSession.range(1).select(F.lit(int(k)).alias("__k"))
+    else:
+        from pyspark.sql import Window
+
+        num, den = k_percentile
+        deg0 = e.groupBy("s").agg(F.count(F.lit(1)).alias("__deg"))
+        # distinct-degree histogram is tiny (<= max degree rows): the
+        # single-partition cumsum window is over that, never the nodes
+        hist = deg0.groupBy("__deg").agg(F.count(F.lit(1)).alias("__cnt"))
+        n1 = deg0.agg(F.count(F.lit(1)).alias("__n"))
+        w = Window.orderBy("__deg").rowsBetween(Window.unboundedPreceding, 0)
+        kdf = (
+            hist.withColumn("__cum", F.sum("__cnt").over(w))
+            .crossJoin(F.broadcast(n1))
+            .where(
+                F.col("__cum")
+                >= F.expr(f"(__n * {int(num)} + {int(den) - 1}) div {int(den)}")
+            )
+            .agg(F.min("__deg").alias("__k"))
+        )
+    kdf = kdf.localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .crossJoin(F.broadcast(kdf))
+            .where(F.col("__deg") >= F.col("__k"))
+            .select(F.col("s").alias("__keep"))
+        )
+        e = (
+            e.join(keep, F.col("s") == F.col("__keep"), "left_semi")
+            .join(keep, F.col("d") == F.col("__keep"), "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    return (
+        e.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .select(F.col("s").alias("node"), F.col("degree").cast("long").alias("degree"))
+    )

@@ -188,3 +188,105 @@ def weighted_sample(
         .withColumnRenamed("__wrs_score", "sample_score")
         .withColumnRenamed("__wrs_rank", "sample_rank")
     )
+
+
+def plan_mixture(
+    df: DataFrame,
+    source_col: str,
+    token_col: str,
+    weights: Dict[str, int],
+    token_budget: int,
+    unique_key: Sequence[str] = ("doc_id",),
+    num_buckets: int = 1_000_000,
+):
+    """Token-budget mixture planner — the Pile/Dolma/C4 mixture shape:
+    given target mixture weights over sources and a total token budget,
+    compute per-source token targets and sampling rates, then apply
+    them with the deterministic hash filter.
+
+    Allocation is two-phase integer water-filling (all DIV arithmetic,
+    engine-replayable):
+      phase 1: alloc_s = budget * w_s DIV W. Sources whose available
+               tokens fit inside their allocation are *deficit* — they
+               contribute everything they have.
+      phase 2: the budget left after taking deficit sources whole is
+               redistributed over the surplus sources by renormalized
+               weights (one pass; a source that saturates during
+               redistribution is capped at its availability without
+               further cascading — documented fixed-depth choice so an
+               external engine replays it as two CTEs, not a loop).
+
+    Selection is rate = target*num_buckets DIV avail applied as
+    hash(key) % num_buckets < rate — the same md5/Knuth-mix family as
+    stratified_sample, so the draw is rerun/engine-stable and the
+    sampled token count concentrates tightly around the target.
+
+    Scale: one groupBy over the fact table (combinable sum), all
+    planning on the BOUNDED per-source frame (two single-row aggregates
+    broadcast back — no driver collect), and the plan joins back to the
+    corpus as a broadcast hash join feeding a scan-stage filter.
+
+    Returns (plan, sampled): plan = (source, wgt, tokens_avail,
+    tokens_target, keep_buckets); sampled = the surviving input rows.
+    Sources absent from `weights` are excluded (weight 0).
+    """
+    spark = df.sparkSession
+    w = spark.createDataFrame(
+        sorted((s, int(wt)) for s, wt in weights.items()),
+        f"{source_col} string, wgt long",
+    )
+    tot = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col).cast("long")).alias("tokens_avail")
+    )
+    j = tot.join(F.broadcast(w), source_col)
+    wsum = j.agg(F.sum("wgt").alias("__W"))
+    p1 = j.crossJoin(F.broadcast(wsum)).withColumn(
+        "__alloc1", F.expr(f"({token_budget} * wgt) div __W")
+    ).withColumn("__deficit", F.col("tokens_avail") <= F.col("__alloc1"))
+    lft = p1.agg(
+        (
+            F.lit(token_budget).cast("long")
+            - F.coalesce(
+                F.sum(F.when(F.col("__deficit"), F.col("tokens_avail"))),
+                F.lit(0),
+            )
+        ).alias("__leftover"),
+        F.coalesce(
+            F.sum(F.when(~F.col("__deficit"), F.col("wgt"))), F.lit(0)
+        ).alias("__W2"),
+    )
+    plan = (
+        p1.crossJoin(F.broadcast(lft))
+        .withColumn(
+            "tokens_target",
+            F.when(F.col("__deficit"), F.col("tokens_avail")).otherwise(
+                F.least(
+                    F.col("tokens_avail"),
+                    F.when(
+                        F.col("__W2") > 0,
+                        F.expr("(__leftover * wgt) div __W2"),
+                    ).otherwise(F.lit(0)),
+                )
+            ).cast("long"),
+        )
+        .withColumn(
+            "keep_buckets",
+            F.when(
+                F.col("tokens_target") >= F.col("tokens_avail"),
+                F.lit(num_buckets),
+            )
+            .otherwise(
+                F.expr(f"(tokens_target * {num_buckets}) div tokens_avail")
+            )
+            .cast("long"),
+        )
+        .select(source_col, "wgt", "tokens_avail", "tokens_target", "keep_buckets")
+    )
+    sampled = (
+        df.join(
+            F.broadcast(plan.select(source_col, "keep_buckets")), source_col
+        )
+        .where(_key_hash(list(unique_key)) % num_buckets < F.col("keep_buckets"))
+        .drop("keep_buckets")
+    )
+    return plan, sampled

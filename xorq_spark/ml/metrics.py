@@ -139,3 +139,72 @@ def log_loss(prob: Column, label: Column, eps: float = 1e-15) -> Column:
     p = F.least(F.greatest(prob, F.lit(eps)), F.lit(1.0 - eps))
     y = (label.cast("int") > 0).cast("double")
     return -F.avg(y * F.log(p) + (1 - y) * F.log(1 - p))
+
+
+def cohens_kappa(df, col_a: str, col_b: str, scale: int = 10**9):
+    """Cohen's kappa — chance-corrected agreement between two label
+    columns (two annotators, or a classifier vs gold labels; the
+    standard quality gate on labeling/silver-annotation pipelines).
+
+    kappa = (N*agree - sum_l row_l*col_l) / (N^2 - sum_l row_l*col_l),
+    computed entirely in int64 rationals and emitted as kappa_e9 =
+    kappa scaled by 1e9 with EXPLICIT truncation toward zero (the
+    sign-split makes the integer division identical across engines,
+    which floor-vs-truncate negative division would not be).
+
+    Agreement is null-safe (NULL == NULL counts as agreement, like a
+    shared 'abstain' label). Scale: one combinable pair aggregate, two
+    label-marginal groupBys joined on the BOUNDED label domain, three
+    single-row broadcasts — the fact table is scanned once.
+
+    Returns a 1-row DataFrame (n, n_agree, chance_weight, kappa_e9).
+    """
+    pair = df.select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    base = pair.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.col("__a").eqNullSafe(F.col("__b")).cast("long")
+        ).alias("n_agree"),
+    )
+    ra = pair.groupBy(F.col("__a").alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__ra")
+    )
+    rb = pair.groupBy(F.col("__b").alias("__lab")).agg(
+        F.count(F.lit(1)).alias("__rb")
+    )
+    chance = (
+        ra.join(rb, "__lab", "full_outer")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.coalesce(F.col("__ra"), F.lit(0))
+                    * F.coalesce(F.col("__rb"), F.lit(0))
+                ),
+                F.lit(0),
+            ).alias("chance_weight")
+        )
+    )
+    out = base.crossJoin(F.broadcast(chance))
+    num = F.col("n") * F.col("n_agree") - F.col("chance_weight")
+    den = F.col("n") * F.col("n") - F.col("chance_weight")
+    # explicit sign-split truncation toward zero, engine-identical
+    kappa_e9 = F.when(den <= 0, F.lit(0)).otherwise(
+        F.when(
+            num >= 0,
+            F.expr(
+                f"((n * n_agree - chance_weight) * {scale})"
+                " div (n * n - chance_weight)"
+            ),
+        ).otherwise(
+            -F.expr(
+                f"((chance_weight - n * n_agree) * {scale})"
+                " div (n * n - chance_weight)"
+            )
+        )
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("n_agree").cast("long").alias("n_agree"),
+        F.col("chance_weight").cast("long").alias("chance_weight"),
+        kappa_e9.cast("long").alias("kappa_e9"),
+    )

@@ -162,3 +162,57 @@ def graph_triangle_counts(spark, sf_dir):
         (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
     ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
     return triangle_counts(edges).orderBy("node")
+
+
+_KCORE_ROUND = """
+d{k} AS (SELECT s, count(*) AS deg FROM e{p} GROUP BY s),
+kp{k} AS (SELECT s FROM d{k}, kq WHERE deg >= kv),
+e{k} AS (SELECT e{p}.s, e{p}.d FROM e{p}
+         JOIN kp{k} ks ON e{p}.s = ks.s
+         JOIN kp{k} kd ON e{p}.d = kd.s)"""
+
+
+def _kcore_oracle(pct: int = 25, rounds: int = 3) -> str:
+    iters = ",".join(
+        _KCORE_ROUND.format(k=r, p=r - 1) for r in range(1, rounds + 1)
+    )
+    return f"""
+    WITH e0raw AS (
+      SELECT DISTINCT least(l_suppkey, l_partkey) AS a,
+                      greatest(l_suppkey, l_partkey) AS b
+      FROM lineitem WHERE l_suppkey <> l_partkey),
+    e0 AS (SELECT a AS s, b AS d FROM e0raw
+           UNION ALL SELECT b, a FROM e0raw),
+    d0all AS (SELECT s, count(*) AS deg FROM e0 GROUP BY s),
+    hist AS (SELECT deg, count(*) AS cnt FROM d0all GROUP BY deg),
+    ntot AS (SELECT count(*) AS n FROM d0all),
+    cum AS (SELECT deg, sum(cnt) OVER (ORDER BY deg
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+            FROM hist),
+    kq AS (SELECT min(deg) AS kv FROM cum, ntot
+           WHERE c >= (n * {pct} + 99) // 100),
+    {iters}
+    SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+    FROM e{rounds} GROUP BY s ORDER BY node
+    """
+
+
+@query("graph_kcore_prune", oracle=_kcore_oracle(25, 3))
+def graph_kcore_prune(spark, sf_dir):
+    """Fixed-round k-core peeling (functions/graph.py kcore, 3 rounds)
+    over the supplier—part co-occurrence graph, with k derived from
+    the data as the exact type-1 p25 quantile of the initial degree
+    distribution (distinct-degree cumsum, integer ceil-rank, one-row
+    broadcast — scale-adaptive pruning pressure instead of a constant
+    that under-peels at 100x the data). Each round is one combinable
+    degree aggregation + two semi-join filters against the >=k
+    survivor set. The oracle replays the quantile derivation and all
+    three peels as unrolled CTEs, so one node peeled a round early or
+    late breaks the hash."""
+    from xorq_spark.functions.graph import kcore
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return kcore(edges, rounds=3, k_percentile=(25, 100)).orderBy("node")

@@ -252,3 +252,59 @@ def ml_leakage_safe_split_q(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return leakage_safe_split(docs).orderBy("doc_id")
+
+
+def _kappa_oracle() -> str:
+    from xorq_spark.queries.text import _CLEAN_TOKS, _LANG_CASE, _lang_score_sql
+    from xorq_spark.functions.text import LANG_MARKERS
+
+    scores = ", ".join(
+        f"{_lang_score_sql(lang)} AS s_{lang}" for lang in LANG_MARKERS
+    )
+    mx = ", ".join("s_" + lang for lang in LANG_MARKERS)
+    return f"""
+    WITH tk AS (SELECT doc_id, lang, {_CLEAN_TOKS} AS toks FROM documents),
+    sc AS (SELECT doc_id, lang, {scores} FROM tk),
+    mx AS (SELECT *, greatest({mx}) AS m FROM sc),
+    pred AS (SELECT lang AS a, {_LANG_CASE} AS b FROM mx),
+    base AS (SELECT count(*) AS n,
+                    sum(CASE WHEN a IS NOT DISTINCT FROM b
+                        THEN 1 ELSE 0 END) AS n_agree FROM pred),
+    ra AS (SELECT a AS lab, count(*) AS ra FROM pred GROUP BY a),
+    rb AS (SELECT b AS lab, count(*) AS rb FROM pred GROUP BY b),
+    ch AS (SELECT COALESCE(SUM(COALESCE(ra, 0) * COALESCE(rb, 0)), 0)
+                  AS chance_weight
+           FROM ra FULL OUTER JOIN rb USING (lab))
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_agree AS BIGINT) AS n_agree,
+           CAST(chance_weight AS BIGINT) AS chance_weight,
+           CAST(CASE WHEN n * n - chance_weight <= 0 THEN 0
+                WHEN n * n_agree - chance_weight >= 0
+                THEN ((n * n_agree - chance_weight) * 1000000000)
+                     // (n * n - chance_weight)
+                ELSE -(((chance_weight - n * n_agree) * 1000000000)
+                       // (n * n - chance_weight)) END AS BIGINT) AS kappa_e9
+    FROM base, ch
+    """
+
+
+@query("ml_metrics_kappa", oracle=_kappa_oracle())
+def ml_metrics_kappa(spark, sf_dir):
+    """Cohen's kappa (ml/metrics.py cohens_kappa) between the gold
+    `lang` labels and the stopword-marker language-ID prediction — the
+    chance-corrected agreement gate a silver-annotation pipeline runs
+    before trusting a cheap classifier. All-int64 rationals with
+    sign-split truncation toward zero (floor-vs-truncate on negative
+    division differs across engines); one scan, marginals joined on
+    the bounded label domain. The oracle replays prediction AND kappa
+    arithmetic, so one misclassified document breaks the hash."""
+    from xorq_spark.functions.text import language_id
+    from xorq_spark.ml.metrics import cohens_kappa
+    from xorq_spark.queries.base import widen
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    pair = docs.select(
+        F.col("lang").alias("gold"),
+        language_id(F.col("text")).alias("pred"),
+    )
+    return cohens_kappa(pair, "gold", "pred")

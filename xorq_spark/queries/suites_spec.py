@@ -228,6 +228,9 @@ SUITES: dict[str, list[str]] = {
         "text_url_normalize",
         # + HTML->text boilerplate strip (the pass before everything)
         "text_html_extract",
+        # round 5 (cont.): token-budget mixture planner (two-phase
+        # integer water-filling + hash-filter realization)
+        "text_mixture_plan",
     ],
     "suite_curation": [
         "text_line_dedup",
@@ -272,6 +275,8 @@ SUITES: dict[str, list[str]] = {
         # + triangle counts / clustering coefficient (degree-oriented
         # wedge closure: m^(3/2)-bounded, skew-immune)
         "graph_triangle_counts",
+        # + fixed-round k-core peeling (p25-quantile-derived threshold)
+        "graph_kcore_prune",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
@@ -308,6 +313,9 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): near-duplicate-aware split (contamination
         # guard: dup clusters never straddle train/eval)
         "ml_leakage_safe_split",
+        # round 5 (cont.): Cohen's kappa chance-corrected agreement
+        # (classifier-vs-gold gate, all-int64 rationals)
+        "ml_metrics_kappa",
     ],
     "suite_multimodal": [
         "mm_extract_features",

@@ -809,3 +809,112 @@ def text_html_extract_q(spark, sf_dir):
         F.length("txt").cast("long").alias("n_chars"),
         F.size(F.split("txt", "\n")).cast("long").alias("n_lines"),
     ).orderBy("doc_id")
+
+
+_MIX_WEIGHTS = [("src0", 400), ("src1", 300), ("src2", 200)] + [
+    (f"src{i}", 25) for i in range(3, 20)
+]
+_MIX_W_SQL = ", ".join(f"('{s}', {w})" for s, w in _MIX_WEIGHTS)
+_MIX_HASH_SQL = (
+    "((((0 * 31 + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)"
+    " % 2147483648) * 2654435761) % 4294967296) % 1000000"
+)
+
+
+@query(
+    "text_mixture_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, {_BPE_SQL} AS n_tokens FROM documents),
+    tot AS (SELECT source, SUM(n_tokens) AS tokens_avail
+            FROM tok GROUP BY source),
+    w(source, wgt) AS (VALUES {_MIX_W_SQL}),
+    bud AS (SELECT (2 * SUM(n_tokens)) // 5 AS budget FROM tok),
+    j AS (SELECT t.source, tokens_avail, wgt FROM tot t JOIN w USING (source)),
+    ws AS (SELECT SUM(wgt) AS W FROM j),
+    p1 AS (SELECT j.*, (budget * wgt) // W AS alloc1, budget
+           FROM j, ws, bud),
+    d AS (SELECT *, tokens_avail <= alloc1 AS is_def FROM p1),
+    l AS (SELECT max(budget)
+                 - COALESCE(SUM(CASE WHEN is_def THEN tokens_avail END), 0)
+                   AS leftover,
+                 COALESCE(SUM(CASE WHEN NOT is_def THEN wgt END), 0) AS W2
+          FROM d),
+    plan AS (SELECT source, wgt, tokens_avail,
+             CASE WHEN is_def THEN tokens_avail
+                  ELSE least(tokens_avail,
+                             CASE WHEN W2 > 0 THEN (leftover * wgt) // W2
+                                  ELSE 0 END) END AS tokens_target
+             FROM d, l),
+    plan2 AS (SELECT *,
+              CASE WHEN tokens_target >= tokens_avail THEN 1000000
+                   ELSE (tokens_target * 1000000) // tokens_avail
+                   END AS keep_buckets
+              FROM plan),
+    kept AS (SELECT tok.source, tok.doc_id, tok.n_tokens
+             FROM tok JOIN plan2 USING (source)
+             WHERE {_MIX_HASH_SQL} < keep_buckets),
+    realized AS (SELECT source, COUNT(*) AS n_kept,
+                        SUM(n_tokens) AS tokens_kept,
+                        SUM(doc_id) AS id_sum
+                 FROM kept GROUP BY source)
+    SELECT p.source,
+           CAST(p.wgt AS BIGINT) AS wgt,
+           CAST(tokens_avail AS BIGINT) AS tokens_avail,
+           CAST(tokens_target AS BIGINT) AS tokens_target,
+           CAST(keep_buckets AS BIGINT) AS keep_buckets,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(id_sum, 0) AS BIGINT) AS id_sum
+    FROM plan2 p LEFT JOIN realized USING (source)
+    ORDER BY p.source
+    """,
+)
+def text_mixture_plan(spark, sf_dir):
+    """Token-budget mixture planning (functions/sampling.py
+    plan_mixture): target weights over the 20 corpus sources, budget =
+    40% of the total BPE-ish token count, two-phase integer
+    water-filling (heavy sources saturate and contribute everything;
+    the leftover redistributes over the light ones by renormalized
+    weights), then the deterministic hash filter realizes the plan.
+    Output certifies BOTH the plan arithmetic (tokens_target,
+    keep_buckets) and the exact realized sample (n_kept, tokens_kept,
+    id_sum) per source — one mis-planned token or one wrongly kept doc
+    breaks the hash."""
+    from xorq_spark.functions.sampling import plan_mixture
+    from xorq_spark.functions.text import bpe_token_count
+
+    docs = t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", bpe_token_count(F.col("text")).alias("n_tokens")
+    )
+    # budget derived from the corpus (bounded single-row aggregate) so
+    # the same query exercises saturation at every scale factor
+    total = toks.agg(F.sum("n_tokens")).collect()[0][0]
+    budget = 2 * int(total) // 5
+    plan, sampled = plan_mixture(
+        toks,
+        source_col="source",
+        token_col="n_tokens",
+        weights=dict(_MIX_WEIGHTS),
+        token_budget=budget,
+    )
+    realized = sampled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("tokens_kept"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    return (
+        plan.join(realized, "source", "left")
+        .select(
+            "source",
+            F.col("wgt").cast("long").alias("wgt"),
+            F.col("tokens_avail").cast("long").alias("tokens_avail"),
+            F.col("tokens_target").cast("long").alias("tokens_target"),
+            F.col("keep_buckets").cast("long").alias("keep_buckets"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("long").alias("tokens_kept"),
+            F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
+        )
+        .orderBy("source")
+    )
