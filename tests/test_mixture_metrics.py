@@ -121,3 +121,25 @@ def test_kappa_null_safe_agreement(spark):
     )
     r = cohens_kappa(df, "ra", "rb").collect()[0]
     assert r["n_agree"] == 2  # NULL == NULL counts as shared abstain
+
+
+def test_ngram_containment_asymmetric(spark):
+    # B is A's text verbatim plus a long unrelated tail: containment of
+    # A in B is 1.0 while Jaccard is low
+    from xorq_spark.functions.dedup import ngram_containment_pairs
+
+    a_text = "the quick brown fox jumps over the lazy dog"
+    tail = " while seventeen astronauts debate quantum chromodynamics" \
+           " beneath fluorescent cafeteria lights every single evening"
+    df = spark.createDataFrame(
+        [(1, a_text), (2, a_text + tail * 3), (3, "completely different words here")],
+        "doc_id long, text string",
+    )
+    rows = ngram_containment_pairs(
+        df, "text", "doc_id", k=3, threshold=(80, 100)
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["contain_a_e9"] == 10**9          # A fully inside B
+    assert r["contain_b_e9"] < 6 * 10**8       # B is NOT inside A

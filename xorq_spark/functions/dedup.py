@@ -337,6 +337,68 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: tuple = (80, 100),
+    partition_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment — quote/subset detection, the
+    signal symmetric Jaccard misses: a short doc pasted inside a long
+    one has low Jaccard (union is huge) but containment(short in long)
+    = |A∩B|/|A| near 1. The standard dedup matrix runs BOTH: Jaccard
+    for near-twins, containment for excerpts/quotations/boilerplate
+    envelopes.
+
+    Same inverted shingle index and single digest-keyed shuffle as
+    ngram_jaccard_pairs (`partition_cols` bounds the quadratic term);
+    the containment test is exact INTEGER arithmetic —
+    shared * den >= num * |A| — so the engine-replay never touches a
+    float. Emits one row per ordered pair where the smaller-id side is
+    contained in the other at >= threshold=(num, den), with both
+    containment directions as scaled integers.
+
+    Returns (id_a, id_b, n_shared, n_a, n_b, contain_a_e9,
+    contain_b_e9) with id_a < id_b and contain_x_e9 =
+    shared*1e9 DIV |X|.
+    """
+    num, den = threshold
+    parts = list(partition_cols or [])
+    base = df.select(
+        *parts,
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    inv = base.select(
+        *parts, "__id", "__n", F.explode("__sh").alias("__s")
+    ).withColumn("__s", F.md5("__s"))
+    a = inv.select(*parts, F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = inv.select(*parts, F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    shared = (
+        a.join(b, parts + ["__s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__shared"))
+    )
+    return (
+        shared.filter(
+            (F.col("__shared") * den >= F.col("__na") * num)
+            | (F.col("__shared") * den >= F.col("__nb") * num)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__shared").cast("long").alias("n_shared"),
+            F.col("__na").cast("long").alias("n_a"),
+            F.col("__nb").cast("long").alias("n_b"),
+            F.expr("(__shared * 1000000000) div __na").cast("long").alias("contain_a_e9"),
+            F.expr("(__shared * 1000000000) div __nb").cast("long").alias("contain_b_e9"),
+        )
+    )
+
+
 def _symmetrize(e: DataFrame) -> DataFrame:
     return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
 

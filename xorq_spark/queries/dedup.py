@@ -547,3 +547,41 @@ def dedup_fuzzy_linkage_q(spark, sf_dir):
         (F.col("code") / 10000000).cast("int").alias("best_dist"),
         (F.col("code") % 10000000).cast("long").alias("best_id"),
     ).orderBy("p_partkey")
+
+
+@query(
+    "dedup_ngram_containment",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS shd FROM documents),
+    inv AS (SELECT doc_id, lang, len(shd) AS n, unnest(shd) AS sg FROM s),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.lang = b.lang AND md5(a.sg) = md5(b.sg)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b,
+           CAST(shared AS BIGINT) AS n_shared,
+           CAST(na AS BIGINT) AS n_a,
+           CAST(nb AS BIGINT) AS n_b,
+           CAST((shared * 1000000000) // na AS BIGINT) AS contain_a_e9,
+           CAST((shared * 1000000000) // nb AS BIGINT) AS contain_b_e9
+    FROM shared
+    WHERE shared * 100 >= na * 80 OR shared * 100 >= nb * 80
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_containment(spark, sf_dir):
+    """Asymmetric n-gram containment (functions/dedup.py
+    ngram_containment_pairs): quote/excerpt detection — the signal
+    symmetric Jaccard misses (a short doc pasted inside a long one has
+    low Jaccard but containment near 1). Same single digest-keyed
+    inverted-index shuffle as the Jaccard path, language-partitioned;
+    the >=80% test and both containment directions are exact integer
+    arithmetic, replayed bit-for-bit by the oracle."""
+    from xorq_spark.functions.dedup import ngram_containment_pairs
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return ngram_containment_pairs(
+        docs, "text", "doc_id", k=3, threshold=(80, 100),
+        partition_cols=["lang"],
+    ).orderBy("id_a", "id_b")

@@ -283,6 +283,9 @@ SUITES: dict[str, list[str]] = {
         "dedup_simhash_pairs",
         "dedup_ngram_jaccard_pairs",
         "dedup_embedding_cosine",
+        # round 5 (cont.): asymmetric containment (quote/excerpt
+        # detection — the direction Jaccard misses)
+        "dedup_ngram_containment",
     ],
     "suite_similarity": [
         "sim_ann_bruteforce_topk",
