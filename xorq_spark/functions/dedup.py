@@ -337,6 +337,119 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_prefix_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: tuple = (1, 5),
+    partition_cols: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Prefix-filtered exact set-similarity join (Vernica/Carey/Li,
+    SIGMOD 2010 MapReduce set-similarity; PPJoin prefix principle) —
+    the scale path for exact Jaccard that `ngram_jaccard_pairs`'s full
+    inverted index lacks.
+
+    The full index joins every doc pair sharing ANY shingle — at 100 TB
+    a boilerplate shingle shared by millions of docs makes that bucket
+    quadratic. Prefix filtering indexes only each doc's RAREST
+    p = n - ceil(t*n) + 1 shingles (global-frequency order): any pair
+    with Jaccard >= t must share a prefix token, so candidates shrink
+    from pairs-sharing-anything to pairs-sharing-a-rare-token, and the
+    hot boilerplate tokens fall OUT of the index entirely (they sort
+    last). A length filter (den*min(n) >= num*max(n)) prunes further
+    before verification; survivors are verified exactly with one
+    array_intersect over the two full shingle sets — no second
+    inverted-index pass.
+
+    threshold is an exact integer rational (num, den); the candidate
+    guarantee, length filter, prefix length and final test
+    (shared*den >= num*(na+nb-shared)) are all integer arithmetic.
+    Output is IDENTICAL to ngram_jaccard_pairs at the same threshold —
+    (id_a, id_b, jaccard_sim) — so the brute-force oracle certifies
+    that the filter loses no pair.
+    """
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    parts = list(partition_cols or [])
+    base = df.select(
+        *parts,
+        F.col(id_col).alias("__id"),
+        F.transform(
+            F.array_distinct(shingles(F.col(text_col), k)), F.md5
+        ).alias("__sh"),
+    ).withColumn("__n", F.size("__sh"))
+    inv = base.select(*parts, "__id", "__n", F.explode("__sh").alias("__s"))
+    # Global document frequency of each shingle digest — the canonical
+    # ascending-frequency total order (ties broken by digest). Bounded
+    # by distinct shingles; stays a shuffle join (never collected).
+    freq = inv.groupBy("__s").agg(F.count("*").alias("__df"))
+    # Per-doc shingle list sorted rarest-first; prefix keeps the first
+    # n - ceil(num*n/den) + 1 entries.
+    ordered = (
+        inv.join(freq, "__s")
+        .groupBy(*parts, "__id", "__n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__df"), F.col("__s")))
+            ).alias("__arr")
+        )
+        .withColumn(
+            "__plen",
+            F.col("__n")
+            - F.expr(f"(__n * {num} + {den} - 1) div {den}")
+            + 1,
+        )
+        .withColumn(
+            "__prefix",
+            F.slice(F.transform("__arr", lambda x: x["__s"]), 1, F.col("__plen")),
+        )
+    )
+    pa = ordered.select(
+        *parts,
+        F.col("__id").alias("id_a"),
+        F.col("__n").alias("__na"),
+        F.explode("__prefix").alias("__s"),
+    )
+    pb = ordered.select(
+        *parts,
+        F.col("__id").alias("id_b"),
+        F.col("__n").alias("__nb"),
+        F.explode("__prefix").alias("__s"),
+    )
+    cand = (
+        pa.join(pb, parts + ["__s"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        # length filter: jaccard >= num/den forces den*min >= num*max
+        .filter(
+            F.least("__na", "__nb") * den >= F.greatest("__na", "__nb") * num
+        )
+        .select(*parts, "id_a", "id_b", "__na", "__nb")
+        .distinct()
+    )
+    sets = base.select(*parts, "__id", F.col("__sh").alias("__set"))
+    verified = (
+        cand.join(
+            sets.select(*parts, F.col("__id").alias("id_a"), F.col("__set").alias("__sa")),
+            parts + ["id_a"],
+        )
+        .join(
+            sets.select(*parts, F.col("__id").alias("id_b"), F.col("__set").alias("__sb")),
+            parts + ["id_b"],
+        )
+        .withColumn("__shared", F.size(F.array_intersect("__sa", "__sb")))
+        .filter(
+            F.col("__shared") * den
+            >= (F.col("__na") + F.col("__nb") - F.col("__shared")) * num
+        )
+    )
+    jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
+    return verified.select(
+        "id_a", "id_b", F.round(jac, 9).alias("jaccard_sim")
+    )
+
+
 def ngram_containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -585,3 +585,37 @@ def dedup_ngram_containment(spark, sf_dir):
         docs, "text", "doc_id", k=3, threshold=(80, 100),
         partition_cols=["lang"],
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_jaccard_prefix",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS shd FROM documents),
+    inv AS (SELECT doc_id, lang, len(shd) AS n, unnest(shd) AS sg FROM s),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb, COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.lang = b.lang AND md5(a.sg) = md5(b.sg)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+    SELECT id_a, id_b, ROUND(shared::DOUBLE / (na + nb - shared), 9) AS jaccard_sim
+    FROM shared
+    WHERE shared * 5 >= (na + nb - shared) * 1
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Prefix-filtered exact set-similarity join (functions/dedup.py
+    ngram_jaccard_prefix_pairs; Vernica et al. SIGMOD 2010 / PPJoin):
+    only each doc's rarest n - ceil(t*n) + 1 shingles are indexed, so
+    boilerplate shingles fall out of the candidate join entirely — the
+    100 TB path for exact Jaccard. The oracle is the BRUTE-FORCE
+    inverted index: a hash match certifies the filter lost no pair;
+    threshold test is the exact integer rational shared*den >=
+    (na+nb-shared)*num on both engines."""
+    from xorq_spark.functions.dedup import ngram_jaccard_prefix_pairs
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return ngram_jaccard_prefix_pairs(
+        docs, "text", "doc_id", k=3, threshold=(1, 5),
+        partition_cols=["lang"],
+    ).orderBy("id_a", "id_b")

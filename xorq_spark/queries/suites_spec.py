@@ -286,6 +286,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): asymmetric containment (quote/excerpt
         # detection — the direction Jaccard misses)
         "dedup_ngram_containment",
+        # prefix-filtered exact set-similarity join (PPJoin) — oracle
+        # is the brute-force index, certifying zero lost pairs
+        "dedup_jaccard_prefix",
     ],
     "suite_similarity": [
         "sim_ann_bruteforce_topk",
