@@ -147,6 +147,60 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
 
 
+def _lsh_candidate_pairs(
+    sets: DataFrame,
+    num_hashes: int,
+    bands: int,
+    rows_per_band: int,
+    max_bucket_size: Optional[int],
+) -> DataFrame:
+    """Distinct (id_a < id_b) candidate pairs from MinHash banding over
+    a (__id, __sh) frame. Bucket-local pair generation: ONE shuffle on
+    (band, 32-byte key) collects each bucket's ids; i<j pairs are
+    generated JVM-side from the sorted array. The bucket cap is a
+    size() filter on the same aggregate, dropping oversized boilerplate
+    buckets before they can emit O(n^2) candidates. Null band keys
+    (content-free docs) drop out in the groupBy the same way they fail
+    an equi-join."""
+    banded = sets.select(
+        "__id",
+        F.posexplode(
+            lsh_band_keys(
+                minhash_from_shingles(F.col("__sh"), num_hashes), bands, rows_per_band
+            )
+        ).alias("__band", "__bkey"),
+    )
+    buckets = banded.filter(F.col("__bkey").isNotNull()).groupBy(
+        "__band", "__bkey"
+    ).agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
+    return (
+        buckets.filter(F.size("__ids") >= 2)
+        .select(
+            F.explode(
+                let(
+                    F.col("__ids"),
+                    lambda ids: F.flatten(
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(ids) - 1),
+                            lambda i: F.transform(
+                                F.slice(ids, i + 1, F.size(ids) - i),
+                                lambda j: F.struct(
+                                    F.element_at(ids, i).alias("id_a"),
+                                    j.alias("id_b"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("__p")
+        )
+        .select("__p.id_a", "__p.id_b")
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -185,51 +239,7 @@ def minhash_lsh_pairs(
     )
     # Signature over the distinct shingle set == over the raw multiset
     # (min is duplicate-insensitive), so one definition serves both.
-    banded = sets.select(
-        "__id",
-        F.posexplode(
-            lsh_band_keys(
-                minhash_from_shingles(F.col("__sh"), num_hashes), bands, rows_per_band
-            )
-        ).alias("__band", "__bkey"),
-    )
-    # Bucket-local pair generation: ONE shuffle on (band, 32-byte key)
-    # collects each bucket's ids; i<j pairs are generated JVM-side from
-    # the sorted array. The previous self-join formulation computed the
-    # whole signature pass twice (once per join side) and needed a
-    # separate skew-guard window; here the cap is a size() filter on the
-    # same aggregate, dropping oversized boilerplate buckets before they
-    # can emit O(n^2) candidates. Null band keys (content-free docs)
-    # drop out in the groupBy the same way they fail the equi-join.
-    buckets = banded.filter(F.col("__bkey").isNotNull()).groupBy(
-        "__band", "__bkey"
-    ).agg(F.array_sort(F.collect_list("__id")).alias("__ids"))
-    if max_bucket_size is not None:
-        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
-    cand = (
-        buckets.filter(F.size("__ids") >= 2)
-        .select(
-            F.explode(
-                let(
-                    F.col("__ids"),
-                    lambda ids: F.flatten(
-                        F.transform(
-                            F.sequence(F.lit(1), F.size(ids) - 1),
-                            lambda i: F.transform(
-                                F.slice(ids, i + 1, F.size(ids) - i),
-                                lambda j: F.struct(
-                                    F.element_at(ids, i).alias("id_a"),
-                                    j.alias("id_b"),
-                                ),
-                            ),
-                        )
-                    ),
-                )
-            ).alias("__p")
-        )
-        .select("__p.id_a", "__p.id_b")
-        .distinct()
-    )
+    cand = _lsh_candidate_pairs(sets, num_hashes, bands, rows_per_band, max_bucket_size)
     return (
         cand.join(
             sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sh_a")),
@@ -242,6 +252,110 @@ def minhash_lsh_pairs(
         .withColumn("jaccard_sim", jaccard(F.col("__sh_a"), F.col("__sh_b")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", F.round("jaccard_sim", 9).alias("jaccard_sim"))
+    )
+
+
+def minhash_lsh_eval(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: tuple = (1, 5),
+    max_bucket_size: Optional[int] = 1000,
+) -> DataFrame:
+    """Recall/precision of the MinHash-LSH candidate generator against
+    exact Jaccard ground truth — the go/no-go metric that decides
+    (num_hashes, bands) before trusting the approximate index on the
+    full corpus, mirroring what sim_ann_lsh_recall does for the ANN
+    tier.
+
+    Both arms run distributed: ground truth is the exact inverted
+    shingle index (every pair with jaccard >= num/den, integer-rational
+    test), candidates are the banding pipeline shared with
+    minhash_lsh_pairs. Because every LSH hit (candidate passing the
+    threshold) is by definition a true pair, three counts suffice — no
+    pair-level join:
+
+        recall    = n_hit / n_true      (banding missed 1-recall of dups)
+        precision = n_hit / n_cand      (1-precision of verify work wasted)
+
+    Returns ONE row (n_true, n_cand, n_hit, precision_e9, recall_e9)
+    with the ratios as exact integer 1e9-scaled divisions.
+
+    Scale: run on a deterministic hash SAMPLE of the corpus (the
+    sampling tier provides one); ground truth is quadratic per shared
+    shingle, which is affordable on a sample and is the whole point —
+    measure on 0.1% before committing the 100 TB pass."""
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError("threshold must be a rational in (0, 1]")
+    rows_per_band = num_hashes // bands
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sets = df.repartition(par).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
+    )
+    base = sets.withColumn("__n", F.size("__sh"))
+    # Ground truth: exact inverted index, integer threshold test.
+    inv = base.select(
+        "__id", "__n", F.explode("__sh").alias("__s")
+    ).withColumn("__s", F.md5("__s"))
+    a = inv.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na"), "__s")
+    b = inv.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb"), "__s")
+    true_pairs = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "__na", "__nb")
+        .agg(F.count("*").alias("__shared"))
+        .filter(
+            F.col("__shared") * den
+            >= (F.col("__na") + F.col("__nb") - F.col("__shared")) * num
+        )
+    )
+    t_stats = true_pairs.agg(F.count("*").alias("n_true"))
+    # Candidate arm: the shared banding pipeline, then exact verify.
+    cand = _lsh_candidate_pairs(sets, num_hashes, bands, rows_per_band, max_bucket_size)
+    verified = (
+        cand.join(
+            base.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sa"),
+                        F.col("__n").alias("__na")),
+            "id_a",
+        )
+        .join(
+            base.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__sb"),
+                        F.col("__n").alias("__nb")),
+            "id_b",
+        )
+        .withColumn("__shared", F.size(F.array_intersect("__sa", "__sb")))
+        .withColumn(
+            "__hit",
+            (
+                F.col("__shared") * den
+                >= (F.col("__na") + F.col("__nb") - F.col("__shared")) * num
+            ).cast("long"),
+        )
+    )
+    c_stats = verified.agg(
+        F.count("*").alias("n_cand"),
+        F.coalesce(F.sum("__hit"), F.lit(0)).alias("n_hit"),
+    )
+    return (
+        t_stats.crossJoin(c_stats)
+        .withColumn(
+            "precision_e9",
+            F.when(F.col("n_cand") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("n_hit * 1000000000 div n_cand")
+            ),
+        )
+        .withColumn(
+            "recall_e9",
+            F.when(F.col("n_true") == 0, F.lit(0).cast("long")).otherwise(
+                F.expr("n_hit * 1000000000 div n_true")
+            ),
+        )
+        .select("n_true", "n_cand", "n_hit", "precision_e9", "recall_e9")
     )
 
 

@@ -588,6 +588,65 @@ def dedup_ngram_containment(spark, sf_dir):
 
 
 @query(
+    "dedup_lsh_eval",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, list_distinct({_SHINGLES}) AS shd FROM documents),
+    base AS (SELECT doc_id, shd, len(shd) AS n FROM s),
+    inv AS (SELECT doc_id, n, md5(unnest(shd)) AS sg FROM base),
+    tpairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             COUNT(*) AS shared
+      FROM inv a JOIN inv b ON a.sg = b.sg
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    tstats AS (
+      SELECT COUNT(*) AS n_true FROM tpairs
+      WHERE shared * 5 >= (na + nb - shared) * 1),
+    h AS (SELECT doc_id, list_transform(shd, s -> ('0x' || substring(md5(s), 1, 8))::BIGINT % 2147483647) AS hs FROM s),
+    sig AS (SELECT doc_id, {_SIG} AS sig FROM h),
+    banded AS (
+      SELECT doc_id, unnest(range(0, 4)) AS band, unnest({_BANDS}) AS bkey
+      FROM sig),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.bkey IS NOT NULL
+      WHERE a.doc_id < b.doc_id),
+    cstats AS (
+      SELECT COUNT(*) AS n_cand,
+             COALESCE(SUM(CASE WHEN len(list_intersect(sa.shd, sb.shd)) * 5
+                   >= (sa.n + sb.n - len(list_intersect(sa.shd, sb.shd))) * 1
+                 THEN 1 ELSE 0 END), 0) AS n_hit
+      FROM cand c
+      JOIN base sa ON sa.doc_id = c.id_a
+      JOIN base sb ON sb.doc_id = c.id_b)
+    SELECT CAST(t.n_true AS BIGINT) AS n_true,
+           CAST(c.n_cand AS BIGINT) AS n_cand,
+           CAST(c.n_hit AS BIGINT) AS n_hit,
+           CAST(CASE WHEN c.n_cand = 0 THEN 0
+                ELSE (c.n_hit * 1000000000) // c.n_cand END AS BIGINT) AS precision_e9,
+           CAST(CASE WHEN t.n_true = 0 THEN 0
+                ELSE (c.n_hit * 1000000000) // t.n_true END AS BIGINT) AS recall_e9
+    FROM tstats t, cstats c
+    """,
+)
+def dedup_lsh_eval(spark, sf_dir):
+    """Recall/precision of MinHash-LSH banding vs exact Jaccard ground
+    truth (functions/dedup.py minhash_lsh_eval) — the go/no-go metric
+    for (num_hashes, bands) before trusting the approximate index on
+    the full corpus; run on a deterministic sample at scale. Both arms
+    distributed; the oracle independently recomputes the exact inverted
+    index AND the banding pipeline, so a banding drift OR a ground-truth
+    drift breaks the hash. Ratios are exact integer 1e9 divisions."""
+    from xorq_spark.functions.dedup import minhash_lsh_eval
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return minhash_lsh_eval(
+        docs, "text", "doc_id", num_hashes=16, bands=4, k=3, threshold=(1, 5)
+    )
+
+
+@query(
     "dedup_jaccard_prefix",
     oracle=f"""
     WITH s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS shd FROM documents),

@@ -289,6 +289,9 @@ SUITES: dict[str, list[str]] = {
         # prefix-filtered exact set-similarity join (PPJoin) — oracle
         # is the brute-force index, certifying zero lost pairs
         "dedup_jaccard_prefix",
+        # recall/precision of LSH banding vs exact ground truth — the
+        # go/no-go eval before trusting the index on the full corpus
+        "dedup_lsh_eval",
     ],
     "suite_similarity": [
         "sim_ann_bruteforce_topk",

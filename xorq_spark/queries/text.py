@@ -891,7 +891,7 @@ def text_mixture_plan(spark, sf_dir):
     # budget derived from the corpus (bounded single-row aggregate) so
     # the same query exercises saturation at every scale factor
     total = toks.agg(F.sum("n_tokens")).collect()[0][0]
-    budget = 2 * int(total) // 5
+    budget = 2 * int(total or 0) // 5  # empty corpus sums to NULL
     plan, sampled = plan_mixture(
         toks,
         source_col="source",
