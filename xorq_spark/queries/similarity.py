@@ -424,3 +424,82 @@ def sim_embedding_contamination_q(spark, sf_dir):
     emb = widen(t(spark, sf_dir, "embeddings"))
     ev = emb.filter(F.col("vec_id") % 97 == 0)
     return embedding_contamination(emb, ev, threshold=0.9).orderBy("vec_id")
+
+
+@query(
+    "sim_embedding_gram",
+    oracle="""
+    WITH q AS (
+      SELECT list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1024.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL),
+    ex AS (SELECT qv, unnest(range(0, len(qv))) AS i, unnest(qv) AS qi FROM q),
+    cells AS (SELECT i, qi, unnest(range(0, len(qv))) AS j, unnest(qv) AS qj
+              FROM ex),
+    agg AS (
+      SELECT i, j, SUM(qi * qj) AS g, SUM(qi) AS s_i, SUM(qj) AS s_j,
+             COUNT(*) AS n
+      FROM cells GROUP BY i, j)
+    SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           CAST(g AS BIGINT) AS g,
+           CAST(s_i AS BIGINT) AS s_i, CAST(s_j AS BIGINT) AS s_j,
+           CAST(n AS BIGINT) AS n,
+           CAST(n * g - s_i * s_j AS BIGINT) AS cov_num
+    FROM agg ORDER BY i, j
+    """,
+)
+def sim_embedding_gram(spark, sf_dir):
+    """The distributed half of PCA (functions/projection.py
+    gram_matrix): d x d Gram + mean sums over FIXED-shift integer codes
+    in one combinable aggregate — the shuffle carries d^2 cells per
+    partition however many vectors flow in. Every cell, mean numerator
+    and covariance numerator (n*g - s_i*s_j) is int64 the oracle
+    replays exactly; the bounded d x d eigensolve happens driver-side
+    (pca_components, pytest vs numpy)."""
+    from xorq_spark.functions.projection import gram_matrix
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    return (
+        gram_matrix(emb, "embedding", shift=10)
+        .select(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+            "g", "s_i", "s_j", "n", "cov_num",
+        )
+        .orderBy("i", "j")
+    )
+
+
+@query(
+    "sim_random_projection",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(x::DOUBLE * 1024.0 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL)
+    SELECT vec_id,
+           list_transform(range(0, 16), j ->
+             CAST(list_aggregate(list_transform(range(0, 64), i ->
+               (CASE WHEN ('0x' || substring(md5(j::VARCHAR || '_' || i::VARCHAR), 1, 1))::INT % 2 = 0
+                     THEN 1 ELSE -1 END) * qv[i + 1]), 'sum') AS BIGINT)) AS proj
+    FROM q ORDER BY vec_id
+    """,
+)
+def sim_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss reduction 64 -> 16 dims
+    (functions/projection.py random_projection): deterministic md5-sign
+    matrix (no RNG state to ship — the oracle REBUILDS the matrix from
+    the md5 formula alone), integer-exact projections over fixed-shift
+    codes. Zero shuffle: a literal-matrix HOF inside whole-stage
+    codegen; 4x narrower vectors into every downstream ANN shuffle.
+    tests/test_projection.py measures the JL cosine-preservation bound
+    on the corpus."""
+    from xorq_spark.functions.projection import random_projection
+
+    emb = widen(t(spark, sf_dir, "embeddings")).filter(
+        F.col("embedding").isNotNull()
+    )
+    return random_projection(
+        emb, "embedding", ("vec_id",), out_dim=16, in_dim=64, shift=10
+    ).orderBy("vec_id")

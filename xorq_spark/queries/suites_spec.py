@@ -311,6 +311,10 @@ SUITES: dict[str, list[str]] = {
         # + IVF on the integer quantizer (previously the one rows-only
         # registry entry; now fully oracle-certified)
         "sim_ann_ivf_topk",
+        # round 5: integer-exact Gram/covariance pass (the distributed
+        # half of PCA) + deterministic JL sign projection
+        "sim_embedding_gram",
+        "sim_random_projection",
     ],
     "suite_ml": [
         "ml_train_test_split",
