@@ -1116,3 +1116,92 @@ class TestWinsorize:
         ).collect()}
         assert out[2] is None
         assert out[1] == 1.0 and out[3] == 100.0
+
+
+class TestKMVSketch:
+    """KMV/theta distinct sketch (functions/sketches.py kmv_*)."""
+
+    def _hashes(self, keys):
+        # Python replay of _h52 for ground truth
+        import hashlib
+
+        return sorted(
+            int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16)
+            for k in set(keys)
+        )
+
+    def test_exact_below_k(self, spark):
+        from xorq_spark.functions.sketches import kmv_build, kmv_estimate
+
+        keys = [f"u{i}" for i in range(40)] * 3  # 40 distinct, many dups
+        df = spark.createDataFrame([(k,) for k in keys], "k string")
+        sk = kmv_build(df, "k", k=64)
+        row = kmv_estimate(sk, k=64).collect()[0]
+        assert row.n_retained == 40
+        assert row.est_distinct == 40  # exact when below k
+
+    def test_estimator_matches_python_replay_and_is_close(self, spark):
+        from xorq_spark.functions.sketches import kmv_build, kmv_estimate
+
+        n, k = 5000, 64
+        keys = [f"user-{i}" for i in range(n)]
+        df = spark.createDataFrame([(x,) for x in keys], "k string")
+        row = kmv_estimate(kmv_build(df, "k", k=k), k=k).collect()[0]
+        hs = self._hashes(keys)
+        expected = ((k - 1) * (1 << 52)) // hs[k - 1]
+        assert row.est_distinct == expected  # bit-exact vs model
+        # KMV relative error ~ 1/sqrt(k-2) ≈ 13%; allow 3 sigma
+        assert abs(row.est_distinct - n) / n < 0.4
+
+    def test_merge_lossless(self, spark):
+        from xorq_spark.functions.sketches import kmv_build, kmv_merge
+
+        keys = [(f"id{i}", i % 5) for i in range(1000)]
+        df = spark.createDataFrame(keys, "k string, shard int")
+        direct = {r.h for r in kmv_build(df, "k", k=32).collect()}
+        parts = [
+            kmv_build(df.where(f"shard = {s}"), "k", k=32) for s in range(5)
+        ]
+        merged = {r.h for r in kmv_merge(*parts, k=32).collect()}
+        assert merged == direct
+
+    def test_set_ops_exact_when_small(self, spark):
+        from xorq_spark.functions.sketches import kmv_build, kmv_set_estimates
+
+        a = spark.createDataFrame([(f"x{i}",) for i in range(30)], "k string")
+        b = spark.createDataFrame(
+            [(f"x{i}",) for i in range(20, 50)], "k string"
+        )
+        row = kmv_set_estimates(
+            kmv_build(a, "k", k=64), kmv_build(b, "k", k=64), k=64
+        ).collect()[0]
+        # both below k -> theta = M -> exact set arithmetic
+        assert row.theta == 1 << 52
+        assert row.n_common == 10
+        assert row.est_intersection == 10
+        assert row.est_union == 50
+        assert row.jaccard_ppb == 10 * 10**9 // 50
+
+    def test_set_ops_estimates_reasonable(self, spark):
+        from xorq_spark.functions.sketches import kmv_build, kmv_set_estimates
+
+        a = spark.createDataFrame(
+            [(f"k{i}",) for i in range(3000)], "k string"
+        )
+        b = spark.createDataFrame(
+            [(f"k{i}",) for i in range(1500, 4500)], "k string"
+        )
+        row = kmv_set_estimates(
+            kmv_build(a, "k", k=128), kmv_build(b, "k", k=128), k=128
+        ).collect()[0]
+        assert abs(row.est_intersection - 1500) / 1500 < 0.5
+        assert abs(row.est_union - 4500) / 4500 < 0.3
+
+    def test_k_bound_enforced(self, spark):
+        import pytest as _pytest
+
+        from xorq_spark.functions.sketches import kmv_build
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError):
+            kmv_build(df, "k", k=1024)

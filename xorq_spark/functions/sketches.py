@@ -316,3 +316,144 @@ def hdr_quantiles(sketch: DataFrame, qs) -> DataFrame:
             F.col("m.hi_int").alias("est_hi"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch — the mergeable DISTINCT sketch that, unlike HLL,
+# supports SET-OPERATION estimates: intersection size, union size, and
+# Jaccard overlap of two key sets without ever joining the raw data
+# (Beyer et al. SIGMOD 2007; Dasgupta et al., the DataSketches theta
+# family). At 100 TB this answers "how many users do these two corpora
+# / time windows / partners share?" from two k-row tables.
+#
+# The sketch IS a DataFrame of the k smallest distinct 52-bit md5
+# hashes of the key. Everything downstream is integer arithmetic both
+# engines replay bit-for-bit:
+#   - 52-bit hash space M = 2^52 (13 md5 hex chars) keeps every
+#     product below: (k-1)*M <= 2^62 for k <= 1024, |common|*M and
+#     |union_below|*M <= 2^62 for k <= 512 — pure BIGINT, no
+#     HUGEINT/decimal ever enters an output column.
+#   - distinct estimate: n < k -> exact n; else (k-1)*M div h_(k)
+#     (the classic unbiased KMV estimator, integer-truncated
+#     identically on both engines).
+#   - set ops: theta = least of the two kth-minimums; both sketches
+#     restricted below theta are uniform samples of their key sets at
+#     the SAME rate theta/M, so |A∩B| ~= |common below theta| * M div
+#     theta and Jaccard = |common| / |union below theta| exactly as in
+#     the theta-sketch literature. When both inputs have < k distinct
+#     keys the sketch degrades to EXACT set arithmetic (theta = M).
+#
+# Build cost: one map-side-combinable distinct over 8-byte hashes
+# followed by a global top-k (TakeOrderedAndProject — per-partition
+# heaps, k rows to the final merge). Merge is union + top-k. Nothing
+# driver-side grows with data volume.
+# ---------------------------------------------------------------------------
+
+_KMV_BITS = 52
+_KMV_M = 1 << 52  # 4503599627370496
+
+
+def _h52(key_col) -> "F.Column":
+    """52-bit md5 hash — identical in DuckDB as
+    ('0x' || substr(md5(k::VARCHAR), 1, 13))::BIGINT."""
+    return F.conv(
+        F.substring(F.md5(key_col.cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def kmv_build(df: DataFrame, key_col, k: int = 64) -> DataFrame:
+    """Build a KMV sketch over `key_col` (nulls excluded): the k
+    smallest DISTINCT 52-bit hashes, as a DataFrame with one BIGINT
+    column `h` of at most k rows. k <= 512 keeps all downstream
+    estimator arithmetic inside BIGINT."""
+    if k > 512:
+        raise ValueError("kmv_build: k must be <= 512 (BIGINT estimator bound)")
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    return (
+        df.select(_h52(c).alias("h"))
+        .where(F.col("h").isNotNull())
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(*sketches: DataFrame, k: int = 64) -> DataFrame:
+    """Merge sketches built with the same hash: union of the retained
+    hashes, re-truncated to the k smallest. Lossless vs building over
+    the concatenated inputs — certified by agg_kmv_overlap's 4-shard
+    rebuild."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("h").limit(k)
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """One-row (n_retained, est_distinct): exact when fewer than k
+    distinct keys were seen, else the KMV estimator (k-1)*M div h_(k)."""
+    agg = sketch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_retained"),
+        F.max("h").alias("hk"),
+    )
+    return agg.select(
+        "n_retained",
+        F.expr(
+            f"CASE WHEN n_retained < {k} THEN n_retained "
+            f"ELSE (CAST({k - 1} AS BIGINT) * CAST({_KMV_M} AS BIGINT)) div hk "
+            "END"
+        ).cast("long").alias("est_distinct"),
+    )
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Theta-sketch set operations on two KMV sketches: one row
+    (theta, n_common, n_union_below, est_intersection, est_union,
+    jaccard_ppb). All arithmetic BIGINT; jaccard is parts-per-billion
+    (integer-truncated). Exact when both inputs were below k distinct."""
+    sa = a.select(F.col("h").alias("ha"))
+    sb = b.select(F.col("h").alias("hb"))
+    ta = sa.agg(
+        F.count(F.lit(1)).cast("long").alias("na"), F.max("ha").alias("hka")
+    ).select(
+        F.expr(f"CASE WHEN na < {k} THEN CAST({_KMV_M} AS BIGINT) ELSE hka END")
+        .alias("theta_a")
+    )
+    tb = sb.agg(
+        F.count(F.lit(1)).cast("long").alias("nb"), F.max("hb").alias("hkb")
+    ).select(
+        F.expr(f"CASE WHEN nb < {k} THEN CAST({_KMV_M} AS BIGINT) ELSE hkb END")
+        .alias("theta_b")
+    )
+    theta = ta.crossJoin(tb).select(
+        F.least("theta_a", "theta_b").alias("theta")
+    )
+    # restrict both sketches below theta; theta is a broadcast single row
+    a_below = sa.crossJoin(F.broadcast(theta)).where(F.col("ha") < F.col("theta"))
+    b_below = sb.crossJoin(F.broadcast(theta)).where(F.col("hb") < F.col("theta"))
+    common = a_below.join(
+        b_below.select(F.col("hb").alias("ha")), "ha", "inner"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    union_below = (
+        a_below.select("ha")
+        .unionByName(b_below.select(F.col("hb").alias("ha")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_union_below"))
+    )
+    return (
+        theta.crossJoin(common)
+        .crossJoin(union_below)
+        .select(
+            "theta",
+            "n_common",
+            "n_union_below",
+            F.expr(f"(n_common * CAST({_KMV_M} AS BIGINT)) div theta")
+            .cast("long").alias("est_intersection"),
+            F.expr(f"(n_union_below * CAST({_KMV_M} AS BIGINT)) div theta")
+            .cast("long").alias("est_union"),
+            F.expr(
+                "CASE WHEN n_union_below = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (n_common * CAST(1000000000 AS BIGINT)) div n_union_below END"
+            ).cast("long").alias("jaccard_ppb"),
+        )
+    )

@@ -705,3 +705,146 @@ def agg_hdr_quantiles(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+@query(
+    "agg_kmv_overlap",
+    oracle="""
+    WITH pri AS (SELECT o_custkey, o_orderkey, o_orderpriority FROM orders
+                 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+    ah AS (SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 13))::BIGINT AS h
+           FROM pri WHERE o_orderpriority = '1-URGENT'),
+    bh AS (SELECT DISTINCT ('0x' || substr(md5(o_custkey::VARCHAR), 1, 13))::BIGINT AS h
+           FROM pri WHERE o_orderpriority = '2-HIGH'),
+    ask AS (SELECT h FROM ah ORDER BY h LIMIT 64),
+    bsk AS (SELECT h FROM bh ORDER BY h LIMIT 64),
+    ea AS (SELECT CASE WHEN count(*) < 64 THEN count(*)
+                       ELSE (63 * 4503599627370496) // max(h) END AS est_a FROM ask),
+    eb AS (SELECT CASE WHEN count(*) < 64 THEN count(*)
+                       ELSE (63 * 4503599627370496) // max(h) END AS est_b FROM bsk),
+    th AS (SELECT least(
+             (SELECT CASE WHEN count(*) < 64 THEN 4503599627370496 ELSE max(h) END FROM ask),
+             (SELECT CASE WHEN count(*) < 64 THEN 4503599627370496 ELSE max(h) END FROM bsk)
+           ) AS theta),
+    ab AS (SELECT h FROM ask, th WHERE h < theta),
+    bb AS (SELECT h FROM bsk, th WHERE h < theta),
+    cm AS (SELECT count(*) AS n_common FROM ab JOIN bb USING (h)),
+    ub AS (SELECT count(*) AS n_union_below
+           FROM (SELECT h FROM ab UNION SELECT h FROM bb)),
+    sh AS (SELECT DISTINCT o_orderkey % 4 AS shard,
+                  ('0x' || substr(md5(o_custkey::VARCHAR), 1, 13))::BIGINT AS h
+           FROM pri WHERE o_orderpriority = '1-URGENT'),
+    shr AS (SELECT h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rn FROM sh),
+    mg AS (SELECT DISTINCT h FROM shr WHERE rn <= 64 ORDER BY h LIMIT 64),
+    nd AS (SELECT count(*) AS n_direct FROM ask),
+    nm AS (SELECT count(*) AS n_merged FROM mg),
+    ni AS (SELECT count(*) AS n_both FROM ask JOIN mg USING (h)),
+    fl AS (SELECT o_custkey,
+                  max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS ia,
+                  max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS ib
+           FROM pri GROUP BY 1),
+    ex AS (SELECT CAST(SUM(ia) AS BIGINT) AS exact_a,
+                  CAST(SUM(ib) AS BIGINT) AS exact_b,
+                  CAST(SUM(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                    AS exact_intersection,
+                  CAST(count(*) AS BIGINT) AS exact_union
+           FROM fl)
+    SELECT CAST(est_a AS BIGINT) AS est_a, CAST(est_b AS BIGINT) AS est_b,
+           CAST(theta AS BIGINT) AS theta,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(n_union_below AS BIGINT) AS n_union_below,
+           CAST((n_common * 4503599627370496) // theta AS BIGINT) AS est_intersection,
+           CAST((n_union_below * 4503599627370496) // theta AS BIGINT) AS est_union,
+           CAST(CASE WHEN n_union_below = 0 THEN 0
+                     ELSE (n_common * 1000000000) // n_union_below END AS BIGINT)
+             AS jaccard_ppb,
+           exact_a, exact_b, exact_intersection, exact_union,
+           (n_direct = n_merged AND n_both = n_direct) AS merged_equals_direct
+    FROM ea, eb, th, cm, ub, nd, nm, ni, ex
+    """,
+)
+def agg_kmv_overlap(spark, sf_dir):
+    """KMV / theta sketch (functions/sketches.py kmv_*) — the mergeable
+    DISTINCT sketch that answers what HLL cannot: SET-OPERATION
+    estimates. Two k-row sketches over the urgent- and high-priority
+    customer bases yield distinct estimates, an intersection/union/
+    Jaccard estimate (theta restriction + hash-sample arithmetic, all
+    BIGINT: 52-bit hash space keeps every product inside int64), and a
+    4-shard merge rebuild certified identical to the direct sketch.
+    The oracle replays hashing, top-k truncation, the (k-1)*M div h_k
+    estimator, the theta set algebra, AND the exact ground truth —
+    so the row also documents real estimator error at this SF.
+
+    Reference parity: approx_nunique / the DataSketches theta family
+    (reference exposes engine-delegated approx distinct aggregates);
+    this formulation adds engine-replayable set intersection."""
+    from xorq_spark.functions.sketches import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+        kmv_set_estimates,
+    )
+
+    K = 64
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    a_rows = o.where(F.col("o_orderpriority") == "1-URGENT")
+    b_rows = o.where(F.col("o_orderpriority") == "2-HIGH")
+    sk_a = kmv_build(a_rows, "o_custkey", K)
+    sk_b = kmv_build(b_rows, "o_custkey", K)
+    est_a = kmv_estimate(sk_a, K).select(F.col("est_distinct").alias("est_a"))
+    est_b = kmv_estimate(sk_b, K).select(F.col("est_distinct").alias("est_b"))
+    sets = kmv_set_estimates(sk_a, sk_b, K)
+
+    partials = [
+        kmv_build(a_rows.where(F.col("o_orderkey") % 4 == s), "o_custkey", K)
+        for s in range(4)
+    ]
+    merged = kmv_merge(*partials, k=K)
+    n_d = sk_a.agg(F.count(F.lit(1)).cast("long").alias("n_direct"))
+    n_m = merged.agg(F.count(F.lit(1)).cast("long").alias("n_merged"))
+    n_i = sk_a.join(merged, "h").agg(
+        F.count(F.lit(1)).cast("long").alias("n_both")
+    )
+
+    flags = o.groupBy("o_custkey").agg(
+        F.max(
+            (F.col("o_orderpriority") == "1-URGENT").cast("int")
+        ).alias("ia"),
+        F.max((F.col("o_orderpriority") == "2-HIGH").cast("int")).alias("ib"),
+    )
+    exact = flags.agg(
+        F.sum("ia").cast("long").alias("exact_a"),
+        F.sum("ib").cast("long").alias("exact_b"),
+        F.sum(F.expr("CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("exact_intersection"),
+        F.count(F.lit(1)).cast("long").alias("exact_union"),
+    )
+    return (
+        est_a.crossJoin(est_b)
+        .crossJoin(sets)
+        .crossJoin(n_d)
+        .crossJoin(n_m)
+        .crossJoin(n_i)
+        .crossJoin(exact)
+        .select(
+            "est_a",
+            "est_b",
+            "theta",
+            "n_common",
+            "n_union_below",
+            "est_intersection",
+            "est_union",
+            "jaccard_ppb",
+            "exact_a",
+            "exact_b",
+            "exact_intersection",
+            "exact_union",
+            (
+                (F.col("n_direct") == F.col("n_merged"))
+                & (F.col("n_both") == F.col("n_direct"))
+            ).alias("merged_equals_direct"),
+        )
+    )

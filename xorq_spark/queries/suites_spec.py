@@ -142,6 +142,10 @@ SUITES: dict[str, list[str]] = {
         # histogram family — the 100 TB percentile path; bracket + merge
         # + error-geometry certified in-query)
         "agg_hdr_quantiles",
+        # + KMV/theta sketch: mergeable distinct sketch with SET-OP
+        # estimates (intersection/union/Jaccard of key sets — the thing
+        # HLL cannot do); merge rebuild + exact ground truth in-query
+        "agg_kmv_overlap",
     ],
     "suite_time_a": [
         "time_trunc_extract",
