@@ -226,3 +226,64 @@ class TestZScoreAnomalies:
         [r] = [x for x in zscore_anomalies(df, order_cols=("event_id",)).collect() if x["event_id"] == 11]
         # mean_prev reflects only the calm history
         assert r["mean_prev"] < 1.01 and r["is_anomaly"] is True
+
+
+class TestSessionizeBatch:
+    def _mk(self, spark, rows):
+        return spark.createDataFrame(rows, "k string, ts timestamp")
+
+    def test_gap_splits_sessions(self, spark):
+        import datetime as dt
+
+        from xorq_spark.functions.timeseries import sessionize_batch
+
+        t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+        rows = [
+            ("u", t0),
+            ("u", t0 + dt.timedelta(minutes=10)),
+            ("u", t0 + dt.timedelta(minutes=50)),  # 40-min gap -> new
+            ("u", t0 + dt.timedelta(minutes=55)),
+            ("v", t0),
+        ]
+        out = sessionize_batch(self._mk(spark, rows), "k", "ts", 1800)
+        got = {(r.k, r.ts.minute, r.session_id) for r in out.collect()}
+        assert got == {
+            ("u", 0, 1),
+            ("u", 10, 1),
+            ("u", 50, 2),
+            ("u", 55, 2),
+            ("v", 0, 1),
+        }
+
+    def test_exact_gap_is_same_session(self, spark):
+        import datetime as dt
+
+        from xorq_spark.functions.timeseries import sessionize_batch
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("u", t0), ("u", t0 + dt.timedelta(seconds=1800))]
+        out = sessionize_batch(self._mk(spark, rows), "k", "ts", 1800)
+        assert {r.session_id for r in out.collect()} == {1}  # > gap, not >=
+
+    def test_ties_share_session(self, spark):
+        import datetime as dt
+
+        from xorq_spark.functions.timeseries import sessionize_batch
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [("u", t0)] * 5
+        out = sessionize_batch(self._mk(spark, rows), "k", "ts", 60)
+        assert [r.session_id for r in out.collect()] == [1] * 5
+
+    def test_single_shuffle_plan(self, spark):
+        import datetime as dt
+
+        from xorq_spark.functions.timeseries import sessionize_batch
+
+        t0 = dt.datetime(2024, 1, 1)
+        df = self._mk(spark, [("u", t0), ("v", t0)])
+        plan = (
+            sessionize_batch(df, "k", "ts", 1800)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1

@@ -370,3 +370,42 @@ def winsorize(
         .otherwise(F.greatest(F.col("lo"), F.least(F.col("hi"), v)))
         .alias(f"{value_col}_w"),
     )
+
+
+def sessionize_batch(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization over a batch event log: a new session
+    starts whenever a key's inter-event gap exceeds `gap_seconds`.
+    Appends `session_id` (BIGINT, 1-based per key, ordered by time).
+
+    The batch twin of streaming/core.py sessionize (F.session_window):
+    the same 30-minute-gap semantics applied to historical data — the
+    shape every product-analytics backfill needs.
+
+    Plan: ONE shuffle on the key — both windows (the lag and the
+    running boundary count) share the identical (partitionBy key,
+    orderBy ts) spec, so Catalyst reuses a single Exchange + Sort.
+    Integer epoch-microsecond arithmetic end to end: no float time
+    math, so external engines replay session boundaries exactly.
+    Determinism under ts ties: ties have gap 0, so they can never
+    open a session and every tie lands in the same session whatever
+    their relative order.
+
+    Scale: state per key is the window sort only; no driver
+    collection, no per-session materialization until the caller
+    aggregates. Skewed keys cost what any per-key ordered analysis
+    costs — the window sort of that key's rows.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > int(gap_seconds) * 1_000_000), 1
+    ).otherwise(0)
+    return df.withColumn(
+        "session_id", F.sum(is_new).over(w).cast("long")
+    )

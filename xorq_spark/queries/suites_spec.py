@@ -171,6 +171,10 @@ SUITES: dict[str, list[str]] = {
         "time_winsorize_values",
         # + snapshot distribution drift (integer-rational per-bin TVD)
         "time_histogram_drift",
+        # + batch gap-sessionization (the streaming session window's
+        # historical-backfill twin; one shuffle serves both windows
+        # and the per-session aggregate)
+        "time_sessionize",
     ],
     "suite_coll_a": [
         "coll_array_basics",

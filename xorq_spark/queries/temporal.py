@@ -610,3 +610,71 @@ def time_histogram_drift(spark, sf_dir):
     old = orders.where(F.col("o_orderdate") < cut)
     new = orders.where(F.col("o_orderdate") >= cut)
     return histogram_drift(old, new, "o_totalprice", 25000).orderBy("bin")
+
+
+@query(
+    "time_sessionize",
+    oracle="""
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type, value
+                FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+    lagged AS (
+      SELECT user_id, us, event_type, value,
+             CASE WHEN lag(us) OVER w IS NULL
+                       OR us - lag(us) OVER w > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    sess AS (
+      SELECT user_id, us, event_type, value,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM lagged)
+    SELECT user_id, session_id,
+           CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us) AS BIGINT) AS session_end_us,
+           CAST((max(us) - min(us)) // 1000000 AS BIGINT) AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types,
+           CAST(ROUND(SUM(value), 6) AS DOUBLE) AS sum_value
+    FROM sess GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def time_sessionize(spark, sf_dir):
+    """Batch gap-based sessionization (functions/timeseries.py
+    sessionize_batch) — the historical-backfill twin of the streaming
+    session window (stream_session_user_visits): 30-minute-gap
+    sessions over the events log, then per-session start/end/duration/
+    event-count/type-breadth/value-sum stats.
+
+    One shuffle on user_id serves boundary detection, session
+    numbering AND the final per-session aggregate (all keyed on the
+    same column). Integer epoch-µs arithmetic throughout; the oracle
+    replays lag -> boundary -> running-count -> aggregate exactly.
+
+    Reference parity: window_by/session semantics (reference exposes
+    tumble/hop via window_by; gap sessions are the Spark-extra the
+    streaming tier already certifies — this is its batch surface)."""
+    from xorq_spark.functions.timeseries import sessionize_batch
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select("user_id", "ts", "event_type", "value")
+    )
+    s = sessionize_batch(ev, "user_id", "ts", gap_seconds=1800)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        s.select("user_id", "session_id", us.alias("us"), "event_type", "value")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("us").cast("long").alias("session_start_us"),
+            F.max("us").cast("long").alias("session_end_us"),
+            F.expr("(max(us) - min(us)) div 1000000")
+            .cast("long")
+            .alias("duration_s"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("event_type").cast("long").alias("n_event_types"),
+            F.round(F.sum("value"), 6).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
