@@ -1205,3 +1205,38 @@ class TestKMVSketch:
         df = spark.createDataFrame([("a",)], "k string")
         with _pytest.raises(ValueError):
             kmv_build(df, "k", k=1024)
+
+
+class TestHeavyHitters:
+    def test_exact_above_threshold_only(self, spark):
+        from xorq_spark.functions.sketches import heavy_hitters
+
+        rows = [("hot",)] * 50 + [("warm",)] * 10 + [
+            (f"cold{i}",) for i in range(200)
+        ]
+        df = spark.createDataFrame(rows, "k string")
+        out = {r.k: (r.exact_count, r.cms_est)
+               for r in heavy_hitters(df, "k", threshold=10).collect()}
+        assert set(out) == {"hot", "warm"}
+        assert out["hot"][0] == 50 and out["warm"][0] == 10
+        # CMS never underestimates
+        assert all(est >= exact for exact, est in out.values())
+
+    def test_collisions_pruned_by_exact_pass(self, spark):
+        from xorq_spark.functions.sketches import heavy_hitters
+
+        # width=2: everything collides; exact pass must still be exact
+        rows = [("a",)] * 30 + [("b",)] * 5 + [("c",)] * 4
+        df = spark.createDataFrame(rows, "k string")
+        out = {r.k: r.exact_count
+               for r in heavy_hitters(df, "k", 20, depth=2, width=2).collect()}
+        assert out == {"a": 30}
+
+    def test_size_guard(self, spark):
+        import pytest as _pytest
+
+        from xorq_spark.functions.sketches import heavy_hitters
+
+        df = spark.createDataFrame([("a",)], "k string")
+        with _pytest.raises(ValueError):
+            heavy_hitters(df, "k", 1, depth=64, width=65536)

@@ -457,3 +457,69 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
             ).cast("long").alias("jaccard_ppb"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """EXACT heavy hitters (keys occurring >= threshold times) via a
+    CMS prefilter — the two-pass pattern that makes exact top-key
+    queries feasible at 100 TB key cardinality:
+
+    pass 1: reduce the occurrence stream to depth*width counters (one
+    map-side-combinable groupBy; shuffle carries counters, never keys).
+    pass 2: the counters ride back as ONE literal lookup array (the
+    bounded-collect pattern of the IVF centroid fetch — driver state
+    is depth*width, independent of data volume) evaluated per
+    occurrence entirely map-side; only occurrences whose CMS estimate
+    clears the threshold reach the exact groupBy. CMS never
+    underestimates, so NO true heavy hitter is lost; the exact count
+    then prunes the hash-collision false positives.
+
+    The alternative — groupBy over every key — shuffles the full
+    distinct key set; this shuffles only candidates. Returns
+    (key_col, exact_count, cms_est) with cms_est >= exact_count.
+    """
+    if depth * width > 65536:
+        raise ValueError("heavy_hitters: depth*width must be <= 65536")
+    occ = df.select(F.col(key_col).cast("string").alias("__k")).where(
+        F.col("__k").isNotNull()
+    )
+    sketch = count_min_build(occ, "__k", depth, width)
+    counters = [0] * (depth * width)
+    for r in sketch.collect():  # bounded: depth*width rows max
+        counters[r["row"] * width + r["bucket"]] = r["c"]
+    lookup = F.expr(
+        "array(" + ",".join(f"{v}L" for v in counters) + ")"
+    )
+    est = F.least(
+        *[
+            F.element_at(
+                F.col("__cms"),
+                (
+                    _bucket(F.lit(r), F.col("__k"), width)
+                    + r * width
+                    + 1
+                ).cast("int"),
+            )
+            for r in range(depth)
+        ]
+    )
+    cand = (
+        occ.withColumn("__cms", lookup)
+        .withColumn("__est", est)
+        .where(F.col("__est") >= threshold)
+    )
+    return (
+        cand.groupBy("__k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("exact_count"),
+            F.min("__est").cast("long").alias("cms_est"),
+        )
+        .where(F.col("exact_count") >= threshold)
+        .select(F.col("__k").alias(key_col), "exact_count", "cms_est")
+    )

@@ -216,6 +216,9 @@ SUITES: dict[str, list[str]] = {
         "text_pii_redaction",
         "text_repetition_ratio",
         "text_char_entropy",
+        # round 5: exact heavy hitters via CMS prefilter (boilerplate-
+        # phrase detection; two-pass candidates-only shuffle)
+        "text_heavy_hitters",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",

@@ -918,3 +918,65 @@ def text_mixture_plan(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH t AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+                                  '\\s+'), x -> x <> '') AS ws
+               FROM documents WHERE text IS NOT NULL),
+    occ AS (SELECT unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i + 1])) AS k FROM t),
+    ex AS (SELECT k, unnest(range(0, 4)) AS row FROM occ),
+    sk AS (SELECT row,
+                  ('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || '|' || k), 1, 8))::BIGINT % 512 AS bucket,
+                  count(*) AS c
+           FROM ex GROUP BY 1, 2),
+    qx AS (SELECT k, unnest(range(0, 4)) AS row FROM (SELECT DISTINCT k FROM occ)),
+    qb AS (SELECT k, row,
+                  ('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || '|' || k), 1, 8))::BIGINT % 512 AS bucket
+           FROM qx),
+    est AS (SELECT k, CAST(min(COALESCE(sk.c, 0)) AS BIGINT) AS cms_est
+            FROM qb LEFT JOIN sk USING (row, bucket) GROUP BY k),
+    exact AS (SELECT k, count(*) AS exact_count FROM occ GROUP BY k)
+    SELECT exact.k AS bigram,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           est.cms_est
+    FROM exact JOIN est USING (k)
+    WHERE exact_count >= 40
+    ORDER BY bigram
+    """,
+)
+def text_heavy_hitters(spark, sf_dir):
+    """Exact heavy hitters with a CMS prefilter (functions/sketches.py
+    heavy_hitters) over the word-bigram stream of the corpus — the
+    boilerplate-phrase detector that feeds dedup/cleanup rules, and the
+    two-pass shape that keeps exact top-key queries shuffle-bounded at
+    100 TB: counters out (bounded), candidates back (literal lookup
+    array, map-side), exact groupBy over candidates only.
+
+    width=512 over ~900 distinct bigrams forces real collisions, so
+    cms_est > exact_count for some rows and genuinely sub-threshold
+    keys enter the candidate set — the exact pass provably prunes
+    them (the oracle recomputes both counts independently and applies
+    only the exact-count filter; a lost true hitter or an unpruned
+    false positive breaks the hash)."""
+    from xorq_spark.functions.sketches import heavy_hitters
+
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(__ws) >= 2 THEN "
+        "transform(sequence(1, size(__ws) - 1), "
+        "          i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1))) "
+        "ELSE array() END"
+    )
+    occ = docs.select(ws.alias("__ws")).select(
+        F.explode(bigrams).alias("bigram")
+    )
+    return heavy_hitters(
+        occ, "bigram", threshold=40, depth=4, width=512
+    ).orderBy("bigram")
