@@ -1240,3 +1240,77 @@ class TestHeavyHitters:
         df = spark.createDataFrame([("a",)], "k string")
         with _pytest.raises(ValueError):
             heavy_hitters(df, "k", 1, depth=64, width=65536)
+
+
+class TestProductQuantization:
+    def _corpus(self, spark, n=120, d=16, clusters=4):
+        import math
+
+        rows = []
+        for i in range(n):
+            c = i % clusters
+            base = [math.sin(c * 7 + t) for t in range(d)]
+            vec = [base[t] + 0.01 * ((i * 31 + t) % 7 - 3) for t in range(d)]
+            rows.append((i, vec))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_codes_shape_and_range(self, spark):
+        from xorq_spark.functions.similarity import pq_codebooks, pq_encode
+
+        emb = self._corpus(spark)
+        books = pq_codebooks(emb, m=4, ksub=8)
+        assert len(books) == 4 and len(books[0]) == 8 and len(books[0][0]) == 4
+        codes = pq_encode(emb, books).collect()
+        assert len(codes) == 120
+        for r in codes:
+            assert len(r.codes) == 4
+            assert all(0 <= c < 8 for c in r.codes)
+
+    def test_codebook_members_encode_to_themselves(self, spark):
+        from xorq_spark.functions.similarity import pq_codebooks, pq_encode
+
+        emb = self._corpus(spark)
+        books = pq_codebooks(emb, m=4, ksub=8)
+        # the 8 lowest-id vectors ARE the codewords -> distance 0 to
+        # their own codeword; argmin must pick it (or an exact tie)
+        codes = {r.vec_id: r.codes
+                 for r in pq_encode(emb, books).collect()}
+        for i in range(8):
+            for j, c in enumerate(codes[i]):
+                assert books[j][c] == books[j][i] or c == i
+
+    def test_adc_recall_vs_bruteforce(self, spark):
+        from xorq_spark.functions.similarity import (
+            ann_bruteforce_topk,
+            pq_adc_topk,
+            pq_codebooks,
+            pq_encode,
+        )
+
+        emb = self._corpus(spark)
+        books = pq_codebooks(emb, m=4, ksub=8)
+        codes = pq_encode(emb, books)
+        qs = emb.where("vec_id < 4").select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        pq = pq_adc_topk(qs, codes, books, k=10)
+        bf = ann_bruteforce_topk(qs, emb, k=10)
+        pq_sets = {}
+        for r in pq.collect():
+            pq_sets.setdefault(r.query_id, set()).add(r.vec_id)
+        hits = tot = 0
+        for r in bf.collect():
+            tot += 1
+            hits += r.vec_id in pq_sets[r.query_id]
+        # clustered corpus: PQ top-10 should recover most exact top-10
+        assert hits / tot >= 0.5
+
+    def test_dim_divisibility_guard(self, spark):
+        import pytest as _pytest
+
+        from xorq_spark.functions.similarity import pq_codebooks
+
+        emb = self._corpus(spark, d=10)
+        with _pytest.raises(ValueError):
+            pq_codebooks(emb, m=4, ksub=4)

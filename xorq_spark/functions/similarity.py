@@ -703,3 +703,207 @@ def _ann_ivf_int_topk(
             "rank",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. TPAMI 2011) — the memory tier of
+# large-scale ANN (FAISS's IVF-PQ): each d-dim vector compresses to m
+# sub-space codeword indices (m bytes at ksub<=256), and query scoring
+# becomes m table lookups (ADC) instead of d multiplies. At 100 TB the
+# win is the at-rest format: the corpus scan reads m-byte codes, not
+# d-float vectors — a ~32x I/O reduction at d=64/m=8.
+#
+# Engine-replayable flavor: codebooks are DETERMINISTIC (the quantized
+# subvectors of the ksub lowest-id corpus vectors — the fixed-centroid
+# IVF precedent), all distances are exact int64 over the repo's
+# shifted-quantization codes, and argmin/rank tie-break to the lowest
+# index — so a SQL oracle replays encode, the ADC lookup tables, and
+# the final ranking value-for-value.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    scale: int = None,
+):
+    """Deterministic PQ codebooks: [m][ksub][dsub] int64 — subspace j's
+    codewords are the j-th quantized subvectors of the `ksub` lowest-id
+    corpus vectors (a LIMIT over the id-ordered corpus, not a scan;
+    bounded driver state like the IVF centroid fetch). Python-side
+    floor(x*scale+0.5)+scale mirrors clustering._quantize_shift
+    bit-for-bit (same double arithmetic)."""
+    import math
+
+    from xorq_spark.functions.clustering import DEFAULT_QUANT_SCALE
+
+    scale = DEFAULT_QUANT_SCALE if scale is None else scale
+    rows = (
+        corpus.where(F.col(corpus_vec).isNotNull())
+        .select(corpus_id, corpus_vec)
+        .orderBy(corpus_id)
+        .limit(ksub)
+        .collect()
+    )
+    if not rows:
+        return []
+    d = len(rows[0][1])
+    if d % m != 0:
+        raise ValueError(f"pq_codebooks: dim {d} not divisible by m={m}")
+    dsub = d // m
+
+    def q(x):
+        return int(math.floor(float(x) * scale + 0.5)) + scale
+
+    return [
+        [[q(x) for x in list(r[1])[j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _pq_books_lit(books) -> Column:
+    """[m][ksub][dsub] bigint literal as ONE parsed SQL expression (the
+    _lit_float_matrix lesson: element-wise F.lit costs a py4j round trip
+    per element)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in cw) + ")" for cw in book
+            )
+            + ")"
+            for book in books
+        )
+        + ")"
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    books,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    scale: int = None,
+) -> DataFrame:
+    """Encode each vector to m codeword indices: per subspace, argmin
+    exact int64 squared L2 against the codebook (ties to the lowest
+    index). One embarrassingly parallel scan, zero shuffles — pure JVM
+    HOFs over the broadcast codebook literal. Output:
+    (corpus_id, codes array<int>)."""
+    from xorq_spark.functions.clustering import (
+        DEFAULT_QUANT_SCALE,
+        _quantize_shift,
+        _sq_dist_int,
+    )
+
+    scale = DEFAULT_QUANT_SCALE if scale is None else scale
+    m = len(books)
+    dsub = len(books[0][0])
+    bl = _pq_books_lit(books)
+
+    def code_for(j: Column) -> Column:
+        sub = F.slice(F.col("__pqv"), j * dsub + 1, dsub)
+        dists = F.transform(
+            F.element_at(bl, (j + 1).cast("int")),
+            lambda cw: _sq_dist_int(sub, cw),
+        )
+        return (
+            F.array_position(dists, F.array_min(dists)).cast("int") - 1
+        )
+
+    return (
+        corpus.where(F.col(corpus_vec).isNotNull())
+        .select(
+            F.col(corpus_id),
+            _quantize_shift(F.col(corpus_vec), scale).alias("__pqv"),
+        )
+        .select(
+            corpus_id,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)), code_for
+            ).alias("codes"),
+        )
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    books,
+    k: int = 10,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    scale: int = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query builds an
+    [m][ksub] int64 lookup table against the codebook literal (m*ksub
+    exact distances, computed once per query), then every corpus code
+    scores with m element_at lookups — the broadcast-queries x
+    corpus-code-scan shape of ann_bruteforce_topk, but the scan reads
+    m-byte codes instead of d floats and does lookups instead of
+    multiplies. Ties rank by ascending corpus id."""
+    from xorq_spark.functions.clustering import (
+        DEFAULT_QUANT_SCALE,
+        _quantize_shift,
+        _sq_dist_int,
+    )
+
+    scale = DEFAULT_QUANT_SCALE if scale is None else scale
+    m = len(books)
+    dsub = len(books[0][0])
+    bl = _pq_books_lit(books)
+
+    def lut_for(j: Column) -> Column:
+        sub = F.slice(F.col("__pqq"), j * dsub + 1, dsub)
+        return F.transform(
+            F.element_at(bl, (j + 1).cast("int")),
+            lambda cw: _sq_dist_int(sub, cw),
+        )
+
+    q = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            _quantize_shift(F.col(query_vec), scale).alias("__pqq"),
+        )
+        .select(
+            "__qid",
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)), lut_for).alias(
+                "__lut"
+            ),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(codes)
+        .select(
+            "__qid",
+            F.col(corpus_id).alias("__cid"),
+            F.aggregate(
+                F.zip_with(
+                    F.col("__lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, (c + 1).cast("int")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.asc("adc_dist"), F.asc("__cid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "adc_dist",
+            "rank",
+        )
+    )

@@ -503,3 +503,75 @@ def sim_random_projection(spark, sf_dir):
     return random_projection(
         emb, "embedding", ("vec_id",), out_dim=16, in_dim=64, shift=10
     ).orderBy("vec_id")
+
+
+@query(
+    "sim_ann_pq_topk",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL),
+    unq AS (SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) + 1000000 AS qv
+            FROM emb),
+    sub AS (SELECT vec_id, dim // 8 AS j, dim % 8 AS p, qv FROM unq),
+    cbids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+              FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16)),
+    cb AS (SELECT cbids.c, s.j, s.p, s.qv AS cw
+           FROM sub s JOIN cbids USING (vec_id)),
+    dj AS (SELECT s.vec_id, s.j, cb.c,
+                  CAST(SUM((s.qv - cb.cw) * (s.qv - cb.cw)) AS BIGINT) AS d
+           FROM sub s JOIN cb ON s.j = cb.j AND s.p = cb.p
+           GROUP BY 1, 2, 3),
+    code AS (SELECT vec_id, j, c AS code FROM (
+               SELECT vec_id, j, c,
+                      row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, c) AS rn
+               FROM dj) WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, j, c, d FROM dj WHERE vec_id < 5),
+    score AS (SELECT l.query_id, co.vec_id,
+                     CAST(SUM(l.d) AS BIGINT) AS adc_dist
+              FROM code co JOIN lut l ON l.j = co.j AND l.c = co.code
+              GROUP BY 1, 2),
+    ranked AS (SELECT query_id, vec_id, adc_dist,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, vec_id) AS rank
+               FROM score)
+    SELECT query_id, vec_id, adc_dist, rank
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def sim_ann_pq(spark, sf_dir):
+    """Product quantization ANN (functions/similarity.py pq_codebooks/
+    pq_encode/pq_adc_topk — Jégou et al. TPAMI 2011, the FAISS IVF-PQ
+    memory tier): 64-dim vectors compress to m=8 codeword indices
+    (ksub=16 per subspace), queries score corpus CODES via per-query
+    [m][ksub] ADC lookup tables — at rest the corpus is m bytes per
+    vector, a ~32x scan-I/O reduction over raw floats.
+
+    Deterministic codebooks (quantized subvectors of the 16 lowest-id
+    vectors), exact int64 subspace distances, lowest-index ties — the
+    oracle independently replays quantization, encoding argmin, the
+    lookup tables, and the final ADC ranking, in a fully relational
+    formulation (unnest + window argmin) against Spark's HOF-literal
+    one: two different algorithms, one integer answer."""
+    from xorq_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = widen(t(spark, sf_dir, "embeddings")).where(
+        F.col("embedding").isNotNull()
+    )
+    books = pq_codebooks(emb, m=8, ksub=16)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return pq_adc_topk(queries, codes, books, k=10).orderBy(
+        "query_id", "rank"
+    )

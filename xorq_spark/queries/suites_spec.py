@@ -326,6 +326,9 @@ SUITES: dict[str, list[str]] = {
         # half of PCA) + deterministic JL sign projection
         "sim_embedding_gram",
         "sim_random_projection",
+        # + product quantization ADC top-k (the FAISS IVF-PQ memory
+        # tier: m-byte codes at rest, lookup-table scoring)
+        "sim_ann_pq_topk",
     ],
     "suite_ml": [
         "ml_train_test_split",
