@@ -87,6 +87,14 @@ HEADLINE = [
     # + hash-filter realization) and quantile-thresholded k-core
     "text_mixture_plan",
     "graph_kcore_prune",
+    # round 5, fourth batch: KMV/theta sketch set ops (two k-row
+    # sketches answer audience overlap), batch gap-sessionization
+    # (single-shuffle dual-window), CMS-prefiltered exact heavy
+    # hitters (candidates-only shuffle), PQ ANN (code-scan + ADC LUT)
+    "agg_kmv_overlap",
+    "time_sessionize",
+    "text_heavy_hitters",
+    "sim_ann_pq_topk",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

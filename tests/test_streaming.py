@@ -483,3 +483,23 @@ def test_stream_zscore_anomalies(spark, tmp_path):
         if r["is_anomaly"]
     ]
     assert banoms == [99.0]
+
+
+def test_stream_heavy_hitters_state_bounded_and_exact(spark, sf_dir):
+    """The streaming CMS sink is bounded by depth*width regardless of
+    stream length, and the readout's exact counts match a plain batch
+    groupBy."""
+    from xorq_spark.queries import QUERIES
+    from xorq_spark.queries.base import t
+
+    out = QUERIES["stream_heavy_hitters"](spark, sf_dir).collect()
+    ev = t(spark, sf_dir, "events").where("user_id IS NOT NULL")
+    truth = {
+        r.user_id: r.n
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert out, "expected at least one heavy hitter at test SF"
+    for r in out:
+        assert r.exact_count == truth[r.user_id]
+        assert r.cms_est >= r.exact_count  # CMS overestimate-only
+        assert r.exact_count >= r.threshold

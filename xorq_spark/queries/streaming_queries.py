@@ -496,3 +496,91 @@ def stream_hdr(spark, sf_dir):
         )
         .orderBy("q")
     )
+
+
+@query(
+    "stream_heavy_hitters",
+    oracle="""
+    WITH occ AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+                 WHERE user_id IS NOT NULL),
+    ex AS (SELECT k, unnest(range(0, 4)) AS row FROM occ),
+    sk AS (SELECT row,
+                  ('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || '|' || k), 1, 8))::BIGINT % 64 AS bucket,
+                  count(*) AS c
+           FROM ex GROUP BY 1, 2),
+    qx AS (SELECT k, unnest(range(0, 4)) AS row
+           FROM (SELECT DISTINCT k FROM occ)),
+    qb AS (SELECT k, row,
+                  ('0x' || substr(md5('cms' || CAST(row AS VARCHAR) || '|' || k), 1, 8))::BIGINT % 64 AS bucket
+           FROM qx),
+    est AS (SELECT k, CAST(min(COALESCE(sk.c, 0)) AS BIGINT) AS cms_est
+            FROM qb LEFT JOIN sk USING (row, bucket) GROUP BY k),
+    exact AS (SELECT k, count(*) AS exact_count FROM occ GROUP BY k),
+    thr AS (SELECT (11 * count(*)) // (10 * count(DISTINCT k)) AS t FROM occ)
+    SELECT CAST(exact.k AS BIGINT) AS user_id,
+           CAST(exact_count AS BIGINT) AS exact_count,
+           est.cms_est,
+           CAST(thr.t AS BIGINT) AS threshold
+    FROM exact JOIN est USING (k), thr
+    WHERE exact_count >= thr.t
+    ORDER BY user_id
+    """,
+)
+def stream_heavy_hitters(spark, sf_dir):
+    """Streaming heavy-hitter maintenance: the count-min sketch run AS
+    the streaming aggregation — readStream -> per-occurrence bucket
+    explode -> unwatermarked groupBy(row, bucket) in complete mode.
+    Like stream_hdr_quantiles, state is BOUNDED by construction
+    (depth*width = 256 counters however long the stream runs) — the
+    live "top talkers" dashboard over an unbounded event feed.
+
+    The readout joins the continuously-maintained sink against the
+    candidate keys (count_min_estimate), thresholds at 10% above the
+    mean events-per-user (integer div, engine-replayable), and the
+    exact batch count prunes collision false positives — width=64 over
+    up to 1.5k users forces real collisions at sf0.1. The oracle
+    replays sketch, estimates, threshold and exact counts; complete
+    mode over the finite source makes stream and batch semantics
+    provably identical."""
+    from xorq_spark.functions.sketches import (
+        count_min_build,
+        count_min_estimate,
+    )
+
+    DEPTH, WIDTH = 4, 64
+    ev = _events_stream(spark, sf_dir)
+    occ_s = ev.where(F.col("user_id").isNotNull()).select(
+        F.col("user_id").cast("string").alias("__k")
+    )
+    sketch_stream = count_min_build(occ_s, "__k", depth=DEPTH, width=WIDTH)
+    sink = _run(sketch_stream, "stream_cms_hh", "complete")
+
+    from xorq_spark.queries.base import t as _t
+
+    occ_b = (
+        _t(spark, sf_dir, "events")
+        .where(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("__k"))
+    )
+    exact = occ_b.groupBy("__k").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    thr = occ_b.agg(
+        F.expr("(11 * count(1)) div (10 * count(DISTINCT __k))")
+        .cast("long")
+        .alias("threshold")
+    )
+    est = count_min_estimate(sink, exact, "__k", depth=DEPTH, width=WIDTH)
+    return (
+        exact.join(est, "__k")
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("cms_est") >= F.col("threshold"))
+        .where(F.col("exact_count") >= F.col("threshold"))
+        .select(
+            F.col("__k").cast("long").alias("user_id"),
+            "exact_count",
+            "cms_est",
+            "threshold",
+        )
+        .orderBy("user_id")
+    )
