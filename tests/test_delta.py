@@ -569,3 +569,67 @@ def test_checkpoint_version_names_replayed_snapshot(spark, tmp_path):
     from xorq_spark.delta import last_txn_version
 
     assert last_txn_version(table, "app") == 7
+
+
+def test_delete_where_removes_rows_and_skips_files(spark, tmp_path):
+    from xorq_spark.delta import (
+        delete_where,
+        read_delta_fallback,
+        replay_log,
+        write_delta,
+    )
+
+    table = str(tmp_path / "tdel")
+    write_delta(
+        spark.createDataFrame([(k, k * 10) for k in range(0, 5)], "k int, v int"),
+        table,
+    )
+    write_delta(
+        spark.createDataFrame(
+            [(k, k * 10) for k in range(100, 105)], "k int, v int"
+        ),
+        table,
+        mode="append",
+    )
+    live_before, _ = replay_log(table)
+
+    v = delete_where(spark, table, "k IN (2, 3)")
+    out = {r["k"] for r in read_delta_fallback(spark, table).collect()}
+    assert out == {0, 1, 4} | set(range(100, 105))
+
+    # the high-range file had no matches -> untouched (predicate-pruned)
+    live_after, _ = replay_log(table)
+    assert {a["path"] for a in live_before} & {a["path"] for a in live_after}
+
+    # time travel still serves the pre-delete rows
+    pre = read_delta_fallback(spark, table, version=v - 1)
+    assert pre.where("k = 2").count() == 1
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    from xorq_spark.delta import delete_where, read_delta_fallback, write_delta
+
+    table = str(tmp_path / "tdel2")
+    write_delta(
+        spark.createDataFrame(
+            [(1, 10), (2, None), (3, 30)], "k int, v int"
+        ),
+        table,
+    )
+    delete_where(spark, table, "v > 15")  # NULL v: predicate NULL -> keep
+    out = {r["k"] for r in read_delta_fallback(spark, table).collect()}
+    assert out == {1, 2}
+
+
+def test_delete_where_no_match_is_noop_version(spark, tmp_path):
+    from xorq_spark.delta import delete_where, replay_log, write_delta
+
+    table = str(tmp_path / "tdel3")
+    v0 = write_delta(
+        spark.createDataFrame([(1, 10)], "k int, v int"), table
+    )
+    live_before, _ = replay_log(table)
+    v = delete_where(spark, table, "k = 999")
+    assert v == v0  # nothing matched: no new commit
+    live, _ = replay_log(table)
+    assert {a["path"] for a in live} == {a["path"] for a in live_before}

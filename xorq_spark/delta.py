@@ -844,6 +844,66 @@ def merge_upsert(
     return _commit_rewrite(log_dir, table_path, actions, snapshot_version)
 
 
+def delete_where(
+    spark,
+    table_path: str,
+    predicate: str,
+) -> int:
+    """DELETE FROM ... WHERE `predicate` — the GDPR right-to-be-
+    forgotten / bad-batch-rollback primitive (reference exercises it
+    through engine-delegated Delta ops; delta-spark's
+    DeltaTable.delete).
+
+    Two phases, ONE atomic commit:
+      find    — scan the live snapshot with file provenance
+                (input_file_name) and the predicate pushed down to the
+                parquet footers; only files containing >= 1 matching
+                row are named. Untouched files never move.
+      rewrite — exactly the named files, minus rows where the
+                predicate is TRUE (SQL DELETE semantics: FALSE and
+                NULL rows are kept), staged then published as
+                remove+add with the optimistic-concurrency re-check.
+
+    Time travel still serves the pre-delete snapshot until VACUUM
+    drops the removed files past the retention window. A predicate
+    matching nothing commits nothing (returns the current version).
+
+    Scale notes: the find phase is a pruned distributed scan whose
+    result is file NAMES (metadata-bounded driver state, like the
+    merge candidate list); the rewrite shuffles nothing — it is a
+    per-file filter of only the affected files.
+
+    Returns the committed (or unchanged) version."""
+    import urllib.parse
+
+    import pyspark.sql.functions as F
+
+    live, meta, snapshot_version = _replay_log_full(table_path)
+    part_cols = list(meta.get("partitionColumns") or [])
+    if not live:
+        return snapshot_version
+    pred = F.expr(predicate)
+    df = _frame_for_adds(spark, table_path, live, meta)
+    hit_files = {
+        urllib.parse.unquote(urllib.parse.urlparse(r[0]).path)
+        for r in df.where(pred).select(F.input_file_name()).distinct().collect()
+    }
+    hit_base = {os.path.basename(p) for p in hit_files}
+    candidates = [a for a in live if os.path.basename(a["path"]) in hit_base]
+    if not candidates:
+        return snapshot_version
+
+    cand_df = _frame_for_adds(spark, table_path, candidates, meta)
+    kept = cand_df.where(~pred | pred.isNull())
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    actions: List[dict] = [
+        {"remove": {"path": a["path"], "dataChange": True}} for a in candidates
+    ]
+    actions.extend(stage_delta_files(kept, table_path, part_cols))
+    return _commit_rewrite(log_dir, table_path, actions, snapshot_version)
+
+
 def _all_txns(log_dir: str, upto: Optional[int] = None) -> Dict[str, int]:
     """{appId: max txn version} across the newest checkpoint and every
     later commit. With `upto`, only commits/checkpoints <= that version

@@ -567,6 +567,10 @@ def sim_ann_pq(spark, sf_dir):
         F.col("embedding").isNotNull()
     )
     books = pq_codebooks(emb, m=8, ksub=16)
+    if not books:  # empty corpus: no codebook, no neighbors
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, adc_dist long, rank int"
+        )
     codes = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
