@@ -200,3 +200,75 @@ class TestLeakageSafeSplit:
         for r in out:
             if r["group_id"] == r["doc_id"]:  # singleton: same as plain
                 assert r["split"] == expect[r["doc_id"]]
+
+
+class TestFeatureEncoders:
+    def test_target_encode_loo(self, spark):
+        from xorq_spark.ml.features import target_encode
+
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 20), ("a", 30), ("b", 100), ("c", 7)],
+            "cat string, y long",
+        )
+        out = {(r.cat, r.y): r.te_c100
+               for r in target_encode(df, "cat", "y").collect()}
+        assert out[("a", 10)] == 2500   # mean(20,30)*100
+        assert out[("a", 20)] == 2000   # mean(10,30)*100
+        # singletons fall back to GLOBAL leave-one-out mean
+        assert out[("b", 100)] == (167 - 100) * 100 // 4
+        assert out[("c", 7)] == (167 - 7) * 100 // 4
+
+    def test_target_encode_single_row_null(self, spark):
+        from xorq_spark.ml.features import target_encode
+
+        df = spark.createDataFrame([("a", 5)], "cat string, y long")
+        assert target_encode(df, "cat", "y").collect()[0].te_c100 is None
+
+    def test_quantile_bins_exact_and_tie_stable(self, spark):
+        from xorq_spark.ml.features import quantile_bins
+
+        df = spark.createDataFrame([(v,) for v in range(1, 9)], "v long")
+        out = {r.v: r.bin for r in quantile_bins(df, "v", 4).collect()}
+        # N=8, 4 bins: boundaries at ranks 2,4,6 -> values 2,4,6
+        assert out == {1: 1, 2: 1, 3: 2, 4: 2, 5: 3, 6: 3, 7: 4, 8: 4}
+        # ties: every copy of a value gets the SAME bin
+        df2 = spark.createDataFrame(
+            [(v,) for v in [1, 1, 1, 1, 2, 2, 2, 2]], "v long"
+        )
+        out2 = {(r.v, r.bin) for r in quantile_bins(df2, "v", 2).collect()}
+        assert out2 == {(1, 1), (2, 2)}
+
+    def test_quantile_bins_grouped(self, spark):
+        from xorq_spark.ml.features import quantile_bins
+
+        rows = [("g1", v) for v in range(10)] + [("g2", v) for v in range(100, 104)]
+        df = spark.createDataFrame(rows, "g string, v long")
+        out = quantile_bins(df, "v", 2, by=["g"]).collect()
+        for r in out:
+            if r.g == "g1":
+                assert r.bin == (1 if r.v <= 4 else 2)
+            else:
+                assert r.bin == (1 if r.v <= 101 else 2)
+
+    def test_chi2_known_value(self, spark):
+        from xorq_spark.functions.stats import chi2_abtest
+
+        # a=30,b=10,c=10,d=30: chi2 = 80*(900-100)^2/(40*40*40*40) = 20
+        rows = (
+            [(True, True)] * 30 + [(True, False)] * 10
+            + [(False, True)] * 10 + [(False, False)] * 30
+        )
+        df = spark.createDataFrame(rows, "g boolean, s boolean")
+        r = chi2_abtest(df, "g", "s").collect()[0]
+        assert (r.a, r.b, r.c, r.d, r.n) == (30, 10, 10, 30, 80)
+        assert r.chi2_ppm == 20_000_000
+        assert r.significant_05
+
+    def test_chi2_degenerate_margin(self, spark):
+        from xorq_spark.functions.stats import chi2_abtest
+
+        df = spark.createDataFrame(
+            [(True, True), (True, False)], "g boolean, s boolean"
+        )
+        r = chi2_abtest(df, "g", "s").collect()[0]
+        assert r.chi2_ppm == 0 and not r.significant_05

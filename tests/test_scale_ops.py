@@ -1314,3 +1314,22 @@ class TestProductQuantization:
         emb = self._corpus(spark, d=10)
         with _pytest.raises(ValueError):
             pq_codebooks(emb, m=4, ksub=4)
+
+
+def test_join_explosion_stats_exact(spark):
+    from xorq_spark.operators.skew import join_explosion_stats
+
+    left = spark.createDataFrame(
+        [("k1",)] * 3 + [("k2",)] * 2 + [("only_left",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("k1",)] * 4 + [("k2",)] * 1 + [("only_right",)] * 9, "k string"
+    )
+    r = join_explosion_stats(left, right, ["k"], top=1).collect()[0]
+    assert r.n_left == 6 and r.n_right == 14
+    assert r.n_keys_matched == 2
+    assert r.out_rows == 3 * 4 + 2 * 1          # 14
+    assert r.max_key_rows == 12
+    assert r.top_share_ppm == 12 * 1_000_000 // 14
+    # cross-check against the actual join
+    assert left.join(right, "k").count() == r.out_rows

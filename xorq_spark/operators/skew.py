@@ -52,3 +52,56 @@ def salted_join(
         .join(r_hot.unionByName(r_cold), [on, "__salt"], how)
         .drop("__salt")
     )
+
+
+def join_explosion_stats(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    top: int = 5,
+) -> DataFrame:
+    """Pre-join cost / skew diagnostic: the EXACT output cardinality of
+    left JOIN right ON keys, and its per-key concentration, WITHOUT
+    running the join — the go/no-go check before an equi-join at
+    100 TB (a hot key that would explode the join shows up here as a
+    per-key multiplicity product, at per-key-count cost).
+
+    Two combinable groupBy counts joined on the (far smaller) key set:
+    output rows = sum over matching keys of n_left(k) * n_right(k).
+    Returns ONE row: n_left, n_right, n_keys_matched, out_rows,
+    max_key_rows (largest single key's contribution), top_share_ppm
+    (the `top` hottest keys' share of the output, parts per million —
+    near 1e6 means a handful of keys dominate: salt or split them).
+    """
+    ks = list(keys)
+    lc = left.groupBy(*ks).agg(F.count(F.lit(1)).cast("long").alias("__nl"))
+    rc = right.groupBy(*ks).agg(F.count(F.lit(1)).cast("long").alias("__nr"))
+    per_key = lc.join(rc, ks).select(
+        (F.col("__nl") * F.col("__nr")).cast("long").alias("__m")
+    )
+    tot_l = left.agg(F.count(F.lit(1)).cast("long").alias("n_left"))
+    tot_r = right.agg(F.count(F.lit(1)).cast("long").alias("n_right"))
+    topm = per_key.orderBy(F.desc("__m")).limit(top).agg(
+        F.sum("__m").cast("long").alias("__top_m")
+    )
+    summary = per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_matched"),
+        F.coalesce(F.sum("__m"), F.lit(0)).cast("long").alias("out_rows"),
+        F.coalesce(F.max("__m"), F.lit(0)).cast("long").alias("max_key_rows"),
+    )
+    return (
+        tot_l.crossJoin(tot_r)
+        .crossJoin(summary)
+        .crossJoin(topm)
+        .select(
+            "n_left",
+            "n_right",
+            "n_keys_matched",
+            "out_rows",
+            "max_key_rows",
+            F.expr(
+                "CASE WHEN out_rows = 0 THEN CAST(0 AS BIGINT) "
+                "ELSE (coalesce(__top_m, 0) * 1000000) div out_rows END"
+            ).cast("long").alias("top_share_ppm"),
+        )
+    )

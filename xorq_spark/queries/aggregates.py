@@ -848,3 +848,50 @@ def agg_kmv_overlap(spark, sf_dir):
             ).alias("merged_equals_direct"),
         )
     )
+
+
+@query(
+    "agg_chi2_abtest",
+    oracle="""
+    WITH e AS (SELECT event_type = 'click' AS g, value > 50 AS s
+               FROM events
+               WHERE event_type IN ('click', 'view') AND value IS NOT NULL),
+    ct AS (SELECT CAST(SUM(CASE WHEN g AND s THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                  CAST(SUM(CASE WHEN g AND NOT s THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                  CAST(SUM(CASE WHEN NOT g AND s THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                  CAST(SUM(CASE WHEN NOT g AND NOT s THEN 1 ELSE 0 END) AS BIGINT) AS d
+           FROM e)
+    SELECT a, b, c, d, CAST(a + b + c + d AS BIGINT) AS n,
+           CAST(CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0
+                     THEN 0
+                     ELSE (1000000::HUGEINT * (a+b+c+d)
+                           * (a*d - b*c) * (a*d - b*c))
+                          // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d))
+                END AS BIGINT) AS chi2_ppm,
+           CASE WHEN (a+b) = 0 OR (c+d) = 0 OR (a+c) = 0 OR (b+d) = 0
+                THEN 0 >= 3841459
+                ELSE ((1000000::HUGEINT * (a+b+c+d)
+                       * (a*d - b*c) * (a*d - b*c))
+                      // ((a+b)::HUGEINT * (c+d) * (a+c) * (b+d))) >= 3841459
+           END AS significant_05
+    FROM ct
+    """,
+)
+def agg_chi2(spark, sf_dir):
+    """2x2 chi-square A/B readout (functions/stats.py chi2_abtest):
+    click-vs-view conversion on value>50, contingency built by one
+    combinable aggregate (counts travel, never rows) and the statistic
+    in exact DECIMAL(38,0)/HUGEINT rational arithmetic (ppm) — the
+    BM25 integer discipline applied to experiment analysis, so the
+    significance verdict is engine-replayable to the last digit.
+    The squared cross-term makes sign irrelevant; degenerate margins
+    short-circuit to 0 rather than dividing by zero."""
+    from xorq_spark.functions.stats import chi2_abtest
+
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+        & F.col("value").isNotNull()
+    )
+    return chi2_abtest(
+        ev, F.col("event_type") == "click", F.col("value") > 50
+    )

@@ -308,3 +308,111 @@ def ml_metrics_kappa(spark, sf_dir):
         language_id(F.col("text")).alias("pred"),
     )
     return cohens_kappa(pair, "gold", "pred")
+
+
+@query(
+    "ml_target_encoding",
+    oracle="""
+    WITH c AS (SELECT c_custkey, c_mktsegment,
+                      CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT) AS y
+               FROM customer
+               WHERE c_mktsegment IS NOT NULL AND c_acctbal IS NOT NULL),
+    pc AS (SELECT c_mktsegment, SUM(y) AS s, count(*) AS n FROM c GROUP BY 1),
+    g AS (SELECT SUM(y) AS gs, count(*) AS gn FROM c)
+    SELECT c_custkey, c_mktsegment,
+           CAST(CASE WHEN n > 1 THEN
+                  CASE WHEN (s - y) >= 0 THEN ((s - y) * 100) // (n - 1)
+                       ELSE -((-(s - y) * 100) // (n - 1)) END
+                WHEN gn > 1 THEN
+                  CASE WHEN (gs - y) >= 0 THEN ((gs - y) * 100) // (gn - 1)
+                       ELSE -((-(gs - y) * 100) // (gn - 1)) END
+                ELSE NULL END AS BIGINT) AS te_c100
+    FROM c JOIN pc USING (c_mktsegment), g
+    ORDER BY c_custkey
+    """,
+)
+def ml_target_encoding(spark, sf_dir):
+    """Leave-one-out target encoding (ml/features.py target_encode):
+    each customer's market segment encodes as the mean account balance
+    of the OTHER customers in that segment (centi-units, exact integer
+    div) — the leakage-guarded categorical encoder a 100 TB feature
+    pipeline computes with one vocabulary-sized groupBy + broadcast
+    join-back, never a corpus window or an sklearn round trip. The
+    oracle replays quantization, group sums, and the sign-split
+    truncating division (DuckDB // floors; Spark div truncates)."""
+    from xorq_spark.ml.features import target_encode
+
+    cust = t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isNotNull() & F.col("c_acctbal").isNotNull()
+    )
+    cents = F.expr(
+        "CAST(floor(CAST(c_acctbal AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    )
+    enc = target_encode(
+        cust.withColumn("__cents", cents), "c_mktsegment", "__cents"
+    )
+    return enc.select("c_custkey", "c_mktsegment", "te_c100").orderBy(
+        "c_custkey"
+    )
+
+
+@query(
+    "ml_quantile_bins",
+    oracle="""
+    WITH v AS (SELECT l_returnflag AS f,
+                      CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS v
+               FROM lineitem
+               WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL),
+    n AS (SELECT f, count(*) AS n FROM v GROUP BY 1),
+    dv AS (SELECT f, v, count(*) AS c FROM v GROUP BY 1, 2),
+    cum AS (SELECT f, v,
+                   SUM(c) OVER (PARTITION BY f ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM dv),
+    needs AS (SELECT f, (i * n + 7) // 8 AS need
+              FROM (SELECT f, n, unnest(range(1, 8)) AS i FROM n)
+              GROUP BY 1, 2),
+    b AS (SELECT f, need, min(v) AS b
+          FROM cum JOIN needs USING (f)
+          WHERE cum >= need GROUP BY 1, 2),
+    asg AS (SELECT dv.f, dv.v, dv.c, 1 + count(b.b) AS bin
+            FROM dv LEFT JOIN b ON b.f = dv.f AND b.b < dv.v
+            GROUP BY dv.f, dv.v, dv.c)
+    SELECT f AS l_returnflag, CAST(bin AS INT) AS bin,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(min(v) AS BIGINT) AS v_min,
+           CAST(max(v) AS BIGINT) AS v_max
+    FROM asg GROUP BY 1, 2
+    ORDER BY l_returnflag, bin
+    """,
+)
+def ml_quantile_bins(spark, sf_dir):
+    """Exact equal-frequency discretization (ml/features.py
+    quantile_bins): per-returnflag price octiles with type-1 boundary
+    ranks ceil(i*N/8) and ties-to-the-lower-bin assignment —
+    deterministic where NTILE's row-rank tie lottery is not, and
+    identical on any engine because every step (distinct-value cumsum,
+    integer rank, strict-below count against the broadcast boundary
+    array) is integer arithmetic. Output is the per-bin audit (count,
+    min, max): boundary errors shift bin populations and break the
+    hash."""
+    from xorq_spark.ml.features import quantile_bins
+
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+    )
+    cents = F.expr(
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+    )
+    base = li.select(F.col("l_returnflag"), cents.alias("__v"))
+    binned = quantile_bins(base, "__v", 8, by=["l_returnflag"])
+    return (
+        binned.groupBy("l_returnflag", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__v").cast("long").alias("v_min"),
+            F.max("__v").cast("long").alias("v_max"),
+        )
+        .orderBy("l_returnflag", "bin")
+    )

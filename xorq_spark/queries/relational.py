@@ -438,3 +438,36 @@ def rel_snapshot_diff(spark, sf_dir):
         old, new, keys=["o_orderkey"],
         compare=["o_orderstatus", "o_totalprice", "o_orderpriority"],
     ).orderBy("o_orderkey")
+
+
+@query(
+    "rel_join_explosion",
+    oracle="""
+    WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    c AS (SELECT user_id, count(*) AS n FROM e GROUP BY 1),
+    m AS (SELECT CAST(n * n AS BIGINT) AS m FROM c),
+    tot AS (SELECT count(*) AS t FROM e),
+    tk AS (SELECT CAST(SUM(m) AS BIGINT) AS top_m
+           FROM (SELECT m FROM m ORDER BY m DESC LIMIT 5)),
+    s AS (SELECT count(*) AS k, CAST(SUM(m) AS BIGINT) AS o,
+                 CAST(max(m) AS BIGINT) AS mx FROM m)
+    SELECT CAST(t AS BIGINT) AS n_left, CAST(t AS BIGINT) AS n_right,
+           CAST(k AS BIGINT) AS n_keys_matched,
+           o AS out_rows, mx AS max_key_rows,
+           CAST(CASE WHEN o = 0 THEN 0
+                     ELSE (top_m * 1000000) // o END AS BIGINT) AS top_share_ppm
+    FROM tot, s, tk
+    """,
+)
+def rel_join_explosion(spark, sf_dir):
+    """Pre-join explosion diagnostic (operators/skew.py
+    join_explosion_stats): the exact output cardinality and per-key
+    concentration of the events-by-user self-join WITHOUT running it —
+    two combinable counts joined on the key set, the go/no-go check
+    before any 100 TB equi-join. top_share_ppm sums the 5 hottest
+    keys' multiplicity products (tie-safe: tied products contribute
+    the same value whichever rows the LIMIT picks)."""
+    from xorq_spark.operators.skew import join_explosion_stats
+
+    ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
+    return join_explosion_stats(ev, ev, ["user_id"], top=5)

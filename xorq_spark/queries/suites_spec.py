@@ -88,6 +88,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): CDC-style snapshot reconciliation (one
         # full-outer keyed shuffle, map-side null-safe column compare)
         "rel_snapshot_diff",
+        # + pre-join explosion/skew diagnostic (exact output
+        # cardinality without running the join)
+        "rel_join_explosion",
     ],
     "suite_rel_pivot": [
         "rel_pivot_wider",
@@ -146,6 +149,8 @@ SUITES: dict[str, list[str]] = {
         # estimates (intersection/union/Jaccard of key sets — the thing
         # HLL cannot do); merge rebuild + exact ground truth in-query
         "agg_kmv_overlap",
+        # + 2x2 chi-square A/B readout (integer-rational ppm statistic)
+        "agg_chi2_abtest",
     ],
     "suite_time_a": [
         "time_trunc_extract",
@@ -343,6 +348,10 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): Cohen's kappa chance-corrected agreement
         # (classifier-vs-gold gate, all-int64 rationals)
         "ml_metrics_kappa",
+        # + leave-one-out target encoding and exact equal-frequency
+        # binning (the distributed-native feature transforms)
+        "ml_target_encoding",
+        "ml_quantile_bins",
     ],
     "suite_multimodal": [
         "mm_extract_features",
