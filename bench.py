@@ -95,6 +95,13 @@ HEADLINE = [
     "time_sessionize",
     "text_heavy_hitters",
     "sim_ann_pq_topk",
+    # round 5, fifth batch: point-in-time join (one-sort-shuffle asof
+    # kernel vs. the interval-filter trap), incremental aggregate
+    # maintenance (keys-sized merge, facts never rescanned), stride-1
+    # ExactSubstr spans (digest-only shuffle + gaps-and-islands merge)
+    "join_point_in_time",
+    "agg_incremental_refresh",
+    "dedup_exact_substring",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —
@@ -116,7 +123,18 @@ def main():
     from xorq_spark.session import connect
     from xorq_spark.queries import QUERIES
 
-    spark = connect(master=f"local[{cpus}]", app_name="xorq_spark_bench")
+    # Size the (local-mode) JVM explicitly: with no setting Spark runs a
+    # 1 GiB driver heap, and a 32-thread run over 50 queries at sf0.1
+    # lives at the edge of it — broadcast builds fail sporadically and
+    # GC pressure inflates timings run-to-run. Applied at connect() so
+    # it reaches spark-submit before the JVM launches; harmless if the
+    # driver pre-created the session (conf is then a no-op).
+    spark = connect(
+        master=f"local[{cpus}]",
+        app_name="xorq_spark_bench",
+        extra_conf={"spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "24g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm up the JVM/codegen paths the queries use (plain long agg,
@@ -138,17 +156,32 @@ def main():
 
     names = [n for n in HEADLINE if n in QUERIES]
 
+    def unpersist_rdds():
+        # localCheckpoint() blocks (graph tier, kmeans, CC) are RDD-level
+        # persists that catalog.clearCache() never touches; left alone
+        # they accumulate across queries and passes, squeeze execution
+        # memory, and inflate every later iterative query's timings.
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass
+
     def run_one(name):
         fn = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
-        return time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        unpersist_rdds()  # outside the timer; next query starts clean
+        return dt
 
     def settle():
         # drop anything a query pinned and let the JVM collect it so
         # pass N's garbage isn't charged to pass N+1's timings
         spark.catalog.clearCache()
+        unpersist_rdds()
         try:
             spark._jvm.System.gc()
         except Exception:

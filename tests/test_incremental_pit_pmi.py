@@ -1,0 +1,234 @@
+"""point_in_time_join / refresh_aggregate / pmi_collocations unit tests:
+hand-computed cases, boundary semantics, group-birth/death paths, and a
+Python reference replay for PMI lift."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def _pit(spark, facts, dim):
+    from xorq_spark.functions.timeseries import point_in_time_join
+
+    f = spark.createDataFrame(facts, "k long, fid long, ts timestamp")
+    d = spark.createDataFrame(
+        dim, "k long, attr string, valid_from timestamp, valid_to timestamp"
+    )
+    out = point_in_time_join(f, d, keys=["k"], ts_col="ts")
+    return {r["fid"]: r for r in out.collect()}
+
+
+def test_pit_basic_versions_and_boundaries(spark):
+    dim = [
+        (1, "a", _ts("2024-01-01"), _ts("2024-02-01")),
+        (1, "b", _ts("2024-02-01"), None),
+    ]
+    facts = [
+        (1, 10, _ts("2023-12-31")),  # before first version -> NULL
+        (1, 11, _ts("2024-01-01")),  # == valid_from -> inclusive, 'a'
+        (1, 12, _ts("2024-01-15")),  # inside v1 -> 'a'
+        (1, 13, _ts("2024-02-01")),  # boundary: half-open, 'b' not 'a'
+        (1, 14, _ts("2024-06-01")),  # open-ended current -> 'b'
+    ]
+    out = _pit(spark, facts, dim)
+    assert out[10]["dim_attr"] is None
+    assert out[11]["dim_attr"] == "a"
+    assert out[12]["dim_attr"] == "a"
+    assert out[13]["dim_attr"] == "b"
+    assert out[14]["dim_attr"] == "b"
+
+
+def test_pit_gap_and_zero_duration(spark):
+    dim = [
+        # zero-duration version must never match, even at its instant
+        (2, "z", _ts("2024-01-01"), _ts("2024-01-01")),
+        (2, "a", _ts("2024-01-01"), _ts("2024-02-01")),
+        # gap: nothing valid in [2024-02-01, 2024-03-01)
+        (2, "c", _ts("2024-03-01"), None),
+    ]
+    facts = [
+        (2, 20, _ts("2024-01-01")),  # 'a' (zero-duration 'z' skipped)
+        (2, 21, _ts("2024-02-15")),  # in the gap -> NULL
+        (2, 22, _ts("2024-03-02")),  # 'c'
+    ]
+    out = _pit(spark, facts, dim)
+    assert out[20]["dim_attr"] == "a"
+    assert out[21]["dim_attr"] is None
+    assert out[22]["dim_attr"] == "c"
+
+
+def test_pit_keys_do_not_cross(spark):
+    dim = [(1, "a", _ts("2024-01-01"), None)]
+    facts = [(1, 30, _ts("2024-06-01")), (9, 31, _ts("2024-06-01"))]
+    out = _pit(spark, facts, dim)
+    assert out[30]["dim_attr"] == "a"
+    assert out[31]["dim_attr"] is None  # other key: no versions
+
+
+def test_refresh_aggregate_maintains_born_and_dead_groups(spark):
+    from xorq_spark.functions.reconcile import refresh_aggregate
+
+    base = spark.createDataFrame(
+        [(1, 2, 10.0), (2, 3, 30.0)],
+        "k long, n_rows long, sum_x double",
+    )
+    # group 1: +1 row of x=4 -> n=3, sum=14
+    # group 2: delete all 3 rows -> drops
+    # group 3: born from delta with 2 rows
+    changes = spark.createDataFrame(
+        [
+            (1, 4.0, 1),
+            (2, 10.0, -1), (2, 10.0, -1), (2, 10.0, -1),
+            (3, 5.0, 1), (3, 7.0, 1),
+        ],
+        "k long, x double, sign int",
+    )
+    out = {
+        r["k"]: r
+        for r in refresh_aggregate(
+            base, changes, keys=["k"], measures=["x"]
+        ).collect()
+    }
+    assert set(out) == {1, 3}
+    assert out[1]["n_rows"] == 3 and out[1]["sum_x"] == 14.0
+    assert out[3]["n_rows"] == 2 and out[3]["sum_x"] == 12.0
+
+
+def test_refresh_aggregate_untouched_groups_pass_through(spark):
+    from xorq_spark.functions.reconcile import refresh_aggregate
+
+    base = spark.createDataFrame(
+        [(7, 5, 100.0)], "k long, n_rows long, sum_x double"
+    )
+    changes = spark.createDataFrame([], "k long, x double, sign int")
+    out = refresh_aggregate(base, changes, keys=["k"], measures=["x"]).collect()
+    assert len(out) == 1
+    assert out[0]["n_rows"] == 5 and out[0]["sum_x"] == 100.0
+
+
+def test_pmi_collocations_matches_python_reference(spark):
+    from xorq_spark.functions.text import pmi_collocations
+
+    texts = [
+        "new york new york city",
+        "the big apple the big city",
+        "new york is the city",
+        "big apple big apple",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in pmi_collocations(docs, min_count=2).collect()
+    }
+
+    toks = [t.split() for t in texts]
+    uni, big = {}, {}
+    for ws in toks:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n1 = sum(uni.values())
+    n2 = sum(big.values())
+    expected = {
+        k: v for k, v in big.items() if v >= 2
+    }
+    assert set(out) == set(expected)
+    for (a, b), c12 in expected.items():
+        r = out[(a, b)]
+        assert r["c12"] == c12 and r["c1"] == uni[a] and r["c2"] == uni[b]
+        assert r["lift_scaled"] == (c12 * n1 * n1 * 10**6) // (
+            n2 * uni[a] * uni[b]
+        )
+
+
+def test_pmi_single_token_docs_and_nulls(spark):
+    from xorq_spark.functions.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [("hello",), (None,), ("  ",), ("a b a b a b",)], "text string"
+    )
+    out = {
+        (r["w1"], r["w2"]): r for r in pmi_collocations(docs, min_count=2).collect()
+    }
+    # bigrams: (a,b) x3, (b,a) x2; unigrams: hello 1, a 3, b 3 -> N1=7, N2=5
+    assert out[("a", "b")]["c12"] == 3
+    assert out[("b", "a")]["c12"] == 2
+    assert out[("a", "b")]["lift_scaled"] == (3 * 7 * 7 * 10**6) // (5 * 3 * 3)
+
+
+def _spans(spark, rows, L=10):
+    from xorq_spark.functions.dedup import exact_substring_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = exact_substring_spans(df, gram_len=L)
+    return sorted(
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in out.collect()
+    )
+
+
+def test_exact_substring_cross_doc_span(spark):
+    shared = "ABCDEFGHIJKLMNOP"  # 16 chars, L=10 -> 7 grams each copy
+    rows = [(1, "xx" + shared + "yy"), (2, "zzzzz" + shared)]
+    got = _spans(spark, rows, L=10)
+    # doc1: shared at pos 3..18 (1-based); doc2: at pos 6..21
+    assert got == [(1, 3, 19), (2, 6, 22)]
+
+
+def test_exact_substring_within_doc_repeat_and_merge(spark):
+    blk = "0123456789"  # exactly L chars
+    # block repeated back-to-back: grams inside the overlap dup too ->
+    # one merged span covering both copies
+    rows = [(5, "aa" + blk + blk + "bb")]
+    got = _spans(spark, rows, L=10)
+    assert got == [(5, 3, 23)]
+
+
+def test_exact_substring_no_dups_no_rows(spark):
+    rows = [(1, "abcdefghijklmnop"), (2, "ponmlkjihgfedcba")]
+    assert _spans(spark, rows, L=10) == []
+
+
+def test_strip_spans_rewrites_and_passthrough(spark):
+    from xorq_spark.functions.dedup import (
+        exact_substring_spans,
+        strip_spans,
+    )
+
+    shared = "ABCDEFGHIJKLMNOP"
+    df = spark.createDataFrame(
+        [
+            (1, "xx" + shared + "yy"),
+            (2, "zzzzz" + shared),
+            (3, "totally unique and short"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    spans = exact_substring_spans(df, gram_len=10)
+    out = {r["doc_id"]: r for r in strip_spans(df, spans).collect()}
+    assert out[1]["text"] == "xxyy" and out[1]["n_cut_chars"] == 16
+    assert out[2]["text"] == "zzzzz" and out[2]["n_cut_spans"] == 1
+    assert out[3]["text"] == "totally unique and short"
+    assert out[3]["n_cut_spans"] == 0
+    assert out[4]["text"] is None and out[4]["n_cut_chars"] == 0
+
+
+def test_strip_spans_multiple_disjoint_spans(spark):
+    from xorq_spark.functions.dedup import strip_spans
+
+    df = spark.createDataFrame(
+        [(1, "0123456789abcdefghij")], "doc_id long, text string"
+    )
+    spans = spark.createDataFrame(
+        [(1, 1, 3, 6), (1, 2, 11, 14)],
+        "doc_id long, span_id long, span_start long, span_end long",
+    )
+    out = strip_spans(df, spans).collect()[0]
+    # cut [3,6) = "234" (pos 3,4,5) and [11,14) = "abc" (pos 11,12,13)
+    assert out["text"] == "01" + "56789" + "defghij"
+    assert out["n_cut_spans"] == 2 and out["n_cut_chars"] == 6

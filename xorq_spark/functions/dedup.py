@@ -1328,3 +1328,158 @@ def fuzzy_match_pairs(
         )
         .where(F.col("distance") <= max_distance)
     )
+
+
+def exact_substring_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_len: int = 40,
+    min_dup: int = 2,
+) -> DataFrame:
+    """Exact duplicated-substring spans (the removal half of Lee et
+    al. 2022's ExactSubstr dedup): every maximal character range of a
+    document that is covered by >=`gram_len`-char substrings occurring
+    `min_dup`+ times in the corpus (across documents OR repeated within
+    one). `dup_span_detect` answers "is this document contaminated by
+    verbatim repeats" with sampled content-defined anchors; this is the
+    stride-1 exact pass that answers "which exact bytes do I cut" — its
+    spans feed `strip_spans` to rewrite the corpus.
+
+    Stride-1 positions make detection exact for any duplicate of
+    length >= gram_len: a shared run of length R >= gram_len yields
+    R - gram_len + 1 identical grams in both copies, and the merged
+    span reconstructs the full run (plus nothing — a position is
+    flagged only if the gram STARTING there is duplicated, so the span
+    end max(i) + gram_len is exactly the end of the shared run).
+
+    Scale design: grams leave the scan as 16-byte md5-prefix digests
+    (the raw text never shuffles); duplication is ONE digest-keyed
+    window count (same single-exchange shape as line_dedup); span
+    merging is the classic gaps-and-islands pair — prefix-max of
+    i+gram_len then a prefix-sum of new-span markers — both over one
+    (doc, position) sort. Total: two shuffles, both digest- or
+    doc-keyed, volume ~ total corpus characters — the same order as
+    the suffix-array construction it replaces, but embarrassingly
+    partitioned.
+
+    Returns (id_col, span_id, span_start, span_end, span_chars) —
+    1-based start, exclusive end, ordered positions unique per doc.
+    """
+    from pyspark.sql import Window
+
+    L = int(gram_len)
+    base = df.where(
+        F.col(text_col).isNotNull() & (F.length(text_col) >= L)
+    )
+    grams = F.expr(
+        f"transform(sequence(1, length({text_col}) - {L} + 1), "
+        f"  i -> struct(i AS i, "
+        f"       substr(md5(substring({text_col}, i, {L})), 1, 16) AS dig))"
+    )
+    g = base.select(
+        F.col(id_col), F.explode(grams).alias("__x")
+    ).select(
+        F.col(id_col),
+        F.col("__x.i").cast("long").alias("i"),
+        F.col("__x.dig").alias("dig"),
+    )
+    wk = Window.partitionBy("dig")
+    dup = g.withColumn("__c", F.count(F.lit(1)).over(wk)).where(
+        F.col("__c") >= int(min_dup)
+    )
+    wd = Window.partitionBy(id_col).orderBy("i")
+    prev_end = F.max(F.col("i") + L).over(
+        wd.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dup.withColumn(
+        "__nw",
+        F.when(prev_end.isNull() | (F.col("i") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "span_id",
+        F.sum("__nw").over(
+            wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        marked.groupBy(id_col, "span_id")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + L).alias("span_end"),
+        )
+        .select(
+            id_col,
+            F.col("span_id").cast("long").alias("span_id"),
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start"))
+            .cast("long")
+            .alias("span_chars"),
+        )
+    )
+
+
+def strip_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rewrite the corpus with duplicated spans removed: cut every
+    [span_start, span_end) range of `spans` (1-based, exclusive end —
+    `exact_substring_spans` output) out of each document's text.
+    Documents with no spans pass through unchanged.
+
+    One groupBy collapses each doc's spans to a sorted array (spans
+    are disjoint by construction), one left join attaches it, and the
+    cut is a single JVM-side aggregate() fold over the array — no
+    Python, no per-span joins, text touched exactly once.
+
+    Returns the input columns with `text_col` rewritten plus
+    n_cut_spans / n_cut_chars.
+    """
+    sp = (
+        spans.groupBy(id_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("span_start", "span_end"))
+            ).alias("__spans")
+        )
+    )
+    joined = df.join(sp, id_col, "left")
+    cut = F.expr(
+        f"""CASE WHEN __spans IS NULL THEN {text_col} ELSE
+        concat(
+          aggregate(__spans,
+            struct(CAST(1 AS BIGINT) AS pos, CAST('' AS STRING) AS out),
+            (acc, s) -> struct(
+              CAST(s.span_end AS BIGINT) AS pos,
+              concat(acc.out,
+                     substring({text_col}, CAST(acc.pos AS INT),
+                               CAST(s.span_start - acc.pos AS INT))) AS out)
+          ).out,
+          substring({text_col},
+                    CAST(aggregate(__spans, CAST(1 AS BIGINT),
+                         (p, s) -> CAST(s.span_end AS BIGINT)) AS INT),
+                    length({text_col})))
+        END"""
+    )
+    out_cols = [
+        cut.alias(c) if c == text_col else F.col(c) for c in df.columns
+    ]
+    return joined.select(
+        *out_cols,
+        F.coalesce(F.size("__spans"), F.lit(0))
+        .cast("long")
+        .alias("n_cut_spans"),
+        F.coalesce(
+            F.aggregate(
+                "__spans",
+                F.lit(0).cast("long"),
+                lambda a, s: a + (s["span_end"] - s["span_start"]),
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_cut_chars"),
+    )

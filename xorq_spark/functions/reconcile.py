@@ -134,3 +134,62 @@ def histogram_drift(
         new_p.cast("long").alias("new_p_e9"),
         F.abs(old_p - new_p).cast("long").alias("drift_e9"),
     )
+
+
+def refresh_aggregate(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    measures: Sequence[str],
+    sign_col: str = "sign",
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Incremental maintenance of a grouped aggregate from a CDC delta —
+    the materialized-view-refresh shape: instead of rescanning the fact
+    table, fold a (much smaller) change stream into the existing
+    aggregate. `base_agg` has `keys`, a row count `count_col`, and one
+    pre-summed column per measure named `sum_<measure>`; `changes` has
+    `keys`, the raw measure columns, and `sign_col` = +1 (insert) /
+    -1 (delete); an update is a -1 old row plus a +1 new row.
+
+    Only self-maintainable aggregates are offered (count / sum — and
+    avg = sum/count downstream): min/max under deletes require a rescan
+    by definition, and pretending otherwise silently corrupts the view.
+    Groups whose maintained count reaches zero are dropped, matching a
+    full recompute; groups born entirely from the delta appear.
+
+    Scale design: the delta is pre-aggregated by key FIRST (map-side
+    combinable — the shuffle carries one row per touched key, however
+    large the change batch), then ONE full-outer join against the base
+    aggregate merges the two. The fact table is never read. At 100 TB
+    the base aggregate is keys-sized, not facts-sized, and a bucketed
+    base co-locates the merge join with no exchange at all.
+    """
+    keys = list(keys)
+    measures = list(measures)
+    delta = changes.groupBy(*keys).agg(
+        F.sum(F.col(sign_col)).cast("long").alias("__dn"),
+        *[
+            F.sum(F.col(sign_col) * F.col(m)).alias(f"__d_{m}")
+            for m in measures
+        ],
+    )
+    merged = base_agg.join(delta, keys, "full_outer")
+    new_n = F.coalesce(F.col(count_col), F.lit(0)) + F.coalesce(
+        F.col("__dn"), F.lit(0)
+    )
+    out_cols = [F.col(k) for k in keys]
+    out_cols.append(new_n.cast("long").alias(count_col))
+    for m in measures:
+        base_c = F.col(f"sum_{m}")
+        # zero literal in the measure's own type keeps decimal sums exact
+        zero = F.lit(0).cast(
+            base_agg.schema[f"sum_{m}"].dataType
+        )
+        out_cols.append(
+            (
+                F.coalesce(base_c, zero)
+                + F.coalesce(F.col(f"__d_{m}"), zero)
+            ).alias(f"sum_{m}")
+        )
+    return merged.select(*out_cols).where(F.col(count_col) > 0)

@@ -8,7 +8,7 @@ shuffle), so they run at scan speed on any input size.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deliberately small: language ID at corpus scale
@@ -1487,4 +1487,84 @@ def c4_flags(text: Column, sep: str = "\n") -> Column:
         has_curly.alias("has_curly_brace"),
         has_js.alias("has_javascript"),
         passes.alias("passes"),
+    )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Bigram collocation mining by pointwise-mutual-information LIFT —
+    the phrase detector behind tokenizer vocab curation and boilerplate
+    mining: which adjacent word pairs co-occur far more often than
+    their unigram frequencies predict ("los angeles", "et al").
+
+    Instead of float PMI = log(p(xy)/(p(x)p(y))) — whose log makes
+    cross-engine certification fragile — this emits the LIFT ratio the
+    log wraps, as a scaled integer computed in DECIMAL(38,0):
+
+        lift_scaled = (c12 * N1 * N1 * scale) div (N2 * c1 * c2)
+
+    (c12 = bigram count, c1/c2 = unigram counts, N1/N2 = total
+    unigram/bigram counts). Monotone in PMI, so ranking and
+    thresholding are unchanged, and exact — an external SQL engine
+    replays it bit-for-bit. Headroom: the numerator stays inside
+    DECIMAL(38,0) up to ~2e10 total tokens at scale=1e6; beyond that
+    drop `scale` a decade per decade of corpus (ranking is unaffected).
+
+    Scale design: one tokenize pass feeds both counters; unigram and
+    bigram counts are map-side-combinable groupBys; the unigram table
+    is vocabulary-bounded, so BOTH count lookups are broadcast joins —
+    the only full shuffle is the bigram groupBy itself. `min_count`
+    prunes the hapax tail before the joins.
+
+    Returns (w1, w2, c12, c1, c2, lift_scaled), c12 >= min_count.
+    """
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    toks = docs.where(F.col(text_col).isNotNull()).select(ws.alias("__ws"))
+    uni = (
+        toks.select(F.explode("__ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bigrams = F.expr(
+        "CASE WHEN size(__ws) >= 2 THEN "
+        "transform(sequence(1, size(__ws) - 1), "
+        "          i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1))) "
+        "ELSE array() END"
+    )
+    big = (
+        toks.select(F.explode(bigrams).alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .where(F.col("c12") >= int(min_count))
+        .select(
+            F.substring_index("k", " ", 1).alias("w1"),
+            F.substring_index("k", " ", -1).alias("w2"),
+            "c12",
+        )
+    )
+    n1 = uni.agg(F.sum("c").cast("long").alias("N1"))
+    n2_base = toks.select(
+        F.greatest(F.size("__ws") - 1, F.lit(0)).alias("nb")
+    )
+    n2 = n2_base.agg(F.sum("nb").cast("long").alias("N2"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    out = (
+        big.join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    lift = F.expr(
+        f"CAST(CAST(c12 AS DECIMAL(38,0)) * N1 * N1 * {int(scale)}"
+        f" div (CAST(N2 AS DECIMAL(38,0)) * c1 * c2) AS BIGINT)"
+    )
+    return out.select(
+        "w1", "w2", "c12", "c1", "c2", lift.alias("lift_scaled")
     )

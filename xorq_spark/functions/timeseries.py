@@ -251,6 +251,64 @@ def scd2(
     )
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    right_prefix: str = "dim_",
+) -> DataFrame:
+    """Point-in-time (temporal validity) join: attach to each fact row
+    the dimension version valid AT the fact's timestamp — the
+    feature-store / SCD2-lookup shape (`scd2` builds the intervals,
+    this consumes them). A version is valid at T when
+    ``valid_from <= T AND (valid_to IS NULL OR T < valid_to)`` — the
+    half-open warehouse convention, so a version superseded at the
+    same instant (zero-duration interval) never matches.
+
+    Left-join semantics: facts with no valid version (T before the
+    first version, or inside a gap of a non-contiguous history) keep
+    NULL dimension columns.
+
+    Scale design: NOT a range join — the interval predicate would plan
+    as key-join + filter with every version of a hot key shuffled to
+    every fact. Instead this delegates to the union+window as-of kernel
+    (operators/asof.py): one sort-shuffle on (keys, ts) for facts and
+    versions together, each fact picks the most recent
+    ``valid_from <= ts`` in the same pass, and the `valid_to` bound is
+    checked map-side afterwards (for contiguous SCD2 histories it is a
+    no-op; for gapped interval tables it nulls out stale matches).
+    """
+    from xorq_spark.operators.asof import asof_join
+
+    keys = list(keys)
+    # zero-duration versions can never satisfy T < valid_to, but would
+    # shadow the real match at equal valid_from in the backward scan
+    live = dim.where(
+        F.col(valid_to).isNull() | (F.col(valid_to) > F.col(valid_from))
+    )
+    payload = [c for c in dim.columns if c not in set(keys)]
+    r = live.select(
+        *keys, F.col(valid_from).alias("__pit_on"), *payload
+    )
+    l = facts.withColumn("__pit_on", F.col(ts_col))
+    joined = asof_join(
+        l, r, on="__pit_on", by=keys, direction="backward",
+        right_prefix=right_prefix,
+    )
+    vt = F.col(right_prefix + valid_to)
+    valid = vt.isNull() | (F.col(ts_col) < vt)
+    out = []
+    for c in facts.columns:
+        out.append(F.col(c))
+    for c in payload:
+        pc = right_prefix + c
+        out.append(F.when(valid, F.col(pc)).alias(pc))
+    return joined.select(*out)
+
+
 def zscore_anomalies(
     df: DataFrame,
     value_col: str = "value",

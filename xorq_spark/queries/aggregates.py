@@ -895,3 +895,68 @@ def agg_chi2(spark, sf_dir):
     return chi2_abtest(
         ev, F.col("event_type") == "click", F.col("value") > 50
     )
+
+
+@query(
+    "agg_incremental_refresh",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_price
+    FROM lineitem
+    WHERE l_orderkey % 7 = 0
+       OR (l_orderkey % 7 <> 0 AND l_orderkey % 5 <> 0)
+    GROUP BY l_orderkey
+    ORDER BY l_orderkey
+    """,
+)
+def agg_incremental_refresh(spark, sf_dir):
+    """Incremental aggregate maintenance (functions/reconcile.py
+    refresh_aggregate) — the materialized-view-refresh shape: a
+    per-order aggregate built over the base slice (orderkey % 7 <> 0)
+    is folded with a CDC delta of inserts (% 7 = 0 — groups BORN from
+    the delta) and whole-group deletes (% 5 = 0 within the base —
+    groups whose maintained count hits zero and must VANISH). The fact
+    table is never rescanned: the delta pre-aggregates map-side to one
+    row per touched key, then one full-outer join merges it into the
+    keys-sized aggregate. The oracle recomputes the refreshed state
+    from scratch over the final fact set, so a wrong merged sum, a
+    lingering deleted group, or a missing born group breaks the
+    hash."""
+    from xorq_spark.functions.reconcile import refresh_aggregate
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("decimal(18,2)").alias("l_quantity"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias(
+            "l_extendedprice"
+        ),
+    )
+    base = li.where(F.expr("l_orderkey % 7 <> 0"))
+    base_agg = base.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_l_quantity"),
+        F.sum("l_extendedprice").alias("sum_l_extendedprice"),
+    )
+    inserts = li.where(F.expr("l_orderkey % 7 = 0")).withColumn(
+        "sign", F.lit(1)
+    )
+    deletes = base.where(F.expr("l_orderkey % 5 = 0")).withColumn(
+        "sign", F.lit(-1)
+    )
+    changes = inserts.unionByName(deletes)
+    out = refresh_aggregate(
+        base_agg,
+        changes,
+        keys=["l_orderkey"],
+        measures=["l_quantity", "l_extendedprice"],
+    )
+    return out.select(
+        "l_orderkey",
+        "n_rows",
+        money_out(F.col("sum_l_quantity")).alias("sum_qty"),
+        money_out(F.col("sum_l_extendedprice")).alias("sum_price"),
+    ).orderBy("l_orderkey")

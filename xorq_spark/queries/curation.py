@@ -786,3 +786,112 @@ def text_rrf_hybrid_q(spark, sf_dir):
     b = bm25_topk(docs, qterms, topk=20)
     s = tfidf_rank_topk(docs, qterms, topk=20)
     return rrf_fuse(b, s, k=60, topk=10).orderBy("query_id", "rank")
+
+
+_EXSUB_SPANS_CTE = """
+    base AS (SELECT doc_id, text, len(text) AS n FROM documents
+             WHERE text IS NOT NULL AND len(text) >= 40),
+    pos AS (SELECT doc_id, text, unnest(range(1, n - 38)) AS i FROM base),
+    g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                 substr(md5(substr(text, CAST(i AS INT), 40)), 1, 16) AS dig
+          FROM pos),
+    d AS (SELECT doc_id, i FROM (
+            SELECT doc_id, i, count(*) OVER (PARTITION BY dig) AS c FROM g)
+          WHERE c >= 2),
+    m AS (SELECT doc_id, i,
+                 max(i + 40) OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+          FROM d),
+    s AS (SELECT doc_id, i,
+                 CASE WHEN pme IS NULL OR i > pme THEN 1 ELSE 0 END AS nw
+          FROM m),
+    spp AS (SELECT doc_id, i,
+                  sum(nw) OVER (PARTITION BY doc_id ORDER BY i
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS span_id
+           FROM s),
+    spg AS (SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+                   CAST(min(i) AS BIGINT) AS span_start,
+                   CAST(max(i) + 40 AS BIGINT) AS span_end
+            FROM spp GROUP BY doc_id, span_id)
+"""
+
+
+@query(
+    "dedup_exact_substring",
+    oracle=f"""
+    WITH {_EXSUB_SPANS_CTE}
+    SELECT doc_id, span_id, span_start, span_end,
+           CAST(span_end - span_start AS BIGINT) AS span_chars
+    FROM spg ORDER BY doc_id, span_id
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact duplicated-substring spans (functions/dedup.py
+    exact_substring_spans — the removal half of Lee et al. 2022's
+    ExactSubstr): every maximal character range covered by 40-char
+    grams occurring twice+ in the corpus, stride-1 exact. Grams shuffle
+    once as md5-prefix digests; span merging is gaps-and-islands over
+    one (doc, position) sort. The oracle replays gram hashing,
+    duplication counting, and span merging position-by-position, so a
+    missed duplicate, an off-by-one span boundary, or a wrong merge
+    breaks the hash."""
+    from xorq_spark.functions.dedup import exact_substring_spans
+
+    docs = t(spark, sf_dir, "documents")
+    return exact_substring_spans(docs, gram_len=40).orderBy(
+        "doc_id", "span_id"
+    )
+
+
+@query(
+    "dedup_strip_spans",
+    oracle=f"""
+    WITH {_EXSUB_SPANS_CTE},
+    keep AS (
+      SELECT doc_id,
+             COALESCE(lag(span_end) OVER (PARTITION BY doc_id
+                 ORDER BY span_start), 1) AS ks,
+             span_start AS ke
+      FROM spg
+      UNION ALL
+      SELECT spg.doc_id, max(span_end), CAST(max(base.n) + 1 AS BIGINT)
+      FROM spg JOIN base USING (doc_id) GROUP BY spg.doc_id),
+    cleaned AS (
+      SELECT keep.doc_id,
+             string_agg(substr(base.text, CAST(ks AS INT),
+                               CAST(ke - ks AS INT)), '' ORDER BY ks)
+               AS new_text
+      FROM keep JOIN base USING (doc_id) GROUP BY keep.doc_id),
+    stats AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_spans,
+             CAST(sum(span_end - span_start) AS BIGINT) AS n_cut_chars
+      FROM spg GROUP BY doc_id)
+    SELECT d.doc_id,
+           CASE WHEN cleaned.doc_id IS NOT NULL THEN cleaned.new_text
+                ELSE d.text END AS text,
+           COALESCE(stats.n_cut_spans, 0) AS n_cut_spans,
+           COALESCE(stats.n_cut_chars, 0) AS n_cut_chars
+    FROM documents d
+    LEFT JOIN cleaned ON d.doc_id = cleaned.doc_id
+    LEFT JOIN stats ON d.doc_id = stats.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_strip_spans(spark, sf_dir):
+    """Corpus rewrite with duplicated spans removed (functions/dedup.py
+    strip_spans over exact_substring_spans): the end-to-end ExactSubstr
+    dedup — detect exact 40-gram duplicates, merge to maximal spans,
+    CUT them out of the text. The cut is one JVM-side aggregate() fold
+    over each doc's sorted span array (text touched once, no Python);
+    the oracle rebuilds the cleaned text from the complement ranges
+    with string_agg, so every emitted character position is certified.
+    Documents without spans pass through byte-identical."""
+    from xorq_spark.functions.dedup import (
+        exact_substring_spans,
+        strip_spans,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    spans = exact_substring_spans(docs, gram_len=40)
+    return strip_spans(docs, spans).orderBy("doc_id")

@@ -151,6 +151,10 @@ SUITES: dict[str, list[str]] = {
         "agg_kmv_overlap",
         # + 2x2 chi-square A/B readout (integer-rational ppm statistic)
         "agg_chi2_abtest",
+        # + incremental aggregate maintenance from a CDC delta (the
+        # materialized-view refresh: delta pre-agg + one keys-sized
+        # full-outer merge, fact table never rescanned)
+        "agg_incremental_refresh",
     ],
     "suite_time_a": [
         "time_trunc_extract",
@@ -213,6 +217,10 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): nearest-direction as-of (pandas-compatible,
         # one shuffle, two frames over one sort)
         "join_asof_nearest",
+        # round 5 (cont.): point-in-time join against SCD2 validity
+        # intervals (feature-store lookup; one-sort-shuffle as-of
+        # kernel, NOT a key-join + interval filter)
+        "join_point_in_time",
     ],
     "suite_text": [
         "text_token_counts",
@@ -224,6 +232,9 @@ SUITES: dict[str, list[str]] = {
         # round 5: exact heavy hitters via CMS prefilter (boilerplate-
         # phrase detection; two-pass candidates-only shuffle)
         "text_heavy_hitters",
+        # + PMI collocations as the integer lift ratio (phrase mining;
+        # broadcast unigram lookups, one corpus-sized shuffle)
+        "text_pmi_collocations",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",
@@ -263,6 +274,9 @@ SUITES: dict[str, list[str]] = {
         "text_gopher_repetition",
         # + the NB classifier (fasttext-style quality/language filter)
         "text_nb_classifier",
+        # round 5 (cont.): the ExactSubstr REWRITE — duplicated spans
+        # cut from the text, every output character certified
+        "dedup_strip_spans",
         # + the C4 cleanup rule set (third named filter set)
         "text_c4_flags",
         # round 5: BM25 inverted-index retrieval (integer-exact Lucene
@@ -308,6 +322,9 @@ SUITES: dict[str, list[str]] = {
         # recall/precision of LSH banding vs exact ground truth — the
         # go/no-go eval before trusting the index on the full corpus
         "dedup_lsh_eval",
+        # stride-1 exact duplicated-substring spans (Lee et al.
+        # ExactSubstr removal ranges; gaps-and-islands merge)
+        "dedup_exact_substring",
     ],
     "suite_similarity": [
         "sim_ann_bruteforce_topk",

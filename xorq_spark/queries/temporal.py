@@ -678,3 +678,75 @@ def time_sessionize(spark, sf_dir):
         )
         .orderBy("user_id", "session_id")
     )
+
+
+@query(
+    "join_point_in_time",
+    oracle="""
+    WITH log AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE event_id % 2 = 0 AND ts IS NOT NULL AND user_id IS NOT NULL),
+    ord AS (
+      SELECT user_id, ts, event_type, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn
+      FROM log),
+    ch AS (
+      SELECT user_id, ts, event_type, event_id FROM ord
+      WHERE rn = 1 OR event_type IS DISTINCT FROM prev),
+    v AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS valid_to,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS version
+      FROM ch),
+    live AS (SELECT * FROM v
+             WHERE valid_to IS NULL OR valid_to > valid_from),
+    f AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_id % 2 = 1 AND ts IS NOT NULL
+            AND user_id IS NOT NULL)
+    SELECT f.user_id, f.event_id, f.ts,
+           live.event_type AS dim_event_type,
+           CAST(live.version AS INT) AS dim_version
+    FROM f LEFT JOIN live
+      ON f.user_id = live.user_id
+     AND live.valid_from <= f.ts
+     AND (live.valid_to IS NULL OR f.ts < live.valid_to)
+    ORDER BY f.user_id, f.event_id
+    """,
+)
+def join_point_in_time(spark, sf_dir):
+    """Point-in-time join (functions/timeseries.py point_in_time_join):
+    even-numbered events form a dimension change log compacted to SCD2
+    validity intervals; odd-numbered events are the fact stream, each
+    attached to the version valid AT its timestamp (half-open
+    [valid_from, valid_to) convention; facts before the first version
+    keep NULLs). The Spark plan is the one-sort-shuffle as-of kernel —
+    NOT a key-join + interval filter, which would shuffle every version
+    of a hot key to every fact — with the valid_to bound checked
+    map-side. The oracle replays the interval predicate literally, so
+    an off-by-one at a boundary (ts == valid_from of the next version)
+    breaks the hash."""
+    from xorq_spark.functions.timeseries import point_in_time_join, scd2
+
+    ev = t(spark, sf_dir, "events")
+    base = ev.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+    dim = scd2(
+        base.where(F.col("event_id") % 2 == 0),
+        key_cols=("user_id",),
+        attr_cols=("event_type",),
+        ts_col="ts",
+        order_cols=("event_id",),
+    ).drop("is_current")
+    facts = base.where(F.col("event_id") % 2 == 1).select(
+        "user_id", "event_id", "ts"
+    )
+    out = point_in_time_join(
+        facts, dim, keys=["user_id"], ts_col="ts", right_prefix="dim_"
+    )
+    return out.select(
+        "user_id", "event_id", "ts", "dim_event_type", "dim_version"
+    ).orderBy("user_id", "event_id")

@@ -980,3 +980,49 @@ def text_heavy_hitters(spark, sf_dir):
     return heavy_hitters(
         occ, "bigram", threshold=40, depth=4, width=512
     ).orderBy("bigram")
+
+
+@query(
+    "text_pmi_collocations",
+    oracle="""
+    WITH t AS (SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+                                  '\\s+'), x -> x <> '') AS ws
+               FROM documents WHERE text IS NOT NULL),
+    uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+           FROM (SELECT unnest(ws) AS w FROM t) GROUP BY w),
+    n1 AS (SELECT CAST(sum(c) AS BIGINT) AS N1 FROM uc),
+    occ AS (SELECT unnest(list_transform(range(1, len(ws)),
+                          i -> ws[i] || ' ' || ws[i + 1])) AS k FROM t),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS N2 FROM occ),
+    bc AS (SELECT k, CAST(count(*) AS BIGINT) AS c12 FROM occ
+           GROUP BY k HAVING count(*) >= 5),
+    b2 AS (SELECT split_part(k, ' ', 1) AS w1,
+                  split_part(k, ' ', 2) AS w2, c12 FROM bc)
+    SELECT b2.w1, b2.w2, b2.c12,
+           u1.c AS c1, u2.c AS c2,
+           CAST(CAST(c12 AS HUGEINT) * N1 * N1 * 1000000
+                // (CAST(N2 AS HUGEINT) * u1.c * u2.c) AS BIGINT)
+             AS lift_scaled
+    FROM b2
+    JOIN uc u1 ON b2.w1 = u1.w
+    JOIN uc u2 ON b2.w2 = u2.w, n1, n2
+    ORDER BY w1, w2
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """Bigram collocation mining (functions/text.py pmi_collocations):
+    PMI expressed as its integer LIFT ratio
+    c12*N1*N1*1e6 div (N2*c1*c2) — monotone in PMI, exact in
+    DECIMAL(38,0) (Spark) / HUGEINT (oracle), no log anywhere. One
+    tokenize pass feeds the unigram and bigram counters; the
+    vocabulary-bounded unigram table broadcasts into both count
+    lookups, so the only corpus-sized shuffle is the bigram groupBy.
+    The oracle recomputes every count and the exact division, so a
+    lost bigram, a wrong unigram count, or a truncation difference
+    breaks the hash."""
+    from xorq_spark.functions.text import pmi_collocations
+
+    docs = t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, min_count=5).orderBy("w1", "w2").select(
+        "w1", "w2", "c12", "c1", "c2", "lift_scaled"
+    )
