@@ -102,6 +102,10 @@ HEADLINE = [
     "join_point_in_time",
     "agg_incremental_refresh",
     "dedup_exact_substring",
+    # + cross-source quantile calibration (bounded distinct-cumsum
+    # grid) and trailing-window distinct via daily HLL sketch unions
+    "text_score_calibrate",
+    "agg_hll_rolling",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

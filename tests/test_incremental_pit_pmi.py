@@ -232,3 +232,52 @@ def test_strip_spans_multiple_disjoint_spans(spark):
     # cut [3,6) = "234" (pos 3,4,5) and [11,14) = "abc" (pos 11,12,13)
     assert out["text"] == "01" + "56789" + "defghij"
     assert out["n_cut_spans"] == 2 and out["n_cut_chars"] == 6
+
+
+def test_quantile_calibrate_matches_python_reference(spark):
+    from xorq_spark.functions.stats import quantile_calibrate
+
+    # two sources with very different score ranges
+    rows = [("a", i, i * 10) for i in range(1, 21)]  # scores 10..200
+    rows += [("b", 100 + i, i) for i in range(1, 11)]  # scores 1..10
+    df = spark.createDataFrame(rows, "src string, rid long, s long")
+    out = {
+        r["rid"]: r
+        for r in quantile_calibrate(
+            df, score_col="s", group_col="src", order_cols=("rid",), k=10
+        ).collect()
+    }
+
+    # python reference: global type-1 grid, per-group percentiles
+    all_scores = sorted(x[2] for x in rows)
+    N = len(all_scores)
+    k = 10
+
+    def grid_value(g):
+        t = -(-g * N // k)  # ceil
+        return all_scores[t - 1]
+
+    for src, n_g in (("a", 20), ("b", 10)):
+        grp = sorted(
+            [x for x in rows if x[0] == src], key=lambda x: (x[2], x[1])
+        )
+        for r_idx, (s2, rid, sc) in enumerate(grp, start=1):
+            g = -(-r_idx * k // n_g)
+            got = out[rid]
+            assert got["pct_gridpoint"] == g
+            assert got["calibrated"] == grid_value(g), (rid, g)
+
+
+def test_quantile_calibrate_identical_groups_map_to_self(spark):
+    from xorq_spark.functions.stats import quantile_calibrate
+
+    # one group == global: top-of-each-grid-cell maps back to a value
+    # <= its own cell ceiling, and the max row maps to the global max
+    rows = [("x", i, i) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "src string, rid long, s long")
+    out = {r["rid"]: r for r in quantile_calibrate(
+        df, score_col="s", group_col="src", order_cols=("rid",), k=100
+    ).collect()}
+    # with k = N = 100 and distinct scores, calibration is the identity
+    for i in range(1, 101):
+        assert out[i]["calibrated"] == i

@@ -67,3 +67,97 @@ def chi2_abtest(
     ).withColumn(
         "significant_05", F.col("chi2_ppm") >= F.lit(3841459)
     )
+
+
+def quantile_calibrate(
+    df: DataFrame,
+    score_col: str,
+    group_col: str,
+    order_cols: "Sequence[str]" = (),
+    k: int = 100,
+) -> DataFrame:
+    """Cross-group score calibration by quantile mapping: replace each
+    row's score with the GLOBAL score at the same within-group
+    percentile — the normalizer a multi-source corpus needs before one
+    quality threshold can apply everywhere (a "0.8" from a lenient
+    scorer and a "0.8" from a strict one mean different things; their
+    percentiles do not).
+
+    Exact integer construction, no interpolation:
+      - within-group percentile on a k-point grid:
+        g = ceil(r*k/n_g), r = row_number ordered by (score, order_cols)
+      - the global grid value at g is the type-1 quantile at rank
+        t_g = ceil(g*N/k), selected FROM the data values.
+
+    Scale design (the winsorize/quantile_bins pattern, extended): the
+    global distribution is reduced to its distinct-value cumulative
+    counts (bounded by the score domain, not the corpus); each distinct
+    value emits exactly the grid points whose target rank falls in its
+    cumulative range (a bounded sequence-explode — the k-row grid table
+    is built WITHOUT a corpus sort and WITHOUT a k x distinct join);
+    the grid broadcasts back as an equi-join on g. Per-row ranks are
+    one window shuffle keyed on the group. Nothing corpus-sized is ever
+    globally sorted or collected.
+
+    Returns the input columns + pct_gridpoint (1..k) + calibrated.
+    """
+    from pyspark.sql import Window
+
+    order = [score_col, *order_cols]
+    wg = Window.partitionBy(group_col).orderBy(*[F.col(c) for c in order])
+    wgc = Window.partitionBy(group_col)
+    n_tot = df.agg(F.count(F.lit(1)).cast("long").alias("__N"))
+
+    # bounded distinct-value cumulative table over the global scores
+    dv = (
+        df.groupBy(score_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .withColumn(
+            "__cum",
+            F.sum("__c").over(
+                Window.orderBy(score_col).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .withColumn("__prev", F.col("__cum") - F.col("__c"))
+    )
+    # every grid point g whose type-1 target rank ceil(g*N/k) lands in
+    # (__prev, __cum] belongs to this value; candidates bounded by the
+    # range, membership filtered exactly
+    grid = (
+        dv.crossJoin(F.broadcast(n_tot))
+        .select(
+            F.col(score_col).alias("__gval"),
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST(greatest(__prev * {k} div __N, 1) AS INT)"),
+                    F.expr(
+                        f"CAST(least((__cum * {k} + __N - 1) div __N + 1, {k}) AS INT)"
+                    ),
+                )
+            ).alias("g"),
+            "__prev",
+            "__cum",
+            "__N",
+        )
+        .where(
+            (F.expr(f"(g * __N + {k} - 1) div {k}") > F.col("__prev"))
+            & (F.expr(f"(g * __N + {k} - 1) div {k}") <= F.col("__cum"))
+        )
+        .select("g", "__gval")
+    )
+    ranked = (
+        df.withColumn("__r", F.row_number().over(wg))
+        .withColumn("__ng", F.count(F.lit(1)).over(wgc))
+        .withColumn(
+            "g",
+            F.expr(f"CAST((__r * {k} + __ng - 1) div __ng AS INT)"),
+        )
+    )
+    out = ranked.join(F.broadcast(grid), "g")
+    return out.select(
+        *[F.col(c) for c in df.columns],
+        F.col("g").cast("long").alias("pct_gridpoint"),
+        F.col("__gval").alias("calibrated"),
+    )

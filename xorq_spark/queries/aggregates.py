@@ -960,3 +960,99 @@ def agg_incremental_refresh(spark, sf_dir):
         money_out(F.col("sum_l_quantity")).alias("sum_qty"),
         money_out(F.col("sum_l_extendedprice")).alias("sum_price"),
     ).orderBy("l_orderkey")
+
+
+@query(
+    "agg_hll_rolling",
+    oracle="""
+    WITH ev AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+    p AS (SELECT DISTINCT d, user_id FROM ev),
+    days AS (SELECT DISTINCT d FROM p),
+    roll AS (SELECT days.d,
+                    CAST(count(DISTINCT p.user_id) AS BIGINT) AS n_roll_exact
+             FROM days JOIN p ON p.d BETWEEN days.d - 6 AND days.d
+             GROUP BY days.d),
+    daily AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS n_day_exact
+              FROM p GROUP BY d)
+    SELECT CAST(daily.d - DATE '1970-01-01' AS BIGINT) AS day,
+           daily.n_day_exact, roll.n_roll_exact,
+           TRUE AS day_within_2pct, TRUE AS roll_within_2pct
+    FROM daily JOIN roll ON daily.d = roll.d
+    ORDER BY day
+    """,
+)
+def agg_hll_rolling(spark, sf_dir):
+    """Rolling distinct users per trailing 7-day window via mergeable
+    HLL sketches — the production dashboard shape at 100 TB: daily
+    sketches are built ONCE from the raw events (fixed-size binaries),
+    and every trailing window is a UNION of 7 sketches, never a rescan
+    of raw data; yesterday's dashboards update by merging one new
+    daily sketch. Exact counts ride along (distinct-pair explode over
+    the bounded 7-day fan-out) so the oracle pins them, and the sketch
+    estimates are certified within 2% as booleans — the falsifiable
+    accuracy claim with an engine-independent hash (agg_hll_sketch
+    precedent)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select(
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long").alias("day"),
+            "user_id",
+        )
+    )
+    pairs = ev.distinct()
+    days = pairs.select("day").distinct()
+    # exact rolling: each (day, user) pair serves targets day..day+6
+    ex = (
+        pairs.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+                "day2"
+            ),
+            "user_id",
+        )
+        .join(days.withColumnRenamed("day", "day2"), "day2")
+        .groupBy("day2")
+        .agg(F.count_distinct("user_id").alias("n_roll_exact"))
+    )
+    daily = pairs.groupBy("day").agg(
+        F.count_distinct("user_id").alias("n_day_exact"),
+        F.hll_sketch_agg("user_id").alias("__sk"),
+    )
+    # sketch rolling: daily sketches fan out over the same 7 targets
+    roll_sk = (
+        daily.select(
+            F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias(
+                "day2"
+            ),
+            "__sk",
+        )
+        .join(days.withColumnRenamed("day", "day2"), "day2")
+        .groupBy("day2")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__rest"))
+    )
+    return (
+        daily.withColumn(
+            "__dest", F.hll_sketch_estimate(F.col("__sk"))
+        )
+        .join(ex.withColumnRenamed("day2", "day"), "day")
+        .join(roll_sk.withColumnRenamed("day2", "day"), "day")
+        .select(
+            "day",
+            "n_day_exact",
+            "n_roll_exact",
+            (
+                F.abs(F.col("__dest") - F.col("n_day_exact"))
+                <= 0.02 * F.col("n_day_exact")
+            ).alias("day_within_2pct"),
+            (
+                F.abs(F.col("__rest") - F.col("n_roll_exact"))
+                <= 0.02 * F.col("n_roll_exact")
+            ).alias("roll_within_2pct"),
+        )
+        .orderBy("day")
+    )

@@ -155,6 +155,10 @@ SUITES: dict[str, list[str]] = {
         # materialized-view refresh: delta pre-agg + one keys-sized
         # full-outer merge, fact table never rescanned)
         "agg_incremental_refresh",
+        # + trailing-7-day rolling distinct via daily HLL sketch
+        # unions (dashboards update by merging one new sketch, raw
+        # data never rescanned; exact counts oracle-pinned)
+        "agg_hll_rolling",
     ],
     "suite_time_a": [
         "time_trunc_extract",
@@ -258,6 +262,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): token-budget mixture planner (two-phase
         # integer water-filling + hash-filter realization)
         "text_mixture_plan",
+        # + cross-source score calibration by global quantile mapping
+        # (bounded distinct-cumsum grid, broadcast equi-join back)
+        "text_score_calibrate",
     ],
     "suite_curation": [
         "text_line_dedup",

@@ -1026,3 +1026,60 @@ def text_pmi_collocations(spark, sf_dir):
     return pmi_collocations(docs, min_count=5).orderBy("w1", "w2").select(
         "w1", "w2", "c12", "c1", "c2", "lift_scaled"
     )
+
+
+@query(
+    "text_score_calibrate",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, n_chars FROM documents),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS N FROM d),
+    dv AS (SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS c
+           FROM d GROUP BY 1),
+    cumt AS (SELECT v, c,
+                    sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                        PRECEDING AND CURRENT ROW) AS cum
+             FROM dv),
+    cand AS (SELECT v, cum, cum - c AS prev,
+                    unnest(range(
+                      CAST(greatest((cum - c) * 100 // N, 1) AS BIGINT),
+                      CAST(least((cum * 100 + N - 1) // N + 2, 101)
+                           AS BIGINT))) AS g
+             FROM cumt, n),
+    grid AS (SELECT g, v AS gval FROM cand, n
+             WHERE (g * N + 99) // 100 > prev
+               AND (g * N + 99) // 100 <= cum),
+    r AS (SELECT doc_id, source, n_chars,
+                 row_number() OVER (PARTITION BY source
+                     ORDER BY n_chars, doc_id) AS rr,
+                 count(*) OVER (PARTITION BY source) AS ng
+          FROM d),
+    x AS (SELECT doc_id, source, n_chars,
+                 CAST((rr * 100 + ng - 1) // ng AS BIGINT) AS g
+          FROM r)
+    SELECT x.doc_id, x.source, x.n_chars,
+           x.g AS pct_gridpoint, grid.gval AS calibrated
+    FROM x JOIN grid USING (g)
+    ORDER BY x.doc_id
+    """,
+)
+def text_score_calibrate(spark, sf_dir):
+    """Cross-source score calibration (functions/stats.py
+    quantile_calibrate): every document's n_chars score replaced by
+    the GLOBAL score at the same within-source percentile (k=100 grid,
+    exact type-1 ranks — integer arithmetic end to end). The global
+    distribution reduces to its bounded distinct-value cumsum; each
+    value emits exactly the grid points whose target rank falls in its
+    cumulative range (bounded sequence-explode, no corpus sort, no
+    k x distinct join); the 100-row grid broadcasts back as an
+    equi-join. The oracle replays ranks, grid construction, and the
+    mapping, so a wrong percentile or a misplaced grid boundary breaks
+    the hash."""
+    from xorq_spark.functions.stats import quantile_calibrate
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    return quantile_calibrate(
+        docs, score_col="n_chars", group_col="source",
+        order_cols=("doc_id",), k=100,
+    ).orderBy("doc_id")
