@@ -106,6 +106,9 @@ HEADLINE = [
     # grid) and trailing-window distinct via daily HLL sketch unions
     "text_score_calibrate",
     "agg_hll_rolling",
+    # + MMR diversity re-ranking (retrieval tier complete:
+    # BM25 -> RRF -> MMR)
+    "text_mmr_rerank",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

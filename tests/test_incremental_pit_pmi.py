@@ -281,3 +281,56 @@ def test_quantile_calibrate_identical_groups_map_to_self(spark):
     # with k = N = 100 and distinct scores, calibration is the identity
     for i in range(1, 101):
         assert out[i]["calibrated"] == i
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    import math
+
+    from xorq_spark.functions.retrieval import mmr_rerank
+
+    # 1 query, 5 candidates; doc 2 is a near-duplicate of doc 1
+    vecs = {
+        1: [1.0, 0.0, 0.0],
+        2: [0.999, 0.01, 0.0],
+        3: [0.0, 1.0, 0.0],
+        4: [0.0, 0.0, 1.0],
+        5: [0.5, 0.5, 0.0],
+    }
+    scores = {1: 100, 2: 95, 3: 60, 4: 50, 5: 55}
+    cand = spark.createDataFrame(
+        [(7, d, s) for d, s in scores.items()],
+        "query_id int, doc_id long, score_nano long",
+    )
+    emb = spark.createDataFrame(
+        [(d, v) for d, v in vecs.items()],
+        "vec_id long, embedding array<double>",
+    )
+    out = {
+        r["mmr_rank"]: r["doc_id"]
+        for r in mmr_rerank(cand, emb, rounds=4).collect()
+    }
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = math.sqrt(sum(x * x for x in a)) * math.sqrt(
+            sum(x * x for x in b)
+        )
+        return round(num / den, 6)
+
+    sel, rest = [1], {2, 3, 4, 5}  # round 1: top relevance
+    for _ in range(3):
+        best = max(
+            sorted(rest),
+            key=lambda d: (
+                round(
+                    scores[d] / 100 - max(cos(vecs[d], vecs[s]) for s in sel),
+                    6,
+                ),
+                -d,
+            ),
+        )
+        sel.append(best)
+        rest.discard(best)
+    assert [out[r] for r in sorted(out)] == sel
+    # the near-dup (doc 2) must NOT be picked second despite rel=0.95
+    assert out[2] != 2

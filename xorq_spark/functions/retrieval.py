@@ -232,3 +232,102 @@ def rrf_fuse(
         )
         .where(F.col("rank") <= topk)
     )
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    vectors: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    score_col: str = "score_nano",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 4,
+) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking (Carbonell & Goldstein
+    1998) — the diversity pass a RAG pipeline runs over its top-k: pick
+    the most relevant candidate, then repeatedly the one maximizing
+    relevance MINUS similarity to anything already picked, so near-
+    duplicate passages don't crowd the context window.
+
+    Score arithmetic is engine-replayable: relevance is normalized to
+    [0,1] per query (integer score / per-query max, one IEEE double
+    division), cosine similarity is rounded to 6 digits (the proven
+    cross-engine-stable form, dedup_embedding_cosine precedent), the
+    selection key round(rel - max_sim, 6) ties to the lowest id. With
+    lambda = 1/2 both terms carry unit weight after the normalization.
+
+    Scale design: `rounds` is a small constant (context slots), so
+    this unrolls to `rounds` bounded joins — every per-round frame is
+    candidates-sized (queries x top-k), NEVER corpus-sized; the only
+    corpus-touching step is the one equi-join fetching candidate
+    embeddings. The per-round max-sim join fans out to at most
+    top-k x rounds rows per query.
+
+    Returns (query_col, id_col, mmr_rank, mmr_score).
+    """
+    from pyspark.sql import Window
+
+    from xorq_spark.functions.similarity import cosine_similarity
+
+    q, i = query_col, id_col
+    wq = Window.partitionBy(q)
+    rel = candidates.withColumn(
+        "__rel",
+        F.col(score_col).cast("double")
+        / F.max(score_col).over(wq).cast("double"),
+    )
+    v = vectors.select(
+        F.col(vec_id_col).alias(i), F.col(vec_col).alias("__e")
+    )
+    c0 = rel.join(v, i).select(q, i, "__rel", "__e")
+
+    rn1 = F.row_number().over(
+        Window.partitionBy(q).orderBy(F.desc("__rel"), F.col(i))
+    )
+    sel = (
+        c0.withColumn("__rn", rn1)
+        .where(F.col("__rn") == 1)
+        .select(
+            q, i, "__e",
+            F.lit(1).alias("mmr_rank"),
+            F.round("__rel", 6).alias("mmr_score"),
+        )
+    )
+    for r in range(2, int(rounds) + 1):
+        rem = c0.join(sel.select(q, i), [q, i], "left_anti")
+        ms = (
+            rem.join(
+                sel.select(q, F.col("__e").alias("__se")), q
+            )
+            .groupBy(q, i)
+            .agg(
+                F.max(
+                    F.round(
+                        cosine_similarity(F.col("__e"), F.col("__se")), 6
+                    )
+                ).alias("__maxsim")
+            )
+        )
+        pick = (
+            rem.join(ms, [q, i])
+            .withColumn(
+                "__score", F.round(F.col("__rel") - F.col("__maxsim"), 6)
+            )
+            .withColumn(
+                "__rn",
+                F.row_number().over(
+                    Window.partitionBy(q).orderBy(
+                        F.desc("__score"), F.col(i)
+                    )
+                ),
+            )
+            .where(F.col("__rn") == 1)
+            .select(
+                q, i, "__e",
+                F.lit(r).alias("mmr_rank"),
+                F.col("__score").alias("mmr_score"),
+            )
+        )
+        sel = sel.unionByName(pick)
+    return sel.select(q, i, "mmr_rank", "mmr_score")

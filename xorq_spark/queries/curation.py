@@ -895,3 +895,109 @@ def dedup_strip_spans(spark, sf_dir):
     docs = t(spark, sf_dir, "documents").select("doc_id", "text")
     spans = exact_substring_spans(docs, gram_len=40)
     return strip_spans(docs, spans).orderBy("doc_id")
+
+
+_MMR_ROUND = """
+    rem{r} AS (SELECT c0.* FROM c0 LEFT JOIN sel{p} s
+               ON c0.query_id = s.query_id AND c0.doc_id = s.doc_id
+               WHERE s.doc_id IS NULL),
+    ms{r} AS (SELECT rem{r}.query_id, rem{r}.doc_id,
+                     max(ROUND(list_cosine_similarity(rem{r}.e, s.e), 6))
+                       AS maxsim
+              FROM rem{r} JOIN sel{p} s ON rem{r}.query_id = s.query_id
+              GROUP BY 1, 2),
+    p{r} AS (SELECT query_id, doc_id, e, {r} AS mmr_rank,
+                    ROUND(rel - maxsim, 6) AS mmr_score
+             FROM (SELECT rem{r}.*, ms{r}.maxsim,
+                          row_number() OVER (PARTITION BY rem{r}.query_id
+                            ORDER BY ROUND(rel - maxsim, 6) DESC,
+                                     rem{r}.doc_id) AS rn
+                   FROM rem{r} JOIN ms{r}
+                     USING (query_id, doc_id)) WHERE rn = 1),
+    sel{r} AS (SELECT * FROM sel{p} UNION ALL SELECT * FROM p{r})"""
+
+
+def _mmr_oracle(rounds: int = 4, topk: int = 10) -> str:
+    body = ",".join(
+        _MMR_ROUND.format(r=r, p=r - 1) for r in range(2, rounds + 1)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_LOWER} AS t FROM documents),
+    lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks),
+    occ AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM occ GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                   (SELECT CAST(sum(dl) AS BIGINT) FROM lens) AS T
+            FROM documents),
+    topt AS (SELECT term, df,
+                    row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+             FROM dfq QUALIFY rk <= 9),
+    qt AS (SELECT CAST((rk - 1) // 3 + 1 AS INT) AS query_id, term,
+                  CAST(round(ln((2 * N + 2) / (2 * df + 1)) * 1e9, 0) AS BIGINT)
+                    AS idf_nano
+           FROM topt, tot),
+    sc AS (SELECT query_id, post.doc_id,
+                  CAST(CAST(idf_nano AS HUGEINT) * 44 * T * tf
+                       // (CAST(20 AS HUGEINT) * T * tf
+                           + CAST(6 AS HUGEINT) * T
+                           + CAST(18 AS HUGEINT) * dl * N) AS BIGINT) AS s
+           FROM post JOIN qt USING (term) JOIN lens USING (doc_id), tot),
+    pd AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_nano
+           FROM sc GROUP BY 1, 2),
+    rkk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score_nano DESC, doc_id ASC)
+                        AS rank
+            FROM pd),
+    cand AS (SELECT query_id, doc_id, score_nano FROM rkk
+             WHERE rank <= {topk}),
+    rel AS (SELECT query_id, doc_id,
+                   CAST(score_nano AS DOUBLE)
+                     / CAST(max(score_nano) OVER (PARTITION BY query_id)
+                            AS DOUBLE) AS rel
+            FROM cand),
+    emb AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS e
+            FROM embeddings),
+    c0 AS (SELECT rel.query_id, rel.doc_id, rel.rel, emb.e
+           FROM rel JOIN emb USING (doc_id)),
+    sel1 AS (SELECT query_id, doc_id, e, 1 AS mmr_rank,
+                    ROUND(rel, 6) AS mmr_score
+             FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, doc_id) AS rn FROM c0)
+             WHERE rn = 1),
+    {body}
+    SELECT query_id, doc_id, CAST(mmr_rank AS INT) AS mmr_rank, mmr_score
+    FROM sel{rounds} ORDER BY query_id, mmr_rank
+    """
+
+
+@query("text_mmr_rerank", oracle=_mmr_oracle(rounds=4, topk=10))
+def text_mmr_rerank(spark, sf_dir):
+    """MMR diversity re-ranking (functions/retrieval.py mmr_rerank)
+    over BM25 top-10 candidates with real embedding cosine penalties —
+    the RAG context-selection pass: round 1 picks by relevance, each
+    later round picks argmax of round(rel - max_sim_to_selected, 6),
+    ties to the lowest doc_id. Every per-round frame is candidates-
+    sized (never the corpus); the oracle replays BM25, normalization,
+    all four greedy rounds, and every cosine, so one wrong pick or
+    mis-rounded score breaks the hash."""
+    from xorq_spark.functions.retrieval import (
+        bm25_topk,
+        derive_query_terms,
+        mmr_rerank,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    qterms = derive_query_terms(docs)
+    cand = bm25_topk(docs, qterms, topk=10).select(
+        "query_id", "doc_id", "score_nano"
+    )
+    out = mmr_rerank(cand, emb, rounds=4)
+    return out.select(
+        "query_id",
+        "doc_id",
+        F.col("mmr_rank").cast("int").alias("mmr_rank"),
+        "mmr_score",
+    ).orderBy("query_id", "mmr_rank")

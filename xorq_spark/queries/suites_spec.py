@@ -291,6 +291,9 @@ SUITES: dict[str, list[str]] = {
         # reciprocal-rank fusion over two signal rankings
         "text_bm25_topk",
         "text_rrf_hybrid",
+        # + MMR diversity re-ranking over BM25 top-10 with real
+        # embedding cosine penalties (4 unrolled greedy rounds)
+        "text_mmr_rerank",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
