@@ -334,3 +334,22 @@ def test_mmr_rerank_matches_python_greedy(spark):
     assert [out[r] for r in sorted(out)] == sel
     # the near-dup (doc 2) must NOT be picked second despite rel=0.95
     assert out[2] != 2
+
+
+def test_plan_length_batches_order_and_waste(spark):
+    from xorq_spark.functions.text import plan_length_batches
+
+    # token counts via the BPE-ish regex: "w1 w2 ... wn" -> n tokens
+    rows = [(i, " ".join(["tok"] * n)) for i, n in
+            [(1, 10), (2, 9), (3, 8), (4, 1), (5, 1), (6, 2)]]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           plan_length_batches(df, batch_size=3).collect()}
+    # desc order: 10,9,8 | 2,1,1  (ties by doc_id: 4 before 5)
+    assert [out[d]["global_rank"] for d in (1, 2, 3, 6, 4, 5)] == [1, 2, 3, 4, 5, 6]
+    assert out[1]["batch_id"] == 1 and out[6]["batch_id"] == 2
+    # batch 1: max 10, sum 27 -> waste = (30-27)/30
+    assert out[1]["batch_max_tokens"] == 10
+    assert out[1]["batch_waste_ppm"] == (30 - 27) * 10**6 // 30
+    # batch 2: max 2, sum 4 -> waste = (6-4)/6
+    assert out[4]["batch_waste_ppm"] == (6 - 4) * 10**6 // 6

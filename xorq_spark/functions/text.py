@@ -1568,3 +1568,88 @@ def pmi_collocations(
     return out.select(
         "w1", "w2", "c12", "c1", "c2", lift.alias("lift_scaled")
     )
+
+
+def plan_length_batches(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    batch_size: int = 32,
+) -> DataFrame:
+    """Length-bucketed inference batch planning: assign documents to
+    fixed-size batches in descending token-length order, so each batch
+    pads to its own max instead of the corpus max — the standard
+    dynamic-batching prep for embedding/scoring a corpus on
+    accelerators, where padding waste is wall-clock waste.
+
+    The global length-descending rank is built WITHOUT a global sort
+    (the quantile_calibrate pattern): distinct token counts (bounded by
+    the length domain) get cumulative offsets from one small window;
+    each row's rank = its length's offset + a row_number within the
+    length partition (ties to ascending id). Batch stats come from one
+    batch-keyed groupBy joined back on batch_id — keyed, balanced,
+    corpus/batch_size rows.
+
+    Returns (id_col, n_tokens, global_rank, batch_id, batch_max_tokens,
+    batch_waste_ppm) — waste_ppm = padded-slot fraction wasted, exact
+    integer rationals.
+    """
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col),
+        F.coalesce(bpe_token_count(F.col(text_col)), F.lit(0))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    dv = (
+        d.groupBy("n_tokens")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "__cum",
+            F.sum("__c").over(
+                Window.orderBy(F.desc("n_tokens")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select(
+            "n_tokens", (F.col("__cum") - F.col("__c")).alias("__prev")
+        )
+    )
+    wn = Window.partitionBy("n_tokens").orderBy(id_col)
+    ranked = (
+        d.join(F.broadcast(dv), "n_tokens")
+        .withColumn(
+            "global_rank", F.col("__prev") + F.row_number().over(wn)
+        )
+        .withColumn(
+            "batch_id",
+            F.expr(f"(global_rank - 1) div {int(batch_size)} + 1").cast(
+                "long"
+            ),
+        )
+    )
+    stats = ranked.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("__nd"),
+        F.max("n_tokens").alias("batch_max_tokens"),
+        F.sum("n_tokens").alias("__sum"),
+    )
+    waste = F.expr(
+        "CASE WHEN __nd * batch_max_tokens = 0 THEN 0 "
+        "ELSE ((__nd * batch_max_tokens - __sum) * 1000000) "
+        "     div (__nd * batch_max_tokens) END"
+    )
+    return (
+        ranked.join(stats, "batch_id")
+        .select(
+            id_col,
+            "n_tokens",
+            F.col("global_rank").cast("long").alias("global_rank"),
+            "batch_id",
+            F.col("batch_max_tokens").cast("long").alias(
+                "batch_max_tokens"
+            ),
+            waste.cast("long").alias("batch_waste_ppm"),
+        )
+    )

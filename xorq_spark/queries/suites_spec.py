@@ -265,6 +265,9 @@ SUITES: dict[str, list[str]] = {
         # + cross-source score calibration by global quantile mapping
         # (bounded distinct-cumsum grid, broadcast equi-join back)
         "text_score_calibrate",
+        # + length-bucketed inference batch planning (global rank via
+        # distinct-length offsets, no global sort; exact waste ppm)
+        "text_length_batching",
     ],
     "suite_curation": [
         "text_line_dedup",

@@ -1083,3 +1083,42 @@ def text_score_calibrate(spark, sf_dir):
         docs, score_col="n_chars", group_col="source",
         order_cols=("doc_id",), k=100,
     ).orderBy("doc_id")
+
+
+@query(
+    "text_length_batching",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, COALESCE({{bpe}}, 0) AS n_tokens
+               FROM documents),
+    r AS (SELECT doc_id, n_tokens,
+                 row_number() OVER (ORDER BY n_tokens DESC, doc_id)
+                   AS global_rank
+          FROM d),
+    b AS (SELECT *, CAST((global_rank - 1) // 32 + 1 AS BIGINT)
+                      AS batch_id FROM r),
+    s AS (SELECT batch_id, count(*) AS nd,
+                 max(n_tokens) AS mx, sum(n_tokens) AS sm
+          FROM b GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(global_rank AS BIGINT) AS global_rank, batch_id,
+           CAST(mx AS BIGINT) AS batch_max_tokens,
+           CAST(CASE WHEN nd * mx = 0 THEN 0
+                ELSE ((nd * mx - sm) * 1000000) // (nd * mx)
+                END AS BIGINT) AS batch_waste_ppm
+    FROM b JOIN s USING (batch_id) ORDER BY b.doc_id
+    """.replace("{bpe}", _BPE_SQL),
+)
+def text_length_batching(spark, sf_dir):
+    """Length-bucketed inference batch planning (functions/text.py
+    plan_length_batches): documents assigned to 32-slot batches in
+    descending token-length order so each batch pads to ITS max — the
+    dynamic-batching prep before embedding/scoring a corpus on
+    accelerators. The global rank is built without a global sort
+    (distinct-length cumulative offsets + within-length row_number,
+    the quantile_calibrate pattern); per-batch padding waste is exact
+    integer ppm. The oracle replays the ranking and every batch stat,
+    so one misplaced document breaks the hash."""
+    from xorq_spark.functions.text import plan_length_batches
+
+    docs = t(spark, sf_dir, "documents")
+    return plan_length_batches(docs, batch_size=32).orderBy("doc_id")
