@@ -353,3 +353,37 @@ def test_plan_length_batches_order_and_waste(spark):
     assert out[1]["batch_waste_ppm"] == (30 - 27) * 10**6 // 30
     # batch 2: max 2, sum 4 -> waste = (6-4)/6
     assert out[4]["batch_waste_ppm"] == (6 - 4) * 10**6 // 6
+
+
+def test_ks_drift_matches_python_reference(spark):
+    from xorq_spark.functions.stats import ks_drift
+
+    a = [1.0, 2.0, 2.0, 3.0, 5.0]
+    b = [2.0, 4.0, 4.0, 6.0]
+    old = spark.createDataFrame([(x,) for x in a], "value double")
+    new = spark.createDataFrame([(x,) for x in b], "value double")
+    r = ks_drift(old, new).collect()[0]
+
+    vals = sorted(set(a) | set(b))
+    n1, n2 = len(a), len(b)
+    best, at = -1, None
+    for v in vals:
+        c1 = sum(1 for x in a if x <= v)
+        c2 = sum(1 for x in b if x <= v)
+        diff = abs(c1 * n2 - c2 * n1)
+        if diff > best:
+            best, at = diff, v
+    assert r["n_old"] == n1 and r["n_new"] == n2
+    assert r["ks_num"] == best
+    assert r["ks_e9"] == best * 10**9 // (n1 * n2)
+    assert r["ks_at_value"] == at
+
+
+def test_ks_drift_identical_distributions_zero(spark):
+    from xorq_spark.functions.stats import ks_drift
+
+    xs = [(float(i % 7),) for i in range(50)]
+    old = spark.createDataFrame(xs, "value double")
+    new = spark.createDataFrame(xs, "value double")
+    r = ks_drift(old, new).collect()[0]
+    assert r["ks_num"] == 0 and r["ks_e9"] == 0

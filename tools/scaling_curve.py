@@ -63,6 +63,16 @@ OPS = [
     "rel_snapshot_diff",
     "text_mixture_plan",
     "graph_kcore_prune",
+    # round 5, second session
+    "join_point_in_time",
+    "agg_incremental_refresh",
+    "text_pmi_collocations",
+    "dedup_exact_substring",
+    "dedup_strip_spans",
+    "text_score_calibrate",
+    "agg_hll_rolling",
+    "text_mmr_rerank",
+    "text_length_batching",
 ]
 
 

@@ -161,3 +161,78 @@ def quantile_calibrate(
         F.col("g").cast("long").alias("pct_gridpoint"),
         F.col("__gval").alias("calibrated"),
     )
+
+
+def ks_drift(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between two
+    snapshots of a numeric column — the unbinned companion of
+    `histogram_drift` (TVD over fixed bins misses shape changes inside
+    a bin; the KS sup-norm does not, and needs no binning choice).
+
+    D = max over values of |ECDF_old - ECDF_new|, computed EXACTLY as
+    integer rationals: with cumulative counts cum1/cum2 at each
+    distinct value, the unnormalized statistic is
+    max |cum1*N2 - cum2*N1|, and D_e9 = that * 1e9 div (N1*N2) in
+    DECIMAL(38,0). The reported location is the smallest value
+    attaining the max (deterministic across engines).
+
+    Scale design: both snapshots reduce to ONE distinct-value count
+    table (bounded by the value domain, not the corpus — the
+    winsorize/calibrate pattern); the cumulative window runs over that
+    bounded table; totals broadcast back. Nothing corpus-sized is
+    sorted or collected.
+
+    Returns one row: (n_old, n_new, ks_num, ks_e9, ks_at_value).
+    """
+    from pyspark.sql import Window
+
+    u = old.select(
+        F.col(value_col).alias("v"), F.lit(0).alias("__s")
+    ).unionByName(
+        new.select(F.col(value_col).alias("v"), F.lit(1).alias("__s"))
+    ).where(F.col("v").isNotNull())
+    dv = u.groupBy("v").agg(
+        F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = dv.select(
+        "v",
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    n = dv.agg(
+        F.sum("c1").cast("long").alias("N1"),
+        F.sum("c2").cast("long").alias("N2"),
+    )
+    d = c.crossJoin(F.broadcast(n)).select(
+        "v",
+        "N1",
+        "N2",
+        F.abs(
+            F.col("cum1") * F.col("N2") - F.col("cum2") * F.col("N1")
+        ).alias("diff"),
+    )
+    mx = d.groupBy("N1", "N2").agg(F.max("diff").alias("ks_num"))
+    at = (
+        d.join(F.broadcast(mx), ["N1", "N2"])
+        .where(F.col("diff") == F.col("ks_num"))
+        .groupBy("N1", "N2", "ks_num")
+        .agg(F.min("v").alias("ks_at_value"))
+    )
+    return at.select(
+        F.col("N1").alias("n_old"),
+        F.col("N2").alias("n_new"),
+        F.col("ks_num").cast("long").alias("ks_num"),
+        F.expr(
+            "CAST(CAST(ks_num AS DECIMAL(38,0)) * 1000000000"
+            " div (CAST(N1 AS DECIMAL(38,0)) * N2) AS BIGINT)"
+        ).alias("ks_e9"),
+        F.col("ks_at_value").cast("double").alias("ks_at_value"),
+    )

@@ -178,6 +178,9 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): SCD2 history builder (dbt-snapshot / CDC
         # compaction shape, one-shuffle two-window plan)
         "time_scd2_history",
+        # round 5 (cont.): exact two-sample KS drift (unbinned sup-norm
+        # companion of histogram_drift; bounded distinct-cumsum table)
+        "time_ks_drift",
         # + rolling z-score anomaly detection (pipeline health metric)
         "time_zscore_anomaly",
         # round 5: per-group winsorization (exact type-1 quantile clamp)

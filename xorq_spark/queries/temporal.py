@@ -750,3 +750,48 @@ def join_point_in_time(spark, sf_dir):
     return out.select(
         "user_id", "event_id", "ts", "dim_event_type", "dim_version"
     ).orderBy("user_id", "event_id")
+
+
+@query(
+    "time_ks_drift",
+    oracle="""
+    WITH s AS (SELECT value AS v,
+                      CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS side
+               FROM events WHERE value IS NOT NULL),
+    dv AS (SELECT v,
+                  sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS c1,
+                  sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS c2
+           FROM s GROUP BY v),
+    n AS (SELECT CAST(sum(c1) AS BIGINT) AS N1,
+                 CAST(sum(c2) AS BIGINT) AS N2 FROM dv),
+    c AS (SELECT v,
+                 sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum1,
+                 sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND CURRENT ROW) AS cum2
+          FROM dv),
+    d AS (SELECT v, abs(cum1 * N2 - cum2 * N1) AS diff FROM c, n),
+    m AS (SELECT max(diff) AS ks_num FROM d)
+    SELECT n.N1 AS n_old, n.N2 AS n_new,
+           CAST(m.ks_num AS BIGINT) AS ks_num,
+           CAST(CAST(m.ks_num AS HUGEINT) * 1000000000
+                // (CAST(n.N1 AS HUGEINT) * n.N2) AS BIGINT) AS ks_e9,
+           (SELECT min(v) FROM d WHERE d.diff = m.ks_num)
+             AS ks_at_value
+    FROM n, m
+    """,
+)
+def time_ks_drift(spark, sf_dir):
+    """Exact two-sample Kolmogorov-Smirnov drift (functions/stats.py
+    ks_drift) between the even- and odd-event snapshots of the metric
+    stream — the unbinned sup-norm companion of time_histogram_drift:
+    D and its location computed as exact integer rationals over ONE
+    bounded distinct-value cumulative table; nothing corpus-sized is
+    sorted. The oracle replays cumulative counts, the cross-multiplied
+    sup, the 1e9 rational, and the smallest-value argmax."""
+    from xorq_spark.functions.stats import ks_drift
+
+    ev = t(spark, sf_dir, "events")
+    old = ev.where(F.expr("event_id % 2 = 0")).select("value")
+    new = ev.where(F.expr("event_id % 2 = 1")).select("value")
+    return ks_drift(old, new)
