@@ -387,3 +387,73 @@ def test_ks_drift_identical_distributions_zero(spark):
     new = spark.createDataFrame(xs, "value double")
     r = ks_drift(old, new).collect()[0]
     assert r["ks_num"] == 0 and r["ks_e9"] == 0
+
+
+def test_overwrite_partitions_is_surgical(spark, tmp_path):
+    from xorq_spark.writes import overwrite_partitions
+
+    path = str(tmp_path / "pt")
+    base = spark.createDataFrame(
+        [(d, i, i * 10) for d in ("a", "b", "c") for i in range(3)],
+        "day string, k int, v int",
+    )
+    base.write.mode("overwrite").partitionBy("day").parquet(path)
+
+    # backfill ONLY day=b with different content (2 rows, new values)
+    fix = spark.createDataFrame(
+        [("b", 7, 700), ("b", 8, 800)], "day string, k int, v int"
+    )
+    overwrite_partitions(fix, path, "day")
+
+    got = spark.read.parquet(path)
+    assert got.where("day = 'a'").count() == 3  # untouched
+    assert got.where("day = 'c'").count() == 3  # untouched
+    b = {r["k"]: r["v"] for r in got.where("day = 'b'").collect()}
+    assert b == {7: 700, 8: 800}  # replaced, not appended
+    # conf restored
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode").lower()
+        != "dynamic"
+    )
+
+
+def test_market_basket_matches_python_reference(spark):
+    from itertools import combinations
+
+    from xorq_spark.functions.stats import market_basket_pairs
+
+    baskets = {
+        1: {"milk", "bread", "eggs"},
+        2: {"milk", "bread"},
+        3: {"milk", "beer"},
+        4: {"bread", "eggs"},
+        5: {"milk", "bread", "beer"},
+    }
+    rows = [(b, i) for b, items in baskets.items() for i in items]
+    # duplicate rows must not inflate counts
+    rows += [(1, "milk"), (2, "bread")]
+    df = spark.createDataFrame(rows, "bid long, item string")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in market_basket_pairs(
+            df, "bid", "item", min_pair_count=2
+        ).collect()
+    }
+
+    N = len(baskets)
+    cnt = {}
+    pair = {}
+    for items in baskets.values():
+        for i in items:
+            cnt[i] = cnt.get(i, 0) + 1
+        for a, b in combinations(sorted(items), 2):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    expect = {k: v for k, v in pair.items() if v >= 2}
+    assert set(out) == set(expect)
+    for (a, b), c12 in expect.items():
+        r = out[(a, b)]
+        assert r["n_pair"] == c12
+        assert r["n_a"] == cnt[a] and r["n_b"] == cnt[b]
+        assert r["support_ppm"] == c12 * 10**6 // N
+        assert r["conf_a_to_b_ppm"] == c12 * 10**6 // cnt[a]
+        assert r["lift_e6"] == c12 * N * 10**6 // (cnt[a] * cnt[b])

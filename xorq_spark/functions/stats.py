@@ -236,3 +236,77 @@ def ks_drift(
         ).alias("ks_e9"),
         F.col("ks_at_value").cast("double").alias("ks_at_value"),
     )
+
+
+def market_basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 2,
+) -> DataFrame:
+    """Pairwise association mining (the support/confidence/lift core of
+    market-basket analysis): for every item pair co-occurring in
+    `min_pair_count`+ baskets, exact integer-rational support,
+    both-direction confidence, and lift.
+
+    Scale design: baskets collapse to distinct (basket, item) rows
+    once; pairs are generated ARRAY-SIDE per basket (sorted item list
+    + a triangular transform — no basket self-join, so a hot basket
+    never re-shuffles) and explode into a combinable pair-keyed
+    groupBy; item counts are vocabulary-bounded and broadcast into
+    both lookups. Baskets of k items emit C(k,2) pairs — the inherent
+    output size; cap upstream if baskets are unbounded.
+
+    All ratios are exact ppm integers (c*1e6 div n), lift additionally
+    in DECIMAL(38,0) so c12*N*1e6 never overflows.
+
+    Returns (item_a, item_b, n_pair, n_a, n_b, support_ppm,
+    conf_a_to_b_ppm, conf_b_to_a_ppm, lift_e6), item_a < item_b.
+    """
+    b = (
+        df.where(F.col(basket_col).isNotNull() & F.col(item_col).isNotNull())
+        .select(
+            F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+        )
+        .distinct()
+    )
+    n_b = b.select("__b").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__N")
+    )
+    items = b.groupBy("__i").agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    arr = b.groupBy("__b").agg(F.sort_array(F.collect_set("__i")).alias("__a"))
+    pairs_expr = F.expr(
+        "flatten(transform(__a, (x, i) -> "
+        "  transform(slice(__a, i + 2, size(__a)), y -> struct(x AS a, y AS b))))"
+    )
+    pc = (
+        arr.select(F.explode(pairs_expr).alias("__p"))
+        .groupBy(F.col("__p.a").alias("item_a"), F.col("__p.b").alias("item_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= int(min_pair_count))
+    )
+    ca = items.select(F.col("__i").alias("item_a"), F.col("__c").alias("n_a"))
+    cb = items.select(F.col("__i").alias("item_b"), F.col("__c").alias("n_b"))
+    out = (
+        pc.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_b))
+    )
+    return out.select(
+        "item_a",
+        "item_b",
+        "n_pair",
+        "n_a",
+        "n_b",
+        F.expr("n_pair * 1000000 div __N").cast("long").alias("support_ppm"),
+        F.expr("n_pair * 1000000 div n_a").cast("long").alias(
+            "conf_a_to_b_ppm"
+        ),
+        F.expr("n_pair * 1000000 div n_b").cast("long").alias(
+            "conf_b_to_a_ppm"
+        ),
+        F.expr(
+            "CAST(CAST(n_pair AS DECIMAL(38,0)) * __N * 1000000"
+            " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+        ).alias("lift_e6"),
+    )

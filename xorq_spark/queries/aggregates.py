@@ -1056,3 +1056,45 @@ def agg_hll_rolling(spark, sf_dir):
         )
         .orderBy("day")
     )
+
+
+@query(
+    "agg_market_basket",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id AS u, event_type AS i
+               FROM events
+               WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+    n AS (SELECT CAST(count(DISTINCT u) AS BIGINT) AS N FROM b),
+    it AS (SELECT i, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY i),
+    pc AS (SELECT x.i AS item_a, y.i AS item_b,
+                  CAST(count(*) AS BIGINT) AS n_pair
+           FROM b x JOIN b y ON x.u = y.u AND x.i < y.i
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT item_a, item_b, n_pair,
+           a.c AS n_a, bb.c AS n_b,
+           CAST(n_pair * 1000000 // N AS BIGINT) AS support_ppm,
+           CAST(n_pair * 1000000 // a.c AS BIGINT) AS conf_a_to_b_ppm,
+           CAST(n_pair * 1000000 // bb.c AS BIGINT) AS conf_b_to_a_ppm,
+           CAST(CAST(n_pair AS HUGEINT) * N * 1000000
+                // (CAST(a.c AS HUGEINT) * bb.c) AS BIGINT) AS lift_e6
+    FROM pc
+    JOIN it a ON pc.item_a = a.i
+    JOIN it bb ON pc.item_b = bb.i, n
+    ORDER BY item_a, item_b
+    """,
+)
+def agg_market_basket(spark, sf_dir):
+    """Pairwise association mining (functions/stats.py
+    market_basket_pairs) over user x event_type baskets: exact ppm
+    support, both-direction confidence, and DECIMAL(38,0)/HUGEINT lift
+    for every pair co-occurring in 2+ baskets. Pairs are generated
+    array-side per basket (sorted set + triangular transform — no
+    basket self-join, hot baskets never re-shuffle); the oracle
+    regenerates them with a literal self-join, so the two pair
+    constructions must agree exactly."""
+    from xorq_spark.functions.stats import market_basket_pairs
+
+    ev = t(spark, sf_dir, "events")
+    return market_basket_pairs(
+        ev, basket_col="user_id", item_col="event_type", min_pair_count=2
+    ).orderBy("item_a", "item_b")

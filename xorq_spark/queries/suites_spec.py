@@ -126,6 +126,9 @@ SUITES: dict[str, list[str]] = {
         "agg_quantiles",
         "agg_argminmax_firstlast",
         "agg_any_value_deterministic",
+        # round 5 (cont.): pairwise association mining — exact ppm
+        # support/confidence + HUGEINT lift, array-side pair generation
+        "agg_market_basket",
     ],
     "suite_agg_b": [
         "agg_bit_bool",

@@ -336,3 +336,40 @@ def compact_parquet(
         [f for f in os.listdir(path) if f.endswith(".parquet")]
     )
     return {"files_before": len(files), "files_after": after, "bytes": total}
+
+
+def overwrite_partitions(df, path: str, partition_by, mode_check: bool = True):
+    """Idempotent partition backfill: overwrite ONLY the partitions
+    present in `df`, leaving every other partition of the target
+    untouched — the re-run-a-day / fix-a-slice shape (a full
+    mode="overwrite" would truncate the whole table; append would
+    double-count the re-run).
+
+    Implemented with Spark's dynamic partition-overwrite mode, scoped
+    to THIS write and restored afterwards, so a session-level static
+    setting elsewhere is not disturbed. The write is atomic per
+    partition (Spark stages to _temporary and commits per-partition
+    directories), which is exactly the idempotence a retried backfill
+    job needs.
+
+    Scale notes: cost is one shuffle-free write of `df`; partition
+    pruning on the read side is untouched. Writers of two DIFFERENT
+    partitions can run concurrently; two writers of the SAME partition
+    race (last committer wins) — same contract as Hive/warehouse
+    dynamic overwrite.
+    """
+    partition_by = (
+        [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    )
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "STATIC")
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            df.write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set(key, prev)
