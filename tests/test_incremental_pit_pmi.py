@@ -457,3 +457,25 @@ def test_market_basket_matches_python_reference(spark):
         assert r["support_ppm"] == c12 * 10**6 // N
         assert r["conf_a_to_b_ppm"] == c12 * 10**6 // cnt[a]
         assert r["lift_e6"] == c12 * N * 10**6 // (cnt[a] * cnt[b])
+
+
+def test_profile_diff_counts_nulls_distincts(spark):
+    from xorq_spark.functions.reconcile import profile_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), (None, 2), ("a", None)],
+        "s string, v int",
+    )
+    new = spark.createDataFrame(
+        [("a", 1), (None, 1), (None, 1), (None, 9), ("c", None)],
+        "s string, v int",
+    )
+    out = {r["column"]: r for r in profile_diff(old, new, ["s", "v"]).collect()}
+    assert out["s"]["n_old"] == 4 and out["s"]["n_new"] == 5
+    assert out["s"]["nulls_old"] == 1 and out["s"]["nulls_new"] == 3
+    assert out["s"]["distinct_old"] == 2 and out["s"]["distinct_new"] == 2
+    assert out["s"]["null_ppm_old"] == 10**6 // 4
+    assert out["s"]["null_ppm_new"] == 3 * 10**6 // 5
+    assert out["s"]["null_ppm_delta"] == 3 * 10**6 // 5 - 10**6 // 4
+    assert out["v"]["distinct_old"] == 2 and out["v"]["distinct_new"] == 2
+    assert out["v"]["distinct_delta"] == 0

@@ -193,3 +193,74 @@ def refresh_aggregate(
             ).alias(f"sum_{m}")
         )
     return merged.select(*out_cols).where(F.col(count_col) > 0)
+
+
+def profile_diff(
+    old: DataFrame,
+    new: DataFrame,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Column-profile drift between two snapshot versions — the schema
+    health gate a pipeline runs BEFORE row-level reconciliation (a
+    column whose null rate doubled or whose distinct count collapsed
+    flags an upstream break even when row counts look fine).
+
+    Per column and side: row count, null count, exact distinct count,
+    and null-rate ppm; plus the deltas. Numeric-typed profiling (min/
+    max) is deliberately excluded here so ONE output schema covers all
+    columns — compose `histogram_drift` / `ks_drift` per numeric column
+    for distributional gates.
+
+    Scale design: each side is ONE pass — a single groupBy-less
+    aggregate emits all per-column counters (count/null map-side
+    combinable; distinct via count_distinct which Spark plans as one
+    expand + partial aggregate); the bounded per-column frame is then
+    a columns-sized join, never a data-sized one.
+
+    Returns (column, n_old, n_new, nulls_old, nulls_new,
+    null_ppm_old, null_ppm_new, distinct_old, distinct_new,
+    null_ppm_delta, distinct_delta).
+    """
+    cols = list(columns)
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
+        for c in cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"__null_{c}")
+            )
+            aggs.append(
+                F.count_distinct(F.col(c)).cast("long").alias(f"__d_{c}")
+            )
+        wide = df.agg(*aggs)
+        stack = ", ".join(
+            f"'{c}', __null_{c}, __d_{c}" for c in cols
+        )
+        return wide.select(
+            F.col("__n").alias(f"n_{tag}"),
+            F.expr(
+                f"stack({len(cols)}, {stack}) AS (column, nulls_{tag}, distinct_{tag})"
+            ),
+        )
+
+    o, n = side(old, "old"), side(new, "new")
+    j = o.join(n, "column")
+    ppm_old = F.expr("CASE WHEN n_old = 0 THEN 0 ELSE nulls_old * 1000000 div n_old END")
+    ppm_new = F.expr("CASE WHEN n_new = 0 THEN 0 ELSE nulls_new * 1000000 div n_new END")
+    return j.select(
+        "column",
+        "n_old",
+        "n_new",
+        "nulls_old",
+        "nulls_new",
+        ppm_old.cast("long").alias("null_ppm_old"),
+        ppm_new.cast("long").alias("null_ppm_new"),
+        "distinct_old",
+        "distinct_new",
+        (ppm_new - ppm_old).cast("long").alias("null_ppm_delta"),
+        (F.col("distinct_new") - F.col("distinct_old"))
+        .cast("long")
+        .alias("distinct_delta"),
+    )

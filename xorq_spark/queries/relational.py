@@ -471,3 +471,98 @@ def rel_join_explosion(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events").where(F.col("user_id").isNotNull())
     return join_explosion_stats(ev, ev, ["user_id"], top=5)
+
+
+@query(
+    "rel_profile_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderpriority END
+               AS o_orderpriority,
+             o_custkey
+      FROM orders WHERE o_orderkey % 13 <> 0),
+    new AS (
+      SELECT CASE WHEN o_orderstatus = 'P' THEN 'O'
+                  ELSE o_orderstatus END AS o_orderstatus,
+             o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_custkey END
+               AS o_custkey
+      FROM orders WHERE o_orderkey % 17 <> 0),
+    po AS (
+      SELECT 'o_orderstatus' AS col, count(*) AS n,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nl,
+             count(DISTINCT o_orderstatus) AS d FROM old
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderpriority) FROM old
+      UNION ALL
+      SELECT 'o_custkey', count(*),
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_custkey) FROM old),
+    pn AS (
+      SELECT 'o_orderstatus' AS col, count(*) AS n,
+             sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS nl,
+             count(DISTINCT o_orderstatus) AS d FROM new
+      UNION ALL
+      SELECT 'o_orderpriority', count(*),
+             sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_orderpriority) FROM new
+      UNION ALL
+      SELECT 'o_custkey', count(*),
+             sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+             count(DISTINCT o_custkey) FROM new)
+    SELECT po.col AS "column",
+           CAST(po.n AS BIGINT) AS n_old, CAST(pn.n AS BIGINT) AS n_new,
+           CAST(po.nl AS BIGINT) AS nulls_old,
+           CAST(pn.nl AS BIGINT) AS nulls_new,
+           CAST(CASE WHEN po.n = 0 THEN 0
+                ELSE po.nl * 1000000 // po.n END AS BIGINT)
+             AS null_ppm_old,
+           CAST(CASE WHEN pn.n = 0 THEN 0
+                ELSE pn.nl * 1000000 // pn.n END AS BIGINT)
+             AS null_ppm_new,
+           CAST(po.d AS BIGINT) AS distinct_old,
+           CAST(pn.d AS BIGINT) AS distinct_new,
+           CAST((CASE WHEN pn.n = 0 THEN 0
+                 ELSE pn.nl * 1000000 // pn.n END)
+              - (CASE WHEN po.n = 0 THEN 0
+                 ELSE po.nl * 1000000 // po.n END) AS BIGINT)
+             AS null_ppm_delta,
+           CAST(pn.d - po.d AS BIGINT) AS distinct_delta
+    FROM po JOIN pn ON po.col = pn.col
+    ORDER BY po.col
+    """,
+)
+def rel_profile_diff(spark, sf_dir):
+    """Column-profile drift gate (functions/reconcile.py profile_diff):
+    two versions of the orders table — rows dropped differently, clerk
+    nulls injected on one side, custkey nulls on the other, status 'P'
+    collapsed into 'O' (a distinct-count collapse) — profiled in ONE
+    aggregate pass per side (null counters map-side combinable, exact
+    distincts in the same pass) and diffed on the bounded per-column
+    frame. The oracle recomputes every counter and both ppm deltas, so
+    a missed null, a wrong distinct, or a sign flip breaks the hash."""
+    from xorq_spark.functions.reconcile import profile_diff
+
+    orders = t(spark, sf_dir, "orders")
+    old = orders.where(F.expr("o_orderkey % 13 <> 0")).select(
+        "o_orderstatus",
+        F.when(F.expr("o_orderkey % 11 = 0"), F.lit(None)).otherwise(
+            F.col("o_orderpriority")
+        ).alias("o_orderpriority"),
+        "o_custkey",
+    )
+    new = orders.where(F.expr("o_orderkey % 17 <> 0")).select(
+        F.when(F.col("o_orderstatus") == "P", F.lit("O")).otherwise(
+            F.col("o_orderstatus")
+        ).alias("o_orderstatus"),
+        "o_orderpriority",
+        F.when(F.expr("o_orderkey % 7 = 0"), F.lit(None)).otherwise(
+            F.col("o_custkey")
+        ).alias("o_custkey"),
+    )
+    return profile_diff(
+        old, new, columns=["o_orderstatus", "o_orderpriority", "o_custkey"]
+    ).orderBy("column")

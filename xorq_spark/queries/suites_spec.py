@@ -91,6 +91,9 @@ SUITES: dict[str, list[str]] = {
         # + pre-join explosion/skew diagnostic (exact output
         # cardinality without running the join)
         "rel_join_explosion",
+        # + column-profile drift gate (one aggregate pass per side:
+        # nulls + exact distincts; ppm deltas on the bounded frame)
+        "rel_profile_diff",
     ],
     "suite_rel_pivot": [
         "rel_pivot_wider",
