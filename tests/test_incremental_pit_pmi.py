@@ -479,3 +479,37 @@ def test_profile_diff_counts_nulls_distincts(spark):
     assert out["s"]["null_ppm_delta"] == 3 * 10**6 // 5 - 10**6 // 4
     assert out["v"]["distinct_old"] == 2 and out["v"]["distinct_new"] == 2
     assert out["v"]["distinct_delta"] == 0
+
+
+def test_cuped_matches_python_reference(spark):
+    from xorq_spark.functions.stats import cuped_adjust
+
+    # arm A: y correlated with x; arm B: offset
+    rows = [("A", 10, 1), ("A", 20, 2), ("A", 30, 3),
+            ("B", 25, 2), ("B", 35, 3), ("B", 45, 4)]
+    df = spark.createDataFrame(rows, "arm string, y long, x long")
+    out = {r["arm"]: r for r in
+           cuped_adjust(df, "y", "x", "arm").collect()}
+
+    ys = [r[1] for r in rows]; xs = [r[2] for r in rows]
+    n = len(rows)
+    sxy = sum(y * x for _, y, x in rows)
+    sxx = sum(x * x for x in xs)
+    sx, sy = sum(xs), sum(ys)
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    gx = sx / n
+    for arm in ("A", "B"):
+        grp = [(y, x) for a, y, x in rows if a == arm]
+        na = len(grp)
+        my = sum(y for y, _ in grp) / na
+        mx = sum(x for _, x in grp) / na
+        assert out[arm]["n_rows"] == na
+        assert out[arm]["sum_y"] == sum(y for y, _ in grp)
+        assert abs(out[arm]["theta"] - round(theta, 9)) < 1e-12
+        assert abs(
+            out[arm]["adj_mean_y"] - round(my - theta * (mx - gx), 9)
+        ) < 1e-9
+    # CUPED moves the arm means toward each other when x explains y
+    raw_gap = abs(out["A"]["mean_y"] - out["B"]["mean_y"])
+    adj_gap = abs(out["A"]["adj_mean_y"] - out["B"]["adj_mean_y"])
+    assert adj_gap < raw_gap

@@ -1098,3 +1098,67 @@ def agg_market_basket(spark, sf_dir):
     return market_basket_pairs(
         ev, basket_col="user_id", item_col="event_type", min_pair_count=2
     ).orderBy("item_a", "item_b")
+
+
+@query(
+    "agg_cuped_readout",
+    oracle="""
+    WITH d AS (
+      SELECT l_returnflag AS arm,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS y,
+             CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+      FROM lineitem),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(y AS HUGEINT) * x) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+          FROM d),
+    a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(sum(CAST(y AS HUGEINT)) AS HUGEINT) AS say,
+                 CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sax
+          FROM d GROUP BY arm)
+    SELECT arm, n_rows,
+           CAST(say AS BIGINT) AS sum_y,
+           CAST(sax AS BIGINT) AS sum_x,
+           ROUND(CAST(say AS DOUBLE) / CAST(n_rows AS DOUBLE), 9)
+             AS mean_y,
+           ROUND(CAST(say AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+               * (CAST(sax AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                  - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 9)
+             AS adj_mean_y,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+             AS theta
+    FROM a, g ORDER BY arm
+    """,
+)
+def agg_cuped_readout(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (functions/stats.py
+    cuped_adjust): revenue cents adjusted by the quantity covariate
+    per returnflag arm. The five sufficient statistics are exact
+    DECIMAL(38,0)/HUGEINT integers the oracle recomputes from scratch;
+    theta and the adjusted means are IEEE doubles derived from those
+    integers by the identical expression tree on both engines, rounded
+    to 9 digits."""
+    from xorq_spark.functions.stats import cuped_adjust
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("arm"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("y"),
+        F.expr(
+            "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+    )
+    return cuped_adjust(li, y_col="y", x_col="x", arm_col="arm").orderBy(
+        "arm"
+    )

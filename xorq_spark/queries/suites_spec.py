@@ -132,6 +132,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): pairwise association mining — exact ppm
         # support/confidence + HUGEINT lift, array-side pair generation
         "agg_market_basket",
+        # + CUPED variance-reduced experiment readout (exact HUGEINT
+        # sufficient stats; doubles derived by identical IEEE trees)
+        "agg_cuped_readout",
     ],
     "suite_agg_b": [
         "agg_bit_bool",
