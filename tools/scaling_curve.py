@@ -80,13 +80,28 @@ def main() -> None:
     from xorq_spark.session import connect
     from xorq_spark.queries import QUERIES
 
-    spark = connect(app_name="xorq_spark_scaling")
+    # same measurement hardening as bench.py: explicit driver heap
+    # (default is a 1 GiB JVM that fails broadcast builds late in long
+    # runs) + drop localCheckpoint RDD blocks between cells
+    spark = connect(
+        app_name="xorq_spark_scaling",
+        extra_conf={"spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "24g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # same warm-up policy as bench.py
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.range(64).repartition(32).mapInPandas(
         lambda it: (pdf for pdf in it), "id long"
     ).write.mode("overwrite").format("noop").save()
+
+    def unpersist_rdds():
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass
 
     times: dict = {}
     for sf in SFS:
@@ -98,6 +113,7 @@ def main() -> None:
                 QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
+                unpersist_rdds()
             times[(sf, name)] = best
             print(f"{sf.split('/')[-1]:8s} {name:32s} {best:7.3f}s", flush=True)
 
