@@ -579,3 +579,127 @@ def sim_ann_pq(spark, sf_dir):
     return pq_adc_topk(queries, codes, books, k=10).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "sim_pq_recall",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL),
+    unq AS (SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) + 1000000 AS qv
+            FROM emb),
+    sub AS (SELECT vec_id, dim // 8 AS j, dim % 8 AS p, qv FROM unq),
+    cbids AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c
+              FROM (SELECT vec_id FROM emb ORDER BY vec_id LIMIT 16)),
+    cb AS (SELECT cbids.c, s.j, s.p, s.qv AS cw
+           FROM sub s JOIN cbids USING (vec_id)),
+    dj AS (SELECT s.vec_id, s.j, cb.c,
+                  CAST(SUM((s.qv - cb.cw) * (s.qv - cb.cw)) AS BIGINT) AS d
+           FROM sub s JOIN cb ON s.j = cb.j AND s.p = cb.p
+           GROUP BY 1, 2, 3),
+    code AS (SELECT vec_id, j, c AS code FROM (
+               SELECT vec_id, j, c,
+                      row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, c) AS rn
+               FROM dj) WHERE rn = 1),
+    lut AS (SELECT vec_id AS query_id, j, c, d FROM dj WHERE vec_id < 5),
+    score AS (SELECT l.query_id, co.vec_id,
+                     CAST(SUM(l.d) AS BIGINT) AS adc_dist
+              FROM code co JOIN lut l ON l.j = co.j AND l.c = co.code
+              GROUP BY 1, 2),
+    approx AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist, vec_id) AS rank
+                 FROM score) WHERE rank <= 10),
+    exd AS (SELECT a.vec_id AS query_id, b.vec_id,
+                   CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+            FROM unq a JOIN unq b ON a.dim = b.dim
+            WHERE a.vec_id < 5 GROUP BY 1, 2),
+    exact AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY d, vec_id) AS rank
+                FROM exd) WHERE rank <= 10)
+    SELECT e.query_id,
+           COUNT(a.vec_id) AS n_hit,
+           ROUND(COUNT(a.vec_id) / 10.0, 9) AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def sim_pq_recall(spark, sf_dir):
+    """Recall@10 of PQ ADC scoring vs exact integer L2 over the SAME
+    quantized values — the quantization-loss go/no-go metric before
+    trusting m-byte codes on the full corpus (mirrors what
+    sim_ann_lsh_recall does for the hyperplane index and
+    dedup_lsh_eval for MinHash banding). Both arms run distributed:
+    exact = broadcast-queries x quantized-corpus scan with int64
+    squared L2; approx = the full codebook/encode/ADC pipeline. The
+    oracle replays BOTH arms and the top-10 set intersection."""
+    from pyspark.sql import Window
+
+    from xorq_spark.functions.clustering import _quantize_shift
+    from xorq_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = widen(t(spark, sf_dir, "embeddings")).where(
+        F.col("embedding").isNotNull()
+    )
+    books = pq_codebooks(emb, m=8, ksub=16)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = pq_adc_topk(queries, codes, books, k=10).select(
+        F.col("query_id").alias("a_qid"), F.col("vec_id").alias("a_vid")
+    )
+    qn = emb.select(
+        "vec_id", _quantize_shift(F.col("embedding"), 1000000).alias("qv")
+    )
+    qq = qn.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    dist = F.aggregate(
+        F.zip_with("qq", "qv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    exd = qn.crossJoin(F.broadcast(qq)).select(
+        "query_id", "vec_id", dist.alias("d")
+    )
+    exact = (
+        exd.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d", "vec_id")
+            ),
+        )
+        .where(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_qid"))
+            & (F.col("vec_id") == F.col("a_vid")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count("a_vid").alias("n_hit"),
+            F.round(F.count("a_vid") / F.lit(10.0), 9).alias(
+                "recall_at_10"
+            ),
+        )
+        .orderBy("query_id")
+    )

@@ -376,6 +376,9 @@ SUITES: dict[str, list[str]] = {
         # + product quantization ADC top-k (the FAISS IVF-PQ memory
         # tier: m-byte codes at rest, lookup-table scoring)
         "sim_ann_pq_topk",
+        # + PQ recall@10 vs exact integer L2 (quantization-loss gate;
+        # both arms replayed by the oracle)
+        "sim_pq_recall",
     ],
     "suite_ml": [
         "ml_train_test_split",
