@@ -30,7 +30,11 @@ def main():
     from xorq_spark.queries import ORACLES, QUERIES
     from xorq_spark.session import connect
 
-    spark = connect(app_name="xorq_spark_compare")
+    spark = connect(
+        app_name="xorq_spark_compare",
+        extra_conf={"spark.driver.memory": os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "24g")},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     # Same warm-up as bench.py: codegen paths + the Python worker pool.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -44,6 +48,15 @@ def main():
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
+    def unpersist_rdds():
+        # localCheckpoint blocks accumulate across queries otherwise
+        try:
+            it = spark.sparkContext._jsc.sc().getPersistentRDDs().iterator()
+            while it.hasNext():
+                it.next()._2().unpersist(False)
+        except Exception:
+            pass
+
     rows = []
     for name in HEADLINE:
         s_best = d_best = None
@@ -52,6 +65,7 @@ def main():
             QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
             dt = time.perf_counter() - t0
             s_best = dt if s_best is None else min(s_best, dt)
+            unpersist_rdds()
         if name in ORACLES:
             for _ in range(2):
                 t0 = time.perf_counter()

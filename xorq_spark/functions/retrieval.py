@@ -280,7 +280,16 @@ def mmr_rerank(
     v = vectors.select(
         F.col(vec_id_col).alias(i), F.col(vec_col).alias("__e")
     )
-    c0 = rel.join(v, i).select(q, i, "__rel", "__e")
+    # The candidate frame is tiny (queries x top-k) but its LINEAGE is
+    # the whole retrieval pipeline; without cutting it here, every
+    # unrolled round re-plans that pipeline and the final plan grows
+    # super-linearly in `rounds` (measured: ~30 s of pure planning for
+    # 12 output rows). Eager checkpoint = the pagerank/CC precedent.
+    c0 = (
+        rel.join(v, i)
+        .select(q, i, "__rel", "__e")
+        .localCheckpoint(eager=True)
+    )
 
     rn1 = F.row_number().over(
         Window.partitionBy(q).orderBy(F.desc("__rel"), F.col(i))
@@ -295,10 +304,10 @@ def mmr_rerank(
         )
     )
     for r in range(2, int(rounds) + 1):
-        rem = c0.join(sel.select(q, i), [q, i], "left_anti")
+        rem = c0.join(F.broadcast(sel.select(q, i)), [q, i], "left_anti")
         ms = (
             rem.join(
-                sel.select(q, F.col("__e").alias("__se")), q
+                F.broadcast(sel.select(q, F.col("__e").alias("__se"))), q
             )
             .groupBy(q, i)
             .agg(
@@ -310,7 +319,7 @@ def mmr_rerank(
             )
         )
         pick = (
-            rem.join(ms, [q, i])
+            rem.join(F.broadcast(ms), [q, i])
             .withColumn(
                 "__score", F.round(F.col("__rel") - F.col("__maxsim"), 6)
             )
@@ -329,5 +338,7 @@ def mmr_rerank(
                 F.col("__score").alias("mmr_score"),
             )
         )
-        sel = sel.unionByName(pick)
+        # selected set is <= queries x r rows; checkpointing it keeps
+        # round r+1's plan shallow instead of nesting round r's
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
     return sel.select(q, i, "mmr_rank", "mmr_score")

@@ -655,6 +655,10 @@ def sim_pq_recall(spark, sf_dir):
         F.col("embedding").isNotNull()
     )
     books = pq_codebooks(emb, m=8, ksub=16)
+    if not books:  # empty corpus: no codebook, no recall to measure
+        return spark.createDataFrame(
+            [], "query_id long, n_hit long, recall_at_10 double"
+        )
     codes = pq_encode(emb, books)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
