@@ -66,6 +66,18 @@ def main(sf_dir: str) -> None:
     print("fused-top-10 docs present in BOTH signal rankings:")
     agree.orderBy("query_id").show()
 
+    # diversity pass: MMR over the BM25 candidates with embedding
+    # cosine penalties — near-duplicate passages are pushed out of the
+    # context window even when their relevance is high
+    from xorq_spark.functions.retrieval import mmr_rerank
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mmr = mmr_rerank(
+        bm25.select("query_id", "doc_id", "score_nano"), emb, rounds=4
+    )
+    print("MMR-selected context (rank order = greedy pick order):")
+    mmr.orderBy("query_id", "mmr_rank").show(truncate=False)
+
     spark.stop()
 
 
