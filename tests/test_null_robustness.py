@@ -35,6 +35,12 @@ CHECK = [
     "dedup_dup_ngram_fraction",
     "text_gopher_flags",
     "text_tfidf_topk",
+    # round 5 (cont.): ExactSubstr spans + rewrite, PMI collocations,
+    # length batching (null text must count as 0 tokens identically)
+    "dedup_exact_substring",
+    "dedup_strip_spans",
+    "text_pmi_collocations",
+    "text_length_batching",
 ]
 
 

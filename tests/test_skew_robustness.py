@@ -39,6 +39,11 @@ TEXT_CHECK = [
     "text_line_dedup",
     "dedup_dup_ngram_fraction",
     "text_tfidf_topk",
+    # round 5 (cont.): 60% identical boilerplate = one giant hot gram
+    # digest for the stride-1 span detector — its worst skew case
+    "dedup_exact_substring",
+    "dedup_strip_spans",
+    "text_pmi_collocations",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",

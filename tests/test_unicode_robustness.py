@@ -40,6 +40,12 @@ CHECK = [
     "dedup_dup_ngram_fraction",
     "text_gopher_flags",
     "text_tfidf_topk",
+    # round 5 (cont.): char-position ops must count code points
+    # identically across engines on mixed-script text
+    "dedup_exact_substring",
+    "dedup_strip_spans",
+    "text_pmi_collocations",
+    "text_length_batching",
 ]
 
 
