@@ -513,3 +513,43 @@ def test_cuped_matches_python_reference(spark):
     raw_gap = abs(out["A"]["mean_y"] - out["B"]["mean_y"])
     adj_gap = abs(out["A"]["adj_mean_y"] - out["B"]["adj_mean_y"])
     assert adj_gap < raw_gap
+
+
+def test_twap_matches_hand_computation(spark):
+    from xorq_spark.functions.timeseries import twap
+
+    rows = [
+        ("k", 1, _ts("2024-01-01 00:00:00"), 10.0),  # holds 60s
+        ("k", 2, _ts("2024-01-01 00:01:00"), 20.0),  # holds 180s
+        ("k", 3, _ts("2024-01-01 00:04:00"), 40.0),  # last: excluded
+    ]
+    df = spark.createDataFrame(rows, "key string, eid long, ts timestamp, value double")
+    r = twap(df, key_col="key", ts_col="ts", value_col="value",
+             order_cols=("eid",)).collect()[0]
+    # twap = (10*60 + 20*180) / 240 = 4200/240 = 17.5 -> 17500 at e3
+    assert r["n_intervals"] == 2
+    assert r["total_us"] == 240 * 10**6
+    assert r["twap_scaled"] == 17500
+
+
+def test_max_concurrency_sweep(spark):
+    from xorq_spark.functions.timeseries import max_concurrency
+
+    base = _ts("2024-01-01 00:00:00")
+    import datetime as dt2
+
+    def at(s):
+        return base + dt2.timedelta(seconds=s)
+
+    # duration 10s: intervals [0,10) [5,15) [9,19) overlap 3-deep at 9;
+    # [20,30) touches nothing; [30,40) starts exactly when [20,30) ends
+    # -> NOT concurrent (half-open)
+    rows = [("k", at(0)), ("k", at(5)), ("k", at(9)),
+            ("k", at(20)), ("k", at(30))]
+    df = spark.createDataFrame(rows, "key string, ts timestamp")
+    r = max_concurrency(df, key_col="key", ts_col="ts",
+                        duration_seconds=10).collect()[0]
+    assert r["max_concurrent"] == 3
+    import calendar
+    base_us = int(base.replace(tzinfo=dt2.timezone.utc).timestamp()) * 10**6
+    assert r["at_us"] == base_us + 9 * 10**6

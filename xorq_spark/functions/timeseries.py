@@ -467,3 +467,108 @@ def sessionize_batch(
     return df.withColumn(
         "session_id", F.sum(is_new).over(w).cast("long")
     )
+
+
+def twap(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = (),
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Time-weighted average (TWAP) per key — the metric that replaces
+    a plain mean when samples arrive irregularly (a value that held for
+    an hour must outweigh one that held for a second): each sample is
+    weighted by the interval until the NEXT sample of the same key;
+    the final sample has no interval and is excluded, the standard
+    left-Riemann convention.
+
+    Integer-exact: values quantize to floor(v*scale + 0.5) (the
+    engine-mirrored rounding), intervals are epoch-microsecond deltas,
+    and the readout sum(v_q * dt) div sum(dt) runs in DECIMAL(38,0) /
+    HUGEINT. One window shuffle keyed on the key.
+
+    Returns (key_col, n_intervals, total_us, twap_scaled).
+    """
+    from pyspark.sql import Window
+
+    order = [ts_col, *order_cols]
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order])
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    d = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .withColumn("__us", us)
+        .withColumn("__vq", F.expr(
+            f"CAST(floor(CAST({value_col} AS DOUBLE) * {int(value_scale)}"
+            " + 0.5) AS BIGINT)"
+        ))
+        .withColumn("__dt", F.lead("__us").over(w) - F.col("__us"))
+        .where(F.col("__dt").isNotNull())
+    )
+    return (
+        d.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            F.sum("__dt").cast("long").alias("total_us"),
+            F.expr(
+                "CAST(sum(CAST(__vq AS DECIMAL(38,0)) * __dt)"
+                " div CAST(sum(CAST(__dt AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+                " AS BIGINT)"
+            ).alias("twap_scaled"),
+        )
+    )
+
+
+def max_concurrency(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    duration_seconds: int = 300,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Peak concurrency per key — how many fixed-duration intervals
+    (event start + `duration_seconds`) overlap at the busiest instant:
+    the capacity-planning readout for sessions, connections, or jobs.
+
+    The classic sweep-line, relational: every interval emits a +1 at
+    its start and a -1 at its half-open end; a running sum ordered by
+    (time, delta, tie-break) — ends sort before starts at the same
+    instant, so touching intervals do NOT count as concurrent — peaks
+    at the answer. One window shuffle keyed on the key; the reported
+    instant is the earliest time attaining the peak (deterministic).
+
+    Returns (key_col, max_concurrent, at_us).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.where(F.col(ts_col).isNotNull()).select(
+        F.col(key_col), us.alias("__s")
+    )
+    dur = int(duration_seconds) * 1_000_000
+    ev = base.select(
+        key_col, F.col("__s").alias("__t"), F.lit(1).alias("__d")
+    ).unionByName(
+        base.select(
+            key_col,
+            (F.col("__s") + dur).alias("__t"),
+            F.lit(-1).alias("__d"),
+        )
+    )
+    w = Window.partitionBy(key_col).orderBy("__t", "__d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = ev.withColumn("__c", F.sum("__d").over(w))
+    mx = run.groupBy(key_col).agg(F.max("__c").alias("max_concurrent"))
+    return (
+        run.join(mx, [key_col])
+        .where(F.col("__c") == F.col("max_concurrent"))
+        .groupBy(key_col, "max_concurrent")
+        .agg(F.min("__t").alias("at_us"))
+        .select(
+            key_col,
+            F.col("max_concurrent").cast("long").alias("max_concurrent"),
+            F.col("at_us").cast("long").alias("at_us"),
+        )
+    )

@@ -190,6 +190,10 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): exact two-sample KS drift (unbinned sup-norm
         # companion of histogram_drift; bounded distinct-cumsum table)
         "time_ks_drift",
+        # + TWAP (interval-weighted mean, HUGEINT rational) and peak
+        # concurrency (sweep-line +1/-1 running sum, half-open ends)
+        "time_twap",
+        "time_max_concurrency",
         # + rolling z-score anomaly detection (pipeline health metric)
         "time_zscore_anomaly",
         # round 5: per-group winsorization (exact type-1 quantile clamp)

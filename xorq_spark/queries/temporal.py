@@ -795,3 +795,84 @@ def time_ks_drift(spark, sf_dir):
     old = ev.where(F.expr("event_id % 2 = 0")).select("value")
     new = ev.where(F.expr("event_id % 2 = 1")).select("value")
     return ks_drift(old, new)
+
+
+@query(
+    "time_twap",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+               AS vq
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    l AS (SELECT event_type, vq,
+                 lead(us) OVER (PARTITION BY event_type
+                   ORDER BY us, event_id) - us AS dt
+          FROM d)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_intervals,
+           CAST(sum(dt) AS BIGINT) AS total_us,
+           CAST(sum(CAST(vq AS HUGEINT) * dt)
+                // CAST(sum(CAST(dt AS HUGEINT)) AS HUGEINT) AS BIGINT)
+             AS twap_scaled
+    FROM l WHERE dt IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def time_twap(spark, sf_dir):
+    """Time-weighted average value per event_type (functions/
+    timeseries.py twap): each sample weighted by its holding interval
+    to the next sample — the irregular-sampling replacement for a
+    plain mean. Values quantize with the engine-mirrored
+    floor(v*1000+0.5); the readout is one DECIMAL(38,0)/HUGEINT
+    rational over microsecond deltas; one window shuffle keyed on the
+    type. The oracle replays intervals, quantization, and the exact
+    division."""
+    from xorq_spark.functions.timeseries import twap
+
+    ev = t(spark, sf_dir, "events")
+    return twap(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        order_cols=("event_id",),
+    ).orderBy("event_type")
+
+
+@query(
+    "time_max_concurrency",
+    oracle="""
+    WITH s AS (SELECT event_type, epoch_us(ts) AS st FROM events
+               WHERE ts IS NOT NULL),
+    ev AS (SELECT event_type, st AS t, 1 AS d FROM s
+           UNION ALL
+           SELECT event_type, st + 300000000, -1 FROM s),
+    run AS (SELECT event_type, t, d,
+                   sum(d) OVER (PARTITION BY event_type
+                     ORDER BY t, d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS c
+            FROM ev),
+    mx AS (SELECT event_type, max(c) AS max_concurrent
+           FROM run GROUP BY event_type)
+    SELECT run.event_type,
+           CAST(mx.max_concurrent AS BIGINT) AS max_concurrent,
+           CAST(min(run.t) AS BIGINT) AS at_us
+    FROM run JOIN mx ON run.event_type = mx.event_type
+                    AND run.c = mx.max_concurrent
+    GROUP BY run.event_type, mx.max_concurrent
+    ORDER BY run.event_type
+    """,
+)
+def time_max_concurrency(spark, sf_dir):
+    """Peak concurrency per event_type (functions/timeseries.py
+    max_concurrency): 5-minute activity intervals swept with the
+    classic +1/-1 running sum — ends sort before starts at the same
+    instant (half-open), so touching intervals don't count as
+    concurrent; the earliest peak instant is reported. One window
+    shuffle keyed on the type. The oracle replays the sweep exactly —
+    an off-by-one at a boundary changes the peak and breaks the
+    hash."""
+    from xorq_spark.functions.timeseries import max_concurrency
+
+    ev = t(spark, sf_dir, "events")
+    return max_concurrency(
+        ev, key_col="event_type", ts_col="ts", duration_seconds=300
+    ).orderBy("event_type")
