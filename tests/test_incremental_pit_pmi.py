@@ -553,3 +553,53 @@ def test_max_concurrency_sweep(spark):
     import calendar
     base_us = int(base.replace(tzinfo=dt2.timezone.utc).timestamp()) * 10**6
     assert r["at_us"] == base_us + 9 * 10**6
+
+
+def test_ohlc_bars_first_last_semantics(spark):
+    from xorq_spark.functions.timeseries import ohlc_bars
+
+    rows = [
+        ("k", 1, _ts("2024-01-01 00:00:05"), 10.0),
+        ("k", 2, _ts("2024-01-01 00:00:05"), 12.0),  # same ts: tie by id
+        ("k", 3, _ts("2024-01-01 10:00:00"), 3.0),
+        ("k", 4, _ts("2024-01-01 23:59:59"), 7.0),
+        ("k", 5, _ts("2024-01-02 00:00:00"), 99.0),  # next bucket
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, eid long, ts timestamp, value double"
+    )
+    out = {r["bucket_us"]: r for r in ohlc_bars(
+        df, key_col="key", ts_col="ts", value_col="value",
+        bucket_seconds=86400, order_cols=("eid",),
+    ).collect()}
+    day1 = min(out)
+    b = out[day1]
+    assert b["open"] == 10.0 and b["close"] == 7.0
+    assert b["high"] == 12.0 and b["low"] == 3.0 and b["n_samples"] == 4
+    day2 = max(out)
+    assert out[day2]["open"] == out[day2]["close"] == 99.0
+
+
+def test_cusum_finds_level_shift(spark):
+    from xorq_spark.functions.timeseries import cusum_changepoint
+
+    import datetime as dt2
+
+    base = _ts("2024-01-01 00:00:00")
+    # 10 samples at 1.0 then 10 at 5.0: changepoint at position 10
+    rows = [
+        ("k", i, base + dt2.timedelta(seconds=i),
+         1.0 if i < 10 else 5.0)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "key string, eid long, ts timestamp, value double"
+    )
+    r = cusum_changepoint(
+        df, key_col="key", ts_col="ts", value_col="value",
+        order_cols=("eid",),
+    ).collect()[0]
+    assert r["n"] == 20
+    assert r["at_pos"] == 10  # deviation peaks at the end of regime 1
+    # replay: S_10 = 10*1000, SN = 10000+50000, D = |20*10000 - 10*60000|
+    assert r["d_num"] == abs(20 * 10000 - 10 * 60000)

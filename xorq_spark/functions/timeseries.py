@@ -572,3 +572,124 @@ def max_concurrency(
             F.col("at_us").cast("long").alias("at_us"),
         )
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket_seconds: int = 86400,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Open-high-low-close bars per key and time bucket — the
+    downsampling shape for any metric stream (finance named it; every
+    dashboard uses it). Open/close are the FIRST/LAST values by
+    (timestamp, tie-break) inside the bucket — computed as min/max over
+    a (time, tie, value) struct, so one combinable aggregate produces
+    the whole bar: no window, no sort, map-side combinable all the way.
+
+    Integer epoch bucketing (floor division on microseconds) matches
+    both engines bit-identically; values stay in their native type.
+
+    Returns (key_col, bucket_us, open, high, low, close, n_samples).
+    """
+    b_us = int(bucket_seconds) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [us.alias("__us")] + [F.col(c) for c in order_cols]
+    tagged = df.where(
+        F.col(ts_col).isNotNull() & F.col(value_col).isNotNull()
+    ).select(
+        F.col(key_col),
+        (F.floor(us / b_us) * b_us).cast("long").alias("bucket_us"),
+        F.struct(*order, F.col(value_col).alias("__v")).alias("__o"),
+        F.col(value_col).alias("__v"),
+    )
+    return tagged.groupBy(key_col, "bucket_us").agg(
+        F.min("__o")["__v"].alias("open"),
+        F.max("__v").alias("high"),
+        F.min("__v").alias("low"),
+        F.max("__o")["__v"].alias("close"),
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: Sequence[str] = (),
+    value_scale: int = 1000,
+) -> DataFrame:
+    """Offline CUSUM changepoint detection per key — where did the
+    level of a metric stream shift? The statistic is the classic
+    max_t |S_t - (t/N)*S_N| (cumulative deviation from the global
+    mean), computed EXACTLY: with quantized values vq, the scaled
+    deviation N*S_t - t*S_N is integer, so argmax and ties
+    (earliest position wins) are engine-deterministic — no float mean
+    ever enters.
+
+    One window shuffle keyed on the key (prefix sums over the
+    (ts, tie) order), a broadcast-sized per-key totals join, and a
+    two-row aggregate for the argmax. D is reported both raw
+    (d_num = max |N*S_t - t*S_N|) and normalized to 1e9
+    (d_e9 = d_num*1e9 div (N*S_N_abs), 0 when the series sums to 0).
+
+    Returns (key_col, n, at_pos, at_us, d_num, d_e9).
+    """
+    from pyspark.sql import Window
+
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    order = [ts_col, *order_cols]
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order])
+    d = (
+        df.where(F.col(ts_col).isNotNull() & F.col(value_col).isNotNull())
+        .withColumn("__us", us)
+        .withColumn("__vq", F.expr(
+            f"CAST(floor(CAST({value_col} AS DOUBLE) * {int(value_scale)}"
+            " + 0.5) AS BIGINT)"
+        ))
+        .withColumn("__t", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "__s",
+            F.sum("__vq").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    tot = d.groupBy(key_col).agg(
+        F.max("__t").alias("__N"), F.sum("__vq").cast("long").alias("__SN")
+    )
+    dev = d.join(tot, key_col).withColumn(
+        "__dev",
+        F.abs(
+            F.expr("CAST(__N AS DECIMAL(38,0)) * __s")
+            - F.expr("CAST(__t AS DECIMAL(38,0)) * __SN")
+        ),
+    )
+    mx = dev.groupBy(key_col, "__N", "__SN").agg(
+        F.max("__dev").alias("__D")
+    )
+    return (
+        dev.join(mx, [key_col, "__N", "__SN"])
+        .where(F.col("__dev") == F.col("__D"))
+        .groupBy(key_col, "__N", "__SN", "__D")
+        .agg(
+            F.min("__t").alias("at_pos"),
+            F.min_by("__us", "__t").alias("__atus"),
+        )
+        .select(
+            key_col,
+            F.col("__N").alias("n"),
+            F.col("at_pos").cast("long").alias("at_pos"),
+            F.col("__atus").cast("long").alias("at_us"),
+            F.col("__D").cast("long").alias("d_num"),
+            F.expr(
+                "CAST(CASE WHEN __SN = 0 THEN 0 ELSE"
+                " CAST(__D AS DECIMAL(38,0)) * 1000000000"
+                " div (CAST(__N AS DECIMAL(38,0)) * abs(__SN)) END"
+                " AS BIGINT)"
+            ).alias("d_e9"),
+        )
+    )

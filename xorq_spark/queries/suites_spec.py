@@ -194,6 +194,10 @@ SUITES: dict[str, list[str]] = {
         # concurrency (sweep-line +1/-1 running sum, half-open ends)
         "time_twap",
         "time_max_concurrency",
+        # + OHLC bars (one combinable struct-min/max aggregate) and
+        # integer-exact CUSUM changepoint (max |N*S_t - t*S_N|)
+        "time_ohlc_bars",
+        "time_cusum_changepoint",
         # + rolling z-score anomaly detection (pipeline health metric)
         "time_zscore_anomaly",
         # round 5: per-group winsorization (exact type-1 quantile clamp)

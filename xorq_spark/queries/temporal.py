@@ -876,3 +876,97 @@ def time_max_concurrency(spark, sf_dir):
     return max_concurrency(
         ev, key_col="event_type", ts_col="ts", duration_seconds=300
     ).orderBy("event_type")
+
+
+@query(
+    "time_ohlc_bars",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (epoch_us(ts) // 86400000000) * 86400000000 AS bucket_us,
+             epoch_us(ts) AS us, event_id, value
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    r AS (SELECT event_type, bucket_us, value,
+                 row_number() OVER (PARTITION BY event_type, bucket_us
+                   ORDER BY us, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, bucket_us
+                   ORDER BY us DESC, event_id DESC) AS rn_d
+          FROM b)
+    SELECT event_type, CAST(bucket_us AS BIGINT) AS bucket_us,
+           min(CASE WHEN rn_a = 1 THEN value END) AS "open",
+           max(value) AS high, min(value) AS low,
+           min(CASE WHEN rn_d = 1 THEN value END) AS "close",
+           CAST(count(*) AS BIGINT) AS n_samples
+    FROM r GROUP BY event_type, bucket_us
+    ORDER BY event_type, bucket_us
+    """,
+)
+def time_ohlc_bars(spark, sf_dir):
+    """Daily OHLC bars per event_type (functions/timeseries.py
+    ohlc_bars): open/close are the first/last values by
+    (timestamp, event_id) inside each integer-bucketed day — computed
+    as min/max over a (time, tie, value) struct, so the whole bar is
+    ONE map-side-combinable aggregate: no window, no sort. The oracle
+    derives open/close with explicit first/last row_numbers, so a
+    tie-break or bucket-boundary slip breaks the hash."""
+    from xorq_spark.functions.timeseries import ohlc_bars
+
+    ev = t(spark, sf_dir, "events")
+    return ohlc_bars(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        bucket_seconds=86400, order_cols=("event_id",),
+    ).orderBy("event_type", "bucket_us")
+
+
+@query(
+    "time_cusum_changepoint",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, epoch_us(ts) AS us, event_id,
+             CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)
+               AS vq
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+    o AS (SELECT event_type, us, vq,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY us, event_id) AS t,
+                 sum(vq) OVER (PARTITION BY event_type
+                   ORDER BY us, event_id ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS s
+          FROM d),
+    tot AS (SELECT event_type, CAST(max(t) AS BIGINT) AS N,
+                   CAST(sum(vq) AS BIGINT) AS SN
+            FROM o GROUP BY event_type),
+    dev AS (SELECT o.event_type, o.t, o.us,
+                   abs(CAST(N AS HUGEINT) * s
+                       - CAST(o.t AS HUGEINT) * SN) AS dv,
+                   N, SN
+            FROM o JOIN tot USING (event_type)),
+    mx AS (SELECT event_type, max(dv) AS D FROM dev GROUP BY event_type)
+    SELECT dev.event_type, CAST(dev.N AS BIGINT) AS n,
+           CAST(min(dev.t) AS BIGINT) AS at_pos,
+           CAST(min_by(dev.us, dev.t) AS BIGINT) AS at_us,
+           CAST(mx.D AS BIGINT) AS d_num,
+           CAST(CASE WHEN dev.SN = 0 THEN 0 ELSE
+                CAST(mx.D AS HUGEINT) * 1000000000
+                // (CAST(dev.N AS HUGEINT) * abs(dev.SN)) END AS BIGINT)
+             AS d_e9
+    FROM dev JOIN mx ON dev.event_type = mx.event_type AND dev.dv = mx.D
+    GROUP BY dev.event_type, dev.N, dev.SN, mx.D
+    ORDER BY dev.event_type
+    """,
+)
+def time_cusum_changepoint(spark, sf_dir):
+    """Offline CUSUM changepoint per event_type (functions/
+    timeseries.py cusum_changepoint): max_t |N*S_t - t*S_N| over the
+    quantized value stream — the level-shift locator with NO float
+    mean anywhere (the deviation is scaled integer, argmax and
+    earliest-tie are engine-deterministic). One key-keyed window for
+    the prefix sums; the oracle replays ordering, prefix sums, the
+    scaled deviation, and both readouts."""
+    from xorq_spark.functions.timeseries import cusum_changepoint
+
+    ev = t(spark, sf_dir, "events")
+    return cusum_changepoint(
+        ev, key_col="event_type", ts_col="ts", value_col="value",
+        order_cols=("event_id",),
+    ).orderBy("event_type")
