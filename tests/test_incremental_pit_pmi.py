@@ -603,3 +603,23 @@ def test_cusum_finds_level_shift(spark):
     assert r["at_pos"] == 10  # deviation peaks at the end of regime 1
     # replay: S_10 = 10*1000, SN = 10000+50000, D = |20*10000 - 10*60000|
     assert r["d_num"] == abs(20 * 10000 - 10 * 60000)
+
+
+def test_lift_table_perfect_and_random_scores(spark):
+    from xorq_spark.ml.metrics import lift_table
+
+    # perfect classifier: 20 rows, top 4 scores are the 4 positives
+    rows = [(100 - i, i < 4, i) for i in range(20)]
+    df = spark.createDataFrame(rows, "s long, y boolean, rid long")
+    out = {r["bucket"]: r for r in lift_table(
+        df, "s", "y", n_buckets=5, order_cols=("rid",)
+    ).collect()}
+    # bucket 1 holds ranks 1-4 = all positives
+    assert out[1]["n"] == 4 and out[1]["n_pos"] == 4
+    assert out[1]["pos_rate_ppm"] == 10**6
+    # lift of bucket 1 = (4 * 20 * 1e6) / (4 * 4) = 5e6 (5x base rate)
+    assert out[1]["cum_lift_ppm"] == 5 * 10**6
+    # final cumulative bucket recovers the base rate (lift 1.0)
+    last = out[max(out)]
+    assert last["cum_n"] == 20 and last["cum_pos"] == 4
+    assert last["cum_lift_ppm"] == 10**6

@@ -208,3 +208,91 @@ def cohens_kappa(df, col_a: str, col_b: str, scale: int = 10**9):
         F.col("chance_weight").cast("long").alias("chance_weight"),
         kappa_e9.cast("long").alias("kappa_e9"),
     )
+
+
+def lift_table(
+    df,
+    score_col: str,
+    label_col: str,
+    n_buckets: int = 10,
+    order_cols=(),
+):
+    """Decile lift / gains table — the business-facing classifier
+    readout (rank by score, cut into buckets, how concentrated are the
+    positives at the top?). Exact integer construction:
+
+      - global score-descending rank WITHOUT a global sort (the
+        quantile_calibrate pattern): distinct-score cumulative offsets
+        + a within-score row_number tied by `order_cols`,
+      - bucket = ceil(rank * n_buckets / N) — exact type-1 cuts, no
+        NTILE row-lottery,
+      - per-bucket and cumulative positives with ppm rates and the
+        cumulative lift (cum_pos * N * 1e6) div (cum_n * P) in
+        DECIMAL(38,0).
+
+    Returns one row per bucket: (bucket, n, n_pos, pos_rate_ppm,
+    cum_n, cum_pos, cum_lift_ppm).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import DataFrame, Window
+
+    k = int(n_buckets)
+    d = df.select(
+        F.col(score_col).alias("__s"),
+        F.col(label_col).cast("boolean").alias("__y"),
+        *[F.col(c) for c in order_cols],
+    ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
+    dv = (
+        d.groupBy("__s")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .withColumn(
+            "__cum",
+            F.sum("__c").over(
+                Window.orderBy(F.desc("__s")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        )
+        .select("__s", (F.col("__cum") - F.col("__c")).alias("__prev"))
+    )
+    wn = Window.partitionBy("__s").orderBy(
+        *[F.col(c) for c in order_cols] if order_cols else [F.lit(1)]
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("long").alias("__N"),
+        F.sum(F.col("__y").cast("long")).cast("long").alias("__P"),
+    )
+    ranked = (
+        d.join(F.broadcast(dv), "__s")
+        .withColumn("__r", F.col("__prev") + F.row_number().over(wn))
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "bucket", F.expr(f"CAST((__r * {k} + __N - 1) div __N AS INT)")
+        )
+    )
+    per = ranked.groupBy("bucket", "__N", "__P").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("__y").cast("long")).cast("long").alias("n_pos"),
+    )
+    wc = Window.partitionBy("__N").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        per.withColumn("cum_n", F.sum("n").over(wc))
+        .withColumn("cum_pos", F.sum("n_pos").over(wc))
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        "n",
+        "n_pos",
+        F.expr("CASE WHEN n = 0 THEN 0 ELSE n_pos * 1000000 div n END")
+        .cast("long")
+        .alias("pos_rate_ppm"),
+        F.col("cum_n").cast("long").alias("cum_n"),
+        F.col("cum_pos").cast("long").alias("cum_pos"),
+        F.expr(
+            "CAST(CASE WHEN cum_n * __P = 0 THEN 0 ELSE"
+            " CAST(cum_pos AS DECIMAL(38,0)) * __N * 1000000"
+            " div (CAST(cum_n AS DECIMAL(38,0)) * __P) END AS BIGINT)"
+        ).alias("cum_lift_ppm"),
+    )

@@ -416,3 +416,62 @@ def ml_quantile_bins(spark, sf_dir):
         )
         .orderBy("l_returnflag", "bin")
     )
+
+
+@query(
+    "ml_metrics_lift",
+    oracle="""
+    WITH d AS (SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS s,
+                      (l_returnflag = 'R') AS y,
+                      l_orderkey AS o, l_linenumber AS ln
+               FROM lineitem),
+    r AS (SELECT y, row_number() OVER (ORDER BY s DESC, o, ln) AS r
+          FROM d),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                 CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS P
+          FROM d),
+    b AS (SELECT y, CAST((r * 10 + N - 1) // N AS BIGINT) AS bucket
+          FROM r, n),
+    per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_pos
+            FROM b GROUP BY bucket),
+    c AS (SELECT bucket, n2, n_pos,
+                 sum(n2) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum_n,
+                 sum(n_pos) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS cum_pos
+          FROM per)
+    SELECT bucket, n2 AS n, n_pos,
+           CAST(CASE WHEN n2 = 0 THEN 0
+                ELSE n_pos * 1000000 // n2 END AS BIGINT) AS pos_rate_ppm,
+           CAST(cum_n AS BIGINT) AS cum_n,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(CASE WHEN cum_n * P = 0 THEN 0 ELSE
+                CAST(cum_pos AS HUGEINT) * N * 1000000
+                // (CAST(cum_n AS HUGEINT) * P) END AS BIGINT)
+             AS cum_lift_ppm
+    FROM c, n ORDER BY bucket
+    """,
+)
+def ml_metrics_lift(spark, sf_dir):
+    """Decile lift / gains table (ml/metrics.py lift_table): rank the
+    corpus by a score (extended price), cut exact type-1 deciles (no
+    NTILE row-lottery), and read positive concentration + cumulative
+    lift in exact ppm integers. The global rank is built WITHOUT a
+    global sort (distinct-score cumulative offsets + within-score
+    row_number, the quantile_calibrate pattern); the oracle derives
+    the same ranks with a literal global window, so the two
+    constructions must agree row-for-row."""
+    from xorq_spark.ml.metrics import lift_table
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr("CAST(l_extendedprice AS DECIMAL(18,2))").alias("s"),
+        (F.col("l_returnflag") == "R").alias("y"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    return lift_table(
+        li, score_col="s", label_col="y", n_buckets=10,
+        order_cols=("l_orderkey", "l_linenumber"),
+    ).orderBy("bucket")

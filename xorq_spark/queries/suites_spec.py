@@ -401,6 +401,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): Cohen's kappa chance-corrected agreement
         # (classifier-vs-gold gate, all-int64 rationals)
         "ml_metrics_kappa",
+        # round 5 (cont.): decile lift/gains table (exact type-1 cuts,
+        # global rank without a global sort)
+        "ml_metrics_lift",
         # + leave-one-out target encoding and exact equal-frequency
         # binning (the distributed-native feature transforms)
         "ml_target_encoding",
