@@ -623,3 +623,32 @@ def test_lift_table_perfect_and_random_scores(spark):
     last = out[max(out)]
     assert last["cum_n"] == 20 and last["cum_pos"] == 4
     assert last["cum_lift_ppm"] == 10**6
+
+
+def test_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from xorq_spark.functions.stats import bootstrap_mean_ci
+
+    rows = [(i % 100, str(i)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "x long, k string")
+    r1 = bootstrap_mean_ci(df, "x", "k", n_resamples=40).collect()[0]
+    r2 = bootstrap_mean_ci(df, "x", "k", n_resamples=40).collect()[0]
+    assert r1 == r2  # pure function of the data: rerun-identical
+    assert r1["n"] == 2000
+    # point mean = 49.5 -> 49_500_000 at e6
+    assert r1["point_mean_e6"] == 49_500_000
+    assert r1["ci_lo_e6"] <= r1["point_mean_e6"] <= r1["ci_hi_e6"]
+    # CI is tight for n=2000 iid uniforms (se ~ 0.65): within ~3 units
+    assert r1["ci_hi_e6"] - r1["ci_lo_e6"] < 5_000_000
+    assert r1["n_resamples"] == 40
+
+
+def test_bootstrap_poisson_weights_distribution(spark):
+    # sanity on the inverse-CDF table: weights over many draws should
+    # average ~1 and hit 0/1/2 with Poisson(1)-ish frequencies
+    from xorq_spark.functions.stats import bootstrap_mean_ci, _POISSON1_CDF_E6
+
+    assert _POISSON1_CDF_E6[0] == 367879  # P(0) = 1/e
+    assert len(_POISSON1_CDF_E6) == 8
+    assert all(
+        a < b for a, b in zip(_POISSON1_CDF_E6, _POISSON1_CDF_E6[1:])
+    )

@@ -379,3 +379,104 @@ def cuped_adjust(
         ),
         F.round(theta, 9).alias("theta"),
     )
+
+
+# Poisson(1) CDF at 1e6 scale: P(X <= k) for k = 0..8. A hash-uniform
+# u in [0, 1e6) maps to weight w = #{thresholds <= u} — the standard
+# inverse-CDF table, truncated at 8 (P(X > 8) < 1e-6, and the
+# truncation is part of the deterministic contract both engines replay)
+_POISSON1_CDF_E6 = (
+    367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990,
+)
+
+
+def bootstrap_mean_ci(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    n_resamples: int = 40,
+    lo_pct: int = 5,
+    hi_pct: int = 95,
+    seed: str = "bs",
+) -> DataFrame:
+    """Deterministic distributed bootstrap CI for a mean — the Poisson
+    bootstrap (Chamandy et al., Google 2012): instead of drawing N rows
+    with replacement (impossible to coordinate across executors), each
+    row enters resample b with weight ~ Poisson(1), which converges to
+    the multinomial bootstrap and needs NO shared state. Here the
+    weights are a PURE FUNCTION of (seed, b, row key) — an md5-uniform
+    driven through the fixed Poisson(1) inverse-CDF table — so the
+    whole procedure is replayable by an external SQL engine and stable
+    across reruns/engines: a certifiable bootstrap.
+
+    Resample means and the CI are exact integer rationals: mean_b =
+    sum(w*x)*1e6 div sum(w); the CI bounds are exact type-1 quantiles
+    of the B resample means (rank ceil(p*B), ties to smaller b).
+    `value_col` must be integer-valued (pre-scale money to cents).
+
+    Scale design: the only data-sized step is the B-fold explode into
+    a map-side-combinable groupBy(b) — the shuffle carries B partial
+    (sum, count) rows per partition; everything after runs on the
+    B-row frame.
+
+    Returns one row: (n, point_mean_e6, ci_lo_e6, ci_hi_e6,
+    n_resamples).
+    """
+    from pyspark.sql import Window
+
+    B = int(n_resamples)
+    thr = ",".join(str(t) for t in _POISSON1_CDF_E6)
+    d = df.select(
+        F.col(value_col).cast("long").alias("__x"),
+        F.col(key_col).cast("string").alias("__k"),
+    ).where(F.col("__x").isNotNull() & F.col("__k").isNotNull())
+    ex = d.select(
+        "__x",
+        "__k",
+        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("__b"),
+    ).withColumn(
+        "__u",
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{seed}|', CAST(__b AS STRING),"
+            f" '|', __k)), 1, 8), 16, 10) AS BIGINT) % 1000000"
+        ),
+    ).withColumn(
+        "__w",
+        F.expr(f"size(filter(array({thr}), t -> __u >= t))").cast("long"),
+    )
+    per_b = ex.groupBy("__b").agg(
+        F.sum(F.col("__w") * F.col("__x")).cast("long").alias("__swx"),
+        F.sum("__w").cast("long").alias("__sw"),
+    ).where(F.col("__sw") > 0)
+    means = per_b.select(
+        "__b",
+        F.expr(
+            "CAST(CAST(__swx AS DECIMAL(38,0)) * 1000000"
+            " div CAST(__sw AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("__m"),
+    )
+    w = Window.orderBy("__m", "__b")
+    ranked = means.withColumn("__r", F.row_number().over(w))
+    bq = means.agg(
+        F.count(F.lit(1)).cast("long").alias("__nB")
+    ).select(
+        "__nB",
+        F.expr(f"({int(lo_pct)} * __nB + 99) div 100").alias("__lo_r"),
+        F.expr(f"({int(hi_pct)} * __nB + 99) div 100").alias("__hi_r"),
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST(CAST(sum(__x) AS DECIMAL(38,0)) * 1000000"
+            " div count(1) AS BIGINT)"
+        ).alias("point_mean_e6"),
+    )
+    picks = ranked.crossJoin(F.broadcast(bq))
+    lo = picks.where(F.col("__r") == F.col("__lo_r")).select(
+        F.col("__m").alias("ci_lo_e6")
+    )
+    hi = picks.where(F.col("__r") == F.col("__hi_r")).select(
+        F.col("__m").alias("ci_hi_e6"),
+        F.col("__nB").alias("n_resamples"),
+    )
+    return stats.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))

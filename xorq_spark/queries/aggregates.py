@@ -1162,3 +1162,69 @@ def agg_cuped_readout(spark, sf_dir):
     return cuped_adjust(li, y_col="y", x_col="x", arm_col="arm").orderBy(
         "arm"
     )
+
+
+@query(
+    "agg_bootstrap_ci",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS x,
+             CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS k
+      FROM lineitem),
+    ex AS (SELECT x, k, unnest(range(1, 41)) AS b FROM d),
+    u AS (SELECT x, b,
+                 ('0x' || substr(md5('bs|' || CAST(b AS VARCHAR) || '|'
+                   || k), 1, 8))::BIGINT % 1000000 AS uu
+          FROM ex),
+    w AS (SELECT x, b,
+                 len(list_filter([367879, 735759, 919699, 981012,
+                                  996340, 999406, 999917, 999990],
+                     t -> uu >= t)) AS w
+          FROM u),
+    per AS (SELECT b, CAST(sum(w * x) AS BIGINT) AS swx,
+                   CAST(sum(w) AS BIGINT) AS sw
+            FROM w GROUP BY b HAVING sum(w) > 0),
+    m AS (SELECT b, CAST(CAST(swx AS HUGEINT) * 1000000
+                         // CAST(sw AS HUGEINT) AS BIGINT) AS mm
+          FROM per),
+    r AS (SELECT mm, row_number() OVER (ORDER BY mm, b) AS rr,
+                 count(*) OVER () AS BB
+          FROM m),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(CAST(sum(x) AS HUGEINT) * 1000000
+                       // count(*) AS BIGINT) AS point_mean_e6
+           FROM d)
+    SELECT st.n, st.point_mean_e6,
+           (SELECT mm FROM r WHERE rr = (5 * BB + 99) // 100)
+             AS ci_lo_e6,
+           (SELECT mm FROM r WHERE rr = (95 * BB + 99) // 100)
+             AS ci_hi_e6,
+           (SELECT CAST(max(BB) AS BIGINT) FROM r) AS n_resamples
+    FROM st
+    """,
+)
+def agg_bootstrap_ci(spark, sf_dir):
+    """Deterministic Poisson bootstrap CI (functions/stats.py
+    bootstrap_mean_ci, Chamandy et al. 2012) for mean quantity cents:
+    40 resamples whose per-row weights are a pure md5 function of
+    (seed, resample, row key) driven through the fixed Poisson(1)
+    inverse-CDF table — the bootstrap an external engine can REPLAY.
+    Resample means and the exact type-1 CI bounds are integer
+    rationals. The only data-sized step is one map-side-combinable
+    B-fold groupBy; everything downstream runs on 40 rows. The oracle
+    recomputes every weight, every resample mean, and both bounds."""
+    from xorq_spark.functions.stats import bootstrap_mean_ci
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+        F.expr(
+            "CAST(l_orderkey * 10 + l_linenumber AS STRING)"
+        ).alias("k"),
+    )
+    return bootstrap_mean_ci(
+        li, value_col="x", key_col="k", n_resamples=40,
+        lo_pct=5, hi_pct=95, seed="bs",
+    )

@@ -168,6 +168,9 @@ SUITES: dict[str, list[str]] = {
         # unions (dashboards update by merging one new sketch, raw
         # data never rescanned; exact counts oracle-pinned)
         "agg_hll_rolling",
+        # + deterministic Poisson bootstrap CI (md5 inverse-CDF
+        # weights — a bootstrap an external engine can replay)
+        "agg_bootstrap_ci",
     ],
     "suite_time_a": [
         "time_trunc_extract",
