@@ -652,3 +652,30 @@ def test_bootstrap_poisson_weights_distribution(spark):
     assert all(
         a < b for a, b in zip(_POISSON1_CDF_E6, _POISSON1_CDF_E6[1:])
     )
+
+
+def test_mann_whitney_matches_scipy_convention(spark):
+    from xorq_spark.functions.stats import mann_whitney_u
+
+    a = [1.0, 2.0, 3.0, 4.0, 10.0]
+    b = [5.0, 6.0, 7.0, 8.0, 9.0, 2.0]  # one tie with a
+    old = spark.createDataFrame([(x,) for x in a], "value double")
+    new = spark.createDataFrame([(x,) for x in b], "value double")
+    r = mann_whitney_u(old, new).collect()[0]
+
+    # python reference with average ranks
+    allv = sorted(a + b)
+    n = len(allv)
+
+    def avg_rank(x):
+        lo = next(i for i, v in enumerate(allv) if v == x) + 1
+        hi = n - next(i for i, v in enumerate(reversed(allv)) if v == x)
+        return (lo + hi) / 2
+
+    ra = sum(avg_rank(x) for x in a)
+    u_a = ra - len(a) * (len(a) + 1) / 2
+    assert r["n_a"] == 5 and r["n_b"] == 6
+    assert r["u2_a"] == int(2 * u_a)
+    assert r["u2_a"] + r["u2_b"] == 2 * len(a) * len(b)
+    # tie group of size 2 (value 2.0): sum t^3 - t = 6
+    assert r["tie_cube_sum"] == 6

@@ -480,3 +480,83 @@ def bootstrap_mean_ci(
         F.col("__nB").alias("n_resamples"),
     )
     return stats.crossJoin(F.broadcast(lo)).crossJoin(F.broadcast(hi))
+
+
+def mann_whitney_u(
+    old: DataFrame,
+    new: DataFrame,
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact Mann-Whitney U (Wilcoxon rank-sum) between two samples —
+    the nonparametric A/B test that needs no normality assumption and,
+    being RANK-based, is exactly computable: with tied ranks expressed
+    as doubled integers (r2 = 2*prev_cum + c + 1 per distinct value,
+    straight off the distinct-value cumulative table — no per-row
+    window, no float average rank), the doubled statistic
+
+        2*U_A = sum over values of nA(v) * r2(v)  -  nA*(nA+1)
+
+    is integer and engine-exact, as are the tie-correction sums. The
+    normal-approximation z is an IEEE double derived from those
+    integers by an identical expression tree (rounded 9) — the CUPED
+    convention.
+
+    Scale design: both samples reduce to ONE distinct-value count
+    table (bounded by the value domain); the rank window runs over
+    that bounded table; one single-row aggregate finishes.
+
+    Returns one row: (n_a, n_b, u2_a, u2_b, tie_cube_sum, z).
+    """
+    from pyspark.sql import Window
+
+    u = old.select(
+        F.col(value_col).alias("v"), F.lit(1).alias("__a")
+    ).unionByName(
+        new.select(F.col(value_col).alias("v"), F.lit(0).alias("__a"))
+    ).where(F.col("v").isNotNull())
+    dv = u.groupBy("v").agg(
+        F.sum("__a").cast("long").alias("ca"),
+        F.sum(1 - F.col("__a")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = dv.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        (
+            F.sum(F.col("ca") + F.col("cb")).over(w)
+            - (F.col("ca") + F.col("cb"))
+        ).alias("prev"),
+    )
+    agg = c.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
+        F.sum(
+            F.col("ca") * (2 * F.col("prev") + F.col("t") + 1)
+        ).cast("long").alias("__ra2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("long")
+        .alias("tie_cube_sum"),
+    )
+    u2a = F.col("__ra2") - F.col("n_a") * (F.col("n_a") + 1)
+    u2b = (
+        2 * F.col("n_a") * F.col("n_b") - u2a
+    )
+    n = (F.col("n_a") + F.col("n_b")).cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ties = F.col("tie_cube_sum").cast("double")
+    var = (
+        na * nb / 12.0
+        * ((n + 1.0) - ties / (n * (n - 1.0)))
+    )
+    z = (u2a.cast("double") - na * nb) / (2.0 * F.sqrt(var))
+    return agg.select(
+        "n_a",
+        "n_b",
+        u2a.cast("long").alias("u2_a"),
+        u2b.cast("long").alias("u2_b"),
+        "tie_cube_sum",
+        F.round(z, 9).alias("z"),
+    )

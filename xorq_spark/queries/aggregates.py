@@ -1228,3 +1228,54 @@ def agg_bootstrap_ci(spark, sf_dir):
         li, value_col="x", key_col="k", n_resamples=40,
         lo_pct=5, hi_pct=95, seed="bs",
     )
+
+
+@query(
+    "agg_mann_whitney",
+    oracle="""
+    WITH s AS (SELECT value AS v,
+                      CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END AS a
+               FROM events WHERE value IS NOT NULL),
+    dv AS (SELECT v, CAST(sum(a) AS BIGINT) AS ca,
+                  CAST(sum(1 - a) AS BIGINT) AS cb
+           FROM s GROUP BY v),
+    c AS (SELECT ca, cb, ca + cb AS t,
+                 sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) - (ca + cb) AS prev
+          FROM dv),
+    g AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+                 CAST(sum(cb) AS BIGINT) AS n_b,
+                 CAST(sum(ca * (2 * prev + t + 1)) AS BIGINT) AS ra2,
+                 CAST(sum(t * t * t - t) AS BIGINT) AS tie_cube_sum
+          FROM c)
+    SELECT n_a, n_b,
+           CAST(ra2 - n_a * (n_a + 1) AS BIGINT) AS u2_a,
+           CAST(2 * n_a * n_b - (ra2 - n_a * (n_a + 1)) AS BIGINT)
+             AS u2_b,
+           tie_cube_sum,
+           ROUND((CAST(ra2 - n_a * (n_a + 1) AS DOUBLE)
+                  - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                 / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    / 12.0
+                    * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                       - CAST(tie_cube_sum AS DOUBLE)
+                         / (CAST(n_a + n_b AS DOUBLE)
+                            * (CAST(n_a + n_b AS DOUBLE) - 1.0))))), 9)
+             AS z
+    FROM g
+    """,
+)
+def agg_mann_whitney(spark, sf_dir):
+    """Exact Mann-Whitney U between the even- and odd-event metric
+    samples (functions/stats.py mann_whitney_u): tied ranks as doubled
+    integers straight off the bounded distinct-value cumulative table
+    (no per-row window, no float average rank); 2*U and the
+    tie-correction sum are engine-exact integers, and the
+    tie-corrected z is an identical IEEE expression tree rounded 9.
+    The oracle replays ranks, both U statistics, and z."""
+    from xorq_spark.functions.stats import mann_whitney_u
+
+    ev = t(spark, sf_dir, "events")
+    old = ev.where(F.expr("event_id % 2 = 0")).select("value")
+    new = ev.where(F.expr("event_id % 2 = 1")).select("value")
+    return mann_whitney_u(old, new)

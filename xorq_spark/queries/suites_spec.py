@@ -171,6 +171,9 @@ SUITES: dict[str, list[str]] = {
         # + deterministic Poisson bootstrap CI (md5 inverse-CDF
         # weights — a bootstrap an external engine can replay)
         "agg_bootstrap_ci",
+        # + exact Mann-Whitney U (doubled-integer tied ranks off the
+        # distinct-cumsum table; tie-corrected z as an IEEE tree)
+        "agg_mann_whitney",
     ],
     "suite_time_a": [
         "time_trunc_extract",
