@@ -679,3 +679,32 @@ def test_mann_whitney_matches_scipy_convention(spark):
     assert r["u2_a"] + r["u2_b"] == 2 * len(a) * len(b)
     # tie group of size 2 (value 2.0): sum t^3 - t = 6
     assert r["tie_cube_sum"] == 6
+
+
+def test_spearman_matches_reference(spark):
+    from xorq_spark.functions.stats import spearman_corr
+
+    # perfectly monotone -> rho = 1; reversed -> -1; with ties
+    rows = [(1, 10), (2, 20), (3, 30), (4, 40), (5, 50)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    assert spearman_corr(df, "x", "y").collect()[0]["rho"] == 1.0
+    rev = spark.createDataFrame(
+        [(x, -y) for x, y in rows], "x long, y long"
+    )
+    assert spearman_corr(rev, "x", "y").collect()[0]["rho"] == -1.0
+
+    # tied case against scipy-convention hand computation
+    rows2 = [(1, 2), (2, 2), (3, 1), (4, 5), (5, 4)]
+    df2 = spark.createDataFrame(rows2, "x long, y long")
+    r = spearman_corr(df2, "x", "y").collect()[0]
+    # average ranks: x = 1..5; y = (2.5, 2.5, 1, 5, 4)
+    import math
+    xr = [1, 2, 3, 4, 5]
+    yr = [2.5, 2.5, 1, 5, 4]
+    n = 5
+    mx, my = sum(xr) / n, sum(yr) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xr, yr))
+    den = math.sqrt(sum((a - mx) ** 2 for a in xr)) * math.sqrt(
+        sum((b - my) ** 2 for b in yr)
+    )
+    assert abs(r["rho"] - round(num / den, 9)) < 1e-9

@@ -560,3 +560,72 @@ def mann_whitney_u(
         "tie_cube_sum",
         F.round(z, 9).alias("z"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Exact Spearman rank correlation — Pearson over tied average
+    ranks, with the ranks expressed as doubled integers (r2 =
+    2*prev_cum + c + 1 per distinct value, the mann_whitney_u
+    machinery applied per column): every sufficient statistic
+    (n, sum r2x, sum r2y, sum r2x*r2y, sum r2x^2, sum r2y^2) is an
+    exact DECIMAL(38,0) integer both engines reproduce, and rho is the
+    identical IEEE expression tree over them, rounded 9. The robust
+    monotone-association readout (quality score vs. length, score vs.
+    score) that Pearson's sensitivity to outliers breaks.
+
+    Scale design: each column reduces to its bounded distinct-value
+    cumulative table, broadcast back as an equi-join; one single-row
+    aggregate finishes. No corpus-wide sort anywhere.
+
+    Returns one row: (n, rho).
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
+    ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
+
+    def rank_table(col):
+        w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            d.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .withColumn("__cum", F.sum("__c").over(w))
+            .select(
+                col,
+                (
+                    2 * (F.col("__cum") - F.col("__c")) + F.col("__c") + 1
+                ).cast("long").alias(f"__r{col}"),
+            )
+        )
+    rx = rank_table("__x")
+    ry = rank_table("__y")
+    j = d.join(F.broadcast(rx), "__x").join(F.broadcast(ry), "__y")
+    g = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CAST(__r__x AS DECIMAL(38,0))")).alias("__sx"),
+        F.sum(F.expr("CAST(__r__y AS DECIMAL(38,0))")).alias("__sy"),
+        F.sum(
+            F.expr("CAST(__r__x AS DECIMAL(38,0)) * __r__y")
+        ).alias("__sxy"),
+        F.sum(
+            F.expr("CAST(__r__x AS DECIMAL(38,0)) * __r__x")
+        ).alias("__sxx"),
+        F.sum(
+            F.expr("CAST(__r__y AS DECIMAL(38,0)) * __r__y")
+        ).alias("__syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("__sx").cast("double"), F.col("__sy").cast("double")
+    sxy = F.col("__sxy").cast("double")
+    sxx, syy = F.col("__sxx").cast("double"), F.col("__syy").cast("double")
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return g.select("n", F.round(rho, 9).alias("rho"))

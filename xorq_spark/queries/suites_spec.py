@@ -265,6 +265,9 @@ SUITES: dict[str, list[str]] = {
         # + PMI collocations as the integer lift ratio (phrase mining;
         # broadcast unigram lookups, one corpus-sized shuffle)
         "text_pmi_collocations",
+        # + exact Spearman rank correlation (doubled-integer tied
+        # ranks per column; rho as an identical IEEE tree)
+        "text_spearman_len_tokens",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",

@@ -1122,3 +1122,55 @@ def text_length_batching(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return plan_length_batches(docs, batch_size=32).orderBy("doc_id")
+
+
+@query(
+    "text_spearman_len_tokens",
+    oracle=f"""
+    WITH d AS (SELECT n_chars AS x, {_BPE_SQL} AS y FROM documents
+               WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+    rx AS (SELECT x, CAST(2 * (sum(c) OVER (ORDER BY x ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1
+                 AS BIGINT) AS r2x
+           FROM (SELECT x, count(*) AS c FROM d GROUP BY x)),
+    ry AS (SELECT y, CAST(2 * (sum(c) OVER (ORDER BY y ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND CURRENT ROW) - c) + c + 1
+                 AS BIGINT) AS r2y
+           FROM (SELECT y, count(*) AS c FROM d GROUP BY y)),
+    j AS (SELECT r2x, r2y FROM d JOIN rx USING (x) JOIN ry USING (y)),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(r2x AS HUGEINT)) AS HUGEINT) AS sx,
+                 CAST(sum(CAST(r2y AS HUGEINT)) AS HUGEINT) AS sy,
+                 CAST(sum(CAST(r2x AS HUGEINT) * r2y) AS HUGEINT) AS sxy,
+                 CAST(sum(CAST(r2x AS HUGEINT) * r2x) AS HUGEINT) AS sxx,
+                 CAST(sum(CAST(r2y AS HUGEINT) * r2y) AS HUGEINT) AS syy
+          FROM j)
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 9) AS rho
+    FROM g
+    """,
+)
+def text_spearman_len_tokens(spark, sf_dir):
+    """Exact Spearman rank correlation between document length and
+    BPE-ish token count (functions/stats.py spearman_corr): tied
+    average ranks as doubled integers off each column's bounded
+    distinct-value cumulative table, exact DECIMAL(38,0)/HUGEINT
+    sufficient statistics, rho as an identical IEEE tree rounded 9.
+    The monotone-association readout outliers can't break. The oracle
+    replays both rank tables and the full formula."""
+    from xorq_spark.functions.stats import spearman_corr
+    from xorq_spark.functions.text import bpe_token_count
+
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("n_chars").alias("x"),
+        bpe_token_count(F.col("text")).cast("long").alias("y"),
+    )
+    return spearman_corr(docs, "x", "y")
