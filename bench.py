@@ -109,6 +109,10 @@ HEADLINE = [
     # + MMR diversity re-ranking (retrieval tier complete:
     # BM25 -> RRF -> MMR)
     "text_mmr_rerank",
+    # + deterministic Poisson bootstrap (the B-fold combinable
+    # explode shape) and ExactSubstr corpus rewrite
+    "agg_bootstrap_ci",
+    "dedup_strip_spans",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

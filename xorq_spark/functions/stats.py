@@ -425,7 +425,12 @@ def bootstrap_mean_ci(
     from pyspark.sql import Window
 
     B = int(n_resamples)
-    thr = ",".join(str(t) for t in _POISSON1_CDF_E6)
+    # weight = #{CDF thresholds <= u} as a codegen'd CASE chain — the
+    # equivalent filter() HOF evaluates interpreted under the
+    # aggregation and costs ~11x (measured 27.5s vs 2.4s at sf0.01)
+    w_case = "CASE " + " ".join(
+        f"WHEN __u < {t} THEN {i}" for i, t in enumerate(_POISSON1_CDF_E6)
+    ) + f" ELSE {len(_POISSON1_CDF_E6)} END"
     d = df.select(
         F.col(value_col).cast("long").alias("__x"),
         F.col(key_col).cast("string").alias("__k"),
@@ -440,14 +445,15 @@ def bootstrap_mean_ci(
             f"CAST(conv(substring(md5(concat('{seed}|', CAST(__b AS STRING),"
             f" '|', __k)), 1, 8), 16, 10) AS BIGINT) % 1000000"
         ),
-    ).withColumn(
-        "__w",
-        F.expr(f"size(filter(array({thr}), t -> __u >= t))").cast("long"),
-    )
+    ).withColumn("__w", F.expr(w_case).cast("long"))
+    # The B-row resample frame feeds FOUR downstream branches (ranks,
+    # count, lo pick, hi pick); without cutting lineage here the final
+    # plan embeds the B-fold explode once per branch and the corpus is
+    # hashed 4x (measured). Eager checkpoint = one data pass, ever.
     per_b = ex.groupBy("__b").agg(
         F.sum(F.col("__w") * F.col("__x")).cast("long").alias("__swx"),
         F.sum("__w").cast("long").alias("__sw"),
-    ).where(F.col("__sw") > 0)
+    ).where(F.col("__sw") > 0).localCheckpoint(eager=True)
     means = per_b.select(
         "__b",
         F.expr(
