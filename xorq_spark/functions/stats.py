@@ -435,17 +435,40 @@ def bootstrap_mean_ci(
         F.col(value_col).cast("long").alias("__x"),
         F.col(key_col).cast("string").alias("__k"),
     ).where(F.col("__x").isNotNull() & F.col("__k").isNotNull())
-    ex = d.select(
-        "__x",
-        "__k",
-        F.explode(F.sequence(F.lit(1), F.lit(B))).alias("__b"),
-    ).withColumn(
-        "__u",
-        F.expr(
-            f"CAST(conv(substring(md5(concat('{seed}|', CAST(__b AS STRING),"
-            f" '|', __k)), 1, 8), 16, 10) AS BIGINT) % 1000000"
-        ),
-    ).withColumn("__w", F.expr(w_case).cast("long"))
+    # md5 is the per-row cost at scale, so each digest feeds FOUR
+    # resamples (the 32-hex digest splits into four 8-hex uniforms) —
+    # 4x fewer hashes for the same B, and the slicing is part of the
+    # deterministic contract the oracle replays
+    if B % 4 != 0:
+        raise ValueError("n_resamples must be a multiple of 4")
+    quad = ",".join(
+        f"struct(CAST((__g - 1) * 4 + {j + 1} AS INT) AS b,"
+        f" CAST(conv(substring(__dig, {8 * j + 1}, 8), 16, 10) AS BIGINT)"
+        f" % 1000000 AS u)"
+        for j in range(4)
+    )
+    ex = (
+        d.select(
+            "__x",
+            "__k",
+            F.explode(F.sequence(F.lit(1), F.lit(B // 4))).alias("__g"),
+        )
+        .withColumn(
+            "__dig",
+            F.expr(
+                f"md5(concat('{seed}|', CAST(__g AS STRING), '|', __k))"
+            ),
+        )
+        .select(
+            "__x", F.explode(F.expr(f"array({quad})")).alias("__p")
+        )
+        .select(
+            "__x",
+            F.col("__p.b").alias("__b"),
+            F.col("__p.u").alias("__u"),
+        )
+        .withColumn("__w", F.expr(w_case).cast("long"))
+    )
     # The B-row resample frame feeds FOUR downstream branches (ranks,
     # count, lo pick, hi pick); without cutting lineage here the final
     # plan embeds the B-fold explode once per branch and the corpus is

@@ -1172,11 +1172,15 @@ def agg_cuped_readout(spark, sf_dir):
                AS x,
              CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS k
       FROM lineitem),
-    ex AS (SELECT x, k, unnest(range(1, 41)) AS b FROM d),
-    u AS (SELECT x, b,
-                 ('0x' || substr(md5('bs|' || CAST(b AS VARCHAR) || '|'
-                   || k), 1, 8))::BIGINT % 1000000 AS uu
-          FROM ex),
+    ex AS (SELECT x, k, unnest(range(1, 11)) AS g FROM d),
+    dg AS (SELECT x, g,
+                  md5('bs|' || CAST(g AS VARCHAR) || '|' || k) AS dig
+           FROM ex),
+    ej AS (SELECT x, g, dig, unnest(range(0, 4)) AS j FROM dg),
+    u AS (SELECT x, CAST((g - 1) * 4 + j + 1 AS BIGINT) AS b,
+                 ('0x' || substr(dig, CAST(8 * j + 1 AS INT), 8))::BIGINT
+                   % 1000000 AS uu
+          FROM ej),
     w AS (SELECT x, b,
                  len(list_filter([367879, 735759, 919699, 981012,
                                   996340, 999406, 999917, 999990],
