@@ -182,3 +182,52 @@ def test_cache_flavor_dummy_and_source_snapshot(spark, sf_dir):
     assert snap.to_spark(spark).count() == e.to_spark(spark).count()
     tables = [t.name for t in spark.catalog.listTables() if t.name.startswith("xorq_cache_")]
     assert tables  # materialized into the session catalog
+
+
+# --------------------------------------------------------------------------
+# Spark 4 native Python UDTF surface (udf.table.python)
+# --------------------------------------------------------------------------
+def test_udtf_direct_call_constant_args(spark):
+    import pyspark.sql.functions as F
+
+    from xorq_spark import udf
+
+    @udf.table.python(returns="x bigint, sq bigint")
+    def squares(n):
+        for i in range(n):
+            yield i, i * i
+
+    out = sorted(tuple(r) for r in squares(F.lit(4)).collect())
+    assert out == [(0, 0), (1, 1), (2, 4), (3, 9)]
+
+
+def test_udtf_apply_lateral_keeps_input_columns(spark):
+    from xorq_spark import udf
+
+    @udf.table.python(returns="word string, pos int")
+    def words(s):
+        for i, w in enumerate(s.split()):
+            yield w, i + 1
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma")], "k long, s string"
+    )
+    got = sorted(tuple(r) for r in words.apply(df, "s").collect())
+    assert got == [
+        (1, "alpha beta", "alpha", 1),
+        (1, "alpha beta", "beta", 2),
+        (2, "gamma", "gamma", 1),
+    ]
+
+
+def test_udtf_zero_row_yield_drops_input_row(spark):
+    from xorq_spark import udf
+
+    @udf.table.python(returns="v bigint")
+    def only_even(n):
+        if n % 2 == 0:
+            yield (n,)
+
+    df = spark.createDataFrame([(1,), (2,), (3,), (4,)], "n long")
+    got = sorted(r["v"] for r in only_even.apply(df, "n").collect())
+    assert got == [2, 4]

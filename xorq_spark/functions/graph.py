@@ -425,3 +425,175 @@ def kcore(
         .agg(F.count(F.lit(1)).alias("degree"))
         .select(F.col("s").alias("node"), F.col("degree").cast("long").alias("degree"))
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 3,
+    directed: bool = False,
+) -> DataFrame:
+    """Multi-source BFS hop distances — the reachability / crawl-depth
+    primitive (how many link hops from a trusted seed set is each
+    page?). Returns (node, hops) for every node reachable within
+    ``max_hops`` of any seed (seeds themselves at hops=0).
+
+    Integer-exact by construction (hop counts are small ints), so an
+    external engine certifies every frontier expansion bit-for-bit via
+    the same unrolled recurrence.
+
+    Scale (100 TB graph): each round joins ONLY the current frontier
+    (rows discovered last round) against the edge list — one shuffle
+    keyed on src — then a min-combinable groupBy folds new candidates
+    into the distance frame. Frontier-only joins keep round cost
+    proportional to the expanding wave, not the whole visited set;
+    per-round lazy localCheckpoint truncates lineage exactly as
+    pagerank/label_propagation do.
+
+    ``seeds``: a one-column DataFrame of node ids (any column name).
+    """
+    e0 = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    if not directed:
+        e0 = (
+            e0.select("src", "dst")
+            .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .distinct()
+        )
+    e = e0.localCheckpoint(eager=True)
+    dist = (
+        seeds.select(F.col(seeds.columns[0]).cast("long").alias("node"))
+        .where(F.col("node").isNotNull())
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    # measured-size shuffle width, the pagerank pattern
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    fit = max(1, min(int(old_parts), e.count() // 500_000 + 1))
+    try:
+        spark.conf.set(conf_key, str(fit))
+        for k in range(1, max_hops + 1):
+            frontier = dist.where(F.col("hops") == k - 1)
+            cand = (
+                e.join(
+                    frontier.withColumnRenamed("node", "__f"),
+                    F.col("src") == F.col("__f"),
+                )
+                .select(F.col("dst").alias("node"), F.lit(k).cast("long").alias("hops"))
+            )
+            dist = (
+                dist.union(cand)
+                .groupBy("node")
+                .agg(F.min("hops").alias("hops"))
+                .localCheckpoint(eager=False)
+            )
+    finally:
+        spark.conf.set(conf_key, old_parts)
+    return dist
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Integer-exact HITS (hubs & authorities) over a directed edge
+    list — the link-graph signal that separates *directories* (hubs:
+    pages linking to many good authorities) from *content* (authorities:
+    pages linked from many good hubs); the complement to pagerank's
+    single authority score for crawl curation.
+
+    Recurrence (all int64 / DECIMAL(38,0) arithmetic, mirrored by the
+    SQL oracle; L1 normalization so no float sqrt enters):
+
+        h0(u)  = scale DIV n
+        a_k(v) = sum over edges u->v of h_{k-1}(u), then
+                 a_k(v) <- (a_k(v) * scale) DIV sum(a_k)   [DECIMAL(38,0)]
+        h_k(u) = sum over edges u->v of a_k(v), then L1-normalize same way
+
+    Returns (node, hub_scaled, auth_scaled) in units of 1/scale.
+
+    Scale: each half-iteration is one edges⋈scores shuffle + one
+    combinable groupBy; the normalizer is a single-row aggregate
+    broadcast back (never collected). The widened multiply runs in
+    DECIMAL(38,0) (sum <= scale * max_degree, times scale — exceeds
+    int64, fits decimal128 exactly on both engines)."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_scaled"),
+            F.lit(0).cast("long").alias("auth_scaled"),
+        )
+    spark = edges.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    fit = max(1, min(int(old_parts), e.count() // 500_000 + 1))
+
+    def _l1_normalize(scores, col):
+        tot = scores.agg(F.sum(col).cast("decimal(38,0)").alias("__tot"))
+        return scores.crossJoin(F.broadcast(tot)).select(
+            "node",
+            F.expr(
+                f"CAST((CAST({col} AS DECIMAL(38,0)) * {scale}) DIV __tot AS BIGINT)"
+            ).alias(col),
+        )
+
+    hub = nodes.select("node", F.lit(scale // n).cast("long").alias("h"))
+    auth = None
+    try:
+        spark.conf.set(conf_key, str(fit))
+        for _ in range(iterations):
+            raw_a = (
+                e.join(hub.withColumnRenamed("node", "__u"), F.col("src") == F.col("__u"))
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.sum("h").cast("long").alias("a"))
+            )
+            auth = _l1_normalize(raw_a, "a").localCheckpoint(eager=False)
+            raw_h = (
+                e.join(auth.withColumnRenamed("node", "__v"), F.col("dst") == F.col("__v"))
+                .groupBy(F.col("src").alias("node"))
+                .agg(F.sum("a").cast("long").alias("h"))
+            )
+            hub = _l1_normalize(raw_h, "h").localCheckpoint(eager=False)
+    finally:
+        spark.conf.set(conf_key, old_parts)
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_scaled"),
+            F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_scaled"),
+        )
+    )

@@ -1283,3 +1283,40 @@ def agg_mann_whitney(spark, sf_dir):
     old = ev.where(F.expr("event_id % 2 = 0")).select("value")
     new = ev.where(F.expr("event_id % 2 = 1")).select("value")
     return mann_whitney_u(old, new)
+
+
+@query(
+    "agg_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, CAST(user_id AS DOUBLE)) AS BIGINT) AS n,
+           ROUND(regr_slope(value, CAST(user_id AS DOUBLE)), 6) AS slope,
+           ROUND(regr_intercept(value, CAST(user_id AS DOUBLE)), 6) AS icept,
+           ROUND(regr_r2(value, CAST(user_id AS DOUBLE)), 9) AS r2,
+           ROUND(regr_avgx(value, CAST(user_id AS DOUBLE)), 6) AS avgx,
+           ROUND(regr_avgy(value, CAST(user_id AS DOUBLE)), 6) AS avgy
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_regression(spark, sf_dir):
+    """Per-group OLS via the SQL-standard regr_* aggregate family
+    (slope/intercept/R2/count/avgx/avgy) — the distributed linear-fit
+    path: one combinable aggregate pass (sums + cross-moments), no
+    matrix libraries, no collect. Mirrors the reference's builtin-agg
+    surface (ref expr/udf.py agg.builtin); rounding convention as
+    agg_stats_moments."""
+    y = F.col("value")
+    x = F.col("user_id").cast("double")
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.regr_count(y, x).cast("long").alias("n"),
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("icept"),
+            F.round(F.regr_r2(y, x), 9).alias("r2"),
+            F.round(F.regr_avgx(y, x), 6).alias("avgx"),
+            F.round(F.regr_avgy(y, x), 6).alias("avgy"),
+        )
+        .orderBy("event_type")
+    )

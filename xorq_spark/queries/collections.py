@@ -272,3 +272,52 @@ def coll_json(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "coll_variant_extract",
+    oracle="""
+    WITH j AS (
+      SELECT event_id,
+             '{"u":' || CAST(user_id AS VARCHAR) || ',"t":"' || event_type ||
+             '","tags":[' || CAST(event_id % 5 AS VARCHAR) || ',' ||
+             CAST(user_id % 7 AS VARCHAR) || ']}' AS payload
+      FROM events)
+    SELECT event_id,
+           CAST(json_extract(payload, '$.u') AS BIGINT) AS u,
+           json_extract_string(payload, '$.t') AS t,
+           CAST(json_extract(payload, '$.tags[1]') AS BIGINT) AS tag1,
+           CAST(json_extract(payload, '$.missing') AS BIGINT) AS missing,
+           CAST(json_array_length(json_extract(payload, '$.tags')) AS BIGINT)
+             AS n_tags
+    FROM j ORDER BY event_id
+    """,
+)
+def coll_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT ingestion: parse_json -> variant_get typed path
+    extraction (the open-ended semi-structured column type that
+    replaces string-JSON get_json_object; binary-encoded, so repeated
+    path access skips re-parsing text — the 100 TB telemetry shape).
+    The JSON text is constructed with identical concat on both
+    engines; extraction must agree on typed paths, array indexing,
+    missing-path NULL, and array cardinality."""
+    ev = t(spark, sf_dir, "events")
+    payload = F.concat(
+        F.lit('{"u":'), F.col("user_id").cast("string"),
+        F.lit(',"t":"'), F.col("event_type"),
+        F.lit('","tags":['), (F.col("event_id") % 5).cast("string"),
+        F.lit(","), (F.col("user_id") % 7).cast("string"), F.lit("]}"),
+    )
+    v = F.parse_json(payload)
+    return (
+        ev.select("event_id", v.alias("v"))
+        .select(
+            "event_id",
+            F.variant_get(F.col("v"), "$.u", "bigint").alias("u"),
+            F.variant_get(F.col("v"), "$.t", "string").alias("t"),
+            F.variant_get(F.col("v"), "$.tags[1]", "bigint").alias("tag1"),
+            F.try_variant_get(F.col("v"), "$.missing", "bigint").alias("missing"),
+            F.expr("CAST(array_size(variant_get(v, '$.tags', 'array<variant>')) AS BIGINT)").alias("n_tags"),
+        )
+        .orderBy("event_id")
+    )

@@ -265,3 +265,46 @@ def engine_zorder(spark, sf_dir):
         "event_id",
         z_value([F.col("user_id"), F.col("event_id")], bits=10).alias("zkey"),
     ).orderBy("event_id")
+
+
+@query(
+    "engine_python_udtf",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id,
+             lang || ' ' || source || ' len' || CAST(n_chars % 10 AS VARCHAR)
+               AS tagline
+      FROM documents)
+    SELECT doc_id,
+           unnest(string_split(tagline, ' ')) AS word,
+           CAST(unnest(range(1, len(string_split(tagline, ' ')) + 1))
+                AS BIGINT) AS pos
+    FROM s ORDER BY doc_id, pos
+    """,
+)
+def engine_python_udtf(spark, sf_dir):
+    """Spark 4 native Python UDTF (udf.table.python): a per-row
+    generator expanding each document's tagline into (word, position)
+    rows via a LATERAL table-function join — the imperative flat-map
+    surface (parsers/tokenizers) beside the declarative explode path.
+    Arrow-batched row transfer; the oracle replays the expansion with
+    zip-unnest, so a dropped/reordered yield breaks the hash."""
+    from xorq_spark import udf
+
+    @udf.table.python(returns="word string, pos bigint")
+    def split_words(s):
+        for i, w in enumerate(s.split(" ")):
+            yield w, i + 1
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("lang"), F.lit(" "), F.col("source"), F.lit(" len"),
+            (F.col("n_chars") % 10).cast("string"),
+        ).alias("tagline"),
+    )
+    return (
+        split_words.apply(docs, "tagline")
+        .select("doc_id", "word", "pos")
+        .orderBy("doc_id", "pos")
+    )

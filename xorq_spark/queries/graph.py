@@ -216,3 +216,96 @@ def graph_kcore_prune(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return kcore(edges, rounds=3, k_percentile=(25, 100)).orderBy("node")
+
+
+def _bfs_oracle(max_hops: int = 3, mod: int = 3) -> str:
+    steps = []
+    for k in range(1, max_hops + 1):
+        steps.append(
+            f"""c{k} AS (SELECT e.dst AS node, CAST({k} AS BIGINT) AS hops
+         FROM e JOIN d{k - 1} f ON e.src = f.node WHERE f.hops = {k - 1}),
+d{k} AS (SELECT node, min(hops) AS hops FROM
+         (SELECT * FROM d{k - 1} UNION ALL SELECT * FROM c{k}) GROUP BY node)"""
+        )
+    return f"""
+    WITH e0 AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+                FROM lineitem WHERE l_suppkey <> l_partkey),
+    e AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS hops
+           FROM e0 WHERE src % {mod} = 0),
+    {",".join(steps)}
+    SELECT node, hops FROM d{max_hops} ORDER BY node
+    """
+
+
+@query("graph_bfs_hops", oracle=_bfs_oracle(3, 3))
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS hop distance over the undirected supplier—part
+    link graph from a deterministic seed set (functions/graph.py
+    bfs_hops, 3 hops). Each round joins only the newest frontier to
+    the edge list (one src-keyed shuffle) and folds candidates with a
+    min-combinable groupBy. Integer-exact; the oracle replays every
+    frontier expansion, so one wrong hop or a stale-frontier join
+    breaks the hash."""
+    from xorq_spark.functions.graph import bfs_hops
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).where(F.col("l_suppkey") != F.col("l_partkey"))
+    seeds = edges.select("src").where(F.col("src") % 3 == 0).distinct()
+    return bfs_hops(edges, seeds, max_hops=3, directed=False).orderBy("node")
+
+
+_HITS_SCALE = 10**12
+
+
+def _hits_oracle(iterations: int = 2) -> str:
+    steps = []
+    for k in range(1, iterations + 1):
+        p = f"h{k - 1}"
+        steps.append(
+            f"""ra{k} AS (SELECT e.dst AS node, CAST(sum({p}.h) AS BIGINT) AS a
+          FROM e JOIN {p} ON e.src = {p}.node GROUP BY e.dst),
+ta{k} AS (SELECT CAST(sum(a) AS HUGEINT) AS tot FROM ra{k}),
+a{k} AS (SELECT node, CAST((CAST(a AS HUGEINT) * {_HITS_SCALE}) // tot AS BIGINT) AS a
+         FROM ra{k}, ta{k}),
+rh{k} AS (SELECT e.src AS node, CAST(sum(a{k}.a) AS BIGINT) AS h
+          FROM e JOIN a{k} ON e.dst = a{k}.node GROUP BY e.src),
+th{k} AS (SELECT CAST(sum(h) AS HUGEINT) AS tot FROM rh{k}),
+h{k} AS (SELECT node, CAST((CAST(h AS HUGEINT) * {_HITS_SCALE}) // tot AS BIGINT) AS h
+         FROM rh{k}, th{k})"""
+        )
+    return f"""
+    WITH e AS (SELECT DISTINCT l_suppkey AS src, l_partkey AS dst
+               FROM lineitem WHERE l_suppkey <> l_partkey),
+    nodes AS (SELECT DISTINCT node
+              FROM (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+    meta AS (SELECT count(*) AS n FROM nodes),
+    h0 AS (SELECT node, CAST({_HITS_SCALE} // n AS BIGINT) AS h FROM nodes, meta),
+    {",".join(steps)}
+    SELECT nodes.node,
+           CAST(COALESCE(hh.h, 0) AS BIGINT) AS hub_scaled,
+           CAST(COALESCE(aa.a, 0) AS BIGINT) AS auth_scaled
+    FROM nodes LEFT JOIN h{iterations} hh ON nodes.node = hh.node
+               LEFT JOIN a{iterations} aa ON nodes.node = aa.node
+    ORDER BY nodes.node
+    """
+
+
+@query("graph_hits", oracle=_hits_oracle(2))
+def graph_hits(spark, sf_dir):
+    """Integer-exact HITS hubs & authorities over the directed
+    supplier→part graph (functions/graph.py hits, 2 iterations, L1
+    normalization in DECIMAL(38,0)/HUGEINT — identical truncation on
+    both engines). Each half-iteration is one edges⋈scores shuffle +
+    one combinable groupBy; the normalizer is a broadcast single-row
+    aggregate. The oracle replays both iterations, so one off-by-one
+    in the widened divide breaks the hash."""
+    from xorq_spark.functions.graph import hits
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return hits(edges, iterations=2).orderBy("node")

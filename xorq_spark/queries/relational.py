@@ -566,3 +566,37 @@ def rel_profile_diff(spark, sf_dir):
     return profile_diff(
         old, new, columns=["o_orderstatus", "o_orderpriority", "o_custkey"]
     ).orderBy("column")
+
+
+@query(
+    "rel_pareto_frontier",
+    oracle="""
+    WITH lvl AS (SELECT p_size AS x, max(CAST(p_retailprice AS DOUBLE)) AS y
+                 FROM part GROUP BY p_size)
+    SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+           CAST(p_retailprice AS DOUBLE) AS retail
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lvl q
+      WHERE q.x >= p.p_size AND q.y >= CAST(p.p_retailprice AS DOUBLE)
+        AND (q.x > p.p_size OR q.y > CAST(p.p_retailprice AS DOUBLE)))
+    ORDER BY p_partkey
+    """,
+)
+def rel_pareto_frontier(spark, sf_dir):
+    """2-D Pareto frontier (skyline) of parts maximizing (p_size,
+    p_retailprice) — multi-objective selection without an O(n^2)
+    dominance self-join (operators/skyline.py: distinct-level groupBy
+    + two-level strict-prefix running max + equi-join back; the corpus
+    itself is never sorted or self-joined). The oracle states the
+    DEFINITION — NOT EXISTS a dominating point, checked against the
+    per-x level maxima, which is implementation-independent — so an
+    algorithmic bug in the prefix-max path cannot cancel out."""
+    from xorq_spark.operators.skyline import pareto_frontier_2d
+
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("retail"),
+    )
+    return pareto_frontier_2d(p, "p_size", "retail").orderBy("p_partkey")

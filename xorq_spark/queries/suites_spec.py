@@ -94,6 +94,9 @@ SUITES: dict[str, list[str]] = {
         # + column-profile drift gate (one aggregate pass per side:
         # nulls + exact distincts; ppm deltas on the bounded frame)
         "rel_profile_diff",
+        # + 2-D Pareto frontier (skyline) without the O(n^2) dominance
+        # self-join; oracle is the implementation-independent NOT EXISTS
+        "rel_pareto_frontier",
     ],
     "suite_rel_pivot": [
         "rel_pivot_wider",
@@ -135,6 +138,9 @@ SUITES: dict[str, list[str]] = {
         # + CUPED variance-reduced experiment readout (exact HUGEINT
         # sufficient stats; doubles derived by identical IEEE trees)
         "agg_cuped_readout",
+        # round 5 (cont.): SQL-standard regr_* OLS family (one
+        # combinable cross-moment pass, agg_stats rounding convention)
+        "agg_regression",
     ],
     "suite_agg_b": [
         "agg_bit_bool",
@@ -226,6 +232,9 @@ SUITES: dict[str, list[str]] = {
         "coll_struct_pack_unpack",
         "coll_json_extract",
         "coll_unnest_posexplode",
+        # round 5 (cont.): Spark 4 VARIANT type — parse_json +
+        # variant_get typed paths vs the oracle's JSON extraction
+        "coll_variant_extract",
     ],
     "suite_join_outer": [
         "join_left_outer",
@@ -349,6 +358,11 @@ SUITES: dict[str, list[str]] = {
         "graph_triangle_counts",
         # + fixed-round k-core peeling (p25-quantile-derived threshold)
         "graph_kcore_prune",
+        # round 5 (cont.): multi-source BFS hop distances (frontier-only
+        # joins; crawl-depth-from-seed-set shape) and integer-exact HITS
+        # hubs/authorities (DECIMAL(38,0)/HUGEINT L1 normalization)
+        "graph_bfs_hops",
+        "graph_hits",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
@@ -447,6 +461,9 @@ SUITES: dict[str, list[str]] = {
         "engine_cached_subtree",
         "engine_selectors_across",
         "engine_zorder_keys",
+        # round 5 (cont.): Spark 4 native Python UDTF (lateral
+        # table-function flat-map surface)
+        "engine_python_udtf",
     ],
 }
 

@@ -327,3 +327,58 @@ class agg:
 # backend.py:88): same applyInPandas-over-ordered-partitions lowering,
 # Arrow-batched either way.
 pyarrow_udwf = window_udf
+
+
+# --------------------------------------------------------------------------
+# Python UDTF surface (Spark 4 native table functions)
+# --------------------------------------------------------------------------
+_udtf_counter = itertools.count()
+
+
+class table:
+    """`@udf.table.python(returns=...)`: wrap a per-row generator into a
+    Spark 4 native Python UDTF (arrow-optimized table function — each
+    input row may yield 0..n output rows).
+
+    The decorated function receives the positional column values and
+    yields output tuples matching ``returns`` (Spark DDL). The wrapper
+    exposes:
+
+    - direct call with Columns/literals -> DataFrame (constant-arg
+      table factory), the native Spark UDTF call form;
+    - ``.apply(df, *cols)`` -> DataFrame: runs the UDTF laterally
+      against every row of ``df``, keeping the input columns beside the
+      UDTF output (the flat-map-with-context shape).
+
+    Slow-path caveat (same as udf.scalar.python): rows cross into the
+    Python worker. Prefer built-in explode/inline/posexplode where the
+    expansion is expressible; this surface exists for genuinely
+    imperative row expansions (parsers, tokenizers, samplers).
+    """
+
+    @staticmethod
+    def python(fn=None, *, returns: str, name: Optional[str] = None):
+        def deco(f):
+            from pyspark.sql.functions import udtf as _native_udtf
+
+            body = {"eval": staticmethod(lambda *a: iter(f(*a)))}
+            cls = type(name or f.__name__, (), body)
+            wrapped = _native_udtf(cls, returnType=returns)
+
+            def apply(df: DataFrame, *cols: str) -> DataFrame:
+                spark = df.sparkSession
+                uid = next(_udtf_counter)
+                fname = f"xorq_udtf_{name or f.__name__}_{uid}"
+                view = f"xorq_udtf_in_{uid}"
+                spark.udtf.register(fname, wrapped)
+                df.createOrReplaceTempView(view)
+                args = ", ".join(f"t.{c}" for c in cols)
+                return spark.sql(
+                    f"SELECT t.*, u.* FROM {view} t, LATERAL {fname}({args}) u"
+                )
+
+            wrapped.apply = apply
+            wrapped.fn = f
+            return wrapped
+
+        return deco(fn) if fn is not None else deco
