@@ -309,10 +309,14 @@ def triangle_counts(
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     tri = wedges.join(oc, ["b", "c"]).select("s", "b", "c")
+    # ONE pass over the triangle stream: explode each triangle into its
+    # three corners before the count. (A 3-branch union here would
+    # re-execute the wedge+closure pipeline once per branch — measured
+    # 3x the whole triangle cost at sf0.1 — and checkpointing the
+    # m^(3/2)-sized wedge output is exactly the materialization this
+    # operator is designed to avoid.)
     cnt = (
-        tri.select(F.col("s").alias("node"))
-        .union(tri.select(F.col("b").alias("node")))
-        .union(tri.select(F.col("c").alias("node")))
+        tri.select(F.explode(F.array("s", "b", "c")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )

@@ -403,21 +403,30 @@ def bootstrap_mean_ci(
     bootstrap (Chamandy et al., Google 2012): instead of drawing N rows
     with replacement (impossible to coordinate across executors), each
     row enters resample b with weight ~ Poisson(1), which converges to
-    the multinomial bootstrap and needs NO shared state. Here the
-    weights are a PURE FUNCTION of (seed, b, row key) — an md5-uniform
-    driven through the fixed Poisson(1) inverse-CDF table — so the
-    whole procedure is replayable by an external SQL engine and stable
-    across reruns/engines: a certifiable bootstrap.
+    the multinomial bootstrap and needs NO shared state. The weights
+    are a PURE FUNCTION of (seed, b, row key): ONE md5 digest per row
+    seeds a Carter-Wegman pairwise-independent expansion
+    u_b = (v1 + v2*b) mod (2^31-1) mod 1e6 over the two 32-bit digest
+    halves, driven through the fixed Poisson(1) inverse-CDF table —
+    replayable by an external SQL engine and stable across
+    reruns/engines: a certifiable bootstrap. (Pairwise independence
+    across resamples is what the CW family guarantees; each resample's
+    weight stream is individually iid-uniform.)
 
     Resample means and the CI are exact integer rationals: mean_b =
     sum(w*x)*1e6 div sum(w); the CI bounds are exact type-1 quantiles
     of the B resample means (rank ceil(p*B), ties to smaller b).
     `value_col` must be integer-valued (pre-scale money to cents).
 
-    Scale design: the only data-sized step is the B-fold explode into
-    a map-side-combinable groupBy(b) — the shuffle carries B partial
-    (sum, count) rows per partition; everything after runs on the
-    B-row frame.
+    Scale design: there is NO data-sized shuffle at all — the B
+    weights are codegen'd int64 columns (one md5 + two hex convs per
+    row; the modmul stays in int64 because v < 2^31 and b <= B) folded
+    by one wide aggregate (2B+2 buffers); the map side emits one
+    partial row per partition and everything downstream runs on a
+    single row. (Earlier designs measured at sf0.1: B-fold
+    explode+groupBy 16.8s; per-resample conv() hex parses 23.7s;
+    DECIMAL modmul 33s; this plan ~2s — same statistic class, the
+    uniform stream is the committed contract the oracle replays.)
 
     Returns one row: (n, point_mean_e6, ci_lo_e6, ci_hi_e6,
     n_resamples).
@@ -425,58 +434,55 @@ def bootstrap_mean_ci(
     from pyspark.sql import Window
 
     B = int(n_resamples)
-    # weight = #{CDF thresholds <= u} as a codegen'd CASE chain — the
-    # equivalent filter() HOF evaluates interpreted under the
-    # aggregation and costs ~11x (measured 27.5s vs 2.4s at sf0.01)
-    w_case = "CASE " + " ".join(
-        f"WHEN __u < {t} THEN {i}" for i, t in enumerate(_POISSON1_CDF_E6)
-    ) + f" ELSE {len(_POISSON1_CDF_E6)} END"
+    P31 = (1 << 31) - 1
     d = df.select(
         F.col(value_col).cast("long").alias("__x"),
         F.col(key_col).cast("string").alias("__k"),
     ).where(F.col("__x").isNotNull() & F.col("__k").isNotNull())
-    # md5 is the per-row cost at scale, so each digest feeds FOUR
-    # resamples (the 32-hex digest splits into four 8-hex uniforms) —
-    # 4x fewer hashes for the same B, and the slicing is part of the
-    # deterministic contract the oracle replays
-    if B % 4 != 0:
-        raise ValueError("n_resamples must be a multiple of 4")
-    quad = ",".join(
-        f"struct(CAST((__g - 1) * 4 + {j + 1} AS INT) AS b,"
-        f" CAST(conv(substring(__dig, {8 * j + 1}, 8), 16, 10) AS BIGINT)"
-        f" % 1000000 AS u)"
-        for j in range(4)
+    two = d.select(
+        "__x",
+        F.expr(f"md5(concat('{seed}|', __k))").alias("__dig"),
+    ).select(
+        "__x",
+        F.expr(
+            f"CAST(conv(substring(__dig, 1, 8), 16, 10) AS BIGINT) % {P31}"
+        ).alias("__v1"),
+        F.expr(
+            f"CAST(conv(substring(__dig, 17, 8), 16, 10) AS BIGINT) % {P31}"
+        ).alias("__v2"),
     )
-    ex = (
-        d.select(
-            "__x",
-            "__k",
-            F.explode(F.sequence(F.lit(1), F.lit(B // 4))).alias("__g"),
+    # Weight expressions are INLINED into the aggregate so the whole
+    # uniform -> inverse-CDF -> partial-sum chain lives inside the hash
+    # aggregate's codegen'd update loop. (Materializing 40 weight
+    # columns in a projection first defeats whole-stage codegen —
+    # measured 25s vs 3s at sf0.1 for identical results. The weight is
+    # the branchless #{thresholds <= u}, equal to the CASE-chain
+    # inverse-CDF index.)
+    aggs = [F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("__x").alias("__sx")]
+    for b in range(1, B + 1):
+        u = f"((__v1 + __v2 * {b}) % {P31} % 1000000)"
+        wexpr = "(" + " + ".join(
+            f"CAST({u} >= {t} AS BIGINT)" for t in _POISSON1_CDF_E6
+        ) + ")"
+        aggs.append(
+            F.expr(f"CAST(sum({wexpr} * __x) AS BIGINT)").alias(f"__swx{b}")
         )
-        .withColumn(
-            "__dig",
-            F.expr(
-                f"md5(concat('{seed}|', CAST(__g AS STRING), '|', __k))"
-            ),
-        )
+        aggs.append(F.expr(f"CAST(sum({wexpr}) AS BIGINT)").alias(f"__sw{b}"))
+    wide = two.agg(*aggs).localCheckpoint(eager=True)
+    per_struct = ",".join(
+        f"struct(CAST({b} AS INT) AS b, __swx{b} AS swx, __sw{b} AS sw)"
+        for b in range(1, B + 1)
+    )
+    per_b = (
+        wide.select(F.explode(F.expr(f"array({per_struct})")).alias("__p"))
         .select(
-            "__x", F.explode(F.expr(f"array({quad})")).alias("__p")
-        )
-        .select(
-            "__x",
             F.col("__p.b").alias("__b"),
-            F.col("__p.u").alias("__u"),
+            F.col("__p.swx").alias("__swx"),
+            F.col("__p.sw").alias("__sw"),
         )
-        .withColumn("__w", F.expr(w_case).cast("long"))
+        .where(F.col("__sw") > 0)
     )
-    # The B-row resample frame feeds FOUR downstream branches (ranks,
-    # count, lo pick, hi pick); without cutting lineage here the final
-    # plan embeds the B-fold explode once per branch and the corpus is
-    # hashed 4x (measured). Eager checkpoint = one data pass, ever.
-    per_b = ex.groupBy("__b").agg(
-        F.sum(F.col("__w") * F.col("__x")).cast("long").alias("__swx"),
-        F.sum("__w").cast("long").alias("__sw"),
-    ).where(F.col("__sw") > 0).localCheckpoint(eager=True)
     means = per_b.select(
         "__b",
         F.expr(
@@ -493,11 +499,11 @@ def bootstrap_mean_ci(
         F.expr(f"({int(lo_pct)} * __nB + 99) div 100").alias("__lo_r"),
         F.expr(f"({int(hi_pct)} * __nB + 99) div 100").alias("__hi_r"),
     )
-    stats = d.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
+    stats = wide.select(
+        F.col("__n").alias("n"),
         F.expr(
-            "CAST(CAST(sum(__x) AS DECIMAL(38,0)) * 1000000"
-            " div count(1) AS BIGINT)"
+            "CAST(CAST(__sx AS DECIMAL(38,0)) * 1000000"
+            " div __n AS BIGINT)"
         ).alias("point_mean_e6"),
     )
     picks = ranked.crossJoin(F.broadcast(bq))
@@ -658,3 +664,271 @@ def spearman_corr(
         F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
     )
     return g.select("n", F.round(rho, 9).alias("rho"))
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols=(),
+    qs: dict = None,
+) -> DataFrame:
+    """Exact weighted quantiles — the token-weighted percentile (e.g.
+    "the document length below which half the CORPUS TOKENS lie", not
+    half the documents). ``qs`` maps output column name -> rational
+    (num, den); each quantile is exact weighted type-1: the smallest
+    value whose cumulative weight reaches ceil(q * W) — selected FROM
+    the data with pure integer rank arithmetic (winsorize convention),
+    so every output is engine-exact.
+
+    Scale: one (group, value) map-side-combinable weight sum, one
+    window cumsum over the DISTINCT-value table (bounded by value
+    cardinality, not rows), one bounded per-group output row. The
+    corpus itself never sorts or shuffles.
+    """
+    from pyspark.sql import Window
+
+    qs = qs or {"p50": (1, 2)}
+    gl = list(group_cols)
+    v = F.col(value_col)
+    cnt = (
+        df.where(v.isNotNull() & F.col(weight_col).isNotNull())
+        .groupBy(*gl, value_col)
+        .agg(F.sum(F.col(weight_col).cast("long")).alias("__w"))
+    )
+    w = (
+        Window.partitionBy(*gl) if gl else Window.partitionBy(F.lit(1))
+    ).orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    wg = (
+        Window.partitionBy(*gl) if gl else Window.partitionBy(F.lit(1))
+    ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = cnt.select(
+        *gl, value_col,
+        F.sum("__w").over(w).cast("long").alias("__cum"),
+        F.sum("__w").over(wg).cast("long").alias("__W"),
+    )
+    picks = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.expr(f"({n} * __W + {d} - 1) div {d}"), v
+            )
+        ).alias(name)
+        for name, (n, d) in qs.items()
+    ]
+    out = cum.groupBy(*gl).agg(
+        F.max("__W").alias("total_weight"), *picks
+    )
+    return out
+
+
+# Benford expected first-digit distribution in ppm (log10(1 + 1/d)),
+# precomputed so no float log enters either engine.
+_BENFORD_PPM = {1: 301030, 2: 176091, 3: 124939, 4: 96910,
+                5: 79181, 6: 66947, 7: 57992, 8: 51153, 9: 45757}
+
+
+def benford_deviation(df: DataFrame, amount_col, group_cols=()) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fraud /
+    data-fabrication screen over financial or count columns. Input is
+    an integer amount expression (>0 rows only); the first significant
+    digit comes from the BIGINT string form (identical across
+    engines — no float log10 anywhere).
+
+    Output per (group,) digit 1..9: n, observed ppm, expected Benford
+    ppm, signed deviation ppm, and the digit's chi-square contribution
+    scaled 1e6 ((obs-exp)^2*1e6 DIV exp in HUGEINT/DECIMAL(38,0) —
+    engine-exact). One map-side-combinable groupBy; a 9-rows-per-group
+    digit grid ensures absent digits still report (n=0).
+    """
+    gl = list(group_cols)
+    amt = amount_col if not isinstance(amount_col, str) else F.col(amount_col)
+    base = (
+        df.select(*gl, amt.cast("long").alias("__a"))
+        .where(F.col("__a") > 0)
+        .select(
+            *gl,
+            F.substring(F.col("__a").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+    )
+    counts = base.groupBy(*gl, "digit").agg(F.count(F.lit(1)).alias("__n"))
+    totals = base.groupBy(*gl).agg(F.count(F.lit(1)).alias("__t"))
+    grid = totals.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(1, 10).select(F.col("id").alias("digit"))
+        )
+    )
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items()
+    ) + " END"
+    j = (
+        grid.join(counts, [*gl, "digit"], "left")
+        .select(
+            *gl, "digit",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n"),
+            F.col("__t"),
+            F.expr(exp_case).cast("long").alias("exp_ppm"),
+        )
+        .select(
+            *gl, "digit", "n", "exp_ppm",
+            F.expr("CAST(n * 1000000 div __t AS BIGINT)").alias("obs_ppm"),
+        )
+        .select(
+            *gl, "digit", "n", "obs_ppm", "exp_ppm",
+            (F.col("obs_ppm") - F.col("exp_ppm")).alias("dev_ppm"),
+            F.expr(
+                "CAST(CAST((obs_ppm - exp_ppm) AS DECIMAL(38,0))"
+                " * (obs_ppm - exp_ppm) * 1000000 div exp_ppm AS BIGINT)"
+            ).alias("chi2_contrib_e6"),
+        )
+    )
+    return j
+
+
+# 64 equal-probability Laplace(b=1) inverse-CDF bucket midpoints,
+# scaled 1e6 (computed once offline with Python's math.log; embedded as
+# integer literals so NO runtime float log runs on either engine).
+def _laplace_mid_e6(buckets: int = 64):
+    import math
+
+    out = []
+    for i in range(buckets):
+        u = (i + 0.5) / buckets
+        x = -math.log(2 * (1 - u)) if u >= 0.5 else math.log(2 * u)
+        out.append(round(x * 1_000_000))
+    return out
+
+
+LAPLACE64_E6 = tuple(_laplace_mid_e6(64))
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols,
+    epsilon=(1, 1),
+    sensitivity: int = 1,
+    seed: str = "dp0",
+) -> DataFrame:
+    """Seeded-Laplace noisy group counts — the differential-privacy
+    release MECHANISM (counting query, sensitivity/epsilon calibrated
+    Laplace noise) with DETERMINISTIC noise: the Laplace draw is the
+    inverse CDF of an md5-uniform of (seed, group), quantized to a
+    64-bucket midpoint table precomputed offline (no runtime float
+    log — the bootstrap_mean_ci convention). Deterministic noise is
+    replayable by the oracle and reproducible across reruns; a real DP
+    deployment swaps the seed for fresh randomness per release (noise
+    REUSE across releases voids the privacy accounting — documented,
+    not hidden).
+
+    noise_e6 = LAPLACE64_E6[bucket] * sensitivity * eps_den DIV eps_num
+    noisy_count_e6 = n * 1e6 + noise_e6
+
+    Scale: one combinable groupBy count; md5 runs once per GROUP (not
+    per row)."""
+    num, den = epsilon
+    gl = list(group_cols)
+    case = "CASE __bkt " + " ".join(
+        f"WHEN {i} THEN {m}" for i, m in enumerate(LAPLACE64_E6)
+    ) + " END"
+    key_sql = "concat_ws('|', " + ", ".join(
+        f"CAST({c} AS STRING)" for c in gl
+    ) + ")"
+    return (
+        df.groupBy(*gl)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "__bkt",
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{seed}|', {key_sql})),"
+                " 1, 8), 16, 10) AS BIGINT) % 64"
+            ),
+        )
+        .withColumn("__lap", F.expr(case).cast("long") * sensitivity * den)
+        # sign-decomposed division: Spark DIV truncates toward zero,
+        # DuckDB // floors — they differ on negatives, so divide the
+        # magnitude and reapply the sign (identical on both engines)
+        .withColumn(
+            "noise_e6",
+            F.expr(
+                f"CAST(CASE WHEN __lap < 0 THEN -((-__lap) div {num})"
+                f" ELSE __lap div {num} END AS BIGINT)"
+            ),
+        )
+        .select(
+            *gl, "n", "noise_e6",
+            (F.col("n") * 1_000_000 + F.col("noise_e6")).alias("noisy_count_e6"),
+        )
+    )
+
+
+def gini_hhi(
+    df: DataFrame,
+    value_col: str,
+    group_cols=(),
+) -> DataFrame:
+    """Concentration readout per group over PRE-AGGREGATED entity
+    values (one row per entity, integer value, e.g. revenue cents):
+    the Gini coefficient (inequality of the value distribution) and
+    the Herfindahl-Hirschman index (sum of squared entity shares —
+    the antitrust / vendor-concentration screen).
+
+    Exact and engine-replayable: the Gini rank sum never sorts the
+    entities globally — for each DISTINCT value v with count c and
+    inclusive cumulative count cum (ascending v), the rows with value
+    v occupy ranks (cum-c+1 .. cum), whose sum is c*(2*cum-c+1)/2
+    (tie-safe: any permutation inside a tie block has the same rank
+    sum). With R = sum(v * rank_sum) in DECIMAL(38,0):
+
+        gini_ppm = (2R - (n+1)*S) * 1e6  div  (n * S)
+        hhi_e6   = sum(v^2) * 1e6        div  S^2
+
+    Both are single integer divisions at the end — no float anywhere.
+
+    Scale: one combinable (group, value) count, one window cumsum over
+    the bounded distinct-value table, one bounded per-group output
+    row. Entities never globally sort.
+    """
+    from pyspark.sql import Window
+
+    gl = list(group_cols)
+    v = F.col(value_col)
+    cnt = (
+        df.where(v.isNotNull())
+        .groupBy(*gl, value_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = (
+        Window.partitionBy(*gl) if gl else Window.partitionBy(F.lit(1))
+    ).orderBy(value_col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = cnt.select(
+        *gl, value_col, "__c",
+        F.sum("__c").over(w).cast("long").alias("__cum"),
+    )
+    g = cum.groupBy(*gl).agg(
+        F.sum("__c").cast("long").alias("n_entities"),
+        F.sum(v * F.col("__c")).cast("long").alias("total"),
+        F.sum(
+            F.expr(
+                f"CAST({value_col} AS DECIMAL(38,0)) * __c"
+                " * (2 * __cum - __c + 1)"
+            )
+        ).alias("__2r"),  # = 2*R (c*(2cum-c+1) is always even)
+        F.sum(
+            F.expr(
+                f"CAST({value_col} AS DECIMAL(38,0)) * {value_col} * __c"
+            )
+        ).alias("__sq"),
+    )
+    return g.select(
+        *gl, "n_entities", "total",
+        F.expr(
+            "CAST((__2r - CAST(n_entities + 1 AS DECIMAL(38,0)) * total)"
+            " * 1000000 div (CAST(n_entities AS DECIMAL(38,0)) * total)"
+            " AS BIGINT)"
+        ).alias("gini_ppm"),
+        F.expr(
+            "CAST(__sq * 1000000"
+            " div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
+        ).alias("hhi_e6"),
+    )

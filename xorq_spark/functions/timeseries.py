@@ -693,3 +693,78 @@ def cusum_changepoint(
             ).alias("d_e9"),
         )
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    value_col: str = "value",
+    group_cols: Sequence[str] = (),
+    k: tuple = (3, 1),
+) -> DataFrame:
+    """Robust outlier screen via Median Absolute Deviation — the
+    breakdown-resistant companion of zscore_anomalies (mean/std are
+    themselves dragged by the outliers they're meant to catch; median
+    and MAD have 50% breakdown).
+
+    Exact and engine-replayable: both medians are type-1 (inverse
+    ECDF) picks off distinct-value cumsum tables (winsorize
+    convention) — no interpolation; the deviation |v - med| is a
+    single IEEE subtraction identical on both engines; the flag
+    compares dev * k_den > k_num * mad (k rational, default 3).
+
+    Returns per-group (group..., med, mad, n, n_outliers).
+
+    Scale: two bounded distinct-value cumsum passes + one broadcast
+    medians join; the corpus never globally sorts.
+    """
+    from pyspark.sql import Window
+
+    gl = list(group_cols)
+    k_num, k_den = k
+
+    def _median(frame, col, out):
+        cnt = frame.where(F.col(col).isNotNull()).groupBy(*gl, col).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w = (
+            Window.partitionBy(*gl) if gl else Window.partitionBy(F.lit(1))
+        ).orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        wg = (
+            Window.partitionBy(*gl) if gl else Window.partitionBy(F.lit(1))
+        ).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        cum = cnt.select(
+            *gl, col,
+            F.sum("__c").over(w).cast("long").alias("__cum"),
+            F.sum("__c").over(wg).cast("long").alias("__n"),
+        )
+        return cum.groupBy(*gl).agg(
+            F.min(
+                F.when(F.col("__cum") >= F.expr("(__n + 1) div 2"), F.col(col))
+            ).alias(out)
+        )
+
+    med = _median(df, value_col, "med")
+    dev = (
+        df.where(F.col(value_col).isNotNull())
+        .join(F.broadcast(med), gl) if gl
+        else df.where(F.col(value_col).isNotNull()).crossJoin(F.broadcast(med))
+    )
+    dev = dev.withColumn("__dev", F.abs(F.col(value_col) - F.col("med")))
+    mad = _median(dev, "__dev", "mad")
+    flagged = (
+        dev.join(F.broadcast(mad), gl) if gl
+        else dev.crossJoin(F.broadcast(mad))
+    )
+    return (
+        flagged.groupBy(*gl)
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("__dev") * k_den > F.col("mad") * k_num, 1
+                ).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )

@@ -1172,15 +1172,15 @@ def agg_cuped_readout(spark, sf_dir):
                AS x,
              CAST(l_orderkey * 10 + l_linenumber AS VARCHAR) AS k
       FROM lineitem),
-    ex AS (SELECT x, k, unnest(range(1, 11)) AS g FROM d),
-    dg AS (SELECT x, g,
-                  md5('bs|' || CAST(g AS VARCHAR) || '|' || k) AS dig
-           FROM ex),
-    ej AS (SELECT x, g, dig, unnest(range(0, 4)) AS j FROM dg),
-    u AS (SELECT x, CAST((g - 1) * 4 + j + 1 AS BIGINT) AS b,
-                 ('0x' || substr(dig, CAST(8 * j + 1 AS INT), 8))::BIGINT
-                   % 1000000 AS uu
-          FROM ej),
+    h AS (SELECT x, md5('bs|' || k) AS dig FROM d),
+    v AS (SELECT x,
+                 (('0x' || substr(dig, 1, 8))::BIGINT) % 2147483647 AS v1,
+                 (('0x' || substr(dig, 17, 8))::BIGINT) % 2147483647 AS v2
+          FROM h),
+    ex AS (SELECT x, v1, v2, unnest(range(1, 41)) AS b FROM v),
+    u AS (SELECT x, CAST(b AS BIGINT) AS b,
+                 ((v1 + v2 * b) % 2147483647) % 1000000 AS uu
+          FROM ex),
     w AS (SELECT x, b,
                  len(list_filter([367879, 735759, 919699, 981012,
                                   996340, 999406, 999917, 999990],
@@ -1211,13 +1211,15 @@ def agg_cuped_readout(spark, sf_dir):
 def agg_bootstrap_ci(spark, sf_dir):
     """Deterministic Poisson bootstrap CI (functions/stats.py
     bootstrap_mean_ci, Chamandy et al. 2012) for mean quantity cents:
-    40 resamples whose per-row weights are a pure md5 function of
-    (seed, resample, row key) driven through the fixed Poisson(1)
-    inverse-CDF table — the bootstrap an external engine can REPLAY.
-    Resample means and the exact type-1 CI bounds are integer
-    rationals. The only data-sized step is one map-side-combinable
-    B-fold groupBy; everything downstream runs on 40 rows. The oracle
-    recomputes every weight, every resample mean, and both bounds."""
+    40 resamples whose per-row weights are a pure function of (seed,
+    resample, row key) — one md5 per row seeds a Carter-Wegman
+    pairwise-independent uniform expansion mod 2^31-1, driven through
+    the fixed Poisson(1) inverse-CDF table — the bootstrap an external
+    engine can REPLAY. Resample means and the exact type-1 CI bounds
+    are integer rationals. NO data-sized shuffle anywhere: the B
+    weights fold through one wide codegen'd aggregate; everything
+    downstream runs on 40 rows. The oracle recomputes every weight,
+    every resample mean, and both bounds."""
     from xorq_spark.functions.stats import bootstrap_mean_ci
 
     li = t(spark, sf_dir, "lineitem").select(
@@ -1320,3 +1322,183 @@ def agg_regression(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_weighted_quantiles",
+    oracle="""
+    WITH w AS (SELECT lang, n_chars AS v, doc_id % 7 + 1 AS wt
+               FROM documents WHERE n_chars IS NOT NULL),
+    c AS (SELECT lang, v, CAST(sum(wt) AS BIGINT) AS w FROM w GROUP BY 1, 2),
+    cum AS (SELECT lang, v,
+                   CAST(sum(w) OVER (PARTITION BY lang ORDER BY v) AS BIGINT) AS cum,
+                   CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+            FROM c)
+    SELECT lang,
+           CAST(max(tw) AS BIGINT) AS total_weight,
+           min(CASE WHEN cum >= (1 * tw + 3) // 4 THEN v END) AS p25,
+           min(CASE WHEN cum >= (1 * tw + 1) // 2 THEN v END) AS p50,
+           min(CASE WHEN cum >= (9 * tw + 9) // 10 THEN v END) AS p90
+    FROM cum GROUP BY lang ORDER BY lang
+    """,
+)
+def agg_weighted_quantiles(spark, sf_dir):
+    """Exact token-weighted length percentiles per language
+    (functions/stats.py weighted_quantiles): the quantile of the
+    WEIGHT mass, not the row count — "half the corpus tokens live in
+    documents shorter than X". Type-1 integer rank arithmetic off a
+    distinct-value weight cumsum (bounded by value cardinality); the
+    corpus never sorts."""
+    from xorq_spark.functions.stats import weighted_quantiles
+
+    docs = t(spark, sf_dir, "documents").select(
+        "lang", "n_chars", (F.col("doc_id") % 7 + 1).alias("wt")
+    )
+    return weighted_quantiles(
+        docs, "n_chars", "wt", ["lang"],
+        qs={"p25": (1, 4), "p50": (1, 2), "p90": (9, 10)},
+    ).orderBy("lang")
+
+
+@query(
+    "agg_benford_digits",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+                            1, 1) AS BIGINT) AS digit
+      FROM orders WHERE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+    counts AS (SELECT o_orderpriority, digit, count(*) AS n FROM b GROUP BY 1, 2),
+    tot AS (SELECT o_orderpriority, count(*) AS t FROM b GROUP BY 1),
+    grid AS (SELECT o_orderpriority, t, d.digit
+             FROM tot, (SELECT unnest(range(1, 10)) AS digit) d),
+    j AS (SELECT g.o_orderpriority, g.digit,
+                 CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+                 CAST(COALESCE(c.n, 0) * 1000000 // g.t AS BIGINT) AS obs_ppm,
+                 CAST(CASE g.digit WHEN 1 THEN 301030 WHEN 2 THEN 176091
+                      WHEN 3 THEN 124939 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+                      WHEN 6 THEN 66947 WHEN 7 THEN 57992 WHEN 8 THEN 51153
+                      WHEN 9 THEN 45757 END AS BIGINT) AS exp_ppm
+          FROM grid g LEFT JOIN counts c
+          ON g.o_orderpriority = c.o_orderpriority AND g.digit = c.digit)
+    SELECT o_orderpriority, digit, n, obs_ppm, exp_ppm,
+           obs_ppm - exp_ppm AS dev_ppm,
+           CAST(CAST(obs_ppm - exp_ppm AS HUGEINT) * (obs_ppm - exp_ppm)
+                * 1000000 // exp_ppm AS BIGINT) AS chi2_contrib_e6
+    FROM j ORDER BY o_orderpriority, digit
+    """,
+)
+def agg_benford_digits(spark, sf_dir):
+    """Benford first-digit audit over order totals in cents
+    (functions/stats.py benford_deviation): observed vs expected
+    log-law digit shares in ppm + per-digit chi-square contributions,
+    all integer (the first digit comes from the BIGINT string form —
+    no float log10 on either engine). One combinable groupBy; the
+    9-digit grid keeps absent digits reporting n=0."""
+    from xorq_spark.functions.stats import benford_deviation
+
+    orders = t(spark, sf_dir, "orders")
+    return benford_deviation(
+        orders,
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"),
+        ["o_orderpriority"],
+    ).orderBy("o_orderpriority", "digit")
+
+
+@query(
+    "agg_dp_noisy_counts",
+    oracle=None,  # set below (needs the shared Laplace table)
+)
+def agg_dp_noisy_counts(spark, sf_dir):
+    """Seeded-Laplace DP-mechanism noisy counts per event type
+    (functions/stats.py dp_noisy_counts, epsilon=1/2, sensitivity 1):
+    the counting-query release shape with deterministic md5
+    inverse-CDF noise off a precomputed 64-bucket Laplace midpoint
+    table (no runtime float log on either engine; real deployments
+    swap the seed per release). One combinable groupBy; md5 runs once
+    per group."""
+    from xorq_spark.functions.stats import dp_noisy_counts
+
+    ev = t(spark, sf_dir, "events")
+    return dp_noisy_counts(
+        ev, ["event_type"], epsilon=(1, 2), sensitivity=1, seed="dp0"
+    ).orderBy("event_type")
+
+
+def _dp_oracle() -> str:
+    from xorq_spark.functions.stats import LAPLACE64_E6
+
+    case = "CASE bkt " + " ".join(
+        f"WHEN {i} THEN {m}" for i, m in enumerate(LAPLACE64_E6)
+    ) + " END"
+    return f"""
+    WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+               FROM events GROUP BY event_type),
+    h AS (SELECT event_type, n,
+                 ('0x' || substr(md5('dp0|' || event_type), 1, 8))::BIGINT % 64
+                   AS bkt
+          FROM g),
+    z AS (SELECT event_type, n,
+                 CAST(CASE WHEN ({case}) < 0
+                      THEN -((-(({case}) * 1 * 2)) // 1)
+                      ELSE (({case}) * 1 * 2) // 1 END AS BIGINT) AS noise_e6
+          FROM h)
+    SELECT event_type, n, noise_e6,
+           CAST(n * 1000000 + noise_e6 AS BIGINT) AS noisy_count_e6
+    FROM z ORDER BY event_type
+    """
+
+
+from xorq_spark.queries.base import ORACLES as _OR  # noqa: E402
+
+_OR["agg_dp_noisy_counts"] = _dp_oracle()
+
+
+@query(
+    "agg_gini_hhi",
+    oracle="""
+    WITH e AS (
+      SELECT c.c_mktsegment AS seg, o.o_custkey AS ent,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2),
+    c1 AS (SELECT seg, x, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+    cum AS (SELECT seg, x, c,
+                   CAST(sum(c) OVER (PARTITION BY seg ORDER BY x) AS BIGINT)
+                     AS cum
+            FROM c1),
+    g AS (SELECT seg,
+                 CAST(sum(c) AS BIGINT) AS n_entities,
+                 CAST(sum(x * c) AS BIGINT) AS total,
+                 sum(CAST(x AS HUGEINT) * c * (2 * cum - c + 1)) AS r2,
+                 sum(CAST(x AS HUGEINT) * x * c) AS sq
+          FROM cum GROUP BY seg)
+    SELECT seg, n_entities, total,
+           CAST((r2 - CAST(n_entities + 1 AS HUGEINT) * total) * 1000000
+                // (CAST(n_entities AS HUGEINT) * total) AS BIGINT)
+             AS gini_ppm,
+           CAST(sq * 1000000 // (CAST(total AS HUGEINT) * total) AS BIGINT)
+             AS hhi_e6
+    FROM g ORDER BY seg
+    """,
+)
+def agg_gini_hhi(spark, sf_dir):
+    """Revenue-concentration readout per market segment
+    (functions/stats.py gini_hhi): Gini coefficient of per-customer
+    revenue (cents) and the HHI of customer shares, both exact integer
+    rationals (ppm / 1e-6). The Gini rank sum comes off the
+    distinct-value cumsum table — tie-safe closed form, customers
+    never globally sort."""
+    from xorq_spark.functions.stats import gini_hhi
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("__cents"),
+    )
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    ent = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_custkey").alias("ent"))
+        .agg(F.sum("__cents").cast("long").alias("x"))
+    )
+    return gini_hhi(ent, "x", ["seg"]).orderBy("seg")

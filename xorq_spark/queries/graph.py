@@ -154,14 +154,26 @@ def graph_triangle_counts(spark, sf_dir):
     from xorq_spark.functions.graph import triangle_counts
 
     li = t(spark, sf_dir, "lineitem")
+    # co-purchase pairs via array-side generation (the market_basket
+    # pattern): one groupBy(order) + map-side per-basket pair HOF
+    # replaces the self-join shuffle — identical edge set, one
+    # exchange less, and basket size bounds the expansion
     pe = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
-    edges = pe.alias("a").join(
-        pe.alias("b"),
-        (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
-    ).select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
-    return triangle_counts(edges).orderBy("node")
+    baskets = pe.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                " struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    return triangle_counts(pairs).orderBy("node")
 
 
 _KCORE_ROUND = """

@@ -141,6 +141,12 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): SQL-standard regr_* OLS family (one
         # combinable cross-moment pass, agg_stats rounding convention)
         "agg_regression",
+        # + exact WEIGHT-mass quantiles (type-1 rank arithmetic off a
+        # distinct-value weight cumsum; the corpus never sorts)
+        "agg_weighted_quantiles",
+        # + Benford first-digit audit (integer ppm + chi-square
+        # contributions; first digit from the BIGINT string form)
+        "agg_benford_digits",
     ],
     "suite_agg_b": [
         "agg_bit_bool",
@@ -180,6 +186,9 @@ SUITES: dict[str, list[str]] = {
         # + exact Mann-Whitney U (doubled-integer tied ranks off the
         # distinct-cumsum table; tie-corrected z as an IEEE tree)
         "agg_mann_whitney",
+        # + seeded-Laplace DP-mechanism noisy counts (deterministic
+        # md5 inverse-CDF noise off a precomputed midpoint table)
+        "agg_dp_noisy_counts",
     ],
     "suite_time_a": [
         "time_trunc_extract",
@@ -220,6 +229,12 @@ SUITES: dict[str, list[str]] = {
         # historical-backfill twin; one shuffle serves both windows
         # and the per-session aggregate)
         "time_sessionize",
+        # round 5 (cont.): robust MAD outlier screen (two exact type-1
+        # median picks off distinct-value cumsums; 50% breakdown)
+        "time_mad_outliers",
+        # + journey pattern mining (MATCH_RECOGNIZE-lite: ordered
+        # event-initial string per user + regex motif counts)
+        "time_journey_pattern",
     ],
     "suite_coll_a": [
         "coll_array_basics",

@@ -970,3 +970,106 @@ def time_cusum_changepoint(spark, sf_dir):
         ev, key_col="event_type", ts_col="ts", value_col="value",
         order_cols=("event_id",),
     ).orderBy("event_type")
+
+
+@query(
+    "time_mad_outliers",
+    oracle="""
+    WITH base AS (SELECT event_type, value AS v FROM events
+                  WHERE value IS NOT NULL),
+    c1 AS (SELECT event_type, v, count(*) AS c FROM base GROUP BY 1, 2),
+    cum1 AS (SELECT event_type, v,
+                    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+                         AS BIGINT) AS cum,
+                    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             FROM c1),
+    med AS (SELECT event_type,
+                   min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS med
+            FROM cum1 GROUP BY event_type),
+    dev AS (SELECT b.event_type, b.v, abs(b.v - m.med) AS d, m.med
+            FROM base b JOIN med m USING (event_type)),
+    c2 AS (SELECT event_type, d, count(*) AS c FROM dev GROUP BY 1, 2),
+    cum2 AS (SELECT event_type, d,
+                    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY d)
+                         AS BIGINT) AS cum,
+                    CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             FROM c2),
+    mad AS (SELECT event_type,
+                   min(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad
+            FROM cum2 GROUP BY event_type)
+    SELECT dev.event_type,
+           max(dev.med) AS med,
+           max(mad.mad) AS mad,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN dev.d * 1 > mad.mad * 3 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type ORDER BY dev.event_type
+    """,
+)
+def time_mad_outliers(spark, sf_dir):
+    """Robust MAD outlier screen per event type (functions/timeseries
+    mad_outliers, k=3): median and MAD are exact type-1 picks off
+    distinct-value cumsums (no interpolation, no float rank math); the
+    deviation is one IEEE subtraction. The 50%-breakdown companion to
+    time_zscore_anomaly — the oracle replays both median selections,
+    so an off-by-one rank in either breaks the hash."""
+    from xorq_spark.functions.timeseries import mad_outliers
+
+    ev = t(spark, sf_dir, "events")
+    return mad_outliers(ev, "value", ["event_type"], k=(3, 1)).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "time_journey_pattern",
+    oracle="""
+    WITH s AS (
+      SELECT user_id,
+             string_agg(substring(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS path
+      FROM events GROUP BY user_id)
+    SELECT user_id, path,
+           CAST(length(path) AS BIGINT) AS path_len,
+           CAST(len(regexp_extract_all(path, 'vc*p')) AS BIGINT)
+             AS n_conversions,
+           CAST(len(regexp_extract_all(path, 'e+')) AS BIGINT) AS n_error_runs
+    FROM s ORDER BY user_id
+    """,
+)
+def time_journey_pattern(spark, sf_dir):
+    """Journey pattern mining (MATCH_RECOGNIZE-lite): each user's
+    ordered event-initial string (one groupBy with an order-embedded
+    collect — deterministic (ts, event_id) tie-break), then regex
+    counts of behavioral motifs (view→carts→purchase conversions,
+    error bursts) at scan speed on the bounded per-user string. The
+    sequence-motif shape that sessionize/funnel don't cover: arbitrary
+    regex over the whole ordered history."""
+    ev = t(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts").alias("ts"),
+                        F.col("event_id").alias("eid"),
+                        F.substring("event_type", 1, 1).alias("i"),
+                    )
+                )
+            ),
+            lambda x: x["i"],
+        ),
+        "",
+    )
+    return (
+        ev.groupBy("user_id")
+        .agg(path.alias("path"))
+        .select(
+            "user_id", "path",
+            F.length("path").cast("long").alias("path_len"),
+            F.regexp_count("path", F.lit("vc*p")).cast("long").alias("n_conversions"),
+            F.regexp_count("path", F.lit("e+")).cast("long").alias("n_error_runs"),
+        )
+        .orderBy("user_id")
+    )
