@@ -932,3 +932,118 @@ def gini_hhi(
             " div (CAST(total AS DECIMAL(38,0)) * total) AS BIGINT)"
         ).alias("hhi_e6"),
     )
+
+
+def kaplan_meier_weekly(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    cohort_col: str,
+    order_cols=(),
+    n_weeks: int = 4,
+    churn_gap_days: int = 7,
+) -> DataFrame:
+    """Kaplan-Meier survival curve over user lifetimes, bucketed to
+    weeks — the retention readout with CORRECT censoring handling
+    (users still active at the study end are censored, not counted as
+    churn; naive retention curves conflate the two).
+
+    Lifetimes come from the event log itself: per user, duration =
+    last_ts - first_ts (capped at n_weeks-1 weekly buckets); the churn
+    EVENT is observed iff the user has been silent for
+    ``churn_gap_days`` before the global max timestamp, else the user
+    is censored at their last week. Cohort = the ``cohort_col`` value
+    of the user's FIRST event (deterministic (ts, order_cols)
+    tie-break).
+
+    The survival estimate is the standard KM product limit computed
+    STEP-WISE IN INTEGERS: S_k = S_{k-1} * (n_k - d_k) div n_k in
+    1e-12 units (S_{-1} = 1e12). Each step is one integer
+    multiply-divide — deterministic on any engine at any scale, no
+    float product, no log-space accumulation. Week counts (at-risk /
+    events / censored) are exact.
+
+    Output: one row per (cohort, week): n_at_risk, n_events,
+    n_censored, surv_e12.
+
+    Scale: one combinable per-user aggregate, one tiny per-cohort
+    pivot (n_weeks bounded), explode back to long form. The event log
+    is read once."""
+    from pyspark.sql import Window
+
+    K = int(n_weeks)
+    oc = list(order_cols)
+    w = Window.partitionBy(user_col).orderBy(ts_col, *oc)
+    per_user = (
+        df.select(
+            F.col(user_col).alias("__u"),
+            F.col(ts_col).alias("__ts"),
+            F.col(cohort_col).alias("__coh"),
+            F.row_number().over(w).alias("__rn"),
+        )
+    )
+    firsts = per_user.where(F.col("__rn") == 1).select(
+        "__u", F.col("__coh").alias("cohort"), F.col("__ts").alias("__first")
+    )
+    spans = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.max(ts_col).alias("__last")
+    )
+    gmax = df.agg(F.max(ts_col).alias("__gmax"))
+    u = (
+        firsts.join(spans, "__u")
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            "cohort",
+            F.least(
+                F.expr("datediff(__last, __first) div 7"), F.lit(K - 1)
+            ).cast("int").alias("__wk"),
+            (
+                F.col("__last")
+                <= F.col("__gmax") - F.expr(f"INTERVAL {churn_gap_days} DAYS")
+            ).cast("int").alias("__obs"),
+        )
+    )
+    aggs = []
+    for k in range(K):
+        aggs.append(
+            F.sum(
+                F.when((F.col("__wk") == k) & (F.col("__obs") == 1), 1)
+                .otherwise(0)
+            ).cast("long").alias(f"__d{k}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("__wk") == k) & (F.col("__obs") == 0), 1)
+                .otherwise(0)
+            ).cast("long").alias(f"__c{k}")
+        )
+    wide = u.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("__n"), *aggs
+    )
+    # sequential product limit, nested as integer expressions
+    surv_prev = "1000000000000"
+    cols = []
+    removed = "0"
+    for k in range(K):
+        nk = f"(__n - ({removed}))"
+        sk = (
+            f"CAST(CAST({surv_prev} AS DECIMAL(38,0)) * ({nk} - __d{k})"
+            f" div {nk} AS BIGINT)"
+        )
+        cols.append(
+            f"struct(CAST({k} AS INT) AS week, CAST({nk} AS BIGINT)"
+            f" AS n_at_risk, __d{k} AS n_events, __c{k} AS n_censored,"
+            f" ({sk}) AS surv_e12)"
+        )
+        surv_prev = sk
+        removed = f"{removed} + __d{k} + __c{k}"
+    return (
+        wide.select(
+            "cohort", F.explode(F.expr(f"array({','.join(cols)})")).alias("__s")
+        )
+        .select(
+            "cohort", "__s.week", "__s.n_at_risk", "__s.n_events",
+            "__s.n_censored", "__s.surv_e12",
+        )
+        .where(F.col("n_at_risk") > 0)
+    )

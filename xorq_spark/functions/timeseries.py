@@ -768,3 +768,208 @@ def mad_outliers(
             ).cast("long").alias("n_outliers"),
         )
     )
+
+
+def markov_transitions(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    state_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """First-order Markov transition matrix over per-key ordered state
+    sequences — the journey model behind next-step prediction and
+    funnel leak analysis. Each key's events are ordered by (ts,
+    order_cols); a virtual '^' start state precedes the first event,
+    so row counts include entry probabilities.
+
+    prob_ppm is the exact row-conditional integer rational
+    n * 1e6 div n_from. One lag window (single shuffle on key) + one
+    combinable pair count.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    pairs = df.select(
+        F.coalesce(F.lag(state_col).over(w), F.lit("^")).alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    )
+    cnt = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    from_tot = cnt.groupBy("from_state").agg(F.sum("n").alias("__t"))
+    return (
+        cnt.join(F.broadcast(from_tot), "from_state")
+        .select(
+            "from_state", "to_state", "n",
+            F.expr("CAST(n * 1000000 div __t AS BIGINT)").alias("prob_ppm"),
+        )
+    )
+
+
+def attribution_credit(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    channel_col: str,
+    conversion_state: str,
+    touch_states: Sequence[str],
+    lookback_days: int = 3,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Multi-touch attribution over an event log: every conversion
+    looks back ``lookback_days`` over the same user's touch events and
+    splits credit three ways per channel — first-touch, last-touch,
+    and linear (equal split; integer remainder assigned to the LAST
+    touch so per-conversion credits sum to exactly 1e6 ppm).
+
+    Scale: touches join conversions on the USER equi-key (shuffle
+    hash join; the time band is a residual predicate), so no
+    range-explosion — per-user event counts bound the pair fan-out.
+    One rank window over (conversion, touch order) then a combinable
+    per-channel rollup.
+    """
+    from pyspark.sql import Window
+
+    oc = list(order_cols)
+    conv = df.where(F.col(channel_col) == conversion_state).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__cts"),
+        *[F.col(c).alias(f"__c_{c}") for c in oc],
+    )
+    touch = df.where(F.col(channel_col).isin(*touch_states)).select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__tts"),
+        F.col(channel_col).alias("channel"),
+        *[F.col(c).alias(f"__t_{c}") for c in oc],
+    )
+    j = conv.join(touch, "__u").where(
+        (F.col("__tts") <= F.col("__cts"))
+        & (
+            F.col("__tts")
+            >= F.col("__cts") - F.expr(f"INTERVAL {int(lookback_days)} DAYS")
+        )
+    )
+    cw = Window.partitionBy(
+        "__u", "__cts", *[f"__c_{c}" for c in oc]
+    ).orderBy("__tts", *[f"__t_{c}" for c in oc])
+    r = j.select(
+        "channel",
+        F.row_number().over(cw).alias("__rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("__u", "__cts", *[f"__c_{c}" for c in oc])
+        ).alias("__k"),
+    )
+    share = F.expr("CAST(1000000 div __k AS BIGINT)")
+    last_share = F.expr(
+        "CAST(1000000 - (__k - 1) * (1000000 div __k) AS BIGINT)"
+    )
+    per = r.select(
+        "channel",
+        F.when(F.col("__rk") == 1, 1).otherwise(0).alias("__first"),
+        F.when(F.col("__rk") == F.col("__k"), 1).otherwise(0).alias("__last"),
+        F.when(F.col("__rk") == F.col("__k"), last_share)
+        .otherwise(share)
+        .alias("__lin"),
+    )
+    return per.groupBy("channel").agg(
+        F.sum("__first").cast("long").alias("first_touch"),
+        F.sum("__last").cast("long").alias("last_touch"),
+        F.sum("__lin").cast("long").alias("linear_ppm"),
+    )
+
+
+def rolling_distinct_exact(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """EXACT N-day rolling distinct users per day (WAU-style) without
+    rescanning the window: dedupe to (user, day), take each user's
+    NEXT activity day, and emit the bounded coverage interval
+    [day, min(day + N - 1, next_day - 1)] — a user counts toward day d
+    iff their most recent activity is within the trailing N days, and
+    each (user, day) row owns exactly the days where it IS that most
+    recent activity. The explode is bounded by N (not by data), the
+    rest is one combinable count per day. The exact companion of the
+    HLL-union rolling sketch (agg_hll_rolling): same dashboard, no
+    approximation.
+
+    Returns (day, dau, rolling_users) for every day with >=1 covering
+    user."""
+    from pyspark.sql import Window
+
+    N = int(window_days)
+    ud = df.select(
+        F.col(user_col).alias("__u"),
+        F.to_date(ts_col).alias("__d"),
+    ).distinct()
+    w = Window.partitionBy("__u").orderBy("__d")
+    cov = ud.select(
+        "__u", "__d",
+        F.coalesce(
+            F.date_sub(F.lead("__d").over(w), 1),
+            F.date_add("__d", N - 1),
+        ).alias("__next_cap"),
+    ).select(
+        "__u",
+        F.explode(
+            F.sequence(
+                F.col("__d"),
+                F.least(F.date_add("__d", N - 1), F.col("__next_cap")),
+            )
+        ).alias("day"),
+        F.col("__d").alias("__act"),
+    )
+    return (
+        cov.groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("__act") == F.col("day"), 1).otherwise(0)
+            ).cast("long").alias("dau"),
+            F.count(F.lit(1)).cast("long").alias("rolling_users"),
+        )
+    )
+
+
+def ewma_dyadic(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: Sequence[str] = (),
+    taps: int = 16,
+) -> DataFrame:
+    """Exact exponentially-weighted moving average with alpha = 1/2 as
+    a bounded dyadic FIR filter: weights 2^-1, 2^-2, ..., 2^-(taps-1),
+    2^-(taps-1) (the tail weight doubles so weights sum to EXACTLY 1).
+    The smoothed value is an INTEGER in units of value/2^(taps-1) —
+    ewma_x{2^(taps-1)} = sum_j w_j_scaled * lag_j(value) — so both
+    engines agree digit-for-digit: no float recurrence, no order-
+    dependent accumulation.
+
+    Scale: one window shuffle on the series key; the ``taps`` lag
+    reads share a single sorted frame traversal. Rows without full
+    history are dropped (row_number >= taps)."""
+    from pyspark.sql import Window
+
+    T = int(taps)
+    scale = 1 << (T - 1)
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    v = F.col(value_col).cast("long")
+    terms = [
+        (F.lag(v, j).over(w) * F.lit(scale >> (j + 1) if j < T - 1 else 1))
+        for j in range(T)
+    ]
+    acc = terms[0]
+    for t_ in terms[1:]:
+        acc = acc + t_
+    out = df.select(
+        F.col(key_col),
+        F.col(ts_col),
+        *[F.col(c) for c in order_cols],
+        F.row_number().over(w).alias("__rn"),
+        acc.alias(f"ewma_x{scale}"),
+    )
+    return out.where(F.col("__rn") >= T).drop("__rn")

@@ -678,3 +678,80 @@ def dedup_jaccard_prefix(spark, sf_dir):
         docs, "text", "doc_id", k=3, threshold=(1, 5),
         partition_cols=["lang"],
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_bcubed_eval",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id,
+             lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS pred,
+             md5(lower(text)) AS gold
+      FROM documents),
+    cell AS (SELECT pred, gold, CAST(count(*) AS BIGINT) AS a
+             FROM a GROUP BY 1, 2),
+    bp AS (SELECT pred, CAST(sum(a) AS BIGINT) AS bp FROM cell GROUP BY 1),
+    bg AS (SELECT gold, CAST(sum(a) AS BIGINT) AS bg FROM cell GROUP BY 1),
+    s AS (SELECT CAST(sum(a) AS BIGINT) AS n,
+                 CAST(sum(cell.a * cell.a * 1000000 // bp.bp) AS BIGINT) AS ps,
+                 CAST(sum(cell.a * cell.a * 1000000 // bg.bg) AS BIGINT) AS rs,
+                 CAST(count(DISTINCT cell.pred) AS BIGINT) AS n_pred,
+                 CAST(count(DISTINCT cell.gold) AS BIGINT) AS n_gold
+          FROM cell JOIN bp USING (pred) JOIN bg USING (gold))
+    SELECT n, n_pred, n_gold,
+           CAST(ps // n AS BIGINT) AS precision_ppm,
+           CAST(rs // n AS BIGINT) AS recall_ppm,
+           CAST(CASE WHEN ps // n + rs // n = 0 THEN 0
+                ELSE 2 * (ps // n) * (rs // n) // (ps // n + rs // n)
+                END AS BIGINT) AS f1_ppm
+    FROM s
+    """,
+)
+def dedup_bcubed_eval(spark, sf_dir):
+    """B-cubed extrinsic clustering evaluation — the standard metric
+    for judging a dedup/blocking clustering against gold labels
+    (Bagga & Baldwin 1998; used for entity-resolution QA). Here the
+    PREDICTED clustering is the cheap blocking key (lang,
+    n_chars div 100) and GOLD is exact lowercase-text identity; B^3
+    precision/recall need only the (pred, gold) CELL sizes — for every
+    doc in a cell of size a, P = a/|pred|, R = a/|gold| — so three
+    combinable counts replace any pairwise comparison (pair-counting
+    metrics explode quadratically; B^3 is linear). Per-cell integer
+    ppm with floor division, deterministic on both engines."""
+    docs = t(spark, sf_dir, "documents")
+    a = docs.select(
+        F.concat_ws(
+            "|", "lang", F.expr("CAST(n_chars div 100 AS STRING)")
+        ).alias("pred"),
+        F.md5(F.lower("text")).alias("gold"),
+    )
+    cell = a.groupBy("pred", "gold").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    bp = cell.groupBy("pred").agg(F.sum("a").cast("long").alias("bp"))
+    bg = cell.groupBy("gold").agg(F.sum("a").cast("long").alias("bg"))
+    s = (
+        cell.join(bp, "pred")
+        .join(bg, "gold")
+        .agg(
+            F.sum("a").cast("long").alias("n"),
+            F.expr(
+                "CAST(sum(a * a * 1000000 div bp) AS BIGINT)"
+            ).alias("ps"),
+            F.expr(
+                "CAST(sum(a * a * 1000000 div bg) AS BIGINT)"
+            ).alias("rs"),
+            F.countDistinct("pred").cast("long").alias("n_pred"),
+            F.countDistinct("gold").cast("long").alias("n_gold"),
+        )
+    )
+    return s.select(
+        "n", "n_pred", "n_gold",
+        F.expr("CAST(ps div n AS BIGINT)").alias("precision_ppm"),
+        F.expr("CAST(rs div n AS BIGINT)").alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN ps div n + rs div n = 0 THEN 0"
+            " ELSE 2 * (ps div n) * (rs div n) div (ps div n + rs div n)"
+            " END AS BIGINT)"
+        ).alias("f1_ppm"),
+    )

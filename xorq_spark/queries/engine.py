@@ -308,3 +308,61 @@ def engine_python_udtf(spark, sf_dir):
         .select("doc_id", "word", "pos")
         .orderBy("doc_id", "pos")
     )
+
+
+@query(
+    "engine_zonemap_prune",
+    oracle="""
+    WITH b AS (SELECT CAST(max(l_orderkey) // 4 AS BIGINT) AS lo,
+                      CAST(max(l_orderkey) // 2 AS BIGINT) AS hi
+               FROM lineitem),
+    z AS (SELECT strftime(l_shipdate, '%Y-%m') AS shard,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(min(l_orderkey) AS BIGINT) AS min_key,
+                 CAST(max(l_orderkey) AS BIGINT) AS max_key,
+                 CAST(min(l_quantity) AS BIGINT) AS min_qty,
+                 CAST(max(l_quantity) AS BIGINT) AS max_qty
+          FROM lineitem GROUP BY 1)
+    SELECT z.shard, z.n_rows, z.min_key, z.max_key,
+           CASE WHEN z.min_key <= b.hi AND z.max_key >= b.lo
+                     AND z.max_qty >= 45
+                THEN 1 ELSE 0 END AS scanned
+    FROM z CROSS JOIN b ORDER BY z.shard
+    """,
+)
+def engine_zonemap_prune(spark, sf_dir):
+    """Zone-map (min/max statistics) file-skipping simulation — the
+    data-layout feedback loop for 100 TB scans: per monthly shard,
+    collect the min/max zonemap of (orderkey, quantity), then evaluate
+    which shards a conjunctive range predicate (orderkey in the
+    [max/4, max/2] band AND quantity >= 45) can SKIP without reading.
+    The predicate band derives from the data (one scalar agg,
+    broadcast), so the query is scale-invariant. One combinable
+    stats pass — the same plan that builds real footer stats."""
+    li = t(spark, sf_dir, "lineitem")
+    b = li.agg(
+        F.expr("CAST(max(l_orderkey) div 4 AS BIGINT)").alias("lo"),
+        F.expr("CAST(max(l_orderkey) div 2 AS BIGINT)").alias("hi"),
+    )
+    z = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.min("l_orderkey").cast("long").alias("min_key"),
+        F.max("l_orderkey").cast("long").alias("max_key"),
+        F.min("l_quantity").cast("long").alias("min_qty"),
+        F.max("l_quantity").cast("long").alias("max_qty"),
+    )
+    return (
+        z.crossJoin(F.broadcast(b))
+        .select(
+            "shard", "n_rows", "min_key", "max_key",
+            F.when(
+                (F.col("min_key") <= F.col("hi"))
+                & (F.col("max_key") >= F.col("lo"))
+                & (F.col("max_qty") >= 45),
+                1,
+            ).otherwise(0).cast("int").alias("scanned"),
+        )
+        .orderBy("shard")
+    )

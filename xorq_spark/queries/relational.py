@@ -600,3 +600,87 @@ def rel_pareto_frontier(spark, sf_dir):
         F.col("p_retailprice").cast("double").alias("retail"),
     )
     return pareto_frontier_2d(p, "p_size", "retail").orderBy("p_partkey")
+
+
+@query(
+    "rel_abc_pareto",
+    oracle="""
+    WITH e AS (
+      SELECT l_partkey AS ent,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM lineitem GROUP BY 1),
+    c AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+    cum AS (SELECT x, c,
+                   CAST(sum(x * c) OVER (ORDER BY x DESC) AS BIGINT) AS cumrev,
+                   CAST(sum(x * c) OVER () AS BIGINT) AS total
+            FROM c),
+    cls AS (SELECT CASE WHEN (cumrev - x * c) * 100 < total * 80 THEN 'A'
+                        WHEN (cumrev - x * c) * 100 < total * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class,
+                   c AS n_at_value, x * c AS rev
+            FROM cum)
+    SELECT abc_class,
+           CAST(sum(n_at_value) AS BIGINT) AS n_parts,
+           CAST(sum(rev) AS BIGINT) AS revenue_cents,
+           CAST(sum(rev) * 1000000 // (SELECT CAST(sum(x * c) AS BIGINT)
+                                       FROM c) AS BIGINT) AS share_ppm
+    FROM cls GROUP BY abc_class ORDER BY abc_class
+    """,
+)
+def rel_abc_pareto(spark, sf_dir):
+    """ABC / Pareto revenue classification of parts: class A = parts
+    whose PRECEDING cumulative revenue (descending revenue order) is
+    under 80% of total, B under 95%, C the tail — the inventory
+    80/20 analysis. Tie-safe without a global entity sort: the cumsum
+    runs over the bounded DISTINCT-revenue table (descending), and a
+    whole tie block shares one class (its preceding cumulative is
+    identical). All arithmetic is integer cents / ppm."""
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    ent = li.groupBy(F.col("l_partkey").alias("ent")).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("x")
+    )
+    c = ent.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("x").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "x", "c",
+        F.sum(F.col("x") * F.col("c")).over(w).cast("long").alias("cumrev"),
+        F.sum(F.col("x") * F.col("c")).over(wt).cast("long").alias("total"),
+    )
+    cls = cum.select(
+        F.when(
+            (F.col("cumrev") - F.col("x") * F.col("c")) * 100
+            < F.col("total") * 80,
+            "A",
+        )
+        .when(
+            (F.col("cumrev") - F.col("x") * F.col("c")) * 100
+            < F.col("total") * 95,
+            "B",
+        )
+        .otherwise("C")
+        .alias("abc_class"),
+        F.col("c").alias("n_at_value"),
+        (F.col("x") * F.col("c")).alias("rev"),
+        "total",
+    )
+    return (
+        cls.groupBy("abc_class")
+        .agg(
+            F.sum("n_at_value").cast("long").alias("n_parts"),
+            F.sum("rev").cast("long").alias("revenue_cents"),
+            F.expr(
+                "CAST(sum(rev) * 1000000 div max(total) AS BIGINT)"
+            ).alias("share_ppm"),
+        )
+        .orderBy("abc_class")
+    )

@@ -97,6 +97,9 @@ SUITES: dict[str, list[str]] = {
         # + 2-D Pareto frontier (skyline) without the O(n^2) dominance
         # self-join; oracle is the implementation-independent NOT EXISTS
         "rel_pareto_frontier",
+        # round 5 (cont.): ABC/Pareto 80/95 revenue classification off
+        # the distinct-revenue cumsum (tie-safe, no entity sort)
+        "rel_abc_pareto",
     ],
     "suite_rel_pivot": [
         "rel_pivot_wider",
@@ -195,6 +198,16 @@ SUITES: dict[str, list[str]] = {
         "time_extract_time_parts",
         "time_format_parse",
         "time_arithmetic",
+        # round 5 (cont.): journey analytics tier — Markov transition
+        # matrix, multi-touch attribution (first/last/linear ppm),
+        # exact 7-day rolling distinct (interval-ownership trick),
+        # dyadic alpha=1/2 EWMA (integer FIR), and Kaplan-Meier weekly
+        # survival with censoring (integer product limit)
+        "time_markov_transitions",
+        "time_attribution_credit",
+        "time_rolling_distinct_exact",
+        "time_ewma_dyadic",
+        "time_kaplan_meier",
     ],
     "suite_time_b": [
         "time_tumble_window",
@@ -396,6 +409,9 @@ SUITES: dict[str, list[str]] = {
         # stride-1 exact duplicated-substring spans (Lee et al.
         # ExactSubstr removal ranges; gaps-and-islands merge)
         "dedup_exact_substring",
+        # round 5 (cont.): B-cubed extrinsic clustering eval of the
+        # blocking key vs exact-text gold (linear, no pair explosion)
+        "dedup_bcubed_eval",
     ],
     "suite_similarity": [
         "sim_ann_bruteforce_topk",
@@ -468,6 +484,9 @@ SUITES: dict[str, list[str]] = {
         "engine_join_groupby",
         "engine_param_default",
         "engine_window_rank",
+        # round 5 (cont.): zone-map min/max file-skipping simulation
+        # (the data-layout feedback loop for 100 TB scans)
+        "engine_zonemap_prune",
     ],
     "suite_engine_b": [
         "engine_sql_view",

@@ -1073,3 +1073,229 @@ def time_journey_pattern(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "time_markov_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT coalesce(lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id), '^')
+               AS from_state,
+             event_type AS to_state
+      FROM events),
+    c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+          FROM p GROUP BY 1, 2),
+    t AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS tt
+          FROM c GROUP BY 1)
+    SELECT c.from_state, c.to_state, c.n,
+           CAST(c.n * 1000000 // t.tt AS BIGINT) AS prob_ppm
+    FROM c JOIN t USING (from_state)
+    ORDER BY from_state, to_state
+    """,
+)
+def time_markov_transitions(spark, sf_dir):
+    """First-order journey transition matrix (functions/timeseries
+    markov_transitions): per-user event sequences ordered by (ts,
+    event_id) with a virtual '^' entry state; transition probabilities
+    as exact row-conditional ppm. One lag window + one combinable pair
+    count; the from-state totals broadcast."""
+    from xorq_spark.functions.timeseries import markov_transitions
+
+    ev = t(spark, sf_dir, "events")
+    return markov_transitions(
+        ev, "user_id", "ts", "event_type", order_cols=("event_id",)
+    ).orderBy("from_state", "to_state")
+
+
+@query(
+    "time_attribution_credit",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id AS u, ts AS cts, event_id AS cid FROM events
+      WHERE event_type = 'purchase'),
+    touch AS (
+      SELECT user_id AS u, ts AS tts, event_id AS tid,
+             event_type AS channel
+      FROM events WHERE event_type IN ('view', 'click', 'signup')),
+    j AS (
+      SELECT c.u, c.cts, c.cid, t.channel, t.tts, t.tid
+      FROM conv c JOIN touch t ON c.u = t.u
+      WHERE t.tts <= c.cts AND t.tts >= c.cts - INTERVAL 3 DAY),
+    r AS (
+      SELECT channel,
+             row_number() OVER
+               (PARTITION BY u, cid ORDER BY tts, tid) AS rk,
+             count(*) OVER (PARTITION BY u, cid) AS k
+      FROM j)
+    SELECT channel,
+           CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS first_touch,
+           CAST(sum(CASE WHEN rk = k THEN 1 ELSE 0 END) AS BIGINT)
+             AS last_touch,
+           CAST(sum(CASE WHEN rk = k
+                         THEN 1000000 - (k - 1) * (1000000 // k)
+                         ELSE 1000000 // k END) AS BIGINT) AS linear_ppm
+    FROM r GROUP BY channel ORDER BY channel
+    """,
+)
+def time_attribution_credit(spark, sf_dir):
+    """Multi-touch attribution (functions/timeseries
+    attribution_credit): every purchase splits credit over the user's
+    view/click/signup touches in a 3-day lookback — first-touch,
+    last-touch, and integer-exact linear shares (remainder to the last
+    touch so each conversion sums to exactly 1e6 ppm). The touch join
+    is an equi-join on user with a residual time band — no range
+    explosion."""
+    from xorq_spark.functions.timeseries import attribution_credit
+
+    ev = t(spark, sf_dir, "events")
+    return attribution_credit(
+        ev, "user_id", "ts", "event_type",
+        conversion_state="purchase",
+        touch_states=("view", "click", "signup"),
+        lookback_days=3,
+        order_cols=("event_id",),
+    ).orderBy("channel")
+
+
+@query(
+    "time_rolling_distinct_exact",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                FROM events),
+    days AS (SELECT DISTINCT day FROM (
+               SELECT unnest(generate_series(d, d + 6, INTERVAL 1 DAY))
+                        ::DATE AS day
+               FROM ud)),
+    cov AS (SELECT days.day,
+                   CAST(count(DISTINCT CASE WHEN ud.d = days.day
+                                            THEN ud.u END) AS BIGINT) AS dau,
+                   CAST(count(DISTINCT ud.u) AS BIGINT) AS rolling_users
+            FROM days JOIN ud
+              ON ud.d <= days.day AND ud.d >= days.day - 6
+            GROUP BY days.day)
+    SELECT day, dau, rolling_users FROM cov ORDER BY day
+    """,
+)
+def time_rolling_distinct_exact(spark, sf_dir):
+    """Exact 7-day rolling distinct users per day (functions/timeseries
+    rolling_distinct_exact): each (user, day) activity owns the bounded
+    day interval where it is that user's most recent activity, so one
+    N-bounded explode + one combinable count replaces any
+    window-rescan — the exact companion of the agg_hll_rolling sketch
+    union. The oracle recomputes every day's window by brute force."""
+    from xorq_spark.functions.timeseries import rolling_distinct_exact
+
+    ev = t(spark, sf_dir, "events")
+    return rolling_distinct_exact(ev, "user_id", "ts", 7).orderBy("day")
+
+
+def _ewma_oracle() -> str:
+    taps, scale = 16, 1 << 15
+    terms = " + ".join(
+        f"lag(v, {j}) OVER w * {scale >> (j + 1) if j < taps - 1 else 1}"
+        for j in range(taps)
+    )
+    return f"""
+    WITH s AS (
+      SELECT event_type, ts, event_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v,
+             row_number() OVER w AS rn,
+             CAST({terms} AS BIGINT) AS ewma_x{scale}
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id))
+    SELECT event_type, ts, event_id, ewma_x{scale}
+    FROM s WHERE rn >= {taps} ORDER BY event_type, ts, event_id
+    """
+
+
+@query("time_ewma_dyadic", oracle=_ewma_oracle())
+def time_ewma_dyadic(spark, sf_dir):
+    """Exact alpha=1/2 EWMA as a 16-tap dyadic FIR filter
+    (functions/timeseries ewma_dyadic) over per-type value series in
+    cents: weights 2^-1..2^-15 with a doubled tail tap so they sum to
+    exactly 1, output an INTEGER in cents/2^15 — no float recurrence,
+    no order-dependent accumulation, both engines digit-identical.
+    One window shuffle; all 16 lag reads share one sorted frame."""
+    from xorq_spark.functions.timeseries import ewma_dyadic
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    return ewma_dyadic(
+        ev, "event_type", "ts", "v", order_cols=("event_id",), taps=16
+    ).orderBy("event_type", "ts", "event_id")
+
+
+def _km_oracle(K: int = 4) -> str:
+    aggs = []
+    for k in range(K):
+        aggs.append(
+            f"CAST(sum(CASE WHEN wk = {k} AND obs = 1 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS d{k}"
+        )
+        aggs.append(
+            f"CAST(sum(CASE WHEN wk = {k} AND obs = 0 THEN 1 ELSE 0 END)"
+            f" AS BIGINT) AS c{k}"
+        )
+    surv_prev = "1000000000000"
+    removed = "0"
+    rows = []
+    for k in range(K):
+        nk = f"(n - ({removed}))"
+        sk = (
+            f"CAST(CAST({surv_prev} AS HUGEINT) * ({nk} - d{k})"
+            f" // {nk} AS BIGINT)"
+        )
+        rows.append(
+            f"SELECT cohort, {k} AS week, CAST({nk} AS BIGINT) AS n_at_risk,"
+            f" d{k} AS n_events, c{k} AS n_censored, {sk} AS surv_e12"
+            " FROM wide"
+        )
+        surv_prev = sk
+        removed = f"{removed} + d{k} + c{k}"
+    union = " UNION ALL ".join(rows)
+    return f"""
+    WITH fe AS (
+      SELECT user_id, ts, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    firsts AS (SELECT user_id, event_type AS cohort, ts AS fts
+               FROM fe WHERE rn = 1),
+    spans AS (SELECT user_id, max(ts) AS lts FROM events GROUP BY 1),
+    g AS (SELECT max(ts) AS gmax FROM events),
+    u AS (
+      SELECT f.cohort,
+             least(date_diff('day', CAST(f.fts AS DATE),
+                             CAST(s.lts AS DATE)) // 7, {K - 1}) AS wk,
+             CASE WHEN s.lts <= g.gmax - INTERVAL 7 DAY
+                  THEN 1 ELSE 0 END AS obs
+      FROM firsts f JOIN spans s USING (user_id) CROSS JOIN g),
+    wide AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n, {", ".join(aggs)}
+      FROM u GROUP BY cohort)
+    SELECT * FROM ({union}) WHERE n_at_risk > 0
+    ORDER BY cohort, week
+    """
+
+
+@query("time_kaplan_meier", oracle=_km_oracle())
+def time_kaplan_meier(spark, sf_dir):
+    """Kaplan-Meier weekly survival per signup cohort
+    (functions/stats.py kaplan_meier_weekly): user lifetimes from the
+    event log with censoring (silent >= 7 days before study end =
+    churn observed, else censored), cohort = first event's type. The
+    product-limit estimate is computed STEP-WISE IN INTEGERS (1e-12
+    units, one multiply-divide per week) — deterministic at any scale,
+    no float product. The oracle replays every at-risk count and every
+    survival step."""
+    from xorq_spark.functions.stats import kaplan_meier_weekly
+
+    ev = t(spark, sf_dir, "events")
+    return kaplan_meier_weekly(
+        ev, "user_id", "ts", "event_type", order_cols=("event_id",),
+        n_weeks=4, churn_gap_days=7,
+    ).orderBy("cohort", "week")
