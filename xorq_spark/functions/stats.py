@@ -969,29 +969,31 @@ def kaplan_meier_weekly(
     Scale: one combinable per-user aggregate, one tiny per-cohort
     pivot (n_weeks bounded), explode back to long form. The event log
     is read once."""
-    from pyspark.sql import Window
-
     K = int(n_weeks)
     oc = list(order_cols)
-    w = Window.partitionBy(user_col).orderBy(ts_col, *oc)
-    per_user = (
-        df.select(
-            F.col(user_col).alias("__u"),
-            F.col(ts_col).alias("__ts"),
-            F.col(cohort_col).alias("__coh"),
-            F.row_number().over(w).alias("__rn"),
-        )
-    )
-    firsts = per_user.where(F.col("__rn") == 1).select(
-        "__u", F.col("__coh").alias("cohort"), F.col("__ts").alias("__first")
-    )
-    spans = df.groupBy(F.col(user_col).alias("__u")).agg(
-        F.max(ts_col).alias("__last")
+    # ONE combinable per-user pass: the cohort rides inside a struct-min
+    # keyed on (ts, order_cols) — identical to the row_number()=1 pick
+    # when the ordering key is unique, without the window shuffle + join
+    # that pick would cost.
+    per_user = df.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                *[F.col(c).alias(c) for c in oc],
+                F.col(cohort_col).alias("coh"),
+            )
+        ).alias("__f"),
+        F.max(ts_col).alias("__last"),
     )
     gmax = df.agg(F.max(ts_col).alias("__gmax"))
     u = (
-        firsts.join(spans, "__u")
-        .crossJoin(F.broadcast(gmax))
+        per_user.crossJoin(F.broadcast(gmax))
+        .select(
+            F.col("__f.coh").alias("cohort"),
+            F.col("__f.ts").alias("__first"),
+            "__last",
+            "__gmax",
+        )
         .select(
             "cohort",
             F.least(
