@@ -113,6 +113,15 @@ HEADLINE = [
     # explode shape) and ExactSubstr corpus rewrite
     "agg_bootstrap_ci",
     "dedup_strip_spans",
+    # round 5, sixth batch: journey/survival analytics tier — user-
+    # keyed band-join attribution, interval-ownership exact rolling
+    # distinct, per-user lifetime Kaplan-Meier, distinct-cumsum
+    # Gini/HHI concentration, 16-lag dyadic EWMA
+    "time_attribution_credit",
+    "time_rolling_distinct_exact",
+    "time_kaplan_meier",
+    "agg_gini_hhi",
+    "time_ewma_dyadic",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

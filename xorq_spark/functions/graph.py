@@ -601,3 +601,65 @@ def hits(
             F.coalesce(F.col("a"), F.lit(0)).cast("long").alias("auth_scaled"),
         )
     )
+
+
+def link_prediction(
+    edges: DataFrame,
+    min_common: int = 2,
+) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over an undirected
+    edge list (src < dst canonical): score NON-adjacent node pairs by
+    their neighborhood overlap — the classic recommender /
+    graph-completion primitive (Liben-Nowell & Kleinberg 2003).
+
+    For every 2-path a-s-b, the wedge center s contributes one common
+    neighbor to the candidate pair (a, b); candidates below
+    ``min_common`` shared neighbors are dropped BEFORE the degree join
+    (the support threshold is what bounds the wedge explosion — same
+    discipline as triangle_counts), existing edges are anti-joined
+    away, and jaccard_ppm = cn * 1e6 div (deg_a + deg_b - cn) exactly.
+
+    Scale: wedge generation is one groupBy(center) with an array-side
+    per-neighborhood pair HOF (no self-join shuffle); candidate count
+    is sum(d_s^2) bounded — for skew-heavy graphs, cap or sample
+    super-node neighborhoods upstream. Degrees broadcast-join back.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    adj = und.groupBy(F.col("src").alias("s")).agg(
+        F.sort_array(F.collect_set("dst")).alias("ns")
+    )
+    wedges = adj.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ns, (x, i) ->"
+                " transform(slice(ns, i + 2, size(ns)), y ->"
+                " struct(x AS a, y AS b))))"
+            )
+        ).alias("w")
+    ).select("w.a", "w.b")
+    cand = (
+        wedges.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+        .where(F.col("cn") >= int(min_common))
+    )
+    canon = edges.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    nonadj = cand.join(canon, ["a", "b"], "left_anti")
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    return (
+        nonadj.join(deg.withColumnRenamed("node", "a")
+                    .withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("node", "b")
+              .withColumnRenamed("deg", "deg_b"), "b")
+        .select(
+            "a", "b", "cn", "deg_a", "deg_b",
+            F.expr(
+                "CAST(cn * 1000000 div (deg_a + deg_b - cn) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+    )

@@ -1049,3 +1049,75 @@ def kaplan_meier_weekly(
         )
         .where(F.col("n_at_risk") > 0)
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    value_col: str,
+    is_a_col,
+) -> DataFrame:
+    """Welch's unequal-variance two-sample t-test — the parametric
+    companion of mann_whitney_u for A/B mean comparisons when the
+    variants have different spread. The data pass collects EXACT
+    integer sufficient statistics (n, sum, sum-of-squares per variant,
+    value_col integer-valued — pre-scale money to cents); the t
+    statistic and the Welch-Satterthwaite degrees of freedom are then
+    fixed IEEE expression trees over those integers (+,-,*,/,sqrt are
+    all correctly-rounded, so two engines agree bit-for-bit; rounded
+    to 9/6 digits at the boundary).
+
+    Returns ONE row: n_a, n_b, mean_a_e6, mean_b_e6 (exact integer
+    rationals), t_stat, welch_df.
+
+    Scale: one map-side-combinable aggregate; everything downstream is
+    scalar arithmetic on a single row."""
+    a = F.when(is_a_col, 1).otherwise(0)
+    b = F.when(is_a_col, 0).otherwise(1)
+    x = F.col(value_col).cast("long")
+    g = df.where(x.isNotNull()).agg(
+        F.sum(a).cast("long").alias("n_a"),
+        F.sum(b).cast("long").alias("n_b"),
+        F.sum(a * x).cast("long").alias("__sa"),
+        F.sum(b * x).cast("long").alias("__sb"),
+        F.sum(a * x * x).cast("long").alias("__qa"),
+        F.sum(b * x * x).cast("long").alias("__qb"),
+    )
+    # exact rational means in 1e-6 units (integer div convention)
+    out = g.select(
+        "n_a", "n_b",
+        F.expr(
+            "CAST(CAST(__sa AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT)"
+        ).alias("mean_a_e6"),
+        F.expr(
+            "CAST(CAST(__sb AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT)"
+        ).alias("mean_b_e6"),
+        # variance/n as one double tree: v = (Q - S*S/n)/(n-1)/n
+        F.expr(
+            "(CAST(__qa AS DOUBLE) - CAST(__sa AS DOUBLE)"
+            " * CAST(__sa AS DOUBLE) / CAST(n_a AS DOUBLE))"
+            " / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE)"
+        ).alias("__va"),
+        F.expr(
+            "(CAST(__qb AS DOUBLE) - CAST(__sb AS DOUBLE)"
+            " * CAST(__sb AS DOUBLE) / CAST(n_b AS DOUBLE))"
+            " / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE)"
+        ).alias("__vb"),
+        F.expr(
+            "CAST(__sa AS DOUBLE) / CAST(n_a AS DOUBLE)"
+            " - CAST(__sb AS DOUBLE) / CAST(n_b AS DOUBLE)"
+        ).alias("__md"),
+    )
+    return out.select(
+        "n_a", "n_b", "mean_a_e6", "mean_b_e6",
+        F.round(
+            F.expr("__md / sqrt(__va + __vb)"), 9
+        ).alias("t_stat"),
+        F.round(
+            F.expr(
+                "(__va + __vb) * (__va + __vb) /"
+                " (__va * __va / (CAST(n_a AS DOUBLE) - 1.0)"
+                "  + __vb * __vb / (CAST(n_b AS DOUBLE) - 1.0))"
+            ),
+            6,
+        ).alias("welch_df"),
+    )

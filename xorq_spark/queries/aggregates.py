@@ -1502,3 +1502,59 @@ def agg_gini_hhi(spark, sf_dir):
         .agg(F.sum("__cents").cast("long").alias("x"))
     )
     return gini_hhi(ent, "x", ["seg"]).orderBy("seg")
+
+
+@query(
+    "agg_welch_ttest",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS x,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a
+      FROM events WHERE event_type IN ('click', 'view')
+        AND value IS NOT NULL),
+    g AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+                 CAST(sum(1 - a) AS BIGINT) AS n_b,
+                 CAST(sum(a * x) AS BIGINT) AS sa,
+                 CAST(sum((1 - a) * x) AS BIGINT) AS sb,
+                 CAST(sum(a * x * x) AS BIGINT) AS qa,
+                 CAST(sum((1 - a) * x * x) AS BIGINT) AS qb
+          FROM d),
+    v AS (SELECT n_a, n_b,
+                 CAST(CAST(sa AS HUGEINT) * 1000000 // n_a AS BIGINT)
+                   AS mean_a_e6,
+                 CAST(CAST(sb AS HUGEINT) * 1000000 // n_b AS BIGINT)
+                   AS mean_b_e6,
+                 (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)
+                    / CAST(n_a AS DOUBLE))
+                   / (CAST(n_a AS DOUBLE) - 1.0) / CAST(n_a AS DOUBLE) AS va,
+                 (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)
+                    / CAST(n_b AS DOUBLE))
+                   / (CAST(n_b AS DOUBLE) - 1.0) / CAST(n_b AS DOUBLE) AS vb,
+                 CAST(sa AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(sb AS DOUBLE) / CAST(n_b AS DOUBLE) AS md
+          FROM g)
+    SELECT n_a, n_b, mean_a_e6, mean_b_e6,
+           round(md / sqrt(va + vb), 9) AS t_stat,
+           round((va + vb) * (va + vb)
+                 / (va * va / (CAST(n_a AS DOUBLE) - 1.0)
+                    + vb * vb / (CAST(n_b AS DOUBLE) - 1.0)), 6) AS welch_df
+    FROM v
+    """,
+)
+def agg_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test (functions/stats.py
+    welch_ttest) comparing click vs view event values in cents: one
+    combinable pass collects exact integer sufficient statistics; t
+    and the Welch-Satterthwaite df are fixed IEEE trees over them
+    (+,-,*,/,sqrt only — engine-bit-identical), rounded 9/6. The
+    experiment-stats tier's parametric member beside Mann-Whitney,
+    chi-square, CUPED, and the bootstrap CI."""
+    from xorq_spark.functions.stats import welch_ttest
+
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x"),
+        (F.col("event_type") == "click").alias("is_a"),
+    )
+    return welch_ttest(ev, "x", F.col("is_a"))

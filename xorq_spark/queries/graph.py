@@ -321,3 +321,60 @@ def graph_hits(spark, sf_dir):
         F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
     )
     return hits(edges, iterations=2).orderBy("node")
+
+
+@query(
+    "graph_link_prediction",
+    oracle="""
+    WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_partkey <= 220),
+    e0 AS (SELECT a.p AS src, b.p AS dst
+           FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+    ed AS (SELECT DISTINCT src, dst FROM e0),
+    und AS (SELECT src, dst FROM ed
+            UNION SELECT dst, src FROM ed),
+    wedge AS (SELECT u1.dst AS a, u2.dst AS b
+              FROM und u1 JOIN und u2
+                ON u1.src = u2.src AND u1.dst < u2.dst),
+    cand AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cn
+             FROM wedge GROUP BY 1, 2 HAVING count(*) >= 2),
+    nonadj AS (SELECT c.* FROM cand c
+               WHERE NOT EXISTS (SELECT 1 FROM ed
+                                 WHERE ed.src = c.a AND ed.dst = c.b)),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY 1)
+    SELECT n.a, n.b, n.cn, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(n.cn * 1000000 // (da.deg + db.deg - n.cn) AS BIGINT)
+             AS jaccard_ppm
+    FROM nonadj n JOIN deg da ON n.a = da.node
+                  JOIN deg db ON n.b = db.node
+    ORDER BY a, b
+    """,
+)
+def graph_link_prediction(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction
+    (functions/graph.py link_prediction) over the co-purchase graph
+    (parts <= 220 to bound the demo graph): non-adjacent part pairs
+    scored by shared-neighbor count and exact Jaccard ppm. Wedges come
+    from an array-side per-neighborhood pair HOF (no self-join
+    shuffle); the min_common=2 support threshold prunes before any
+    join. The oracle rebuilds every wedge by brute force."""
+    from xorq_spark.functions.graph import link_prediction
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 220)
+    pe = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    baskets = pe.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("ps")
+    )
+    edges = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                " struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").distinct()
+    return link_prediction(edges, min_common=2).orderBy("a", "b")

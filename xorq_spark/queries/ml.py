@@ -475,3 +475,67 @@ def ml_metrics_lift(spark, sf_dir):
         li, score_col="s", label_col="y", n_buckets=10,
         order_cols=("l_orderkey", "l_linenumber"),
     ).orderBy("bucket")
+
+
+@query(
+    "ml_calibration_bins",
+    oracle="""
+    WITH s AS (
+      SELECT least(((vec_id * 37) % 100) * 10000
+                   + CASE WHEN label >= 5 THEN 400000 ELSE 0 END,
+                   999999) AS p_ppm,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    b AS (SELECT CAST(p_ppm // 100000 AS BIGINT) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(p_ppm) AS BIGINT) AS sp,
+                 CAST(sum(y) AS BIGINT) AS npos
+          FROM s GROUP BY 1)
+    SELECT bin, n,
+           CAST(sp // n AS BIGINT) AS mean_pred_ppm,
+           CAST(npos * 1000000 // n AS BIGINT) AS obs_rate_ppm,
+           CAST(npos * 1000000 // n - sp // n AS BIGINT) AS gap_ppm,
+           CAST(abs(npos * 1000000 // n - sp // n) * n AS BIGINT)
+             AS ece_contrib
+    FROM b ORDER BY bin
+    """,
+)
+def ml_calibration_bins(spark, sf_dir):
+    """Reliability diagram / calibration bins over the deterministic
+    synthetic score (same construction as ml_metrics_auc): 10
+    predicted-probability deciles, each reporting mean predicted ppm
+    vs observed positive rate ppm, the signed gap, and the
+    n-weighted ECE contribution — the go/no-go check before using a
+    model's scores as probabilities (AUC measures ranking; it says
+    nothing about calibration). All integer ppm with floor division;
+    one combinable groupBy."""
+    emb = t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.least(
+            ((F.col("vec_id") * 37) % 100) * 10000
+            + F.when(F.col("label") >= 5, 400000).otherwise(0),
+            F.lit(999999),
+        ).cast("long").alias("p_ppm"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    b = s.groupBy(
+        F.expr("CAST(p_ppm div 100000 AS BIGINT)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p_ppm").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    return (
+        b.select(
+            "bin", "n",
+            F.expr("CAST(sp div n AS BIGINT)").alias("mean_pred_ppm"),
+            F.expr("CAST(npos * 1000000 div n AS BIGINT)").alias("obs_rate_ppm"),
+            F.expr(
+                "CAST(npos * 1000000 div n - sp div n AS BIGINT)"
+            ).alias("gap_ppm"),
+            F.expr(
+                "CAST(abs(npos * 1000000 div n - sp div n) * n AS BIGINT)"
+            ).alias("ece_contrib"),
+        )
+        .orderBy("bin")
+    )

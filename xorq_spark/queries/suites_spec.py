@@ -150,6 +150,9 @@ SUITES: dict[str, list[str]] = {
         # + Benford first-digit audit (integer ppm + chi-square
         # contributions; first digit from the BIGINT string form)
         "agg_benford_digits",
+        # + Welch's unequal-variance t-test (exact integer sufficient
+        # stats; t and df as fixed IEEE trees)
+        "agg_welch_ttest",
     ],
     "suite_agg_b": [
         "agg_bit_bool",
@@ -248,6 +251,9 @@ SUITES: dict[str, list[str]] = {
         # + journey pattern mining (MATCH_RECOGNIZE-lite: ordered
         # event-initial string per user + regex motif counts)
         "time_journey_pattern",
+        # + hour-of-day seasonality profile (exact 1e-6 hour means +
+        # multiplicative seasonal index ppm)
+        "time_seasonal_profile",
     ],
     "suite_coll_a": [
         "coll_array_basics",
@@ -391,6 +397,9 @@ SUITES: dict[str, list[str]] = {
         # hubs/authorities (DECIMAL(38,0)/HUGEINT L1 normalization)
         "graph_bfs_hops",
         "graph_hits",
+        # round 5 (cont.): common-neighbor/Jaccard link prediction
+        # (wedge HOF generation, support-pruned before any join)
+        "graph_link_prediction",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
@@ -462,6 +471,9 @@ SUITES: dict[str, list[str]] = {
         # binning (the distributed-native feature transforms)
         "ml_target_encoding",
         "ml_quantile_bins",
+        # round 5 (cont.): reliability-diagram calibration bins (ppm
+        # deciles, ECE contributions — ranking vs probability gate)
+        "ml_calibration_bins",
     ],
     "suite_multimodal": [
         "mm_extract_features",

@@ -1299,3 +1299,62 @@ def time_kaplan_meier(spark, sf_dir):
         ev, "user_id", "ts", "event_type", order_cols=("event_id",),
         n_weeks=4, churn_gap_days=7,
     ).orderBy("cohort", "week")
+
+
+@query(
+    "time_seasonal_profile",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hh,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    h AS (SELECT event_type, hh, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv
+          FROM d GROUP BY 1, 2),
+    g AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS gn,
+                 CAST(sum(sv) AS BIGINT) AS gs
+          FROM h GROUP BY 1)
+    SELECT h.event_type, h.hh, h.n,
+           CAST(CAST(h.sv AS HUGEINT) * 1000000 // h.n AS BIGINT)
+             AS mean_cents_e6,
+           CAST(CAST(h.sv AS HUGEINT) * g.gn * 1000000 // (h.n * g.gs)
+                AS BIGINT) AS seasonal_index_ppm
+    FROM h JOIN g USING (event_type)
+    ORDER BY event_type, hh
+    """,
+)
+def time_seasonal_profile(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type: mean value
+    (cents, exact 1e-6 rational) per hour slot and the seasonal index
+    — hour mean over the type's all-hours mean in ppm (the
+    multiplicative baseline a seasonal-adjustment or staffing model
+    divides out). Two combinable aggregates; the per-type totals
+    broadcast back. All integer arithmetic."""
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hh"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    h = d.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    g = h.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("gn"),
+        F.sum("sv").cast("long").alias("gs"),
+    )
+    return (
+        h.join(F.broadcast(g), "event_type")
+        .select(
+            "event_type", "hh", "n",
+            F.expr(
+                "CAST(CAST(sv AS DECIMAL(38,0)) * 1000000 div n AS BIGINT)"
+            ).alias("mean_cents_e6"),
+            F.expr(
+                "CAST(CAST(sv AS DECIMAL(38,0)) * gn * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * gs) AS BIGINT)"
+            ).alias("seasonal_index_ppm"),
+        )
+        .orderBy("event_type", "hh")
+    )
