@@ -41,6 +41,10 @@ CHECK = [
     "dedup_strip_spans",
     "text_pmi_collocations",
     "text_length_batching",
+    # round 5 (cont.): B-cubed eval (null text excluded, null lang
+    # coalesced — identically on both engines) + weight-mass quantiles
+    "dedup_bcubed_eval",
+    "agg_weighted_quantiles",
 ]
 
 

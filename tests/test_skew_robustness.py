@@ -44,11 +44,17 @@ TEXT_CHECK = [
     "dedup_exact_substring",
     "dedup_strip_spans",
     "text_pmi_collocations",
+    # round 5 (cont.): B-cubed — boilerplate collapses gold clusters
+    # into one giant cell; the cell-count algebra must not overflow
+    "dedup_bcubed_eval",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",
     "tpch_q18_large_volume_customer",
     "agg_group_concat_collect",
+    # round 5 (cont.): concentration readout ON the concentrated key —
+    # the hot customer owns 60% of orders; Gini/HHI must agree exactly
+    "agg_gini_hhi",
 ]
 
 

@@ -685,9 +685,10 @@ def dedup_jaccard_prefix(spark, sf_dir):
     oracle="""
     WITH a AS (
       SELECT doc_id,
-             lang || '|' || CAST(n_chars // 100 AS VARCHAR) AS pred,
+             coalesce(lang, '?') || '|' || CAST(n_chars // 100 AS VARCHAR)
+               AS pred,
              md5(lower(text)) AS gold
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     cell AS (SELECT pred, gold, CAST(count(*) AS BIGINT) AS a
              FROM a GROUP BY 1, 2),
     bp AS (SELECT pred, CAST(sum(a) AS BIGINT) AS bp FROM cell GROUP BY 1),
@@ -718,10 +719,12 @@ def dedup_bcubed_eval(spark, sf_dir):
     combinable counts replace any pairwise comparison (pair-counting
     metrics explode quadratically; B^3 is linear). Per-cell integer
     ppm with floor division, deterministic on both engines."""
-    docs = t(spark, sf_dir, "documents")
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     a = docs.select(
         F.concat_ws(
-            "|", "lang", F.expr("CAST(n_chars div 100 AS STRING)")
+            "|",
+            F.coalesce("lang", F.lit("?")),
+            F.expr("CAST(n_chars div 100 AS STRING)"),
         ).alias("pred"),
         F.md5(F.lower("text")).alias("gold"),
     )
