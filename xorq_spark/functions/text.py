@@ -1653,3 +1653,93 @@ def plan_length_batches(
             waste.cast("long").alias("batch_waste_ppm"),
         )
     )
+
+
+RAKE_STOPWORDS: tuple[str, ...] = LANG_MARKERS["en"] + (
+    "on", "with", "as", "by", "at", "an", "be", "are", "was", "from",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_phrase_len: int = 4,
+    top_k: int = 15,
+) -> DataFrame:
+    """RAKE corpus keyword extraction (Rose et al. 2010): candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands
+    over token positions); each word scores degree/freq where freq =
+    corpus occurrence count and degree = sum of the lengths of the
+    phrases it appears in; a phrase scores the sum of its words'
+    scores. Scores are integer ppm with per-word floor division —
+    deterministic on any engine.
+
+    Returns the global top_k phrases: (phrase, n_words, n_occurrences,
+    score_ppm), ranked (score desc, phrase asc).
+
+    Scale: tokenization + island assignment is one window shuffle on
+    the doc key; word stats and phrase scores are combinable
+    aggregates on token-sized frames; only the bounded top_k sorts.
+    """
+    from pyspark.sql import Window
+
+    toks = (
+        df.select(
+            F.col(id_col).alias("__doc"),
+            F.posexplode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("__pos", "__raw"),
+        )
+        .select(
+            "__doc", "__pos",
+            F.regexp_replace("__raw", r"[^\w一-鿿]", "").alias("__tok"),
+        )
+        .where(F.col("__tok") != "")
+    )
+    nonstop = toks.where(~F.col("__tok").isin(*RAKE_STOPWORDS))
+    w = Window.partitionBy("__doc").orderBy("__pos")
+    isl = nonstop.withColumn(
+        "__isl", F.col("__pos") - F.row_number().over(w)
+    )
+    ph = isl.groupBy("__doc", "__isl").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__pos", "__tok"))
+                ),
+                lambda x: x["__tok"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("__plen"),
+    ).where(F.col("__plen") <= int(max_phrase_len))
+    occ = isl.join(ph, ["__doc", "__isl"]).select(
+        "__doc", "__isl", "__tok", "__plen", "phrase"
+    )
+    wstats = occ.groupBy("__tok").agg(
+        F.count(F.lit(1)).cast("long").alias("__freq"),
+        F.sum("__plen").cast("long").alias("__deg"),
+    ).select(
+        "__tok",
+        F.expr("CAST(__deg * 1000000 div __freq AS BIGINT)").alias("__ws"),
+    )
+    inst = (
+        occ.join(wstats, "__tok")
+        .groupBy("__doc", "__isl", "phrase")
+        .agg(F.sum("__ws").cast("long").alias("__score"))
+    )
+    return (
+        inst.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.max("__score").alias("score_ppm"),
+        )
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("long").alias("n_words"),
+            "n_occurrences", "score_ppm",
+        )
+        .orderBy(F.col("score_ppm").desc(), "phrase")
+        .limit(int(top_k))
+    )

@@ -369,6 +369,9 @@ SUITES: dict[str, list[str]] = {
         # + MMR diversity re-ranking over BM25 top-10 with real
         # embedding cosine penalties (4 unrolled greedy rounds)
         "text_mmr_rerank",
+        # round 5 (cont.): RAKE keyword extraction (stopword-run
+        # islands, corpus degree/freq ppm scores)
+        "text_rake_keywords",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

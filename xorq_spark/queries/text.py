@@ -1174,3 +1174,53 @@ def text_spearman_len_tokens(spark, sf_dir):
         bpe_token_count(F.col("text")).cast("long").alias("y"),
     )
     return spearman_corr(docs, "x", "y")
+
+
+def _rake_oracle() -> str:
+    from xorq_spark.functions.text import RAKE_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in RAKE_STOPWORDS)
+    return f"""
+    WITH toks0 AS (
+      SELECT doc_id, unnest({_CLEAN_TOKS}) AS tok,
+             unnest(range(1, len({_TOKS}) + 1)) AS pos
+      FROM documents),
+    toks AS (SELECT doc_id, tok, pos FROM toks0 WHERE tok <> ''),
+    ns AS (SELECT doc_id, tok, pos,
+                  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+                    AS isl
+           FROM toks WHERE tok NOT IN ({stops})),
+    ph AS (SELECT doc_id, isl,
+                  string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                  CAST(count(*) AS BIGINT) AS plen
+           FROM ns GROUP BY 1, 2 HAVING count(*) <= 4),
+    occ AS (SELECT ns.doc_id, ns.isl, ns.tok, ph.plen, ph.phrase
+            FROM ns JOIN ph ON ns.doc_id = ph.doc_id AND ns.isl = ph.isl),
+    ws AS (SELECT tok,
+                  CAST(sum(plen) * 1000000 // count(*) AS BIGINT) AS ws
+           FROM occ GROUP BY tok),
+    inst AS (SELECT o.doc_id, o.isl, o.phrase,
+                    CAST(sum(ws.ws) AS BIGINT) AS score
+             FROM occ o JOIN ws USING (tok) GROUP BY 1, 2, 3)
+    SELECT phrase,
+           CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(max(score) AS BIGINT) AS score_ppm
+    FROM inst GROUP BY phrase
+    ORDER BY score_ppm DESC, phrase LIMIT 15
+    """
+
+
+@query("text_rake_keywords", oracle=_rake_oracle())
+def text_rake_keywords(spark, sf_dir):
+    """RAKE corpus keyword extraction (functions/text.py
+    rake_keywords): stopword-free token runs become candidate phrases
+    (gaps-and-islands over positions, one doc-keyed window shuffle);
+    words score corpus degree/freq in integer ppm; phrases sum their
+    words. Global top-15 by (score desc, phrase) — the unsupervised
+    tagging/topic primitive beside TF-IDF and PMI collocations. The
+    oracle replays every island boundary and every score."""
+    from xorq_spark.functions.text import rake_keywords
+
+    docs = t(spark, sf_dir, "documents")
+    return rake_keywords(docs, "text", "doc_id", max_phrase_len=4, top_k=15)
