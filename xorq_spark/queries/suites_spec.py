@@ -211,6 +211,10 @@ SUITES: dict[str, list[str]] = {
         "time_rolling_distinct_exact",
         "time_ewma_dyadic",
         "time_kaplan_meier",
+        # + cohort LTV matrix (bounded cohort x offset cumulative) and
+        # seasonal-naive forecast eval (MAE/SMAPE/MASE integer ppm)
+        "time_cohort_ltv",
+        "time_forecast_eval",
     ],
     "suite_time_b": [
         "time_tumble_window",

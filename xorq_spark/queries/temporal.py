@@ -1358,3 +1358,178 @@ def time_seasonal_profile(spark, sf_dir):
         )
         .orderBy("event_type", "hh")
     )
+
+
+@query(
+    "time_cohort_ltv",
+    oracle="""
+    WITH anchor AS (SELECT min(CAST(ts AS DATE)) AS a0 FROM events),
+    fu AS (SELECT user_id, min(ts) AS fts FROM events GROUP BY 1),
+    coh AS (SELECT f.user_id,
+                   date_diff('day', x.a0, CAST(f.fts AS DATE)) // 7 AS cw,
+                   CAST(f.fts AS DATE) AS fd
+            FROM fu f CROSS JOIN anchor x),
+    sz AS (SELECT cw, CAST(count(*) AS BIGINT) AS cohort_users
+           FROM coh GROUP BY 1),
+    rev AS (SELECT c.cw,
+                   date_diff('day', c.fd, CAST(e.ts AS DATE)) // 7 AS wk,
+                   CAST(sum(CAST(floor(e.value * 100 + 0.5) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM events e JOIN coh c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.value IS NOT NULL
+            GROUP BY 1, 2),
+    cum AS (SELECT cw, wk, rev,
+                   CAST(sum(rev) OVER (PARTITION BY cw ORDER BY wk)
+                        AS BIGINT) AS cum_rev
+            FROM rev)
+    SELECT c.cw AS cohort_week, c.wk AS week_offset, s.cohort_users,
+           c.rev AS revenue_cents, c.cum_rev AS cum_revenue_cents,
+           CAST(CAST(c.cum_rev AS HUGEINT) * 1000000 // s.cohort_users
+                AS BIGINT) AS ltv_per_user_e6
+    FROM cum c JOIN sz s USING (cw)
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def time_cohort_ltv(spark, sf_dir):
+    """Cohort LTV matrix — cumulative purchase revenue per signup-week
+    cohort by week offset, the growth-accounting readout behind
+    payback-period decisions. Cohort week anchors on the global min
+    date (broadcast scalar); revenue in exact cents; the cumulative
+    runs over the bounded cohort x offset frame (never the event log);
+    LTV-per-user is an exact 1e-6 rational."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    anchor = ev.agg(F.min(F.to_date("ts")).alias("a0"))
+    fu = ev.groupBy("user_id").agg(F.min("ts").alias("fts"))
+    coh = fu.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.expr("datediff(CAST(fts AS DATE), a0) div 7").alias("cw"),
+        F.to_date("fts").alias("fd"),
+    )
+    sz = coh.groupBy("cw").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = (
+        ev.where(
+            (F.col("event_type") == "purchase") & F.col("value").isNotNull()
+        )
+        .join(coh, "user_id")
+        .groupBy(
+            "cw",
+            F.expr("datediff(CAST(ts AS DATE), fd) div 7").alias("wk"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + 0.5).cast("long")
+            ).cast("long").alias("rev")
+        )
+    )
+    w = Window.partitionBy("cw").orderBy("wk").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = rev.select(
+        "cw", "wk", "rev",
+        F.sum("rev").over(w).cast("long").alias("cum_rev"),
+    )
+    return (
+        cum.join(F.broadcast(sz), "cw")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.col("wk").alias("week_offset"),
+            "cohort_users",
+            F.col("rev").alias("revenue_cents"),
+            F.col("cum_rev").alias("cum_revenue_cents"),
+            F.expr(
+                "CAST(CAST(cum_rev AS DECIMAL(38,0)) * 1000000"
+                " div cohort_users AS BIGINT)"
+            ).alias("ltv_per_user_e6"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "time_forecast_eval",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1
+               FROM events),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM b),
+    cnt AS (SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+    dense AS (SELECT s.h, COALESCE(c.y, 0) AS y
+              FROM spine s LEFT JOIN cnt c ON s.h = c.h),
+    lagd AS (SELECT h, y,
+                    lag(y, 24) OVER (ORDER BY h) AS f,
+                    lag(y, 1) OVER (ORDER BY h) AS p
+             FROM dense),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(abs(y - f)) AS BIGINT) AS sae,
+                 CAST(sum(abs(y - p)) AS BIGINT) AS sae1,
+                 CAST(sum(CASE WHEN y + f > 0
+                          THEN 2 * abs(y - f) * 1000000 // (y + f)
+                          ELSE 0 END) AS BIGINT) AS ssm
+          FROM lagd WHERE f IS NOT NULL)
+    SELECT n,
+           CAST(sae * 1000000 // n AS BIGINT) AS mae_e6,
+           CAST(ssm // n AS BIGINT) AS smape_ppm,
+           CAST(CASE WHEN sae1 = 0 THEN NULL
+                ELSE sae * 1000000 // sae1 END AS BIGINT) AS mase_ppm
+    FROM m
+    """,
+)
+def time_forecast_eval(spark, sf_dir):
+    """Forecast-accuracy metrics for the seasonal-naive baseline (y_hat
+    = the count 24 hours earlier on a DENSE hourly spine, so gaps
+    forecast as zero): MAE, SMAPE, and MASE (error vs the lag-1 naive
+    — the scale-free statistic that makes models comparable across
+    series), all exact integer ppm. Any real forecasting pipeline
+    starts by beating exactly this number. The spine is bounded by the
+    time range, not the event log; counts aggregate combinably."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    dense = spine.join(cnt, "h", "left").select(
+        "h", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("h")
+    lagd = dense.select(
+        "h", "y",
+        F.lag("y", 24).over(w).alias("f"),
+        F.lag("y", 1).over(w).alias("p"),
+    ).where(F.col("f").isNotNull())
+    m = lagd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.abs(F.col("y") - F.col("f"))).cast("long").alias("sae"),
+        F.sum(F.abs(F.col("y") - F.col("p"))).cast("long").alias("sae1"),
+        F.sum(
+            F.expr(
+                "CASE WHEN y + f > 0"
+                " THEN 2 * abs(y - f) * 1000000 div (y + f) ELSE 0 END"
+            )
+        ).cast("long").alias("ssm"),
+    )
+    return m.select(
+        "n",
+        F.expr("CAST(sae * 1000000 div n AS BIGINT)").alias("mae_e6"),
+        F.expr("CAST(ssm div n AS BIGINT)").alias("smape_ppm"),
+        F.expr(
+            "CAST(CASE WHEN sae1 = 0 THEN NULL"
+            " ELSE sae * 1000000 div sae1 END AS BIGINT)"
+        ).alias("mase_ppm"),
+    )
