@@ -108,20 +108,18 @@ def quantile_calibrate(
     wgc = Window.partitionBy(group_col)
     n_tot = df.agg(F.count(F.lit(1)).cast("long").alias("__N"))
 
-    # bounded distinct-value cumulative table over the global scores
-    dv = (
-        df.groupBy(score_col)
-        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
-        .withColumn(
-            "__cum",
-            F.sum("__c").over(
-                Window.orderBy(score_col).rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            ),
-        )
-        .withColumn("__prev", F.col("__cum") - F.col("__c"))
-    )
+    # distinct-value cumulative table over the global scores — built
+    # with the two-level prefix operator (operators/prefix.py), so a
+    # near-continuous score domain (distinct ~ corpus) never funnels
+    # through a single-partition window
+    from xorq_spark.operators.prefix import running_sum
+
+    dv = running_sum(
+        df.groupBy(score_col).agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        ),
+        score_col, "__c", "__cum",
+    ).withColumn("__prev", F.col("__cum") - F.col("__c"))
     # every grid point g whose type-1 target rank ceil(g*N/k) lands in
     # (__prev, __cum] belongs to this value; candidates bounded by the
     # range, membership filtered exactly
@@ -199,14 +197,11 @@ def ks_drift(
         F.sum(F.when(F.col("__s") == 0, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("__s") == 1, 1).otherwise(0)).alias("c2"),
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = dv.select(
-        "v",
-        F.sum("c1").over(w).alias("cum1"),
-        F.sum("c2").over(w).alias("cum2"),
-    )
+    from xorq_spark.operators.prefix import running_sum
+
+    c = running_sum(
+        dv, "v", cols={"cum1": "c1", "cum2": "c2"}
+    ).select("v", "cum1", "cum2")
     n = dv.agg(
         F.sum("c1").cast("long").alias("N1"),
         F.sum("c2").cast("long").alias("N2"),
@@ -553,17 +548,12 @@ def mann_whitney_u(
         F.sum("__a").cast("long").alias("ca"),
         F.sum(1 - F.col("__a")).cast("long").alias("cb"),
     )
-    w = Window.orderBy("v").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = dv.select(
-        "ca",
-        "cb",
-        (F.col("ca") + F.col("cb")).alias("t"),
-        (
-            F.sum(F.col("ca") + F.col("cb")).over(w)
-            - (F.col("ca") + F.col("cb"))
-        ).alias("prev"),
+    from xorq_spark.operators.prefix import running_sum
+
+    c = running_sum(
+        dv.withColumn("t", F.col("ca") + F.col("cb")), "v", "t", "__cumt"
+    ).select(
+        "ca", "cb", "t", (F.col("__cumt") - F.col("t")).alias("prev")
     )
     agg = c.agg(
         F.sum("ca").cast("long").alias("n_a"),
@@ -624,14 +614,14 @@ def spearman_corr(
         F.col(x_col).alias("__x"), F.col(y_col).alias("__y")
     ).where(F.col("__x").isNotNull() & F.col("__y").isNotNull())
 
+    from xorq_spark.operators.prefix import running_sum
+
     def rank_table(col):
-        w = Window.orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
         return (
-            d.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .withColumn("__cum", F.sum("__c").over(w))
+            running_sum(
+                d.groupBy(col).agg(F.count(F.lit(1)).alias("__c")),
+                col, "__c", "__cum",
+            )
             .select(
                 col,
                 (

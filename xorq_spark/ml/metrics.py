@@ -103,12 +103,12 @@ def roc_auc(df, score_col: str, label_col: str):
         .groupBy("__s")
         .agg(F.count(F.lit(1)).alias("__n"), F.sum("__y").alias("__npos"))
     )
-    w = (
-        Window.orderBy("__s")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    ranked = per_score.withColumn(
-        "__cum", F.sum("__n").over(w) - F.col("__n")
+    # two-level global cumsum (operators/prefix.py) — a near-continuous
+    # score domain must not funnel through a single-partition window
+    from xorq_spark.operators.prefix import running_sum
+
+    ranked = running_sum(per_score, "__s", "__n", "__cumin").withColumn(
+        "__cum", F.col("__cumin") - F.col("__n")
     ).withColumn(
         # average rank of the tie group: ranks __cum+1 .. __cum+__n
         "__avg_rank",
@@ -242,19 +242,12 @@ def lift_table(
         F.col(label_col).cast("boolean").alias("__y"),
         *[F.col(c) for c in order_cols],
     ).where(F.col("__s").isNotNull() & F.col("__y").isNotNull())
-    dv = (
-        d.groupBy("__s")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .withColumn(
-            "__cum",
-            F.sum("__c").over(
-                Window.orderBy(F.desc("__s")).rowsBetween(
-                    Window.unboundedPreceding, Window.currentRow
-                )
-            ),
-        )
-        .select("__s", (F.col("__cum") - F.col("__c")).alias("__prev"))
-    )
+    from xorq_spark.operators.prefix import running_sum
+
+    dv = running_sum(
+        d.groupBy("__s").agg(F.count(F.lit(1)).alias("__c")),
+        "__s", "__c", "__cum", descending=True,
+    ).select("__s", (F.col("__cum") - F.col("__c")).alias("__prev"))
     wn = Window.partitionBy("__s").orderBy(
         *[F.col(c) for c in order_cols] if order_cols else [F.lit(1)]
     )

@@ -1,0 +1,87 @@
+"""Global prefix (running) aggregates WITHOUT a single-partition
+window.
+
+Spark lowers ``Window.orderBy(x)`` with no partition key to ONE
+partition — the classic scale cliff for global cumulative sums (ECDF
+tables, Pareto/ABC curves, gains charts). This module provides the
+two-level construction the skyline operator (operators/skyline.py)
+introduced, as a reusable primitive:
+
+1. range-repartition the frame on the order key (so partition i holds
+   a contiguous key range, every partition sums locally in parallel);
+2. partition-local running sum via an ordinary window;
+3. a BOUNDED per-partition-totals frame (#partitions rows) provides
+   each partition's cross-partition offset, broadcast back.
+
+The result equals the single-partition running sum row-for-row, but
+the widest sequential step is #partitions rows. Ties across the range
+boundary are safe for running SUMS as long as the order key is
+distinct per row (callers pass distinct-value tables — the repo's
+cumsum discipline).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col=None,
+    out_col=None,
+    descending: bool = False,
+    cols: "dict[str, str] | None" = None,
+) -> DataFrame:
+    """Add inclusive running sum column(s) over ``order_col``
+    (globally ordered, ascending by default) without a
+    single-partition window. Either pass a single (``value_col``,
+    ``out_col``) pair or ``cols`` = {out_col: value_col, ...} — all
+    sums share ONE range shuffle. ``order_col`` values must be
+    distinct (pre-aggregate to a distinct-value table first)."""
+    pairs = dict(cols or {})
+    if value_col is not None:
+        pairs[out_col] = value_col
+    spark = df.sparkSession
+    parts = max(
+        1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 32)
+    )
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    lv = (
+        df.repartitionByRange(parts, key)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    wloc = (
+        Window.partitionBy("__pid")
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    loc = lv.select(
+        "*", *[
+            F.sum(v).over(wloc).alias(f"__loc_{o}")
+            for o, v in pairs.items()
+        ]
+    )
+    ptot = lv.groupBy("__pid").agg(
+        *[F.sum(v).alias(f"__ptot_{o}") for o, v in pairs.items()]
+    )
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    pref = ptot.select(
+        "__pid",
+        *[
+            F.coalesce(F.sum(f"__ptot_{o}").over(wp), F.lit(0)).alias(
+                f"__off_{o}"
+            )
+            for o in pairs
+        ],
+    )
+    out = loc.join(F.broadcast(pref), "__pid")
+    for o in pairs:
+        out = out.withColumn(
+            o, (F.col(f"__loc_{o}") + F.col(f"__off_{o}")).cast("long")
+        )
+    return out.drop(
+        "__pid", *[f"__loc_{o}" for o in pairs], *[f"__off_{o}" for o in pairs]
+    )

@@ -636,7 +636,7 @@ def rel_abc_pareto(spark, sf_dir):
     runs over the bounded DISTINCT-revenue table (descending), and a
     whole tie block shares one class (its preceding cumulative is
     identical). All arithmetic is integer cents / ppm."""
-    from pyspark.sql import Window
+    from xorq_spark.operators.prefix import running_sum
 
     li = t(spark, sf_dir, "lineitem")
     ent = li.groupBy(F.col("l_partkey").alias("ent")).agg(
@@ -645,17 +645,13 @@ def rel_abc_pareto(spark, sf_dir):
         ).cast("long").alias("x")
     )
     c = ent.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    w = Window.partitionBy(F.lit(1)).orderBy(F.col("x").desc()).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    wt = Window.partitionBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = c.select(
-        "x", "c",
-        F.sum(F.col("x") * F.col("c")).over(w).cast("long").alias("cumrev"),
-        F.sum(F.col("x") * F.col("c")).over(wt).cast("long").alias("total"),
-    )
+    # global descending cumsum via the two-level prefix operator —
+    # no single-partition window even when every part has a distinct
+    # revenue total (operators/prefix.py)
+    lv = c.withColumn("rev", F.col("x") * F.col("c"))
+    cum = running_sum(lv, "x", "rev", "cumrev", descending=True)
+    tot = lv.agg(F.sum("rev").cast("long").alias("total"))
+    cum = cum.crossJoin(F.broadcast(tot))
     cls = cum.select(
         F.when(
             (F.col("cumrev") - F.col("x") * F.col("c")) * 100
