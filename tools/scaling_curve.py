@@ -73,6 +73,20 @@ OPS = [
     "agg_hll_rolling",
     "text_mmr_rerank",
     "text_length_batching",
+    # round 5, continued session: journey/survival/audit tier
+    "time_attribution_credit",
+    "time_rolling_distinct_exact",
+    "time_kaplan_meier",
+    "time_markov_transitions",
+    "time_ewma_dyadic",
+    "agg_gini_hhi",
+    "agg_welch_ttest",
+    "rel_abc_pareto",
+    "graph_link_prediction",
+    "dedup_bcubed_eval",
+    "text_rake_keywords",
+    "time_cohort_ltv",
+    "time_forecast_eval",
 ]
 
 
