@@ -418,6 +418,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     partition_cols: Optional[Sequence[str]] = None,
+    _ppm: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard dedup via an inverted shingle index: explode
     shingles, self-join on the shingle digest, count shared shingles per
@@ -443,6 +444,16 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b", "__na", "__nb")
         .agg(F.count("*").alias("__shared"))
     )
+    if _ppm:
+        # integer ppm variant (floor division — the engine-exact form
+        # the threshold-sweep report certifies); no threshold filter
+        return shared.select(
+            "id_a", "id_b",
+            F.expr(
+                "CAST(__shared * 1000000"
+                " div (__na + __nb - __shared) AS BIGINT)"
+            ).alias("j_ppm"),
+        )
     jac = F.col("__shared") / (F.col("__na") + F.col("__nb") - F.col("__shared"))
     return (
         shared.withColumn("jaccard_sim", F.round(jac, 9))

@@ -758,3 +758,82 @@ def dedup_bcubed_eval(spark, sf_dir):
             " END AS BIGINT)"
         ).alias("f1_ppm"),
     )
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, lang, list_distinct({_SHINGLES}) AS shd
+               FROM documents),
+    inv AS (SELECT doc_id, lang, len(shd) AS n, unnest(shd) AS sg FROM s),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n AS na, b.n AS nb,
+             CAST(count(*) AS BIGINT) AS shared
+      FROM inv a JOIN inv b ON a.lang = b.lang AND md5(a.sg) = md5(b.sg)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4),
+    pj AS (SELECT id_a, id_b,
+                  CAST(shared * 1000000 // (na + nb - shared) AS BIGINT)
+                    AS j_ppm
+           FROM shared),
+    dmax AS (SELECT doc_id, CAST(max(j_ppm) AS BIGINT) AS mj FROM (
+               SELECT id_a AS doc_id, j_ppm FROM pj
+               UNION ALL SELECT id_b, j_ppm FROM pj) GROUP BY 1),
+    thr AS (SELECT unnest([500000, 600000, 700000, 800000, 900000])
+              AS threshold_ppm)
+    SELECT t.threshold_ppm,
+           CAST((SELECT count(*) FROM pj WHERE pj.j_ppm >= t.threshold_ppm)
+                AS BIGINT) AS n_pairs,
+           CAST((SELECT count(*) FROM dmax WHERE dmax.mj >= t.threshold_ppm)
+                AS BIGINT) AS n_docs_affected
+    FROM thr t ORDER BY threshold_ppm
+    """,
+)
+def dedup_threshold_sweep(spark, sf_dir):
+    """Dedup yield curve — how many pairs and how many documents a
+    Jaccard threshold would touch, swept over 0.5..0.9 in ONE pass of
+    the exact pair table (the tuning readout run BEFORE committing a
+    threshold to a 100 TB dedup job): per-doc max-similarity reduces
+    the pair table once, then each (bounded) threshold is a combinable
+    conditional count. Jaccard as integer ppm with floor division —
+    the certified sweep is engine-exact."""
+    from xorq_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "text", "doc_id", k=3, threshold=0.0, partition_cols=["lang"],
+        _ppm=True,
+    )
+    pj = pairs.select("id_a", "id_b", "j_ppm")
+    dmax = (
+        pj.select(F.col("id_a").alias("doc_id"), "j_ppm")
+        .unionAll(pj.select(F.col("id_b").alias("doc_id"), "j_ppm"))
+        .groupBy("doc_id")
+        .agg(F.max("j_ppm").cast("long").alias("mj"))
+    )
+    thr = [500000, 600000, 700000, 800000, 900000]
+    pair_counts = pj.agg(
+        *[
+            F.sum(F.when(F.col("j_ppm") >= v, 1).otherwise(0))
+            .cast("long").alias(f"p{v}")
+            for v in thr
+        ]
+    )
+    doc_counts = dmax.agg(
+        *[
+            F.sum(F.when(F.col("mj") >= v, 1).otherwise(0))
+            .cast("long").alias(f"d{v}")
+            for v in thr
+        ]
+    )
+    rows = ",".join(
+        f"struct(CAST({v} AS BIGINT) AS threshold_ppm,"
+        f" p{v} AS n_pairs, d{v} AS n_docs_affected)"
+        for v in thr
+    )
+    return (
+        pair_counts.crossJoin(doc_counts)
+        .select(F.explode(F.expr(f"array({rows})")).alias("__r"))
+        .select("__r.threshold_ppm", "__r.n_pairs", "__r.n_docs_affected")
+        .orderBy("threshold_ppm")
+    )

@@ -539,3 +539,125 @@ def ml_calibration_bins(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "ml_stump_gain",
+    oracle="""
+    WITH s AS (
+      SELECT least(((vec_id * 37) % 100) * 10000
+                   + CASE WHEN label >= 5 THEN 400000 ELSE 0 END,
+                   999999) AS x,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings),
+    dv AS (SELECT x, CAST(count(*) AS BIGINT) AS c,
+                  CAST(sum(y) AS BIGINT) AS p
+           FROM s GROUP BY x),
+    cum AS (SELECT x,
+                   CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS nl,
+                   CAST(sum(p) OVER (ORDER BY x) AS BIGINT) AS pl,
+                   CAST(sum(c) OVER () AS BIGINT) AS n,
+                   CAST(sum(p) OVER () AS BIGINT) AS pp
+            FROM dv),
+    g AS (SELECT x, nl, n - nl AS nr, pl, pp - pl AS pr, n, pp,
+                 1000000000000
+                   - CAST((CAST(pp AS HUGEINT) * pp
+                          + CAST(n - pp AS HUGEINT) * (n - pp))
+                          * 1000000000000 // (CAST(n AS HUGEINT) * n)
+                     AS BIGINT) AS gp
+          FROM cum WHERE nl < n),
+    gain AS (
+      SELECT x, nl, nr,
+             gp - CAST((nl * (1000000000000
+                    - CAST((CAST(pl AS HUGEINT) * pl
+                           + CAST(nl - pl AS HUGEINT) * (nl - pl))
+                           * 1000000000000 // (CAST(nl AS HUGEINT) * nl)
+                      AS BIGINT))
+                  + nr * (1000000000000
+                    - CAST((CAST(pr AS HUGEINT) * pr
+                           + CAST(nr - pr AS HUGEINT) * (nr - pr))
+                           * 1000000000000 // (CAST(nr AS HUGEINT) * nr)
+                      AS BIGINT))) // n AS BIGINT) AS gain_e12
+      FROM g),
+    best AS (SELECT max(gain_e12) AS best_gain FROM gain)
+    SELECT CAST(min(x) AS BIGINT) AS threshold,
+           CAST(max(gain_e12) AS BIGINT) AS gain_e12,
+           CAST(min(nl) AS BIGINT) AS n_left,
+           CAST(min(nr) AS BIGINT) AS n_right
+    FROM gain JOIN best ON gain.gain_e12 = best.best_gain
+    """,
+)
+def ml_stump_gain(spark, sf_dir):
+    """Decision-stump split screening: the single best threshold on
+    the synthetic score by EXACT Gini impurity gain (all impurities in
+    1e-12 integer rationals with defined floor steps — the certified
+    metric) — the feature-importance primitive behind tree-based
+    feature screening. Thresholds come from the distinct-value cumsum
+    table (two-level prefix, no corpus sort); ties resolve to the
+    smallest threshold."""
+    from xorq_spark.operators.prefix import running_sum
+
+    emb = t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.least(
+            ((F.col("vec_id") * 37) % 100) * 10000
+            + F.when(F.col("label") >= 5, 400000).otherwise(0),
+            F.lit(999999),
+        ).cast("long").alias("x"),
+        (F.col("label") >= 5).cast("int").alias("y"),
+    )
+    dv = s.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    cum = running_sum(dv, "x", cols={"nl": "c", "pl": "p"})
+    tot = dv.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("p").cast("long").alias("pp"),
+    )
+    E12 = "1000000000000"
+    g = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.col("nl") < F.col("n"))
+        .select(
+            "x", "nl", "pl", "n", "pp",
+            (F.col("n") - F.col("nl")).alias("nr"),
+            (F.col("pp") - F.col("pl")).alias("pr"),
+        )
+        .withColumn(
+            "gp",
+            F.expr(
+                f"{E12} - CAST((CAST(pp AS DECIMAL(38,0)) * pp"
+                f" + CAST(n - pp AS DECIMAL(38,0)) * (n - pp))"
+                f" * {E12} div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            # nr > 0 is guaranteed by the nl < n filter, but the guard
+            # must live INSIDE the expression: ANSI mode evaluates the
+            # fused project before the filter in whole-stage codegen
+            "gain_e12",
+            F.expr(
+                f"CASE WHEN nr <= 0 THEN NULL ELSE"
+                f" gp - CAST((nl * ({E12}"
+                f" - CAST((CAST(pl AS DECIMAL(38,0)) * pl"
+                f" + CAST(nl - pl AS DECIMAL(38,0)) * (nl - pl))"
+                f" * {E12} div (CAST(nl AS DECIMAL(38,0)) * nl) AS BIGINT))"
+                f" + nr * ({E12}"
+                f" - CAST((CAST(pr AS DECIMAL(38,0)) * pr"
+                f" + CAST(nr - pr AS DECIMAL(38,0)) * (nr - pr))"
+                f" * {E12} div (CAST(nr AS DECIMAL(38,0)) * nr) AS BIGINT)))"
+                f" div n AS BIGINT) END"
+            ),
+        )
+    )
+    best = g.agg(F.max("gain_e12").alias("best_gain"))
+    return (
+        g.join(F.broadcast(best), g.gain_e12 == best.best_gain)
+        .agg(
+            F.min("x").cast("long").alias("threshold"),
+            F.max("gain_e12").cast("long").alias("gain_e12"),
+            F.min("nl").cast("long").alias("n_left"),
+            F.min("nr").cast("long").alias("n_right"),
+        )
+    )

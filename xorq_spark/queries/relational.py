@@ -680,3 +680,60 @@ def rel_abc_pareto(spark, sf_dir):
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "rel_kanonymity_check",
+    oracle="""
+    WITH q AS (
+      SELECT coalesce(lang, '?') AS l, coalesce(source, '?') AS s,
+             n_chars // 200 AS nb
+      FROM documents),
+    cls AS (SELECT l, s, nb, CAST(count(*) AS BIGINT) AS c
+            FROM q GROUP BY 1, 2, 3),
+    agg AS (SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_classes,
+                   CAST(min(c) AS BIGINT) AS min_class_size,
+                   CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_classes_lt_k,
+                   CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+                     AS n_rows_at_risk
+            FROM cls)
+    SELECT n_rows, n_classes, min_class_size, n_classes_lt_k,
+           n_rows_at_risk,
+           CAST(n_rows_at_risk * 1000000 // n_rows AS BIGINT) AS risk_ppm
+    FROM agg
+    """,
+)
+def rel_kanonymity_check(spark, sf_dir):
+    """k-anonymity audit (k=5) over the quasi-identifier combination
+    (lang, source, length-bucket): how many equivalence classes are
+    smaller than k, and how many rows those classes expose — the
+    re-identification risk gate a privacy release runs BEFORE
+    generalizing further or adding noise (the dp_noisy_counts
+    companion on the assessment side). One combinable groupBy + one
+    bounded aggregate; integer ppm risk rate."""
+    docs = t(spark, sf_dir, "documents")
+    q = docs.select(
+        F.coalesce("lang", F.lit("?")).alias("l"),
+        F.coalesce("source", F.lit("?")).alias("s"),
+        F.expr("n_chars div 200").alias("nb"),
+    )
+    cls = q.groupBy("l", "s", "nb").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    return cls.agg(
+        F.sum("c").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("c").cast("long").alias("min_class_size"),
+        F.sum(F.when(F.col("c") < 5, 1).otherwise(0))
+        .cast("long").alias("n_classes_lt_k"),
+        F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0))
+        .cast("long").alias("n_rows_at_risk"),
+    ).select(
+        "n_rows", "n_classes", "min_class_size", "n_classes_lt_k",
+        "n_rows_at_risk",
+        F.expr(
+            "CAST(n_rows_at_risk * 1000000 div n_rows AS BIGINT)"
+        ).alias("risk_ppm"),
+    )

@@ -105,6 +105,9 @@ SUITES: dict[str, list[str]] = {
         "rel_pivot_wider",
         "rel_pivot_longer",
         "rel_describe_stats",
+        # round 5 (cont.): k-anonymity audit over a quasi-identifier
+        # combination (the privacy-assessment gate beside DP release)
+        "rel_kanonymity_check",
     ],
     "suite_window_rank": [
         "window_rank_dense",
@@ -428,6 +431,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): B-cubed extrinsic clustering eval of the
         # blocking key vs exact-text gold (linear, no pair explosion)
         "dedup_bcubed_eval",
+        # + dedup yield curve: pair/doc counts swept over 5 Jaccard
+        # thresholds in ONE pass of the exact ppm pair table
+        "dedup_threshold_sweep",
     ],
     "suite_similarity": [
         "sim_ann_bruteforce_topk",
@@ -481,6 +487,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): reliability-diagram calibration bins (ppm
         # deciles, ECE contributions — ranking vs probability gate)
         "ml_calibration_bins",
+        # + decision-stump Gini gain (exact 1e-12 impurities off the
+        # two-level distinct-value cumsum; feature-screening primitive)
+        "ml_stump_gain",
     ],
     "suite_multimodal": [
         "mm_extract_features",
