@@ -268,3 +268,67 @@ def test_label_propagation_no_cartesian_no_python(spark):
     plan = _plan(spark, "graph_label_propagation")
     assert "CartesianProduct" not in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
+
+
+def test_attribution_joins_on_user_equi_key(spark):
+    """The touch-conversion join must be a hash/merge EQUI-join on the
+    user key with the time band as a residual predicate — never a
+    nested-loop range join."""
+    plan = _plan(spark, "time_attribution_credit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_running_sum_window_is_partitioned(spark):
+    """The two-level prefix operator (operators/prefix.py) must never
+    put the data-sized window on a single partition: its running-sum
+    Window is keyed on the range-partition id (hashpartitioning), and
+    the only SinglePartition window is the bounded #partitions-rows
+    offsets frame. (The unbounded-domain cumsum sites — AUC, lift,
+    ABC, KS, Mann-Whitney, stump gain — all route through this
+    operator; its own plan is asserted because their localCheckpoint
+    truncates the visible plan.) Also: value parity with the naive
+    single-partition window."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from xorq_spark.operators.prefix import running_sum
+
+    df = spark.range(1, 1001).select(
+        (F.col("id") * 37 % 997).alias("v"),
+        (F.col("id") % 7 + 1).alias("c"),
+    ).groupBy("v").agg(F.sum("c").alias("c"))
+    out = running_sum(df, "v", "c", "cum")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(__pid" in plan, plan
+    naive = df.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    got = {(r.v, r.cum) for r in out.collect()}
+    want = {(r.v, r.cum) for r in naive.collect()}
+    assert got == want
+
+
+def test_link_prediction_no_edge_self_join(spark):
+    """Wedges come from the array-side pair HOF; the only joins are
+    the anti-join against existing edges and the bounded degree
+    joins — no cartesian anywhere."""
+    plan = _plan(spark, "graph_link_prediction")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_kaplan_meier_single_user_pass(spark):
+    """The lifetime table is built by ONE grouped pass (struct-min +
+    max): no window over users, and the only nested-loop is the
+    1-row global-max broadcast."""
+    plan = _plan(spark, "time_kaplan_meier")
+    assert "Window" not in plan
+    # formatted explain lists each operator in both the tree and the
+    # details section — one crossJoin appears twice
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
