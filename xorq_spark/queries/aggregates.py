@@ -1558,3 +1558,46 @@ def agg_welch_ttest(spark, sf_dir):
         (F.col("event_type") == "click").alias("is_a"),
     )
     return welch_ttest(ev, "x", F.col("is_a"))
+
+
+@query(
+    "agg_mode_exact",
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    c AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+    m AS (SELECT event_type,
+                 arg_max(v, CAST(c AS HUGEINT) * 1000000000000 - v)
+                   AS mode_cents,
+                 CAST(max(c) AS BIGINT) AS mode_count,
+                 CAST(count(*) AS BIGINT) AS n_distinct
+          FROM c GROUP BY event_type)
+    SELECT event_type, CAST(mode_cents AS BIGINT) AS mode_cents,
+           mode_count, n_distinct
+    FROM m ORDER BY event_type
+    """,
+)
+def agg_mode_exact(spark, sf_dir):
+    """Exact per-group mode with a deterministic tie-break (highest
+    count, then SMALLEST value — encoded as max_by over (count, -v) on
+    both engines): the categorical summary aggregate SQL's
+    approx-mode/any-value can't certify. Two combinable groupBys; the
+    value domain bounds the second."""
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    c = ev.groupBy(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return (
+        c.groupBy("event_type")
+        .agg(
+            F.expr(
+                "max_by(v, CAST(c AS DECIMAL(38,0)) * 1000000000000 - v)"
+            ).cast("long").alias("mode_cents"),
+            F.max("c").cast("long").alias("mode_count"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        )
+        .orderBy("event_type")
+    )

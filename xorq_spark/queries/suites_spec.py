@@ -198,6 +198,9 @@ SUITES: dict[str, list[str]] = {
         # + seeded-Laplace DP-mechanism noisy counts (deterministic
         # md5 inverse-CDF noise off a precomputed midpoint table)
         "agg_dp_noisy_counts",
+        # + exact mode with deterministic tie-break (max_by over an
+        # encoded (count, -value) key — identical on both engines)
+        "agg_mode_exact",
     ],
     "suite_time_a": [
         "time_trunc_extract",
@@ -218,6 +221,9 @@ SUITES: dict[str, list[str]] = {
         # seasonal-naive forecast eval (MAE/SMAPE/MASE integer ppm)
         "time_cohort_ltv",
         "time_forecast_eval",
+        # + business-day lead time (closed-form serial business index,
+        # no calendar table)
+        "time_business_days",
     ],
     "suite_time_b": [
         "time_tumble_window",

@@ -1533,3 +1533,63 @@ def time_forecast_eval(spark, sf_dir):
             " ELSE sae * 1000000 div sae1 END AS BIGINT)"
         ).alias("mase_ppm"),
     )
+
+
+@query(
+    "time_business_days",
+    oracle="""
+    WITH b AS (
+      SELECT o.o_orderpriority AS prio,
+             date_diff('day', DATE '1990-01-01', o.o_orderdate) AS ja,
+             date_diff('day', DATE '1990-01-01', l.l_shipdate) AS jb
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+    d AS (SELECT prio,
+                 (5 * (jb // 7) + least(jb % 7, 4))
+                 - (5 * (ja // 7) + least(ja % 7, 4)) AS bd
+          FROM b)
+    SELECT prio,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(bd) AS BIGINT) AS total_bdays,
+           CAST(CAST(sum(bd) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+             AS avg_bdays_e6,
+           CAST(max(bd) AS BIGINT) AS max_bdays
+    FROM d GROUP BY prio ORDER BY prio
+    """,
+)
+def time_business_days(spark, sf_dir):
+    """Business-day (Mon-Fri) lead time from order to ship per
+    priority — the SLA arithmetic every ops dashboard needs, WITHOUT a
+    calendar table: the serial business index B(d) = 5*(j div 7) +
+    least(j mod 7, 4) over days-since-a-known-Monday (1990-01-01)
+    turns "weekdays between" into one subtraction; weekends collapse
+    onto the preceding Friday. Pure closed-form integer arithmetic on
+    both engines; exact 1e-6 rational averages."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority",
+        F.datediff("o_orderdate", F.lit("1990-01-01")).alias("ja"),
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff("l_shipdate", F.lit("1990-01-01")).alias("jb"),
+    )
+    bidx = lambda c: F.expr(f"5 * ({c} div 7) + least({c} % 7, 4)")  # noqa: E731
+    d = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_orderpriority").alias("prio"),
+            (bidx("jb") - bidx("ja")).alias("bd"),
+        )
+    )
+    return (
+        d.groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("bd").cast("long").alias("total_bdays"),
+            F.expr(
+                "CAST(CAST(sum(bd) AS DECIMAL(38,0)) * 1000000"
+                " div count(1) AS BIGINT)"
+            ).alias("avg_bdays_e6"),
+            F.max("bd").cast("long").alias("max_bdays"),
+        )
+        .orderBy("prio")
+    )
