@@ -267,6 +267,9 @@ SUITES: dict[str, list[str]] = {
         # + hour-of-day seasonality profile (exact 1e-6 hour means +
         # multiplicative seasonal index ppm)
         "time_seasonal_profile",
+        # + longest consecutive-day streak (gaps-and-islands, earliest
+        # tie-break via min_by over (-len, start))
+        "time_longest_streak",
     ],
     "suite_coll_a": [
         "coll_array_basics",
@@ -385,6 +388,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): RAKE keyword extraction (stopword-run
         # islands, corpus degree/freq ppm scores)
         "text_rake_keywords",
+        # + source vocabulary overlap (Jaccard + overlap coefficient
+        # over distinct-token sets; token-keyed pair join)
+        "text_source_overlap",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

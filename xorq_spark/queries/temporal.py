@@ -1593,3 +1593,62 @@ def time_business_days(spark, sf_dir):
         )
         .orderBy("prio")
     )
+
+
+@query(
+    "time_longest_streak",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                FROM events),
+    isl AS (SELECT u, d,
+                   d - CAST(row_number() OVER (PARTITION BY u ORDER BY d)
+                            AS INTEGER) AS grp
+            FROM ud),
+    runs AS (SELECT u, CAST(count(*) AS BIGINT) AS len,
+                    min(d) AS run_start
+             FROM isl GROUP BY u, grp)
+    SELECT u AS user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak_days,
+           min(CASE WHEN len = (SELECT max(r2.len) FROM runs r2
+                                WHERE r2.u = runs.u)
+                    THEN run_start END) AS streak_start,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY u ORDER BY u
+    """,
+)
+def time_longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (the
+    engagement/gamification metric): gaps-and-islands over deduped
+    (user, day) — island id = day minus the per-user day rank, one
+    window shuffle on the user key; earliest streak start breaks ties.
+    Runs and streaks are exact integers."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("u").orderBy("d")
+    isl = ud.select(
+        "u", "d",
+        F.date_sub("d", F.row_number().over(w)).alias("grp"),
+    )
+    runs = isl.groupBy("u", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("len"),
+        F.min("d").alias("run_start"),
+    )
+    return (
+        runs.groupBy("u")
+        .agg(
+            F.max("len").cast("long").alias("longest_streak_days"),
+            F.expr(
+                "min_by(run_start, struct(-len, run_start))"
+            ).alias("streak_start"),
+            F.count(F.lit(1)).cast("long").alias("n_runs"),
+        )
+        .select(
+            F.col("u").alias("user_id"), "longest_streak_days",
+            "streak_start", "n_runs",
+        )
+        .orderBy("user_id")
+    )

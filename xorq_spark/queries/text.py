@@ -1224,3 +1224,84 @@ def text_rake_keywords(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return rake_keywords(docs, "text", "doc_id", max_phrase_len=4, top_k=15)
+
+
+@query(
+    "text_source_overlap",
+    oracle=f"""
+    WITH tk AS (
+      SELECT DISTINCT source, unnest({_CLEAN_TOKS}) AS tok
+      FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+    tk2 AS (SELECT source, tok FROM tk WHERE tok <> ''),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tk2
+           GROUP BY 1),
+    inter AS (SELECT a.source AS src_a, b.source AS src_b,
+                     CAST(count(*) AS BIGINT) AS n_common
+              FROM tk2 a JOIN tk2 b
+                ON a.tok = b.tok AND a.source < b.source
+              GROUP BY 1, 2)
+    SELECT i.src_a, i.src_b, i.n_common,
+           sa.n AS vocab_a, sb.n AS vocab_b,
+           CAST(i.n_common * 1000000 // (sa.n + sb.n - i.n_common)
+                AS BIGINT) AS jaccard_ppm,
+           CAST(i.n_common * 1000000 // least(sa.n, sb.n) AS BIGINT)
+             AS overlap_coef_ppm
+    FROM inter i JOIN sz sa ON i.src_a = sa.source
+                 JOIN sz sb ON i.src_b = sb.source
+    ORDER BY src_a, src_b
+    """,
+)
+def text_source_overlap(spark, sf_dir):
+    """Vocabulary overlap between corpus sources — Jaccard and
+    Szymkiewicz-Simpson overlap coefficients over distinct-token sets
+    in exact ppm: the corpus-comparison readout behind "is source X
+    redundant given Y" mixture decisions. The (source, token) dedup is
+    one combinable pass; the pair join is token-keyed with the BOUNDED
+    source domain riding as payload (never a doc-level join); source
+    sizes broadcast back."""
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
+    tk = (
+        docs.select(
+            "source",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("__raw"),
+        )
+        .select(
+            "source",
+            F.regexp_replace("__raw", r"[^\w一-鿿]", "").alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sz = tk.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a = tk.select(F.col("source").alias("src_a"), "tok")
+    b = tk.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(
+            F.broadcast(sz.withColumnRenamed("source", "src_a")
+                        .withColumnRenamed("n", "vocab_a")), "src_a")
+        .join(
+            F.broadcast(sz.withColumnRenamed("source", "src_b")
+                        .withColumnRenamed("n", "vocab_b")), "src_b")
+        .select(
+            "src_a", "src_b", "n_common", "vocab_a", "vocab_b",
+            F.expr(
+                "CAST(n_common * 1000000"
+                " div (vocab_a + vocab_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+            F.expr(
+                "CAST(n_common * 1000000 div least(vocab_a, vocab_b)"
+                " AS BIGINT)"
+            ).alias("overlap_coef_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
