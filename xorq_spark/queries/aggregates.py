@@ -1601,3 +1601,103 @@ def agg_mode_exact(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_price_volume_mix",
+    oracle="""
+    WITH li AS (
+      SELECT l_partkey AS pk,
+             CAST(extract(year FROM l_shipdate) AS BIGINT) AS y,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS r
+      FROM lineitem
+      WHERE extract(year FROM l_shipdate) IN (1998, 1999)),
+    p AS (SELECT pk,
+                 CAST(sum(CASE WHEN y = 1998 THEN q ELSE 0 END) AS BIGINT) AS q0,
+                 CAST(sum(CASE WHEN y = 1998 THEN r ELSE 0 END) AS BIGINT) AS r0,
+                 CAST(sum(CASE WHEN y = 1999 THEN q ELSE 0 END) AS BIGINT) AS q1,
+                 CAST(sum(CASE WHEN y = 1999 THEN r ELSE 0 END) AS BIGINT) AS r1
+          FROM li GROUP BY pk),
+    eff AS (
+      SELECT
+        CAST(sum(r0) AS BIGINT) AS rev0,
+        CAST(sum(r1) AS BIGINT) AS rev1,
+        CAST(sum(CASE WHEN q0 > 0 AND q1 > 0 THEN
+              CASE WHEN q1 >= q0 THEN
+                CAST(q1 - q0 AS HUGEINT) * r0 * 1000000 // q0
+              ELSE -(CAST(q0 - q1 AS HUGEINT) * r0 * 1000000 // q0) END
+              ELSE 0 END) AS BIGINT) AS volume_effect_e6,
+        CAST(sum(CASE WHEN q0 > 0 AND q1 > 0 THEN
+              CAST(r1 AS HUGEINT) * 1000000
+              - CAST(q1 AS HUGEINT) * r0 * 1000000 // q0
+              ELSE 0 END) AS BIGINT) AS price_effect_e6,
+        CAST(sum(CASE WHEN q0 = 0 THEN r1 ELSE 0 END) AS BIGINT)
+          AS new_parts_rev,
+        CAST(sum(CASE WHEN q1 = 0 THEN r0 ELSE 0 END) AS BIGINT)
+          AS churned_parts_rev
+      FROM p)
+    SELECT rev0, rev1, rev1 - rev0 AS delta_cents,
+           volume_effect_e6, price_effect_e6,
+           new_parts_rev, churned_parts_rev
+    FROM eff
+    """,
+)
+def agg_price_volume_mix(spark, sf_dir):
+    """Price/volume decomposition of the 1998->1999 revenue change —
+    the FP&A bridge: for parts sold in BOTH years, delta splits
+    exactly into (q1-q0)*p0 (volume) + q1*(p1-p0) (price) with p = the
+    per-part average unit price as a 1e-6 rational (defined with
+    per-part floor division — engine-exact); parts appearing or
+    disappearing report as new/churned revenue buckets. One combinable
+    part x year rollup; everything downstream is one aggregate."""
+    li = t(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate").isin(1998, 1999)
+    ).select(
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").cast("long").alias("y"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("r"),
+    )
+    p = li.groupBy("pk").agg(
+        F.sum(F.when(F.col("y") == 1998, F.col("q")).otherwise(0))
+        .cast("long").alias("q0"),
+        F.sum(F.when(F.col("y") == 1998, F.col("r")).otherwise(0))
+        .cast("long").alias("r0"),
+        F.sum(F.when(F.col("y") == 1999, F.col("q")).otherwise(0))
+        .cast("long").alias("q1"),
+        F.sum(F.when(F.col("y") == 1999, F.col("r")).otherwise(0))
+        .cast("long").alias("r1"),
+    )
+    eff = p.agg(
+        F.sum("r0").cast("long").alias("rev0"),
+        F.sum("r1").cast("long").alias("rev1"),
+        # sign-split: the numerator is negative when volume shrinks and
+        # Spark div truncates while DuckDB // floors — divide the
+        # magnitude, reapply the sign (identical on both engines)
+        F.expr(
+            "CAST(sum(CASE WHEN q0 > 0 AND q1 > 0 THEN"
+            " CASE WHEN q1 >= q0 THEN"
+            " CAST(q1 - q0 AS DECIMAL(38,0)) * r0 * 1000000 div q0"
+            " ELSE -(CAST(q0 - q1 AS DECIMAL(38,0)) * r0 * 1000000 div q0)"
+            " END ELSE 0 END) AS BIGINT)"
+        ).alias("volume_effect_e6"),
+        F.expr(
+            "CAST(sum(CASE WHEN q0 > 0 AND q1 > 0 THEN"
+            " CAST(r1 AS DECIMAL(38,0)) * 1000000"
+            " - CAST(q1 AS DECIMAL(38,0)) * r0 * 1000000 div q0"
+            " ELSE 0 END) AS BIGINT)"
+        ).alias("price_effect_e6"),
+        F.expr(
+            "CAST(sum(CASE WHEN q0 = 0 THEN r1 ELSE 0 END) AS BIGINT)"
+        ).alias("new_parts_rev"),
+        F.expr(
+            "CAST(sum(CASE WHEN q1 = 0 THEN r0 ELSE 0 END) AS BIGINT)"
+        ).alias("churned_parts_rev"),
+    )
+    return eff.select(
+        "rev0", "rev1",
+        (F.col("rev1") - F.col("rev0")).alias("delta_cents"),
+        "volume_effect_e6", "price_effect_e6",
+        "new_parts_rev", "churned_parts_rev",
+    )

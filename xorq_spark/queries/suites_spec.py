@@ -201,6 +201,9 @@ SUITES: dict[str, list[str]] = {
         # + exact mode with deterministic tie-break (max_by over an
         # encoded (count, -value) key — identical on both engines)
         "agg_mode_exact",
+        # + price/volume revenue-bridge decomposition (FP&A shape;
+        # per-part rational unit prices, sign-split volume effect)
+        "agg_price_volume_mix",
     ],
     "suite_time_a": [
         "time_trunc_extract",
@@ -224,6 +227,8 @@ SUITES: dict[str, list[str]] = {
         # + business-day lead time (closed-form serial business index,
         # no calendar table)
         "time_business_days",
+        # + calendar-aligned YoY monthly growth (sign-split ppm)
+        "time_yoy_growth",
     ],
     "suite_time_b": [
         "time_tumble_window",

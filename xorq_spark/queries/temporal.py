@@ -1652,3 +1652,61 @@ def time_longest_streak(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "time_yoy_growth",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS y,
+             CAST(extract(month FROM o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY 1, 2)
+    SELECT a.y, a.m, a.rev AS revenue_cents,
+           b.rev AS prev_year_cents,
+           CAST(CASE WHEN b.rev IS NULL THEN NULL
+                WHEN a.rev - b.rev < 0
+                THEN -(CAST(b.rev - a.rev AS HUGEINT) * 1000000 // b.rev)
+                ELSE CAST(a.rev - b.rev AS HUGEINT) * 1000000 // b.rev END
+                AS BIGINT) AS yoy_growth_ppm
+    FROM m a LEFT JOIN m b ON a.y = b.y + 1 AND a.m = b.m
+    ORDER BY a.y, a.m
+    """,
+)
+def time_yoy_growth(spark, sf_dir):
+    """Year-over-year monthly revenue growth in exact ppm — the
+    calendar-aligned trend readout (month joins month, no row-lag
+    assumptions about gap-free series). Growth uses SIGN-SPLIT integer
+    division (negative growth floors differently between engines
+    otherwise — the dp_noisy_counts convention). One combinable
+    monthly rollup, self-joined on the bounded month frame."""
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("rev")
+    )
+    b = m.select(
+        (F.col("y") + 1).alias("y"), F.col("m"),
+        F.col("rev").alias("prev_year_cents"),
+    )
+    return (
+        m.join(b, ["y", "m"], "left")
+        .select(
+            "y", "m", F.col("rev").alias("revenue_cents"),
+            "prev_year_cents",
+            F.expr(
+                "CAST(CASE WHEN prev_year_cents IS NULL THEN NULL"
+                " WHEN rev - prev_year_cents < 0"
+                " THEN -(CAST(prev_year_cents - rev AS DECIMAL(38,0))"
+                "   * 1000000 div prev_year_cents)"
+                " ELSE CAST(rev - prev_year_cents AS DECIMAL(38,0))"
+                "   * 1000000 div prev_year_cents END AS BIGINT)"
+            ).alias("yoy_growth_ppm"),
+        )
+        .orderBy("y", "m")
+    )
