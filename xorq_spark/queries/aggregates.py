@@ -1701,3 +1701,95 @@ def agg_price_volume_mix(spark, sf_dir):
         "volume_effect_e6", "price_effect_e6",
         "new_parts_rev", "churned_parts_rev",
     )
+
+
+@query(
+    "agg_rfm_segmentation",
+    oracle="""
+    WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+    base AS (
+      SELECT o_custkey AS ck,
+             date_diff('day', max(CAST(o_orderdate AS DATE)),
+                       (SELECT d1 FROM mx)) AS r,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m
+      FROM orders GROUP BY o_custkey),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    rs AS (SELECT r AS v,
+                  CAST(sum(count(*)) OVER (ORDER BY r DESC) AS BIGINT) AS cum
+           FROM base GROUP BY r),
+    fs AS (SELECT f AS v,
+                  CAST(sum(count(*)) OVER (ORDER BY f) AS BIGINT) AS cum
+           FROM base GROUP BY f),
+    ms AS (SELECT m AS v,
+                  CAST(sum(count(*)) OVER (ORDER BY m) AS BIGINT) AS cum
+           FROM base GROUP BY m),
+    sc AS (
+      SELECT b.ck, b.m,
+             CAST((rs.cum * 5 + n.n - 1) // n.n AS BIGINT) AS r_score,
+             CAST((fs.cum * 5 + n.n - 1) // n.n AS BIGINT) AS f_score,
+             CAST((ms.cum * 5 + n.n - 1) // n.n AS BIGINT) AS m_score
+      FROM base b
+      JOIN rs ON b.r = rs.v JOIN fs ON b.f = fs.v JOIN ms ON b.m = ms.v
+      CROSS JOIN n)
+    SELECT r_score, f_score, m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(m) AS BIGINT) AS total_monetary_cents
+    FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def agg_rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation — recency/frequency/monetary quintile
+    scores (5 = best: most recent, most frequent, highest spend) with
+    TIE-SAFE value-level quintiles: a whole tie block shares the score
+    ceil(cum*5/n) off its distinct-value cumsum (no NTILE row-lottery,
+    which is engine-nondeterministic on ties). Each dimension's cumsum
+    runs through the two-level prefix operator; score maps join back
+    on the value equi-key. Output: the 125-cell segment grid with
+    customer counts and monetary totals."""
+    from xorq_spark.operators.prefix import running_sum
+
+    o = t(spark, sf_dir, "orders")
+    mx = o.agg(F.max(F.to_date("o_orderdate")).alias("d1"))
+    base = (
+        o.groupBy(F.col("o_custkey").alias("ck"))
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+            F.count(F.lit(1)).cast("long").alias("f"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+            ).cast("long").alias("m"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "ck", F.datediff("d1", "__last").cast("long").alias("r"),
+            "f", "m",
+        )
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    def scoremap(col, descending):
+        dv = base.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        cum = running_sum(dv, "v", "__c", "cum", descending=descending)
+        return cum.crossJoin(F.broadcast(n)).select(
+            F.col("v").alias(f"__{col}v"),
+            F.expr("CAST((cum * 5 + n - 1) div n AS BIGINT)")
+            .alias(f"{col}_score"),
+        )
+
+    sc = (
+        base.join(scoremap("r", True), base.r == F.col("__rv"))
+        .join(scoremap("f", False), base.f == F.col("__fv"))
+        .join(scoremap("m", False), base.m == F.col("__mv"))
+    )
+    return (
+        sc.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("m").cast("long").alias("total_monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -147,6 +147,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): SQL-standard regr_* OLS family (one
         # combinable cross-moment pass, agg_stats rounding convention)
         "agg_regression",
+        # + RFM segmentation (tie-safe value-level quintiles off
+        # two-level cumsums; no NTILE row-lottery)
+        "agg_rfm_segmentation",
         # + exact WEIGHT-mass quantiles (type-1 rank arithmetic off a
         # distinct-value weight cumsum; the corpus never sorts)
         "agg_weighted_quantiles",
