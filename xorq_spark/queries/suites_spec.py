@@ -232,6 +232,10 @@ SUITES: dict[str, list[str]] = {
         "time_business_days",
         # + calendar-aligned YoY monthly growth (sign-split ppm)
         "time_yoy_growth",
+        # + MAU growth accounting (new/retained/resurrected/churned)
+        "time_growth_accounting",
+        # + PSI drift (Laplace-smoothed, e9-quantized IEEE terms)
+        "time_psi_drift",
     ],
     "suite_time_b": [
         "time_tumble_window",

@@ -1710,3 +1710,189 @@ def time_yoy_growth(spark, sf_dir):
         )
         .orderBy("y", "m")
     )
+
+
+@query(
+    "time_growth_accounting",
+    oracle="""
+    WITH um AS (SELECT DISTINCT o_custkey AS u,
+                       CAST(extract(year FROM o_orderdate) * 12
+                            + extract(month FROM o_orderdate) AS BIGINT)
+                         AS mi
+                FROM orders),
+    fm AS (SELECT u, min(mi) AS first_mi FROM um GROUP BY u),
+    lab AS (
+      SELECT c.mi, c.u,
+             CASE WHEN c.mi = f.first_mi THEN 'new'
+                  WHEN p.u IS NOT NULL THEN 'retained'
+                  ELSE 'resurrected' END AS status
+      FROM um c JOIN fm f USING (u)
+      LEFT JOIN um p ON p.u = c.u AND p.mi = c.mi - 1),
+    churn AS (
+      SELECT p.mi + 1 AS mi, CAST(count(*) AS BIGINT) AS churned
+      FROM um p LEFT JOIN um c ON c.u = p.u AND c.mi = p.mi + 1
+      WHERE c.u IS NULL GROUP BY p.mi + 1),
+    g AS (SELECT mi,
+                 CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS new_users,
+                 CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS retained,
+                 CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS resurrected,
+                 CAST(count(*) AS BIGINT) AS mau
+          FROM lab GROUP BY mi)
+    SELECT g.mi AS month_index, g.mau, g.new_users, g.retained,
+           g.resurrected, CAST(coalesce(ch.churned, 0) AS BIGINT) AS churned
+    FROM g LEFT JOIN churn ch ON g.mi = ch.mi
+    ORDER BY month_index
+    """,
+)
+def time_growth_accounting(spark, sf_dir):
+    """MAU growth accounting (the new/retained/resurrected/churned
+    decomposition — MAU_t = new + retained + resurrected, and
+    MAU_{t-1} - retained = churned into t): distinct (user, month)
+    activity self-joined one month back (user-keyed equi-join), first
+    month per user from one combinable min. The standard growth
+    dashboard identity, all exact counts — run over customer ORDER
+    activity (80 months of history; the events log spans one month)."""
+    o = t(spark, sf_dir, "orders")
+    um = o.select(
+        F.col("o_custkey").alias("u"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long").alias("mi"),
+    ).distinct()
+    fm = um.groupBy("u").agg(F.min("mi").alias("first_mi"))
+    p = um.select("u", (F.col("mi") + 1).alias("mi"), F.lit(1).alias("__p"))
+    lab = (
+        um.join(fm, "u")
+        .join(p, ["u", "mi"], "left")
+        .select(
+            "mi",
+            F.when(F.col("mi") == F.col("first_mi"), "new")
+            .when(F.col("__p").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("status"),
+        )
+    )
+    nxt = um.select("u", F.col("mi").alias("pmi"))
+    churn = (
+        nxt.join(
+            um.select("u", (F.col("mi") - 1).alias("pmi")).withColumn(
+                "__c", F.lit(1)
+            ),
+            ["u", "pmi"],
+            "left",
+        )
+        .where(F.col("__c").isNull())
+        .groupBy((F.col("pmi") + 1).alias("mi"))
+        .agg(F.count(F.lit(1)).cast("long").alias("churned"))
+    )
+    g = lab.groupBy("mi").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0))
+        .cast("long").alias("new_users"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0))
+        .cast("long").alias("retained"),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0))
+        .cast("long").alias("resurrected"),
+        F.count(F.lit(1)).cast("long").alias("mau"),
+    )
+    return (
+        g.join(churn, "mi", "left")
+        .select(
+            F.col("mi").alias("month_index"), "mau", "new_users",
+            "retained", "resurrected",
+            F.coalesce("churned", F.lit(0)).cast("long").alias("churned"),
+        )
+        .orderBy("month_index")
+    )
+
+
+@query(
+    "time_psi_drift",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(least(greatest(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                                 // 2000, 0), 9) AS BIGINT) AS bin,
+             CAST(event_id % 2 AS BIGINT) AS side
+      FROM events WHERE value IS NOT NULL),
+    c AS (SELECT bin,
+                 CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM d GROUP BY bin),
+    grid AS (SELECT g.bin, coalesce(c.ca, 0) AS ca, coalesce(c.cb, 0) AS cb
+             FROM (SELECT unnest(range(0, 10)) AS bin) g
+             LEFT JOIN c ON g.bin = c.bin),
+    n AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+                 CAST(sum(cb) AS BIGINT) AS nb FROM grid),
+    term AS (
+      SELECT grid.bin, grid.ca, grid.cb,
+             CAST(floor(
+               ((CAST(grid.ca + 1 AS DOUBLE) / CAST(n.na + 10 AS DOUBLE))
+                - (CAST(grid.cb + 1 AS DOUBLE) / CAST(n.nb + 10 AS DOUBLE)))
+               * ln(((CAST(grid.ca + 1 AS DOUBLE)
+                      / CAST(n.na + 10 AS DOUBLE)))
+                    / ((CAST(grid.cb + 1 AS DOUBLE)
+                        / CAST(n.nb + 10 AS DOUBLE))))
+               * 1000000000 + 0.5) AS BIGINT) AS psi_contrib_e9
+      FROM grid CROSS JOIN n)
+    SELECT bin, CAST(ca AS BIGINT) AS n_a, CAST(cb AS BIGINT) AS n_b,
+           psi_contrib_e9
+    FROM term ORDER BY bin
+    """,
+)
+def time_psi_drift(spark, sf_dir):
+    """Population Stability Index between the two halves of the event
+    log (the model-monitoring drift score banks run on every feature):
+    10 fixed cent-range bins with Laplace-smoothed proportions
+    (c+1)/(N+10); each bin's contribution (pa-pb)·ln(pa/pb) is
+    computed by an identical IEEE tree on both engines (PSI terms are
+    always non-negative) and quantized ONCE to an e9 integer via
+    floor(x*1e9+0.5) — so the sum is engine-exact regardless of
+    summation order. Complements TVD (histogram_drift) and KS
+    (ks_drift): PSI is the industry-standard logged score."""
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select(
+        F.expr(
+            "CAST(least(greatest(CAST(floor(value * 100 + 0.5) AS BIGINT)"
+            " div 2000, 0), 9) AS BIGINT)"
+        ).alias("bin"),
+        (F.col("event_id") % 2).cast("long").alias("side"),
+    )
+    c = d.groupBy("bin").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long").alias("ca"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long").alias("cb"),
+    )
+    grid = (
+        ev.sparkSession.range(0, 10)
+        .select(F.col("id").cast("long").alias("bin"))
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("ca", F.lit(0)).cast("long").alias("ca"),
+            F.coalesce("cb", F.lit(0)).cast("long").alias("cb"),
+        )
+    )
+    n = grid.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    return (
+        grid.crossJoin(F.broadcast(n))
+        .select(
+            "bin",
+            F.col("ca").alias("n_a"),
+            F.col("cb").alias("n_b"),
+            F.expr(
+                "CAST(floor(((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))"
+                " - (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))"
+                " * ln((CAST(ca + 1 AS DOUBLE) / CAST(na + 10 AS DOUBLE))"
+                " / (CAST(cb + 1 AS DOUBLE) / CAST(nb + 10 AS DOUBLE)))"
+                " * 1000000000 + 0.5) AS BIGINT)"
+            ).alias("psi_contrib_e9"),
+        )
+        .orderBy("bin")
+    )
