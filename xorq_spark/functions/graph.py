@@ -663,3 +663,62 @@ def link_prediction(
             ).alias("jaccard_ppm"),
         )
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    n_steps: int = 4,
+    seed: str = "rw0",
+) -> DataFrame:
+    """Deterministic uniform random walks over an undirected edge list
+    — the DeepWalk/node2vec corpus-sampling primitive, with every
+    "random" choice a PURE md5 FUNCTION of (seed, start, step,
+    current): rerun/engine-stable, so an external engine can replay
+    every step (the bootstrap/DP-noise convention applied to graph
+    sampling). One walk starts at every node; at each step the next
+    hop indexes into the SORTED neighbor array by
+    md5(seed|start|step|cur) % degree.
+
+    Scale: adjacency is one groupBy (sorted arrays); each step is one
+    equi-join of the walk frontier against it — n_steps joins total,
+    frontier never exceeds #nodes rows. Super-node arrays should be
+    capped upstream for true scale-free graphs.
+
+    Returns (start, step, node): step 0 is the start itself.
+    """
+    und = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    adj = und.groupBy(F.col("src").alias("node")).agg(
+        F.sort_array(F.collect_set("dst")).alias("ns")
+    )
+    walk = adj.select(
+        F.col("node").alias("start"),
+        F.lit(0).alias("step"),
+        F.col("node"),
+    )
+    out = walk
+    cur = walk
+    for s in range(1, int(n_steps) + 1):
+        cur = (
+            cur.join(adj, "node")
+            .select(
+                "start",
+                F.lit(s).alias("step"),
+                F.element_at(
+                    "ns",
+                    (
+                        F.expr(
+                            f"CAST(conv(substring(md5(concat('{seed}|',"
+                            f" CAST(start AS STRING), '|', {s}, '|',"
+                            f" CAST(node AS STRING))), 1, 8), 16, 10)"
+                            f" AS BIGINT)"
+                        )
+                        % F.size("ns")
+                        + 1
+                    ).cast("int"),
+                ).alias("node"),
+            )
+        )
+        out = out.unionByName(cur)
+    return out

@@ -1793,3 +1793,62 @@ def agg_rfm_segmentation(spark, sf_dir):
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@query(
+    "agg_wilson_ci",
+    oracle="""
+    WITH d AS (
+      SELECT user_id % 2 AS variant,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    g AS (SELECT CAST(variant AS BIGINT) AS variant,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS k
+          FROM d GROUP BY 1)
+    SELECT variant, n, k,
+           CAST(k * 1000000 // n AS BIGINT) AS rate_ppm,
+           round((CAST(k AS DOUBLE) + 1.9208)
+                 / (CAST(n AS DOUBLE) + 3.8416)
+                 - (1.96 * sqrt((CAST(k AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                      / CAST(n AS DOUBLE)) + 0.9604))
+                   / (CAST(n AS DOUBLE) + 3.8416), 9) AS wilson_lo,
+           round((CAST(k AS DOUBLE) + 1.9208)
+                 / (CAST(n AS DOUBLE) + 3.8416)
+                 + (1.96 * sqrt((CAST(k AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))
+                      / CAST(n AS DOUBLE)) + 0.9604))
+                   / (CAST(n AS DOUBLE) + 3.8416), 9) AS wilson_hi
+    FROM g ORDER BY variant
+    """,
+)
+def agg_wilson_ci(spark, sf_dir):
+    """Wilson 95% score interval for per-variant conversion rates —
+    the proportion CI that behaves at small n and extreme rates where
+    the normal approximation fails (the standard dashboard interval).
+    Exact integer sufficient statistics (n, k); the bounds are one
+    fixed IEEE tree (+,-,*,/,sqrt with z=1.96 constants: z^2/2=1.9208,
+    z^2=3.8416, z^2^2/4=0.9604), rounded 9 — engine-bit-identical.
+    One combinable groupBy."""
+    ev = t(spark, sf_dir, "events")
+    g = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("variant"),
+        (F.col("event_type") == "purchase").cast("long").alias("y"),
+    ).groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("k"),
+    )
+    lo = (
+        "(CAST(k AS DOUBLE) + 1.9208) / (CAST(n AS DOUBLE) + 3.8416)"
+        " - (1.96 * sqrt((CAST(k AS DOUBLE)"
+        " * (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))"
+        " / CAST(n AS DOUBLE)) + 0.9604)) / (CAST(n AS DOUBLE) + 3.8416)"
+    )
+    hi = lo.replace(" - (1.96", " + (1.96")
+    return g.select(
+        "variant", "n", "k",
+        F.expr("CAST(k * 1000000 div n AS BIGINT)").alias("rate_ppm"),
+        F.round(F.expr(lo), 9).alias("wilson_lo"),
+        F.round(F.expr(hi), 9).alias("wilson_hi"),
+    ).orderBy("variant")

@@ -378,3 +378,66 @@ def graph_link_prediction(spark, sf_dir):
         ).alias("e")
     ).select("e.src", "e.dst").distinct()
     return link_prediction(edges, min_common=2).orderBy("a", "b")
+
+
+def _rw_oracle(n_steps: int = 4, seed: str = "rw0") -> str:
+    step_ctes = []
+    prev = "w0"
+    for s in range(1, n_steps + 1):
+        step_ctes.append(
+            f"w{s} AS (SELECT p.start, {s} AS step,"
+            f" a.ns[CAST(('0x' || substr(md5('{seed}|' ||"
+            f" CAST(p.start AS VARCHAR) || '|' || {s} || '|' ||"
+            f" CAST(p.node AS VARCHAR)), 1, 8))::BIGINT"
+            f" % len(a.ns) + 1 AS INT)] AS node"
+            f" FROM {prev} p JOIN adj a ON p.node = a.node)"
+        )
+        prev = f"w{s}"
+    union = " UNION ALL ".join(
+        f"SELECT * FROM w{s}" for s in range(n_steps + 1)
+    )
+    return f"""
+    WITH pe AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem WHERE l_partkey <= 220),
+    e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           FROM pe a JOIN pe b ON a.o = b.o AND a.p < b.p),
+    und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+    adj AS (SELECT src AS node, list_sort(list(DISTINCT dst)) AS ns
+            FROM und GROUP BY 1),
+    w0 AS (SELECT node AS start, 0 AS step, node FROM adj),
+    {", ".join(step_ctes)}
+    SELECT start, CAST(step AS BIGINT) AS step, CAST(node AS BIGINT) AS node
+    FROM ({union}) ORDER BY start, step
+    """
+
+
+@query("graph_random_walks", oracle=_rw_oracle())
+def graph_random_walks(spark, sf_dir):
+    """Deterministic uniform random walks (functions/graph.py
+    random_walks) over the bounded co-purchase graph: 4 steps from
+    every node, each hop an md5 index into the sorted neighbor array —
+    the DeepWalk/node2vec corpus sampler an external engine can replay
+    step-for-step. The oracle rebuilds all four frontier joins."""
+    from xorq_spark.functions.graph import random_walks
+
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 220)
+    pe = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    baskets = pe.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("ps")
+    )
+    edges = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps)), y ->"
+                " struct(x AS src, y AS dst))))"
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst").distinct()
+    return (
+        random_walks(edges, n_steps=4, seed="rw0")
+        .select("start", F.col("step").cast("long"), F.col("node").cast("long"))
+        .orderBy("start", "step")
+    )

@@ -707,3 +707,109 @@ def sim_pq_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "sim_matryoshka_recall",
+    oracle="""
+    WITH emb AS (SELECT vec_id, embedding FROM embeddings
+                 WHERE embedding IS NOT NULL),
+    unq AS (SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000
+                              + 0.5) AS BIGINT) AS qv
+            FROM emb),
+    fulld AS (SELECT a.vec_id AS query_id, b.vec_id,
+                     CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+              FROM unq a JOIN unq b ON a.dim = b.dim
+              WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id
+              GROUP BY 1, 2),
+    pref AS (SELECT a.vec_id AS query_id, b.vec_id,
+                    CAST(SUM((a.qv - b.qv) * (a.qv - b.qv)) AS BIGINT) AS d
+             FROM unq a JOIN unq b ON a.dim = b.dim
+             WHERE a.vec_id < 5 AND b.vec_id <> a.vec_id AND a.dim < 8
+             GROUP BY 1, 2),
+    exact AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY d, vec_id) AS rank
+                FROM fulld) WHERE rank <= 10),
+    approx AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY d, vec_id) AS rank
+                 FROM pref) WHERE rank <= 10)
+    SELECT e.query_id,
+           CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+           ROUND(COUNT(a.vec_id) / 10.0, 9) AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def sim_matryoshka_recall(spark, sf_dir):
+    """Dimension-truncation recall — recall@10 of the FIRST-8-DIM
+    prefix distance vs the full-dimension exact integer L2 (both over
+    the same floor-quantized values): the go/no-go eval for
+    Matryoshka-style truncated embeddings, where serving at a fraction
+    of the dimensions buys memory/latency IF the prefix preserves the
+    neighborhood. Completes the eval family: LSH recall, MinHash
+    banding eval, PQ recall, and now truncation recall. Both arms are
+    broadcast-queries x corpus scans; the oracle replays both and the
+    top-10 intersection."""
+    from pyspark.sql import Window
+
+    emb = widen(t(spark, sf_dir, "embeddings")).where(
+        F.col("embedding").isNotNull()
+    )
+    unq = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("dim", "__v"),
+    ).select(
+        "vec_id", "dim",
+        F.floor(F.col("__v").cast("double") * 1000000 + 0.5)
+        .cast("long").alias("qv"),
+    )
+    q = unq.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "dim",
+        F.col("qv").alias("q_qv"),
+    )
+
+    def topk(scored):
+        w = Window.partitionBy("query_id").orderBy("d", "vec_id")
+        return scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= 10
+        ).select("query_id", "vec_id")
+
+    def arm(prefix_dims=None):
+        qq = q if prefix_dims is None else q.where(F.col("dim") < prefix_dims)
+        return topk(
+            unq.join(F.broadcast(qq), "dim")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.sum(
+                    (F.col("qv") - F.col("q_qv"))
+                    * (F.col("qv") - F.col("q_qv"))
+                ).cast("long").alias("d")
+            )
+        )
+
+    exact, approx = arm(None), arm(8)
+    return (
+        exact.alias("e")
+        .join(
+            approx.alias("a"),
+            (F.col("e.query_id") == F.col("a.query_id"))
+            & (F.col("e.vec_id") == F.col("a.vec_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(
+            F.count(F.col("a.vec_id")).cast("long").alias("n_hit"),
+            F.round(F.count(F.col("a.vec_id")) / 10.0, 9)
+            .alias("recall_at_10"),
+        )
+        .orderBy("query_id")
+    )

@@ -150,6 +150,8 @@ SUITES: dict[str, list[str]] = {
         # + RFM segmentation (tie-safe value-level quintiles off
         # two-level cumsums; no NTILE row-lottery)
         "agg_rfm_segmentation",
+        # + Wilson 95% score interval (exact n/k; one IEEE tree)
+        "agg_wilson_ci",
         # + exact WEIGHT-mass quantiles (type-1 rank arithmetic off a
         # distinct-value weight cumsum; the corpus never sorts)
         "agg_weighted_quantiles",
@@ -434,6 +436,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): common-neighbor/Jaccard link prediction
         # (wedge HOF generation, support-pruned before any join)
         "graph_link_prediction",
+        # + deterministic md5 random walks (DeepWalk corpus sampler
+        # an external engine replays step-for-step)
+        "graph_random_walks",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",
@@ -487,6 +492,9 @@ SUITES: dict[str, list[str]] = {
         # + PQ recall@10 vs exact integer L2 (quantization-loss gate;
         # both arms replayed by the oracle)
         "sim_pq_recall",
+        # + Matryoshka dimension-truncation recall (prefix-distance
+        # top-10 vs full exact; the serve-at-k-dims go/no-go)
+        "sim_matryoshka_recall",
     ],
     "suite_ml": [
         "ml_train_test_split",
