@@ -1852,3 +1852,80 @@ def agg_wilson_ci(spark, sf_dir):
         F.round(F.expr(lo), 9).alias("wilson_lo"),
         F.round(F.expr(hi), 9).alias("wilson_hi"),
     ).orderBy("variant")
+
+
+@query(
+    "agg_hill_tail_index",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderpriority AS prio,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      FROM orders WHERE o_totalprice > 0),
+    r AS (SELECT prio, x,
+                 row_number() OVER (PARTITION BY prio
+                                    ORDER BY x DESC, x) AS rn
+          FROM d),
+    topk AS (SELECT prio, x, rn FROM r WHERE rn <= 50),
+    xk AS (SELECT prio, CAST(max(CASE WHEN rn = 50 THEN x END) AS BIGINT)
+                    AS x_k
+           FROM topk GROUP BY prio),
+    s AS (SELECT t.prio, xk.x_k,
+                 list_sort(list(t.x ORDER BY t.rn)) AS xs
+          FROM topk t JOIN xk USING (prio)
+          WHERE t.rn < 50 GROUP BY t.prio, xk.x_k),
+    h AS (SELECT prio, x_k,
+                 list_aggregate(
+                   list_transform(xs, v ->
+                     ln(CAST(v AS DOUBLE) / CAST(x_k AS DOUBLE))),
+                   'sum') AS lsum
+          FROM s)
+    SELECT prio, CAST(50 AS BIGINT) AS k, x_k AS threshold_cents,
+           round(49.0 / lsum, 9) AS hill_alpha
+    FROM h ORDER BY prio
+    """,
+)
+def agg_hill_tail_index(spark, sf_dir):
+    """Hill tail-index estimator over the top-50 order values per
+    priority — the "how heavy is this tail" diagnostic behind
+    power-law claims and capacity planning (alpha < 2 means infinite
+    variance: plan for the tail, not the mean). The top-k is a
+    per-group window; the ln sum runs over a SORTED bounded array on
+    both engines (order-deterministic float accumulation — the
+    char-entropy convention), rounded 9. alpha = (k-1) / sum ln(x_i /
+    x_k)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("x"),
+    )
+    w = Window.partitionBy("prio").orderBy(F.col("x").desc())
+    topk = d.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 50)
+    xk = topk.groupBy("prio").agg(
+        F.max(F.when(F.col("rn") == 50, F.col("x"))).cast("long").alias("x_k")
+    )
+    s = (
+        topk.where(F.col("rn") < 50)
+        .join(F.broadcast(xk), "prio")
+        .groupBy("prio", "x_k")
+        .agg(F.array_sort(F.collect_list("x")).alias("xs"))
+    )
+    h = s.select(
+        "prio", "x_k",
+        F.aggregate(
+            F.transform(
+                "xs",
+                lambda v: F.log(
+                    v.cast("double") / F.col("x_k").cast("double")
+                ),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("lsum"),
+    )
+    return h.select(
+        "prio", F.lit(50).cast("long").alias("k"),
+        F.col("x_k").alias("threshold_cents"),
+        F.round(F.lit(49.0) / F.col("lsum"), 9).alias("hill_alpha"),
+    ).orderBy("prio")

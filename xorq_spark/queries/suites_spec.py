@@ -152,6 +152,9 @@ SUITES: dict[str, list[str]] = {
         "agg_rfm_segmentation",
         # + Wilson 95% score interval (exact n/k; one IEEE tree)
         "agg_wilson_ci",
+        # + Hill tail-index over per-group top-50 order stats
+        # (sorted-array ln fold; the power-law diagnostic)
+        "agg_hill_tail_index",
         # + exact WEIGHT-mass quantiles (type-1 rank arithmetic off a
         # distinct-value weight cumsum; the corpus never sorts)
         "agg_weighted_quantiles",
