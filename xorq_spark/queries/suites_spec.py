@@ -287,6 +287,12 @@ SUITES: dict[str, list[str]] = {
         # + longest consecutive-day streak (gaps-and-islands, earliest
         # tie-break via min_by over (-len, start))
         "time_longest_streak",
+        # + interval-union coverage (merge overlapping intervals; one
+        # sort shuffle, strict-prefix running max flags islands)
+        "time_interval_merge",
+        # + EXACT DTW as a nested integer array fold (no UDF); oracle
+        # replays the DP as an anti-diagonal recursive CTE
+        "time_dtw_distance",
     ],
     "suite_coll_a": [
         "coll_array_basics",

@@ -1896,3 +1896,242 @@ def time_psi_drift(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+@query(
+    "time_interval_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id AS u,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 1800000000 AS e,
+             event_id
+      FROM events),
+    o AS (SELECT u, s, e,
+                 max(e) OVER (PARTITION BY u ORDER BY s, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS prev_max
+          FROM iv),
+    f AS (SELECT u, s, e,
+                 CASE WHEN prev_max IS NULL OR s > prev_max
+                      THEN 1 ELSE 0 END AS newgrp
+          FROM o),
+    g AS (SELECT u, s, e,
+                 CAST(sum(newgrp) OVER (PARTITION BY u ORDER BY s, e
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
+          FROM f),
+    m AS (SELECT u, isl,
+                 CAST(min(s) AS BIGINT) AS ms, CAST(max(e) AS BIGINT) AS me
+          FROM g GROUP BY u, isl)
+    SELECT u AS user_id,
+           CAST(count(*) AS BIGINT) AS n_merged_intervals,
+           CAST(sum(me - ms) AS BIGINT) AS covered_us,
+           CAST(max(me - ms) AS BIGINT) AS longest_us
+    FROM m GROUP BY u ORDER BY u
+    """,
+)
+def time_interval_merge(spark, sf_dir):
+    """Interval-union coverage per user — merge overlapping 30-minute
+    activity intervals and report merged-interval count, total covered
+    time, and the longest merged span (the screen-time / machine-
+    utilization primitive; distinct from gap-sessionization, which
+    chains on gaps between POINTS — this merges genuine intervals).
+    One user-keyed sort shuffle serves both windows: a strict-prefix
+    running max of interval ends flags new islands, a running sum
+    numbers them. All integer microseconds."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    iv = ev.select(
+        F.col("user_id").alias("u"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) + 1800000000)
+        .alias("e"),
+        "event_id",
+    )
+    wp = (
+        Window.partitionBy("u")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = iv.withColumn("prev_max", F.max("e").over(wp))
+    f = o.withColumn(
+        "newgrp",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+        ).otherwise(0),
+    )
+    wc = (
+        Window.partitionBy("u")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    g = f.withColumn("isl", F.sum("newgrp").over(wc).cast("long"))
+    m = g.groupBy("u", "isl").agg(
+        F.min("s").cast("long").alias("ms"),
+        F.max("e").cast("long").alias("me"),
+    )
+    return (
+        m.groupBy("u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_merged_intervals"),
+            F.sum(F.col("me") - F.col("ms")).cast("long").alias("covered_us"),
+            F.max(F.col("me") - F.col("ms")).cast("long").alias("longest_us"),
+        )
+        .select(
+            F.col("u").alias("user_id"), "n_merged_intervals",
+            "covered_us", "longest_us",
+        )
+        .orderBy("user_id")
+    )
+
+
+def _dtw_oracle(N: int = 24) -> str:
+    INF = "1000000000000000"
+    return f"""
+    WITH RECURSIVE cnt AS (
+      SELECT event_type AS et,
+             CAST(extract(day FROM ts) AS BIGINT) AS d,
+             CAST(extract(hour FROM ts) AS BIGINT) AS h,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events WHERE extract(year FROM ts) = 2024
+        AND extract(month FROM ts) = 1 AND extract(day FROM ts) IN (1, 2)
+      GROUP BY 1, 2, 3),
+    ets AS (SELECT DISTINCT et FROM cnt),
+    grid AS (SELECT ets.et, d.d, h.h
+             FROM ets, (SELECT unnest([1, 2]) AS d) d,
+                  (SELECT unnest(range(0, {N})) AS h) h),
+    dense AS (SELECT g.et, g.d, g.h, coalesce(cnt.c, 0) AS c
+              FROM grid g LEFT JOIN cnt
+                ON g.et = cnt.et AND g.d = cnt.d AND g.h = cnt.h),
+    arrs AS (SELECT et,
+                    list(CASE WHEN d = 1 THEN c END ORDER BY h)
+                      FILTER (WHERE d = 1) AS av,
+                    list(CASE WHEN d = 2 THEN c END ORDER BY h)
+                      FILTER (WHERE d = 2) AS bv
+             FROM dense GROUP BY et),
+    diag(et, k, prev, cur) AS (
+      SELECT et, 0, CAST(NULL AS BIGINT[]),
+             [CAST(abs(av[1] - bv[1]) AS BIGINT)]
+      FROM arrs
+      UNION ALL
+      SELECT d.et, d.k + 1, d.cur,
+        list_transform(
+          range(greatest(0, d.k + 1 - {N - 1}),
+                least(d.k + 1, {N - 1}) + 1),
+          i -> (
+            CAST(abs(a.av[i + 1] - a.bv[d.k + 1 - i + 1]) AS BIGINT)
+            + least(
+              CASE WHEN i - 1 >= greatest(0, d.k - {N - 1})
+                    AND i - 1 <= least(d.k, {N - 1})
+                    AND d.k + 1 - i <= {N - 1}
+                   THEN d.cur[i - 1 - greatest(0, d.k - {N - 1}) + 1]
+                   ELSE {INF} END,
+              CASE WHEN i >= greatest(0, d.k - {N - 1})
+                    AND i <= least(d.k, {N - 1}) AND d.k - i >= 0
+                   THEN d.cur[i - greatest(0, d.k - {N - 1}) + 1]
+                   ELSE {INF} END,
+              CASE WHEN d.k - 1 >= 0
+                    AND i - 1 >= greatest(0, d.k - 1 - {N - 1})
+                    AND i - 1 <= least(d.k - 1, {N - 1}) AND d.k - i >= 0
+                   THEN d.prev[i - 1 - greatest(0, d.k - 1 - {N - 1}) + 1]
+                   ELSE {INF} END)))
+      FROM diag d JOIN arrs a ON d.et = a.et
+      WHERE d.k < 2 * {N} - 2),
+    l1 AS (SELECT et,
+                  CAST(list_aggregate(
+                    list_transform(range(1, {N} + 1),
+                                   i -> abs(av[i] - bv[i])), 'sum')
+                    AS BIGINT) AS l1_dist
+           FROM arrs)
+    SELECT d.et AS event_type, d.cur[1] AS dtw_dist, l1.l1_dist
+    FROM diag d JOIN l1 ON d.et = l1.et
+    WHERE d.k = 2 * {N} - 2
+    ORDER BY event_type
+    """
+
+
+def _dtw_spark_expr(N: int = 24) -> str:
+    INF = "CAST(1000000000000000 AS BIGINT)"
+    return f"""
+aggregate(
+  sequence(0, {N - 1}),
+  concat(array(CAST(0 AS BIGINT)), transform(sequence(1, {N}), x -> {INF})),
+  (acc, i) -> concat(
+    array({INF}),
+    aggregate(
+      sequence(0, {N - 1}),
+      CAST(array() AS array<bigint>),
+      (nr, j) -> concat(nr, array(
+        abs(element_at(a, i + 1) - element_at(b, j + 1)) +
+        least(
+          element_at(acc, j + 2),
+          element_at(acc, j + 1),
+          CASE WHEN j > 0 THEN element_at(nr, j) ELSE {INF} END))))),
+  acc -> element_at(acc, {N + 1}))
+"""
+
+
+@query("time_dtw_distance", oracle=_dtw_oracle())
+def time_dtw_distance(spark, sf_dir):
+    """EXACT dynamic-time-warping distance between day-1 and day-2
+    hourly count profiles per event type — the elastic series-
+    similarity measure (shape match under time shifts) that L1/L2
+    miss, computed with NO UDF: the full DP table runs as a nested
+    integer array fold (rows as the outer fold, the left-neighbor
+    recurrence as the inner fold) inside one JVM expression; the
+    oracle replays the SAME DP as an anti-diagonal recursive CTE
+    (diagonals have no intra-step dependency). L1 distance reported
+    beside it for contrast. Integer-exact at any scale; per-series
+    cost is the fixed 24x24 grid."""
+    ev = t(spark, sf_dir, "events").where(
+        (F.year("ts") == 2024) & (F.month("ts") == 1)
+        & F.dayofmonth("ts").isin(1, 2)
+    )
+    cnt = ev.groupBy(
+        F.col("event_type").alias("et"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    ets = cnt.select("et").distinct()
+    grid = (
+        ets.crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(1, 3).select(F.col("id").alias("d"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                ev.sparkSession.range(0, 24).select(F.col("id").alias("h"))
+            )
+        )
+    )
+    dense = grid.join(cnt, ["et", "d", "h"], "left").select(
+        "et", "d", "h", F.coalesce("c", F.lit(0)).cast("long").alias("c")
+    )
+    arrs = dense.groupBy("et").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("d") == 1, F.struct("h", "c")).otherwise(None)
+                )
+            ),
+            lambda x: x["c"],
+        ).alias("a"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("d") == 2, F.struct("h", "c")).otherwise(None)
+                )
+            ),
+            lambda x: x["c"],
+        ).alias("b"),
+    )
+    return arrs.select(
+        F.col("et").alias("event_type"),
+        F.expr(_dtw_spark_expr()).alias("dtw_dist"),
+        F.expr(
+            "CAST(aggregate(zip_with(a, b, (x, y) -> abs(x - y)),"
+            " CAST(0 AS BIGINT), (s, v) -> s + v) AS BIGINT)"
+        ).alias("l1_dist"),
+    ).orderBy("event_type")
