@@ -441,3 +441,121 @@ def graph_random_walks(spark, sf_dir):
         .select("start", F.col("step").cast("long"), F.col("node").cast("long"))
         .orderBy("start", "step")
     )
+
+
+def _modularity_oracle(iterations: int = 2) -> str:
+    iters = ",".join(
+        _LPA_ITER.format(k=k, p=k - 1) for k in range(1, iterations + 1)
+    )
+    return f"""
+    WITH e0 AS (
+      SELECT DISTINCT l_suppkey AS a, l_partkey AS b
+      FROM lineitem WHERE l_suppkey <> l_partkey),
+    e AS (SELECT a AS src, b AS dst FROM e0
+          UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS lab FROM nodes),
+    {iters},
+    comm AS (SELECT node, lab AS community FROM l{iterations}),
+    und AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM e0),
+    mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM und),
+    ein AS (SELECT ca.community,
+                   CAST(count(*) AS BIGINT) AS e_in
+            FROM und JOIN comm ca ON und.u = ca.node
+                     JOIN comm cb ON und.v = cb.node
+            WHERE ca.community = cb.community GROUP BY 1),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM e GROUP BY 1),
+    dc AS (SELECT c.community,
+                  CAST(count(*) AS BIGINT) AS n_nodes,
+                  CAST(sum(deg.d) AS BIGINT) AS d_sum
+           FROM comm c JOIN deg USING (node) GROUP BY 1)
+    SELECT dc.community, dc.n_nodes,
+           CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+           dc.d_sum,
+           CAST(CASE WHEN 4 * CAST(mm.m AS HUGEINT) * coalesce(ein.e_in, 0)
+                          >= CAST(dc.d_sum AS HUGEINT) * dc.d_sum
+                THEN (4 * CAST(mm.m AS HUGEINT) * coalesce(ein.e_in, 0)
+                      - CAST(dc.d_sum AS HUGEINT) * dc.d_sum)
+                     * 1000000000 // (4 * CAST(mm.m AS HUGEINT) * mm.m)
+                ELSE -((CAST(dc.d_sum AS HUGEINT) * dc.d_sum
+                        - 4 * CAST(mm.m AS HUGEINT) * coalesce(ein.e_in, 0))
+                       * 1000000000 // (4 * CAST(mm.m AS HUGEINT) * mm.m))
+                END AS BIGINT) AS modularity_contrib_e9
+    FROM dc LEFT JOIN ein USING (community) CROSS JOIN mm
+    ORDER BY community
+    """
+
+
+@query("graph_modularity", oracle=_modularity_oracle(2))
+def graph_modularity(spark, sf_dir):
+    """Newman modularity of the 2-round LPA communities — the quality
+    score that says whether detected communities beat random chance
+    (Q > 0.3 is conventionally 'real structure'): per community,
+    contrib = (e_in/m) - (d_c/2m)^2 as the EXACT integer rational
+    (4*m*e_in - d_c^2) / 4m^2 in 1e-9 units, sign-split division. One
+    canonical-edge pass for e_in (labels joined on both endpoints),
+    one degree rollup; m broadcasts. Evaluates graph_label_propagation
+    the way B-cubed evaluates the dedup blocking."""
+    from xorq_spark.functions.graph import label_propagation
+
+    li = t(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    comm = label_propagation(edges, iterations=2)
+    e0 = (
+        edges.where(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    mm = e0.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    ca = comm.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    cb = comm.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    ein = (
+        e0.join(ca, "u").join(cb, "v")
+        .where(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e_in"))
+    )
+    deg = (
+        e0.select(F.col("u").alias("node"))
+        .unionAll(e0.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dc = (
+        comm.join(deg, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("d").cast("long").alias("d_sum"),
+        )
+    )
+    return (
+        dc.join(ein, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community", "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("long").alias("e_in"),
+            "d_sum", "m",
+        )
+        .select(
+            "community", "n_nodes", "e_in", "d_sum",
+            F.expr(
+                "CAST(CASE WHEN 4 * CAST(m AS DECIMAL(38,0)) * e_in"
+                " >= CAST(d_sum AS DECIMAL(38,0)) * d_sum"
+                " THEN (4 * CAST(m AS DECIMAL(38,0)) * e_in"
+                " - CAST(d_sum AS DECIMAL(38,0)) * d_sum) * 1000000000"
+                " div (4 * CAST(m AS DECIMAL(38,0)) * m)"
+                " ELSE -((CAST(d_sum AS DECIMAL(38,0)) * d_sum"
+                " - 4 * CAST(m AS DECIMAL(38,0)) * e_in) * 1000000000"
+                " div (4 * CAST(m AS DECIMAL(38,0)) * m)) END AS BIGINT)"
+            ).alias("modularity_contrib_e9"),
+        )
+        .orderBy("community")
+    )

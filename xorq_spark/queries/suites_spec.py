@@ -293,6 +293,9 @@ SUITES: dict[str, list[str]] = {
         # + EXACT DTW as a nested integer array fold (no UDF); oracle
         # replays the DP as an anti-diagonal recursive CTE
         "time_dtw_distance",
+        # + ACF at lags {1,2,3,6,12,24} (seasonality detector; exact
+        # per-lag sufficient stats off the bounded dense spine)
+        "time_autocorrelation",
     ],
     "suite_coll_a": [
         "coll_array_basics",
@@ -448,6 +451,9 @@ SUITES: dict[str, list[str]] = {
         # + deterministic md5 random walks (DeepWalk corpus sampler
         # an external engine replays step-for-step)
         "graph_random_walks",
+        # + Newman modularity of the LPA communities (exact 1e-9
+        # rationals, sign-split; the community-quality gate)
+        "graph_modularity",
     ],
     "suite_dedup_sim": [
         "dedup_simhash",

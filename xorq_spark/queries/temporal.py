@@ -2135,3 +2135,100 @@ def time_dtw_distance(spark, sf_dir):
             " CAST(0 AS BIGINT), (s, v) -> s + v) AS BIGINT)"
         ).alias("l1_dist"),
     ).orderBy("event_type")
+
+
+@query(
+    "time_autocorrelation",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM events),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM b),
+    cnt AS (SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+    dense AS (SELECT row_number() OVER (ORDER BY s.h) - 1 AS i,
+                     coalesce(c.y, 0) AS y
+              FROM spine s LEFT JOIN cnt c ON s.h = c.h),
+    lags AS (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag),
+    j AS (SELECT l.lag,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(a.y) AS BIGINT) AS sx,
+                 CAST(sum(b2.y) AS BIGINT) AS sy,
+                 CAST(sum(a.y * b2.y) AS BIGINT) AS sxy,
+                 CAST(sum(a.y * a.y) AS BIGINT) AS sxx,
+                 CAST(sum(b2.y * b2.y) AS BIGINT) AS syy
+          FROM lags l
+          JOIN dense a ON true
+          JOIN dense b2 ON b2.i = a.i + l.lag
+          GROUP BY l.lag)
+    SELECT lag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS acf
+    FROM j ORDER BY lag
+    """,
+)
+def time_autocorrelation(spark, sf_dir):
+    """Autocorrelation of the hourly event-count series at lags
+    {1,2,3,6,12,24} — the seasonality DETECTOR (a spike at lag 24 is
+    the daily cycle; seasonal_profile then models it). Exact integer
+    sufficient statistics per lag via a lag self-join on the bounded
+    dense spine; the Pearson form is one IEEE tree over them, rounded
+    9 (the agg_stats convention). Nothing event-sized shuffles — the
+    spine is bounded by the time range."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w = Window.partitionBy(F.lit(1)).orderBy("h")
+    dense = (
+        spine.join(cnt, "h", "left")
+        .select("h", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
+        .select((F.row_number().over(w) - 1).alias("i"), "y")
+    )
+    lags = ev.sparkSession.createDataFrame(
+        [(1,), (2,), (3,), (6,), (12,), (24,)], "lag long"
+    )
+    a = dense.crossJoin(F.broadcast(lags))
+    j = (
+        a.join(
+            dense.select(
+                F.col("i").alias("__i2"), F.col("y").alias("__y2")
+            ),
+            a.i + a.lag == F.col("__i2"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("sx"),
+            F.sum("__y2").cast("long").alias("sy"),
+            F.sum(F.col("y") * F.col("__y2")).cast("long").alias("sxy"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("sxx"),
+            F.sum(F.col("__y2") * F.col("__y2")).cast("long").alias("syy"),
+        )
+    )
+    acf = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+        " * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+        " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    )
+    return j.select(
+        "lag", "n", F.round(F.expr(acf), 9).alias("acf")
+    ).orderBy("lag")
