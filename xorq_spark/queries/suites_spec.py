@@ -296,6 +296,9 @@ SUITES: dict[str, list[str]] = {
         # + ACF at lags {1,2,3,6,12,24} (seasonality detector; exact
         # per-lag sufficient stats off the bounded dense spine)
         "time_autocorrelation",
+        # + load-peak detection with windowed scale-invariant
+        # prominence (leftmost-of-plateau deterministic)
+        "time_peak_detection",
     ],
     "suite_coll_a": [
         "coll_array_basics",
@@ -417,6 +420,9 @@ SUITES: dict[str, list[str]] = {
         # + source vocabulary overlap (Jaccard + overlap coefficient
         # over distinct-token sets; token-keyed pair join)
         "text_source_overlap",
+        # + Zipf slope (rank-frequency OLS over the bounded top-k,
+        # order-deterministic ln folds; corpus-health fingerprint)
+        "text_zipf_slope",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

@@ -2232,3 +2232,95 @@ def time_autocorrelation(spark, sf_dir):
     return j.select(
         "lag", "n", F.round(F.expr(acf), 9).alias("acf")
     ).orderBy("lag")
+
+
+@query(
+    "time_peak_detection",
+    oracle="""
+    WITH b AS (SELECT date_trunc('hour', min(ts)) AS h0,
+                      date_trunc('hour', max(ts)) AS h1 FROM events),
+    spine AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+              FROM b),
+    cnt AS (SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1),
+    dense AS (SELECT s.h, coalesce(c.y, 0) AS y
+              FROM spine s LEFT JOIN cnt c ON s.h = c.h),
+    w AS (SELECT h, y,
+                 max(y) OVER (ORDER BY h ROWS BETWEEN 3 PRECEDING
+                              AND 1 PRECEDING) AS lmax,
+                 max(y) OVER (ORDER BY h ROWS BETWEEN 1 FOLLOWING
+                              AND 3 FOLLOWING) AS rmax,
+                 min(y) OVER (ORDER BY h ROWS BETWEEN 3 PRECEDING
+                              AND 1 PRECEDING) AS lmin,
+                 min(y) OVER (ORDER BY h ROWS BETWEEN 1 FOLLOWING
+                              AND 3 FOLLOWING) AS rmin
+          FROM dense),
+    pk AS (SELECT h, y,
+                  y - greatest(coalesce(lmin, 0), coalesce(rmin, 0))
+                    AS prominence
+           FROM w
+           WHERE lmax IS NOT NULL AND rmax IS NOT NULL
+             AND y > lmax AND y >= rmax)
+    SELECT h AS peak_hour, y AS height, CAST(prominence AS BIGINT)
+             AS prominence
+    FROM pk WHERE prominence * 4 >= y ORDER BY peak_hour
+    """,
+)
+def time_peak_detection(spark, sf_dir):
+    """Load-peak detection with windowed prominence over the dense
+    hourly count spine: a peak strictly beats its 3 left neighbors and
+    ties-or-beats its 3 right (leftmost-of-plateau wins —
+    deterministic), and must rise at least 25% of its own height above
+    the higher of the two side valleys (scale-invariant prominence
+    gate — no absolute threshold to retune per deployment). The
+    capacity-planning companion of zscore/CUSUM: those find level
+    anomalies, this finds local maxima worth provisioning for. All
+    windows run on the bounded spine."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    cnt = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    dense = spine.join(cnt, "h", "left").select(
+        "h", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    wo = Window.partitionBy(F.lit(1)).orderBy("h")
+    w = dense.select(
+        "h", "y",
+        F.max("y").over(wo.rowsBetween(-3, -1)).alias("lmax"),
+        F.max("y").over(wo.rowsBetween(1, 3)).alias("rmax"),
+        F.min("y").over(wo.rowsBetween(-3, -1)).alias("lmin"),
+        F.min("y").over(wo.rowsBetween(1, 3)).alias("rmin"),
+    )
+    pk = w.where(
+        F.col("lmax").isNotNull()
+        & F.col("rmax").isNotNull()
+        & (F.col("y") > F.col("lmax"))
+        & (F.col("y") >= F.col("rmax"))
+    ).select(
+        "h", "y",
+        (
+            F.col("y")
+            - F.greatest(
+                F.coalesce("lmin", F.lit(0)), F.coalesce("rmin", F.lit(0))
+            )
+        ).cast("long").alias("prominence"),
+    )
+    return (
+        pk.where(F.col("prominence") * 4 >= F.col("y"))
+        .select(
+            F.col("h").alias("peak_hour"),
+            F.col("y").alias("height"),
+            "prominence",
+        )
+        .orderBy("peak_hour")
+    )

@@ -1305,3 +1305,86 @@ def text_source_overlap(spark, sf_dir):
         )
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tk AS (SELECT unnest({_CLEAN_TOKS}) AS tok FROM documents
+                WHERE text IS NOT NULL),
+    c AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tk
+          WHERE tok <> '' GROUP BY tok),
+    r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
+          FROM c QUALIFY rk <= 100),
+    arr AS (SELECT list(c ORDER BY rk) AS cs FROM r),
+    s AS (SELECT CAST(len(cs) AS BIGINT) AS k,
+            list_aggregate(list_transform(range(1, len(cs) + 1),
+              i -> ln(CAST(i AS DOUBLE))), 'sum') AS sx,
+            list_aggregate(list_transform(range(1, len(cs) + 1),
+              i -> ln(CAST(cs[i] AS DOUBLE))), 'sum') AS sy,
+            list_aggregate(list_transform(range(1, len(cs) + 1),
+              i -> ln(CAST(i AS DOUBLE)) * ln(CAST(cs[i] AS DOUBLE))),
+              'sum') AS sxy,
+            list_aggregate(list_transform(range(1, len(cs) + 1),
+              i -> ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE))),
+              'sum') AS sxx
+          FROM arr)
+    SELECT k,
+           round((CAST(k AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(k AS DOUBLE) * sxx - sx * sx), 9) AS zipf_slope
+    FROM s
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf's-law slope of the corpus: OLS of ln(frequency) on
+    ln(rank) over the top-100 tokens — natural text sits near -1;
+    boilerplate-heavy or synthetic corpora drift off it (a corpus-
+    health fingerprint beside char entropy and the Gopher rules). The
+    top-100 table is bounded (global rank via one window over the
+    token-count frame); all four ln sums fold over the SAME rank-
+    ordered bounded array on both engines (order-deterministic float
+    accumulation, the Hill/entropy convention), slope rounded 9."""
+    from pyspark.sql import Window
+
+    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tk = (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("__raw")
+        )
+        .select(F.regexp_replace("__raw", r"[^\w一-鿿]", "").alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    c = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc(), F.col("tok"))
+    r = c.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 100)
+    arr = r.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("rk", "c"))),
+            lambda x: x["c"],
+        ).alias("cs")
+    )
+    def fold(term):
+        return F.expr(
+            f"aggregate(sequence(1, size(cs)), CAST(0.0 AS DOUBLE),"
+            f" (s, i) -> s + ({term}))"
+        )
+    s = arr.select(
+        F.size("cs").cast("long").alias("k"),
+        fold("ln(CAST(i AS DOUBLE))").alias("sx"),
+        fold("ln(CAST(element_at(cs, i) AS DOUBLE))").alias("sy"),
+        fold(
+            "ln(CAST(i AS DOUBLE))"
+            " * ln(CAST(element_at(cs, i) AS DOUBLE))"
+        ).alias("sxy"),
+        fold("ln(CAST(i AS DOUBLE)) * ln(CAST(i AS DOUBLE))").alias("sxx"),
+    )
+    return s.select(
+        "k",
+        F.round(
+            (F.col("k").cast("double") * F.col("sxy")
+             - F.col("sx") * F.col("sy"))
+            / (F.col("k").cast("double") * F.col("sxx")
+               - F.col("sx") * F.col("sx")),
+            9,
+        ).alias("zipf_slope"),
+    )
