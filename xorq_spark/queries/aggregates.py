@@ -1929,3 +1929,102 @@ def agg_hill_tail_index(spark, sf_dir):
         F.col("x_k").alias("threshold_cents"),
         F.round(F.lit(49.0) / F.col("lsum"), 9).alias("hill_alpha"),
     ).orderBy("prio")
+
+
+def _ipf_oracle(rounds: int = 3) -> str:
+    steps = []
+    prev = "w0"
+    for r in range(1, rounds + 1):
+        steps.append(
+            f"""rm{r} AS (SELECT seg, CAST(sum(n * w) AS HUGEINT) AS m
+             FROM {prev} GROUP BY seg),
+    wr{r} AS (SELECT p.seg, p.reg, p.n,
+                 CAST(CAST(p.w AS HUGEINT) * (CAST(t.tr AS HUGEINT)
+                      * 1000000 * 1000000 // rm{r}.m) // 1000000 AS BIGINT)
+                   AS w
+              FROM {prev} p JOIN rm{r} USING (seg)
+              JOIN rowt t USING (seg)),
+    cm{r} AS (SELECT reg, CAST(sum(n * w) AS HUGEINT) AS m
+              FROM wr{r} GROUP BY reg),
+    w{r} AS (SELECT p.seg, p.reg, p.n,
+                 CAST(CAST(p.w AS HUGEINT) * (CAST(t.tc AS HUGEINT)
+                      * 1000000 * 1000000 // cm{r}.m) // 1000000 AS BIGINT)
+                   AS w
+             FROM wr{r} p JOIN cm{r} USING (reg)
+             JOIN colt t USING (reg))"""
+        )
+        prev = f"w{r}"
+    return f"""
+    WITH cells AS (
+      SELECT c.c_mktsegment AS seg, r.r_name AS reg,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+      JOIN region r ON nt.n_regionkey = r.r_regionkey
+      GROUP BY 1, 2),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+    rowt AS (SELECT DISTINCT seg, CAST(nn // 5 AS BIGINT) AS tr
+             FROM cells CROSS JOIN tot),
+    colt AS (SELECT DISTINCT reg, CAST(nn // 5 AS BIGINT) AS tc
+             FROM cells CROSS JOIN tot),
+    w0 AS (SELECT seg, reg, n, CAST(1000000 AS BIGINT) AS w FROM cells),
+    {", ".join(steps)}
+    SELECT seg, reg, n, w AS weight_e6
+    FROM w{rounds} ORDER BY seg, reg
+    """
+
+
+@query("agg_ipf_raking", oracle=_ipf_oracle(3))
+def agg_ipf_raking(spark, sf_dir):
+    """Survey raking / iterative proportional fitting: reweight the
+    (market segment x region) customer cells so BOTH margins hit
+    uniform targets (N/5 each) — the post-stratification calibration
+    every survey/panel pipeline runs. Three fixed rounds (row step +
+    column step), each weight update quantized to e6 integers with
+    floor division — the fixed-depth unrolled-CTE discipline (kcore/
+    pagerank precedent), so the oracle replays every factor and every
+    weight. All computation after ONE combinable count runs on the
+    bounded cell frame."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    cells = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"), F.col("r_name").alias("reg")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("__N"))
+    w = cells.crossJoin(F.broadcast(tot)).select(
+        "seg", "reg", "n",
+        F.lit(1000000).cast("long").alias("w"),
+        F.expr("CAST(__N div 5 AS BIGINT)").alias("__t"),
+    )
+    for _ in range(3):
+        rm = w.groupBy("seg").agg(
+            F.expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))")
+            .alias("__m")
+        )
+        w = w.join(F.broadcast(rm), "seg").select(
+            "seg", "reg", "n", "__t",
+            F.expr(
+                "CAST(CAST(w AS DECIMAL(38,0)) * (CAST(__t AS DECIMAL(38,0))"
+                " * 1000000 * 1000000 div __m) div 1000000 AS BIGINT)"
+            ).alias("w"),
+        )
+        cm = w.groupBy("reg").agg(
+            F.expr("CAST(sum(CAST(n AS DECIMAL(38,0)) * w) AS DECIMAL(38,0))")
+            .alias("__m")
+        )
+        w = w.join(F.broadcast(cm), "reg").select(
+            "seg", "reg", "n", "__t",
+            F.expr(
+                "CAST(CAST(w AS DECIMAL(38,0)) * (CAST(__t AS DECIMAL(38,0))"
+                " * 1000000 * 1000000 div __m) div 1000000 AS BIGINT)"
+            ).alias("w"),
+        )
+    return w.select(
+        "seg", "reg", "n", F.col("w").alias("weight_e6")
+    ).orderBy("seg", "reg")

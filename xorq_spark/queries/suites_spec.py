@@ -155,6 +155,9 @@ SUITES: dict[str, list[str]] = {
         # + Hill tail-index over per-group top-50 order stats
         # (sorted-array ln fold; the power-law diagnostic)
         "agg_hill_tail_index",
+        # + survey raking / IPF (3 fixed rounds, e6-quantized weights
+        # on the bounded cell frame; both margins calibrated)
+        "agg_ipf_raking",
         # + exact WEIGHT-mass quantiles (type-1 rank arithmetic off a
         # distinct-value weight cumsum; the corpus never sorts)
         "agg_weighted_quantiles",
@@ -299,6 +302,10 @@ SUITES: dict[str, list[str]] = {
         # + load-peak detection with windowed scale-invariant
         # prominence (leftmost-of-plateau deterministic)
         "time_peak_detection",
+        # + SLO error-budget burn (SRE alerting arithmetic) and
+        # DAU/MAU stickiness (engagement frequency lens)
+        "time_slo_burn",
+        "time_stickiness_dau_mau",
     ],
     "suite_coll_a": [
         "coll_array_basics",

@@ -2324,3 +2324,128 @@ def time_peak_detection(spark, sf_dir):
         )
         .orderBy("peak_hour")
     )
+
+
+@query(
+    "time_slo_burn",
+    oracle="""
+    WITH w AS (
+      SELECT CAST(floor(epoch(ts) / 21600) AS BIGINT) AS win,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1),
+    r AS (SELECT win, n, errs,
+                 CAST(errs * 1000000 // n AS BIGINT) AS err_ppm
+          FROM w),
+    c AS (SELECT win, n, errs, err_ppm,
+                 CAST(err_ppm * 100 // 10000 AS BIGINT) AS burn_rate_pct,
+                 CAST(sum(errs) OVER (ORDER BY win) AS BIGINT) AS cum_errs,
+                 CAST(sum(n) OVER (ORDER BY win) AS BIGINT) AS cum_n
+          FROM r)
+    SELECT win AS window_id, n, errs, err_ppm, burn_rate_pct,
+           CAST(cum_n * 10000 // 1000000 - cum_errs AS BIGINT)
+             AS budget_remaining
+    FROM c ORDER BY window_id
+    """,
+)
+def time_slo_burn(spark, sf_dir):
+    """SLO error-budget burn over 6-hour windows against a 1%% error
+    budget (10000 ppm): per-window error rate, burn rate (percent of
+    budget consumed per window: err_ppm/10000), and the running
+    remaining budget in events (allowed cumulative errors minus actual
+    — negative means the budget is blown). The SRE alerting arithmetic
+    as exact integers; the cumulative runs over the bounded window
+    frame."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = ev.groupBy(
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / 21600
+        ).cast("long").alias("win")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "error", 1).otherwise(0)
+        ).cast("long").alias("errs"),
+    )
+    r = w.select(
+        "win", "n", "errs",
+        F.expr("CAST(errs * 1000000 div n AS BIGINT)").alias("err_ppm"),
+    )
+    wo = Window.partitionBy(F.lit(1)).orderBy("win").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        r.select(
+            "win", "n", "errs", "err_ppm",
+            F.expr("CAST(err_ppm * 100 div 10000 AS BIGINT)")
+            .alias("burn_rate_pct"),
+            F.sum("errs").over(wo).cast("long").alias("cum_errs"),
+            F.sum("n").over(wo).cast("long").alias("cum_n"),
+        )
+        .select(
+            F.col("win").alias("window_id"), "n", "errs", "err_ppm",
+            "burn_rate_pct",
+            F.expr(
+                "CAST(cum_n * 10000 div 1000000 - cum_errs AS BIGINT)"
+            ).alias("budget_remaining"),
+        )
+        .orderBy("window_id")
+    )
+
+
+@query(
+    "time_stickiness_dau_mau",
+    oracle="""
+    WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+                FROM events),
+    daily AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d),
+    mo AS (SELECT CAST(extract(year FROM d) * 12 + extract(month FROM d)
+                       AS BIGINT) AS mi,
+                  CAST(sum(dau) AS BIGINT) AS dau_sum,
+                  CAST(count(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY 1),
+    mau AS (SELECT CAST(extract(year FROM d) * 12 + extract(month FROM d)
+                        AS BIGINT) AS mi,
+                   CAST(count(DISTINCT u) AS BIGINT) AS mau
+            FROM ud GROUP BY 1)
+    SELECT mo.mi AS month_index, mau.mau, mo.n_days,
+           CAST(mo.dau_sum * 1000000 // mo.n_days AS BIGINT) AS avg_dau_e6,
+           CAST(mo.dau_sum * 1000000 // (mo.n_days * mau.mau) AS BIGINT)
+             AS stickiness_ppm
+    FROM mo JOIN mau USING (mi) ORDER BY month_index
+    """,
+)
+def time_stickiness_dau_mau(spark, sf_dir):
+    """DAU/MAU stickiness per month — the engagement-frequency ratio
+    (1e6 = every active user active every day): avg daily actives over
+    monthly actives, exact integer rationals off one (user, day)
+    dedup. The frequency lens that growth accounting's composition
+    lens doesn't show."""
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        F.col("user_id").alias("u"), F.to_date("ts").alias("d")
+    ).distinct()
+    daily = ud.groupBy("d").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    mi = (F.year("d") * 12 + F.month("d")).cast("long")
+    mo = daily.groupBy(mi.alias("mi")).agg(
+        F.sum("dau").cast("long").alias("dau_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    mau = ud.groupBy(mi.alias("mi")).agg(
+        F.countDistinct("u").cast("long").alias("mau")
+    )
+    return (
+        mo.join(mau, "mi")
+        .select(
+            F.col("mi").alias("month_index"), "mau", "n_days",
+            F.expr("CAST(dau_sum * 1000000 div n_days AS BIGINT)")
+            .alias("avg_dau_e6"),
+            F.expr(
+                "CAST(dau_sum * 1000000 div (n_days * mau) AS BIGINT)"
+            ).alias("stickiness_ppm"),
+        )
+        .orderBy("month_index")
+    )
