@@ -2028,3 +2028,82 @@ def agg_ipf_raking(spark, sf_dir):
     return w.select(
         "seg", "reg", "n", F.col("w").alias("weight_e6")
     ).orderBy("seg", "reg")
+
+
+@query(
+    "agg_quantile_treatment_effect",
+    oracle="""
+    WITH d AS (
+      SELECT CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS arm,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('click', 'view')
+        AND value IS NOT NULL),
+    c AS (SELECT arm, v, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+    cum AS (SELECT arm, v,
+                   CAST(sum(c) OVER (PARTITION BY arm ORDER BY v)
+                        AS BIGINT) AS cum,
+                   CAST(sum(c) OVER (PARTITION BY arm) AS BIGINT) AS n
+            FROM c),
+    q AS (SELECT arm,
+                 min(CASE WHEN cum * 4 >= n THEN v END) AS p25,
+                 min(CASE WHEN cum * 2 >= n THEN v END) AS p50,
+                 min(CASE WHEN cum * 4 >= 3 * n THEN v END) AS p75,
+                 min(CASE WHEN cum * 10 >= 9 * n THEN v END) AS p90
+          FROM cum GROUP BY arm)
+    SELECT a.p25 - b.p25 AS qte_p25,
+           a.p50 - b.p50 AS qte_p50,
+           a.p75 - b.p75 AS qte_p75,
+           a.p90 - b.p90 AS qte_p90
+    FROM q a CROSS JOIN q b WHERE a.arm = 1 AND b.arm = 0
+    """,
+)
+def agg_quantile_treatment_effect(spark, sf_dir):
+    """Quantile treatment effects — per-quantile arm differences
+    (click vs view value cents at p25/50/75/90): the DISTRIBUTIONAL
+    A/B readout that mean-based tests (Welch, CUPED) can't show (a
+    treatment can move the tail without moving the mean). Exact type-1
+    quantiles off per-arm distinct-value cumsums; effects are integer
+    subtractions."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view") & F.col("value").isNotNull()
+    )
+    d = ev.select(
+        (F.col("event_type") == "click").cast("int").alias("arm"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    c = d.groupBy("arm", "v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy("arm").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("arm")
+    cum = c.select(
+        "arm", "v",
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    q = cum.groupBy("arm").agg(
+        F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("v"))).alias("p25"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("v"))).alias("p50"),
+        F.min(
+            F.when(F.col("cum") * 4 >= 3 * F.col("n"), F.col("v"))
+        ).alias("p75"),
+        F.min(
+            F.when(F.col("cum") * 10 >= 9 * F.col("n"), F.col("v"))
+        ).alias("p90"),
+    )
+    a = q.where(F.col("arm") == 1).select(
+        *[F.col(x).alias(f"a_{x}") for x in ("p25", "p50", "p75", "p90")]
+    )
+    b = q.where(F.col("arm") == 0).select(
+        *[F.col(x).alias(f"b_{x}") for x in ("p25", "p50", "p75", "p90")]
+    )
+    return a.crossJoin(b).select(
+        *[
+            (F.col(f"a_p{p}") - F.col(f"b_p{p}")).cast("long")
+            .alias(f"qte_p{p}")
+            for p in (25, 50, 75, 90)
+        ]
+    )

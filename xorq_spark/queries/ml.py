@@ -661,3 +661,43 @@ def ml_stump_gain(spark, sf_dir):
             F.min("nr").cast("long").alias("n_right"),
         )
     )
+
+
+@query(
+    "ml_brier_score",
+    oracle="""
+    WITH s AS (
+      SELECT least(((vec_id * 37) % 100) * 10000
+                   + CASE WHEN label >= 5 THEN 400000 ELSE 0 END,
+                   999999) AS p_ppm,
+             CASE WHEN label >= 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings)
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(p_ppm - y * 1000000 AS HUGEINT)
+                    * (p_ppm - y * 1000000)) // count(*) AS BIGINT)
+             AS brier_e12
+    FROM s
+    """,
+)
+def ml_brier_score(spark, sf_dir):
+    """Brier score of the synthetic probability forecast — mean squared
+    probability error in EXACT 1e-12 units ((p_ppm - y*1e6)^2 summed
+    in DECIMAL, one floor division): the strictly proper scoring rule
+    that decomposes into calibration + refinement (pairs with
+    ml_calibration_bins' reliability view). One combinable pass."""
+    emb = t(spark, sf_dir, "embeddings")
+    s = emb.select(
+        F.least(
+            ((F.col("vec_id") * 37) % 100) * 10000
+            + F.when(F.col("label") >= 5, 400000).otherwise(0),
+            F.lit(999999),
+        ).cast("long").alias("p_ppm"),
+        (F.col("label") >= 5).cast("long").alias("y"),
+    )
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST(sum(CAST(p_ppm - y * 1000000 AS DECIMAL(38,0))"
+            " * (p_ppm - y * 1000000)) div count(1) AS BIGINT)"
+        ).alias("brier_e12"),
+    )

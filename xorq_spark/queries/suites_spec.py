@@ -158,6 +158,8 @@ SUITES: dict[str, list[str]] = {
         # + survey raking / IPF (3 fixed rounds, e6-quantized weights
         # on the bounded cell frame; both margins calibrated)
         "agg_ipf_raking",
+        # + quantile treatment effects (distributional A/B readout)
+        "agg_quantile_treatment_effect",
         # + exact WEIGHT-mass quantiles (type-1 rank arithmetic off a
         # distinct-value weight cumsum; the corpus never sorts)
         "agg_weighted_quantiles",
@@ -306,6 +308,8 @@ SUITES: dict[str, list[str]] = {
         # DAU/MAU stickiness (engagement frequency lens)
         "time_slo_burn",
         "time_stickiness_dau_mau",
+        # + Apdex satisfaction rollup (exact (2s+t)/2n ppm)
+        "time_apdex_score",
     ],
     "suite_coll_a": [
         "coll_array_basics",
@@ -550,6 +554,9 @@ SUITES: dict[str, list[str]] = {
         # + decision-stump Gini gain (exact 1e-12 impurities off the
         # two-level distinct-value cumsum; feature-screening primitive)
         "ml_stump_gain",
+        # + Brier score (strictly proper scoring rule, exact 1e-12;
+        # calibration + refinement beside the reliability bins)
+        "ml_brier_score",
     ],
     "suite_multimodal": [
         "mm_extract_features",

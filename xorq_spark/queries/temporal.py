@@ -2449,3 +2449,53 @@ def time_stickiness_dau_mau(spark, sf_dir):
         )
         .orderBy("month_index")
     )
+
+
+@query(
+    "time_apdex_score",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN v <= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS satisfied,
+           CAST(sum(CASE WHEN v > 5000 AND v <= 20000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tolerating,
+           CAST((2 * sum(CASE WHEN v <= 5000 THEN 1 ELSE 0 END)
+                 + sum(CASE WHEN v > 5000 AND v <= 20000 THEN 1 ELSE 0 END))
+                * 1000000 // (2 * count(*)) AS BIGINT) AS apdex_ppm
+    FROM d GROUP BY event_type ORDER BY event_type
+    """,
+)
+def time_apdex_score(spark, sf_dir):
+    """Apdex satisfaction score per event type (threshold T=50.00,
+    tolerating up to 4T): (satisfied + tolerating/2) / n as the exact
+    integer rational (2*sat + tol) * 1e6 div 2n — the user-experience
+    rollup SRE dashboards pair with SLO burn. One combinable pass."""
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    return (
+        d.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("v") <= 5000, 1).otherwise(0))
+            .cast("long").alias("satisfied"),
+            F.sum(
+                F.when((F.col("v") > 5000) & (F.col("v") <= 20000), 1)
+                .otherwise(0)
+            ).cast("long").alias("tolerating"),
+        )
+        .select(
+            "event_type", "n", "satisfied", "tolerating",
+            F.expr(
+                "CAST((2 * satisfied + tolerating) * 1000000"
+                " div (2 * n) AS BIGINT)"
+            ).alias("apdex_ppm"),
+        )
+        .orderBy("event_type")
+    )
