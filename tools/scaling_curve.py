@@ -87,6 +87,20 @@ OPS = [
     "text_rake_keywords",
     "time_cohort_ltv",
     "time_forecast_eval",
+    # round 5, continued session (batch 2): business/ops analytics +
+    # exotic kernels
+    "agg_rfm_segmentation",
+    "agg_ipf_raking",
+    "agg_price_volume_mix",
+    "time_growth_accounting",
+    "time_interval_merge",
+    "time_dtw_distance",
+    "time_autocorrelation",
+    "graph_modularity",
+    "graph_random_walks",
+    "text_zipf_slope",
+    "text_source_overlap",
+    "agg_hill_tail_index",
 ]
 
 
