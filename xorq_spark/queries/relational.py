@@ -737,3 +737,121 @@ def rel_kanonymity_check(spark, sf_dir):
             "CAST(n_rows_at_risk * 1000000 div n_rows AS BIGINT)"
         ).alias("risk_ppm"),
     )
+
+
+@query(
+    "rel_fk_integrity",
+    oracle="""
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_child,
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             (SELECT CAST(count(*) AS BIGINT) FROM orders),
+             (SELECT CAST(count(*) AS BIGINT) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'customer.c_nationkey -> nation',
+             (SELECT CAST(count(*) AS BIGINT) FROM customer),
+             (SELECT CAST(count(*) AS BIGINT) FROM customer cu
+              WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                WHERE n.n_nationkey = cu.c_nationkey))
+      UNION ALL
+      SELECT 'lineitem.(l_partkey,l_suppkey) -> part x supplier',
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+             (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey)
+                 OR NOT EXISTS (SELECT 1 FROM supplier s
+                                WHERE s.s_suppkey = l.l_suppkey)))
+    SELECT relationship, n_child, n_orphans,
+           CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm,
+           n_orphans = 0 AS passed
+    FROM checks ORDER BY relationship
+    """,
+)
+def rel_fk_integrity(spark, sf_dir):
+    """Referential-integrity audit (the dbt `relationships` test, run
+    warehouse-side): orphan counts and ppm for four FK chains —
+    lineitem->orders, orders->customer, customer->nation, and the
+    composite lineitem->(part, supplier). Each check is one LEFT ANTI
+    join (broadcast where the parent is a dim); results union into one
+    bounded report. The structural companion of rel_validate_quality's
+    row rules."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    p = t(spark, sf_dir, "part")
+    s = t(spark, sf_dir, "supplier")
+
+    def check(name, child, cond_orphans):
+        tot = child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+        orph = cond_orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphans")
+        )
+        return tot.crossJoin(orph).select(
+            F.lit(name).alias("relationship"), "n_child", "n_orphans"
+        )
+
+    checks = (
+        check(
+            "lineitem.l_orderkey -> orders",
+            li,
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == o.o_orderkey,
+                "left_anti",
+            ),
+        )
+        .unionByName(
+            check(
+                "orders.o_custkey -> customer",
+                o,
+                o.join(
+                    c.select("c_custkey"),
+                    o.o_custkey == c.c_custkey,
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(
+            check(
+                "customer.c_nationkey -> nation",
+                c,
+                c.join(
+                    F.broadcast(n.select("n_nationkey")),
+                    c.c_nationkey == n.n_nationkey,
+                    "left_anti",
+                ),
+            )
+        )
+        .unionByName(
+            check(
+                "lineitem.(l_partkey,l_suppkey) -> part x supplier",
+                li,
+                li.join(
+                    p.select("p_partkey"),
+                    li.l_partkey == p.p_partkey,
+                    "left_anti",
+                ).unionByName(
+                    li.join(
+                        s.select("s_suppkey"),
+                        li.l_suppkey == s.s_suppkey,
+                        "left_anti",
+                    )
+                ).dropDuplicates(["l_orderkey", "l_linenumber"]),
+            )
+        )
+    )
+    return checks.select(
+        "relationship", "n_child", "n_orphans",
+        F.expr("CAST(n_orphans * 1000000 div n_child AS BIGINT)")
+        .alias("orphan_ppm"),
+        (F.col("n_orphans") == 0).alias("passed"),
+    ).orderBy("relationship")

@@ -108,6 +108,9 @@ SUITES: dict[str, list[str]] = {
         # round 5 (cont.): k-anonymity audit over a quasi-identifier
         # combination (the privacy-assessment gate beside DP release)
         "rel_kanonymity_check",
+        # + referential-integrity audit (dbt relationships test:
+        # anti-join orphan counts over four FK chains)
+        "rel_fk_integrity",
     ],
     "suite_window_rank": [
         "window_rank_dense",
