@@ -2107,3 +2107,129 @@ def agg_quantile_treatment_effect(spark, sf_dir):
             for p in (25, 50, 75, 90)
         ]
     )
+
+
+@query(
+    "agg_overdispersion",
+    oracle="""
+    WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      CAST(count(*) AS BIGINT) AS x
+               FROM events GROUP BY 1, 2),
+    g AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx,
+                 CAST(sum(x * x) AS BIGINT) AS sxx
+          FROM d GROUP BY event_type)
+    SELECT event_type, n, sx AS total,
+           CAST((CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+                * 1000000 // ((n - 1) * CAST(sx AS HUGEINT)) AS BIGINT)
+             AS vmr_e6,
+           (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx)
+             * 1000000 // ((n - 1) * CAST(sx AS HUGEINT)) > 1500000
+             AS overdispersed
+    FROM g ORDER BY event_type
+    """,
+)
+def agg_overdispersion(spark, sf_dir):
+    """Index of dispersion (variance-to-mean ratio) of daily event
+    counts per type — the "is this really Poisson" check that gates
+    every count-model assumption (VMR ~ 1e6 = Poisson; >> 1e6 = bursty
+    / clumped, use negative binomial). Exact integer rational:
+    (n*Sxx - Sx^2) * 1e6 div ((n-1)*Sx) in DECIMAL/HUGEINT; flag at
+    1.5x. One combinable daily rollup feeds one per-type pass."""
+    ev = t(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    g = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    vmr = (
+        "(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx)"
+        " * 1000000 div ((n - 1) * CAST(sx AS DECIMAL(38,0)))"
+    )
+    return g.select(
+        "event_type", "n", F.col("sx").alias("total"),
+        F.expr(f"CAST({vmr} AS BIGINT)").alias("vmr_e6"),
+        F.expr(f"{vmr} > 1500000").alias("overdispersed"),
+    ).orderBy("event_type")
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH d AS (SELECT event_type,
+                      CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+               FROM events WHERE value IS NOT NULL),
+    c AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS c
+          FROM d GROUP BY 1, 2),
+    cum AS (SELECT event_type, v, c,
+                   CAST(sum(c) OVER (PARTITION BY event_type ORDER BY v)
+                        AS BIGINT) AS cum,
+                   CAST(sum(c) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS n
+            FROM c),
+    take AS (SELECT event_type, v,
+                    least(cum, n - (n * 5 + 99) // 100)
+                    - greatest(cum - c, (n * 5 + 99) // 100) AS k,
+                    n
+             FROM cum
+             WHERE least(cum, n - (n * 5 + 99) // 100)
+                   > greatest(cum - c, (n * 5 + 99) // 100))
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS n_kept,
+           CAST(CAST(sum(v * k) AS HUGEINT) * 1000000 // sum(k) AS BIGINT)
+             AS trimmed_mean_e6
+    FROM take GROUP BY event_type ORDER BY event_type
+    """,
+)
+def agg_trimmed_mean(spark, sf_dir):
+    """5%-trimmed mean of event values (cents) per type — the robust
+    location estimate between the mean (outlier-dragged) and the
+    median (throws away magnitude): drop exactly ceil(5% * n) rows
+    from each tail BY RANK off the distinct-value cumsum (each value
+    contributes k = overlap of its rank interval with the kept middle
+    band — exact integer interval arithmetic, no per-row sort), then
+    one exact 1e-6 rational mean over the kept mass."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    c = d.groupBy("event_type", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("event_type")
+    cum = c.select(
+        "event_type", "v", "c",
+        F.sum("c").over(w).cast("long").alias("cum"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    lo = "(n * 5 + 99) div 100"
+    take = cum.select(
+        "event_type", "v", "n",
+        (
+            F.expr(f"least(cum, n - {lo})")
+            - F.expr(f"greatest(cum - c, {lo})")
+        ).alias("k"),
+    ).where(F.col("k") > 0)
+    return (
+        take.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("n_kept"),
+            F.expr(
+                "CAST(CAST(sum(v * k) AS DECIMAL(38,0)) * 1000000"
+                " div sum(k) AS BIGINT)"
+            ).alias("trimmed_mean_e6"),
+        )
+        .orderBy("event_type")
+    )

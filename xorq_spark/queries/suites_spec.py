@@ -163,6 +163,10 @@ SUITES: dict[str, list[str]] = {
         "agg_ipf_raking",
         # + quantile treatment effects (distributional A/B readout)
         "agg_quantile_treatment_effect",
+        # + index of dispersion (the is-it-Poisson gate) and exact
+        # 5%-trimmed mean (rank-interval arithmetic, no per-row sort)
+        "agg_overdispersion",
+        "agg_trimmed_mean",
         # + exact WEIGHT-mass quantiles (type-1 rank arithmetic off a
         # distinct-value weight cumsum; the corpus never sorts)
         "agg_weighted_quantiles",
