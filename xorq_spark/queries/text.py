@@ -1316,7 +1316,7 @@ def text_source_overlap(spark, sf_dir):
           WHERE tok <> '' GROUP BY tok),
     r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rk
           FROM c QUALIFY rk <= 100),
-    arr AS (SELECT list(c ORDER BY rk) AS cs FROM r),
+    arr AS (SELECT list(c ORDER BY rk) AS cs FROM r HAVING count(*) >= 2),
     s AS (SELECT CAST(len(cs) AS BIGINT) AS k,
             list_aggregate(list_transform(range(1, len(cs) + 1),
               i -> ln(CAST(i AS DOUBLE))), 'sum') AS sx,
@@ -1357,12 +1357,15 @@ def text_zipf_slope(spark, sf_dir):
     c = tk.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c"))
     w = Window.partitionBy(F.lit(1)).orderBy(F.col("c").desc(), F.col("tok"))
     r = c.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 100)
+    # slope needs k >= 2; empty/degenerate corpora yield no row
+    # (sequence(1, 0) is DESCENDING in Spark — an unguarded fold would
+    # index into the empty array)
     arr = r.groupBy().agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("rk", "c"))),
             lambda x: x["c"],
         ).alias("cs")
-    )
+    ).where(F.size("cs") >= 2)
     def fold(term):
         return F.expr(
             f"aggregate(sequence(1, size(cs)), CAST(0.0 AS DOUBLE),"
