@@ -770,7 +770,9 @@ def rel_kanonymity_check(spark, sf_dir):
                  OR NOT EXISTS (SELECT 1 FROM supplier s
                                 WHERE s.s_suppkey = l.l_suppkey)))
     SELECT relationship, n_child, n_orphans,
-           CAST(n_orphans * 1000000 // n_child AS BIGINT) AS orphan_ppm,
+           CAST(CASE WHEN n_child = 0 THEN 0
+                ELSE n_orphans * 1000000 // n_child END AS BIGINT)
+             AS orphan_ppm,
            n_orphans = 0 AS passed
     FROM checks ORDER BY relationship
     """,
@@ -851,7 +853,9 @@ def rel_fk_integrity(spark, sf_dir):
     )
     return checks.select(
         "relationship", "n_child", "n_orphans",
-        F.expr("CAST(n_orphans * 1000000 div n_child AS BIGINT)")
-        .alias("orphan_ppm"),
+        F.expr(
+            "CAST(CASE WHEN n_child = 0 THEN 0"
+            " ELSE n_orphans * 1000000 div n_child END AS BIGINT)"
+        ).alias("orphan_ppm"),
         (F.col("n_orphans") == 0).alias("passed"),
     ).orderBy("relationship")
