@@ -2233,3 +2233,94 @@ def agg_trimmed_mean(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_lorenz_deciles",
+    oracle="""
+    WITH e AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1),
+    c AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1),
+    cum AS (SELECT x, c,
+                   CAST(sum(c) OVER (ORDER BY x) AS BIGINT) AS cumn,
+                   CAST(sum(x * c) OVER (ORDER BY x) AS BIGINT) AS cumx,
+                   CAST(sum(c) OVER () AS BIGINT) AS n,
+                   CAST(sum(x * c) OVER () AS BIGINT) AS tot
+            FROM c),
+    d AS (SELECT g.decile,
+                 min(CASE WHEN cum.cumn * 10 >= g.decile * cum.n
+                          THEN cum.cumx END) AS cx,
+                 min(CASE WHEN cum.cumn * 10 >= g.decile * cum.n
+                          THEN cum.cumn END) AS cn
+          FROM (SELECT unnest(range(1, 11)) AS decile) g CROSS JOIN cum
+          GROUP BY g.decile),
+    t AS (SELECT CAST(max(tot) AS BIGINT) AS tot,
+                 CAST(max(n) AS BIGINT) AS n FROM cum)
+    SELECT CAST(d.decile AS BIGINT) AS decile,
+           CAST(d.cn AS BIGINT) AS n_entities,
+           CAST(d.cx AS BIGINT) AS cum_value_cents,
+           CAST(CAST(d.cx AS HUGEINT) * 1000000 // t.tot AS BIGINT)
+             AS cum_share_ppm
+    FROM d CROSS JOIN t ORDER BY decile
+    """,
+)
+def agg_lorenz_deciles(spark, sf_dir):
+    """Lorenz curve at population deciles — cumulative revenue share
+    of the poorest 10%..100% of customers (the curve whose area gap IS
+    the Gini from agg_gini_hhi; deciles are what the dashboard plots):
+    the decile's boundary is the smallest ascending-value cumsum
+    position covering decile*n/10 entities (type-1, tie-safe at the
+    VALUE level — a tie block enters as a whole). All integer
+    cents/ppm off the bounded distinct-value cumsum."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    e = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+        ).cast("long").alias("x")
+    )
+    c = e.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    w = Window.partitionBy(F.lit(1)).orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = c.select(
+        "x", "c",
+        F.sum("c").over(w).cast("long").alias("cumn"),
+        F.sum(F.col("x") * F.col("c")).over(w).cast("long").alias("cumx"),
+        F.sum("c").over(wt).cast("long").alias("n"),
+        F.sum(F.col("x") * F.col("c")).over(wt).cast("long").alias("tot"),
+    )
+    g = o.sparkSession.range(1, 11).select(F.col("id").alias("decile"))
+    d = (
+        cum.crossJoin(F.broadcast(g))
+        .groupBy("decile")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("cumn") * 10 >= F.col("decile") * F.col("n"),
+                    F.col("cumn"),
+                )
+            ).cast("long").alias("n_entities"),
+            F.min(
+                F.when(
+                    F.col("cumn") * 10 >= F.col("decile") * F.col("n"),
+                    F.col("cumx"),
+                )
+            ).cast("long").alias("cum_value_cents"),
+            F.max("tot").cast("long").alias("__tot"),
+        )
+    )
+    return d.select(
+        F.col("decile").cast("long"), "n_entities", "cum_value_cents",
+        F.expr(
+            "CAST(CAST(cum_value_cents AS DECIMAL(38,0)) * 1000000"
+            " div __tot AS BIGINT)"
+        ).alias("cum_share_ppm"),
+    ).orderBy("decile")

@@ -167,6 +167,8 @@ SUITES: dict[str, list[str]] = {
         # 5%-trimmed mean (rank-interval arithmetic, no per-row sort)
         "agg_overdispersion",
         "agg_trimmed_mean",
+        # + Lorenz curve at population deciles (the Gini's plot)
+        "agg_lorenz_deciles",
         # + exact WEIGHT-mass quantiles (type-1 rank arithmetic off a
         # distinct-value weight cumsum; the corpus never sorts)
         "agg_weighted_quantiles",
@@ -441,6 +443,9 @@ SUITES: dict[str, list[str]] = {
         # + Zipf slope (rank-frequency OLS over the bounded top-k,
         # order-deterministic ln folds; corpus-health fingerprint)
         "text_zipf_slope",
+        # + Heaps-law vocabulary growth (first-doc-per-token cumsum;
+        # corpus read once, no per-checkpoint rescans)
+        "text_heaps_law",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",

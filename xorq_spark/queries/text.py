@@ -1391,3 +1391,109 @@ def text_zipf_slope(spark, sf_dir):
             9,
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "text_heaps_law",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, unnest({_CLEAN_TOKS}) AS tok
+                FROM documents WHERE text IS NOT NULL),
+    tk2 AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+    first_doc AS (SELECT tok, CAST(min(doc_id) AS BIGINT) AS fd
+                  FROM tk2 GROUP BY tok),
+    docs AS (SELECT DISTINCT doc_id FROM tk2),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+    rk AS (SELECT doc_id,
+                  CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r
+           FROM docs),
+    tokcum AS (SELECT rk.r,
+                      CAST(sum(count(*)) OVER (ORDER BY rk.r) AS BIGINT)
+                        AS cum_tokens
+               FROM tk2 JOIN rk USING (doc_id) GROUP BY rk.r),
+    voccum AS (SELECT rk.r,
+                      CAST(sum(count(*)) OVER (ORDER BY rk.r) AS BIGINT)
+                        AS cum_vocab
+               FROM first_doc f JOIN rk ON f.fd = rk.doc_id
+               GROUP BY rk.r),
+    chk AS (SELECT g.pct, CAST((g.pct * nd.n_docs + 9) // 10 AS BIGINT)
+                     AS r_target
+            FROM (SELECT unnest(range(1, 11)) AS pct) g CROSS JOIN nd)
+    SELECT CAST(chk.pct * 10 AS BIGINT) AS pct_docs,
+           chk.r_target AS n_docs,
+           (SELECT max(cum_tokens) FROM tokcum
+            WHERE tokcum.r <= chk.r_target) AS n_tokens,
+           (SELECT max(cum_vocab) FROM voccum
+            WHERE voccum.r <= chk.r_target) AS vocab_size
+    FROM chk ORDER BY pct_docs
+    """,
+)
+def text_heaps_law(spark, sf_dir):
+    """Vocabulary growth curve (Heaps' law): distinct-token count and
+    total-token count after the first 10%..100% of documents (ordered
+    by doc_id) — sub-linear growth is natural text, near-linear growth
+    flags synthetic/ID-heavy corpora. Each token's FIRST document is
+    one combinable min, so the vocab at a checkpoint is a cumulative
+    count over the bounded doc-rank frame — the corpus is read once,
+    nothing re-scans per checkpoint."""
+    from pyspark.sql import Window
+
+    docs_t = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tk2 = (
+        docs_t.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower("text")), r"\s+")
+            ).alias("__raw"),
+        )
+        .select(
+            "doc_id",
+            F.regexp_replace("__raw", r"[^\w一-鿿]", "").alias("tok"),
+        )
+        .where(F.col("tok") != "")
+    )
+    first_doc = tk2.groupBy("tok").agg(F.min("doc_id").alias("fd"))
+    docs = tk2.select("doc_id").distinct()
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    w = Window.partitionBy(F.lit(1)).orderBy("doc_id")
+    rk = docs.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("r")
+    )
+    wc = Window.partitionBy(F.lit(1)).orderBy("r").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tokcum = (
+        tk2.join(rk, "doc_id")
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .select("r", F.sum("__c").over(wc).cast("long").alias("cum_tokens"))
+    )
+    voccum = (
+        first_doc.join(rk, first_doc.fd == rk.doc_id)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("__v"))
+        .select("r", F.sum("__v").over(wc).cast("long").alias("cum_vocab"))
+    )
+    g = docs_t.sparkSession.range(1, 11).select(F.col("id").alias("pct"))
+    chk = g.crossJoin(F.broadcast(nd)).select(
+        "pct",
+        F.expr("CAST((pct * n_docs + 9) div 10 AS BIGINT)").alias("r_target"),
+    )
+    tok_at = (
+        chk.join(tokcum, tokcum.r <= chk.r_target, "left")
+        .groupBy("pct", "r_target")
+        .agg(F.max("cum_tokens").alias("n_tokens"))
+    )
+    voc_at = (
+        chk.join(voccum, voccum.r <= chk.r_target, "left")
+        .groupBy("pct")
+        .agg(F.max("cum_vocab").alias("vocab_size"))
+    )
+    return (
+        tok_at.join(voc_at, "pct")
+        .select(
+            (F.col("pct") * 10).cast("long").alias("pct_docs"),
+            F.col("r_target").alias("n_docs"),
+            "n_tokens", "vocab_size",
+        )
+        .orderBy("pct_docs")
+    )
