@@ -2324,3 +2324,77 @@ def agg_lorenz_deciles(spark, sf_dir):
             " div __tot AS BIGINT)"
         ).alias("cum_share_ppm"),
     ).orderBy("decile")
+
+
+@query(
+    "agg_diff_in_diff",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+             CASE WHEN extract(day FROM ts) > 15 THEN 1 ELSE 0 END
+               AS post,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE value IS NOT NULL),
+    g AS (SELECT treated, post,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(v) AS BIGINT) AS sv
+          FROM d GROUP BY 1, 2),
+    m AS (SELECT
+            max(CASE WHEN treated = 1 AND post = 1 THEN
+                CAST(sv AS HUGEINT) * 1000000 // n END) AS m11,
+            max(CASE WHEN treated = 1 AND post = 0 THEN
+                CAST(sv AS HUGEINT) * 1000000 // n END) AS m10,
+            max(CASE WHEN treated = 0 AND post = 1 THEN
+                CAST(sv AS HUGEINT) * 1000000 // n END) AS m01,
+            max(CASE WHEN treated = 0 AND post = 0 THEN
+                CAST(sv AS HUGEINT) * 1000000 // n END) AS m00,
+            CAST(sum(n) AS BIGINT) AS n_total
+          FROM g)
+    SELECT n_total,
+           CAST(m11 AS BIGINT) AS mean_treated_post_e6,
+           CAST(m10 AS BIGINT) AS mean_treated_pre_e6,
+           CAST(m01 AS BIGINT) AS mean_control_post_e6,
+           CAST(m00 AS BIGINT) AS mean_control_pre_e6,
+           CAST((m11 - m10) - (m01 - m00) AS BIGINT) AS did_e6
+    FROM m
+    """,
+)
+def agg_diff_in_diff(spark, sf_dir):
+    """Difference-in-differences — the workhorse causal estimate when
+    randomization isn't available: (treated post - treated pre) minus
+    (control post - control pre), here over event value cents with a
+    mid-month policy date and user-parity arms. All four cell means
+    are exact 1e-6 integer rationals (one combinable 2x2 rollup), the
+    DiD is pure integer subtraction — the parallel-trends readout an
+    external engine replays exactly."""
+    ev = t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    d = ev.select(
+        (F.col("user_id") % 2).cast("long").alias("treated"),
+        F.when(F.dayofmonth("ts") > 15, 1).otherwise(0).alias("post"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("v"),
+    )
+    g = d.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+    )
+    cell = (
+        "max(CASE WHEN treated = {t} AND post = {p} THEN"
+        " CAST(sv AS DECIMAL(38,0)) * 1000000 div n END)"
+    )
+    m = g.agg(
+        F.expr(cell.format(t=1, p=1)).alias("m11"),
+        F.expr(cell.format(t=1, p=0)).alias("m10"),
+        F.expr(cell.format(t=0, p=1)).alias("m01"),
+        F.expr(cell.format(t=0, p=0)).alias("m00"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return m.select(
+        "n_total",
+        F.col("m11").cast("long").alias("mean_treated_post_e6"),
+        F.col("m10").cast("long").alias("mean_treated_pre_e6"),
+        F.col("m01").cast("long").alias("mean_control_post_e6"),
+        F.col("m00").cast("long").alias("mean_control_pre_e6"),
+        F.expr(
+            "CAST((m11 - m10) - (m01 - m00) AS BIGINT)"
+        ).alias("did_e6"),
+    )
