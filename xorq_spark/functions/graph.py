@@ -28,6 +28,22 @@ from pyspark.sql import DataFrame
 DEFAULT_SCALE = 10**12
 
 
+def _sanitize_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Shared edge-list preamble (same as pagerank/bfs_hops/hits):
+    cast endpoints to long, drop null and self-loop edges, distinct —
+    a self-loop or null edge would otherwise inflate degrees, wedges,
+    and walk adjacency."""
+    return (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -536,6 +552,10 @@ def hits(
     broadcast back (never collected). The widened multiply runs in
     DECIMAL(38,0) (sum <= scale * max_degree, times scale — exceeds
     int64, fits decimal128 exactly on both engines)."""
+    if iterations < 1:
+        # auth is only defined after the first half-iteration; the
+        # final nodes⋈auth join would crash on auth=None.
+        raise ValueError(f"hits() requires iterations >= 1, got {iterations}")
     e = (
         edges.select(
             F.col(src).cast("long").alias("src"),
@@ -565,11 +585,14 @@ def hits(
     fit = max(1, min(int(old_parts), e.count() // 500_000 + 1))
 
     def _l1_normalize(scores, col):
+        # guard __tot = 0/NULL (degenerate half-iteration, e.g. all-zero
+        # scores under ANSI-off) — emit 0 instead of NULL-propagating.
         tot = scores.agg(F.sum(col).cast("decimal(38,0)").alias("__tot"))
         return scores.crossJoin(F.broadcast(tot)).select(
             "node",
             F.expr(
-                f"CAST((CAST({col} AS DECIMAL(38,0)) * {scale}) DIV __tot AS BIGINT)"
+                f"CASE WHEN __tot IS NULL OR __tot = 0 THEN CAST(0 AS BIGINT) "
+                f"ELSE CAST((CAST({col} AS DECIMAL(38,0)) * {scale}) DIV __tot AS BIGINT) END"
             ).alias(col),
         )
 
@@ -606,6 +629,8 @@ def hits(
 def link_prediction(
     edges: DataFrame,
     min_common: int = 2,
+    src: str = "src",
+    dst: str = "dst",
 ) -> DataFrame:
     """Common-neighbor / Jaccard link prediction over an undirected
     edge list (src < dst canonical): score NON-adjacent node pairs by
@@ -624,6 +649,7 @@ def link_prediction(
     is sum(d_s^2) bounded — for skew-heavy graphs, cap or sample
     super-node neighborhoods upstream. Degrees broadcast-join back.
     """
+    edges = _sanitize_edges(edges, src, dst)
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
@@ -669,6 +695,8 @@ def random_walks(
     edges: DataFrame,
     n_steps: int = 4,
     seed: str = "rw0",
+    src: str = "src",
+    dst: str = "dst",
 ) -> DataFrame:
     """Deterministic uniform random walks over an undirected edge list
     — the DeepWalk/node2vec corpus-sampling primitive, with every
@@ -686,6 +714,7 @@ def random_walks(
 
     Returns (start, step, node): step 0 is the start itself.
     """
+    edges = _sanitize_edges(edges, src, dst)
     und = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()

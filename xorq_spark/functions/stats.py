@@ -442,8 +442,12 @@ def bootstrap_mean_ci(
         F.expr(
             f"CAST(conv(substring(__dig, 1, 8), 16, 10) AS BIGINT) % {P31}"
         ).alias("__v1"),
+        # greatest(·, 1) remaps the ~2^-31 v2=0 row (whose 40 weights
+        # would otherwise all collapse to the same value) to stride 1;
+        # part of the committed contract the oracle replays
         F.expr(
-            f"CAST(conv(substring(__dig, 17, 8), 16, 10) AS BIGINT) % {P31}"
+            f"greatest(CAST(conv(substring(__dig, 17, 8), 16, 10) AS BIGINT)"
+            f" % {P31}, 1)"
         ).alias("__v2"),
     )
     # Weight expressions are INLINED into the aggregate so the whole

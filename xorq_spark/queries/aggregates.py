@@ -1175,7 +1175,8 @@ def agg_cuped_readout(spark, sf_dir):
     h AS (SELECT x, md5('bs|' || k) AS dig FROM d),
     v AS (SELECT x,
                  (('0x' || substr(dig, 1, 8))::BIGINT) % 2147483647 AS v1,
-                 (('0x' || substr(dig, 17, 8))::BIGINT) % 2147483647 AS v2
+                 greatest((('0x' || substr(dig, 17, 8))::BIGINT)
+                          % 2147483647, 1) AS v2
           FROM h),
     ex AS (SELECT x, v1, v2, unnest(range(1, 41)) AS b FROM v),
     u AS (SELECT x, CAST(b AS BIGINT) AS b,

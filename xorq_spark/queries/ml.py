@@ -582,8 +582,8 @@ def ml_calibration_bins(spark, sf_dir):
     best AS (SELECT max(gain_e12) AS best_gain FROM gain)
     SELECT CAST(min(x) AS BIGINT) AS threshold,
            CAST(max(gain_e12) AS BIGINT) AS gain_e12,
-           CAST(min(nl) AS BIGINT) AS n_left,
-           CAST(min(nr) AS BIGINT) AS n_right
+           CAST(arg_min(nl, x) AS BIGINT) AS n_left,
+           CAST(arg_min(nr, x) AS BIGINT) AS n_right
     FROM gain JOIN best ON gain.gain_e12 = best.best_gain
     """,
 )
@@ -655,10 +655,14 @@ def ml_stump_gain(spark, sf_dir):
     return (
         g.join(F.broadcast(best), g.gain_e12 == best.best_gain)
         .agg(
+            # the winning row is picked ATOMICALLY: min threshold x
+            # among gain ties, then THAT row's (nl, nr) via min_by —
+            # independent min(nl)/min(nr) could report a (threshold,
+            # n_left, n_right) tuple matching no actual split
             F.min("x").cast("long").alias("threshold"),
             F.max("gain_e12").cast("long").alias("gain_e12"),
-            F.min("nl").cast("long").alias("n_left"),
-            F.min("nr").cast("long").alias("n_right"),
+            F.min_by("nl", "x").cast("long").alias("n_left"),
+            F.min_by("nr", "x").cast("long").alias("n_right"),
         )
     )
 

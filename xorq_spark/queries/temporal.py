@@ -1907,17 +1907,17 @@ def time_psi_drift(spark, sf_dir):
              epoch_us(ts) + 1800000000 AS e,
              event_id
       FROM events),
-    o AS (SELECT u, s, e,
+    o AS (SELECT u, s, e, event_id,
                  max(e) OVER (PARTITION BY u ORDER BY s, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING
                               AND 1 PRECEDING) AS prev_max
           FROM iv),
-    f AS (SELECT u, s, e,
+    f AS (SELECT u, s, e, event_id,
                  CASE WHEN prev_max IS NULL OR s > prev_max
                       THEN 1 ELSE 0 END AS newgrp
           FROM o),
     g AS (SELECT u, s, e,
-                 CAST(sum(newgrp) OVER (PARTITION BY u ORDER BY s, e
+                 CAST(sum(newgrp) OVER (PARTITION BY u ORDER BY s, event_id
                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS isl
           FROM f),
     m AS (SELECT u, isl,
@@ -1961,9 +1961,12 @@ def time_interval_merge(spark, sf_dir):
             F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
         ).otherwise(0),
     )
+    # ordered identically to wp (s, event_id): e is a pure function of
+    # s, so (s, e) leaves duplicate-timestamp tie blocks nondeterminate
+    # and a newgrp=0 row could attach to the PREVIOUS island.
     wc = (
         Window.partitionBy("u")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     g = f.withColumn("isl", F.sum("newgrp").over(wc).cast("long"))
