@@ -178,6 +178,9 @@ SUITES: dict[str, list[str]] = {
         # + Welch's unequal-variance t-test (exact integer sufficient
         # stats; t and df as fixed IEEE trees)
         "agg_welch_ttest",
+        # round 6: Gini + HHI concentration (folded in for driver
+        # certification — was registry-tail-only through round 5)
+        "agg_gini_hhi",
     ],
     "suite_agg_b": [
         "agg_bit_bool",
@@ -226,6 +229,9 @@ SUITES: dict[str, list[str]] = {
         # + price/volume revenue-bridge decomposition (FP&A shape;
         # per-part rational unit prices, sign-split volume effect)
         "agg_price_volume_mix",
+        # round 6: difference-in-differences readout (landed in the
+        # final round-5 commit after suite folding; certified now)
+        "agg_diff_in_diff",
     ],
     "suite_time_a": [
         "time_trunc_extract",
@@ -606,6 +612,23 @@ SUITES: dict[str, list[str]] = {
         # table-function flat-map surface)
         "engine_python_udtf",
     ],
+    # round 6: batch-readout composite over ALL streaming queries —
+    # each member runs its Structured Streaming pipeline to a drained
+    # memory sink and returns the sink as a batch frame, so the same
+    # UNION ALL canonicalization certifies every streaming operator in
+    # one driver row (previously 7 of 9 burned individual window slots
+    # and stream_hdr_quantiles / stream_heavy_hitters had none).
+    "suite_streaming": [
+        "stream_tumble_event_counts",
+        "stream_hop_event_counts",
+        "stream_session_user_visits",
+        "stream_dedup_user_ids",
+        "stream_enrich_customer",
+        "stream_stream_purchase_click",
+        "stream_dedup_incremental",
+        "stream_hdr_quantiles",
+        "stream_heavy_hitters",
+    ],
 }
 
 # Members whose raw output can't be slot-routed directly (array<double>
@@ -633,22 +656,15 @@ PRE_SQL = {
 }
 
 # Granular entries that stay individually inside the driver's 50-slot
-# window (streaming jobs — window aggs, dedup, stream-static enrich,
-# stream-stream interval join — can't union into a batch suite).
-# sim_ann_ivf_topk lives in the tail past slot 50 (window already
-# full); since round 4's integer quantizer it is oracle-backed like
-# everything else AND suite-certified via suite_similarity.
+# window. Since round 6 the streaming queries certify through the
+# suite_streaming composite (their pipelines drain to memory sinks and
+# read back as batch frames), freeing 6 slots — promoted to flagship
+# operators with known-portable oracles so the driver certifies them
+# DIRECTLY on top of their suite membership.
 WINDOW_GRANULAR = [
-    "stream_tumble_event_counts",
-    "stream_hop_event_counts",
-    "stream_session_user_visits",
-    "stream_dedup_user_ids",
-    "stream_enrich_customer",
-    "stream_stream_purchase_click",
-    "stream_dedup_incremental",
     "text_gopher_flags",
     # flagship round-3 operators ALSO get individual driver rows (all
-    # are suite-certified too; these fill the window to exactly 50)
+    # are suite-certified too)
     "text_line_dedup",
     "dedup_dup_ngram_fraction",
     "text_pack_sequences",
@@ -658,4 +674,12 @@ WINDOW_GRANULAR = [
     "agg_hll_sketch",
     "ml_metrics_auc",
     "sim_hard_negatives",
+    # round 6 promotions into the slots freed by suite_streaming
+    # (34 suites + 16 granular = exactly 50)
+    "dedup_jaccard_prefix",
+    "graph_triangle_counts",
+    "agg_bootstrap_ci",
+    "text_bm25_topk",
+    "time_kaplan_meier",
+    "sim_ann_pq_topk",
 ]
