@@ -150,3 +150,52 @@ def test_replace_sources_named_table(spark):
     e = u.filter(_.a > 1)
     bound = xo.replace_sources(e, {"docs": xo.memtable({"a": [1, 2, 3]})})
     assert bound.execute(spark).a.tolist() == [2, 3]
+
+
+def test_doc_counts_match_registry():
+    """PARITY.md / QUERIES.md / README.md headline counts must equal the
+    live registry — the round-5 review caught doc-drift (a stale
+    '282/282' header and a false suite-membership claim); this pins the
+    generated and hand-maintained counts to the code."""
+    import re
+    from pathlib import Path
+
+    from xorq_spark.queries import QUERIES, ORACLES
+    from xorq_spark.queries.suites_spec import SUITES, WINDOW_GRANULAR
+
+    n_total = len(QUERIES)
+    n_suites = len(SUITES)
+    n_granular = n_total - n_suites
+    root = Path(__file__).resolve().parents[1]
+
+    # every entry oracle-backed, window exactly 50
+    assert set(QUERIES) == set(ORACLES)
+    assert n_suites + len(WINDOW_GRANULAR) == 50
+    # every suite member exists and no member is claimed twice
+    members = [m for ms in SUITES.values() for m in ms]
+    assert len(members) == len(set(members))
+    assert set(members) <= set(QUERIES)
+
+    queries_md = (root / "QUERIES.md").read_text()
+    m = re.search(r"the (\d+)-entry correctness catalog", queries_md)
+    assert m and int(m.group(1)) == n_total, "QUERIES.md count stale"
+
+    parity = (root / "PARITY.md").read_text()
+    m = re.search(r"(\d+)/(\d+) passing", parity)
+    assert m and int(m.group(1)) == int(m.group(2)) == n_total, (
+        "PARITY.md pass-count stale"
+    )
+    m = re.search(r"(\d+) composite suites \+\n?(\d+) granular", parity)
+    assert m and (int(m.group(1)), int(m.group(2))) == (
+        n_suites, n_granular,
+    ), "PARITY.md suite/granular split stale"
+    # every "(in suite_X)" membership claim in PARITY.md must be true
+    for q, s in re.findall(r"query (\w+) \(in (suite_\w+)\)", parity):
+        assert q in SUITES.get(s, ()), f"PARITY.md: {q} not in {s}"
+
+    readme = (root / "README.md").read_text()
+    m = re.search(r"all (\d+) registry\s+entries \((\d+) composite suites"
+                  r" \+ (\d+) granular", readme)
+    assert m and (int(m.group(1)), int(m.group(2)), int(m.group(3))) == (
+        n_total, n_suites, n_granular,
+    ), "README.md registry counts stale"
