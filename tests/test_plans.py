@@ -332,3 +332,31 @@ def test_kaplan_meier_single_user_pass(spark):
     # formatted explain lists each operator in both the tree and the
     # details section — one crossJoin appears twice
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_line_dedup_no_digest_window(spark):
+    """Round-6 de-skew: per-line doc-frequency must be an aggregate +
+    membership join, NOT count-over-Window.partitionBy(digest) — window
+    partitions cannot be skew-split by AQE, so one hot boilerplate line
+    used to serialize into a single sort task."""
+    plan = _plan(spark, "text_line_dedup")
+    assert "Window" not in plan, plan
+
+
+def test_dup_ngram_fraction_no_digest_window(spark):
+    plan = _plan(spark, "dedup_dup_ngram_fraction")
+    assert "Window" not in plan, plan
+
+
+def test_exact_substring_digest_count_is_join_not_window(spark):
+    """The gram-duplication count attaches via a digest-keyed semi join
+    (skew-splittable); the only Window nodes left are the doc-keyed
+    gaps-and-islands pair."""
+    import re
+
+    plan = _plan(spark, "dedup_exact_substring")
+    # every Window node partitions by doc_id, never by the gram digest
+    for m in re.finditer(r"Arguments: .*windowspecdefinition\(([^,]*),", plan):
+        assert "dig" not in m.group(1), m.group(0)
+    # and the duplication filter is a semi join on the digest
+    assert "LeftSemi" in plan, plan
