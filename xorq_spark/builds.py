@@ -188,12 +188,22 @@ def build(expr: Expr, builds_dir: str = "builds") -> str:
     with open(os.path.join(out, "metadata.json"), "w") as f:
         json.dump(meta, f, indent=2)
     # debug plan dump (sql.yaml analog, ibis_yaml/sql.py:111) — only when
-    # a live session exists; loading never depends on it
+    # a live session exists; loading never depends on it. CachedNodes
+    # are swapped for their parents first: lowering a COLD cache
+    # materializes its artifact, and `build` must never execute the
+    # expression as a side effect (the pin CLI's cold-cache error
+    # contract depends on builds staying cold).
     try:
         from pyspark.sql import SparkSession
 
         if SparkSession.getActiveSession() is not None:
-            df = expr.to_spark()
+            from xorq_spark.cache import _rewrite_children
+
+            def _strip_cache(n):
+                n = _rewrite_children(n, _strip_cache)
+                return n.parent if isinstance(n, N.CachedNode) else n
+
+            df = Expr(_strip_cache(expr.node), expr._spark).to_spark()
             with open(os.path.join(out, "plan.txt"), "w") as f:
                 f.write(df._jdf.queryExecution().toString())
     except Exception:

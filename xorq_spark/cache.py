@@ -327,10 +327,19 @@ class GCSCache(ObjectStoreCache):
 # --------------------------------------------------------------------------
 # pin / unpin (reference: pin_cache/unpin_cache, expr/relations.py:370,400)
 # --------------------------------------------------------------------------
-def pin(expr):
+class ColdCacheError(RuntimeError):
+    """Raised when pinning an unmaterialized cache without
+    ensure_materialized (reference: IntegrityError from ls.pin(),
+    vendor/ibis/expr/types/core.py + cli.py apply_pin_transform)."""
+
+
+def pin(expr, ensure_materialized: bool = True):
     """Freeze every CachedNode into a CacheTag: a direct artifact read
-    that still carries the original subtree for unpinning. Artifacts are
-    materialized now if missing."""
+    that still carries the original subtree for unpinning. With
+    ``ensure_materialized`` (default) missing artifacts are
+    materialized now; without it a cold cache raises ColdCacheError —
+    the reference CLI's contract (pin freezes what exists; populating
+    is `xorq run`'s job unless -e is passed)."""
     from xorq_spark.expr.core import Expr
 
     def rewrite(n: N.RNode) -> N.RNode:
@@ -339,6 +348,11 @@ def pin(expr):
             key = calc_key(n.parent, n.strategy)
             _, root = split_strategy(n.strategy)
             if not exists(key, root):
+                if not ensure_materialized:
+                    raise ColdCacheError(
+                        f"cache {key} is not materialized; run the "
+                        "expression first or pass ensure_materialized"
+                    )
                 from xorq_spark.session import get_spark
 
                 lower_cached_node(n, get_spark(), {})

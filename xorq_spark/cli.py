@@ -116,6 +116,41 @@ def cmd_run_cached(args) -> int:
     return 0
 
 
+def cmd_pin(args) -> int:
+    """Freeze (pin) or thaw (unpin) the caches of a build artifact —
+    reference cli.py:1259 pin_command / apply_pin_transform: pinning
+    replaces each materialized CachedNode with a CacheTag (a direct
+    read of its cache artifact that still carries the subtree);
+    unpinning is the inverse. Without --ensure-materialized a cold
+    cache is a clean CLI error, not an implicit expensive run."""
+    from xorq_spark.builds import build, load, load_profile
+    from xorq_spark.cache import ColdCacheError, pin, unpin
+
+    spark = load_profile(args.build_dir)
+    expr = load(args.build_dir, spark)
+    if args.cmd == "pin":
+        try:
+            expr = pin(
+                expr,
+                ensure_materialized=bool(
+                    getattr(args, "ensure_materialized", False)
+                ),
+            )
+        except ColdCacheError as e:
+            print(
+                f"error: {e}\nPopulate the caches first (python -m "
+                f"xorq_spark run-cached {args.build_dir}) or pass "
+                "--ensure-materialized/-e.",
+                file=sys.stderr,
+            )
+            return 1
+    else:
+        expr = unpin(expr)
+    out = build(expr, args.builds_dir)
+    print(out)
+    return 0
+
+
 def cmd_serve_unbound(args) -> int:
     """`serve-unbound` (reference: cli.py unbind_and_serve_command):
     replace the build's source reads with an unbound placeholder and
@@ -338,6 +373,20 @@ def main(argv=None) -> int:
         cp.add_argument("--name", default=None)
         cp.add_argument("--root", default=None)
     c.set_defaults(fn=cmd_catalog)
+
+    for verb, hlp in (
+        ("pin", "freeze a build's caches into direct artifact reads"),
+        ("unpin", "thaw a pinned build's CacheTags back to live caches"),
+    ):
+        pp = sub.add_parser(verb, help=hlp)
+        pp.add_argument("build_dir")
+        pp.add_argument("--builds-dir", default="builds",
+                        help="directory for the resulting build artifact")
+        if verb == "pin":
+            pp.add_argument("-e", "--ensure-materialized",
+                            action="store_true",
+                            help="materialize cold caches before pinning")
+        pp.set_defaults(fn=cmd_pin)
 
     i = sub.add_parser("inspect", help="print build metadata + IR")
     i.add_argument("build_dir")
