@@ -146,3 +146,63 @@ def test_catalog_facade(spark, sf_dir, tmp_path):
     assert cat_obj.annex(remote).push() == [h]
     cat_obj.rm("regions")
     assert cat_obj.ls() == {}
+
+
+def test_replay_detects_source_drift(spark, src):
+    """Reference catalog/replay.py rebuild semantics: snapshot an
+    entry's result fingerprint, re-execute against current sources —
+    unchanged sources replay identical; a mutated source is drift."""
+    e = xo.deferred_read_parquet(src).group_by("k").agg(s=_.v.sum()).order_by("k")
+    catalog.add("sums", e)
+    fp = catalog.snapshot("sums", spark=spark)
+    assert fp["rows"] == 2 and fp["columns"] == ["k", "s"]
+
+    # unchanged source -> byte-identical replay
+    rep = catalog.replay("sums", spark=spark)
+    assert rep["match"] is True and rep["drift"] == []
+    assert rep["fresh"] == rep["stored"]
+
+    # mutate the source in place -> values drift (same rows/cols)
+    pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 99.0]}).to_parquet(src)
+    rep2 = catalog.replay("sums", spark=spark)
+    assert rep2["match"] is False and rep2["drift"] == ["values"]
+
+    # row-count drift is named separately
+    pd.DataFrame({"k": [1, 1, 2, 3], "v": [1.0, 2.0, 3.0, 4.0]}).to_parquet(src)
+    rep3 = catalog.replay("sums", spark=spark)
+    assert rep3["match"] is False and "rows" in rep3["drift"]
+
+    # restore the original bytes -> replay converges again
+    pd.DataFrame({"k": [1, 1, 2], "v": [1.0, 2.0, 3.0]}).to_parquet(src)
+    assert catalog.replay("sums", spark=spark)["match"] is True
+
+    # the snapshot is committed to the catalog's git history
+    log = catalog.git_log()
+    assert log is None or "snapshot sums" in log
+
+
+def test_replay_requires_snapshot_and_replay_all(spark, src):
+    e = xo.deferred_read_parquet(src).group_by("k").agg(s=_.v.sum())
+    catalog.add("a", e)
+    with pytest.raises(ValueError, match="no snapshot"):
+        catalog.replay("a", spark=spark)
+    reports = catalog.replay_all(spark=spark)
+    assert reports["a"]["match"] is None
+    assert reports["a"]["drift"] == ["no-snapshot"]
+    catalog.snapshot("a", spark=spark)
+    assert catalog.replay_all(spark=spark)["a"]["match"] is True
+
+
+def test_replay_cli(spark, src, tmp_path, capsys):
+    from xorq_spark.cli import main
+
+    e = xo.deferred_read_parquet(src).group_by("k").agg(s=_.v.sum())
+    catalog.add("pipe", e)
+    assert main(["catalog", "snapshot", "pipe"]) == 0
+    out = capsys.readouterr().out
+    assert '"rows": 2' in out
+    assert main(["catalog", "replay", "pipe"]) == 0
+    assert "ok" in capsys.readouterr().out
+    pd.DataFrame({"k": [5], "v": [5.0]}).to_parquet(src)
+    assert main(["catalog", "replay", "pipe"]) == 1
+    assert "DRIFT" in capsys.readouterr().out

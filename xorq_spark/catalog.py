@@ -133,6 +133,144 @@ def rm(name: str, root: Optional[str] = None) -> None:
     _git_commit(root, f"catalog rm {name}")
 
 
+# --------------------------------------------------------------------------
+# replay / rebuild (reference: catalog/replay.py — re-execute a cataloged
+# build against CURRENT sources and detect divergence; docstring: "Rebuild
+# mode re-executes each AddEntry ... under the current code")
+# --------------------------------------------------------------------------
+
+
+def _fingerprint(expr: Expr, spark) -> dict:
+    """Deterministic order-insensitive result fingerprint, computed
+    DISTRIBUTED (one combinable aggregate, no driver collect of data):
+    each row canonicalizes to md5 over its name-sorted columns (nulls
+    tokenized, floats repr'd via CAST AS STRING), and rows fold into
+    the aggregate pair (bit_xor, sum mod 2^62) of the digest's leading
+    64 bits — both order-independent, jointly collision-resistant
+    against the xor-cancelling duplicate-pair case. Scale: a map-side
+    projection plus a single-row aggregate; works unchanged on 100 TB
+    of result rows."""
+    import pyspark.sql.functions as F
+
+    df = expr.to_spark(spark)
+    cols = sorted(df.columns)
+    canon = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
+                for c in cols
+            ],
+        )
+    )
+    row = (
+        df.select(canon.alias("__h"))
+        .select(
+            F.expr(
+                "CAST(conv(substring(__h, 1, 15), 16, 10) AS BIGINT)"
+            ).alias("__v")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rows"),
+            F.expr("bit_xor(__v)").cast("long").alias("xor60"),
+            F.expr(
+                "CAST(sum(CAST(__v AS DECIMAL(38,0))) % 4611686018427387904"
+                " AS BIGINT)"
+            ).alias("sum62"),
+        )
+        .collect()[0]
+    )
+    return {
+        "columns": cols,
+        "rows": int(row["rows"]),
+        "xor60": int(row["xor60"]) if row["xor60"] is not None else 0,
+        "sum62": int(row["sum62"]) if row["sum62"] is not None else 0,
+    }
+
+
+def snapshot(
+    name: str,
+    version: Optional[str] = None,
+    root: Optional[str] = None,
+    spark=None,
+) -> dict:
+    """Execute the cataloged pipeline against its current sources and
+    RECORD the result fingerprint on the version entry (git-committed)
+    — the baseline `replay` later diffs against."""
+    root = root or catalog_root()
+    expr = get(name, version, root, spark)
+    fp = _fingerprint(expr, spark)
+    idx = _load_index(root)
+    versions = idx["entries"][name]["versions"]
+    h = version or versions[-1]["hash"]
+    for v in versions:
+        if v["hash"] == h:
+            v["fingerprint"] = fp
+            v["fingerprinted_at"] = datetime.datetime.now(
+                datetime.timezone.utc
+            ).isoformat()
+    _save_index(root, idx)
+    _git_commit(root, f"catalog snapshot {name} -> {h}")
+    return fp
+
+
+def replay(
+    name: str,
+    version: Optional[str] = None,
+    root: Optional[str] = None,
+    spark=None,
+) -> dict:
+    """Re-execute a cataloged build against CURRENT sources and diff
+    the fresh result fingerprint against the snapshot — the
+    reproducibility gate the git-native catalog exists for (reference
+    catalog/replay.py rebuild mode). Returns {match, stored, fresh,
+    drift}: `match` is True when the replay is value-identical;
+    `drift` names what moved (rows / values / columns)."""
+    root = root or catalog_root()
+    versions = history(name, root)
+    if not versions:
+        raise KeyError(f"catalog has no entry {name!r}")
+    h = version or versions[-1]["hash"]
+    stored = next(
+        (v.get("fingerprint") for v in versions if v["hash"] == h), None
+    )
+    if stored is None:
+        raise ValueError(
+            f"{name!r}@{h} has no snapshot fingerprint; run "
+            "catalog.snapshot() first"
+        )
+    fresh = _fingerprint(get(name, h, root, spark), spark)
+    drift = []
+    if fresh["columns"] != stored["columns"]:
+        drift.append("columns")
+    if fresh["rows"] != stored["rows"]:
+        drift.append("rows")
+    if (fresh["xor60"], fresh["sum62"]) != (
+        stored["xor60"],
+        stored["sum62"],
+    ):
+        drift.append("values")
+    return {
+        "match": not drift,
+        "stored": stored,
+        "fresh": fresh,
+        "drift": drift,
+    }
+
+
+def replay_all(root: Optional[str] = None, spark=None) -> dict:
+    """Replay every snapshotted entry (latest versions); {name: report}.
+    Entries without a snapshot are skipped with a 'no-snapshot' marker."""
+    root = root or catalog_root()
+    out = {}
+    for name in ls(root):
+        try:
+            out[name] = replay(name, None, root, spark)
+        except ValueError:
+            out[name] = {"match": None, "drift": ["no-snapshot"]}
+    return out
+
+
 def git_log(root: Optional[str] = None) -> Optional[str]:
     """The catalog's git history (None when git was unavailable)."""
     return _git(root or catalog_root(), "log", "--oneline")
@@ -238,6 +376,15 @@ class Catalog:
 
     def rm(self, name: str) -> None:
         rm(name, self.root)
+
+    def snapshot(self, name: str, version: Optional[str] = None, spark=None) -> dict:
+        return snapshot(name, version, self.root, spark)
+
+    def replay(self, name: str, version: Optional[str] = None, spark=None) -> dict:
+        return replay(name, version, self.root, spark)
+
+    def replay_all(self, spark=None) -> dict:
+        return replay_all(self.root, spark)
 
     def git_log(self) -> Optional[str]:
         return git_log(self.root)

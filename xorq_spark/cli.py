@@ -253,6 +253,24 @@ def cmd_catalog(args) -> int:
     elif args.catalog_cmd == "pull":
         for h in cat.Annex(args.remote, root=root).pull(args.name):
             print(h)
+    elif args.catalog_cmd == "snapshot":
+        fp = cat.snapshot(args.name, root=root)
+        print(json.dumps(fp, sort_keys=True))
+    elif args.catalog_cmd == "replay":
+        if args.name:
+            reports = {args.name: cat.replay(args.name, root=root)}
+        else:
+            reports = cat.replay_all(root)
+        drifted = 0
+        for name, rep in sorted(reports.items()):
+            status = (
+                "ok" if rep["match"]
+                else "skip" if rep["match"] is None
+                else "DRIFT(" + ",".join(rep["drift"]) + ")"
+            )
+            print(f"{name}\t{status}")
+            drifted += rep["match"] is False
+        return 1 if drifted else 0
     return 0
 
 
@@ -372,6 +390,17 @@ def main(argv=None) -> int:
         cp.add_argument("remote")
         cp.add_argument("--name", default=None)
         cp.add_argument("--root", default=None)
+    cs = csub.add_parser(
+        "snapshot", help="record an entry's result fingerprint"
+    )
+    cs.add_argument("name")
+    cs.add_argument("--root", default=None)
+    crp = csub.add_parser(
+        "replay",
+        help="re-execute entries against current sources, diff vs snapshot",
+    )
+    crp.add_argument("name", nargs="?", default=None)
+    crp.add_argument("--root", default=None)
     c.set_defaults(fn=cmd_catalog)
 
     for verb, hlp in (
