@@ -187,7 +187,9 @@ def decode_image(payload: bytes) -> Tuple[int, int, int, bytes]:
     if payload[: len(PNG_SIG)] == PNG_SIG:
         return png_decode(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires libjpeg (Pillow)")
+        from xorq_spark.functions.jpegcodec import jpeg_decode
+
+        return jpeg_decode(payload)
     if payload[:4] == b"RIFF":
         raise NotImplementedError("WebP/WAV decode requires a codec library")
     raise NotImplementedError(

@@ -1,0 +1,632 @@
+"""Pure-stdlib baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman).
+
+Ungates the imagecodec.py JPEG gate with zero dependencies: a complete
+baseline decoder — marker parse (DQT/SOF0/DHT/DRI/SOS), canonical
+Huffman decode with byte-stuffing and restart markers, DC prediction,
+dequantization, float IDCT, chroma upsampling for any h,v ∈ {1,2}
+sampling (4:4:4, 4:2:2, 4:2:0), JFIF YCbCr→RGB — plus the matching
+encoder (grayscale and 4:4:4 RGB, Annex-K quantization scaled by
+quality, Annex-K Huffman tables) used by tests and the certified query
+corpus. Progressive/arithmetic/12-bit streams raise ValueError naming
+the feature.
+
+Exactness contract for the oracle-certified query
+(queries/multimodal.py mm_decode_jpeg_stats): a uniform 8x8 block has
+zero AC energy and DC = 8*(v-128); with the quality-50 Annex-K DC step
+of 16 and an EVEN v-128, quantization is exact and decode(encode(img))
+reproduces the source pixels bit-for-bit — so a closed-form SQL oracle
+replays decoded pixel sums exactly, the same pattern as the PNG
+queries. Lossy paths (AC energy, odd offsets, chroma) are covered by
+pytest against an independent float IDCT within ±1/ulp tolerances.
+
+Scale note: runs inside Arrow-batched mapInPandas workers
+(functions/multimodal.py) — per-thumbnail pure-Python cost is
+microseconds-to-milliseconds against payload I/O at 100 TB.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from typing import Dict, List, Tuple
+
+# ---------------------------------------------------------------------------
+# spec tables (ITU-T T.81 Annex K)
+# ---------------------------------------------------------------------------
+
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex K quantization tables (quality 50 base)
+Q_LUMA = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+Q_CHROMA = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+)
+
+# Annex K Huffman specs: (bits[1..16], values)
+DC_LUMA_SPEC = (
+    (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+DC_CHROMA_SPEC = (
+    (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0),
+    tuple(range(12)),
+)
+AC_LUMA_SPEC = (
+    (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D),
+    (
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+AC_CHROMA_SPEC = (
+    (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77),
+    (
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ),
+)
+
+# precomputed IDCT basis: cos((2x+1)*u*pi/16) * C(u)/2
+_COS = [
+    [
+        (math.sqrt(0.5) if u == 0 else 1.0)
+        * math.cos((2 * x + 1) * u * math.pi / 16)
+        / 2.0
+        for u in range(8)
+    ]
+    for x in range(8)
+]
+
+
+def scale_quant(table, quality: int) -> Tuple[int, ...]:
+    """libjpeg-style quality scaling (50 = table verbatim)."""
+    quality = max(1, min(100, int(quality)))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return tuple(max(1, min(255, (t * s + 50) // 100)) for t in table)
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (canonical, T.81 Annex C)
+# ---------------------------------------------------------------------------
+
+
+def _build_codes(bits, values) -> Dict[int, Tuple[int, int]]:
+    """value -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decode(bits, values) -> Dict[Tuple[int, int], int]:
+    """(length, code) -> value."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bit I/O
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.buf)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment, un-stuffing 0xFF00 and stopping
+    at any other marker (position left ON the 0xFF)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        if self.pos >= len(d):
+            raise ValueError("corrupt JPEG: entropy stream truncated")
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise ValueError("corrupt JPEG: marker inside entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop partial byte and consume an RSTn marker if present."""
+        self.acc = 0
+        self.n = 0
+        d = self.data
+        if (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and 0xD0 <= d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+    def huff(self, table: Dict[Tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.bit()
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("corrupt JPEG: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 sign extension of a t-bit magnitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _magnitude(v: int) -> Tuple[int, int]:
+    """(category t, t-bit code) for a signed coefficient."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    t = a.bit_length()
+    return t, (v if v > 0 else v + (1 << t) - 1)
+
+
+# ---------------------------------------------------------------------------
+# DCT
+# ---------------------------------------------------------------------------
+
+
+def _fdct(block) -> List[float]:
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                cu = _COS[x][u]
+                for y in range(8):
+                    s += block[x * 8 + y] * cu * _COS[y][v]
+            out[u * 8 + v] = s
+    return out
+
+
+def _idct(coef) -> List[int]:
+    out = [0] * 64
+    for x in range(8):
+        cx = _COS[x]
+        for y in range(8):
+            s = 0.0
+            cy = _COS[y]
+            for u in range(8):
+                c = cx[u]
+                if c == 0.0:
+                    continue
+                base = u * 8
+                for v in range(8):
+                    w = coef[base + v]
+                    if w:
+                        s += w * c * cy[v]
+            p = int(round(s)) + 128
+            out[x * 8 + y] = 0 if p < 0 else 255 if p > 255 else p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoder (grayscale / RGB 4:4:4)
+# ---------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> Tuple[int, int, int]:
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128
+    clamp = lambda x: 0 if x < 0 else 255 if x > 255 else int(round(x))  # noqa: E731
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def jpeg_encode(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 50,
+) -> bytes:
+    """Encode 8-bit interleaved pixels as baseline JPEG (grayscale or
+    4:4:4 YCbCr from RGB)."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3 (got {channels})")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    qt = [scale_quant(Q_LUMA, quality)]
+    if channels == 3:
+        qt.append(scale_quant(Q_CHROMA, quality))
+
+    # component planes, level-shifted
+    if channels == 1:
+        planes = [[p - 128 for p in pixels]]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(pixels), 3):
+            y, cb, cr = _rgb_to_ycbcr(pixels[i], pixels[i + 1], pixels[i + 2])
+            ys.append(y - 128)
+            cbs.append(cb - 128)
+            crs.append(cr - 128)
+        planes = [ys, cbs, crs]
+
+    dc_codes = [_build_codes(*DC_LUMA_SPEC), _build_codes(*DC_CHROMA_SPEC)]
+    ac_codes = [_build_codes(*AC_LUMA_SPEC), _build_codes(*AC_CHROMA_SPEC)]
+
+    w = _BitWriter()
+    pred = [0] * channels
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(channels):
+                tsel = 0 if ci == 0 else 1
+                plane, q = planes[ci], qt[tsel]
+                block = [0] * 64
+                for yy in range(8):
+                    sy = min(by * 8 + yy, height - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, width - 1)
+                        block[yy * 8 + xx] = plane[sy * width + sx]
+                coef = _fdct(block)
+                zz = [
+                    int(round(coef[ZIGZAG[i]] / q[ZIGZAG[i]]))
+                    for i in range(64)
+                ]
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t, code = _magnitude(diff)
+                hc, hl = dc_codes[tsel][t]
+                w.write(hc, hl)
+                if t:
+                    w.write(code, t)
+                run = 0
+                last = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        hc, hl = ac_codes[tsel][0xF0]  # ZRL
+                        w.write(hc, hl)
+                        run -= 16
+                    t, code = _magnitude(zz[i])
+                    hc, hl = ac_codes[tsel][(run << 4) | t]
+                    w.write(hc, hl)
+                    w.write(code, t)
+                    run = 0
+                if last < 63:
+                    hc, hl = ac_codes[tsel][0x00]  # EOB
+                    w.write(hc, hl)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tid, table in enumerate(qt):
+        zz = bytes(table[ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zz
+    comps = b""
+    for ci in range(channels):
+        comps += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
+        + comps
+    )
+    for cls, tid, spec in (
+        (0, 0, DC_LUMA_SPEC),
+        (1, 0, AC_LUMA_SPEC),
+    ) + (((0, 1, DC_CHROMA_SPEC), (1, 1, AC_CHROMA_SPEC)) if channels == 3 else ()):
+        bits, values = spec
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(values))
+            + bytes([(cls << 4) | tid])
+            + bytes(bits)
+            + bytes(values)
+        )
+    sos_comps = b""
+    for ci in range(channels):
+        tsel = 0 if ci == 0 else 1
+        sos_comps += bytes([ci + 1, (tsel << 4) | tsel])
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 6 + 2 * channels, channels)
+        + sos_comps
+        + bytes([0, 63, 0])
+    )
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
+    """Decode a baseline JPEG -> (width, height, channels, pixels).
+
+    Supports sequential DCT, 8-bit, Huffman, 1 or 3 components with
+    sampling factors in {1, 2}, restart intervals. Progressive (SOF2),
+    arithmetic coding, and 12-bit raise ValueError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qt: Dict[int, Tuple[int, ...]] = {}
+    huff_dc: Dict[int, dict] = {}
+    huff_ac: Dict[int, dict] = {}
+    width = height = None
+    comps: List[dict] = []
+    restart = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                "unsupported JPEG: only baseline sequential (SOF0) decodes"
+            )
+        (seglen,) = struct.unpack_from(">H", data, pos)
+        body = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                i += 1
+                if pq != 0:
+                    raise ValueError("unsupported JPEG: 16-bit quant table")
+                if i + 64 > len(body):
+                    raise ValueError("corrupt JPEG: truncated DQT")
+                dezz = [0] * 64
+                for k in range(64):
+                    dezz[ZIGZAG[k]] = body[i + k]
+                qt[tq] = tuple(dezz)
+                i += 64
+        elif marker == 0xC0:  # SOF0
+            depth, height, width, nc = struct.unpack_from(">BHHB", body, 0)
+            if depth != 8:
+                raise ValueError("unsupported JPEG: only 8-bit depth")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported JPEG: {nc} components")
+            for ci in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", body, 6 + 3 * ci)
+                h, v = hv >> 4, hv & 0xF
+                if h not in (1, 2) or v not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG sampling {h}x{v}"
+                    )
+                comps.append({"id": cid, "h": h, "v": v, "tq": tq})
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                if i + 17 > len(body):
+                    raise ValueError("corrupt JPEG: truncated DHT")
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = tuple(body[i + 1 : i + 17])
+                n = sum(bits)
+                if i + 17 + n > len(body):
+                    raise ValueError("corrupt JPEG: truncated DHT values")
+                values = tuple(body[i + 17 : i + 17 + n])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _build_decode(
+                    bits, values
+                )
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                comp = next(c for c in comps if c["id"] == cid)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            pos += seglen
+            return _decode_scan(
+                data, pos, width, height, comps, scan, qt,
+                huff_dc, huff_ac, restart,
+            )
+        pos += seglen
+    raise ValueError("corrupt JPEG: no SOS marker")
+
+
+def _decode_scan(
+    data, pos, width, height, comps, scan, qt, huff_dc, huff_ac, restart
+):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for c in comps:
+        pw, ph = mcux * 8 * c["h"], mcuy * 8 * c["v"]
+        planes.append(bytearray(pw * ph))
+        c["pw"], c["ph"] = pw, ph
+    r = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                r.align_to_marker()
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, (c, tdc, tac) in enumerate(scan):
+                q = qt[c["tq"]]
+                dct, act = huff_dc[tdc], huff_ac[tac]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        t = r.huff(dct)
+                        diff = _extend(r.bits(t), t)
+                        pred[ci] += diff
+                        zz = [0] * 64
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = r.huff(act)
+                            rl, t = rs >> 4, rs & 0xF
+                            if t == 0:
+                                if rl == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rl
+                            if k > 63:
+                                raise ValueError(
+                                    "corrupt JPEG: AC run overflow"
+                                )
+                            zz[k] = _extend(r.bits(t), t)
+                            k += 1
+                        coef = [0] * 64
+                        for i in range(64):
+                            if zz[i]:
+                                coef[ZIGZAG[i]] = zz[i] * q[ZIGZAG[i]]
+                        blk = _idct(coef)
+                        px = (mx * c["h"] + bx) * 8
+                        py = (my * c["v"] + by) * 8
+                        plane, pw = planes[ci], c["pw"]
+                        for yy in range(8):
+                            row = (py + yy) * pw + px
+                            plane[row : row + 8] = bytes(
+                                blk[yy * 8 : yy * 8 + 8]
+                            )
+    nc = len(comps)
+    if nc == 1:
+        c = comps[0]
+        pw = c["pw"]
+        out = bytearray(width * height)
+        for y in range(height):
+            out[y * width : (y + 1) * width] = planes[0][
+                y * pw : y * pw + width
+            ]
+        return width, height, 1, bytes(out)
+    # upsample chroma to luma grid (pixel replication), YCbCr -> RGB
+    out = bytearray(width * height * 3)
+    yplane, cbp, crp = planes
+    yc, cbc, crc = comps
+    for y in range(height):
+        yrow = y * yc["pw"]
+        cbrow = (y * cbc["v"] // vmax) * cbc["pw"]
+        crrow = (y * crc["v"] // vmax) * crc["pw"]
+        o = y * width * 3
+        for x in range(width):
+            Y = yplane[yrow + x]
+            cb = cbp[cbrow + (x * cbc["h"] // hmax)] - 128
+            cr = crp[crrow + (x * crc["h"] // hmax)] - 128
+            r_ = int(round(Y + 1.402 * cr))
+            g_ = int(round(Y - 0.344136 * cb - 0.714136 * cr))
+            b_ = int(round(Y + 1.772 * cb))
+            out[o] = 0 if r_ < 0 else 255 if r_ > 255 else r_
+            out[o + 1] = 0 if g_ < 0 else 255 if g_ > 255 else g_
+            out[o + 2] = 0 if b_ < 0 else 255 if b_ > 255 else b_
+            o += 3
+    return width, height, 3, bytes(out)

@@ -186,6 +186,47 @@ def synth_png_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     return ids.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_jpeg_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic baseline-JPEG fixture generator: for each id, a
+    REAL Huffman+DCT-encoded grayscale JPEG of uniform 8x8 blocks,
+    block (bx, by) value = 128 + 2*(((id*5 + 7bx + 11by) mod 53) - 26),
+    width = 8*(2 + id%3), height = 8*(2 + id%2). Uniform blocks have
+    zero AC energy and an even level-shifted DC, so quantization at the
+    Annex-K quality-50 DC step of 16 is EXACT and decode(encode(img))
+    reproduces the source grid bit-for-bit — the closed form an SQL
+    oracle replays (the lossy-format twist on synth_png_assets)."""
+    from xorq_spark.functions.jpegcodec import jpeg_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, widths, heights = [], [], []
+            for i in pdf[id_col].tolist():
+                bw, bh = 2 + i % 3, 2 + i % 2
+                w, h = 8 * bw, 8 * bh
+                px = bytearray(w * h)
+                for by in range(bh):
+                    for bx in range(bw):
+                        v = 128 + 2 * (((i * 5 + 7 * bx + 11 * by) % 53) - 26)
+                        for yy in range(8):
+                            row = (by * 8 + yy) * w + bx * 8
+                            px[row : row + 8] = bytes([v]) * 8
+                payloads.append(jpeg_encode(bytes(px), w, h, 1, quality=50))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "duration_ms": pd.array([None] * len(payloads), dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _channel_sums(pixels: bytes, channels: int) -> list:
     sums = [0, 0, 0]
     for c in range(min(channels, 3)):

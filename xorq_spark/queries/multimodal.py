@@ -185,6 +185,52 @@ def mm_decode_png_stats(spark, sf_dir):
 
 
 @query(
+    "mm_decode_jpeg_stats",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 2 + doc_id % 3 AS bw, 2 + doc_id % 2 AS bh
+      FROM documents WHERE doc_id < 64),
+    gx AS (SELECT asset_id, bw, bh, unnest(range(0, bw)) AS bx FROM ids),
+    g AS (SELECT asset_id, bw, bh, bx, unnest(range(0, bh)) AS by FROM gx)
+    SELECT asset_id,
+           CAST(bw * 8 AS INT) AS width,
+           CAST(bh * 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(sum(64 * (128 + 2 * (((asset_id*5 + 7*bx + 11*by) % 53)
+                                     - 26))) AS BIGINT) AS sum_c0,
+           CAST(0 AS BIGINT) AS sum_c1,
+           CAST(0 AS BIGINT) AS sum_c2
+    FROM g GROUP BY asset_id, bw, bh ORDER BY asset_id
+    """,
+)
+def mm_decode_jpeg_stats(spark, sf_dir):
+    """REAL baseline-JPEG decode, certified: Spark Huffman+DCT-encodes
+    deterministic grayscale JPEGs (functions/jpegcodec.py — pure
+    stdlib), decodes them back through the full marker-parse → Huffman
+    → dequant → IDCT pipeline, and emits exact pixel sums. The fixture
+    grid is uniform 8x8 blocks with even level-shifted values, so
+    quantization is exact and the SQL oracle replays the decoded sums
+    in closed form — a broken Huffman table, DC predictor, dequant, or
+    IDCT path cannot hash-match. (Lossy/AC/chroma paths are pytest-
+    covered: tests/test_jpegcodec.py.)"""
+    from xorq_spark.functions.multimodal import (
+        decode_image_stats,
+        synth_jpeg_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return (
+        decode_image_stats(synth_jpeg_assets(ids))
+        .drop("px_sha256")
+        .orderBy("asset_id")
+    )
+
+
+@query(
     "mm_resize_decoded",
     oracle="""
     WITH ids AS (

@@ -583,6 +583,9 @@ SUITES: dict[str, list[str]] = {
         # round 4: REAL pixel math — pure-stdlib PNG decode certified
         # against closed-form oracles
         "mm_decode_png_stats",
+        # round 6: REAL baseline-JPEG decode (pure-stdlib Huffman+DCT,
+        # functions/jpegcodec.py) on a DC-exact fixture corpus
+        "mm_decode_jpeg_stats",
         "mm_resize_decoded",
         # round 4 (cont.): REAL audio — pure-stdlib RIFF/PCM decode
         # certified against closed-form sample oracles
