@@ -290,3 +290,128 @@ def plan_mixture(
         .drop("keep_buckets")
     )
     return plan, sampled
+
+
+def dsir_score(
+    df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+    smoothing: int = 1,
+) -> DataFrame:
+    """DSIR — Data Selection with Importance Resampling (Xie et al.
+    2023): score every raw document by how much more likely its hashed
+    n-gram features are under a small in-domain *target* corpus than
+    under the raw corpus itself. The classic recipe for carving a
+    domain-matched slice (e.g. "wiki-like") out of a 100 TB crawl:
+    rank by the importance log-ratio, then keep the top slice or
+    resample proportionally (compose with `weighted_sample`).
+
+    Model (hashed bag of unigrams+bigrams, add-`smoothing` Laplace):
+        feature f  -> bucket b = md5_52bit(f) % buckets
+        lambda[b]  = ln p_target[b] - ln p_raw[b]
+        score(doc) = sum over doc feature occurrences of lambda[b]
+
+    Determinism contract (the lm_score/nb_classify pattern,
+    docs/ORACLE_PARITY.md): each per-bucket log-probability is ln of a
+    rational of exact integer counts, rounded to 9 digits and
+    quantized to BIGINT nano-nats; lambda is an integer difference and
+    every per-document sum is integer, so accumulation order cannot
+    perturb scores or the induced ranking. Feature hashing uses the
+    same 52-bit md5 prefix as `weighted_sample`, replayable as
+    ('0x' || substr(md5(f),1,13))::BIGINT in ANSI SQL.
+
+    Scale: the raw corpus is tokenized ONCE per pass, map-side only —
+    bucket counts are two combinable groupBy-aggregates whose result
+    is bounded by `buckets` (never vocabulary- or corpus-sized); the
+    lambda table broadcasts (buckets rows); scoring joins the exploded
+    feature stream against that broadcast map-side and reduces with
+    ONE doc-keyed combinable aggregation. No collect, no window, no
+    iteration; selection downstream is a distributed TakeOrdered
+    (orderBy+limit), never a global sort.
+
+    Returns (id_col, n_feats, score_nano): one row per raw document
+    with at least one feature; score_nano is the total importance
+    log-ratio in integer nano-nats (divide by 1e9 for nats).
+    """
+    if buckets < 2 or smoothing < 1:
+        raise ValueError("buckets must be >= 2 and smoothing >= 1")
+
+    def _toks(c):
+        return F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col(c), F.lit("")))), r"\s+"),
+            lambda x: x != "",
+        )
+
+    # unigrams + bigrams over an array column; guard size<2 because
+    # Spark's sequence(1, 0) infers step -1 (DuckDB's range(1,1) is
+    # naturally empty — the guard keeps the engines aligned)
+    def _feats(tok_col):
+        big = F.when(
+            F.size(tok_col) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tok_col) - 1),
+                lambda i: F.concat(
+                    F.element_at(tok_col, i),
+                    F.lit(" "),
+                    F.element_at(tok_col, i + F.lit(1)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.concat(tok_col, big)
+
+    def _bucket(c):
+        bits = F.conv(F.substring(F.md5(c), 1, 13), 16, 10).cast("long")
+        return F.pmod(bits, F.lit(buckets))
+
+    def _nano(x):
+        return F.round(F.log(x) * F.lit(1e9), 0).cast("long")
+
+    spark = df.sparkSession
+    tgt_occ = target_df.select(
+        F.explode(_feats(_toks(text_col))).alias("__feat")
+    ).select(_bucket(F.col("__feat")).alias("__b"))
+    raw_base = df.select(
+        F.col(id_col).alias("__id"), _feats(_toks(text_col)).alias("__f")
+    )
+    raw_occ = raw_base.select(
+        "__id", F.explode("__f").alias("__feat")
+    ).select("__id", _bucket(F.col("__feat")).alias("__b"))
+
+    ct = tgt_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
+    cr = raw_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
+    tot_t = ct.agg(F.coalesce(F.sum("__ct"), F.lit(0)).alias("__tt"))
+    tot_r = cr.agg(F.coalesce(F.sum("__cr"), F.lit(0)).alias("__tr"))
+
+    dom = spark.range(buckets).select(F.col("id").alias("__b"))
+    s = F.lit(int(smoothing))
+    sb = F.lit(int(smoothing) * int(buckets))
+    lam = (
+        dom.join(ct, "__b", "left")
+        .join(cr, "__b", "left")
+        .crossJoin(F.broadcast(tot_t))
+        .crossJoin(F.broadcast(tot_r))
+        .select(
+            "__b",
+            (
+                _nano(
+                    (F.coalesce(F.col("__ct"), F.lit(0)) + s).cast("double")
+                    / (F.col("__tt") + sb).cast("double")
+                )
+                - _nano(
+                    (F.coalesce(F.col("__cr"), F.lit(0)) + s).cast("double")
+                    / (F.col("__tr") + sb).cast("double")
+                )
+            ).alias("__lam"),
+        )
+    )
+    return (
+        raw_occ.join(F.broadcast(lam), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("__lam").alias("score_nano"),
+        )
+        .select(F.col("__id").alias(id_col), "n_feats", "score_nano")
+    )

@@ -1001,3 +1001,69 @@ def text_mmr_rerank(spark, sf_dir):
         F.col("mmr_rank").cast("int").alias("mmr_rank"),
         "mmr_score",
     ).orderBy("query_id", "mmr_rank")
+
+
+_DSIR_FEATS = (
+    "t || list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])"
+)
+_DSIR_TOKS = (
+    "list_filter(regexp_split_to_array(trim(lower(coalesce(text, ''))), "
+    "'\\s+'), x -> x <> '')"
+)
+
+
+@query(
+    "text_dsir_select",
+    oracle=f"""
+    WITH tgt_t AS (
+      SELECT {_DSIR_TOKS} AS t FROM documents WHERE source IN ('src1', 'src2')),
+    raw_t AS (SELECT doc_id, {_DSIR_TOKS} AS t FROM documents),
+    tgt_occ AS (
+      SELECT ('0x' || substr(md5(f), 1, 13))::BIGINT % 4096 AS b
+      FROM (SELECT unnest({_DSIR_FEATS}) AS f FROM tgt_t)),
+    raw_occ AS (
+      SELECT doc_id, ('0x' || substr(md5(f), 1, 13))::BIGINT % 4096 AS b
+      FROM (SELECT doc_id, unnest({_DSIR_FEATS}) AS f FROM raw_t)),
+    ct AS (SELECT b, count(*) AS c FROM tgt_occ GROUP BY b),
+    cr AS (SELECT b, count(*) AS c FROM raw_occ GROUP BY b),
+    tt AS (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) AS n FROM ct),
+    tr AS (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) AS n FROM cr),
+    lam AS (
+      SELECT d.range AS b,
+        CAST(round(ln((COALESCE(ct.c, 0) + 1)::DOUBLE
+                      / (tt.n + 4096)::DOUBLE) * 1e9, 0) AS BIGINT)
+      - CAST(round(ln((COALESCE(cr.c, 0) + 1)::DOUBLE
+                      / (tr.n + 4096)::DOUBLE) * 1e9, 0) AS BIGINT) AS lam_nano
+      FROM range(4096) d
+      LEFT JOIN ct ON ct.b = d.range
+      LEFT JOIN cr ON cr.b = d.range, tt, tr),
+    sc AS (
+      SELECT o.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+             CAST(sum(l.lam_nano) AS BIGINT) AS score_nano
+      FROM raw_occ o JOIN lam l ON l.b = o.b GROUP BY o.doc_id)
+    SELECT s.doc_id, d.lang, d.source, s.n_feats, s.score_nano
+    FROM sc s JOIN documents d USING (doc_id)
+    ORDER BY s.score_nano DESC, s.doc_id ASC
+    LIMIT 50
+    """,
+)
+def text_dsir_select(spark, sf_dir):
+    """DSIR importance-resampling selection (functions/sampling.py
+    dsir_score; Xie et al. 2023): treat src1+src2 documents as the
+    in-domain target, score EVERY document by its hashed-bigram
+    importance log-ratio in integer nano-nats, and keep the top 50.
+    The oracle replays the 52-bit md5 feature hashing, both Laplace-
+    smoothed bucket distributions, the nano-quantized per-bucket
+    log-ratio, and the integer per-doc sums — a single mis-hashed
+    bigram or mis-smoothed bucket breaks the hash."""
+    from xorq_spark.functions.sampling import dsir_score
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src1", "src2"))
+    scored = dsir_score(docs, target, buckets=4096, smoothing=1)
+    return (
+        scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
+        .select("doc_id", "lang", "source", "n_feats", "score_nano")
+        .orderBy(F.desc("score_nano"), F.asc("doc_id"))
+        .limit(50)
+    )

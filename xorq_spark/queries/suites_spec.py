@@ -452,6 +452,9 @@ SUITES: dict[str, list[str]] = {
         # + Heaps-law vocabulary growth (first-doc-per-token cumsum;
         # corpus read once, no per-checkpoint rescans)
         "text_heaps_law",
+        # round 6: DSIR importance-resampling selection (Xie et al.
+        # 2023) — hashed-bigram log-ratio scores in integer nano-nats
+        "text_dsir_select",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
