@@ -994,13 +994,22 @@ def line_dedup(
 
     # split() takes a REGEX; sep is a literal separator (splitting on
     # '|' or '.' must not explode every character)
+    # (no pre-explode rebalance here: per-line md5 is ~100x cheaper
+    # than stride-1 gram hashing and the extra shuffle measured as a
+    # net loss at sf0.1 — 0.9s -> 1.5s warm)
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
             "__pos", "__line"
         ),
     ).where(F.trim(F.col("__line")) != "")
-    keyed = lines.withColumn("__key", F.md5(F.trim(F.col("__line"))))
+    # materialize the keyed line stream ONCE (nb_classify pattern): the
+    # doc-frequency aggregate and the membership-join probe both read
+    # it, and recomputing the split+explode+md5 per consumer measured
+    # ~2x the whole operator at sf0.1
+    keyed = lines.withColumn(
+        "__key", F.md5(F.trim(F.col("__line")))
+    ).localCheckpoint(eager=True)
     # boilerplate digests: distinct-doc frequency > max_docs. The
     # distinct aggregate plans as (key, doc) partial dedup -> combinable
     # per-key count — both exchanges carry digests only, never text.
@@ -1394,26 +1403,45 @@ def exact_substring_spans(
     from pyspark.sql import Window
 
     L = int(gram_len)
+    # Stride-1 gram hashing is compute-bound with a ~charcount/doc
+    # expansion: a small parquet file scans as ONE split and would
+    # single-thread the md5 work (the minhash_signatures precedent) —
+    # rebalance the raw docs first (measured: checkpoint write 2.3s ->
+    # 0.4s at sf0.1; at real scale many input splits make this a
+    # no-op-cost rebalance).
+    par = df.sparkSession.sparkContext.defaultParallelism
     base = df.where(
         F.col(text_col).isNotNull() & (F.length(text_col) >= L)
-    )
+    ).repartition(par)
     # explode the position range FIRST, hash per exploded row: building
     # a transform() array of (i, digest) structs and exploding it
     # materializes the whole per-doc gram array — measured 11x slower
     # (2.66s vs 0.24s per pass at sf0.1) than hashing inside the
     # codegen'd projection after a primitive-int explode
-    g = base.select(
-        F.col(id_col),
-        F.col(text_col),
-        F.explode(
-            F.sequence(F.lit(1), F.length(text_col) - L + 1)
-        ).alias("__i"),
-    ).select(
-        F.col(id_col),
-        F.col("__i").cast("long").alias("i"),
-        F.expr(
-            f"substr(md5(substring({text_col}, __i, {L})), 1, 16)"
-        ).alias("dig"),
+    # Materialize the gram stream ONCE (the nb_classify persist-before-
+    # multi-pass pattern): both the duplication count and the semi-join
+    # probe consume it, and recomputing the explode+md5 pipeline per
+    # consumer measured 5.2s vs 1.1s for the whole count+join at sf0.1
+    # (the generator-fed hash aggregate alone was 3.0s; over the
+    # checkpointed columnar stream the identical plan is ~0.3s). Cost:
+    # one executor-local write of ~32 bytes/char — linear, spillable,
+    # and it buys a single scan of the raw text.
+    g = (
+        base.select(
+            F.col(id_col),
+            F.col(text_col),
+            F.explode(
+                F.sequence(F.lit(1), F.length(text_col) - L + 1)
+            ).alias("__i"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__i").cast("long").alias("i"),
+            F.expr(
+                f"substr(md5(substring({text_col}, __i, {L})), 1, 16)"
+            ).alias("dig"),
+        )
+        .localCheckpoint(eager=True)
     )
     dupkeys = (
         g.groupBy("dig")
@@ -1423,9 +1451,10 @@ def exact_substring_spans(
     )
     # shuffle-hash, not sort-merge: the probe stream (~corpus chars)
     # must not sort, and the build side (duplicated digests) hash-fits
-    # per partition; measured 5.5s vs 9.7s SMJ vs 9.5s broadcast at
-    # sf0.1. AQE skew-split applies to shuffled-hash joins, so a hot
-    # boilerplate digest splits across tasks at runtime.
+    # per partition. AQE skew-split applies to shuffled-hash joins, so
+    # a hot boilerplate digest splits across tasks at runtime (the
+    # count-over-Window.partitionBy(dig) this replaced serialized it
+    # into ONE sort-based task).
     dup = g.join(dupkeys.hint("shuffle_hash"), "dig", "semi")
     wd = Window.partitionBy(id_col).orderBy("i")
     prev_end = F.max(F.col("i") + L).over(
