@@ -744,7 +744,9 @@ def merge_upsert(
     table_path: str,
     source,
     key_cols: Sequence[str],
-) -> int:
+    app_id: Optional[str] = None,
+    txn_version: Optional[int] = None,
+) -> Optional[int]:
     """MERGE (upsert): update rows whose `key_cols` match a source row
     with the source's values, insert source rows with no match — the
     incremental-maintenance primitive of every CDC / feature-store
@@ -768,9 +770,22 @@ def merge_upsert(
     per target row is an error, not a silent multi-insert — a CDC feed
     must be collapsed to last-write-wins BEFORE the merge).
 
-    Returns the committed version."""
+    Idempotent replay (the streaming-sink contract): pass `app_id` +
+    `txn_version` to commit a `txn` action atomically with the merge —
+    a re-delivered (app_id, txn_version) at or below the last committed
+    one returns None without touching the table, so a restarted
+    foreachBatch query cannot double-merge a batch whose semantics are
+    not naturally idempotent.
+
+    Returns the committed version (None on a txn-replay no-op)."""
     import pyspark.sql.functions as F
 
+    if (app_id is None) != (txn_version is None):
+        raise ValueError("app_id and txn_version must be passed together")
+    if app_id is not None and last_txn_version(table_path, app_id) >= int(
+        txn_version
+    ):
+        return None
     keys = list(key_cols)
     # Delta MERGE contract: a key may appear at most once in the source
     # (checked before any staging; limit(1) keeps the probe cheap)
@@ -788,7 +803,10 @@ def merge_upsert(
         live, meta, snapshot_version = _replay_log_full(table_path)
     except FileNotFoundError:
         # MERGE into a nonexistent table: every source row is unmatched
-        # -> create the table and insert them all
+        # -> create the table and insert them all (with the txn marker
+        # when idempotent replay was requested)
+        if app_id is not None:
+            return write_delta_txn(source, table_path, app_id, int(txn_version))
         return write_delta(source, table_path)
     part_cols = list(meta.get("partitionColumns") or [])
 
@@ -837,9 +855,14 @@ def merge_upsert(
     else:
         merged = src
 
-    actions: List[dict] = [
+    actions: List[dict] = []
+    if app_id is not None:
+        # dedup marker + remove + add in ONE atomic log entry: no crash
+        # point leaves a merged table without its replay marker
+        actions.append({"txn": {"appId": app_id, "version": int(txn_version)}})
+    actions.extend(
         {"remove": {"path": a["path"], "dataChange": True}} for a in candidates
-    ]
+    )
     actions.extend(stage_delta_files(merged, table_path, part_cols))
     return _commit_rewrite(log_dir, table_path, actions, snapshot_version)
 

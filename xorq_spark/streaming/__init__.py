@@ -22,6 +22,7 @@ from xorq_spark.streaming.core import (
     stream_foreach_batch,
     stream_stream_join,
     stream_to_delta,
+    stream_upsert_to_delta,
     stream_to_memory,
     stream_to_parquet,
     window_agg,
@@ -38,6 +39,7 @@ __all__ = [
     "stream_foreach_batch",
     "stream_stream_join",
     "stream_to_delta",
+    "stream_upsert_to_delta",
     "stream_to_memory",
     "stream_to_parquet",
 ]

@@ -395,6 +395,85 @@ def stream_to_delta(
     return q
 
 
+def stream_upsert_to_delta(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    key_cols: Sequence[str],
+    order_col: str = None,
+    app_id: str = None,
+    await_termination: bool = True,
+):
+    """Exactly-once streaming CDC upsert: each micro-batch is collapsed
+    to one row per key (last-write-wins) and MERGEd into a Delta table
+    with the `txn` replay marker committed atomically alongside the
+    rewrite — the feature-store / CDC-mirror sink.
+
+    Why both halves matter:
+      collapse — a CDC feed routinely carries several updates to one
+      key inside a micro-batch; Delta MERGE (and delta.py merge_upsert)
+      rejects multi-row sources. With `order_col` the row with the
+      greatest order value wins (ties broken lexicographically on the
+      remaining columns via one deterministic max-of-struct aggregate —
+      a combinable groupBy, no window); without it the batch must
+      already be unique per key (merge_upsert enforces it).
+      txn marker — MERGE with last-write-wins is NOT naturally
+      idempotent once the table has moved on, so the at-least-once
+      foreachBatch contract needs the dedup marker committed in the
+      SAME log entry as the merge (delta.py merge_upsert app_id/
+      txn_version), exactly like stream_to_delta's append sink.
+
+    Scale: the collapse is one map-side-combinable aggregate keyed on
+    the merge keys; the merge itself rewrites only stat-overlapping
+    files (see merge_upsert). app_id defaults to a stable digest of
+    (table, checkpoint) so a restarted query resumes its txn lineage.
+    """
+    import hashlib
+
+    from xorq_spark.delta import last_txn_version, merge_upsert
+
+    keys = list(key_cols)
+    app = app_id or (
+        "xorq-cdc-"
+        + hashlib.md5(f"{table_path}|{checkpoint}".encode()).hexdigest()[:16]
+    )
+    state = {"known": None}
+
+    def write_batch(df, batch_id):
+        b = int(batch_id)
+        if state["known"] is None:
+            state["known"] = last_txn_version(table_path, app)
+        if b <= state["known"]:
+            return
+        src = df
+        if order_col is not None:
+            vals = [c for c in df.columns if c not in keys and c != order_col]
+            src = df.groupBy(*keys).agg(
+                F.max(
+                    F.struct(F.col(order_col), *[F.col(c) for c in vals])
+                ).alias("__m")
+            ).select(
+                *keys,
+                F.col(f"__m.{order_col}").alias(order_col),
+                *[F.col(f"__m.{c}").alias(c) for c in vals],
+            )
+        merge_upsert(
+            df.sparkSession, table_path, src, keys, app_id=app, txn_version=b
+        )
+        state["known"] = max(state["known"], b)
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if await_termination:
+        q.awaitTermination()
+    return q
+
+
 def stream_zscore_anomalies(
     stream: DataFrame,
     key_col: str,
