@@ -80,8 +80,12 @@ class TestPngCodec:
         # stream is a ValueError there, not a codec gate
         with pytest.raises(ValueError, match="JPEG"):
             decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
-        with pytest.raises(NotImplementedError, match="codec"):
+        # WebP dispatches to the round-6 VP8L decoder; a truncated
+        # container is a ValueError there, not a codec gate
+        with pytest.raises(ValueError, match="RIFF"):
             decode_image(b"RIFFxxxxWEBP")
+        with pytest.raises(NotImplementedError, match="WAV"):
+            decode_image(b"RIFFxxxxWAVE" + b"\x00" * 8)
         with pytest.raises(NotImplementedError):
             decode_image(b"\x00\x01\x02\x03")
 

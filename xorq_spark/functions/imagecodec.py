@@ -8,10 +8,11 @@ types, all five scanline filters (None/Sub/Up/Average/Paeth), multiple
 IDAT chunks, no interlacing. That covers everything our own encoder
 emits plus externally produced baseline PNGs of those color types.
 
-JPEG/WebP/audio remain honestly gated (`decode_image` raises
-NotImplementedError with the magic it saw) — a DCT pipeline without a
-codec library is out of scope, and a fake would poison training
-features silently.
+Baseline JPEG (functions/jpegcodec.py) and lossless WebP/VP8L
+(functions/webpcodec.py) decode for real too; what remains gated BY
+NAME is the genuinely out-of-scope perimeter — progressive/arithmetic
+JPEG, lossy VP8, RIFF/WAV-in-image-path — because a fake would poison
+training features silently.
 
 Scale note: these kernels run INSIDE Arrow-batched mapInPandas workers
 (functions/multimodal.py) — per-row pure-Python cost on a few-KB
@@ -191,7 +192,11 @@ def decode_image(payload: bytes) -> Tuple[int, int, int, bytes]:
 
         return jpeg_decode(payload)
     if payload[:4] == b"RIFF":
-        raise NotImplementedError("WebP/WAV decode requires a codec library")
+        if payload[8:12] == b"WEBP":
+            from xorq_spark.functions.webpcodec import webp_decode
+
+            return webp_decode(payload)
+        raise NotImplementedError("RIFF/WAV decode requires a codec library")
     raise NotImplementedError(
         f"unrecognized media magic {payload[:4]!r}; only baseline PNG "
         "decodes without a codec library"

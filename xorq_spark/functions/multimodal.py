@@ -227,6 +227,55 @@ def synth_jpeg_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     return ids.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_webp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic lossless-WebP fixture generator: for each id a REAL
+    VP8L-encoded RGB image of the closed-form grid
+    pixel(x, y, c) = (id*7 + 3x + 5y + 11c) mod 256,
+    width = 4 + id%5, height = 4 + id%3. The encoder MODE rotates by
+    id%4 — plain literals / subtract-green / whole-image predictor
+    (id%14) / color-cache + row-backrefs — so the certified decode
+    exercises the transform inversion, LZ77 and cache paths, not just
+    literal Huffman reads. VP8L is lossless, so the decoded sums are
+    the same closed form regardless of mode (functions/webpcodec.py)."""
+    from xorq_spark.functions.webpcodec import webp_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, widths, heights = [], [], []
+            for i in pdf[id_col].tolist():
+                w, h = 4 + i % 5, 4 + i % 3
+                px = bytearray(w * h * 3)
+                k = 0
+                for y in range(h):
+                    for x in range(w):
+                        for c in range(3):
+                            px[k] = (i * 7 + 3 * x + 5 * y + 11 * c) % 256
+                            k += 1
+                mode = i % 4
+                kw = {}
+                if mode == 1:
+                    kw = {"subtract_green": True}
+                elif mode == 2:
+                    kw = {"predictor": i % 14}
+                elif mode == 3:
+                    kw = {"cache_bits": 4, "backref_rows": True}
+                payloads.append(webp_encode(bytes(px), w, h, 3, **kw))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "duration_ms": pd.array([None] * len(payloads), dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def _channel_sums(pixels: bytes, channels: int) -> list:
     sums = [0, 0, 0]
     for c in range(min(channels, 3)):

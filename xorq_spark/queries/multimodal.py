@@ -524,3 +524,47 @@ def mm_audio_fp_pairs(spark, sf_dir):
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "mm_decode_webp_stats",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 4 + doc_id % 5 AS w, 4 + doc_id % 3 AS h
+      FROM documents WHERE doc_id < 64),
+    gx AS (SELECT asset_id, w, h, unnest(range(0, w)) AS x FROM ids),
+    g AS (SELECT asset_id, w, h, x, unnest(range(0, h)) AS y FROM gx)
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(4 AS INT) AS channels,
+           CAST(sum((asset_id*7 + 3*x + 5*y) % 256) AS BIGINT) AS sum_c0,
+           CAST(sum((asset_id*7 + 3*x + 5*y + 11) % 256) AS BIGINT) AS sum_c1,
+           CAST(sum((asset_id*7 + 3*x + 5*y + 22) % 256) AS BIGINT) AS sum_c2
+    FROM g GROUP BY asset_id, w, h ORDER BY asset_id
+    """,
+)
+def mm_decode_webp_stats(spark, sf_dir):
+    """REAL lossless-WebP (VP8L) decode, certified: Spark encodes the
+    closed-form RGB grid through functions/webpcodec.py (modes rotating
+    per id across literal / subtract-green / predictor / color-cache +
+    LZ77 row-backref paths), decodes each payload back through the full
+    prefix-code → transform-inversion pipeline, and emits exact channel
+    sums the SQL oracle recomputes from the formula — a broken Huffman
+    table, predictor mode, cache slot, or backref distance cannot
+    hash-match (the lossless sibling of mm_decode_jpeg_stats)."""
+    from xorq_spark.functions.multimodal import (
+        decode_image_stats,
+        synth_webp_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return (
+        decode_image_stats(synth_webp_assets(ids))
+        .drop("px_sha256")
+        .orderBy("asset_id")
+    )

@@ -589,6 +589,9 @@ SUITES: dict[str, list[str]] = {
         # round 6: REAL baseline-JPEG decode (pure-stdlib Huffman+DCT,
         # functions/jpegcodec.py) on a DC-exact fixture corpus
         "mm_decode_jpeg_stats",
+        # round 6 (cont.): REAL lossless-WebP (VP8L) decode — prefix
+        # codes, transforms, LZ77, color cache (functions/webpcodec.py)
+        "mm_decode_webp_stats",
         "mm_resize_decoded",
         # round 4 (cont.): REAL audio — pure-stdlib RIFF/PCM decode
         # certified against closed-form sample oracles
