@@ -122,6 +122,12 @@ HEADLINE = [
     "time_kaplan_meier",
     "agg_gini_hhi",
     "time_ewma_dyadic",
+    # round 6: DSIR hashed-n-gram importance selection (two bounded
+    # bucket aggregates + broadcast-lambda map-side scoring) and REAL
+    # lossless-WebP decode (VP8L prefix codes + transform inversion in
+    # Arrow-batched workers)
+    "text_dsir_select",
+    "mm_decode_webp_stats",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

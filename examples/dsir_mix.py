@@ -67,6 +67,23 @@ def main(sf_dir: str) -> None:
     mean_w = weights.groupBy("in_domain").agg(F.avg("dsir_weight")).orderBy("in_domain")
     print(mean_w.toPandas().to_string(index=False))
 
+    # the paper's actual estimator — hashed unigram+bigram bucket
+    # distributions (certified: query text_dsir_select): same question,
+    # one pass, no LM. Top-50 by importance log-ratio.
+    from xorq_spark.functions.sampling import dsir_score
+
+    scored = dsir_score(docs, target)
+    top = (
+        scored.join(
+            docs.select("doc_id", F.col("text").like("%spark%").alias("in_domain")),
+            "doc_id",
+        )
+        .orderBy(F.desc("score_nano"), F.asc("doc_id"))
+        .limit(50)
+    )
+    in_dom2 = top.where(F.col("in_domain")).count()
+    print(f"hashed-ngram DSIR top-50 in-domain share: {in_dom2}/50 = {in_dom2 / 50:.2f}")
+
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")

@@ -369,15 +369,30 @@ def dsir_score(
         return F.round(F.log(x) * F.lit(1e9), 0).cast("long")
 
     spark = df.sparkSession
-    tgt_occ = target_df.select(
-        F.explode(_feats(_toks(text_col))).alias("__feat")
-    ).select(_bucket(F.col("__feat")).alias("__b"))
-    raw_base = df.select(
-        F.col(id_col).alias("__id"), _feats(_toks(text_col)).alias("__f")
+    par = spark.sparkContext.defaultParallelism
+
+    # STAGE the token array in its own projection before any lambda
+    # touches it: feeding the _toks() EXPRESSION into _feats' lambdas
+    # re-evaluates the whole regex split per element_at (the
+    # gopher_repetition O(n^2) re-inline trap — measured 27s vs ~2s at
+    # sf0.1). The explode then references a materialized array column.
+    # Rebalance first: feature hashing is compute-bound and a small
+    # parquet file scans as one split (minhash precedent).
+    tgt_occ = (
+        target_df.repartition(par)
+        .select(_toks(text_col).alias("__t"))
+        .select(F.explode(_feats(F.col("__t"))).alias("__feat"))
+        .select(_bucket(F.col("__feat")).alias("__b"))
     )
-    raw_occ = raw_base.select(
-        "__id", F.explode("__f").alias("__feat")
-    ).select("__id", _bucket(F.col("__feat")).alias("__b"))
+    # materialize the raw occurrence stream ONCE (nb_classify pattern):
+    # the bucket-count aggregate and the scoring join both consume it
+    raw_occ = (
+        df.repartition(par)
+        .select(F.col(id_col).alias("__id"), _toks(text_col).alias("__t"))
+        .select("__id", F.explode(_feats(F.col("__t"))).alias("__feat"))
+        .select("__id", _bucket(F.col("__feat")).alias("__b"))
+        .localCheckpoint(eager=True)
+    )
 
     ct = tgt_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     cr = raw_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))
