@@ -1,0 +1,108 @@
+"""srm_check / randomization_test: hand-computed chi-square cases,
+dead-variant detection, p-value semantics and determinism."""
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _srm(spark, rows, expected):
+    from xorq_spark.functions.stats import srm_check
+
+    df = spark.createDataFrame([(r,) for r in rows], "variant string")
+    return srm_check(df, "variant", expected).collect()[0]
+
+
+def test_srm_balanced_split_not_significant(spark):
+    r = _srm(spark, ["a"] * 500 + ["b"] * 500, {"a": 1, "b": 1})
+    assert r["n"] == 1000 and r["k"] == 2
+    assert r["chi2_ppm"] == 0
+    assert not r["significant_05"]
+
+
+def test_srm_exact_chi2_hand_computed(spark):
+    # O = (60, 40), design 50/50, N=100: chi2 = (10^2/50)*2 = 4.0
+    r = _srm(spark, ["a"] * 60 + ["b"] * 40, {"a": 1, "b": 1})
+    assert r["chi2_ppm"] == 4_000_000
+    assert r["significant_05"]  # 4.0 >= 3.841
+
+
+def test_srm_weighted_design(spark):
+    # design 3:1, observed exactly 75/25 -> chi2 = 0
+    r = _srm(spark, ["a"] * 75 + ["b"] * 25, {"a": 3, "b": 1})
+    assert r["chi2_ppm"] == 0
+
+
+def test_srm_dead_variant_detected(spark):
+    # a designed variant with ZERO traffic must scream
+    r = _srm(spark, ["a"] * 100, {"a": 1, "b": 1})
+    assert r["chi2_ppm"] == 100_000_000  # (50^2/50)*2 = 100
+    assert r["significant_05"]
+
+
+def test_srm_unexpected_variant_counted_not_tested(spark):
+    r = _srm(spark, ["a"] * 50 + ["b"] * 50 + ["zz"] * 7, {"a": 1, "b": 1})
+    assert r["n"] == 100
+    assert r["n_unexpected"] == 7
+    assert r["chi2_ppm"] == 0
+
+
+def test_srm_validates_design(spark):
+    from xorq_spark.functions.stats import srm_check
+
+    df = spark.createDataFrame([("a",)], "variant string")
+    with pytest.raises(ValueError):
+        srm_check(df, "variant", {"a": 1})
+    with pytest.raises(ValueError):
+        srm_check(df, "variant", {"a": 1, "b": 0})
+
+
+def _rt(spark, rows, **kw):
+    from xorq_spark.functions.stats import randomization_test
+
+    df = spark.createDataFrame(rows, "doc_id long, v long, g boolean")
+    return randomization_test(df, "v", "g", **kw).collect()[0]
+
+
+def test_randomization_identical_groups_high_p(spark):
+    # both groups drawn from the same values: observed diff 0 ->
+    # every relabeling is at least as extreme
+    rows = [(i, 10, i % 2 == 0) for i in range(40)]
+    r = _rt(spark, rows, b=32)
+    assert r["obs_diff"] == 0.0
+    assert r["p_value"] == 1.0
+
+
+def test_randomization_separated_groups_low_p(spark):
+    # group A ~ 1000, group B ~ 0: almost no relabeling reproduces it
+    rows = [(i, 1000 + (i % 3), True) for i in range(30)] + [
+        (100 + i, i % 3, False) for i in range(30)
+    ]
+    r = _rt(spark, rows, b=64)
+    assert r["n_a"] == 30 and r["n_b"] == 30
+    assert r["obs_diff"] > 990
+    assert r["p_value"] <= 0.05
+
+
+def test_randomization_deterministic(spark):
+    rows = [(i, (i * 7) % 50, i % 3 == 0) for i in range(60)]
+    a = _rt(spark, rows, b=48)
+    b = _rt(spark, rows, b=48)
+    assert a["p_value"] == b["p_value"]
+    assert a["b_ge"] == b["b_ge"]
+    assert a["obs_diff"] == b["obs_diff"]
+
+
+def test_randomization_counts_and_bounds(spark):
+    rows = [(i, i, i < 25) for i in range(100)]
+    r = _rt(spark, rows, b=16)
+    assert r["b_total"] == 16
+    assert 0 <= r["b_ge"] <= 16
+    assert abs(r["p_value"] - r["b_ge"] / 16) < 1e-12
+
+
+def test_randomization_validates_b(spark):
+    from xorq_spark.functions.stats import randomization_test
+
+    df = spark.createDataFrame([(1, 1, True)], "doc_id long, v long, g boolean")
+    with pytest.raises(ValueError):
+        randomization_test(df, "v", "g", b=0)

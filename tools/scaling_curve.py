@@ -101,6 +101,9 @@ OPS = [
     "text_zipf_slope",
     "text_source_overlap",
     "agg_hill_tail_index",
+    # round 6: DSIR importance selection + real VP8L decode
+    "text_dsir_select",
+    "mm_decode_webp_stats",
 ]
 
 

@@ -1115,3 +1115,209 @@ def welch_ttest(
             6,
         ).alias("welch_df"),
     )
+
+
+# chi-square critical values at alpha=0.05 by degrees of freedom, in
+# ppm (goodness-of-fit flag thresholds; literal so both engines see
+# the same constant)
+_CHI2_CRIT_PPM_05 = {
+    1: 3841459, 2: 5991465, 3: 7814728, 4: 9487729, 5: 11070498,
+    6: 12591587, 7: 14067140, 8: 15507313, 9: 16918978, 10: 18307038,
+    11: 19675138, 12: 21026070, 13: 22362032, 14: 23684791, 15: 24995790,
+    16: 26296228, 17: 27587112, 18: 28869299, 19: 30143527, 20: 31410433,
+}
+
+
+def srm_check(
+    df: DataFrame,
+    variant_col,
+    expected,
+) -> DataFrame:
+    """Sample-ratio-mismatch check — the first gate of every A/B
+    readout: a chi-square goodness-of-fit of observed assignment counts
+    against the DESIGNED split. A randomizer bug (bot filtering, sticky
+    sessions, a crashed variant) shows up here before any metric is
+    worth reading.
+
+    `expected` maps variant value -> integer design weight (e.g.
+    {"control": 1, "treatment": 1} for 50/50). With E_i = N*w_i/W,
+    chi2 = sum (O_i - E_i)^2 / E_i is computed EXACTLY in integers as
+    chi2_ppm = sum_i 1e6 * (O_i*W - N*w_i)^2 div (W*N*w_i) —
+    DECIMAL(38,0) arithmetic, replayable bit-for-bit in SQL. Rows whose
+    variant is not in the design are counted separately (n_unexpected),
+    never silently folded into the test.
+
+    Scale: ONE combinable groupBy over the assignment column (k rows
+    cross the wire), then arithmetic on the k-row frame. Returns one
+    row: (n, k, n_unexpected, chi2_ppm, significant_05) with the flag
+    thresholded at the df = k-1 alpha=0.05 critical value.
+    """
+    items = sorted(expected.items())
+    if not items or any(int(w) <= 0 for _, w in items):
+        raise ValueError("expected must map variants to positive weights")
+    if len(items) < 2:
+        raise ValueError("SRM needs at least 2 designed variants")
+    df_k = len(items) - 1
+    if df_k not in _CHI2_CRIT_PPM_05:
+        raise ValueError(f"no alpha=0.05 critical value for df={df_k}")
+    W = sum(int(w) for _, w in items)
+    v = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    spark = df.sparkSession
+    design = spark.createDataFrame(
+        [(str(k_), int(w)) for k_, w in items], "__v string, __w long"
+    )
+    counts = (
+        df.select(v.cast("string").alias("__v"))
+        .groupBy("__v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # design LEFT JOIN counts: a designed variant nobody landed in
+    # still contributes (0 - E_i)^2 / E_i — dropping it would HIDE the
+    # worst SRM (a dead variant)
+    obs = design.join(counts, "__v", "left").select(
+        "__v", "__w", F.coalesce(F.col("__c"), F.lit(0)).alias("__o")
+    )
+    tot = obs.agg(F.coalesce(F.sum("__o"), F.lit(0)).alias("__n")).crossJoin(
+        counts.join(F.broadcast(design), "__v", "anti").agg(
+            F.coalesce(F.sum("__c"), F.lit(0)).alias("__nu")
+        )
+    )
+    terms = (
+        obs.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__n"),
+            F.col("__nu"),
+            F.expr(
+                f"CASE WHEN __n = 0 THEN CAST(0 AS BIGINT) ELSE CAST("
+                f"  CAST(1000000 AS DECIMAL(38,0))"
+                f"  * CAST(__o * {W} - __n * __w AS DECIMAL(38,0))"
+                f"  * CAST(__o * {W} - __n * __w AS DECIMAL(38,0))"
+                f"  div (CAST({W} AS DECIMAL(38,0))"
+                f"       * CAST(__n AS DECIMAL(38,0))"
+                f"       * CAST(__w AS DECIMAL(38,0)))"
+                f" AS BIGINT) END"
+            ).alias("__t"),
+        )
+    )
+    return terms.groupBy().agg(
+        F.first("__n").alias("n"),
+        F.lit(len(items)).cast("long").alias("k"),
+        F.first("__nu").alias("n_unexpected"),
+        F.sum("__t").alias("chi2_ppm"),
+    ).withColumn(
+        "significant_05",
+        F.col("chi2_ppm") >= F.lit(_CHI2_CRIT_PPM_05[df_k]),
+    )
+
+
+def randomization_test(
+    df: DataFrame,
+    value_col,
+    group_col,
+    b: int = 64,
+    key_cols=("doc_id",),
+    salt: str = "rt",
+) -> DataFrame:
+    """Randomization (permutation-style) test for a difference in group
+    means: relabel every row B times with a deterministic pairwise-
+    independent coin, recompute |mean_A - mean_B| under each
+    relabeling, and report the fraction at least as extreme as the
+    observed difference — the nonparametric significance readout that
+    needs no normality assumption.
+
+    Determinism (the bootstrap_mean_ci Carter-Wegman pattern): each row
+    draws (v1, v2) from two 32-bit md5 chunks of its key; relabeling b
+    uses bit ((v1 + v2*b) mod 2^31-1) & 1, with v2 = 0 remapped to 1 so
+    no row is constant across relabelings. Both engines replay the
+    identical integer stream, so the p-value is exact and rerun-stable
+    (pairwise independence across b, disclosed like the bootstrap's).
+
+    Scale: ONE wide codegen'd aggregate computes the observed sums and
+    all 2B relabeled sums in a single pass — no data-sized shuffle, no
+    per-b scan (the agg_bootstrap_ci design); the B per-relabeling
+    statistics then derive from a one-row frame. Relabelings that land
+    every row in one group (probability ~2^-N) produce a NULL statistic
+    and are excluded from the exceedance count, never from B.
+
+    Returns one row: (n, n_a, n_b, obs_diff, b_total, b_ge, p_value).
+    """
+    if b < 1 or b > 512:
+        raise ValueError("b must be in [1, 512]")
+    M = 2147483647
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "long"
+    )
+    g = (F.col(group_col) if isinstance(group_col, str) else group_col).cast(
+        "boolean"
+    )
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in key_cols]
+    )
+    h = F.md5(F.concat(F.lit(salt + "|"), key))
+    v1 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % F.lit(M)
+    v2r = F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % F.lit(M)
+    v2 = F.when(v2r == 0, F.lit(1)).otherwise(v2r)
+    base = df.where(v.isNotNull() & g.isNotNull()).select(
+        v.alias("__v"), g.alias("__g"), v1.alias("__v1"), v2.alias("__v2")
+    )
+
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__v")).alias("__s"),
+        F.sum(F.when(F.col("__g"), F.col("__v"))).alias("__sa"),
+        F.sum(F.col("__g").cast("long")).alias("n_a"),
+    ]
+    for i in range(b):
+        bit = ((F.col("__v1") + F.col("__v2") * F.lit(i)) % F.lit(M)) % 2 == 1
+        aggs.append(F.sum(F.when(bit, F.col("__v"))).alias(f"__s{i}"))
+        aggs.append(F.sum(bit.cast("long")).alias(f"__n{i}"))
+    wide = base.agg(*aggs)
+
+    def mean_diff(s_a, n_a, s_tot, n_tot):
+        # |mean_a - mean_b| as one double tree over exact integer sums
+        return F.abs(
+            s_a.cast("double") / n_a.cast("double")
+            - (s_tot - s_a).cast("double") / (n_tot - n_a).cast("double")
+        )
+
+    obs = mean_diff(F.col("__sa"), F.col("n_a"), F.col("__s"), F.col("n"))
+    stats = wide.select(
+        "n",
+        "n_a",
+        (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
+        F.round(obs, 9).alias("obs_diff"),
+        F.explode(
+            F.array(
+                *[
+                    F.when(
+                        (F.col(f"__n{i}") > 0) & (F.col(f"__n{i}") < F.col("n")),
+                        mean_diff(
+                            F.coalesce(F.col(f"__s{i}"), F.lit(0)),
+                            F.col(f"__n{i}"),
+                            F.col("__s"),
+                            F.col("n"),
+                        ),
+                    )
+                    for i in range(b)
+                ]
+            )
+        ).alias("__stat"),
+    )
+    return stats.groupBy("n", "n_a", "n_b", "obs_diff").agg(
+        F.lit(b).cast("long").alias("b_total"),
+        F.sum(
+            (F.col("__stat") >= F.col("obs_diff")).cast("long")
+        ).alias("b_ge"),
+    ).select(
+        "n",
+        "n_a",
+        "n_b",
+        "obs_diff",
+        "b_total",
+        F.coalesce(F.col("b_ge"), F.lit(0)).alias("b_ge"),
+        F.round(
+            F.coalesce(F.col("b_ge"), F.lit(0)).cast("double")
+            / F.lit(float(b)),
+            9,
+        ).alias("p_value"),
+    )

@@ -2399,3 +2399,103 @@ def agg_diff_in_diff(spark, sf_dir):
             "CAST((m11 - m10) - (m01 - m00) AS BIGINT)"
         ).alias("did_e6"),
     )
+
+
+@query(
+    "agg_srm_check",
+    oracle="""
+    WITH design AS (
+      SELECT 'src' || CAST(range AS VARCHAR) AS v, 1 AS w FROM range(20)),
+    counts AS (SELECT source AS v, count(*) AS c FROM documents GROUP BY source),
+    obs AS (SELECT d.v, d.w, COALESCE(c.c, 0) AS o
+            FROM design d LEFT JOIN counts c ON c.v = d.v),
+    tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+    unx AS (SELECT COALESCE(CAST(sum(c) AS BIGINT), 0) AS nu FROM counts
+            WHERE v NOT IN (SELECT v FROM design)),
+    terms AS (
+      SELECT CASE WHEN t.n = 0 THEN CAST(0 AS BIGINT)
+                  ELSE CAST((1000000::HUGEINT
+                             * (o * 20 - t.n * w)
+                             * (o * 20 - t.n * w))
+                            // (20::HUGEINT * t.n * w) AS BIGINT)
+             END AS tv
+      FROM obs, tot t)
+    SELECT t2.n AS n, CAST(20 AS BIGINT) AS k, u.nu AS n_unexpected,
+           CAST(sum(tv) AS BIGINT) AS chi2_ppm,
+           CAST(sum(tv) AS BIGINT) >= 30143527 AS significant_05
+    FROM terms, tot t2, unx u GROUP BY t2.n, u.nu
+    """,
+)
+def agg_srm_check(spark, sf_dir):
+    """Sample-ratio-mismatch gate (functions/stats.py srm_check): the
+    20-source corpus tested against a uniform ingest design —
+    chi-square goodness-of-fit in exact integer ppm (DECIMAL/HUGEINT
+    rational arithmetic), designed-but-empty cells included, df=19
+    critical value as a shared literal. One combinable groupBy; the
+    oracle replays every per-cell term and the significance verdict."""
+    from xorq_spark.functions.stats import srm_check
+
+    docs = t(spark, sf_dir, "documents")
+    return srm_check(docs, "source", {f"src{i}": 1 for i in range(20)})
+
+
+@query(
+    "agg_permutation_test",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(n_chars AS BIGINT) AS v, (lang = 'en') AS g,
+             ('0x' || substr(md5('rt|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % 2147483647 AS v1,
+             ('0x' || substr(md5('rt|' || CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT
+               % 2147483647 AS v2r
+      FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    h AS (SELECT v, g, v1, CASE WHEN v2r = 0 THEN 1 ELSE v2r END AS v2 FROM base),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS s,
+                   CAST(sum(CASE WHEN g THEN v END) AS BIGINT) AS sa,
+                   CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS na
+            FROM h),
+    per AS (
+      SELECT b.range AS b,
+             CAST(sum(CASE WHEN (v1 + v2 * b.range) % 2147483647 % 2 = 1
+                           THEN v END) AS BIGINT) AS sb,
+             CAST(sum(CASE WHEN (v1 + v2 * b.range) % 2147483647 % 2 = 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      FROM h, range(64) b GROUP BY b.range),
+    stats AS (
+      SELECT CASE WHEN nb > 0 AND nb < t.n THEN
+               abs(CAST(COALESCE(sb, 0) AS DOUBLE) / CAST(nb AS DOUBLE)
+                   - CAST(t.s - COALESCE(sb, 0) AS DOUBLE)
+                     / CAST(t.n - nb AS DOUBLE))
+             END AS st,
+             round(abs(CAST(t.sa AS DOUBLE) / CAST(t.na AS DOUBLE)
+                   - CAST(t.s - t.sa AS DOUBLE) / CAST(t.n - t.na AS DOUBLE)),
+                   9) AS obs,
+             t.n AS n, t.na AS na
+      FROM per, tot t)
+    SELECT n, CAST(na AS BIGINT) AS n_a, CAST(n - na AS BIGINT) AS n_b,
+           obs AS obs_diff,
+           CAST(64 AS BIGINT) AS b_total,
+           COALESCE(CAST(sum(CASE WHEN st >= obs THEN 1 ELSE 0 END) AS BIGINT),
+                    0) AS b_ge,
+           round(COALESCE(CAST(sum(CASE WHEN st >= obs THEN 1 ELSE 0 END)
+                               AS BIGINT), 0)::DOUBLE / 64.0, 9) AS p_value
+    FROM stats GROUP BY n, na, obs
+    """,
+)
+def agg_permutation_test(spark, sf_dir):
+    """Randomization test for mean document length across languages
+    (functions/stats.py randomization_test): is mean n_chars of 'en'
+    docs different from the rest? 64 deterministic Carter-Wegman
+    relabelings, |mean diff| per relabeling from exact integer sums in
+    ONE wide codegen'd aggregate (the agg_bootstrap_ci design — no
+    data-sized shuffle, no per-b scan); the oracle replays the identical
+    integer coin stream and every double tree, so the exceedance count
+    and p-value match bit-for-bit."""
+    from xorq_spark.functions.stats import randomization_test
+
+    docs = t(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    return randomization_test(
+        docs, "n_chars", F.col("lang") == "en", b=64
+    )

@@ -181,6 +181,9 @@ SUITES: dict[str, list[str]] = {
         # round 6: Gini + HHI concentration (folded in for driver
         # certification — was registry-tail-only through round 5)
         "agg_gini_hhi",
+        # round 6: sample-ratio-mismatch gate (chi-square goodness-of-
+        # fit in exact integer ppm, designed-but-empty cells included)
+        "agg_srm_check",
     ],
     "suite_agg_b": [
         "agg_bit_bool",
@@ -232,6 +235,9 @@ SUITES: dict[str, list[str]] = {
         # round 6: difference-in-differences readout (landed in the
         # final round-5 commit after suite folding; certified now)
         "agg_diff_in_diff",
+        # round 6: randomization test (64 Carter-Wegman relabelings in
+        # ONE wide aggregate; exact exceedance count + p-value)
+        "agg_permutation_test",
     ],
     "suite_time_a": [
         "time_trunc_extract",
