@@ -256,6 +256,10 @@ def cmd_catalog(args) -> int:
     elif args.catalog_cmd == "snapshot":
         fp = cat.snapshot(args.name, root=root)
         print(json.dumps(fp, sort_keys=True))
+    elif args.catalog_cmd == "tui":
+        from xorq_spark.catalog_tui import run_tui
+
+        return run_tui(root)
     elif args.catalog_cmd == "replay":
         if args.name:
             reports = {args.name: cat.replay(args.name, root=root)}
@@ -390,6 +394,8 @@ def main(argv=None) -> int:
         cp.add_argument("remote")
         cp.add_argument("--name", default=None)
         cp.add_argument("--root", default=None)
+    ct = csub.add_parser("tui", help="interactive catalog browser")
+    ct.add_argument("--root", default=None)
     cs = csub.add_parser(
         "snapshot", help="record an entry's result fingerprint"
     )
