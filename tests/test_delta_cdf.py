@@ -1,0 +1,133 @@
+"""Change Data Feed: cdc actions on DELETE/MERGE when
+delta.enableChangeDataFeed is set, derived inserts on appends, the
+version-range reader, and the rewrite-without-cdc refusal."""
+
+import pytest
+
+
+def _changes(spark, table, lo, hi=None):
+    from xorq_spark.delta import read_table_changes
+
+    rows = read_table_changes(spark, table, lo, hi).collect()
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["k"], r["v"]) for r in rows
+    )
+
+
+def _mk_cdf_table(spark, tmp_path):
+    from xorq_spark.delta import set_table_property, write_delta
+
+    table = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), table
+    )  # v0
+    set_table_property(table, "delta.enableChangeDataFeed", "true")  # v1
+    return table
+
+
+def test_append_derives_inserts(spark, tmp_path):
+    from xorq_spark.delta import write_delta
+
+    table = _mk_cdf_table(spark, tmp_path)
+    write_delta(spark.createDataFrame([(3, "c")], "k long, v string"), table)
+    assert _changes(spark, table, 0) == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+        (2, "insert", 3, "c"),
+    ]
+    # range narrowing
+    assert _changes(spark, table, 2) == [(2, "insert", 3, "c")]
+
+
+def test_delete_writes_exact_cdc_rows(spark, tmp_path):
+    from xorq_spark.delta import delete_where
+
+    table = _mk_cdf_table(spark, tmp_path)
+    delete_where(spark, table, "k = 1")  # v2
+    assert _changes(spark, table, 2) == [(2, "delete", 1, "a")]
+
+
+def test_merge_writes_pre_post_and_insert(spark, tmp_path):
+    from xorq_spark.delta import merge_upsert
+
+    table = _mk_cdf_table(spark, tmp_path)
+    src = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    merge_upsert(spark, table, src, ["k"])  # v2
+    assert _changes(spark, table, 2) == [
+        (2, "insert", 3, "c"),
+        (2, "update_postimage", 2, "B"),
+        (2, "update_preimage", 2, "b"),
+    ]
+
+
+def test_property_commit_is_changeless(spark, tmp_path):
+    table = _mk_cdf_table(spark, tmp_path)
+    assert _changes(spark, table, 1, 1) == []
+
+
+def test_rewrite_without_cdf_refused(spark, tmp_path):
+    from xorq_spark.delta import delete_where, write_delta
+
+    table = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), table
+    )
+    delete_where(spark, table, "k = 1")  # rewrite, CDF off: no cdc rows
+    with pytest.raises(ValueError, match="enableChangeDataFeed"):
+        _changes(spark, table, 0)
+    # append-only prefix still readable
+    assert _changes(spark, table, 0, 0) == [
+        (0, "insert", 1, "a"),
+        (0, "insert", 2, "b"),
+    ]
+
+
+def test_cdf_table_reads_normally(spark, tmp_path):
+    from xorq_spark.delta import delete_where, read_delta_fallback
+
+    table = _mk_cdf_table(spark, tmp_path)
+    delete_where(spark, table, "k = 1")
+    # cdc files under _change_data/ must be invisible to snapshot reads
+    rows = sorted(
+        (r["k"], r["v"]) for r in read_delta_fallback(spark, table).collect()
+    )
+    assert rows == [(2, "b")]
+
+
+def test_streaming_cdc_roundtrip_in_to_out(spark, tmp_path):
+    """CDC in (stream_upsert_to_delta) -> CDC out (read_table_changes):
+    the full mirror pipeline."""
+    from xorq_spark import streaming as S
+    from xorq_spark.delta import set_table_property, write_delta
+
+    table = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame(
+            [(1, "a", 0)], "k long, v string, seq long"
+        ),
+        table,
+    )
+    set_table_property(table, "delta.enableChangeDataFeed", "true")
+    src = str(tmp_path / "changes")
+    spark.createDataFrame(
+        [(1, "A", 5), (2, "b", 1)], "k long, v string, seq long"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("k long, v string, seq long").parquet(
+        f"{src}/*.parquet"
+    )
+    S.stream_upsert_to_delta(
+        stream, table, str(tmp_path / "ckpt"), ["k"], order_col="seq"
+    )
+    from xorq_spark.delta import read_table_changes, _commit_version
+    import os
+
+    v = _commit_version(os.path.join(table, "_delta_log")) - 1
+    got = sorted(
+        (r["_change_type"], r["k"], r["v"])
+        for r in read_table_changes(spark, table, v, v).collect()
+    )
+    assert got == [
+        ("insert", 2, "b"),
+        ("update_postimage", 1, "A"),
+        ("update_preimage", 1, "a"),
+    ]

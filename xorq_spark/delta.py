@@ -846,16 +846,38 @@ def merge_upsert(
     cols = [f["name"] for f in schema["fields"]]
     src = source.select(*cols)
 
+    cdc_df = None
     if candidates:
         # rewrite exactly the candidate snapshot (same add list the
         # remove actions below name)
         cand_df = _frame_for_adds(spark, table_path, candidates, meta).select(*cols)
-        kept = cand_df.join(src.select(*keys).distinct(), keys, "left_anti")
+        src_keys = src.select(*keys).distinct()
+        kept = cand_df.join(src_keys, keys, "left_anti")
         merged = kept.unionByName(src)
+        if _cdf_enabled(meta):
+            # exact MERGE change rows: a matched key yields its pre- and
+            # post-image, an unmatched source row an insert. Matching is
+            # complete within the candidate files by construction (a
+            # matching key is inside some stats-overlapping file).
+            matched_keys = cand_df.select(*keys).distinct()
+            pre = cand_df.join(src_keys, keys, "semi").withColumn(
+                "_change_type", F.lit("update_preimage")
+            )
+            post = src.join(matched_keys, keys, "semi").withColumn(
+                "_change_type", F.lit("update_postimage")
+            )
+            ins = src.join(matched_keys, keys, "anti").withColumn(
+                "_change_type", F.lit("insert")
+            )
+            cdc_df = pre.unionByName(post).unionByName(ins)
     else:
         merged = src
+        if _cdf_enabled(meta):
+            cdc_df = src.withColumn("_change_type", F.lit("insert"))
 
     actions: List[dict] = []
+    if cdc_df is not None:
+        actions.extend(_stage_cdc_files(cdc_df, table_path))
     if app_id is not None:
         # dedup marker + remove + add in ONE atomic log entry: no crash
         # point leaves a merged table without its replay marker
@@ -923,6 +945,17 @@ def delete_where(
     actions: List[dict] = [
         {"remove": {"path": a["path"], "dataChange": True}} for a in candidates
     ]
+    if _cdf_enabled(meta):
+        # exact row-level change capture in the SAME commit: the
+        # deleted rows (we are already scanning the candidate files)
+        actions.extend(
+            _stage_cdc_files(
+                cand_df.where(pred).withColumn(
+                    "_change_type", F.lit("delete")
+                ),
+                table_path,
+            )
+        )
     actions.extend(stage_delta_files(kept, table_path, part_cols))
     return _commit_rewrite(log_dir, table_path, actions, snapshot_version)
 
@@ -1143,3 +1176,169 @@ def table_history(table_path: str) -> List[dict]:
             }
         )
     return list(reversed(out))
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed (protocol `cdc` actions): row-level change capture on
+# DELETE/MERGE, derived inserts on plain appends, and a version-range reader.
+# ---------------------------------------------------------------------------
+
+
+def set_table_property(table_path: str, key: str, value: str) -> int:
+    """Commit an updated metaData action with `configuration[key] =
+    value` — the mechanism behind `ALTER TABLE ... SET TBLPROPERTIES`
+    (and how `delta.enableChangeDataFeed` turns CDF on)."""
+    _live, meta, cur = _replay_log_full(table_path)
+    meta = dict(meta)
+    conf = dict(meta.get("configuration") or {})
+    conf[str(key)] = str(value)
+    meta["configuration"] = conf
+    log_dir = os.path.join(table_path, "_delta_log")
+    return _commit_rewrite(log_dir, table_path, [{"metaData": meta}], cur)
+
+
+def _cdf_enabled(meta: dict) -> bool:
+    return (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed", ""
+    ).lower() == "true"
+
+
+def _stage_cdc_files(df, table_path: str) -> List[dict]:
+    """Write change rows (with their `_change_type` column) under
+    `_change_data/` and return uncommitted `cdc` actions."""
+    import shutil
+    import uuid as _uuid
+
+    staging = os.path.join(table_path, f".staging-cdc-{_uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(staging)
+    out_dir = os.path.join(table_path, "_change_data")
+    os.makedirs(out_dir, exist_ok=True)
+    actions = []
+    for fn in os.listdir(staging):
+        if not fn.endswith(".parquet"):
+            continue
+        rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+        dest = os.path.join(table_path, rel)
+        shutil.move(os.path.join(staging, fn), dest)
+        actions.append(
+            {
+                "cdc": {
+                    "path": rel,
+                    "partitionValues": {},
+                    "size": os.path.getsize(dest),
+                    "dataChange": False,
+                }
+            }
+        )
+    shutil.rmtree(staging)
+    return actions
+
+
+def read_table_changes(
+    spark,
+    table_path: str,
+    from_version: int,
+    to_version: Optional[int] = None,
+):
+    """CDF reader: row-level changes in commits [from_version,
+    to_version] as a DataFrame of the table schema plus
+    (_change_type, _commit_version) — delta-spark's `table_changes`.
+
+    Per the protocol: a commit carrying `cdc` actions is read from
+    those files ALONE (they carry exact update_preimage /
+    update_postimage / delete rows written by MERGE/DELETE when
+    `delta.enableChangeDataFeed` is true); an append-only commit
+    derives `insert` rows from its dataChange add-actions; a REWRITE
+    commit without cdc actions raises — deriving changes from a
+    rewrite's remove+add would report every untouched row in the
+    rewritten files as a delete+insert (the same refusal delta-spark
+    makes for ranges where CDF was off).
+
+    Scale: the log walk is driver-side metadata; each change read is a
+    distributed parquet scan of exactly the changed files.
+    """
+    import pyspark.sql.functions as F
+
+    log_dir = os.path.join(table_path, "_delta_log")
+    if not os.path.isdir(log_dir):
+        raise FileNotFoundError(f"not a Delta table (no _delta_log): {table_path!r}")
+    _live, meta, cur = _replay_log_full(table_path)
+    hi = cur if to_version is None else int(to_version)
+    lo = int(from_version)
+    frames = []
+    schema_cols = [
+        f["name"] for f in json.loads(meta["schemaString"])["fields"]
+    ]
+    # running path -> add map so a remove in-range can be attributed
+    active: Dict[str, dict] = {}
+    for c in range(0, hi + 1):
+        fp = os.path.join(log_dir, f"{c:020d}.json")
+        if not os.path.exists(fp):
+            continue
+        adds, removes, cdcs = [], [], []
+        with open(fp) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                a = json.loads(line)
+                if "add" in a:
+                    adds.append(a["add"])
+                elif "remove" in a:
+                    removes.append(a["remove"])
+                elif "cdc" in a:
+                    cdcs.append(a["cdc"])
+        in_range = lo <= c <= hi
+        if in_range:
+            if cdcs:
+                for cd in cdcs:
+                    frames.append(
+                        spark.read.parquet(
+                            os.path.join(table_path, cd["path"])
+                        ).withColumn("_commit_version", F.lit(c).cast("long"))
+                    )
+            else:
+                d_adds = [a for a in adds if a.get("dataChange", True)]
+                d_rms = [r for r in removes if r.get("dataChange", True)]
+                if d_adds and d_rms:
+                    raise ValueError(
+                        f"commit {c} of {table_path!r} rewrites files "
+                        "without cdc actions; enable "
+                        "delta.enableChangeDataFeed before the rewrite "
+                        "to read row-level changes over this range"
+                    )
+                if d_adds:
+                    frames.append(
+                        _frame_for_adds(spark, table_path, d_adds, meta)
+                        .select(*schema_cols)
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_version", F.lit(c).cast("long"))
+                    )
+                if d_rms:
+                    rm_adds = [
+                        active[r["path"]] for r in d_rms if r["path"] in active
+                    ]
+                    if rm_adds:
+                        frames.append(
+                            _frame_for_adds(spark, table_path, rm_adds, meta)
+                            .select(*schema_cols)
+                            .withColumn("_change_type", F.lit("delete"))
+                            .withColumn(
+                                "_commit_version", F.lit(c).cast("long")
+                            )
+                        )
+        for a in adds:
+            active[a["path"]] = a
+        for r in removes:
+            active.pop(r["path"], None)
+    if not frames:
+        base = _frame_for_adds(spark, table_path, [], meta).select(*schema_cols)
+        return (
+            base.withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(0).cast("long"))
+            .limit(0)
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
