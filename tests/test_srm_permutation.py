@@ -106,3 +106,66 @@ def test_randomization_validates_b(spark):
     df = spark.createDataFrame([(1, 1, True)], "doc_id long, v long, g boolean")
     with pytest.raises(ValueError):
         randomization_test(df, "v", "g", b=0)
+
+
+def _triplets(spark, rows, **kw):
+    from xorq_spark.functions.similarity import triplet_mining
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    return {
+        r["vec_id"]: r for r in triplet_mining(df, **kw).collect()
+    }
+
+
+def test_triplet_semihard_selection(spark):
+    # anchor 0 (label 1): positive = 1 (same label, cos 1.0);
+    # negatives: 2 (cos 1.0, NOT semi-hard: not < pos), 3 (cos ~0,
+    # semi-hard) -> neg must be 3 with kind semihard
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [1.0, 0.0], 1),
+        (2, [1.0, 0.0], 2),
+        (3, [0.0, 1.0], 2),
+    ]
+    t = _triplets(spark, rows)
+    r = t[0]
+    assert r["pos_id"] == 1 and r["neg_id"] == 3
+    assert r["kind"] == "semihard"
+    assert r["neg_sim"] < r["pos_sim"]
+
+
+def test_triplet_hard_fallback(spark):
+    # anchor 0: positive cos ~0 (orthogonal same-label); every negative
+    # is MORE similar than the positive -> fallback kind='hard'
+    rows = [
+        (0, [1.0, 0.0], 1),
+        (1, [0.0, 1.0], 1),
+        (2, [1.0, 0.0], 2),
+    ]
+    t = _triplets(spark, rows)
+    r = t[0]
+    assert r["pos_id"] == 1 and r["neg_id"] == 2
+    assert r["kind"] == "hard"
+
+
+def test_triplet_no_positive_no_row(spark):
+    # anchor 0 has no same-label partner -> no triplet emitted
+    rows = [(0, [1.0, 0.0], 1), (2, [1.0, 0.0], 2), (3, [0.0, 1.0], 2)]
+    t = _triplets(spark, rows)
+    assert 0 not in t
+
+
+def test_triplet_guard_refuses_large_exact_self_mine(spark):
+    from xorq_spark.functions.similarity import triplet_mining
+
+    df = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "array(CAST(id AS FLOAT), 1.0f) AS embedding",
+        "CAST(id % 2 AS INT) AS label",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="all-pairs"):
+        triplet_mining(df, exact_self_mine_bound=100)

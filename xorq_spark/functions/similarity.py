@@ -907,3 +907,108 @@ def pq_adc_topk(
             "rank",
         )
     )
+
+
+def triplet_mining(
+    df: DataFrame,
+    anchors: Optional[DataFrame] = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    num_planes: int = 0,
+    exact_self_mine_bound: int = 100_000,
+) -> DataFrame:
+    """Semi-hard triplet mining (the FaceNet selection rule) — the
+    training-pair builder for contrastive/metric learning: for each
+    anchor, the POSITIVE is its most-similar same-label vector, and the
+    NEGATIVE is the most-similar different-label vector that is still
+    LESS similar than the positive (semi-hard: inside the margin, so
+    the loss has gradient but the triplet is not already-violated
+    noise). Anchors with no semi-hard negative fall back to the hardest
+    negative, marked kind='hard'; anchors with no same-label partner
+    produce no triplet.
+
+    Returns (id_col, pos_id, neg_id, pos_sim, neg_sim, kind), one row
+    per anchor, all similarities rounded to 6 (the tier's convention)
+    and ties broken by candidate id — fully engine-replayable.
+
+    Scale design: identical to hard_negatives — exact mode broadcasts
+    the anchor side over ONE corpus scan (positives, semi-hard and
+    fallback negatives all derive from that single scored frame);
+    num_planes>0 routes through the random-hyperplane buckets for the
+    100 TB self-mining shape. The same all-pairs guard applies.
+    """
+    if anchors is None and num_planes <= 0:
+        probe = df.select(id_col).limit(exact_self_mine_bound + 1).count()
+        if probe > exact_self_mine_bound:
+            raise ValueError(
+                f"triplet_mining: exact all-pairs self-mining over >"
+                f"{exact_self_mine_bound} rows is an O(n^2) cross join. "
+                "Pass num_planes>0, supply a small `anchors` frame, or "
+                "raise exact_self_mine_bound."
+            )
+    a = (anchors if anchors is not None else df).select(
+        F.col(id_col).alias("__aid"),
+        F.col(vec_col).alias("__av"),
+        F.col(label_col).alias("__alabel"),
+    )
+    b = df.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        F.col(label_col).alias("__blabel"),
+    )
+    if num_planes > 0:
+        a = a.withColumn("__bucket", _lsh_bucket(F.col("__av"), num_planes))
+        b = b.withColumn("__bucket", _lsh_bucket(F.col("__bv"), num_planes))
+        paired = a.join(b, "__bucket")
+    else:
+        paired = F.broadcast(a).crossJoin(b)
+    scored = paired.where(F.col("__aid") != F.col("__bid")).select(
+        "__aid",
+        "__bid",
+        "__alabel",
+        "__blabel",
+        F.round(
+            cosine_similarity(F.col("__av"), F.col("__bv")), 6
+        ).alias("__cs"),
+    )
+    w = Window.partitionBy("__aid").orderBy(F.desc("__cs"), F.asc("__bid"))
+    pos = (
+        scored.where(F.col("__alabel") == F.col("__blabel"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "__aid",
+            F.col("__bid").alias("pos_id"),
+            F.col("__cs").alias("pos_sim"),
+        )
+    )
+    negc = scored.where(
+        ~F.col("__alabel").eqNullSafe(F.col("__blabel"))
+    ).join(pos, "__aid")
+    semi = (
+        negc.where(F.col("__cs") < F.col("pos_sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "__aid", "pos_id", "pos_sim",
+            F.col("__bid").alias("neg_id"),
+            F.col("__cs").alias("neg_sim"),
+            F.lit("semihard").alias("kind"),
+        )
+    )
+    hard = (
+        negc.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .join(semi.select("__aid"), "__aid", "anti")
+        .select(
+            "__aid", "pos_id", "pos_sim",
+            F.col("__bid").alias("neg_id"),
+            F.col("__cs").alias("neg_sim"),
+            F.lit("hard").alias("kind"),
+        )
+    )
+    return semi.unionByName(hard).select(
+        F.col("__aid").alias(id_col),
+        "pos_id", "neg_id", "pos_sim", "neg_sim", "kind",
+    )

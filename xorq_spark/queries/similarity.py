@@ -813,3 +813,57 @@ def sim_matryoshka_recall(spark, sf_dir):
         )
         .orderBy("query_id")
     )
+
+
+@query(
+    "sim_triplet_mining",
+    oracle=f"""
+    WITH a AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 40),
+    scored AS (
+      SELECT q.vec_id AS aid, c.vec_id AS bid, q.label AS al, c.label AS bl,
+             ROUND({_COS}, 6) AS cs
+      FROM a q JOIN embeddings c ON q.vec_id <> c.vec_id),
+    pos AS (
+      SELECT aid, bid AS pos_id, cs AS pos_sim
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
+                                         ORDER BY cs DESC, bid) AS rn
+            FROM scored WHERE al = bl)
+      WHERE rn = 1),
+    negc AS (
+      SELECT s.aid, s.bid, s.cs, p.pos_id, p.pos_sim
+      FROM scored s JOIN pos p USING (aid)
+      WHERE s.al IS DISTINCT FROM s.bl),
+    shn AS (
+      SELECT aid, pos_id, pos_sim, bid AS neg_id, cs AS neg_sim,
+             'semihard' AS kind
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
+                                         ORDER BY cs DESC, bid) AS rn
+            FROM negc WHERE cs < pos_sim)
+      WHERE rn = 1),
+    hn AS (
+      SELECT aid, pos_id, pos_sim, bid AS neg_id, cs AS neg_sim,
+             'hard' AS kind
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY aid
+                                         ORDER BY cs DESC, bid) AS rn
+            FROM negc)
+      WHERE rn = 1 AND aid NOT IN (SELECT aid FROM shn))
+    SELECT aid AS vec_id, pos_id, neg_id, pos_sim, neg_sim, kind
+    FROM (SELECT * FROM shn UNION ALL SELECT * FROM hn)
+    ORDER BY vec_id
+    """,
+)
+def sim_triplet_mining_q(spark, sf_dir):
+    """Semi-hard triplet mining (functions/similarity.py
+    triplet_mining, the FaceNet selection rule): for each of 40 anchor
+    vectors, (positive = most-similar same-label, negative =
+    most-similar different-label still below the positive's similarity,
+    falling back to the hardest negative when none is semi-hard) — the
+    contrastive-training pair builder. Positives, semi-hard and
+    fallback negatives all derive from ONE broadcast-anchor corpus
+    scan; the oracle replays every cosine, both rankings and the
+    fallback rule."""
+    from xorq_spark.functions.similarity import triplet_mining
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    anchors = emb.filter(F.col("vec_id") < 40)
+    return triplet_mining(emb, anchors=anchors).orderBy("vec_id")

@@ -527,6 +527,9 @@ SUITES: dict[str, list[str]] = {
         "sim_ann_bruteforce_topk",
         "sim_ann_lsh_topk",
         "sim_norms_and_dots",
+        # round 6: FaceNet semi-hard triplet selection with hardest-
+        # negative fallback (contrastive training-pair builder)
+        "sim_triplet_mining",
         "sim_ann_ivf_fixed_topk",
         "sim_embedding_quantize",
         "sim_ann_lsh_recall",
