@@ -1194,7 +1194,17 @@ def set_table_property(table_path: str, key: str, value: str) -> int:
     conf[str(key)] = str(value)
     meta["configuration"] = conf
     log_dir = os.path.join(table_path, "_delta_log")
-    return _commit_rewrite(log_dir, table_path, [{"metaData": meta}], cur)
+    actions = [
+        {
+            "commitInfo": {
+                "operation": "SET TBLPROPERTIES",
+                "operationParameters": {str(key): str(value)},
+                "timestamp": int(__import__("time").time() * 1000),
+            }
+        },
+        {"metaData": meta},
+    ]
+    return _commit_rewrite(log_dir, table_path, actions, cur)
 
 
 def _cdf_enabled(meta: dict) -> bool:
