@@ -180,3 +180,57 @@ def test_decode_image_dispatches_webp():
     wav = b"RIFF" + struct.pack("<I", 12) + b"WAVE" + b"\x00" * 8
     with pytest.raises(NotImplementedError, match="WAV"):
         decode_image(wav)
+
+
+# ---------------------------------------------------------- properties
+
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def _images(draw):
+    w = draw(st.integers(1, 12))
+    h = draw(st.integers(1, 12))
+    ch = draw(st.sampled_from([1, 3, 4]))
+    px = draw(
+        st.binary(min_size=w * h * ch, max_size=w * h * ch)
+    )
+    return w, h, ch, px
+
+
+@settings(max_examples=60, deadline=None)
+@given(_images(), st.sampled_from(
+    [{}, {"subtract_green": True}, {"cache_bits": 3},
+     {"backref_rows": True}, {"predictor": 11},
+     {"predictor": 12, "subtract_green": True}]
+))
+def test_roundtrip_random_images_all_modes(img, mode):
+    w, h, ch, px = img
+    payload = webp_encode(px, w, h, ch, **mode)
+    dw, dh, dc, rgba = webp_decode(payload)
+    assert (dw, dh, dc) == (w, h, 4)
+    for i in range(w * h):
+        if ch == 1:
+            exp = (px[i], px[i], px[i], 255)
+        elif ch == 3:
+            exp = (*px[3 * i : 3 * i + 3], 255)
+        else:
+            exp = tuple(px[4 * i : 4 * i + 4])
+        assert tuple(rgba[4 * i : 4 * i + 4]) == exp
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 10), st.integers(1, 8), st.integers(1, 30),
+       st.randoms(use_true_random=False))
+def test_roundtrip_random_palette_images(w, h, ncolors, rnd):
+    colors = [
+        (rnd.randrange(256), rnd.randrange(256), rnd.randrange(256))
+        for _ in range(ncolors)
+    ]
+    px = bytearray()
+    for _ in range(w * h):
+        px.extend(colors[rnd.randrange(ncolors)])
+    payload = webp_encode(bytes(px), w, h, 3, palette=True)
+    _, _, _, rgba = webp_decode(payload)
+    for i in range(w * h):
+        assert tuple(rgba[4 * i : 4 * i + 3]) == tuple(px[3 * i : 3 * i + 3])
