@@ -636,3 +636,52 @@ class TestGopherRepetitionArrowParity:
         )
         self._cmp(spark, df, sep="\n", para_sep=None,
                   top_ns=(2,), dup_ns=(3,))
+
+
+def test_fim_transform_reassembles_exactly(spark):
+    from xorq_spark.functions.text import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, "abcdefghij") for i in range(40)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in fim_transform(df, fim_rate_pct=100).collect()}
+    for i, r in out.items():
+        assert r["fim_applied"] == 1
+        t = r["text_fim"]
+        # PSM reassembly: prefix+middle+suffix == original
+        assert t.startswith("<PRE>")
+        pre, rest = t[5:].split("<SUF>", 1)
+        suf, mid = rest.split("<MID>", 1)
+        assert pre + mid + suf == "abcdefghij"
+        assert len(pre) == r["s1"] and len(pre) + len(mid) == r["s2"]
+
+
+def test_fim_rate_zero_passthrough_and_short_docs(spark):
+    from xorq_spark.functions.text import fim_transform
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x"), (3, None)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in fim_transform(df, fim_rate_pct=0).collect()}
+    assert all(r["fim_applied"] == 0 for r in out.values())
+    assert out[1]["text_fim"] == "hello world"
+    # 100% rate still never touches 1-char or null docs
+    out = {r["doc_id"]: r for r in fim_transform(df, fim_rate_pct=100).collect()}
+    assert out[2]["fim_applied"] == 0 and out[2]["text_fim"] == "x"
+    assert out[3]["fim_applied"] == 0 and out[3]["text_fim"] is None
+
+
+def test_fim_deterministic_across_runs(spark):
+    from xorq_spark.functions.text import fim_transform
+
+    df = spark.createDataFrame(
+        [(i, f"document number {i} with some text") for i in range(30)],
+        "doc_id long, text string",
+    )
+    a = {r["doc_id"]: r["text_fim"] for r in fim_transform(df).collect()}
+    b = {r["doc_id"]: r["text_fim"] for r in fim_transform(df).collect()}
+    assert a == b
+    applied = sum(
+        r["fim_applied"] for r in fim_transform(df).collect()
+    )
+    assert 0 < applied < 30  # ~50% rate actually splits the corpus

@@ -1743,3 +1743,70 @@ def rake_keywords(
         .orderBy(F.col("score_ppm").desc(), "phrase")
         .limit(int(top_k))
     )
+
+
+def fim_transform(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fim_rate_pct: int = 50,
+    pre_tok: str = "<PRE>",
+    mid_tok: str = "<MID>",
+    suf_tok: str = "<SUF>",
+    salt: str = "fim",
+):
+    """Fill-in-the-middle transformation (Bavarian et al. 2022) — the
+    pretraining-data op behind infilling-capable code models: for a
+    deterministic `fim_rate_pct`% of documents, pick two split points,
+    and reorder the document as PSM
+    (`<PRE> prefix <SUF> suffix <MID> middle`) so the model learns to
+    generate the middle given both sides. The rest pass through
+    unchanged (fim_applied = 0).
+
+    Determinism (the stratified_sample hash family): the apply coin and
+    BOTH split points derive from md5(salt|id) — coin = bits0 % 100,
+    s1/s2 = two independent 52-bit chunks mod (len+1), swapped into
+    order — so reruns and the SQL oracle transform the SAME documents
+    at the SAME characters. Documents shorter than 2 chars (or null)
+    are never transformed.
+
+    Scale: a pure per-row projection — zero shuffle, scan-stage only.
+
+    Returns (id_col, fim_applied, s1, s2, text_fim).
+    """
+    if not (0 <= int(fim_rate_pct) <= 100):
+        raise ValueError("fim_rate_pct must be in [0, 100]")
+    key = F.col(id_col).cast("string")
+    h1 = F.md5(F.concat(F.lit(salt + "|"), key))
+    h2 = F.md5(F.concat(F.lit(salt + "2|"), key))
+    coin = F.conv(F.substring(h1, 1, 13), 16, 10).cast("long") % 100
+    txt = F.col(text_col)
+    n = F.length(txt)
+    b1 = F.conv(F.substring(h1, 14, 13), 16, 10).cast("long") % (n + 1)
+    b2 = F.conv(F.substring(h2, 1, 13), 16, 10).cast("long") % (n + 1)
+    s1 = F.least(b1, b2)
+    s2 = F.greatest(b1, b2)
+    apply_ = (
+        txt.isNotNull() & (n >= 2) & (coin < F.lit(int(fim_rate_pct)))
+    )
+    # 1-based substring arithmetic, identical in both engines:
+    # prefix = [1, s1], middle = (s1, s2], suffix = (s2, n]
+    fim_text = F.concat(
+        F.lit(pre_tok),
+        F.expr(f"substring({text_col}, 1, __s1)"),
+        F.lit(suf_tok),
+        F.expr(f"substring({text_col}, __s2 + 1, length({text_col}) - __s2)"),
+        F.lit(mid_tok),
+        F.expr(f"substring({text_col}, __s1 + 1, __s2 - __s1)"),
+    )
+    return (
+        df.withColumn("__s1", s1)
+        .withColumn("__s2", s2)
+        .select(
+            F.col(id_col),
+            apply_.cast("long").alias("fim_applied"),
+            F.when(apply_, F.col("__s1")).alias("s1"),
+            F.when(apply_, F.col("__s2")).alias("s2"),
+            F.when(apply_, fim_text).otherwise(txt).alias("text_fim"),
+        )
+    )

@@ -1067,3 +1067,45 @@ def text_dsir_select(spark, sf_dir):
         .orderBy(F.desc("score_nano"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+@query(
+    "text_fim_transform",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, length(text) AS n,
+        ('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+          % 100 AS coin,
+        ('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)), 14, 13))::BIGINT
+          % (length(text) + 1) AS b1,
+        ('0x' || substr(md5('fim2|' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT
+          % (length(text) + 1) AS b2
+      FROM documents),
+    s AS (
+      SELECT doc_id, text, n, least(b1, b2) AS s1, greatest(b1, b2) AS s2,
+             (text IS NOT NULL AND n >= 2 AND coin < 50) AS ap
+      FROM b)
+    SELECT doc_id,
+           CAST(CASE WHEN ap THEN 1 ELSE 0 END AS BIGINT) AS fim_applied,
+           CASE WHEN ap THEN s1 END AS s1,
+           CASE WHEN ap THEN s2 END AS s2,
+           CASE WHEN ap THEN
+             '<PRE>' || substr(text, 1, s1)
+             || '<SUF>' || substr(text, s2 + 1, n - s2)
+             || '<MID>' || substr(text, s1 + 1, s2 - s1)
+           ELSE text END AS text_fim
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle pretraining transform (functions/text.py
+    fim_transform, Bavarian et al. 2022): a deterministic 50% of
+    documents reordered as <PRE>prefix<SUF>suffix<MID>middle with both
+    split points drawn from the md5 hash family — the infilling-data
+    op for code models, as a pure zero-shuffle projection. The oracle
+    replays the coin, both split points and every reassembled string,
+    so one off-by-one in the substring arithmetic breaks the hash."""
+    from xorq_spark.functions.text import fim_transform
+
+    docs = t(spark, sf_dir, "documents")
+    return fim_transform(docs).orderBy("doc_id")

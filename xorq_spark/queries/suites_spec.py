@@ -461,6 +461,9 @@ SUITES: dict[str, list[str]] = {
         # round 6: DSIR importance-resampling selection (Xie et al.
         # 2023) — hashed-bigram log-ratio scores in integer nano-nats
         "text_dsir_select",
+        # + fill-in-the-middle pretraining transform (deterministic
+        # PSM reordering; zero-shuffle projection)
+        "text_fim_transform",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
