@@ -169,3 +169,48 @@ def test_triplet_guard_refuses_large_exact_self_mine(spark):
 
     with _pytest.raises(ValueError, match="all-pairs"):
         triplet_mining(df, exact_self_mine_bound=100)
+
+
+def test_bitext_mutual_pairs(spark):
+    from xorq_spark.functions.similarity import bitext_mining
+
+    # src 0 <-> tgt 10 aligned; src 1 <-> tgt 11 aligned; tgt 12 is a
+    # hub near everything (low margin, must not steal)
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [0.9, 0.1, 0.0]), (11, [0.1, 0.9, 0.0]), (12, [0.6, 0.6, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["src_id"]: r for r in bitext_mining(src, tgt, k=2).collect()}
+    assert out[0]["tgt_id"] == 10
+    assert out[1]["tgt_id"] == 11
+
+
+def test_bitext_mutuality_drops_contested_target(spark):
+    from xorq_spark.functions.similarity import bitext_mining
+
+    # both sources point at tgt 10; only the better one survives mutual
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.95, 0.05])],
+        "vec_id long, embedding array<float>",
+    )
+    tgt = spark.createDataFrame(
+        [(10, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    out = bitext_mining(src, tgt, k=1).collect()
+    assert len(out) == 1 and out[0]["src_id"] == 0
+
+
+def test_bitext_guard_and_validation(spark):
+    from xorq_spark.functions.similarity import bitext_mining
+
+    df = spark.range(50).selectExpr(
+        "id AS vec_id", "array(1.0f, CAST(id AS FLOAT)) AS embedding"
+    )
+    with pytest.raises(ValueError, match="all-pairs"):
+        bitext_mining(df, df, max_side=10)
+    with pytest.raises(ValueError, match="k must"):
+        bitext_mining(df, df, k=0)

@@ -1012,3 +1012,121 @@ def triplet_mining(
         F.col("__aid").alias(id_col),
         "pos_id", "neg_id", "pos_sim", "neg_sim", "kind",
     )
+
+
+def bitext_mining(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    mutual: bool = True,
+    max_side: int = 100_000,
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) — the
+    parallel-corpus builder for translation training data: score every
+    cross-lingual candidate pair by its RATIO MARGIN
+        margin(x, y) = cos(x, y) / (avg_kNN(x) / 2 + avg_kNN(y) / 2)
+    (raw cosine divided by how similar each side is to its k nearest
+    neighbors — hubs that are close to everything score low), then keep
+    each source's best target; with `mutual=True` only pairs that are
+    each other's best survive (the standard max-margin + mutuality
+    filter).
+
+    Determinism: cosines quantize to exact BIGINT e6 units; the kNN
+    sums are integer; the margin is ONE double tree over those exact
+    integers (cos_e6 * 2*kx*ky / (sx*ky + sy*kx)), rounded to 9 — the
+    agg_cuped_readout IEEE contract, so both engines rank identically
+    with an id tie-break.
+
+    Scale: this exact variant broadcasts the SOURCE side over one
+    target scan (pass bounded slices; the guard refuses larger sides) —
+    at corpus scale, shard the source and loop, or bucket both sides
+    with `_lsh_bucket` and apply the same scoring bucket-locally (the
+    hard_negatives pattern; margins then use bucket-local kNN).
+
+    Returns (src_id, tgt_id, cos_sim, margin), one row per mined pair.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    for side, name in ((src, "src"), (tgt, "tgt")):
+        probe = side.select(id_col).limit(max_side + 1).count()
+        if probe > max_side:
+            raise ValueError(
+                f"bitext_mining: {name} side exceeds {max_side} rows — "
+                "the exact variant is all-pairs; shard or LSH-bucket"
+            )
+    a = src.select(
+        F.col(id_col).alias("__x"), F.col(vec_col).alias("__xv")
+    )
+    b = tgt.select(
+        F.col(id_col).alias("__y"), F.col(vec_col).alias("__yv")
+    )
+    pairs = (
+        F.broadcast(a)
+        .crossJoin(b)
+        .select(
+            "__x",
+            "__y",
+            F.round(
+                cosine_similarity(F.col("__xv"), F.col("__yv")) * 1e6, 0
+            )
+            .cast("long")
+            .alias("__c"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    wx = Window.partitionBy("__x").orderBy(F.desc("__c"), F.asc("__y"))
+    wy = Window.partitionBy("__y").orderBy(F.desc("__c"), F.asc("__x"))
+    sx = (
+        pairs.withColumn("__r", F.row_number().over(wx))
+        .where(F.col("__r") <= k)
+        .groupBy("__x")
+        .agg(F.sum("__c").alias("__sx"), F.count(F.lit(1)).alias("__kx"))
+    )
+    sy = (
+        pairs.withColumn("__r", F.row_number().over(wy))
+        .where(F.col("__r") <= k)
+        .groupBy("__y")
+        .agg(F.sum("__c").alias("__sy"), F.count(F.lit(1)).alias("__ky"))
+    )
+    scored = (
+        pairs.join(F.broadcast(sx), "__x")
+        .join(F.broadcast(sy), "__y")
+        .select(
+            "__x",
+            "__y",
+            "__c",
+            F.round(
+                F.col("__c").cast("double")
+                * 2.0
+                * F.col("__kx").cast("double")
+                * F.col("__ky").cast("double")
+                / (
+                    F.col("__sx") * F.col("__ky")
+                    + F.col("__sy") * F.col("__kx")
+                ).cast("double"),
+                9,
+            ).alias("__m"),
+        )
+    )
+    wfx = Window.partitionBy("__x").orderBy(F.desc("__m"), F.asc("__y"))
+    fwd = (
+        scored.withColumn("__r", F.row_number().over(wfx))
+        .where(F.col("__r") == 1)
+        .drop("__r")
+    )
+    if mutual:
+        wfy = Window.partitionBy("__y").orderBy(F.desc("__m"), F.asc("__x"))
+        bwd = (
+            scored.withColumn("__r", F.row_number().over(wfy))
+            .where(F.col("__r") == 1)
+            .select("__x", "__y")
+        )
+        fwd = fwd.join(bwd, ["__x", "__y"], "semi")
+    return fwd.select(
+        F.col("__x").alias("src_id"),
+        F.col("__y").alias("tgt_id"),
+        F.round(F.col("__c").cast("double") / 1e6, 6).alias("cos_sim"),
+        F.col("__m").alias("margin"),
+    )

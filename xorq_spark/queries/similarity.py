@@ -867,3 +867,62 @@ def sim_triplet_mining_q(spark, sf_dir):
     emb = widen(t(spark, sf_dir, "embeddings"))
     anchors = emb.filter(F.col("vec_id") < 40)
     return triplet_mining(emb, anchors=anchors).orderBy("vec_id")
+
+
+@query(
+    "sim_bitext_mining",
+    oracle="""
+    WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE label < 5),
+    tt AS (SELECT vec_id, embedding FROM embeddings WHERE label >= 5),
+    pairs AS (
+      SELECT s.vec_id AS x, tt.vec_id AS y,
+             CAST(round(list_cosine_similarity(
+               s.embedding::DOUBLE[], tt.embedding::DOUBLE[]) * 1e6, 0)
+               AS BIGINT) AS c
+      FROM s, tt),
+    sx AS (
+      SELECT x, CAST(sum(c) AS BIGINT) AS sx, CAST(count(*) AS BIGINT) AS kx
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY x
+                                         ORDER BY c DESC, y) AS r FROM pairs)
+      WHERE r <= 4 GROUP BY x),
+    sy AS (
+      SELECT y, CAST(sum(c) AS BIGINT) AS sy, CAST(count(*) AS BIGINT) AS ky
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY y
+                                         ORDER BY c DESC, x) AS r FROM pairs)
+      WHERE r <= 4 GROUP BY y),
+    scored AS (
+      SELECT p.x, p.y, p.c,
+             round(CAST(p.c AS DOUBLE) * 2.0 * CAST(kx AS DOUBLE)
+                   * CAST(ky AS DOUBLE)
+                   / CAST(sx * ky + sy * kx AS DOUBLE), 9) AS m
+      FROM pairs p JOIN sx USING (x) JOIN sy USING (y)),
+    fwd AS (
+      SELECT x, y, c, m
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY x
+                                         ORDER BY m DESC, y) AS r FROM scored)
+      WHERE r = 1),
+    bwd AS (
+      SELECT x, y
+      FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY y
+                                         ORDER BY m DESC, x) AS r FROM scored)
+      WHERE r = 1)
+    SELECT f.x AS src_id, f.y AS tgt_id,
+           round(CAST(f.c AS DOUBLE) / 1e6, 6) AS cos_sim,
+           f.m AS margin
+    FROM fwd f JOIN bwd b ON f.x = b.x AND f.y = b.y
+    ORDER BY src_id
+    """,
+)
+def sim_bitext_mining_q(spark, sf_dir):
+    """Margin-based bitext mining (functions/similarity.py
+    bitext_mining; Artetxe & Schwenk 2019): labels 0-4 as the source
+    language, 5-9 as the target, ratio margin over k=4 neighborhoods,
+    max-margin + mutuality filter — the parallel-corpus builder. The
+    oracle replays every quantized cosine, both kNN sums, the IEEE
+    margin tree, both argmax rankings and the mutual join."""
+    from xorq_spark.functions.similarity import bitext_mining
+
+    emb = widen(t(spark, sf_dir, "embeddings"))
+    return bitext_mining(
+        emb.where(F.col("label") < 5), emb.where(F.col("label") >= 5), k=4
+    ).orderBy("src_id")

@@ -533,6 +533,10 @@ SUITES: dict[str, list[str]] = {
         # round 6: FaceNet semi-hard triplet selection with hardest-
         # negative fallback (contrastive training-pair builder)
         "sim_triplet_mining",
+        # + margin-based bitext mining (ratio margin over k-NN
+        # neighborhoods, max-margin + mutuality; parallel-corpus
+        # builder)
+        "sim_bitext_mining",
         "sim_ann_ivf_fixed_topk",
         "sim_embedding_quantize",
         "sim_ann_lsh_recall",
