@@ -128,6 +128,12 @@ HEADLINE = [
     # Arrow-batched workers)
     "text_dsir_select",
     "mm_decode_webp_stats",
+    # round 6 (cont.): randomization test (ONE wide 2B-sum aggregate),
+    # FIM pretraining transform (zero-shuffle projection), margin-based
+    # bitext mining (broadcast all-pairs + integer kNN sums)
+    "agg_permutation_test",
+    "text_fim_transform",
+    "sim_bitext_mining",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

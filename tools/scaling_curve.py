@@ -104,6 +104,11 @@ OPS = [
     # round 6: DSIR importance selection + real VP8L decode
     "text_dsir_select",
     "mm_decode_webp_stats",
+    "agg_permutation_test",
+    "text_fim_transform",
+    "sim_bitext_mining",
+    "sim_triplet_mining",
+    "agg_srm_check",
 ]
 
 
