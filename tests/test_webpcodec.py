@@ -234,3 +234,97 @@ def test_roundtrip_random_palette_images(w, h, ncolors, rnd):
     _, _, _, rgba = webp_decode(payload)
     for i in range(w * h):
         assert tuple(rgba[4 * i : 4 * i + 3]) == tuple(px[3 * i : 3 * i + 3])
+
+
+def test_roundtrip_color_transform():
+    # cross-channel deltas: g2r/g2b/r2b incl. negative (two's complement)
+    _roundtrip(9, 7, 3, seed=11, color_transform=(34, -17, 80))
+    _roundtrip(6, 6, 3, seed=12, color_transform=(-128, 127, -1))
+
+
+def test_roundtrip_color_transform_composes_with_subtract_green():
+    _roundtrip(8, 5, 3, seed=13, subtract_green=True,
+               color_transform=(25, 50, -75))
+
+
+@settings(max_examples=25, deadline=None)
+@given(_images(), st.tuples(st.integers(-128, 127), st.integers(-128, 127),
+                            st.integers(-128, 127)))
+def test_roundtrip_random_color_transforms(img, cte):
+    w, h, ch, px = img
+    payload = webp_encode(px, w, h, ch, color_transform=cte)
+    dw, dh, dc, rgba = webp_decode(payload)
+    for i in range(w * h):
+        if ch == 1:
+            exp = (px[i], px[i], px[i], 255)
+        elif ch == 3:
+            exp = (*px[3 * i : 3 * i + 3], 255)
+        else:
+            exp = tuple(px[4 * i : 4 * i + 4])
+        assert tuple(rgba[4 * i : 4 * i + 4]) == exp
+
+
+def test_meta_prefix_two_groups_route_correctly():
+    """Hand-assemble a VP8L stream with a meta-prefix image splitting an
+    8x1 image into two 4-px tiles, each tile with its OWN prefix group
+    whose R-tree is a different single-symbol constant — decoding
+    proves per-tile group routing."""
+    import struct as _struct
+
+    from xorq_spark.functions.webpcodec import (
+        _encode_image_stream,
+        _g_tree_lengths,
+        _argb,
+        _write_tree,
+    )
+
+    bw = _BitWriter()
+    w, h = 8, 1
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)  # alpha hint
+    bw.write(0, 3)  # version
+    bw.write(0, 1)  # no transforms
+    # spatial image: meta-prefix present, huffman_bits = 2 (4-px tiles)
+    bw.write(1, 1)
+    bw.write(0, 3)  # bits - 2 = 0 -> tile size 4 -> meta is 2x1
+    # meta image (entropy-coded, no meta of its own): groups 0 and 1 in
+    # (r<<8)|g -> green channel holds the group index
+    _encode_image_stream(
+        bw, [_argb(255, 0, 0, 0), _argb(255, 0, 1, 0)], 2, 1, False
+    )
+    bw.write(0, 1)  # no color cache
+    # two groups; G tree = complete literal lengths, R tree = a single
+    # constant that DIFFERS per group, B/A constants shared
+    def write_group(r_const):
+        _write_tree(bw, _g_tree_lengths(0))
+        # simple single-symbol trees for R/B/A (read zero bits)
+        for sym in (r_const, 7, 255):
+            bw.write(1, 1)  # simple
+            bw.write(0, 1)  # one symbol
+            bw.write(1, 1)  # 8-bit
+            bw.write(sym, 8)
+        # distance tree: single symbol 0
+        bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+
+    write_group(11)
+    write_group(222)
+    # pixel stream: 8 literals, green = x (R/B/A come from group trees)
+    from xorq_spark.functions.webpcodec import _canonical_codes
+
+    g_codes = _canonical_codes(_g_tree_lengths(0))
+    for x in range(w):
+        c, ln = g_codes[x]
+        bw.write_code(c, ln)
+    data = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + _struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        chunk += b"\x00"
+    payload = b"RIFF" + _struct.pack("<I", len(b"WEBP" + chunk)) + b"WEBP" + chunk
+
+    dw, dh, dc, rgba = webp_decode(payload)
+    assert (dw, dh) == (8, 1)
+    for x in range(8):
+        r, g, b, a = rgba[4 * x : 4 * x + 4]
+        assert g == x and b == 7 and a == 255
+        assert r == (11 if x < 4 else 222)  # group routing by tile

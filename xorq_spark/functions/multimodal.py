@@ -232,8 +232,9 @@ def synth_webp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     VP8L-encoded RGB image of the closed-form grid
     pixel(x, y, c) = (id*7 + 3x + 5y + 11c) mod 256,
     width = 4 + id%5, height = 4 + id%3. The encoder MODE rotates by
-    id%4 — plain literals / subtract-green / whole-image predictor
-    (id%14) / color-cache + row-backrefs — so the certified decode
+    id%5 — plain literals / subtract-green / whole-image predictor
+    (id%14) / color-cache + row-backrefs / cross-channel color
+    transform — so the certified decode
     exercises the transform inversion, LZ77 and cache paths, not just
     literal Huffman reads. VP8L is lossless, so the decoded sums are
     the same closed form regardless of mode (functions/webpcodec.py)."""
@@ -251,7 +252,7 @@ def synth_webp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                         for c in range(3):
                             px[k] = (i * 7 + 3 * x + 5 * y + 11 * c) % 256
                             k += 1
-                mode = i % 4
+                mode = i % 5
                 kw = {}
                 if mode == 1:
                     kw = {"subtract_green": True}
@@ -259,6 +260,8 @@ def synth_webp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                     kw = {"predictor": i % 14}
                 elif mode == 3:
                     kw = {"cache_bits": 4, "backref_rows": True}
+                elif mode == 4:
+                    kw = {"color_transform": (37, -21, 64)}
                 payloads.append(webp_encode(bytes(px), w, h, 3, **kw))
                 widths.append(w)
                 heights.append(h)

@@ -18,8 +18,10 @@ prefix trees. Encoder: a correct, deliberately simple subset used to
 synthesize REAL certifiable fixtures — literal coding with fixed
 complete prefix codes, optional subtract-green, optional per-row LZ77
 backrefs (exercising the 2-D distance map), optional color cache, an
-optional whole-image predictor, and optional palette (color-indexing)
-emission with sub-byte bundling. decode(encode(img)) is bit-exact (the
+optional whole-image predictor, an optional whole-image color
+transform (cross-channel deltas), and optional palette
+(color-indexing) emission with sub-byte bundling; the meta-prefix
+group-routing path is exercised by a hand-assembled stream in tests. decode(encode(img)) is bit-exact (the
 format is lossless), which is what the SQL-oracle certification
 replays.
 
@@ -842,9 +844,13 @@ def webp_encode(
     backref_rows: bool = False,
     cache_bits: int = 0,
     palette: bool = False,
+    color_transform: Optional[Tuple[int, int, int]] = None,
 ) -> bytes:
     """Encode to lossless WebP (VP8L). Exact: decode(encode(x)) == x.
-    channels: 1 (gray), 3 (RGB) or 4 (RGBA)."""
+    channels: 1 (gray), 3 (RGB) or 4 (RGBA). color_transform applies a
+    whole-image (green_to_red, green_to_blue, red_to_blue) element
+    (signed -128..127 each), exercising the decoder's cross-channel
+    delta inversion."""
     if channels not in (1, 3, 4):
         raise ValueError(f"unsupported channel count {channels}")
     if width > 16384 or height > 16384:
@@ -905,6 +911,29 @@ def webp_encode(
             bw.write(2, 2)
             pix = [
                 _argb(_a(p), _r(p) - _g(p), _g(p), _b(p) - _g(p)) for p in pix
+            ]
+        if color_transform is not None:
+            g2r, g2b, r2b = (int(v) & 0xFF for v in color_transform)
+            size_bits = 7
+            if max(width, height) > (1 << (size_bits + 2)):
+                raise ValueError("image too large for single-block cte")
+            bw.write(1, 1)
+            bw.write(1, 2)  # color transform
+            bw.write(size_bits - 2, 3)
+            sub_x = _subsample(xsize, size_bits)
+            sub_y = _subsample(height, size_bits)
+            cte = _argb(255, r2b, g2b, g2r)
+            _encode_image_stream(bw, [cte] * (sub_x * sub_y), sub_x, sub_y, False)
+            # forward: subtract the deltas the decoder will add back;
+            # b' uses the ORIGINAL r (== the final decoded r)
+            pix = [
+                _argb(
+                    _a(p),
+                    _r(p) - _ct_delta(g2r, _g(p)),
+                    _g(p),
+                    _b(p) - _ct_delta(g2b, _g(p)) - _ct_delta(r2b, _r(p)),
+                )
+                for p in pix
             ]
         if predictor is not None:
             if not (0 <= predictor <= 13):
