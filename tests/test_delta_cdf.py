@@ -131,3 +131,20 @@ def test_streaming_cdc_roundtrip_in_to_out(spark, tmp_path):
         ("update_postimage", 1, "A"),
         ("update_preimage", 1, "a"),
     ]
+
+
+def test_vacuum_reaps_aged_cdc_files(spark, tmp_path):
+    """cdc files follow the same retention contract as removed data
+    files: a zero-retention vacuum deletes them (delta-spark parity)."""
+    import os
+
+    from xorq_spark.delta import delete_where, vacuum
+
+    table = _mk_cdf_table(spark, tmp_path)
+    delete_where(spark, table, "k = 1")
+    cdc_dir = os.path.join(table, "_change_data")
+    assert os.listdir(cdc_dir)
+    doomed = vacuum(table, retention_hours=0.0, dry_run=True)
+    assert any(p.startswith("_change_data/") for p in doomed)
+    vacuum(table, retention_hours=0.0)
+    assert not [f for f in os.listdir(cdc_dir) if f.endswith(".parquet")]

@@ -1266,6 +1266,11 @@ def read_table_changes(
 
     Scale: the log walk is driver-side metadata; each change read is a
     distributed parquet scan of exactly the changed files.
+
+    Retention: cdc files under `_change_data/` (like removed data
+    files) are subject to VACUUM's retention window — read a change
+    range within retention, or archive the feed downstream (the same
+    contract delta-spark's CDF has).
     """
     import pyspark.sql.functions as F
 
