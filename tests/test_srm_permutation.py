@@ -214,3 +214,39 @@ def test_bitext_guard_and_validation(spark):
         bitext_mining(df, df, max_side=10)
     with pytest.raises(ValueError, match="k must"):
         bitext_mining(df, df, k=0)
+
+
+def test_interleave_round_robins_and_drains(spark):
+    from xorq_spark.functions.sampling import interleave_sources
+
+    # A has 3 docs, B has 1: ranks 1 take positions 1-2 (A,B by name),
+    # then A's remaining docs drain in order
+    rows = [(1, "A"), (2, "A"), (3, "A"), (4, "B")]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sorted(
+        (r["position"], r["rank_in_source"], r["source"])
+        for r in interleave_sources(df).collect()
+    )
+    assert [p for p, _, _ in out] == [1, 2, 3, 4]  # dense, no gaps
+    assert out[0][1] == 1 and out[1][1] == 1       # both rank-1 first
+    assert {out[0][2], out[1][2]} == {"A", "B"}
+    assert out[2][2] == "A" and out[3][2] == "A"   # B drained
+
+
+def test_interleave_matches_naive_definition(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from xorq_spark.functions.sampling import interleave_sources
+
+    df = spark.range(200).selectExpr(
+        "id AS doc_id", "concat('s', CAST(id % 7 AS STRING)) AS source"
+    )
+    fast = interleave_sources(df)
+    naive = fast.withColumn(
+        "naive_pos",
+        F.row_number().over(
+            Window.orderBy("rank_in_source", "source", "doc_id")
+        ),
+    )
+    assert naive.where(F.col("position") != F.col("naive_pos")).count() == 0

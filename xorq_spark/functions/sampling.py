@@ -430,3 +430,64 @@ def dsir_score(
         )
         .select(F.col("__id").alias(id_col), "n_feats", "score_nano")
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    source_col: str = "source",
+    unique_key: str = "doc_id",
+    salt: str = "ilv",
+) -> DataFrame:
+    """Deterministic source-interleaved training order — the shard-mix
+    step after mixture planning: rather than concatenating sources
+    (which makes training see one domain for hours), emit a global
+    `position` that round-robins across sources (all sources' 1st
+    documents, then all 2nd, ...), with the WITHIN-source order a
+    deterministic md5 shuffle and the ACROSS-source order at each rank
+    alphabetical. Sources of different sizes drain naturally: an
+    exhausted source just stops contributing ranks.
+
+    Scale design — NO global sort/window (a partition-less
+    row_number is the single-task straggler this repo bans): because
+    (rank, source) is unique, the global position has a CLOSED FORM
+    from the bounded per-source counts n_t:
+
+        position(r, s) = 1 + sum_t min(n_t, r-1) + |{t < s : n_t >= r}|
+
+    (rows ahead with a smaller rank, plus same-rank rows from
+    alphabetically earlier sources). One bounded-partition window per
+    source + a per-row expression over the collected k-source count
+    table (the temperature_sample precedent) — scan-stage, zero extra
+    shuffle, engine-replayable.
+
+    Returns (position, rank_in_source, source_col, unique_key).
+    """
+    from pyspark.sql import Window
+
+    counts = sorted(
+        (r[0], r[1])
+        for r in df.groupBy(source_col).count().collect()
+        if r[0] is not None
+    )
+    key = F.col(unique_key).cast("string")
+    h = F.md5(F.concat(F.lit(salt + "|"), key))
+    w_src = Window.partitionBy(source_col).orderBy(
+        F.col("__h"), F.col(unique_key)
+    )
+    r = F.col("rank_in_source")
+    ahead = F.lit(0).cast("long")
+    for src_val, n in counts:
+        ahead = ahead + F.least(F.lit(int(n)), r - 1).cast("long")
+        ahead = ahead + F.when(
+            (F.lit(src_val) < F.col(source_col)) & (F.lit(int(n)) >= r),
+            F.lit(1),
+        ).otherwise(F.lit(0)).cast("long")
+    return (
+        df.select(source_col, unique_key)
+        .where(F.col(source_col).isNotNull())
+        .withColumn("__h", h)
+        .withColumn("rank_in_source", F.row_number().over(w_src))
+        .drop("__h")
+        .withColumn("position", (ahead + 1).cast("long"))
+        .select("position", "rank_in_source", source_col, unique_key)
+    )

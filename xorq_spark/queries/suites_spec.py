@@ -396,6 +396,9 @@ SUITES: dict[str, list[str]] = {
         "text_contamination_check",
         "text_chunk_documents",
         "text_stratified_sample",
+        # round 6: source-interleaved training order (closed-form global
+        # position off bounded per-source counts; no global sort/window)
+        "text_interleave_sources",
         "text_source_cap",
         "text_temperature_sample",
         # round 4: Efraimidis-Spirakis weighted sampling (deterministic

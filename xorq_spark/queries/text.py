@@ -1497,3 +1497,39 @@ def text_heaps_law(spark, sf_dir):
         )
         .orderBy("pct_docs")
     )
+
+
+@query(
+    "text_interleave_sources",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('ilv|' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rank_in_source
+      FROM documents WHERE source IS NOT NULL)
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY rank_in_source, source, doc_id) AS BIGINT) AS position,
+           CAST(rank_in_source AS BIGINT) AS rank_in_source,
+           source, doc_id
+    FROM r ORDER BY position
+    """,
+)
+def text_interleave_sources_q(spark, sf_dir):
+    """Source-interleaved training order (functions/sampling.py
+    interleave_sources): round-robin across the 20 sources with an
+    md5-shuffled within-source order. Spark computes the global
+    position by CLOSED FORM over the bounded per-source counts (no
+    global sort/window — the banned single-task shape); the oracle
+    computes it as the naive global ROW_NUMBER definition, so the hash
+    certifies that the closed form IS the spec."""
+    from xorq_spark.functions.sampling import interleave_sources
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    return interleave_sources(docs).select(
+        F.col("position"),
+        F.col("rank_in_source").cast("long").alias("rank_in_source"),
+        "source",
+        "doc_id",
+    ).orderBy("position")
