@@ -360,3 +360,27 @@ def test_exact_substring_digest_count_is_join_not_window(spark):
         assert "dig" not in m.group(1), m.group(0)
     # and the duplication filter is a semi join on the digest
     assert "LeftSemi" in plan, plan
+
+
+def test_positional_join_no_single_partition_sort(spark):
+    """Round-7 fix: positional row numbering routes through
+    operators/prefix.py global_row_number — both sides range-repartition
+    on their order keys and rank partition-locally; the only
+    SinglePartition frame is the bounded #partitions-row offsets table.
+    A partition-less Window.orderBy here funnels BOTH full tables
+    through one sort task each."""
+    import pyspark.sql.functions as F
+
+    from xorq_spark.operators import positional_join
+
+    a = spark.range(0, 500).select(F.col("id").alias("x"))
+    b = spark.range(0, 500).select(F.col("id").alias("y"))
+    out = positional_join(a, b, ["x"], ["y"])
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # the data-sized windows are keyed on the range-partition id
+    assert "hashpartitioning(__pid" in plan, plan
+    # value parity with the naive single-partition construction
+    got = sorted((r.x, r.y) for r in out.collect())
+    assert got == [(i, i) for i in range(500)]

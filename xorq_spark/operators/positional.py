@@ -4,9 +4,12 @@ Reference: JoinKind 'positional'
 (/root/reference/python/xorq/vendor/ibis/expr/operations/relations.py:200-212).
 
 Row position is only meaningful relative to an explicit ordering, so the
-API takes per-side sort keys and assigns positions with a window
-row_number. For genuinely unordered RDD-style zipping Spark would need
-``zipWithIndex``; requiring explicit order keeps the operator
+API takes per-side sort keys. Positions are assigned with the two-level
+construction from operators/prefix.py (range-repartition on the order
+keys → partition-local row_number → broadcast per-partition count
+offsets), NOT a partition-less ``Window.orderBy`` — that lowers to ONE
+sort task per side and funnels both full tables through single
+partitions at scale. Requiring explicit order keeps the operator
 deterministic under any partitioning — the property that matters on a
 real cluster where scan order is never stable.
 """
@@ -15,8 +18,9 @@ from __future__ import annotations
 
 from typing import Sequence
 
-import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
+
+from xorq_spark.operators.prefix import global_row_number
 
 
 def positional_join(
@@ -26,8 +30,6 @@ def positional_join(
     right_order: Sequence[str],
     how: str = "inner",
 ) -> DataFrame:
-    lw = Window.orderBy(*[F.col(c) for c in left_order])
-    rw = Window.orderBy(*[F.col(c) for c in right_order])
-    l_idx = left.withColumn("__pos", F.row_number().over(lw))
-    r_idx = right.withColumn("__pos", F.row_number().over(rw))
+    l_idx = global_row_number(left, left_order, "__pos")
+    r_idx = global_row_number(right, right_order, "__pos")
     return l_idx.join(r_idx, "__pos", how).drop("__pos")

@@ -26,6 +26,51 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    out_col: str = "__pos",
+    descending: bool = False,
+) -> DataFrame:
+    """Add a global 1-based row position over ``order_cols`` WITHOUT a
+    single-partition window: range-repartition on the keys, rank
+    partition-locally, then add each partition's row-count prefix
+    (a bounded #partitions-row frame, broadcast back). Equal keys land
+    in the same range partition, so ties behave exactly as they would
+    under the partition-less window (arbitrary within the tie — pass a
+    distinct key set for fully deterministic positions)."""
+    spark = df.sparkSession
+    parts = max(
+        1, min(int(spark.conf.get("spark.sql.shuffle.partitions")), 32)
+    )
+    keys = [
+        F.col(c).desc() if descending else F.col(c).asc()
+        for c in order_cols
+    ]
+    lv = (
+        df.repartitionByRange(parts, *keys)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    loc = lv.withColumn(
+        "__loc", F.row_number().over(Window.partitionBy("__pid").orderBy(*keys))
+    )
+    wp = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    pref = (
+        lv.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__cnt").over(wp), F.lit(0)).alias("__off"),
+        )
+    )
+    return (
+        loc.join(F.broadcast(pref), "__pid")
+        .withColumn(out_col, (F.col("__loc") + F.col("__off")).cast("long"))
+        .drop("__pid", "__loc", "__off")
+    )
+
+
 def running_sum(
     df: DataFrame,
     order_col: str,
