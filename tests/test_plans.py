@@ -384,3 +384,30 @@ def test_positional_join_no_single_partition_sort(spark):
     # value parity with the naive single-partition construction
     got = sorted((r.x, r.y) for r in out.collect())
     assert got == [(i, i) for i in range(500)]
+
+
+def test_dup_span_detect_no_digest_window(spark):
+    """Round-7 de-skew: cross-document span frequency is a combinable
+    groupBy(digest) + join-back, not collect_set over a digest-keyed
+    Window — one boilerplate span must not serialize its whole id set
+    into a single window task."""
+    plan = _plan(spark, "dedup_dup_span_detect")
+    assert "Window" not in plan, plan
+
+
+def test_derive_query_terms_distributed_topk(spark):
+    """Round-7 fix: the query-term derivation ranks the distinct-term
+    table — billions of rows on a web corpus — so the top-k must be
+    TakeOrderedAndProject (per-partition heaps, k-row merge), never a
+    partition-less row_number over the whole vocabulary. The only
+    Window left runs on the k-row result."""
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.retrieval import derive_query_terms
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    out = derive_query_terms(docs, n_queries=3, terms_per_query=3)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "TakeOrderedAndProject" in plan, plan

@@ -47,6 +47,10 @@ TEXT_CHECK = [
     # round 5 (cont.): B-cubed — boilerplate collapses gold clusters
     # into one giant cell; the cell-count algebra must not overflow
     "dedup_bcubed_eval",
+    # round 7: 60% identical boilerplate = one hot span digest carrying
+    # 60% of all docs; frequency must come from a combinable aggregate,
+    # not a digest-keyed window (de-skew fix, dedup.py dup_span_detect)
+    "dedup_dup_span_detect",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",

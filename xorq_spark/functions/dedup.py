@@ -1259,10 +1259,12 @@ def dup_span_detect(
     raw text never leaves the scan), cross-document frequency is a
     window over that single exchange (distinct-per-doc first, so a
     self-repeating document does not inflate its own doc-frequency),
-    and the roll-up is one groupBy on the id.
+    and the roll-up is one groupBy on the id. Cross-document frequency
+    is a combinable groupBy(digest) aggregate joined back on the digest
+    (both AQE-skew-splittable), NOT collect_set over a digest-keyed
+    window — a boilerplate span occurring in 100M docs would land its
+    entire id set in one window task.
     """
-    from pyspark.sql import Window
-
     text = F.col(text_col)
     length = F.coalesce(F.length(text), F.lit(0))
     all_pos = F.when(
@@ -1284,10 +1286,10 @@ def dup_span_detect(
             )
         ).alias("__span"),
     ).select(F.col(id_col), F.md5(F.col("__span")).alias("__key"))
-    w = Window.partitionBy("__key")
-    flagged = spans.withColumn(
-        "__docs", F.size(F.collect_set(F.col(id_col)).over(w))
+    freq = spans.groupBy("__key").agg(
+        F.countDistinct(F.col(id_col)).alias("__docs")
     )
+    flagged = spans.join(freq, "__key")
     per_doc = flagged.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_spans"),
         F.sum(F.when(F.col("__docs") > 1, 1).otherwise(0))

@@ -67,10 +67,16 @@ def derive_query_terms(
     df_tbl = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
+    k = n_queries * terms_per_query
+    # Distributed top-k (TakeOrderedAndProject: per-partition heaps,
+    # k-row merge) — the distinct-term table of a web corpus is
+    # billions of rows, so it must NEVER sort in one task. Ranking
+    # happens on the k-row result, a bounded frame.
     w = Window.orderBy(F.col("df").desc(), F.col("term").asc())
     top = (
-        df_tbl.select("term", "df", F.row_number().over(w).alias("rk"))
-        .where(F.col("rk") <= n_queries * terms_per_query)
+        df_tbl.orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(k)
+        .select("term", "df", F.row_number().over(w).alias("rk"))
     )
     return top.select(
         F.expr(f"CAST((rk - 1) div {terms_per_query} + 1 AS INT)").alias(
