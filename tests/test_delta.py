@@ -633,3 +633,56 @@ def test_delete_where_no_match_is_noop_version(spark, tmp_path):
     assert v == v0  # nothing matched: no new commit
     live, _ = replay_log(table)
     assert {a["path"] for a in live} == {a["path"] for a in live_before}
+
+
+def test_commit_version_survives_log_cleanup(spark, tmp_path):
+    """Round-7 fix: version numbering must count checkpoint files too —
+    after JSON commits are cleaned up past a checkpoint, the next
+    writer used to restart at version 0 and overwrite history."""
+    import os
+
+    from xorq_spark.delta import (
+        checkpoint_log,
+        read_delta_fallback,
+        write_delta,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), table)  # v0
+    write_delta(
+        spark.createDataFrame([(2, "b")], "k long, v string"), table, mode="append"
+    )  # v1
+    assert checkpoint_log(table) == 1
+    log_dir = os.path.join(table, "_delta_log")
+    for fn in ("00000000000000000000.json", "00000000000000000001.json"):
+        os.unlink(os.path.join(log_dir, fn))
+    write_delta(
+        spark.createDataFrame([(3, "c")], "k long, v string"), table, mode="append"
+    )
+    assert os.path.exists(os.path.join(log_dir, "00000000000000000002.json"))
+    rows = sorted(
+        (r["k"], r["v"]) for r in read_delta_fallback(spark, table).collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_checkpoint_preserves_table_properties(spark, tmp_path):
+    """Round-7 fix: the checkpoint's metaData carries configuration —
+    dropping it silently disabled delta.enableChangeDataFeed for any
+    replay starting at the checkpoint."""
+    from xorq_spark.delta import checkpoint_log, replay_log, set_table_property, write_delta
+
+    table = str(tmp_path / "t")
+    write_delta(spark.createDataFrame([(1, "a")], "k long, v string"), table)
+    set_table_property(table, "delta.enableChangeDataFeed", "true")
+    checkpoint_log(table)
+    import os
+
+    log_dir = os.path.join(table, "_delta_log")
+    for fn in list(os.listdir(log_dir)):
+        if fn.endswith(".json"):
+            os.unlink(os.path.join(log_dir, fn))
+    _, meta = replay_log(table)
+    assert (meta.get("configuration") or {}).get(
+        "delta.enableChangeDataFeed"
+    ) == "true"

@@ -148,3 +148,66 @@ def test_vacuum_reaps_aged_cdc_files(spark, tmp_path):
     assert any(p.startswith("_change_data/") for p in doomed)
     vacuum(table, retention_hours=0.0)
     assert not [f for f in os.listdir(cdc_dir) if f.endswith(".parquet")]
+
+
+def test_restore_emits_cdf_rows(spark, tmp_path):
+    """Round-7 ADVICE fix: RESTORE on a CDF-enabled table stages cdc
+    delete rows for files leaving the snapshot and insert rows for
+    files returning — delta-spark emits CDF for RESTORE, and without
+    it read_table_changes over a range containing the RESTORE commit
+    raised the rewrite-without-cdc refusal."""
+    from xorq_spark.delta import restore_table, write_delta
+
+    table = _mk_cdf_table(spark, tmp_path)  # v0 data, v1 property
+    write_delta(
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        table,
+        mode="append",
+    )  # v2
+    v = restore_table(spark, table, 1)  # roll v2's file back out
+    assert _changes(spark, table, v) == [(v, "delete", 3, "c")]
+    # restoring forward re-adds the file -> insert rows
+    v2 = restore_table(spark, table, 2)
+    assert _changes(spark, table, v2) == [(v2, "insert", 3, "c")]
+    # and the whole feed reads end to end (no refusal anywhere)
+    all_rows = _changes(spark, table, 0)
+    assert (v, "delete", 3, "c") in all_rows and (v2, "insert", 3, "c") in all_rows
+
+
+def test_cdf_abort_unstages_cdc_files(spark, tmp_path):
+    """Round-7 ADVICE fix: an aborted CDF-enabled rewrite must unlink
+    its staged _change_data files, not just its add files."""
+    import os
+
+    from xorq_spark.delta import _cleanup_orphan_adds, _stage_cdc_files
+    import pyspark.sql.functions as F
+
+    table = _mk_cdf_table(spark, tmp_path)
+    cdc = spark.createDataFrame([(1, "a")], "k long, v string").withColumn(
+        "_change_type", F.lit("delete")
+    )
+    actions = _stage_cdc_files(cdc, table)
+    paths = [a["cdc"]["path"] for a in actions]
+    assert paths and all(os.path.exists(os.path.join(table, p)) for p in paths)
+    _cleanup_orphan_adds(table, actions)
+    assert not any(os.path.exists(os.path.join(table, p)) for p in paths)
+
+
+def test_remove_attribution_survives_log_cleanup_via_checkpoint(spark, tmp_path):
+    """Round-7 ADVICE fix: the CDF reader seeds its remove-attribution
+    map from the newest checkpoint before the range, so deletes whose
+    add landed in a JSON commit cleaned up past a checkpoint still
+    attribute; an unattributable remove raises instead of silently
+    dropping feed rows."""
+    import os
+
+    from xorq_spark.delta import checkpoint_log, delete_where, write_delta
+
+    table = _mk_cdf_table(spark, tmp_path)  # v0 adds k=1,2; v1 property
+    checkpoint_log(table)  # checkpoint at v1
+    # simulate log cleanup: remove the JSON commits the checkpoint covers
+    log_dir = os.path.join(table, "_delta_log")
+    for fn in ("00000000000000000000.json", "00000000000000000001.json"):
+        os.unlink(os.path.join(log_dir, fn))
+    delete_where(spark, table, "k = 1")  # v2: delete from the v0 file
+    assert _changes(spark, table, 2) == [(2, "delete", 1, "a")]

@@ -147,3 +147,46 @@ def test_stream_upsert_without_order_col_requires_unique_batch(spark, tmp_path):
         S.stream_upsert_to_delta(
             stream, str(tmp_path / "t"), str(tmp_path / "ckpt"), ["k"]
         )
+
+
+def test_merge_upsert_zombie_writer_same_txn_aborts(spark, tmp_path):
+    """Round-7 ADVICE fix: the (app_id, txn_version) dedup in
+    merge_upsert is check-then-act, so a competing writer of the SAME
+    micro-batch that commits between our entry check and our publish
+    must be caught by _commit_rewrite's pre-link txn re-scan — an
+    insert-only batch has no remove actions, so the remove-conflict
+    check alone cannot stop the double-apply."""
+    import os
+
+    from xorq_spark.delta import (
+        _commit_rewrite,
+        merge_upsert,
+        read_delta_fallback,
+        stage_delta_files,
+        write_delta,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table
+    )  # v0
+    log_dir = os.path.join(table, "_delta_log")
+    # zombie writer Z captured its cursor at v0 (before v1 exists) ...
+    txn_scan_from = 1
+    # ... then the WINNER commits batch 7 (insert-only: key 9 matches
+    # no live file's stats range, so no removes) as v1
+    src = spark.createDataFrame([(9, "win")], "k long, v string")
+    assert merge_upsert(spark, table, src, ["k"], app_id="s", txn_version=7) == 1
+    # Z now publishes its own staging of the same (app_id=s, txn=7):
+    # the pre-link re-scan from Z's cursor must see the winner and
+    # abort as a no-op, unstaging Z's files.
+    dup = spark.createDataFrame([(9, "zombie")], "k long, v string")
+    actions = [{"txn": {"appId": "s", "version": 7}}]
+    actions.extend(stage_delta_files(dup, table))
+    staged = [a["add"]["path"] for a in actions if "add" in a]
+    assert all(os.path.exists(os.path.join(table, p)) for p in staged)
+    got = _commit_rewrite(log_dir, table, actions, 1, txn_scan_from=txn_scan_from)
+    assert got is None
+    assert not any(os.path.exists(os.path.join(table, p)) for p in staged)
+    out = sorted((r["k"], r["v"]) for r in read_delta_fallback(spark, table).collect())
+    assert out == [(1, "a"), (9, "win")]

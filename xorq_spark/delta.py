@@ -256,10 +256,15 @@ def _delta_schema_string(spark_schema) -> str:
 
 
 def _commit_version(log_dir: str) -> int:
+    # A checkpoint at version v proves commit v existed even when its
+    # JSON (and everything older) has been cleaned up — without
+    # counting checkpoints, a post-cleanup writer would restart
+    # numbering at 0 and overwrite history.
     versions = [
         int(f.split(".")[0])
         for f in os.listdir(log_dir)
-        if f.endswith(".json") and f.split(".")[0].isdigit()
+        if (f.endswith(".json") or f.endswith(".checkpoint.parquet"))
+        and f.split(".")[0].isdigit()
     ]
     return (max(versions) + 1) if versions else 0
 
@@ -276,7 +281,8 @@ def _commit_rewrite(
     table_path: str,
     actions: List[dict],
     snapshot_version: int,
-) -> int:
+    txn_scan_from: Optional[int] = None,
+) -> Optional[int]:
     """Atomic commit for rewrite commits (remove + add) with the Delta
     protocol's optimistic-concurrency re-check: every commit that
     landed AFTER the snapshot this rewrite was computed from is
@@ -284,19 +290,45 @@ def _commit_rewrite(
     commit also removes (a concurrent MERGE/OPTIMIZE rewrote it), this
     commit would resurrect deleted rows or double compacted ones, so it
     aborts with DeltaConcurrentWriteError and unstages its data files.
-    Plain appends (adds only) are always safe to serialize after."""
+    Plain appends (adds only) are always safe to serialize after.
+
+    When `actions` carry a `txn` marker (idempotent MERGE replay), the
+    same pre-link re-scan that write_delta_txn runs guards the
+    check-then-act dedup: before every link attempt, commits landed
+    since `txn_scan_from` (a cursor the CALLER captured before its own
+    last_txn_version lookup) are re-checked for the same (appId,
+    version) — if a concurrent writer of this very micro-batch already
+    won, the commit aborts as a no-op (returns None, staged files
+    cleaned) instead of double-applying the batch. Without this, two
+    re-deliveries of an insert-only batch (no removes, so the
+    remove-conflict check can't catch them) would both commit."""
     import uuid as _uuid
 
     remove_paths = {
         a["remove"]["path"] for a in actions if "remove" in a
     }
+    txn = next((a["txn"] for a in actions if "txn" in a), None)
     tmp = os.path.join(log_dir, f".tmp-{_uuid.uuid4().hex}.json")
     with open(tmp, "w") as fh:
         for a in actions:
             fh.write(json.dumps(a) + "\n")
     checked_upto = snapshot_version + 1  # commits < this are our snapshot
+    txn_checked = (
+        min(txn_scan_from, checked_upto)
+        if txn_scan_from is not None
+        else checked_upto
+    )
     while True:
         version = _commit_version(log_dir)
+        if txn is not None:
+            for c in range(txn_checked, version):
+                if _txn_in_commit(log_dir, c, txn["appId"]) >= int(
+                    txn["version"]
+                ):
+                    os.unlink(tmp)
+                    _cleanup_orphan_adds(table_path, actions)
+                    return None
+            txn_checked = version
         for c in range(checked_upto, version):
             fp = os.path.join(log_dir, f"{c:020d}.json")
             try:
@@ -600,12 +632,15 @@ def write_delta_txn(
 
 def _cleanup_orphan_adds(table_path: str, actions: List[dict]) -> None:
     """Remove the data files of an aborted commit (they were staged but
-    never entered the log, so no reader can see them)."""
+    never entered the log, so no reader can see them). Covers both
+    `add` data files and `cdc` change files — a CDF-enabled MERGE or
+    DELETE stages `_change_data/cdc-*.parquet` before committing, and
+    an abort must not leave them orphaned on disk."""
     for a in actions:
-        add = a.get("add")
-        if add:
+        staged = a.get("add") or a.get("cdc")
+        if staged:
             try:
-                os.unlink(os.path.join(table_path, add["path"]))
+                os.unlink(os.path.join(table_path, staged["path"]))
             except OSError:
                 pass
 
@@ -782,6 +817,15 @@ def merge_upsert(
 
     if (app_id is None) != (txn_version is None):
         raise ValueError("app_id and txn_version must be passed together")
+    # Capture the txn re-scan cursor BEFORE the dedup lookup (same
+    # discipline as write_delta_txn): _commit_rewrite re-checks every
+    # commit numbered >= this for our (app_id, txn_version) before each
+    # link attempt, so a concurrent re-delivery of the same batch that
+    # lands after this listing cannot slip past both checks.
+    _probe_log = os.path.join(table_path, "_delta_log")
+    txn_scan_from = (
+        _commit_version(_probe_log) if os.path.isdir(_probe_log) else 0
+    )
     if app_id is not None and last_txn_version(table_path, app_id) >= int(
         txn_version
     ):
@@ -886,7 +930,13 @@ def merge_upsert(
         {"remove": {"path": a["path"], "dataChange": True}} for a in candidates
     )
     actions.extend(stage_delta_files(merged, table_path, part_cols))
-    return _commit_rewrite(log_dir, table_path, actions, snapshot_version)
+    return _commit_rewrite(
+        log_dir,
+        table_path,
+        actions,
+        snapshot_version,
+        txn_scan_from=txn_scan_from if app_id is not None else None,
+    )
 
 
 def delete_where(
@@ -1024,6 +1074,12 @@ def checkpoint_log(table_path: str) -> int:
         "id": meta.get("id", ""),
         "schemaString": meta["schemaString"],
         "partitionColumns": list(meta.get("partitionColumns") or []),
+        # table properties MUST survive the checkpoint (the spec's
+        # metaData is carried whole): dropping configuration silently
+        # turned delta.enableChangeDataFeed off for any reader whose
+        # replay started at the checkpoint. Nulled when empty —
+        # parquet cannot store an empty struct.
+        "configuration": dict(meta.get("configuration") or {}) or None,
     }
     rows: List[dict] = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -1072,7 +1128,7 @@ def restore_table(spark, table_path: str, version: int) -> int:
 
     Returns the committed version (current version if already there).
     """
-    live_now, _meta, cur = _replay_log_full(table_path)
+    live_now, meta, cur = _replay_log_full(table_path)
     target_adds, _tmeta = replay_log(table_path, version)
     now_paths = {a["path"] for a in live_now}
     tgt_paths = {a["path"] for a in target_adds}
@@ -1100,6 +1156,37 @@ def restore_table(spark, table_path: str, version: int) -> int:
             }
         }
     ]
+    if _cdf_enabled(meta):
+        # delta-spark emits CDF rows for RESTORE: rows leaving the
+        # snapshot (files removed below) as deletes, rows returning
+        # (files re-added) as inserts. Without these, a feed consumer
+        # reading across the RESTORE commit would hit the
+        # rewrite-without-cdc refusal even though CDF was on throughout.
+        import pyspark.sql.functions as F
+
+        schema_cols = [
+            f["name"] for f in json.loads(meta["schemaString"])["fields"]
+        ]
+        removed_adds = [a for a in live_now if a["path"] not in tgt_paths]
+        readd_adds = [a for a in target_adds if a["path"] not in now_paths]
+        cdc_frames = []
+        if removed_adds:
+            cdc_frames.append(
+                _frame_for_adds(spark, table_path, removed_adds, meta)
+                .select(*schema_cols)
+                .withColumn("_change_type", F.lit("delete"))
+            )
+        if readd_adds:
+            cdc_frames.append(
+                _frame_for_adds(spark, table_path, readd_adds, meta)
+                .select(*schema_cols)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+        if cdc_frames:
+            cdc_df = cdc_frames[0]
+            for f in cdc_frames[1:]:
+                cdc_df = cdc_df.unionByName(f)
+            actions.extend(_stage_cdc_files(cdc_df, table_path))
     actions.extend(
         {"remove": {"path": p, "dataChange": True}}
         for p in sorted(now_paths - tgt_paths)
@@ -1284,9 +1371,28 @@ def read_table_changes(
     schema_cols = [
         f["name"] for f in json.loads(meta["schemaString"])["fields"]
     ]
-    # running path -> add map so a remove in-range can be attributed
+    # Running path -> add map so a remove in-range can be attributed.
+    # Seeded from the newest parquet checkpoint before the range (same
+    # as _replay_log_full): JSON commits older than a checkpoint may be
+    # cleaned up, and a remove whose add predates the surviving log
+    # window must still attribute — never silently drop feed rows.
     active: Dict[str, dict] = {}
-    for c in range(0, hi + 1):
+    walk_from = 0
+    checkpoints = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(log_dir)
+        if f.endswith(".checkpoint.parquet") and f.split(".")[0].isdigit()
+    )
+    seed_cps = [v for v in checkpoints if v < lo]
+    if seed_cps:
+        cp_adds, _cp_meta, _rv, _txns = _read_checkpoint(
+            os.path.join(
+                log_dir, f"{seed_cps[-1]:020d}.checkpoint.parquet"
+            )
+        )
+        active = {a["path"]: a for a in cp_adds}
+        walk_from = seed_cps[-1] + 1
+    for c in range(walk_from, hi + 1):
         fp = os.path.join(log_dir, f"{c:020d}.json")
         if not os.path.exists(fp):
             continue
@@ -1330,9 +1436,18 @@ def read_table_changes(
                         .withColumn("_commit_version", F.lit(c).cast("long"))
                     )
                 if d_rms:
-                    rm_adds = [
-                        active[r["path"]] for r in d_rms if r["path"] in active
+                    orphans = [
+                        r["path"] for r in d_rms if r["path"] not in active
                     ]
+                    if orphans:
+                        raise ValueError(
+                            f"commit {c} of {table_path!r} removes "
+                            f"{orphans[0]!r}, whose add action is outside "
+                            "the surviving log window (cleaned past a "
+                            "checkpoint?); its rows cannot be attributed "
+                            "to the change feed"
+                        )
+                    rm_adds = [active[r["path"]] for r in d_rms]
                     if rm_adds:
                         frames.append(
                             _frame_for_adds(spark, table_path, rm_adds, meta)
