@@ -233,6 +233,35 @@ def main():
         except Exception:
             return -1
 
+    def jit_ms():
+        # accumulated JVM JIT (C1/C2) compilation time — the cold-pass
+        # hypothesis for >2x pass swings on queries with very large
+        # generated expression trees (bitext cosine, permutation's
+        # 128-sum update row): per-query DELTAS make it observable.
+        try:
+            return (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getCompilationMXBean().getTotalCompilationTime()
+            )
+        except Exception:
+            return -1
+
+    def codegen_compiles():
+        # whole-stage-codegen compilation count (Janino), from Spark's
+        # CodegenMetrics source; a nonzero delta on pass 2+ means the
+        # generated-class cache missed (plan not reused across passes).
+        try:
+            cm = getattr(
+                getattr(
+                    spark._jvm.org.apache.spark.metrics.source,
+                    "CodegenMetrics$",
+                ),
+                "MODULE$",
+            )
+            return cm.METRIC_COMPILATION_TIME().getCount()
+        except Exception:
+            return -1
+
     def pyspark_worker_pids():
         # live pyspark.daemon/worker processes — a pid-set CHANGE between
         # two samples means workers were torn down and respawned (the
@@ -257,6 +286,7 @@ def main():
         fn = QUERIES[name]
         if diag is not None:
             gc0, pids0 = jvm_gc_ms(), pyspark_worker_pids()
+            jit0, cg0 = jit_ms(), codegen_compiles()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -264,11 +294,20 @@ def main():
         if diag is not None:
             pids1 = pyspark_worker_pids()
             d = diag.setdefault(
-                name, {"sec": [], "gc_ms": [], "worker_spawns": []}
+                name,
+                {
+                    "sec": [],
+                    "gc_ms": [],
+                    "worker_spawns": [],
+                    "jit_ms": [],
+                    "codegen_compiles": [],
+                },
             )
             d["sec"].append(round(dt, 3))
             d["gc_ms"].append(jvm_gc_ms() - gc0)
             d["worker_spawns"].append(len(pids1 - pids0))
+            d["jit_ms"].append(jit_ms() - jit0)
+            d["codegen_compiles"].append(codegen_compiles() - cg0)
         unpersist_rdds()  # outside the timer; next query starts clean
         return dt
 

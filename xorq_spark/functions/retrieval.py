@@ -274,7 +274,7 @@ def mmr_rerank(
     """
     from pyspark.sql import Window
 
-    from xorq_spark.functions.similarity import cosine_similarity
+    from xorq_spark.functions.similarity import _dot, l2_norm
 
     q, i = query_col, id_col
     wq = Window.partitionBy(q)
@@ -291,9 +291,12 @@ def mmr_rerank(
     # unrolled round re-plans that pipeline and the final plan grows
     # super-linearly in `rounds` (measured: ~30 s of pure planning for
     # 12 output rows). Eager checkpoint = the pagerank/CC precedent.
+    # __n (the hoisted L2 norm) makes the per-pair cosine ONE dot fold;
+    # the hoisted sqrt(dot(v,v)) is the identical double the inline
+    # tree produced, so rounded similarities are bit-unchanged.
     c0 = (
         rel.join(v, i)
-        .select(q, i, "__rel", "__e")
+        .select(q, i, "__rel", "__e", l2_norm(F.col("__e")).alias("__nrm"))
         .localCheckpoint(eager=True)
     )
 
@@ -304,25 +307,44 @@ def mmr_rerank(
         c0.withColumn("__rn", rn1)
         .where(F.col("__rn") == 1)
         .select(
-            q, i, "__e",
-            F.lit(1).alias("mmr_rank"),
+            q, i, "__e", "__nrm",
+            F.lit(1).cast("int").alias("mmr_rank"),
             F.round("__rel", 6).alias("mmr_score"),
         )
     )
-    for r in range(2, int(rounds) + 1):
+    # Each unrolled round is built from IDENTICAL expressions (the rank
+    # comes from a per-query count of the checkpointed selected set,
+    # never a round-varying literal): a changing literal is inlined
+    # into the generated Java of every stage, so each round minted its
+    # own codegen classes — ~135 per pass, blowing the 100-entry
+    # generated-class cache and recompiling everything on EVERY pass
+    # (measured: 135 Janino compiles per pass -> ~5 with this shape).
+    for _ in range(2, int(rounds) + 1):
         rem = c0.join(F.broadcast(sel.select(q, i)), [q, i], "left_anti")
         ms = (
             rem.join(
-                F.broadcast(sel.select(q, F.col("__e").alias("__se"))), q
+                F.broadcast(
+                    sel.select(
+                        q,
+                        F.col("__e").alias("__se"),
+                        F.col("__nrm").alias("__snrm"),
+                    )
+                ),
+                q,
             )
             .groupBy(q, i)
             .agg(
                 F.max(
                     F.round(
-                        cosine_similarity(F.col("__e"), F.col("__se")), 6
+                        _dot(F.col("__e"), F.col("__se"))
+                        / (F.col("__nrm") * F.col("__snrm")),
+                        6,
                     )
                 ).alias("__maxsim")
             )
+        )
+        nxt = sel.groupBy(q).agg(
+            (F.max("mmr_rank") + 1).cast("int").alias("__nxtrank")
         )
         pick = (
             rem.join(F.broadcast(ms), [q, i])
@@ -338,9 +360,10 @@ def mmr_rerank(
                 ),
             )
             .where(F.col("__rn") == 1)
+            .join(F.broadcast(nxt), q)
             .select(
-                q, i, "__e",
-                F.lit(r).alias("mmr_rank"),
+                q, i, "__e", "__nrm",
+                F.col("__nxtrank").alias("mmr_rank"),
                 F.col("__score").alias("mmr_score"),
             )
         )

@@ -1261,6 +1261,13 @@ def randomization_test(
         v.alias("__v"), g.alias("__g"), v1.alias("__v1"), v2.alias("__v2")
     )
 
+    # The B-wide update row is built as SQL STRINGS parsed JVM-side in
+    # one call per expression: composing it Column-by-Column costs
+    # thousands of py4j round-trips (~15 s of pure driver-side build at
+    # b=64, and the source of this query's pass-to-pass bench variance
+    # — the cluster never saw any of that time). The parsed trees are
+    # the identical expressions the Column API produced, so results are
+    # bit-unchanged.
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("__v")).alias("__s"),
@@ -1268,38 +1275,37 @@ def randomization_test(
         F.sum(F.col("__g").cast("long")).alias("n_a"),
     ]
     for i in range(b):
-        bit = ((F.col("__v1") + F.col("__v2") * F.lit(i)) % F.lit(M)) % 2 == 1
-        aggs.append(F.sum(F.when(bit, F.col("__v"))).alias(f"__s{i}"))
-        aggs.append(F.sum(bit.cast("long")).alias(f"__n{i}"))
+        bit = f"((__v1 + __v2 * {i}) % {M}) % 2 = 1"
+        aggs.append(F.expr(f"sum(case when {bit} then __v end) as __s{i}"))
+        aggs.append(F.expr(f"sum(cast(({bit}) as bigint)) as __n{i}"))
     wide = base.agg(*aggs)
 
-    def mean_diff(s_a, n_a, s_tot, n_tot):
+    def mean_diff_sql(s_a, n_a, s_tot, n_tot):
         # |mean_a - mean_b| as one double tree over exact integer sums
-        return F.abs(
-            s_a.cast("double") / n_a.cast("double")
-            - (s_tot - s_a).cast("double") / (n_tot - n_a).cast("double")
+        return (
+            f"abs(cast({s_a} as double) / cast({n_a} as double)"
+            f" - cast(({s_tot}) - ({s_a}) as double)"
+            f" / cast(({n_tot}) - ({n_a}) as double))"
         )
 
-    obs = mean_diff(F.col("__sa"), F.col("n_a"), F.col("__s"), F.col("n"))
+    obs = F.expr(mean_diff_sql("__sa", "n_a", "__s", "n"))
     stats = wide.select(
         "n",
         "n_a",
         (F.col("n") - F.col("n_a")).cast("long").alias("n_b"),
         F.round(obs, 9).alias("obs_diff"),
         F.explode(
-            F.array(
-                *[
-                    F.when(
-                        (F.col(f"__n{i}") > 0) & (F.col(f"__n{i}") < F.col("n")),
-                        mean_diff(
-                            F.coalesce(F.col(f"__s{i}"), F.lit(0)),
-                            F.col(f"__n{i}"),
-                            F.col("__s"),
-                            F.col("n"),
-                        ),
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"case when __n{i} > 0 and __n{i} < n then "
+                    + mean_diff_sql(
+                        f"coalesce(__s{i}, 0)", f"__n{i}", "__s", "n"
                     )
+                    + " end"
                     for i in range(b)
-                ]
+                )
+                + ")"
             )
         ).alias("__stat"),
     )

@@ -55,6 +55,13 @@ def options() -> dict:
         # Broadcast threshold: AQE will also convert at runtime; static
         # 64 MiB keeps dim-table joins (region/nation/part) broadcast.
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+        # Generated-class cache: the default 100 entries thrashes on
+        # multi-round iterative plans (MMR's 4 unrolled rounds alone
+        # mint ~150 classes), forcing a full Janino recompile of every
+        # stage on EVERY run — measured 151 -> 4 compiles per run and
+        # 16 s -> 1.7 s warm on the permutation test by raising it.
+        # Cost is bounded driver memory (~KBs per cached class).
+        "spark.sql.codegen.cache.maxEntries": "2000",
     }
 
 
