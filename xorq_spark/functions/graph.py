@@ -179,10 +179,17 @@ def label_propagation(
     convergence); unlike min-label propagation this is NOT connected
     components — dense neighborhoods out-vote bridges.
 
-    Scale: symmetrized edge list checkpointed once; each round is one
-    edges⋈labels shuffle keyed on src plus one (node, label) groupBy —
-    the same per-iteration cost shape as pagerank. Tie-break via
-    min(struct(-count, label)) keeps the reduction combinable.
+    Scale: symmetrized edge list hash-partitioned on src ONCE and
+    reused every round (localCheckpoint preserves the partitioning in
+    the LogicalRDD — the bfs_hops frontier pattern); labels stay
+    hash-partitioned on node throughout. Each round then pays exactly
+    ONE exchange — moving labels along edges (repartition on the
+    receiving node) — because the edges⋈labels join is co-partitioned,
+    the (node,label) count and the per-node arg-min both reuse
+    hash(node) (ClusteredDistribution is satisfied by the single-key
+    partitioning), and the nodes⋈best join is co-partitioned too.
+    Tie-break via min(struct(-count, label)) keeps the reduction
+    combinable.
 
     Returns (node, community)."""
     e0 = (
@@ -194,14 +201,11 @@ def label_propagation(
         .where(F.col("a") != F.col("b"))
         .distinct()
     )
-    e = (
+    e_raw = (
         e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .union(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
         .localCheckpoint(eager=True)
-    )
-    nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
     )
     # Size the per-round shuffles to the MEASURED edge count (free from
     # the checkpoint materialization) — the pagerank pattern: at the
@@ -210,15 +214,25 @@ def label_propagation(
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
-    fit = max(1, min(int(old_parts), e.count() // 500_000 + 1))
-    labels = nodes.select("node", F.col("node").alias("lab"))
+    fit = max(1, min(int(old_parts), e_raw.count() // 500_000 + 1))
     try:
         spark.conf.set(conf_key, str(fit))
+        e = e_raw.repartition(fit, "src").localCheckpoint(eager=True)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .distinct()  # exchanges hash(node, fit) under the conf
+            .localCheckpoint(eager=True)
+        )
+        labels = nodes.select("node", F.col("node").alias("lab"))
         for _ in range(iterations):
-            nb = e.join(
-                labels.withColumnRenamed("node", "__n"),
-                F.col("src") == F.col("__n"),
-            ).select(F.col("dst").alias("node"), "lab")
+            nb = (
+                e.join(  # co-partitioned on src == node: no exchange
+                    labels.withColumnRenamed("node", "__n"),
+                    F.col("src") == F.col("__n"),
+                )
+                .select(F.col("dst").alias("node"), "lab")
+                .repartition(fit, "node")  # THE round exchange
+            )
             cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
             best = cnt.groupBy("node").agg(
                 F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))).alias("m")
