@@ -136,6 +136,9 @@ HEADLINE = [
     "agg_permutation_test",
     "text_fim_transform",
     "sim_bitext_mining",
+    # round 7: REAL progressive-JPEG (SOF2) decode — successive
+    # approximation + EOB-run coding in Arrow-batched workers
+    "mm_decode_jpeg_progressive",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

@@ -98,11 +98,13 @@ def test_decode_image_dispatches_jpeg():
     assert (w, h, ch, out) == (16, 16, 1, px)
 
 
-def test_progressive_sof2_is_gated():
+def test_relabeled_baseline_is_not_valid_progressive():
+    # a baseline stream relabeled SOF2 carries an Ss=0..Se=63 scan,
+    # which is not a legal progressive band — clean error, no garbage
     enc = bytearray(jpeg_encode(_uniform_blocks(2, 2, 1), 16, 16, 1))
     i = enc.find(b"\xff\xc0")
     enc[i + 1] = 0xC2  # rewrite SOF0 -> SOF2
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="progressive scan band"):
         jpeg_decode(bytes(enc))
 
 
@@ -190,3 +192,76 @@ def test_idct_matches_independent_reference():
             coef[rng.randrange(64)] = rng.randrange(-300, 300)
         ours, ref = _idct(coef), ref_idct(coef)
         assert max(abs(a - b) for a, b in zip(ours, ref)) <= 1
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) codec — round 7
+# ---------------------------------------------------------------------------
+
+
+def test_progressive_uniform_blocks_exact():
+    from xorq_spark.functions.jpegcodec import jpeg_encode_progressive
+
+    px = _uniform_blocks(3, 2, 9)
+    enc = jpeg_encode_progressive(px, 24, 16, 1)
+    assert b"\xff\xc2" in enc  # really SOF2
+    assert enc.count(b"\xff\xda") == 4  # DC first/refine + AC first/refine
+    assert jpeg_decode(enc) == (24, 16, 1, px)
+
+
+def test_progressive_matches_baseline_bit_for_bit():
+    """Both encoders quantize identically, so both decodes must agree
+    byte-for-byte on ANY content — this pins every successive-
+    approximation path (DC refine bits, AC significance runs, EOB runs,
+    correction bits) against the independently-tested baseline path."""
+    import random
+
+    from xorq_spark.functions.jpegcodec import jpeg_encode_progressive
+
+    rng = random.Random(123)
+    for wd, ht, ch in [(8, 8, 1), (24, 24, 1), (17, 11, 3), (32, 24, 3), (7, 5, 1)]:
+        px = bytes(rng.randrange(256) for _ in range(wd * ht * ch))
+        base = jpeg_decode(jpeg_encode(px, wd, ht, ch))
+        prog = jpeg_decode(jpeg_encode_progressive(px, wd, ht, ch))
+        assert base == prog, (wd, ht, ch)
+
+
+def test_progressive_long_eob_runs():
+    """An all-uniform multi-block image makes every AC band empty: the
+    first AC scan is one EOBn run covering all blocks (n > 0 exercises
+    the run-length extension bits), the refine scan likewise."""
+    from xorq_spark.functions.jpegcodec import jpeg_encode_progressive
+
+    px = bytes([130]) * (64 * 64)  # 64 blocks, all uniform
+    enc = jpeg_encode_progressive(px, 64, 64, 1)
+    assert jpeg_decode(enc) == (64, 64, 1, px)
+
+
+def test_progressive_sparse_high_freq():
+    """One hot pixel per block: sparse AC coefficients surrounded by
+    zero runs exercise ZRL paths in both first and refine scans."""
+    import random
+
+    from xorq_spark.functions.jpegcodec import jpeg_encode_progressive
+
+    rng = random.Random(5)
+    w = h = 32
+    px = bytearray([128]) * 0 or bytearray(bytes([128]) * (w * h))
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            x, y = rng.randrange(8), rng.randrange(8)
+            px[(by * 8 + y) * w + bx * 8 + x] = 255
+    base = jpeg_decode(jpeg_encode(bytes(px), w, h, 1))
+    prog = jpeg_decode(jpeg_encode_progressive(bytes(px), w, h, 1))
+    assert base == prog
+
+
+def test_progressive_rgb_dispatches_via_decode_image():
+    from xorq_spark.functions.jpegcodec import jpeg_encode_progressive
+
+    px = bytes(
+        (3 * i + c) % 256 for i in range(16 * 16) for c in range(3)
+    )
+    w, h, ch, out = decode_image(jpeg_encode_progressive(px, 16, 16, 3))
+    assert (w, h, ch) == (16, 16, 3)
+    assert out == jpeg_decode(jpeg_encode(px, 16, 16, 3))[3]

@@ -8,11 +8,11 @@ types, all five scanline filters (None/Sub/Up/Average/Paeth), multiple
 IDAT chunks, no interlacing. That covers everything our own encoder
 emits plus externally produced baseline PNGs of those color types.
 
-Baseline JPEG (functions/jpegcodec.py) and lossless WebP/VP8L
-(functions/webpcodec.py) decode for real too; what remains gated BY
-NAME is the genuinely out-of-scope perimeter — progressive/arithmetic
-JPEG, lossy VP8, RIFF/WAV-in-image-path — because a fake would poison
-training features silently.
+Baseline AND progressive JPEG (functions/jpegcodec.py) and lossless
+WebP/VP8L (functions/webpcodec.py) decode for real too; what remains
+gated BY NAME is the genuinely out-of-scope perimeter —
+arithmetic-coded JPEG, lossy VP8, RIFF/WAV-in-image-path — because a
+fake would poison training features silently.
 
 Scale note: these kernels run INSIDE Arrow-batched mapInPandas workers
 (functions/multimodal.py) — per-row pure-Python cost on a few-KB

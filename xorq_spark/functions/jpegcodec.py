@@ -1,14 +1,18 @@
-"""Pure-stdlib baseline JPEG codec (ITU-T T.81 sequential DCT, Huffman).
+"""Pure-stdlib JPEG codec (ITU-T T.81: baseline sequential DCT AND
+progressive DCT, Huffman).
 
 Ungates the imagecodec.py JPEG gate with zero dependencies: a complete
 baseline decoder — marker parse (DQT/SOF0/DHT/DRI/SOS), canonical
 Huffman decode with byte-stuffing and restart markers, DC prediction,
 dequantization, float IDCT, chroma upsampling for any h,v ∈ {1,2}
-sampling (4:4:4, 4:2:2, 4:2:0), JFIF YCbCr→RGB — plus the matching
-encoder (grayscale and 4:4:4 RGB, Annex-K quantization scaled by
-quality, Annex-K Huffman tables) used by tests and the certified query
-corpus. Progressive/arithmetic/12-bit streams raise ValueError naming
-the feature.
+sampling (4:4:4, 4:2:2, 4:2:0), JFIF YCbCr→RGB — plus a PROGRESSIVE
+(SOF2) decoder implementing spectral selection and successive
+approximation with EOB-run coding (T.81 G.2; round 7), and matching
+encoders (baseline grayscale / 4:4:4 RGB, and a progressive encoder
+with libjpeg's scan-script shape: DC first/refine + per-component AC
+first/refine) used by tests and the certified query corpus.
+Arithmetic-coded and 12-bit streams raise ValueError naming the
+feature.
 
 Exactness contract for the oracle-certified query
 (queries/multimodal.py mm_decode_jpeg_stats): a uniform 8x8 block has
@@ -28,7 +32,7 @@ from __future__ import annotations
 
 import math
 import struct
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 # ---------------------------------------------------------------------------
 # spec tables (ITU-T T.81 Annex K)
@@ -123,6 +127,18 @@ AC_CHROMA_SPEC = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ),
+)
+
+# Progressive AC Huffman table: the Annex-K AC tables define only EOB0
+# (0x00) and ZRL (0xF0) among the size-0 symbols, but progressive
+# EOB-run coding needs EOBn for n up to 14 (T.81 G.1.2.2) — real
+# progressive encoders ship custom tables. This one is the simplest
+# canonical table covering the full progressive alphabet (EOB0..EOB14,
+# ZRL, and every (run, size 1..10) pair): all 176 symbols at length 8.
+PROG_AC_SPEC = (
+    (0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0),
+    tuple(r << 4 for r in range(16))
+    + tuple((r << 4) | sz for r in range(16) for sz in range(1, 11)),
 )
 
 # precomputed IDCT basis: cos((2x+1)*u*pi/16) * C(u)/2
@@ -451,11 +467,13 @@ def jpeg_encode(
 
 
 def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
-    """Decode a baseline JPEG -> (width, height, channels, pixels).
+    """Decode a baseline (SOF0) or progressive (SOF2) JPEG ->
+    (width, height, channels, pixels).
 
-    Supports sequential DCT, 8-bit, Huffman, 1 or 3 components with
-    sampling factors in {1, 2}, restart intervals. Progressive (SOF2),
-    arithmetic coding, and 12-bit raise ValueError."""
+    Supports sequential and progressive DCT (spectral selection +
+    successive approximation, T.81 G.1/G.2), 8-bit, Huffman, 1 or 3
+    components with sampling factors in {1, 2}, restart intervals.
+    Arithmetic coding, hierarchical, and 12-bit raise ValueError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -465,6 +483,8 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
     width = height = None
     comps: List[dict] = []
     restart = 0
+    progressive = False
+    prog: Optional[dict] = None  # progressive coefficient state
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("corrupt JPEG: expected marker")
@@ -472,9 +492,10 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
         pos += 2
         if marker == 0xD9:  # EOI
             break
-        if marker in (0xC2, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+        if marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                "unsupported JPEG: only baseline sequential (SOF0) decodes"
+                "unsupported JPEG: only baseline sequential (SOF0) and "
+                "progressive (SOF2) decode"
             )
         (seglen,) = struct.unpack_from(">H", data, pos)
         body = data[pos + 2 : pos + seglen]
@@ -492,7 +513,8 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
                     dezz[ZIGZAG[k]] = body[i + k]
                 qt[tq] = tuple(dezz)
                 i += 64
-        elif marker == 0xC0:  # SOF0
+        elif marker in (0xC0, 0xC2):  # SOF0 / SOF2
+            progressive = marker == 0xC2
             depth, height, width, nc = struct.unpack_from(">BHHB", body, 0)
             if depth != 8:
                 raise ValueError("unsupported JPEG: only 8-bit depth")
@@ -531,11 +553,22 @@ def jpeg_decode(data: bytes) -> Tuple[int, int, int, bytes]:
                 comp = next(c for c in comps if c["id"] == cid)
                 scan.append((comp, tt >> 4, tt & 0xF))
             pos += seglen
-            return _decode_scan(
-                data, pos, width, height, comps, scan, qt,
+            if not progressive:
+                return _decode_scan(
+                    data, pos, width, height, comps, scan, qt,
+                    huff_dc, huff_ac, restart,
+                )
+            ss, se, ahal = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            if prog is None:
+                prog = _prog_init(width, height, comps)
+            pos = _decode_prog_scan(
+                data, pos, prog, scan, ss, se, ahal >> 4, ahal & 0xF,
                 huff_dc, huff_ac, restart,
             )
+            continue
         pos += seglen
+    if progressive and prog is not None:
+        return _prog_finish(prog, width, height, comps, qt)
     raise ValueError("corrupt JPEG: no SOS marker")
 
 
@@ -599,6 +632,14 @@ def _decode_scan(
                             plane[row : row + 8] = bytes(
                                 blk[yy * 8 : yy * 8 + 8]
                             )
+    return _planes_to_pixels(planes, comps, width, height, hmax, vmax)
+
+
+def _planes_to_pixels(planes, comps, width, height, hmax, vmax):
+    """Crop (and for color: upsample chroma by pixel replication and
+    convert JFIF YCbCr -> RGB) the decoded component planes into the
+    interleaved pixel buffer. Shared by the baseline and progressive
+    finishers."""
     nc = len(comps)
     if nc == 1:
         c = comps[0]
@@ -630,3 +671,470 @@ def _decode_scan(
             out[o + 2] = 0 if b_ < 0 else 255 if b_ > 255 else b_
             o += 3
     return width, height, 3, bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive decode (T.81 G.2: spectral selection + successive
+# approximation; EOB-run coding per G.1.2.2/G.1.2.3)
+# ---------------------------------------------------------------------------
+
+
+def _prog_init(width, height, comps):
+    """Coefficient state for a progressive frame: one zigzag-order
+    int array per 8x8 block, MCU-padded grid per component."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    state = {
+        "hmax": hmax, "vmax": vmax, "mcux": mcux, "mcuy": mcuy,
+        "coefs": [], "order": {},
+    }
+    for c in comps:
+        state["order"][id(c)] = len(state["order"])
+        bw_pad, bh_pad = mcux * c["h"], mcuy * c["v"]
+        c["bw_pad"], c["bh_pad"] = bw_pad, bh_pad
+        # non-interleaved scans iterate the COMPONENT grid, not the
+        # MCU-padded one (T.81 A.2.2)
+        cw = (width * c["h"] + hmax - 1) // hmax
+        ch = (height * c["v"] + vmax - 1) // vmax
+        c["bw"], c["bh"] = (cw + 7) // 8, (ch + 7) // 8
+        state["coefs"].append(
+            [[0] * 64 for _ in range(bw_pad * bh_pad)]
+        )
+    return state
+
+
+def _prog_dc_first(r, zz, dct, pred, ci, al):
+    t = r.huff(dct)
+    diff = _extend(r.bits(t), t)
+    pred[ci] += diff
+    zz[0] = pred[ci] << al
+
+
+def _prog_dc_refine(r, zz, al):
+    if r.bit():
+        zz[0] |= 1 << al
+
+
+def _prog_ac_first(r, zz, act, ss, se, al, eob):
+    """Returns the remaining EOB run. `eob` is the run entering this
+    block (blocks inside the run decode nothing)."""
+    if eob > 0:
+        return eob - 1
+    k = ss
+    while k <= se:
+        rs = r.huff(act)
+        rl, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if rl < 15:
+                eob = (1 << rl) - 1
+                if rl:
+                    eob += r.bits(rl)
+                return eob
+            k += 16
+            continue
+        k += rl
+        if k > se:
+            raise ValueError("corrupt JPEG: AC run overflow")
+        zz[k] = _extend(r.bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _prog_ac_refine(r, zz, act, ss, se, al, eob):
+    """Successive-approximation AC refinement (G.1.2.3): history
+    coefficients gain one correction bit; zero-history positions are
+    run-length coded with newly-significant values of magnitude 1."""
+    p1 = 1 << al
+
+    def correct(k):
+        if r.bit() and (zz[k] & p1) == 0:
+            zz[k] += p1 if zz[k] > 0 else -p1
+
+    if eob > 0:
+        for k in range(ss, se + 1):
+            if zz[k] != 0:
+                correct(k)
+        return eob - 1
+    k = ss
+    while k <= se:
+        rs = r.huff(act)
+        rl, s = rs >> 4, rs & 0xF
+        sval = 0
+        if s == 0:
+            if rl < 15:
+                eob = (1 << rl) - 1
+                if rl:
+                    eob += r.bits(rl)
+                rl = 64  # flush: refine the rest of the band
+        elif s == 1:
+            sval = p1 if r.bit() else -p1
+        else:
+            raise ValueError(
+                "corrupt JPEG: AC refinement magnitude must be 1"
+            )
+        while k <= se:
+            if zz[k] != 0:
+                correct(k)
+            else:
+                if rl == 0:
+                    if sval:
+                        zz[k] = sval
+                    k += 1
+                    break
+                rl -= 1
+            k += 1
+    return eob
+
+
+def _decode_prog_scan(
+    data, pos, prog, scan, ss, se, ah, al, huff_dc, huff_ac, restart
+):
+    """Decode one progressive scan into the coefficient state; returns
+    the stream position of the scan-terminating marker."""
+    if (ss == 0) != (se == 0) or se > 63 or ss > se:
+        raise ValueError(
+            "corrupt JPEG: invalid progressive scan band (a DC scan is "
+            "Ss=Se=0; an AC band needs 1 <= Ss <= Se <= 63)"
+        )
+    r = _BitReader(data, pos)
+    coefs = prog["coefs"]
+    comps_in_scan = [c for c, _, _ in scan]
+    eob = 0
+    if ss == 0 and se == 0:  # DC scan (interleaved or single)
+        pred = {i: 0 for i in range(len(scan))}
+        if len(scan) > 1:
+            mcux, mcuy = prog["mcux"], prog["mcuy"]
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart and n and n % restart == 0:
+                        r.align_to_marker()
+                        pred = {i: 0 for i in range(len(scan))}
+                    n += 1
+                    for ci, (c, tdc, _t) in enumerate(scan):
+                        cz = coefs[_comp_index(prog, c)]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                idx = (my * c["v"] + by) * c["bw_pad"] + (
+                                    mx * c["h"] + bx
+                                )
+                                if ah == 0:
+                                    _prog_dc_first(
+                                        r, cz[idx], huff_dc[tdc], pred, ci, al
+                                    )
+                                else:
+                                    _prog_dc_refine(r, cz[idx], al)
+        else:
+            c, tdc, _t = scan[0]
+            cz = coefs[_comp_index(prog, c)]
+            n = 0
+            for by in range(c["bh"]):
+                for bx in range(c["bw"]):
+                    if restart and n and n % restart == 0:
+                        r.align_to_marker()
+                        pred = {0: 0}
+                    n += 1
+                    idx = by * c["bw_pad"] + bx
+                    if ah == 0:
+                        _prog_dc_first(r, cz[idx], huff_dc[tdc], pred, 0, al)
+                    else:
+                        _prog_dc_refine(r, cz[idx], al)
+    else:  # AC scan: always single-component (T.81 B.2.3)
+        if len(scan) != 1:
+            raise ValueError("corrupt JPEG: interleaved AC scan")
+        c, _t, tac = scan[0]
+        cz = coefs[_comp_index(prog, c)]
+        act = huff_ac[tac]
+        n = 0
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                if restart and n and n % restart == 0:
+                    r.align_to_marker()
+                    eob = 0
+                n += 1
+                idx = by * c["bw_pad"] + bx
+                if ah == 0:
+                    eob = _prog_ac_first(r, cz[idx], act, ss, se, al, eob)
+                else:
+                    eob = _prog_ac_refine(r, cz[idx], act, ss, se, al, eob)
+    _ = comps_in_scan
+    # find the scan-terminating marker (entropy data cannot contain a
+    # bare 0xFF followed by a non-stuffing, non-RST byte)
+    p = r.pos
+    while p + 1 < len(data):
+        if (
+            data[p] == 0xFF
+            and data[p + 1] != 0x00
+            and not (0xD0 <= data[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    return p
+
+
+def _comp_index(prog, c):
+    # frame-order index recorded at _prog_init time (scan order may
+    # differ from frame order; identity keys the same dicts the parser
+    # built in the SOF loop)
+    return prog["order"][id(c)]
+
+
+def _prog_finish(prog, width, height, comps, qt):
+    """Dequantize + IDCT every block and assemble pixels (same tail as
+    the baseline decoder)."""
+    hmax, vmax = prog["hmax"], prog["vmax"]
+    planes = []
+    for ci, c in enumerate(comps):
+        pw, ph = c["bw_pad"] * 8, c["bh_pad"] * 8
+        c["pw"], c["ph"] = pw, ph
+        plane = bytearray(pw * ph)
+        q = qt[c["tq"]]
+        cz = prog["coefs"][ci]
+        for by in range(c["bh_pad"]):
+            for bx in range(c["bw_pad"]):
+                zz = cz[by * c["bw_pad"] + bx]
+                coef = [0] * 64
+                for i in range(64):
+                    if zz[i]:
+                        coef[ZIGZAG[i]] = zz[i] * q[ZIGZAG[i]]
+                blk = _idct(coef)
+                px, py = bx * 8, by * 8
+                for yy in range(8):
+                    row = (py + yy) * pw + px
+                    plane[row : row + 8] = bytes(blk[yy * 8 : yy * 8 + 8])
+        planes.append(plane)
+    return _planes_to_pixels(planes, comps, width, height, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoder (fixture generator: 1x1 sampling, Annex-K tables,
+# 4-stage scan script exercising DC first/refine and AC first/refine
+# with EOB-run coding — the scan shapes libjpeg's default script emits)
+# ---------------------------------------------------------------------------
+
+
+def _emit_eobrun(w, ac, eobrun, bits):
+    """Flush a pending EOB run (+ buffered correction bits)."""
+    if eobrun > 0:
+        nb = eobrun.bit_length() - 1
+        hc, hl = ac[nb << 4]
+        w.write(hc, hl)
+        if nb:
+            w.write(eobrun - (1 << nb), nb)
+    for b in bits:
+        w.write(b, 1)
+    return 0, []
+
+
+def _encode_ac_first_scan(w, ac, blocks, al):
+    """AC spectral-selection first scan (Ss=1..63, Ah=0) over one
+    component's blocks in raster order."""
+    eobrun, nobits = 0, []
+    for zz in blocks:
+        vals = []
+        for k in range(1, 64):
+            v = zz[k]
+            vals.append(-((-v) >> al) if v < 0 else v >> al)
+        last = max((i for i, v in enumerate(vals) if v), default=-1)
+        if last < 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun, _ = _emit_eobrun(w, ac, eobrun, nobits)
+            continue
+        eobrun, _ = _emit_eobrun(w, ac, eobrun, nobits)
+        run = 0
+        for i in range(last + 1):
+            if vals[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                hc, hl = ac[0xF0]
+                w.write(hc, hl)
+                run -= 16
+            t, code = _magnitude(vals[i])
+            hc, hl = ac[(run << 4) | t]
+            w.write(hc, hl)
+            w.write(code, t)
+            run = 0
+        if last < 62:
+            eobrun += 1
+    _emit_eobrun(w, ac, eobrun, nobits)
+
+
+def _encode_ac_refine_scan(w, ac, blocks, al):
+    """AC successive-approximation refinement (Ah=Al+1 -> Al): history
+    coefficients emit one correction bit, newly-significant ones are
+    run-length coded over zero-history positions (T.81 G.1.2.3, the
+    libjpeg encode_mcu_AC_refine construction)."""
+    eobrun, pending = 0, []
+    for zz in blocks:
+        ab = [0] * 64
+        eobpos = 0
+        for k in range(1, 64):
+            ab[k] = abs(zz[k]) >> al
+            if ab[k] == 1:
+                eobpos = k
+        run, br = 0, []
+        for k in range(1, 64):
+            t = ab[k]
+            if t == 0:
+                run += 1
+                continue
+            while run > 15 and k <= eobpos:
+                eobrun, pending = _emit_eobrun(w, ac, eobrun, pending)
+                hc, hl = ac[0xF0]
+                w.write(hc, hl)
+                run -= 16
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if t > 1:
+                br.append(t & 1)
+                continue
+            eobrun, pending = _emit_eobrun(w, ac, eobrun, pending)
+            hc, hl = ac[(run << 4) | 1]
+            w.write(hc, hl)
+            w.write(1 if zz[k] > 0 else 0, 1)
+            for b in br:
+                w.write(b, 1)
+            br = []
+            run = 0
+        if run > 0 or br:
+            eobrun += 1
+            pending.extend(br)
+            if eobrun == 0x7FFF or len(pending) > 900:
+                eobrun, pending = _emit_eobrun(w, ac, eobrun, pending)
+    _emit_eobrun(w, ac, eobrun, pending)
+
+
+def jpeg_encode_progressive(
+    pixels: bytes,
+    width: int,
+    height: int,
+    channels: int = 1,
+    quality: int = 50,
+) -> bytes:
+    """Encode 8-bit interleaved pixels as PROGRESSIVE JPEG (SOF2):
+    grayscale or 4:4:4 YCbCr. Scan script: interleaved DC first
+    (Al=1), DC refine, then per component AC 1..63 first (Al=1) and
+    AC refine (Al=0). The quantized coefficients are identical to
+    jpeg_encode's, so jpeg_decode of both streams yields bit-identical
+    pixels — the property the tests and the certified query pin."""
+    if channels not in (1, 3):
+        raise ValueError(f"channels must be 1 or 3 (got {channels})")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    qt = [scale_quant(Q_LUMA, quality)]
+    if channels == 3:
+        qt.append(scale_quant(Q_CHROMA, quality))
+    if channels == 1:
+        planes = [[p - 128 for p in pixels]]
+    else:
+        ys, cbs, crs = [], [], []
+        for i in range(0, len(pixels), 3):
+            y, cb, cr = _rgb_to_ycbcr(pixels[i], pixels[i + 1], pixels[i + 2])
+            ys.append(y - 128)
+            cbs.append(cb - 128)
+            crs.append(cr - 128)
+        planes = [ys, cbs, crs]
+
+    # quantized zigzag coefficients per component, raster block order
+    bw, bh = (width + 7) // 8, (height + 7) // 8
+    comp_blocks: List[List[List[int]]] = []
+    for ci in range(channels):
+        tsel = 0 if ci == 0 else 1
+        plane, q = planes[ci], qt[tsel]
+        blocks = []
+        for by in range(bh):
+            for bx in range(bw):
+                block = [0] * 64
+                for yy in range(8):
+                    sy = min(by * 8 + yy, height - 1)
+                    for xx in range(8):
+                        sx = min(bx * 8 + xx, width - 1)
+                        block[yy * 8 + xx] = plane[sy * width + sx]
+                coef = _fdct(block)
+                blocks.append(
+                    [
+                        int(round(coef[ZIGZAG[i]] / q[ZIGZAG[i]]))
+                        for i in range(64)
+                    ]
+                )
+        comp_blocks.append(blocks)
+
+    dc_codes = [_build_codes(*DC_LUMA_SPEC), _build_codes(*DC_CHROMA_SPEC)]
+    prog_ac = _build_codes(*PROG_AC_SPEC)
+
+    out = bytearray(b"\xff\xd8")
+    for tid, table in enumerate(qt):
+        zzt = bytes(table[ZIGZAG[i]] for i in range(64))
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + zzt
+    comps_hdr = b""
+    for ci in range(channels):
+        comps_hdr += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += (
+        b"\xff\xc2"
+        + struct.pack(">HBHHB", 8 + 3 * channels, 8, height, width, channels)
+        + comps_hdr
+    )
+    for cls, tid, spec in (
+        (0, 0, DC_LUMA_SPEC),
+        (1, 0, PROG_AC_SPEC),
+    ) + (((0, 1, DC_CHROMA_SPEC),) if channels == 3 else ()):
+        bits, values = spec
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 19 + len(values))
+            + bytes([(cls << 4) | tid])
+            + bytes(bits)
+            + bytes(values)
+        )
+
+    def sos(comp_ids, ss, se, ah, al):
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            td = 0 if cid == 1 else 1
+            body += bytes([cid, (td << 4) | 0])  # AC table 0 for all
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # scan 1: DC first, interleaved, Al=1
+    out += sos(list(range(1, channels + 1)), 0, 0, 0, 1)
+    w = _BitWriter()
+    pred = [0] * channels
+    for bi in range(bw * bh):
+        for ci in range(channels):
+            v = comp_blocks[ci][bi][0] >> 1
+            diff = v - pred[ci]
+            pred[ci] = v
+            t, code = _magnitude(diff)
+            hc, hl = dc_codes[0 if ci == 0 else 1][t]
+            w.write(hc, hl)
+            if t:
+                w.write(code, t)
+    out += w.flush()
+
+    # scan 2: DC refine, Al=0
+    out += sos(list(range(1, channels + 1)), 0, 0, 1, 0)
+    w = _BitWriter()
+    for bi in range(bw * bh):
+        for ci in range(channels):
+            w.write(comp_blocks[ci][bi][0] & 1, 1)
+    out += w.flush()
+
+    # per component: AC first (Al=1) then AC refine (Al=0)
+    for ci in range(channels):
+        out += sos([ci + 1], 1, 63, 0, 1)
+        w = _BitWriter()
+        _encode_ac_first_scan(w, prog_ac, comp_blocks[ci], 1)
+        out += w.flush()
+    for ci in range(channels):
+        out += sos([ci + 1], 1, 63, 1, 0)
+        w = _BitWriter()
+        _encode_ac_refine_scan(w, prog_ac, comp_blocks[ci], 0)
+        out += w.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -227,6 +227,54 @@ def synth_jpeg_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     return ids.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_jpeg_progressive_assets(
+    ids: DataFrame, id_col: str = "asset_id"
+) -> DataFrame:
+    """Deterministic PROGRESSIVE-JPEG fixture generator (SOF2 streams):
+    for each id, a REAL progressive-encoded grayscale JPEG (DC first +
+    DC refine + AC first/refine scans with EOB-run coding) of uniform
+    8x8 blocks, block (bx, by) value =
+    128 + 2*(((id*7 + 5bx + 13by) mod 53) - 26),
+    width = 8*(2 + id%4), height = 8*(2 + id%3). Uniform blocks keep
+    quantization exact (the synth_jpeg_assets argument), so the decoded
+    sums are the same closed form an SQL oracle replays — while the
+    stream exercises the successive-approximation decode paths a
+    baseline JPEG never touches. (Non-uniform/AC refinement paths are
+    pytest-fuzzed against the baseline decoder: tests/test_jpegcodec.py.)"""
+    from xorq_spark.functions.jpegcodec import jpeg_encode_progressive
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, widths, heights = [], [], []
+            for i in pdf[id_col].tolist():
+                bw, bh = 2 + i % 4, 2 + i % 3
+                w, h = 8 * bw, 8 * bh
+                px = bytearray(w * h)
+                for by in range(bh):
+                    for bx in range(bw):
+                        v = 128 + 2 * (((i * 7 + 5 * bx + 13 * by) % 53) - 26)
+                        for yy in range(8):
+                            row = (by * 8 + yy) * w + bx * 8
+                            px[row : row + 8] = bytes([v]) * 8
+                payloads.append(
+                    jpeg_encode_progressive(bytes(px), w, h, 1, quality=50)
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "duration_ms": pd.array([None] * len(payloads), dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def synth_webp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """Deterministic lossless-WebP fixture generator: for each id a REAL
     VP8L-encoded RGB image of the closed-form grid

@@ -231,6 +231,55 @@ def mm_decode_jpeg_stats(spark, sf_dir):
 
 
 @query(
+    "mm_decode_jpeg_progressive",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 2 + doc_id % 4 AS bw, 2 + doc_id % 3 AS bh
+      FROM documents WHERE doc_id < 64),
+    gx AS (SELECT asset_id, bw, bh, unnest(range(0, bw)) AS bx FROM ids),
+    g AS (SELECT asset_id, bw, bh, bx, unnest(range(0, bh)) AS by FROM gx)
+    SELECT asset_id,
+           CAST(bw * 8 AS INT) AS width,
+           CAST(bh * 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(sum(64 * (128 + 2 * (((asset_id*7 + 5*bx + 13*by) % 53)
+                                     - 26))) AS BIGINT) AS sum_c0,
+           CAST(0 AS BIGINT) AS sum_c1,
+           CAST(0 AS BIGINT) AS sum_c2
+    FROM g GROUP BY asset_id, bw, bh ORDER BY asset_id
+    """,
+)
+def mm_decode_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-JPEG decode, certified (round 7 — closes the
+    last real-world image-format gap): Spark encodes SOF2 streams whose
+    scan script is libjpeg's shape (interleaved DC first at Al=1, DC
+    refine, per-component AC first/refine with EOB-run coding), decodes
+    them through the full successive-approximation pipeline
+    (functions/jpegcodec.py G.2 decoder), and emits exact pixel sums.
+    Uniform 8x8 blocks keep quantization exact, so the SQL oracle
+    replays decoded sums in closed form — a broken DC refinement bit,
+    EOB-run count, or band flush cannot hash-match. (AC-refinement
+    significance/correction paths on dense coefficients are
+    pytest-fuzzed bit-identical to the baseline decoder:
+    tests/test_jpegcodec.py.)"""
+    from xorq_spark.functions.multimodal import (
+        decode_image_stats,
+        synth_jpeg_progressive_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return (
+        decode_image_stats(synth_jpeg_progressive_assets(ids))
+        .drop("px_sha256")
+        .orderBy("asset_id")
+    )
+
+
+@query(
     "mm_resize_decoded",
     oracle="""
     WITH ids AS (

@@ -611,6 +611,9 @@ SUITES: dict[str, list[str]] = {
         # round 6 (cont.): REAL lossless-WebP (VP8L) decode — prefix
         # codes, transforms, LZ77, color cache (functions/webpcodec.py)
         "mm_decode_webp_stats",
+        # round 7: REAL progressive-JPEG (SOF2) decode — spectral
+        # selection + successive approximation with EOB-run coding
+        "mm_decode_jpeg_progressive",
         "mm_resize_decoded",
         # round 4 (cont.): REAL audio — pure-stdlib RIFF/PCM decode
         # certified against closed-form sample oracles

@@ -61,7 +61,7 @@ def options() -> dict:
         # stage on EVERY run — measured 151 -> 4 compiles per run and
         # 16 s -> 1.7 s warm on the permutation test by raising it.
         # Cost is bounded driver memory (~KBs per cached class).
-        "spark.sql.codegen.cache.maxEntries": "2000",
+        "spark.sql.codegen.cache.maxEntries": "5000",
     }
 
 
