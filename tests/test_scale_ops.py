@@ -1333,3 +1333,74 @@ def test_join_explosion_stats_exact(spark):
     assert r.top_share_ppm == 12 * 1_000_000 // 14
     # cross-check against the actual join
     assert left.join(right, "k").count() == r.out_rows
+
+
+class TestReadabilityAndCodeDetect:
+    def test_readability_known_values(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.text import readability
+
+        df = spark.createDataFrame(
+            [("The cat sat. The dog ran.",), ("",), (None,)], "text string"
+        )
+        rows = df.select(readability(F.col("text")).alias("r")).collect()
+        r = rows[0]["r"]
+        assert r["n_words"] == 6 and r["n_sentences"] == 2
+        # vowel groups: e/a/a/e/o/a = 6 (y in 'The'? no vowel group spans)
+        assert r["n_syllables"] == 6
+        wps, spw = 6 / 2, 6 / 6
+        assert abs(r["flesch_reading_ease"] - round(206.835 - 1.015 * wps - 84.6 * spw, 9)) < 1e-12
+        assert abs(r["fk_grade"] - round(0.39 * wps + 11.8 * spw - 15.59, 9)) < 1e-12
+        # empty/null floor to 1s, never divide by zero
+        for row in rows[1:]:
+            assert row["r"]["n_words"] == 1 and row["r"]["n_sentences"] == 1
+
+    def test_code_detect_separates_code_from_prose(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.text import code_detect
+
+        code = (
+            "def f(x):\n    return x + 1;\n"
+            "int main() { int y = f(2); while (y) { y--; } }"
+        )
+        prose = "The quick brown fox jumps over the lazy dog near the bank."
+        df = spark.createDataFrame([(code,), (prose,)], "text string")
+        rows = df.select(code_detect(F.col("text")).alias("c")).collect()
+        c, p = rows[0]["c"], rows[1]["c"]
+        assert c["is_code_like"] and not p["is_code_like"]
+        assert c["n_braces"] >= 4 and c["n_semicolons"] >= 3
+        assert c["keyword_word_frac"] > p["keyword_word_frac"]
+        assert c["indent_line_frac"] > 0 and p["indent_line_frac"] == 0.0
+
+    def test_lsh_plan_matches_theory(self, spark):
+        from xorq_spark.functions.dedup import lsh_banding_plan
+
+        rows = {
+            (r["bands"], r["rows_per_band"]): r
+            for r in lsh_banding_plan(spark, 128, 800_000).collect()
+        }
+        # every factorization of 128 present exactly once
+        assert set(rows) == {(b, 128 // b) for b in [1, 2, 4, 8, 16, 32, 64, 128]}
+        # the classic result for t=0.8 @ 128 hashes: b=8, r=16
+        best = [k for k, r in rows.items() if r["is_best"]]
+        assert best == [(8, 16)]
+        # threshold* = (1/b)^(1/r) to 1e-9
+        import math
+
+        for (b, r), row in rows.items():
+            want = round(math.exp(math.log(1.0 / b) / r) * 1e9)
+            assert abs(row["threshold_star_e9"] - want) <= 1
+        # extreme plans have one-sided error: b=1 never false-positives,
+        # b=128/r=1 never false-negatives at t=0.8
+        assert rows[(1, 128)]["fp_e9"] == 0
+        assert rows[(128, 1)]["fn_e9"] == 0
+
+    def test_lsh_plan_guards(self, spark):
+        import pytest
+
+        from xorq_spark.functions.dedup import lsh_banding_plan
+
+        with pytest.raises(ValueError, match="n_hashes"):
+            lsh_banding_plan(spark, 1)

@@ -1553,3 +1553,105 @@ def strip_spans(
         .cast("long")
         .alias("n_cut_chars"),
     )
+
+
+def lsh_banding_plan(
+    spark,
+    n_hashes: int = 128,
+    threshold_ppm: int = 800_000,
+    steps: int = 200,
+) -> DataFrame:
+    """MinHash-LSH banding planner (Leskovec/Rajaraman/Ullman ch.3):
+    for every (bands b, rows r) factorization of ``n_hashes``, integrate
+    the collision curve P(s) = 1 - (1 - s^r)^b against the target
+    Jaccard ``threshold`` to get the planner's objective —
+    false-positive mass below the threshold (candidate pairs the
+    verifier must reject) plus false-negative mass above it (true
+    duplicates the index misses) — and flag the factorization that
+    minimizes it. The sweep every practitioner does by rule of thumb
+    ((1/b)^(1/r) ≈ t), done exactly.
+
+    Determinism (oracle-replayable): the integral is a midpoint
+    quadrature at s_i = (2i+1)/(2*steps); each P(s_i) is ONE double
+    tree built from exp/ln (the bm25 idf precedent for cross-engine
+    transcendentals), quantized to e9 BIGINT per term, then summed as
+    integers — order-free, so any engine reproduces the exact bits.
+    threshold is passed in ppm to keep the API integer-exact.
+
+    Scale: the frame is #divisors(n) x steps rows (a few thousand) —
+    pure planning metadata; the plan feeds minhash_signatures/lsh_pairs
+    parameters, the corpus never participates.
+
+    Returns (bands, rows_per_band, threshold_star_e9, fp_e9, fn_e9,
+    cost_e9, is_best), one row per factorization."""
+    if n_hashes < 2 or n_hashes > 4096:
+        raise ValueError("n_hashes must be in [2, 4096]")
+    divisors = [b for b in range(1, n_hashes + 1) if n_hashes % b == 0]
+    t = threshold_ppm / 1e6
+    base = spark.createDataFrame(
+        [(b, n_hashes // b) for b in divisors], "bands int, rows_per_band int"
+    )
+    k2 = 2 * steps
+    # P(s) = 1 - exp(b * ln(1 - exp(r * ln(s)))): explicit exp/ln so an
+    # external engine's pow() rounding can never diverge from the JVM's
+    p_expr = (
+        "1.0d - exp(cast(bands as double) * ln(1.0d - "
+        "exp(cast(rows_per_band as double) * ln(s))))"
+    )
+    terms = (
+        base.select(
+            "bands",
+            "rows_per_band",
+            F.explode(F.sequence(F.lit(0), F.lit(steps - 1))).alias("__i"),
+        )
+        .withColumn(
+            "s",
+            (2 * F.col("__i") + 1).cast("double") / F.lit(float(k2)),
+        )
+        .withColumn("__p_e9", F.round(F.expr(p_expr) * 1e9, 0).cast("long"))
+    )
+    agg = terms.groupBy("bands", "rows_per_band").agg(
+        F.sum(F.when(F.col("s") < F.lit(t), F.col("__p_e9"))).alias("__fp"),
+        F.sum(
+            F.when(F.col("s") >= F.lit(t), F.lit(10**9) - F.col("__p_e9"))
+        ).alias("__fn"),
+    )
+    scored = agg.select(
+        "bands",
+        "rows_per_band",
+        F.round(
+            F.expr(
+                "exp(ln(1.0d / cast(bands as double))"
+                " / cast(rows_per_band as double))"
+            )
+            * 1e9,
+            0,
+        ).cast("long").alias("threshold_star_e9"),
+        # midpoint rule: integral ~ mean of the term values. INTEGER
+        # division (div), never cast(double): Spark's double->long cast
+        # truncates while DuckDB's rounds — the known cross-engine trap
+        F.expr(f"cast(coalesce(__fp, 0) div {steps} as bigint)").alias(
+            "fp_e9"
+        ),
+        F.expr(f"cast(coalesce(__fn, 0) div {steps} as bigint)").alias(
+            "fn_e9"
+        ),
+    ).withColumn("cost_e9", (F.col("fp_e9") + F.col("fn_e9")).cast("long"))
+    best = scored.agg(
+        F.min(F.struct("cost_e9", "bands")).alias("__m")
+    )
+    return (
+        scored.join(F.broadcast(best))
+        .select(
+            "bands",
+            "rows_per_band",
+            "threshold_star_e9",
+            "fp_e9",
+            "fn_e9",
+            "cost_e9",
+            (
+                (F.col("cost_e9") == F.col("__m.cost_e9"))
+                & (F.col("bands") == F.col("__m.bands"))
+            ).alias("is_best"),
+        )
+    )

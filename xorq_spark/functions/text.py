@@ -1810,3 +1810,119 @@ def fim_transform(
             F.when(apply_, fim_text).otherwise(txt).alias("text_fim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# readability + code detection (round 7): two scan-stage quality
+# signals a pretraining filter stack wants next to gopher/C4 —
+# grade-level readability for prose and a code-vs-prose classifier for
+# routing documents to the right pipeline (The-Stack-style corpora)
+# ---------------------------------------------------------------------------
+
+
+def readability(text: Column) -> Column:
+    """Flesch reading-ease + Flesch-Kincaid grade as one struct column.
+
+    Syllables use the deterministic vowel-GROUP proxy (maximal runs of
+    [aeiouy] in the lowercased text — runs cannot span whitespace, so
+    no per-word loop is needed): the standard engine-replayable
+    approximation. Words are whitespace tokens, sentences terminal
+    [.!?] runs (min 1 of each so the ratios are total). Both scores
+    are ONE double tree over exact integer counts rounded to 9 (the
+    agg_cuped_readout IEEE contract). Zero shuffle, scan-speed, and
+    every regex runs unchanged in RE2 engines.
+
+    Returns struct(n_words, n_sentences, n_syllables,
+    flesch_reading_ease, fk_grade)."""
+    t = F.coalesce(text, F.lit(""))
+    words = F.greatest(
+        F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")),
+        F.lit(1),
+    ).cast("long")
+    sents = F.greatest(
+        F.coalesce(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(0)), F.lit(1)
+    ).cast("long")
+    syll = F.greatest(
+        F.coalesce(F.regexp_count(F.lower(t), F.lit("[aeiouy]+")), F.lit(0)),
+        F.lit(1),
+    ).cast("long")
+    wps = words.cast("double") / sents.cast("double")
+    spw = syll.cast("double") / words.cast("double")
+    fre = F.round(
+        F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 9
+    )
+    fkg = F.round(
+        F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 9
+    )
+    return F.struct(
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        fre.alias("flesch_reading_ease"),
+        fkg.alias("fk_grade"),
+    )
+
+
+CODE_KEYWORDS = (
+    "def|return|import|function|var|const|class|void|int|for|while|if|else"
+)
+
+
+def code_detect(text: Column) -> Column:
+    """Code-vs-prose signals as one struct column — the router a mixed
+    crawl corpus needs before applying prose-only filters (C4's curly-
+    brace drop rule deletes exactly the documents a code pipeline
+    wants; this measures instead of dropping):
+
+    - n_braces / n_semicolons: count of {} and ; occurrences
+    - symbol_frac: non-alphanumeric non-whitespace chars over chars
+    - keyword_word_frac: reserved-word tokens over words (word-boundary
+      regex, the cheap cross-language keyword set)
+    - indent_line_frac: lines starting with 4+ spaces or a tab (layout
+      signal — prose wraps, code indents)
+    - is_code_like: >= 2 braces AND >= 2 semicolons AND
+      symbol_frac >= 0.03 (conjunctive so prose with one stray brace
+      never routes to the code pipeline)
+
+    Pure JVM regex/HOF expressions, zero shuffle; every regex is
+    RE2-safe (no lookarounds). Returns struct(n_braces, n_semicolons,
+    symbol_frac, keyword_word_frac, indent_line_frac, is_code_like)."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    n_braces = F.coalesce(F.regexp_count(t, F.lit("[{}]")), F.lit(0)).cast(
+        "long"
+    )
+    n_semis = F.coalesce(F.regexp_count(t, F.lit(";")), F.lit(0)).cast("long")
+    symbols = F.coalesce(
+        F.regexp_count(t, F.lit(r"[^A-Za-z0-9\s]")), F.lit(0)
+    )
+    words = F.greatest(
+        F.size(F.filter(F.split(F.trim(t), r"\s+"), lambda w: w != "")),
+        F.lit(1),
+    )
+    kw = F.coalesce(
+        F.regexp_count(t, F.lit(r"\b(" + CODE_KEYWORDS + r")\b")), F.lit(0)
+    )
+    lines = F.filter(F.split(t, "\n"), lambda x: F.trim(x) != "")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    indented = F.size(
+        F.filter(lines, lambda x: x.rlike("^(    |\t)"))
+    )
+    symbol_frac = F.round(
+        symbols.cast("double") / n_chars.cast("double"), 9
+    )
+    is_code = (
+        (n_braces >= 2) & (n_semis >= 2) & (symbol_frac >= F.lit(0.03))
+    )
+    return F.struct(
+        n_braces.alias("n_braces"),
+        n_semis.alias("n_semicolons"),
+        symbol_frac.alias("symbol_frac"),
+        F.round(kw.cast("double") / words.cast("double"), 9).alias(
+            "keyword_word_frac"
+        ),
+        F.round(indented.cast("double") / n_lines.cast("double"), 9).alias(
+            "indent_line_frac"
+        ),
+        is_code.alias("is_code_like"),
+    )

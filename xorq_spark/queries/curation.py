@@ -1109,3 +1109,159 @@ def text_fim_transform(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return fim_transform(docs).orderBy("doc_id")
+
+
+@query(
+    "text_readability",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS tk
+      FROM documents),
+    lined AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) > 0 THEN
+               array_to_string(list_transform(
+                 range(0, (len(tk) + 3) // 4),
+                 i -> array_to_string(tk[i*4+1:i*4+4], ' ') || '.'),
+                 ' ')
+             ELSE '' END AS t
+      FROM toks),
+    c AS (
+      SELECT doc_id,
+             greatest(len(list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                                      x -> x <> '')), 1) AS w,
+             greatest(len(regexp_extract_all(t, '[.!?]+')), 1) AS s,
+             greatest(len(regexp_extract_all(lower(t), '[aeiouy]+')), 1) AS sy
+      FROM lined)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(sy AS BIGINT) AS n_syllables,
+           round(206.835 - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                 - 84.6 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)), 9)
+             AS flesch_reading_ease,
+           round(0.39 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+                 + 11.8 * (CAST(sy AS DOUBLE) / CAST(w AS DOUBLE)) - 15.59, 9)
+             AS fk_grade
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_readability(spark, sf_dir):
+    """Flesch reading-ease / Flesch-Kincaid grade (functions/text.py
+    readability) — grade-level prose scoring with the deterministic
+    vowel-group syllable proxy. The corpus has no sentence punctuation,
+    so documents reshape into 4-token sentences (the text_c4_flags
+    fixture trick); the oracle replays the token regrouping, all three
+    counts and both IEEE double trees, so a drifted coefficient or
+    syllable regex cannot hash-match. Zero shuffle, scan-speed."""
+    from xorq_spark.functions.text import readability, tokenize as tk
+
+    toks = tk(F.col("text"))
+    n = F.coalesce(F.size(toks), F.lit(0))
+    n_groups = F.floor((n + F.lit(3)) / F.lit(4)).cast("int")
+    sented = F.when(n > 0, F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_groups - 1),
+            lambda i: F.concat(
+                F.array_join(F.slice(toks, i * 4 + 1, 4), " "), F.lit(".")
+            ),
+        ),
+        " ",
+    )).otherwise(F.lit(""))
+    g = readability(F.col("sented"))
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select("doc_id", sented.alias("sented"))
+        .select(
+            "doc_id",
+            g["n_words"].alias("n_words"),
+            g["n_sentences"].alias("n_sentences"),
+            g["n_syllables"].alias("n_syllables"),
+            g["flesch_reading_ease"].alias("flesch_reading_ease"),
+            g["fk_grade"].alias("fk_grade"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_code_detect",
+    oracle="""
+    WITH codey AS (
+      SELECT doc_id,
+             replace(replace(replace(text,
+               'value', 'int value = f(x);'),
+               'table', '{ table }'),
+               'batch', chr(10) || '    batch();') AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             greatest(length(t), 1) AS nc,
+             len(regexp_extract_all(t, '[{}]')) AS nb,
+             len(regexp_extract_all(t, ';')) AS ns,
+             len(regexp_extract_all(t, '[^A-Za-z0-9\\s]')) AS sym,
+             greatest(len(list_filter(regexp_split_to_array(trim(t), '\\s+'),
+                                      x -> x <> '')), 1) AS w,
+             len(regexp_extract_all(t,
+               '\\b(def|return|import|function|var|const|class|void|int|for|while|if|else)\\b'))
+               AS kw,
+             list_filter(str_split(t, chr(10)), x -> trim(x) <> '') AS lines
+      FROM codey),
+    s AS (
+      SELECT doc_id, nb, ns, w, kw,
+             round(CAST(sym AS DOUBLE) / CAST(nc AS DOUBLE), 9) AS symf,
+             greatest(len(lines), 1) AS nl,
+             len(list_filter(lines,
+               x -> regexp_matches(x, '^(    |\t)'))) AS ind
+      FROM c)
+    SELECT doc_id,
+           CAST(nb AS BIGINT) AS n_braces,
+           CAST(ns AS BIGINT) AS n_semicolons,
+           symf AS symbol_frac,
+           round(CAST(kw AS DOUBLE) / CAST(w AS DOUBLE), 9)
+             AS keyword_word_frac,
+           round(CAST(ind AS DOUBLE) / CAST(nl AS DOUBLE), 9)
+             AS indent_line_frac,
+           (nb >= 2 AND ns >= 2 AND symf >= 0.03) AS is_code_like
+    FROM s ORDER BY doc_id
+    """,
+)
+def text_code_detect(spark, sf_dir):
+    """Code-vs-prose routing signals (functions/text.py code_detect) —
+    the classifier a mixed crawl runs BEFORE prose-only filters (C4's
+    curly-brace rule deletes exactly what a code pipeline wants). The
+    word-soup corpus is deterministically rewritten code-shaped first
+    (value -> assignment+call, table -> braced block, batch -> indented
+    call on its own line), so braces, semicolons, keywords, symbol
+    density and indentation all take nontrivial values; the oracle
+    replays the rewrite and every signal. Zero shuffle, scan-speed."""
+    from xorq_spark.functions.text import code_detect
+
+    codey = F.replace(
+        F.replace(
+            F.replace(
+                F.col("text"), F.lit("value"), F.lit("int value = f(x);")
+            ),
+            F.lit("table"),
+            F.lit("{ table }"),
+        ),
+        F.lit("batch"),
+        F.concat(F.lit("\n"), F.lit("    batch();")),
+    )
+    g = code_detect(F.col("t"))
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select("doc_id", codey.alias("t"))
+        .select(
+            "doc_id",
+            g["n_braces"].alias("n_braces"),
+            g["n_semicolons"].alias("n_semicolons"),
+            g["symbol_frac"].alias("symbol_frac"),
+            g["keyword_word_frac"].alias("keyword_word_frac"),
+            g["indent_line_frac"].alias("indent_line_frac"),
+            g["is_code_like"].alias("is_code_like"),
+        )
+        .orderBy("doc_id")
+    )

@@ -837,3 +837,60 @@ def dedup_threshold_sweep(spark, sf_dir):
         .select("__r.threshold_ppm", "__r.n_pairs", "__r.n_docs_affected")
         .orderBy("threshold_ppm")
     )
+
+
+@query(
+    "dedup_lsh_plan",
+    oracle="""
+    WITH divs AS (
+      SELECT CAST(b AS INT) AS bands, CAST(128 // b AS INT) AS rows_per_band
+      FROM (SELECT unnest(range(1, 129)) AS b) WHERE 128 % b = 0),
+    terms AS (
+      SELECT bands, rows_per_band, unnest(range(0, 200)) AS i FROM divs),
+    pt AS (
+      SELECT bands, rows_per_band,
+             CAST(2*i + 1 AS DOUBLE) / 400.0 AS s
+      FROM terms),
+    q AS (
+      SELECT bands, rows_per_band, s,
+             CAST(round((1.0 - exp(CAST(bands AS DOUBLE) * ln(1.0 -
+                  exp(CAST(rows_per_band AS DOUBLE) * ln(s))))) * 1e9, 0)
+               AS BIGINT) AS p
+      FROM pt),
+    agg AS (
+      SELECT bands, rows_per_band,
+             COALESCE(sum(CASE WHEN s < 0.8 THEN p END), 0) AS fp,
+             COALESCE(sum(CASE WHEN s >= 0.8 THEN 1000000000 - p END), 0) AS fn
+      FROM q GROUP BY bands, rows_per_band),
+    sc AS (
+      SELECT bands, rows_per_band,
+             CAST(round(exp(ln(1.0 / CAST(bands AS DOUBLE))
+                  / CAST(rows_per_band AS DOUBLE)) * 1e9, 0) AS BIGINT)
+               AS threshold_star_e9,
+             CAST(fp // 200 AS BIGINT) AS fp_e9,
+             CAST(fn // 200 AS BIGINT) AS fn_e9
+      FROM agg),
+    c AS (SELECT *, CAST(fp_e9 + fn_e9 AS BIGINT) AS cost_e9 FROM sc),
+    m AS (SELECT min(cost_e9) AS mc FROM c),
+    m2 AS (SELECT min(bands) AS mb FROM c, m WHERE cost_e9 = mc)
+    SELECT bands, rows_per_band, threshold_star_e9, fp_e9, fn_e9, cost_e9,
+           (cost_e9 = m.mc AND bands = m2.mb) AS is_best
+    FROM c, m, m2 ORDER BY bands
+    """,
+)
+def dedup_lsh_plan(spark, sf_dir):
+    """MinHash-LSH banding planner (functions/dedup.py
+    lsh_banding_plan): for every (bands, rows) factorization of 128
+    hashes, the integrated false-positive + false-negative mass of the
+    collision curve against a 0.8 Jaccard target, with the argmin
+    flagged — the parameter sweep behind dedup_minhash_lsh_pairs done
+    exactly instead of by the (1/b)^(1/r) rule of thumb. Bounded
+    planning frame (divisors x 200 quadrature points); the corpus
+    never participates. The oracle replays the midpoint quadrature
+    term-exactly (explicit exp/ln, per-term e9 quantization, integer
+    sums and div — the bm25/bootstrap determinism disciplines)."""
+    from xorq_spark.functions.dedup import lsh_banding_plan
+
+    return lsh_banding_plan(
+        spark, n_hashes=128, threshold_ppm=800_000, steps=200
+    ).orderBy("bands")

@@ -388,6 +388,11 @@ SUITES: dict[str, list[str]] = {
         # + exact Spearman rank correlation (doubled-integer tied
         # ranks per column; rho as an identical IEEE tree)
         "text_spearman_len_tokens",
+        # round 7: grade-level readability (vowel-group syllables, two
+        # IEEE score trees) and code-vs-prose routing signals — both
+        # zero-shuffle scan projections
+        "text_readability",
+        "text_code_detect",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",
@@ -519,6 +524,9 @@ SUITES: dict[str, list[str]] = {
         # recall/precision of LSH banding vs exact ground truth — the
         # go/no-go eval before trusting the index on the full corpus
         "dedup_lsh_eval",
+        # round 7: exact LSH banding planner (integrated FP+FN mass per
+        # (b, r) factorization; bounded quadrature frame)
+        "dedup_lsh_plan",
         # stride-1 exact duplicated-substring spans (Lee et al.
         # ExactSubstr removal ranges; gaps-and-islands merge)
         "dedup_exact_substring",
