@@ -250,3 +250,70 @@ def test_interleave_matches_naive_definition(spark):
         ),
     )
     assert naive.where(F.col("position") != F.col("naive_pos")).count() == 0
+
+
+class TestMsprtSequential:
+    def _toy(self, spark, shift):
+        import datetime
+
+        rows = []
+        base = datetime.datetime(2024, 1, 1)
+        for day in range(12):
+            for u in range(40):
+                treat = u % 2 == 0
+                v = 100.0 + (shift if treat else 0.0) + (u * 7 + day * 3) % 5
+                rows.append((base + datetime.timedelta(days=day, hours=1), u, v))
+        return spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+
+    def test_p_is_monotone_and_crosses_under_large_effect(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.stats import msprt_sequential
+
+        df = self._toy(spark, shift=50.0)
+        out = msprt_sequential(
+            df, "ts", "value", F.col("user_id") % 2 == 0,
+            sigma2=4e8, tau2=4e8,
+        ).orderBy("day_us").collect()
+        ps = [r["p_e9"] for r in out]
+        assert ps == sorted(ps, reverse=True) or all(
+            a >= b for a, b in zip(ps, ps[1:])
+        )  # always-valid p never increases
+        assert out[-1]["significant"]  # a 50-unit shift must cross
+        assert all(r["na"] > 0 and r["nb"] > 0 for r in out)
+
+    def test_null_effect_stays_insignificant(self, spark):
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.stats import msprt_sequential
+
+        df = self._toy(spark, shift=0.0)
+        out = msprt_sequential(
+            df, "ts", "value", F.col("user_id") % 2 == 0,
+            sigma2=4e8, tau2=4e8,
+        ).collect()
+        assert not any(r["significant"] for r in out)
+
+    def test_one_armed_days_have_null_statistic(self, spark):
+        import datetime
+
+        import pyspark.sql.functions as F
+
+        from xorq_spark.functions.stats import msprt_sequential
+
+        rows = [
+            (datetime.datetime(2024, 1, 1), 2, 5.0),  # treatment only
+            (datetime.datetime(2024, 1, 2), 1, 6.0),
+            (datetime.datetime(2024, 1, 2), 2, 7.0),
+        ]
+        df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+        out = (
+            msprt_sequential(
+                df, "ts", "value", F.col("user_id") % 2 == 0,
+                sigma2=4e8, tau2=4e8,
+            )
+            .orderBy("day_us")
+            .collect()
+        )
+        assert out[0]["ln_lambda_e9"] is None and out[0]["p_e9"] == 10**9
+        assert out[1]["ln_lambda_e9"] is not None

@@ -1327,3 +1327,136 @@ def randomization_test(
             9,
         ).alias("p_value"),
     )
+
+
+def msprt_sequential(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    treat_col,
+    sigma2: float,
+    tau2: float,
+    alpha_e9: int = 50_000_000,
+    quant: int = 1000,
+    day_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Always-valid sequential A/B test — the mixture SPRT (Johari,
+    Koomen, Pekelis & Walsh 2017/2022): instead of a fixed-horizon
+    t-test that inflates error under peeking, the likelihood ratio of a
+    N(0, tau2) effect mixture against H0 (no difference) is monitored
+    per day; p_d = min(1, 1/max_{d' <= d} Lambda_d') is a valid p-value
+    at EVERY peek, so the experimenter may stop the moment it crosses
+    alpha. Two-sample form via the effective sample size
+    n = na*nb/(na+nb) and the known-variance parameter `sigma2`
+    (both in quantized units^2):
+
+      ln Lambda = 0.5*ln(sigma2/(sigma2 + n*tau2))
+                  + n^2*tau2*delta^2 / (2*sigma2*(sigma2 + n*tau2))
+
+    Determinism: values quantize at `quant` (time_cusum convention);
+    daily arm sums/counts are exact integers whose RUNNING totals come
+    from operators/prefix.py running_sum (one range shuffle, no
+    single-partition window on the unbounded stream); delta and
+    ln Lambda are ONE double tree over those integers (exp/ln only —
+    the bm25 transcendental precedent), quantized to e9; the running
+    max and the crossing flag are pure integer ops. The only
+    partition-less window runs on the BOUNDED per-day frame (#days
+    rows — the sanctioned bounded-frame exception).
+
+    Returns per-day rows: (day_us, na, nb, delta_e9, ln_lambda_e9,
+    p_e9, significant)."""
+    from pyspark.sql import Window
+
+    from xorq_spark.operators.prefix import running_sum
+
+    tr = (
+        F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    ).cast("boolean")
+    vq = F.floor(F.col(value_col).cast("double") * quant + F.lit(0.5)).cast(
+        "long"
+    )
+    d = (
+        df.where(
+            F.col(ts_col).isNotNull()
+            & F.col(value_col).isNotNull()
+            & tr.isNotNull()
+        )
+        .select(
+            (
+                F.floor(
+                    F.unix_micros(F.col(ts_col).cast("timestamp"))
+                    / F.lit(day_us)
+                )
+                * F.lit(day_us)
+            ).cast("long").alias("day_us"),
+            tr.alias("__g"),
+            vq.alias("__vq"),
+        )
+    )
+    daily = d.groupBy("day_us").agg(
+        F.sum(F.when(F.col("__g"), F.col("__vq")).otherwise(F.lit(0)))
+        .alias("__sa_d"),
+        F.sum(F.when(F.col("__g"), 1).otherwise(0)).alias("__na_d"),
+        F.sum(F.when(~F.col("__g"), F.col("__vq")).otherwise(F.lit(0)))
+        .alias("__sb_d"),
+        F.sum(F.when(~F.col("__g"), 1).otherwise(0)).alias("__nb_d"),
+    )
+    run = running_sum(
+        daily,
+        "day_us",
+        cols={"na": "__na_d", "sa": "__sa_d", "nb": "__nb_d", "sb": "__sb_d"},
+    )
+    s2, t2 = float(sigma2), float(tau2)
+    delta = F.col("sa").cast("double") / F.col("na").cast("double") - F.col(
+        "sb"
+    ).cast("double") / F.col("nb").cast("double")
+    neff = (
+        F.col("na").cast("double")
+        * F.col("nb").cast("double")
+        / (F.col("na") + F.col("nb")).cast("double")
+    )
+    lnlam = F.lit(0.5) * F.log(
+        F.lit(s2) / (F.lit(s2) + neff * F.lit(t2))
+    ) + (
+        neff * neff * F.lit(t2) * delta * delta
+    ) / (
+        F.lit(2.0) * F.lit(s2) * (F.lit(s2) + neff * F.lit(t2))
+    )
+    scored = run.select(
+        "day_us",
+        F.col("na").cast("long").alias("na"),
+        F.col("nb").cast("long").alias("nb"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.round(delta * 1e9, 0).cast("long"),
+        ).alias("delta_e9"),
+        F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            F.round(lnlam * 1e9, 0).cast("long"),
+        ).alias("ln_lambda_e9"),
+    )
+    w = Window.orderBy("day_us").rowsBetween(Window.unboundedPreceding, 0)
+    out = scored.withColumn(
+        "__maxln", F.max("ln_lambda_e9").over(w)
+    ).select(
+        "day_us",
+        "na",
+        "nb",
+        "delta_e9",
+        "ln_lambda_e9",
+        F.when(
+            F.col("__maxln").isNull() | (F.col("__maxln") <= 0),
+            F.lit(10**9),
+        )
+        .otherwise(
+            F.round(
+                F.exp(-(F.col("__maxln").cast("double") / F.lit(1e9))) * 1e9,
+                0,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("p_e9"),
+    )
+    return out.withColumn(
+        "significant", F.col("p_e9") <= F.lit(int(alpha_e9))
+    )

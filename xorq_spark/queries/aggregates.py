@@ -2499,3 +2499,91 @@ def agg_permutation_test(spark, sf_dir):
     return randomization_test(
         docs, "n_chars", F.col("lang") == "en", b=64
     )
+
+
+@query(
+    "agg_msprt_sequential",
+    oracle="""
+    WITH d AS (
+      SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+             (user_id % 2 = 0) AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS vq
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+    daily AS (
+      SELECT day_us,
+             sum(CASE WHEN g THEN vq ELSE 0 END) AS sa_d,
+             sum(CASE WHEN g THEN 1 ELSE 0 END) AS na_d,
+             sum(CASE WHEN NOT g THEN vq ELSE 0 END) AS sb_d,
+             sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS nb_d
+      FROM d GROUP BY day_us),
+    run AS (
+      SELECT day_us,
+             CAST(sum(na_d) OVER w AS BIGINT) AS na,
+             CAST(sum(sa_d) OVER w AS BIGINT) AS sa,
+             CAST(sum(nb_d) OVER w AS BIGINT) AS nb,
+             CAST(sum(sb_d) OVER w AS BIGINT) AS sb
+      FROM daily WINDOW w AS (ORDER BY day_us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    sc AS (
+      SELECT day_us, na, nb,
+             CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e9, 0)
+                 AS BIGINT) END AS delta_e9,
+             CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(round((
+                 0.5 * ln(4e8 / (4e8
+                   + (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                      / CAST(na + nb AS DOUBLE)) * 4e8))
+                 + ((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     / CAST(na + nb AS DOUBLE))
+                    * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                       / CAST(na + nb AS DOUBLE))
+                    * 4e8
+                    * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                    * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                   / (2.0 * 4e8 * (4e8
+                      + (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                         / CAST(na + nb AS DOUBLE)) * 4e8))
+               ) * 1e9, 0) AS BIGINT) END AS ln_lambda_e9
+      FROM run),
+    mx AS (
+      SELECT day_us, na, nb, delta_e9, ln_lambda_e9,
+             max(ln_lambda_e9) OVER (ORDER BY day_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxln
+      FROM sc)
+    SELECT day_us, na, nb, delta_e9, ln_lambda_e9,
+           CAST(CASE WHEN maxln IS NULL OR maxln <= 0 THEN 1000000000
+                ELSE CAST(round(exp(-(CAST(maxln AS DOUBLE) / 1e9)) * 1e9, 0)
+                     AS BIGINT) END AS BIGINT) AS p_e9,
+           (CASE WHEN maxln IS NULL OR maxln <= 0 THEN 1000000000
+                 ELSE CAST(round(exp(-(CAST(maxln AS DOUBLE) / 1e9)) * 1e9, 0)
+                      AS BIGINT) END) <= 50000000 AS significant
+    FROM mx ORDER BY day_us
+    """,
+)
+def agg_msprt_sequential(spark, sf_dir):
+    """Always-valid sequential A/B test (functions/stats.py
+    msprt_sequential, Johari et al.) — the peeking-safe monitor every
+    experimentation platform runs: per-day mixture-SPRT likelihood
+    ratio over a deterministic user-parity split of event values, with
+    p_d = min(1, 1/max Lambda) valid at every look. Running arm totals
+    come from the two-level prefix operator (no single-partition window
+    on the stream); the oracle replays the quantization, the effective-
+    sample-size double tree (exp/ln only) and the integer running max."""
+    import pyspark.sql.functions as F2
+
+    from xorq_spark.functions.stats import msprt_sequential
+
+    ev = t(spark, sf_dir, "events").where(F2.col("user_id").isNotNull())
+    return msprt_sequential(
+        ev,
+        ts_col="ts",
+        value_col="value",
+        treat_col=F2.col("user_id") % 2 == 0,
+        sigma2=4e8,
+        tau2=4e8,
+    ).orderBy("day_us")

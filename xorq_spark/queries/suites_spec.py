@@ -238,6 +238,9 @@ SUITES: dict[str, list[str]] = {
         # round 6: randomization test (64 Carter-Wegman relabelings in
         # ONE wide aggregate; exact exceedance count + p-value)
         "agg_permutation_test",
+        # round 7: always-valid sequential test (mSPRT) — per-day
+        # mixture likelihood ratio off prefix-op running arm totals
+        "agg_msprt_sequential",
     ],
     "suite_time_a": [
         "time_trunc_extract",
