@@ -19,6 +19,8 @@ from xorq_spark.queries import ORACLES, QUERIES  # noqa: E402
 
 SRC = "/root/testdata/sf0.001"
 CHECK = [
+    "text_readability",
+    "text_code_detect",
     "dedup_exact_text",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

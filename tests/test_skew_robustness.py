@@ -51,6 +51,9 @@ TEXT_CHECK = [
     # 60% of all docs; frequency must come from a combinable aggregate,
     # not a digest-keyed window (de-skew fix, dedup.py dup_span_detect)
     "dedup_dup_span_detect",
+    # round 7: scan-stage quality scorers must survive boilerplate text
+    "text_readability",
+    "text_code_detect",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",

@@ -29,6 +29,8 @@ TEXTS = [
     "café naïve déjà-vu straße",  # exact dup of row 0 (dedup must hit)
 ]
 CHECK = [
+    "text_readability",
+    "text_code_detect",
     "dedup_exact_text",
     "dedup_minhash_lsh_pairs",
     "text_token_counts",

@@ -1191,7 +1191,7 @@ def text_readability(spark, sf_dir):
     oracle="""
     WITH codey AS (
       SELECT doc_id,
-             replace(replace(replace(text,
+             replace(replace(replace(COALESCE(text, ''),
                'value', 'int value = f(x);'),
                'table', '{ table }'),
                'batch', chr(10) || '    batch();') AS t
