@@ -1365,10 +1365,6 @@ def msprt_sequential(
 
     Returns per-day rows: (day_us, na, nb, delta_e9, ln_lambda_e9,
     p_e9, significant)."""
-    from pyspark.sql import Window
-
-    from xorq_spark.operators.prefix import running_sum
-
     tr = (
         F.col(treat_col) if isinstance(treat_col, str) else treat_col
     ).cast("boolean")
@@ -1401,6 +1397,24 @@ def msprt_sequential(
         .alias("__sb_d"),
         F.sum(F.when(~F.col("__g"), 1).otherwise(0)).alias("__nb_d"),
     )
+    return msprt_readout(daily, sigma2, tau2, alpha_e9=alpha_e9)
+
+
+def msprt_readout(
+    daily: DataFrame,
+    sigma2: float,
+    tau2: float,
+    alpha_e9: int = 50_000_000,
+) -> DataFrame:
+    """The always-valid readout over per-day arm sufficient statistics
+    (day_us, __sa_d, __na_d, __sb_d, __nb_d) — split out so the
+    STREAMING monitor (queries/streaming_queries.py stream_msprt_daily)
+    can maintain the daily state incrementally and run the identical
+    readout over its drained state store. See msprt_sequential."""
+    from pyspark.sql import Window
+
+    from xorq_spark.operators.prefix import running_sum
+
     run = running_sum(
         daily,
         "day_us",

@@ -584,3 +584,116 @@ def stream_heavy_hitters(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "stream_msprt_daily",
+    oracle="""
+    WITH d AS (
+      SELECT (epoch_us(ts) // 86400000000) * 86400000000 AS day_us,
+             (user_id % 2 = 0) AS g,
+             CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS vq
+      FROM events
+      WHERE ts IS NOT NULL AND value IS NOT NULL AND user_id IS NOT NULL),
+    daily AS (
+      SELECT day_us,
+             sum(CASE WHEN g THEN vq ELSE 0 END) AS sa_d,
+             sum(CASE WHEN g THEN 1 ELSE 0 END) AS na_d,
+             sum(CASE WHEN NOT g THEN vq ELSE 0 END) AS sb_d,
+             sum(CASE WHEN NOT g THEN 1 ELSE 0 END) AS nb_d
+      FROM d GROUP BY day_us),
+    run AS (
+      SELECT day_us,
+             CAST(sum(na_d) OVER w AS BIGINT) AS na,
+             CAST(sum(sa_d) OVER w AS BIGINT) AS sa,
+             CAST(sum(nb_d) OVER w AS BIGINT) AS nb,
+             CAST(sum(sb_d) OVER w AS BIGINT) AS sb
+      FROM daily WINDOW w AS (ORDER BY day_us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    sc AS (
+      SELECT day_us, na, nb,
+             CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(round((CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                 - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) * 1e9, 0)
+                 AS BIGINT) END AS delta_e9,
+             CASE WHEN na > 0 AND nb > 0 THEN
+               CAST(round((
+                 0.5 * ln(4e8 / (4e8
+                   + (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                      / CAST(na + nb AS DOUBLE)) * 4e8))
+                 + ((CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                     / CAST(na + nb AS DOUBLE))
+                    * (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                       / CAST(na + nb AS DOUBLE))
+                    * 4e8
+                    * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+                    * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)
+                       - CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)))
+                   / (2.0 * 4e8 * (4e8
+                      + (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                         / CAST(na + nb AS DOUBLE)) * 4e8))
+               ) * 1e9, 0) AS BIGINT) END AS ln_lambda_e9
+      FROM run),
+    mx AS (
+      SELECT day_us, na, nb, delta_e9, ln_lambda_e9,
+             max(ln_lambda_e9) OVER (ORDER BY day_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS maxln
+      FROM sc)
+    SELECT day_us, na, nb, delta_e9, ln_lambda_e9,
+           CAST(CASE WHEN maxln IS NULL OR maxln <= 0 THEN 1000000000
+                ELSE CAST(round(exp(-(CAST(maxln AS DOUBLE) / 1e9)) * 1e9, 0)
+                     AS BIGINT) END AS BIGINT) AS p_e9,
+           (CASE WHEN maxln IS NULL OR maxln <= 0 THEN 1000000000
+                 ELSE CAST(round(exp(-(CAST(maxln AS DOUBLE) / 1e9)) * 1e9, 0)
+                      AS BIGINT) END) <= 50000000 AS significant
+    FROM mx ORDER BY day_us
+    """,
+)
+def stream_msprt_daily(spark, sf_dir):
+    """STREAMING always-valid A/B monitor: the per-day arm sufficient
+    statistics (sum/count per treatment arm, 1-day tumbling windows)
+    are maintained by Spark's incremental aggregation state — the state
+    store a production experimentation platform keeps as events arrive —
+    and the mSPRT readout (functions/stats.py msprt_readout: prefix-op
+    running totals, exp/ln likelihood tree, integer running max,
+    always-valid p) runs over the drained store, hash-equal to the
+    batch oracle. Watermark bounds state to active windows; swapping
+    the file source for Kafka changes only the reader."""
+    ev = _events_stream(spark, sf_dir).where(
+        F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    daily = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "1 day").alias("__w"),
+            (F.col("user_id") % 2 == 0).alias("__g"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value").cast("double") * 1000 + F.lit(0.5))
+                .cast("long")
+            ).alias("__s"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .select(
+            F.unix_micros(F.col("__w.start")).cast("long").alias("day_us"),
+            "__g", "__s", "__n",
+        )
+    )
+    sink = _run(daily, "stream_msprt", "complete")
+    arms = sink.groupBy("day_us").agg(
+        F.sum(F.when(F.col("__g"), F.col("__s")).otherwise(F.lit(0)))
+        .alias("__sa_d"),
+        F.sum(F.when(F.col("__g"), F.col("__n")).otherwise(F.lit(0)))
+        .alias("__na_d"),
+        F.sum(F.when(~F.col("__g"), F.col("__s")).otherwise(F.lit(0)))
+        .alias("__sb_d"),
+        F.sum(F.when(~F.col("__g"), F.col("__n")).otherwise(F.lit(0)))
+        .alias("__nb_d"),
+    )
+    from xorq_spark.functions.stats import msprt_readout
+
+    return msprt_readout(arms, sigma2=4e8, tau2=4e8).orderBy("day_us")

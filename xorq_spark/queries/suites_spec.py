@@ -670,6 +670,9 @@ SUITES: dict[str, list[str]] = {
         "stream_dedup_incremental",
         "stream_hdr_quantiles",
         "stream_heavy_hitters",
+        # round 7: streaming always-valid A/B monitor (mSPRT readout
+        # over the incremental daily-arm state store)
+        "stream_msprt_daily",
     ],
 }
 
