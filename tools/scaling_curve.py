@@ -109,6 +109,13 @@ OPS = [
     "sim_bitext_mining",
     "sim_triplet_mining",
     "agg_srm_check",
+    # round 7: progressive-JPEG decode, scan-stage quality scorers,
+    # sequential testing, positional join (two-level row numbering)
+    "mm_decode_jpeg_progressive",
+    "text_readability",
+    "text_code_detect",
+    "agg_msprt_sequential",
+    "join_positional",
 ]
 
 
