@@ -197,6 +197,11 @@ def decode_image(payload: bytes) -> Tuple[int, int, int, bytes]:
 
             return webp_decode(payload)
         raise NotImplementedError("RIFF/WAV decode requires a codec library")
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from xorq_spark.functions.gifcodec import gif_decode
+
+        w, h, frames = gif_decode(payload)
+        return w, h, 3, frames[0]
     raise NotImplementedError(
         f"unrecognized media magic {payload[:4]!r}; only baseline PNG "
         "decodes without a codec library"

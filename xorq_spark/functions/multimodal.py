@@ -946,3 +946,94 @@ def audio_neardup_pairs(
     return cand.select("id_a", "id_b", ham.alias("hamming")).where(
         F.col("hamming") <= max_hamming
     )
+
+
+def synth_gif_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic animated-GIF fixture generator: for each id a REAL
+    LZW-compressed GIF89a (functions/gifcodec.py) of
+    width = 5 + id%6, height = 4 + id%5, n_frames = 2 + id%2, palette
+    size np = 4 + id%5 with palette[i] = ((17i + id) % 256,
+    (29i + 2id) % 256, (43i + 3id) % 256); frame f's index at (x, y) is
+    (id*3 + x + 2*y + f) mod np. Odd ids encode INTERLACED, so the
+    four-pass row de-shuffle is on the certified path; every frame is
+    full-canvas with disposal 'leave in place', so the composed last
+    frame is the closed form an SQL oracle replays."""
+    from xorq_spark.functions.gifcodec import gif_encode_frames
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, widths, heights = [], [], []
+            for i in pdf[id_col].tolist():
+                w, h = 5 + i % 6, 4 + i % 5
+                np_ = 4 + i % 5
+                pal = [
+                    ((17 * p + i) % 256, (29 * p + 2 * i) % 256,
+                     (43 * p + 3 * i) % 256)
+                    for p in range(np_)
+                ]
+                frames = [
+                    [
+                        (i * 3 + x + 2 * y + f) % np_
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    for f in range(2 + i % 2)
+                ]
+                payloads.append(
+                    gif_encode_frames(
+                        frames, w, h, pal, interlace=(i % 2 == 1)
+                    )
+                )
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "duration_ms": pd.array([None] * len(payloads), dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
+GIF_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sum_c0", LongType()),
+        StructField("sum_c1", LongType()),
+        StructField("sum_c2", LongType()),
+    ]
+)
+
+
+def decode_gif_stats(assets: DataFrame) -> DataFrame:
+    """REAL animated-GIF decode: parse each payload (LZW, interlace,
+    multi-frame canvas composition) and emit the frame count plus exact
+    per-channel pixel sums of the LAST composed frame."""
+    from xorq_spark.functions.gifcodec import gif_decode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                w, h, frames = gif_decode(bytes(payload))
+                s = _channel_sums(frames[-1], 3)
+                rows.append((aid, w, h, len(frames), s[0], s[1], s[2]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height", "n_frames",
+                    "sum_c0", "sum_c1", "sum_c2",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, GIF_STATS_SCHEMA
+    )

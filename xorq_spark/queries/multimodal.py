@@ -617,3 +617,52 @@ def mm_decode_webp_stats(spark, sf_dir):
         .drop("px_sha256")
         .orderBy("asset_id")
     )
+
+
+@query(
+    "mm_decode_gif_stats",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id,
+             5 + doc_id % 6 AS w, 4 + doc_id % 5 AS h,
+             4 + doc_id % 5 AS np, 2 + doc_id % 2 AS nf
+      FROM documents WHERE doc_id < 64),
+    gx AS (SELECT asset_id, w, h, np, nf, unnest(range(0, w)) AS x FROM ids),
+    g AS (SELECT asset_id, w, h, np, nf, x, unnest(range(0, h)) AS y FROM gx),
+    px AS (
+      SELECT asset_id, w, h, nf,
+             (asset_id*3 + x + 2*y + (nf - 1)) % np AS pi
+      FROM g)
+    SELECT asset_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(nf AS INT) AS n_frames,
+           CAST(sum((17*pi + asset_id) % 256) AS BIGINT) AS sum_c0,
+           CAST(sum((29*pi + 2*asset_id) % 256) AS BIGINT) AS sum_c1,
+           CAST(sum((43*pi + 3*asset_id) % 256) AS BIGINT) AS sum_c2
+    FROM px GROUP BY asset_id, w, h, nf ORDER BY asset_id
+    """,
+)
+def mm_decode_gif_stats(spark, sf_dir):
+    """REAL animated-GIF decode, certified (round 7 — the fourth real
+    image codec beside PNG/JPEG/WebP): Spark LZW-encodes deterministic
+    multi-frame GIF89a fixtures (odd ids interlaced), decodes them back
+    through the full container walk — variable-width LSB-first LZW with
+    clear/EOI and the 12-bit cap, four-pass interlace de-shuffle,
+    frame-by-frame canvas composition — and emits the frame count plus
+    exact pixel sums of the composed last frame; the SQL oracle replays
+    the palette map and index grid in closed form, so a broken code
+    width bump, interlace pass, or composition order cannot hash-match.
+    (KwKwK, clear-on-full and malformed-stream paths are pytest-fuzzed:
+    tests/test_gifcodec.py.)"""
+    from xorq_spark.functions.multimodal import (
+        decode_gif_stats,
+        synth_gif_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select(F.col("doc_id").alias("asset_id"))
+    )
+    return decode_gif_stats(synth_gif_assets(ids)).orderBy("asset_id")

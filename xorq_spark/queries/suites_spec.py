@@ -625,6 +625,9 @@ SUITES: dict[str, list[str]] = {
         # round 7: REAL progressive-JPEG (SOF2) decode — spectral
         # selection + successive approximation with EOB-run coding
         "mm_decode_jpeg_progressive",
+        # round 7 (cont.): REAL animated-GIF decode — LZW, interlace,
+        # canvas composition (functions/gifcodec.py)
+        "mm_decode_gif_stats",
         "mm_resize_decoded",
         # round 4 (cont.): REAL audio — pure-stdlib RIFF/PCM decode
         # certified against closed-form sample oracles
