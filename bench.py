@@ -139,6 +139,10 @@ HEADLINE = [
     # round 7: REAL progressive-JPEG (SOF2) decode — successive
     # approximation + EOB-run coding in Arrow-batched workers
     "mm_decode_jpeg_progressive",
+    # round 7 (cont.): REAL animated-GIF decode (LZW + interlace +
+    # canvas composition) and the streaming mSPRT monitor's batch twin
+    "mm_decode_gif_stats",
+    "agg_msprt_sequential",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

@@ -1265,3 +1265,61 @@ def text_code_detect(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_warc_extract",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 96),
+    info AS (
+      SELECT doc_id, 0 AS rec_idx, 'warcinfo' AS warc_type,
+             CAST(NULL AS VARCHAR) AS target_uri,
+             CAST(NULL AS INT) AS http_status,
+             CAST(19 AS BIGINT) AS body_chars,
+             md5('software: fixture' || chr(13) || chr(10)) AS body_md5
+      FROM ids),
+    resp AS (
+      SELECT doc_id, CAST(1 + r AS INT) AS rec_idx,
+             'response' AS warc_type,
+             'http://ex.test/' || doc_id || '/' || r AS target_uri,
+             CAST(CASE WHEN (doc_id + r) % 5 = 0 THEN 404 ELSE 200 END
+                  AS INT) AS http_status,
+             CAST(length(repeat('page ' || doc_id || '-' || r || ' ',
+                                3 + (doc_id + r) % 4)) AS BIGINT)
+               AS body_chars,
+             md5(repeat('page ' || doc_id || '-' || r || ' ',
+                        3 + (doc_id + r) % 4)) AS body_md5
+      FROM ids, (SELECT unnest(range(0, 3)) AS r)
+      WHERE r < 1 + doc_id % 3)
+    SELECT * FROM (
+      SELECT * FROM info UNION ALL SELECT * FROM resp)
+    ORDER BY doc_id, rec_idx
+    """,
+)
+def text_warc_extract(spark, sf_dir):
+    """WARC ingestion, certified (functions/warc.py — the Common Crawl
+    record format): Spark builds spec-shaped archives (warcinfo +
+    response records; odd ids as per-record gzip members, the crawl
+    layout), parses them back through the full record walk — version
+    line, header block, Content-Length payload framing, gzip member
+    splitting, HTTP status/body extraction — and emits per-record type,
+    URI, status, body length and body md5; the oracle replays every
+    field in closed form, so a framing off-by-one or a swallowed gzip
+    member cannot hash-match."""
+    from xorq_spark.functions.warc import parse_warc_records, synth_warc_assets
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+    recs = parse_warc_records(synth_warc_assets(ids))
+    return recs.select(
+        "doc_id",
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "http_status",
+        "body_chars",
+        F.md5(F.col("body_text")).alias("body_md5"),
+    ).orderBy("doc_id", "rec_idx")

@@ -475,6 +475,9 @@ SUITES: dict[str, list[str]] = {
         # + fill-in-the-middle pretraining transform (deterministic
         # PSM reordering; zero-shuffle projection)
         "text_fim_transform",
+        # round 7: WARC ingestion (Common Crawl record format — gzip
+        # member split, header/payload framing, HTTP body extraction)
+        "text_warc_extract",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
