@@ -1323,3 +1323,62 @@ def text_warc_extract(spark, sf_dir):
         "body_chars",
         F.md5(F.col("body_text")).alias("body_md5"),
     ).orderBy("doc_id", "rec_idx")
+
+
+@query(
+    "text_wds_extract",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 96),
+    s AS (
+      SELECT doc_id, s
+      FROM ids, (SELECT unnest(range(0, 3)) AS s)
+      WHERE s < 1 + doc_id % 3),
+    keyed AS (
+      SELECT doc_id, s,
+             lpad(CAST(doc_id AS VARCHAR), 5, '0') || '/' ||
+             lpad(CAST(s AS VARCHAR), 3, '0') AS key,
+             repeat('caption ' || doc_id || '-' || s || ' ',
+                    2 + (doc_id + s) % 3) AS cap
+      FROM s),
+    members AS (
+      SELECT doc_id, CAST(2*s AS INT) AS member_idx, key AS sample_key,
+             'txt' AS ext, CAST(length(cap) AS BIGINT) AS n_bytes,
+             md5(cap) AS body_md5
+      FROM keyed
+      UNION ALL
+      SELECT doc_id, CAST(2*s + 1 AS INT) AS member_idx, key AS sample_key,
+             'cls' AS ext, CAST(1 AS BIGINT) AS n_bytes,
+             md5(CAST((doc_id + s) % 10 AS VARCHAR)) AS body_md5
+      FROM keyed)
+    SELECT * FROM members ORDER BY doc_id, member_idx
+    """,
+)
+def text_wds_extract(spark, sf_dir):
+    """WebDataset shard ingestion, certified (functions/webdataset.py —
+    the tar-of-samples layout of LAION-scale multimodal training):
+    Spark builds deterministic shards (caption + label member per
+    sample; odd ids whole-shard gzipped), parses them back through the
+    real tar walk — USTAR headers, 512-byte block framing, key/ext
+    split on the LAST dot-suffix — and emits per-member key, modality,
+    exact size and body md5; the oracle replays every field in closed
+    form, so a header-offset bug or a swallowed member cannot
+    hash-match."""
+    from xorq_spark.functions.webdataset import (
+        parse_webdataset,
+        synth_wds_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+    recs = parse_webdataset(synth_wds_assets(ids))
+    return recs.select(
+        "doc_id",
+        "member_idx",
+        "sample_key",
+        "ext",
+        "n_bytes",
+        F.md5(F.col("body_text")).alias("body_md5"),
+    ).orderBy("doc_id", "member_idx")

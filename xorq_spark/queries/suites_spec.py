@@ -478,6 +478,9 @@ SUITES: dict[str, list[str]] = {
         # round 7: WARC ingestion (Common Crawl record format — gzip
         # member split, header/payload framing, HTTP body extraction)
         "text_warc_extract",
+        # round 7 (cont.): WebDataset tar-shard ingestion (USTAR walk,
+        # key/ext split, whole-shard gzip transport)
+        "text_wds_extract",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
