@@ -716,18 +716,14 @@ PRE_SQL = {
 # operators with known-portable oracles so the driver certifies them
 # DIRECTLY on top of their suite membership.
 WINDOW_GRANULAR = [
-    "text_gopher_flags",
-    # flagship round-3 operators ALSO get individual driver rows (all
-    # are suite-certified too)
+    # flagship operators ALSO get individual driver rows (every one is
+    # suite-certified too, so promotion/rotation never loses coverage)
     "text_line_dedup",
     "dedup_dup_ngram_fraction",
     "text_pack_sequences",
     "dedup_incremental_vs_index",
     "join_range_binned",
     "engine_zorder_keys",
-    "agg_hll_sketch",
-    "ml_metrics_auc",
-    "sim_hard_negatives",
     # round 6 promotions into the slots freed by suite_streaming
     # (34 suites + 16 granular = exactly 50)
     "dedup_jaccard_prefix",
@@ -736,4 +732,13 @@ WINDOW_GRANULAR = [
     "text_bm25_topk",
     "time_kaplan_meier",
     "sim_ann_pq_topk",
+    # round 7 promotions (rotated in for text_gopher_flags,
+    # agg_hll_sketch, ml_metrics_auc, sim_hard_negatives — all of which
+    # stay green through suite_curation/suite_agg_b/suite_ml/
+    # suite_similarity): the progressive-JPEG decoder, the mSPRT
+    # sequential monitor, WARC ingestion, and the LSH banding planner
+    "mm_decode_jpeg_progressive",
+    "agg_msprt_sequential",
+    "text_warc_extract",
+    "dedup_lsh_plan",
 ]
