@@ -1382,3 +1382,52 @@ def text_wds_extract(spark, sf_dir):
         "n_bytes",
         F.md5(F.col("body_text")).alias("body_md5"),
     ).orderBy("doc_id", "member_idx")
+
+
+@query(
+    "text_zip_extract",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 96),
+    m AS (
+      SELECT doc_id, m
+      FROM ids, (SELECT unnest(range(0, 4)) AS m)
+      WHERE m < 1 + doc_id % 4),
+    body AS (
+      SELECT doc_id, m,
+             'docs/' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || '/' ||
+             lpad(CAST(m AS VARCHAR), 2, '0') || '.txt' AS name,
+             repeat('chunk ' || doc_id || '-' || m || ' ',
+                    2 + (doc_id + m) % 5) AS b
+      FROM m)
+    SELECT doc_id, CAST(m AS INT) AS member_idx, name,
+           CAST(length(b) AS BIGINT) AS n_bytes, md5(b) AS body_md5
+    FROM body ORDER BY doc_id, member_idx
+    """,
+)
+def text_zip_extract(spark, sf_dir):
+    """ZIP archive ingestion, certified (functions/ziparchive.py — the
+    dataset-dump container next to WARC and WebDataset tar): Spark
+    builds deterministic archives (even ids DEFLATE-compressed, odd
+    stored), walks them back through the central directory with
+    per-member inflate + CRC, and emits per-member name, exact size and
+    body md5; the oracle replays every field in closed form, so a
+    central-directory offset bug or a swallowed member cannot
+    hash-match."""
+    from xorq_spark.functions.ziparchive import (
+        parse_zip_members,
+        synth_zip_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+    recs = parse_zip_members(synth_zip_assets(ids))
+    return recs.select(
+        "doc_id",
+        "member_idx",
+        "name",
+        "n_bytes",
+        F.md5(F.col("body_text")).alias("body_md5"),
+    ).orderBy("doc_id", "member_idx")

@@ -481,6 +481,9 @@ SUITES: dict[str, list[str]] = {
         # round 7 (cont.): WebDataset tar-shard ingestion (USTAR walk,
         # key/ext split, whole-shard gzip transport)
         "text_wds_extract",
+        # round 7 (cont.): ZIP archive ingestion (central-directory
+        # walk, DEFLATE + stored members)
+        "text_zip_extract",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
