@@ -21,6 +21,7 @@ SRC = "/root/testdata/sf0.001"
 CHECK = [
     "text_readability",
     "text_code_detect",
+    "text_mojibake_detect",
     "dedup_exact_text",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

@@ -1404,3 +1404,24 @@ class TestReadabilityAndCodeDetect:
 
         with pytest.raises(ValueError, match="n_hashes"):
             lsh_banding_plan(spark, 1)
+
+
+def test_mojibake_flags_signals(spark):
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.text import mojibake_flags
+
+    df = spark.createDataFrame(
+        [
+            ("clean ascii text",),
+            ("donâ€™t cafÃ© naÃ¯ve",),
+            ("one bad � byte",),
+            (None,),
+        ],
+        "text string",
+    )
+    rows = [r["m"] for r in df.select(mojibake_flags(F.col("text")).alias("m")).collect()]
+    assert rows[0]["n_mojibake"] == 0 and not rows[0]["is_damaged"]
+    assert rows[1]["n_mojibake"] >= 3 and rows[1]["is_damaged"]
+    assert rows[2]["n_replacement"] == 1 and rows[2]["is_damaged"]
+    assert rows[3]["n_mojibake"] == 0 and not rows[3]["is_damaged"]

@@ -54,6 +54,7 @@ TEXT_CHECK = [
     # round 7: scan-stage quality scorers must survive boilerplate text
     "text_readability",
     "text_code_detect",
+    "text_mojibake_detect",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",

@@ -31,6 +31,7 @@ TEXTS = [
 CHECK = [
     "text_readability",
     "text_code_detect",
+    "text_mojibake_detect",
     "dedup_exact_text",
     "dedup_minhash_lsh_pairs",
     "text_token_counts",

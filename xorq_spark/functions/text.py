@@ -1926,3 +1926,43 @@ def code_detect(text: Column) -> Column:
         ),
         is_code.alias("is_code_like"),
     )
+
+
+def mojibake_flags(text: Column) -> Column:
+    """Encoding-damage (mojibake) signals as one struct column — the
+    ftfy-class cleanup gate a crawl corpus runs before tokenization:
+    UTF-8 bytes decoded as CP1252/Latin-1 leave unmistakable marker
+    sequences (\u00e2\u20ac. for the RIGHT-SINGLE-QUOTE family,
+    \u00c3 + Latin-1 continuation for accented letters, \u00c2 before
+    NBSP-family punctuation), and lossy decodes leave U+FFFD
+    replacement characters.
+
+    - n_replacement: count of U+FFFD
+    - n_mojibake: count of the classic double-decode markers
+    - mojibake_per_kchar: marker rate per 1000 chars (round 9)
+    - is_damaged: any replacement char or >= 2 marker hits
+
+    RE2-safe regexes (no lookarounds), zero shuffle, scan-speed."""
+    t = F.coalesce(text, F.lit(""))
+    n_chars = F.greatest(F.length(t), F.lit(1))
+    n_repl = F.coalesce(
+        F.regexp_count(t, F.lit("\ufffd")), F.lit(0)
+    ).cast("long")
+    n_moji = F.coalesce(
+        F.regexp_count(
+            t,
+            F.lit(
+                "(\u00e2\u20ac.|\u00c3[\u0080-\u00bf]"
+                "|\u00c2[\u00a0-\u00bf])"
+            ),
+        ),
+        F.lit(0),
+    ).cast("long")
+    return F.struct(
+        n_repl.alias("n_replacement"),
+        n_moji.alias("n_mojibake"),
+        F.round(
+            n_moji.cast("double") * 1000.0 / n_chars.cast("double"), 9
+        ).alias("mojibake_per_kchar"),
+        ((n_repl > 0) | (n_moji >= 2)).alias("is_damaged"),
+    )

@@ -1431,3 +1431,68 @@ def text_zip_extract(spark, sf_dir):
         "n_bytes",
         F.md5(F.col("body_text")).alias("body_md5"),
     ).orderBy("doc_id", "member_idx")
+
+
+@query(
+    "text_mojibake_detect",
+    oracle="""
+    WITH damaged AS (
+      SELECT doc_id,
+             COALESCE(text, '') ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' don' || chr(226) || chr(8364) || chr(8482) || 't '
+                       || chr(195) || chr(169) || 'crit'
+                  WHEN doc_id % 3 = 1
+                  THEN ' bad' || chr(65533) || 'byte'
+                  ELSE '' END AS t
+      FROM documents),
+    c AS (
+      SELECT doc_id, t,
+             greatest(length(t), 1) AS nc,
+             len(regexp_extract_all(t, chr(65533))) AS nr,
+             len(regexp_extract_all(t,
+               '(' || chr(226) || chr(8364) || '.|' || chr(195)
+               || '[' || chr(128) || '-' || chr(191) || ']|' || chr(194)
+               || '[' || chr(160) || '-' || chr(191) || '])')) AS nm
+      FROM damaged)
+    SELECT doc_id,
+           CAST(nr AS BIGINT) AS n_replacement,
+           CAST(nm AS BIGINT) AS n_mojibake,
+           round(CAST(nm AS DOUBLE) * 1000.0 / CAST(nc AS DOUBLE), 9)
+             AS mojibake_per_kchar,
+           (nr > 0 OR nm >= 2) AS is_damaged
+    FROM c ORDER BY doc_id
+    """,
+)
+def text_mojibake_detect(spark, sf_dir):
+    """Encoding-damage detection (functions/text.py mojibake_flags) —
+    the ftfy-class gate a crawl corpus runs before tokenization. The
+    clean corpus is deterministically damaged first (every third doc
+    gains the classic CP1252 double-decode markers, the next third a
+    U+FFFD replacement char), so both signal families take nontrivial
+    values; the oracle replays the damage and every count. Zero
+    shuffle, scan-speed."""
+    from xorq_spark.functions.text import mojibake_flags
+
+    damaged = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.lit(" don\u00e2\u20ac\u2122t \u00c3\u00a9crit"),
+        )
+        .when(F.col("doc_id") % 3 == 1, F.lit(" bad\ufffdbyte"))
+        .otherwise(F.lit("")),
+    )
+    g = mojibake_flags(F.col("t"))
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select("doc_id", damaged.alias("t"))
+        .select(
+            "doc_id",
+            g["n_replacement"].alias("n_replacement"),
+            g["n_mojibake"].alias("n_mojibake"),
+            g["mojibake_per_kchar"].alias("mojibake_per_kchar"),
+            g["is_damaged"].alias("is_damaged"),
+        )
+        .orderBy("doc_id")
+    )

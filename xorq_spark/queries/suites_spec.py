@@ -396,6 +396,9 @@ SUITES: dict[str, list[str]] = {
         # zero-shuffle scan projections
         "text_readability",
         "text_code_detect",
+        # round 7 (cont.): encoding-damage (mojibake) detection — the
+        # ftfy-class cleanup gate, zero-shuffle
+        "text_mojibake_detect",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",
