@@ -686,3 +686,34 @@ def test_checkpoint_preserves_table_properties(spark, tmp_path):
     assert (meta.get("configuration") or {}).get(
         "delta.enableChangeDataFeed"
     ) == "true"
+
+
+def test_checkpoint_configuration_is_map_type(spark, tmp_path):
+    """Round-8 ADVICE fix: checkpointed metaData.configuration is the
+    Delta spec's map<string,string> on disk (interoperable), not a
+    pyarrow-inferred struct keyed by property names — and round-trips
+    back to a dict through _read_checkpoint."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from xorq_spark.delta import (
+        _read_checkpoint,
+        checkpoint_log,
+        set_table_property,
+        write_delta,
+    )
+
+    table = str(tmp_path / "t")
+    write_delta(
+        spark.createDataFrame([(1, "a")], "k long, v string"), table
+    )
+    set_table_property(table, "delta.enableChangeDataFeed", "true")
+    v = checkpoint_log(table)
+    cp = os.path.join(table, "_delta_log", f"{v:020d}.checkpoint.parquet")
+    md_type = pq.read_schema(cp).field("metaData").type
+    cfg_type = md_type.field("configuration").type
+    assert pa.types.is_map(cfg_type), cfg_type
+    _adds, meta, _rv, _txns = _read_checkpoint(cp)
+    assert meta["configuration"] == {"delta.enableChangeDataFeed": "true"}

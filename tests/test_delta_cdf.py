@@ -211,3 +211,27 @@ def test_remove_attribution_survives_log_cleanup_via_checkpoint(spark, tmp_path)
         os.unlink(os.path.join(log_dir, fn))
     delete_where(spark, table, "k = 1")  # v2: delete from the v0 file
     assert _changes(spark, table, 2) == [(2, "delete", 1, "a")]
+
+
+def test_changes_for_cleaned_in_range_commit_raise(spark, tmp_path):
+    """Round-8 ADVICE fix: a commit INSIDE the requested [lo, hi] whose
+    JSON file was cleaned past a checkpoint raises (its change rows are
+    unrecoverable) instead of silently dropping feed rows — the same
+    refusal delta-spark makes."""
+    import os
+
+    import pytest
+
+    from xorq_spark.delta import checkpoint_log, read_table_changes, write_delta
+
+    table = _mk_cdf_table(spark, tmp_path)  # v0 adds k=1,2; v1 property
+    write_delta(
+        spark.createDataFrame([(3, "c")], "k long, v string"),
+        table,
+        mode="append",
+    )  # v2
+    checkpoint_log(table)  # checkpoint at v2
+    log_dir = os.path.join(table, "_delta_log")
+    os.unlink(os.path.join(log_dir, "00000000000000000002.json"))
+    with pytest.raises(ValueError, match="cleaned past a checkpoint"):
+        read_table_changes(spark, table, 2, 2)

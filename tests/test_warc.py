@@ -72,3 +72,12 @@ def test_spark_explode(spark):
     assert r["warc_type"] == "response"
     assert r["target_uri"] == "http://ex.test/3/0"
     assert r["body_text"].startswith("page 3-0 ")
+
+
+def test_corrupt_gzip_member_is_clean_error():
+    """Round-8 ADVICE fix: a CORRUPT (not merely truncated) gzip member
+    wraps zlib.error into the module's 'corrupt WARC' ValueError."""
+    gz = bytearray(warc_build(_fixture(), per_record_gzip=True))
+    gz[12] ^= 0xFF  # flip a deflate-stream byte inside the first member
+    with pytest.raises(ValueError, match="corrupt WARC"):
+        warc_parse(bytes(gz))

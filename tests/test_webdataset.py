@@ -66,3 +66,13 @@ def test_spark_explode_and_sample_pivot(spark):
         r["n_members"] == 2 and r["exts"] == "cls,txt"
         for r in samples.values()
     )
+
+
+def test_corrupt_gzip_transport_is_clean_error():
+    """Round-8 ADVICE fix: BadGzipFile/zlib.error from the gzip
+    transport wrap into the module's 'corrupt WebDataset' ValueError."""
+    good = wds_build([("a/0.txt", "x" * 600)], shard_gzip=True)
+    bad = bytearray(good)
+    bad[10] ^= 0xFF  # corrupt the deflate stream, keep the gzip magic
+    with pytest.raises(ValueError, match="corrupt WebDataset"):
+        wds_parse(bytes(bad))

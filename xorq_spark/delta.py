@@ -48,6 +48,13 @@ def _read_checkpoint(path: str) -> Tuple[list, Optional[dict], int, Dict[str, in
             adds.append(r["add"])
         if "metaData" in cols and r.get("metaData") and r["metaData"].get("schemaString"):
             meta = r["metaData"]
+            # configuration is map<string,string> on disk — to_pylist
+            # renders maps as [(k, v), ...]; normalize to the dict shape
+            # JSON-commit metaData carries (older struct-typed
+            # checkpoints already come back as dicts)
+            cfg = meta.get("configuration")
+            if isinstance(cfg, list):
+                meta["configuration"] = dict(cfg)
         if "protocol" in cols and r.get("protocol") and r["protocol"].get("minReaderVersion"):
             reader = r["protocol"]["minReaderVersion"]
         if "txn" in cols and r.get("txn") and r["txn"].get("appId"):
@@ -1070,16 +1077,19 @@ def checkpoint_log(table_path: str) -> int:
     # the checkpoint silently drop that commit's rows) and its txn
     # markers would vanish from dedup lookups.
     live, meta, version = _replay_log_full(table_path)
+    # table properties MUST survive the checkpoint (the spec's
+    # metaData is carried whole): dropping configuration silently
+    # turned delta.enableChangeDataFeed off for any reader whose
+    # replay started at the checkpoint. Stored as the spec's
+    # map<string,string> (NOT a property-name-keyed struct, which is
+    # what pylist inference produces and what external Delta
+    # checkpoint readers would reject).
+    cfg = dict(meta.get("configuration") or {})
     meta_slim = {
         "id": meta.get("id", ""),
         "schemaString": meta["schemaString"],
         "partitionColumns": list(meta.get("partitionColumns") or []),
-        # table properties MUST survive the checkpoint (the spec's
-        # metaData is carried whole): dropping configuration silently
-        # turned delta.enableChangeDataFeed off for any reader whose
-        # replay started at the checkpoint. Nulled when empty —
-        # parquet cannot store an empty struct.
-        "configuration": dict(meta.get("configuration") or {}) or None,
+        "configuration": sorted(cfg.items()) if cfg else None,
     }
     rows: List[dict] = [
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
@@ -1099,9 +1109,27 @@ def checkpoint_log(table_path: str) -> int:
         {"txn": {"appId": a, "version": v}}
         for a, v in sorted(_all_txns(log_dir, upto=version).items())
     )
-    # unify row keys so pyarrow infers one nullable struct column each
+    # unify row keys so pyarrow infers one nullable struct column each;
+    # metaData gets an EXPLICIT type so configuration is the spec's
+    # map<string,string> (list-of-tuples values), not an inferred struct
     keys = ("protocol", "metaData", "add", "txn")
     tbl = pa.Table.from_pylist([{k: r.get(k) for k in keys} for r in rows])
+    md_type = pa.struct(
+        [
+            pa.field("id", pa.string()),
+            pa.field("schemaString", pa.string()),
+            pa.field("partitionColumns", pa.list_(pa.string())),
+            pa.field("configuration", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    md_arr = pa.array(
+        [r.get("metaData") for r in rows], type=md_type
+    )
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("metaData"),
+        pa.field("metaData", md_type),
+        md_arr,
+    )
     tmp = os.path.join(log_dir, f".cp-tmp-{version}.parquet")
     pq.write_table(tbl, tmp)
     os.replace(tmp, os.path.join(log_dir, f"{version:020d}.checkpoint.parquet"))
@@ -1395,6 +1423,17 @@ def read_table_changes(
     for c in range(walk_from, hi + 1):
         fp = os.path.join(log_dir, f"{c:020d}.json")
         if not os.path.exists(fp):
+            # Pre-range commits folded into the seeding checkpoint may
+            # be cleaned; an IN-RANGE commit with no surviving JSON
+            # means its change rows are unrecoverable — raise (delta-
+            # spark errors likewise), never silently drop feed rows.
+            if lo <= c <= hi:
+                raise ValueError(
+                    f"cannot read changes for commit {c} of "
+                    f"{table_path!r}: its log file was cleaned past a "
+                    "checkpoint; request a range within the surviving "
+                    "log window"
+                )
             continue
         adds, removes, cdcs = [], [], []
         with open(fp) as fh:

@@ -8,10 +8,11 @@ variable-width LSB-first LZW with clear/EOI codes and 12-bit cap,
 interlaced row de-shuffling (the four GIF passes), multi-frame
 animations composed onto the canvas at each image's (left, top) with
 disposal "leave in place" — enough to decode what mainstream encoders
-emit for palette images and simple animations. Unsupported disposal
-modes and transparency-keyed composition raise ValueError by name (the
-honest-gate discipline: a fake would poison training features
-silently).
+emit for palette images and simple animations. Transparency IS
+composed (transparent indices leave the underlying canvas pixel
+untouched); only disposal modes 2/3 (restore-to-background /
+restore-to-previous) raise ValueError by name (the honest-gate
+discipline: a fake would poison training features silently).
 
 Encoder (fixture generator + re-encode path): palette-quantized single
 or multi-frame GIF89a with real LZW compression (dictionary growth,

@@ -101,8 +101,11 @@ def _gunzip_members(data: bytes) -> bytes:
     rest = data
     while rest:
         d = zlib.decompressobj(47)  # gzip wrapper
-        out += d.decompress(rest)
-        out += d.flush()
+        try:
+            out += d.decompress(rest)
+            out += d.flush()
+        except (zlib.error, OSError, EOFError) as exc:
+            raise ValueError(f"corrupt WARC: bad gzip member: {exc}") from exc
         if not d.eof:
             raise ValueError("corrupt WARC: truncated gzip member")
         rest = d.unused_data

@@ -23,6 +23,7 @@ from __future__ import annotations
 import gzip
 import io
 import tarfile
+import zlib
 from typing import Dict, Iterator, List, Tuple
 
 from pyspark.sql import DataFrame
@@ -74,7 +75,14 @@ def wds_parse(data: bytes) -> List[Dict]:
     """Parse a (possibly gzipped) tar shard into member dicts
     (name, sample_key, ext, payload) in tar order."""
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)
+        try:
+            data = gzip.decompress(data)
+        except (OSError, EOFError, zlib.error) as exc:
+            # gzip.BadGzipFile subclasses OSError; wrap everything the
+            # inflate can raise so callers see ONE corrupt-shard error.
+            raise ValueError(
+                f"corrupt WebDataset shard: bad gzip transport: {exc}"
+            ) from exc
     out: List[Dict] = []
     try:
         with tarfile.open(fileobj=io.BytesIO(data), mode="r:") as tf:
