@@ -411,3 +411,31 @@ def test_derive_query_terms_distributed_topk(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_hdr_quantiles_exact_cumsum_is_partitioned(spark):
+    """Round-8 fix: the exact type-1 quantile reference cumsums over
+    the DISTINCT-value table — unbounded by data (millions of distinct
+    prices at sf100) — so it must route through operators/prefix.py
+    running_sum (range-partitioned, window keyed on __pid), never a
+    partition-less Window.orderBy('v'). The streaming twin shares the
+    construction; its plan is asserted by source inspection because
+    executing it drains a streaming sink."""
+    import inspect
+    import re
+
+    plan = _plan(spark, "agg_hdr_quantiles")
+    # every window spec that orders by v must be keyed on the range
+    # partition id; the only SinglePartition frame is the bounded
+    # #partitions-row offsets table (ordered by __pid)
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if re.search(r"\bv ASC", spec):
+            assert "__pid" in spec, m.group(0)
+    assert "hashpartitioning(__pid" in plan, plan
+
+    from xorq_spark.queries import streaming_queries
+
+    src = inspect.getsource(streaming_queries.stream_hdr)
+    assert "running_sum" in src
+    assert "Window.orderBy" not in src

@@ -665,20 +665,24 @@ def agg_hdr_quantiles(spark, sf_dir):
         F.col("q").alias("__qm"), F.col("est_lo").alias("est_lo_merged")
     )
 
-    # exact type-1 quantiles, replayed with the same integer rank rule
-    from pyspark.sql import Window
+    # exact type-1 quantiles, replayed with the same integer rank rule.
+    # The cumulative count runs over the DISTINCT-value table, which is
+    # unbounded by data (distinct prices at sf100 are millions of rows)
+    # — so it goes through running_sum's range-partitioned prefix, not
+    # a partition-less window (one task at scale).
+    from xorq_spark.operators.prefix import running_sum
 
     tot = vals.agg(F.count(F.lit(1)).cast("long").alias("N"))
     qdf = spark.createDataFrame(qs, "q string, num long, den long")
     needs = qdf.crossJoin(F.broadcast(tot)).select(
         "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    exc = (
-        vals.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select("v", F.sum("c").over(wv).cast("long").alias("cum"))
-    )
+    exc = running_sum(
+        vals.groupBy("v").agg(F.count(F.lit(1)).alias("c")),
+        "v",
+        "c",
+        "cum",
+    ).select("v", F.col("cum").cast("long").alias("cum"))
     exq = (
         exc.crossJoin(F.broadcast(needs))
         .where(F.col("cum") >= F.col("need"))

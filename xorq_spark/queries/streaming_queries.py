@@ -455,7 +455,7 @@ def stream_hdr(spark, sf_dir):
     the oracle replays bucketing, readout, and exact type-1 bracketing
     over the same events."""
     from xorq_spark.functions.sketches import hdr_build, hdr_quantiles
-    from pyspark.sql import Window
+    from xorq_spark.operators.prefix import running_sum
 
     ev = _events_stream(spark, sf_dir)
     vint = F.expr("CAST(floor(CAST(value AS DOUBLE) * 1000 + 0.5) AS BIGINT)")
@@ -473,12 +473,14 @@ def stream_hdr(spark, sf_dir):
     needs = qdf.crossJoin(F.broadcast(tot)).select(
         "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
     )
-    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    exc = (
-        vals.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .select("v", F.sum("c").over(wv).cast("long").alias("cum"))
-    )
+    # cumulative count over the DISTINCT-value table is unbounded by
+    # data — range-partitioned prefix, not a partition-less window
+    exc = running_sum(
+        vals.groupBy("v").agg(F.count(F.lit(1)).alias("c")),
+        "v",
+        "c",
+        "cum",
+    ).select("v", F.col("cum").cast("long").alias("cum"))
     exq = (
         exc.crossJoin(F.broadcast(needs))
         .where(F.col("cum") >= F.col("need"))
