@@ -439,3 +439,30 @@ def test_hdr_quantiles_exact_cumsum_is_partitioned(spark):
     src = inspect.getsource(streaming_queries.stream_hdr)
     assert "running_sum" in src
     assert "Window.orderBy" not in src
+
+
+def test_triangle_counts_single_attach_join_suffix_sliced(spark):
+    """Round-8 refinement: each adjacency row regenerates its own
+    oriented edges via posexplode and slices the s-side suffix in-row
+    BEFORE the t-keyed exchange — the former o ⋈ A(s) attach join is
+    gone (one adjacency attach remains), and the shuffled s-side array
+    cells drop from sum(deg²) to sum(deg·(deg−1)/2)."""
+    import pyspark.sql.functions as F
+
+    from xorq_spark.functions.graph import triangle_counts
+
+    # force the shuffle path (bound=0) so the join structure is visible
+    edges = spark.range(0, 300).select(
+        (F.col("id") % 40).alias("src"), (F.col("id") % 37 + 3).alias("dst")
+    )
+    out = triangle_counts(edges, broadcast_edge_bound=0)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    joins = _re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan
+    )
+    assert len(joins) <= 2, (joins, plan)
+    assert "slice(" in plan and "posexplode" in plan, plan

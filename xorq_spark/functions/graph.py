@@ -270,17 +270,23 @@ def triangle_counts(
     WWW'11) with ADJACENCY-INTERSECTION closure: each undirected edge
     is oriented from its lower-(degree, id) endpoint to the higher one,
     which bounds every out-neighborhood by O(sqrt(m)); out-neighbor
-    sets become per-node SORTED ARRAYS, and for each oriented edge
-    (s, t) the triangles through it are |A(s) ∩ A(t)| — computed
-    in-row, so the m^(3/2)-sized wedge set NEVER materializes as rows
-    or crosses an exchange (round 6: the former wedge self-join +
-    closure equi-join exchanged the wedge stream once built and once
-    joined; this plan's only superlinear term is the A(s) arrays
-    riding the edge-keyed exchange — same m^(3/2) byte bound, far
-    fewer shuffled rows, measured 10.4s -> 3.3s at sf0.1 with the
-    broadcast gate forced off, 3.9s with it on). Skew-immune: a celebrity node's edges all
-    point INTO it so its array stays O(sqrt(m)), and the only joins
-    are edge-keyed equi-joins AQE can skew-split.
+    sets become per-node arrays SORTED IN ORIENTATION ORDER, and for
+    each oriented edge (s, t) the triangles through it are
+    |A(s) ∩ A(t)| — computed in-row, so the m^(3/2)-sized wedge set
+    NEVER materializes as rows or crosses an exchange. Round-8 suffix
+    refinement: a closing corner z follows BOTH s and t in orientation
+    order, so only the suffix of A(s) strictly AFTER t's position can
+    intersect A(t) — and because the oriented edges (s, t) are exactly
+    the positions of A(s) itself, each edge's s-side suffix is
+    generated IN-ROW from the adjacency list (posexplode + slice): the
+    former o ⋈ A(s) attach join is gone entirely, and the s-side
+    array cells riding the t-keyed exchange drop from sum(deg_out²)
+    to sum(deg_out·(deg_out−1)/2) — half the bytes, one less join
+    (round 6: the wedge self-join exchanged the wedge stream twice;
+    round 7 measured the in-row intersect at 10.4s -> 3.3s at sf0.1
+    with the broadcast gate forced off). Skew-immune: a celebrity
+    node's edges all point INTO it so its array stays O(sqrt(m)), and
+    the only join is a t-keyed equi-join AQE can skew-split.
 
     Integer-exact: counts are exact; the clustering coefficient
     2*tri DIV (deg*(deg-1)) is scaled integer division so the SQL
@@ -317,37 +323,53 @@ def triangle_counts(
         .select(
             F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
         )
         .localCheckpoint(eager=True)
     )
-    # Sorted out-neighbor arrays, each O(sqrt(m)) by orientation. Each
-    # triangle x<y<z (orientation order) is found exactly once: on its
-    # lowest-mid edge (x, y), as z ∈ A(x) ∩ A(y). Checkpointed because
-    # both joins below consume it.
+    # Out-neighbor arrays sorted in ORIENTATION order (degree, id) —
+    # each O(sqrt(m)) by orientation. Each triangle x<y<z (orientation
+    # order) is found exactly once: on its lowest-mid edge (x, y), as
+    # z ∈ A(x) ∩ A(y). Checkpointed because both the posexplode pass
+    # and the t-side attach consume it.
     adj = (
         o.groupBy("s")
-        .agg(F.sort_array(F.collect_list("t")).alias("ns"))
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dt", "t"))),
+                lambda x: x["t"],
+            ).alias("ns")
+        )
         .localCheckpoint(eager=True)
     )
     # Below the bound the adjacency table (~edge-list volume in total
-    # array cells) broadcasts and BOTH attach joins are map-side hash
-    # lookups — nothing superlinear ever crosses the wire. Above it the
-    # edge-keyed shuffle plan stands: correct at any scale, AQE
-    # skew-splits the t-keyed attach of a celebrity sink node.
+    # array cells) broadcasts and the t-side attach is a map-side hash
+    # lookup — nothing superlinear ever crosses the wire. Above it the
+    # t-keyed shuffle plan stands: correct at any scale, AQE
+    # skew-splits the attach of a celebrity sink node.
     m_edges = o.count()
     bc = m_edges <= int(broadcast_edge_bound)
-    a1 = adj.select(F.col("s").alias("__a1"), F.col("ns").alias("__ns_s"))
     a2 = adj.select(F.col("s").alias("__a2"), F.col("ns").alias("__ns_t"))
     if bc:
-        a1, a2 = F.broadcast(a1), F.broadcast(a2)
+        a2 = F.broadcast(a2)
+    # Each adjacency row regenerates its own oriented edges: position i
+    # holds t = A(s)[i], and the only s-side candidates for closing
+    # corners are the suffix AFTER i (everything ≤ t in orientation
+    # order cannot be in A(t)) — so the suffix is cut in-row BEFORE
+    # anything is shuffled.
     pairs = (
-        o.join(a1, F.col("s") == F.col("__a1"))
+        adj.select("s", "ns", F.posexplode("ns").alias("__i", "t"))
+        .select(
+            "s",
+            "t",
+            F.expr("slice(ns, __i + 2, size(ns))").alias("__ssuf"),
+        )
         .join(a2, F.col("t") == F.col("__a2"), "left")
         .select(
             "s",
             "t",
             F.array_intersect(
-                F.col("__ns_s"),
+                F.col("__ssuf"),
                 F.coalesce(F.col("__ns_t"), F.expr("array()").cast("array<bigint>")),
             ).alias("__common"),
         )
