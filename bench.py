@@ -269,6 +269,53 @@ def main():
         except Exception:
             return -1
 
+    _CLK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+    def sys_cpu_sec():
+        # system-wide busy CPU seconds (all cores summed) from
+        # /proc/stat: user+nice+system+irq+softirq+steal
+        try:
+            with open("/proc/stat") as f:
+                parts = f.readline().split()
+            j = [int(x) for x in parts[1:9]]
+            busy = j[0] + j[1] + j[2] + j[5] + j[6] + j[7]
+            return busy / _CLK
+        except Exception:
+            return -1.0
+
+    def tree_cpu_sec(extra_pids=()):
+        # CPU seconds consumed by OUR process tree: this interpreter,
+        # the Spark JVM (ProcessCpuTime covers its threads), and the
+        # pyspark daemon/worker processes (utime+stime from
+        # /proc/<pid>/stat). sys_cpu_sec minus this is CPU burned by
+        # SOMETHING ELSE on the host — the external-contention signal
+        # that attributes a pass-time spike to the machine, not the
+        # plan (round-7 tail: six unrelated queries spiked inside one
+        # sweep window).
+        total = 0.0
+        try:
+            ru = __import__("resource")
+            me = ru.getrusage(ru.RUSAGE_SELF)
+            total += me.ru_utime + me.ru_stime
+        except Exception:
+            pass
+        try:
+            osb = (
+                spark._jvm.java.lang.management.ManagementFactory
+                .getOperatingSystemMXBean()
+            )
+            total += osb.getProcessCpuTime() / 1e9
+        except Exception:
+            pass
+        for pid in extra_pids:
+            try:
+                with open(f"/proc/{pid}/stat") as f:
+                    st = f.read().rsplit(")", 1)[1].split()
+                total += (int(st[11]) + int(st[12])) / _CLK
+            except Exception:
+                pass
+        return total
+
     def pyspark_worker_pids():
         # live pyspark.daemon/worker processes — a pid-set CHANGE between
         # two samples means workers were torn down and respawned (the
@@ -294,6 +341,8 @@ def main():
         if diag is not None:
             gc0, pids0 = jvm_gc_ms(), pyspark_worker_pids()
             jit0, cg0 = jit_ms(), codegen_compiles()
+            sys0, tree0 = sys_cpu_sec(), tree_cpu_sec(pids0)
+            wall0 = time.time()
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.mode("overwrite").format("noop").save()
@@ -308,6 +357,9 @@ def main():
                     "worker_spawns": [],
                     "jit_ms": [],
                     "codegen_compiles": [],
+                    "t0": [],
+                    "load1": [],
+                    "ext_cpu_sec": [],
                 },
             )
             d["sec"].append(round(dt, 3))
@@ -315,6 +367,17 @@ def main():
             d["worker_spawns"].append(len(pids1 - pids0))
             d["jit_ms"].append(jit_ms() - jit0)
             d["codegen_compiles"].append(codegen_compiles() - cg0)
+            # external-contention attribution: wall-clock start (spikes
+            # across queries in one sweep window correlate in time),
+            # 1-min loadavg, and CPU seconds the pass burned that our
+            # process tree did NOT (system busy minus JVM+workers+self)
+            d["t0"].append(round(wall0, 1))
+            try:
+                d["load1"].append(round(os.getloadavg()[0], 1))
+            except Exception:
+                d["load1"].append(-1.0)
+            ext = (sys_cpu_sec() - sys0) - (tree_cpu_sec(pids0 | pids1) - tree0)
+            d["ext_cpu_sec"].append(round(max(ext, 0.0), 1))
         unpersist_rdds()  # outside the timer; next query starts clean
         return dt
 

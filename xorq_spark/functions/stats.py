@@ -1354,14 +1354,15 @@ def msprt_sequential(
                   + n^2*tau2*delta^2 / (2*sigma2*(sigma2 + n*tau2))
 
     Determinism: values quantize at `quant` (time_cusum convention);
-    daily arm sums/counts are exact integers whose RUNNING totals come
-    from operators/prefix.py running_sum (one range shuffle, no
-    single-partition window on the unbounded stream); delta and
-    ln Lambda are ONE double tree over those integers (exp/ln only —
-    the bm25 transcendental precedent), quantized to e9; the running
-    max and the crossing flag are pure integer ops. The only
-    partition-less window runs on the BOUNDED per-day frame (#days
-    rows — the sanctioned bounded-frame exception).
+    daily arm sums/counts are exact integers whose RUNNING totals, the
+    running max, and the crossing flag all run over the BOUNDED
+    per-day frame (#days rows — the sanctioned bounded-frame
+    exception; round 8 dropped the former running_sum detour here: a
+    range shuffle + eager localCheckpoint for a ~30-row frame added
+    two jobs whose block-manager first-touch was the bench variance
+    tail); delta and ln Lambda are ONE double tree over those integers
+    (exp/ln only — the bm25 transcendental precedent), quantized to
+    e9.
 
     Returns per-day rows: (day_us, na, nb, delta_e9, ln_lambda_e9,
     p_e9, significant)."""
@@ -1413,12 +1414,18 @@ def msprt_readout(
     readout over its drained state store. See msprt_sequential."""
     from pyspark.sql import Window
 
-    from xorq_spark.operators.prefix import running_sum
-
-    run = running_sum(
-        daily,
+    # The per-day frame is BOUNDED by construction (#days rows however
+    # large the event stream), so the running arm totals use the
+    # sanctioned bounded partition-less window — running_sum's range
+    # shuffle + eager localCheckpoint cost two extra jobs per call,
+    # a variable block-manager toll on a ~30-row frame.
+    w0 = Window.orderBy("day_us").rowsBetween(Window.unboundedPreceding, 0)
+    run = daily.select(
         "day_us",
-        cols={"na": "__na_d", "sa": "__sa_d", "nb": "__nb_d", "sb": "__sb_d"},
+        F.sum("__na_d").over(w0).alias("na"),
+        F.sum("__sa_d").over(w0).alias("sa"),
+        F.sum("__nb_d").over(w0).alias("nb"),
+        F.sum("__sb_d").over(w0).alias("sb"),
     )
     s2, t2 = float(sigma2), float(tau2)
     delta = F.col("sa").cast("double") / F.col("na").cast("double") - F.col(
