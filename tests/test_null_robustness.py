@@ -22,6 +22,8 @@ CHECK = [
     "text_readability",
     "text_code_detect",
     "text_mojibake_detect",
+    "text_mojibake_repair",
+    "text_unicode_normalize",
     "dedup_exact_text",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

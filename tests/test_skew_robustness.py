@@ -55,6 +55,8 @@ TEXT_CHECK = [
     "text_readability",
     "text_code_detect",
     "text_mojibake_detect",
+    "text_mojibake_repair",
+    "text_unicode_normalize",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",

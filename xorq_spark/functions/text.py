@@ -1966,3 +1966,184 @@ def mojibake_flags(text: Column) -> Column:
         ).alias("mojibake_per_kchar"),
         ((n_repl > 0) | (n_moji >= 2)).alias("is_damaged"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unicode normalization + mojibake repair (round 8)
+# ---------------------------------------------------------------------------
+
+# "Sloppy CP1252" (cf. ftfy's sloppy-windows-1252): CP1252 with its five
+# undefined bytes (0x81 0x8D 0x8F 0x90 0x9D) mapped to the Latin-1
+# control characters a lenient decoder would have produced — so any
+# string that came FROM a cp1252/latin-1 misdecode re-encodes exactly.
+def _build_sloppy_cp1252_rev() -> dict:
+    rev = {}
+    for b in range(256):
+        ch = bytes([b]).decode("cp1252", errors="replace")
+        if ch == "\ufffd":
+            ch = chr(b)
+        rev[ch] = b
+    return rev
+
+
+_SLOPPY_CP1252_REV = _build_sloppy_cp1252_rev()
+
+# Python twin of mojibake_flags' marker regex (the repair loop's
+# progress measure must agree with the detector).
+import re as _re
+
+_MOJI_MARKER_RE = _re.compile(
+    "(\u00e2\u20ac.|\u00c3[\u0080-\u00bf]|\u00c2[\u00a0-\u00bf])"
+)
+
+
+def _mojibake_badness(s: str) -> int:
+    """Damage score the repair loop must strictly decrease: marker
+    hits (weighted — one marker is stronger evidence than one stray
+    Latin-1 char) plus the count of U+0080..U+00FF characters. A
+    twice-damaged string keeps its MARKER count flat across the first
+    repair round (the intermediate single-damage form still carries
+    one marker) but sheds Latin-1-supplement noise every round, so
+    badness is monotone where raw marker count is not."""
+    return 10 * len(_MOJI_MARKER_RE.findall(s)) + sum(
+        1 for c in s if "\u0080" <= c <= "\u00ff"
+    )
+
+
+def _decode_mixed_utf8(raw: bytes) -> str:
+    """Decode a byte run that may INTERLEAVE valid UTF-8 sequences
+    (the mojibake's original bytes) with genuine Latin-1/CP1252 text:
+    each position first tries a complete UTF-8 multi-byte sequence;
+    anything else falls back to the single sloppy-cp1252 char. This is
+    what lets repair fix damage embedded in text that also carries
+    LEGITIMATE accents ('café ... donÃ¢â‚¬â„¢t') — a strict whole-run
+    utf-8 decode would abort on the lone é."""
+    out = []
+    i, n = 0, len(raw)
+    while i < n:
+        b = raw[i]
+        if b < 0x80:
+            out.append(chr(b))
+            i += 1
+            continue
+        if 0xC2 <= b <= 0xDF:
+            seqlen = 2
+        elif 0xE0 <= b <= 0xEF:
+            seqlen = 3
+        elif 0xF0 <= b <= 0xF4:
+            seqlen = 4
+        else:
+            seqlen = 0
+        if seqlen and i + seqlen <= n:
+            try:
+                out.append(raw[i : i + seqlen].decode("utf-8"))
+                i += seqlen
+                continue
+            except UnicodeDecodeError:
+                pass
+        ch = bytes([b]).decode("cp1252", errors="replace")
+        out.append(chr(b) if ch == "\ufffd" else ch)
+        i += 1
+    return "".join(out)
+
+
+def _repair_round(s: str) -> str:
+    """One segment-wise repair pass: runs of sloppy-cp1252-mappable
+    characters re-encode to bytes and go through the mixed UTF-8
+    decoder; unmappable characters (CJK, Arabic, emoji — text that
+    never came from a cp1252 misdecode) pass through verbatim, so
+    mixed-script documents repair their damaged spans without
+    touching the rest."""
+    out = []
+    buf = bytearray()
+
+    def flush():
+        if buf:
+            out.append(_decode_mixed_utf8(bytes(buf)))
+            buf.clear()
+
+    for c in s:
+        b = _SLOPPY_CP1252_REV.get(c)
+        if b is None:
+            flush()
+            out.append(c)
+        else:
+            buf.append(b)
+    flush()
+    return "".join(out)
+
+
+def mojibake_repair_str(s, max_rounds: int = 3):
+    """ftfy-style inverse of the CP1252 double-decode: segment-wise
+    re-encode through sloppy-cp1252 + mixed UTF-8 re-decode, iterating
+    while the damage score strictly drops (a twice-damaged string
+    needs two rounds; see _mojibake_badness). Conservative by
+    construction: repair is only ATTEMPTED when the detector's marker
+    regex fires, and a round is only ACCEPTED if the score improves —
+    so clean text, legitimate accents (invalid as UTF-8 sequences,
+    kept as-is by the mixed decoder), non-Latin scripts (unmappable,
+    passed through verbatim) and U+FFFD damage (original bytes gone)
+    come back UNCHANGED."""
+    if s is None:
+        return None
+    cur = s
+    for _ in range(max_rounds):
+        if not _MOJI_MARKER_RE.search(cur):
+            break
+        cand = _repair_round(cur)
+        if _mojibake_badness(cand) >= _mojibake_badness(cur):
+            break
+        cur = cand
+    return cur
+
+
+def mojibake_repair(text: Column, max_rounds: int = 3) -> Column:
+    """Column form of `mojibake_repair_str` — an Arrow-batched pandas
+    UDF (codec tables are not expressible in Spark SQL builtins), so
+    the repair is a zero-shuffle scan-stage projection; per-string cost
+    is linear in length and only paid on marker-bearing strings."""
+    from pyspark.sql.functions import pandas_udf
+
+    rounds = int(max_rounds)
+
+    @pandas_udf("string")
+    def _rep(s):  # type: ignore[no-untyped-def]
+        return s.map(
+            lambda x: mojibake_repair_str(x, rounds)
+            if x is not None
+            else None
+        )
+
+    return _rep(text)
+
+
+_UNICODE_FORMS = ("NFC", "NFD", "NFKC", "NFKD")
+
+
+def unicode_normalize(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) as an Arrow-batched
+    pandas UDF — the FIRST transform of every dedup recipe
+    (CCNet/Gopher normalize before hashing: composed é and
+    decomposed e+COMBINING ACUTE are different strings to every digest
+    in dedup.py until normalized; NFKC additionally folds width and
+    compatibility forms — fullwidth A -> A, fi-ligature -> fi).
+    Zero-shuffle scan-stage projection; Spark SQL has no normalization
+    builtin, so this is the sanctioned vectorized-Python path."""
+    if form not in _UNICODE_FORMS:
+        raise ValueError(
+            f"unicode_normalize: form must be one of {_UNICODE_FORMS}, "
+            f"got {form!r}"
+        )
+    from pyspark.sql.functions import pandas_udf
+
+    f = str(form)
+
+    @pandas_udf("string")
+    def _norm(s):  # type: ignore[no-untyped-def]
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(f, x) if x is not None else None
+        )
+
+    return _norm(text)

@@ -1496,3 +1496,151 @@ def text_mojibake_detect(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_mojibake_repair",
+    oracle="""
+    WITH d1 AS (SELECT ' don' || chr(226) || chr(8364) || chr(8482)
+                    || 't ' || chr(195) || chr(169) || 'crit' AS s),
+    d2 AS (SELECT ' don' || chr(195) || chr(162) || chr(226) || chr(8218)
+               || chr(172) || chr(226) || chr(8222) || chr(162) || 't '
+               || chr(195) || chr(402) || chr(194) || chr(169) || 'crit' AS s),
+    orig AS (SELECT ' don' || chr(8217) || 't ' || chr(233) || 'crit' AS s),
+    rep AS (
+      SELECT doc_id,
+             COALESCE(text, '') ||
+             CASE WHEN doc_id % 3 IN (0, 1) THEN (SELECT s FROM orig)
+                  ELSE ' bad' || chr(65533) || 'byte' END AS repaired,
+             CASE WHEN doc_id % 3 = 0 THEN length((SELECT s FROM d1))
+                  WHEN doc_id % 3 = 1 THEN length((SELECT s FROM d2))
+                  ELSE 9 END
+               + length(COALESCE(text, '')) AS len_damaged
+      FROM documents)
+    SELECT doc_id,
+           CAST(len_damaged AS BIGINT) AS len_damaged,
+           CAST(length(repaired) AS BIGINT) AS len_repaired,
+           TRUE AS repaired_equals_original,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 1 ELSE 0 END AS BIGINT)
+             AS n_replacement_after,
+           CAST(0 AS BIGINT) AS n_mojibake_after,
+           md5(repaired) AS repaired_md5
+    FROM rep ORDER BY doc_id
+    """,
+)
+def text_mojibake_repair(spark, sf_dir):
+    """Encoding-damage REPAIR (functions/text.py mojibake_repair) — the
+    ftfy-style inverse transform paired with round-7's detector: every
+    third doc gains SINGLE CP1252 double-decode damage, the next third
+    the TWICE-damaged form (exercising the iterative round), the rest
+    an unrepairable U+FFFD. The repair must round-trip both damaged
+    families back to the true original (don't/ecrit with real
+    apostrophe and accent), leave the FFFD family untouched, and zero
+    the marker count — the oracle replays the expected post-repair
+    corpus in closed form, so a lossy or over-eager repair cannot
+    hash-match. Zero shuffle: Arrow-batched scan-stage projection."""
+    from xorq_spark.functions.text import mojibake_flags, mojibake_repair
+
+    # the damage forms are COMPUTED (utf-8 bytes re-decoded as
+    # cp1252), not hand-typed literals - byte-exact by construction
+    orig = " don\u2019t \u00e9crit"
+    d1 = orig.encode("utf-8").decode("cp1252")
+    d2 = d1.encode("utf-8").decode("cp1252")
+    damaged = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(d1))
+        .when(F.col("doc_id") % 3 == 1, F.lit(d2))
+        .otherwise(F.lit(" bad\ufffdbyte")),
+    )
+    expected = F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.when(F.col("doc_id") % 3 <= 1, F.lit(orig)).otherwise(
+            F.lit(" bad\ufffdbyte")
+        ),
+    )
+    g = mojibake_flags(F.col("repaired"))
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select(
+            "doc_id",
+            damaged.alias("t"),
+            expected.alias("expected"),
+        )
+        .select(
+            "doc_id",
+            F.length("t").cast("long").alias("len_damaged"),
+            mojibake_repair(F.col("t")).alias("repaired"),
+            "expected",
+        )
+        .select(
+            "doc_id",
+            "len_damaged",
+            F.length("repaired").cast("long").alias("len_repaired"),
+            (F.col("repaired") == F.col("expected")).alias(
+                "repaired_equals_original"
+            ),
+            g["n_replacement"].alias("n_replacement_after"),
+            g["n_mojibake"].alias("n_mojibake_after"),
+            F.md5(F.col("repaired")).alias("repaired_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_unicode_normalize",
+    oracle="""
+    WITH damaged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN replace(COALESCE(text, ''), 'e', 'e' || chr(769))
+                  ELSE COALESCE(text, '') END AS s
+      FROM documents),
+    n AS (SELECT doc_id, s, nfc_normalize(s) AS nfc FROM damaged)
+    SELECT doc_id,
+           CAST(length(s) AS BIGINT) AS len_decomposed,
+           CAST(length(nfc) AS BIGINT) AS len_nfc,
+           (nfc <> s) AS changed,
+           md5(nfc) AS nfc_md5
+    FROM n ORDER BY doc_id
+    """,
+)
+def text_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization certified end to end (functions/
+    text.py unicode_normalize) — the first transform of every dedup
+    recipe: every even doc is deterministically DECOMPOSED (each 'e'
+    gains a COMBINING ACUTE, so the corpus carries real NFD
+    sequences), then normalized back; codepoint lengths before/after,
+    the changed flag, and the md5 of the normalized text are replayed
+    by DuckDB's nfc_normalize — a normalizer that misses a composition
+    or touches the odd (already-NFC) docs cannot hash-match. NFKC
+    width/compat folding shares the same code path (pytest-covered;
+    DuckDB has no NFKC oracle). Zero shuffle, Arrow-batched."""
+    from xorq_spark.functions.text import unicode_normalize
+
+    damaged = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("e"),
+            F.lit("é"),
+        ),
+    ).otherwise(F.coalesce(F.col("text"), F.lit("")))
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select("doc_id", damaged.alias("s"))
+        .select(
+            "doc_id",
+            F.length("s").cast("long").alias("len_decomposed"),
+            unicode_normalize(F.col("s"), "NFC").alias("nfc"),
+            "s",
+        )
+        .select(
+            "doc_id",
+            "len_decomposed",
+            F.length("nfc").cast("long").alias("len_nfc"),
+            (F.col("nfc") != F.col("s")).alias("changed"),
+            F.md5(F.col("nfc")).alias("nfc_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -399,6 +399,12 @@ SUITES: dict[str, list[str]] = {
         # round 7 (cont.): encoding-damage (mojibake) detection — the
         # ftfy-class cleanup gate, zero-shuffle
         "text_mojibake_detect",
+        # round 8: the ftfy-style REPAIR inverse (iterative sloppy-
+        # cp1252 re-encode, closed-form round-trip oracle) and NFC
+        # unicode normalization (the first transform of every dedup
+        # recipe; DuckDB nfc_normalize replays it) — both zero-shuffle
+        "text_mojibake_repair",
+        "text_unicode_normalize",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",
