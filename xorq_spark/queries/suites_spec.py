@@ -650,6 +650,10 @@ SUITES: dict[str, list[str]] = {
         # round 4 (cont.): REAL audio — pure-stdlib RIFF/PCM decode
         # certified against closed-form sample oracles
         "mm_decode_wav_stats",
+        # round 8: REAL FLAC decode (fixed/LPC prediction, Rice+RICE2,
+        # stereo decorrelation, multi-frame) — lossless, so the WAV
+        # twin's closed-form oracle replays it verbatim
+        "mm_decode_flac_stats",
         "mm_decode_avi_frames",
         # + perceptual image near-dup (dHash over real decoded pixels)
         "mm_image_dhash_pairs",
