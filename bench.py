@@ -143,6 +143,12 @@ HEADLINE = [
     # canvas composition) and the streaming mSPRT monitor's batch twin
     "mm_decode_gif_stats",
     "agg_msprt_sequential",
+    # round 8: REAL FLAC decode (lossless audio — the dominant
+    # training-audio container), mojibake repair (ftfy-style inverse,
+    # Arrow-batched), unicode normalization (dedup's first transform)
+    "mm_decode_flac_stats",
+    "text_mojibake_repair",
+    "text_unicode_normalize",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

@@ -116,6 +116,12 @@ OPS = [
     "text_code_detect",
     "agg_msprt_sequential",
     "join_positional",
+    # round 8: FLAC decode, mojibake repair, unicode normalization —
+    # all zero-shuffle scan-stage shapes whose x10 ratio should track
+    # the scan
+    "mm_decode_flac_stats",
+    "text_mojibake_repair",
+    "text_unicode_normalize",
 ]
 
 

@@ -755,6 +755,10 @@ WINDOW_GRANULAR = [
     # sequential monitor, WARC ingestion, and the LSH banding planner
     "mm_decode_jpeg_progressive",
     "agg_msprt_sequential",
-    "text_warc_extract",
-    "dedup_lsh_plan",
+    # round 8 promotions (rotated in for text_warc_extract and
+    # dedup_lsh_plan, which stay green through suite_curation/
+    # suite_dedup_sim): the FLAC decoder and the mojibake repairer —
+    # this round's flagship operators
+    "mm_decode_flac_stats",
+    "text_mojibake_repair",
 ]
