@@ -75,7 +75,7 @@ def pagerank(
     # truncates the per-iteration lineage exactly as
     # connected_components does (cluster note: prefer checkpoint() with
     # a checkpoint dir, which survives executor loss).
-    e = (
+    e_raw = (
         edges.select(
             F.col(src).cast("long").alias("src"),
             F.col(dst).cast("long").alias("dst"),
@@ -85,35 +85,43 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    outdeg = e.groupBy("src").agg(
-        F.count(F.lit(1)).alias("outdeg")
-    ).localCheckpoint(eager=True)
-    n = nodes.count()  # one bounded scalar; everything else stays distributed
-    if n == 0:
-        return nodes.select("node", F.lit(0).cast("long").alias("rank_scaled"))
-    base = (den - num) * scale // den // n
-
     # Size the per-iteration shuffles to the MEASURED edge count (known
-    # free from the checkpoint materialization) — same adaptivity as
-    # connected_components: each iteration is ~4 shuffle stages, and at
-    # the session's fact-table partition count they are mostly
-    # empty-task scheduling overhead on a sparse graph. ~500k edges per
-    # partition, clamped to the session default, restored on exit.
+    # free from the checkpoint materialization): at the session's
+    # fact-table partition count a sparse graph's per-round stages are
+    # mostly empty-task scheduling overhead. ~500k edges per partition,
+    # clamped to the session default, restored on exit.
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
-    n_edges = e.count()
+    n_edges = e_raw.count()
     fit = max(1, min(int(old_parts), n_edges // 500_000 + 1))
-
-    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
     try:
         spark.conf.set(conf_key, str(fit))
+        # Round-8 one-exchange layout (the label_propagation pattern:
+        # localCheckpoint preserves partitioning in the LogicalRDD):
+        # edges hash-partitioned on src ONCE; outdeg and nodes land on
+        # the same modulus, so every per-round join — ranks⋈outdeg,
+        # e⋈rd, nodes⋈incoming — is co-partitioned, and the only
+        # per-round exchange moves rank contributions to their dst.
+        e = e_raw.repartition(fit, "src").localCheckpoint(eager=True)
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()  # exchanges hash(node, fit) under the conf
+            .localCheckpoint(eager=True)
+        )
+        outdeg = e.groupBy("src").agg(
+            F.count(F.lit(1)).alias("outdeg")
+        ).localCheckpoint(eager=True)
+        n = nodes.count()  # one bounded scalar; the rest stays distributed
+        if n == 0:
+            return nodes.select(
+                "node", F.lit(0).cast("long").alias("rank_scaled")
+            )
+        base = (den - num) * scale // den // n
+        ranks = nodes.select(
+            "node", F.lit(scale // n).cast("long").alias("r")
+        )
         return _pagerank_iterations(
             e, nodes, outdeg, ranks, iterations, base, n, num, den
         )
@@ -123,16 +131,23 @@ def pagerank(
 
 def _pagerank_iterations(e, nodes, outdeg, ranks, iterations, base, n, num, den):
     for _ in range(iterations):
-        rd = ranks.join(outdeg, ranks["node"] == outdeg["src"], "left").select(
-            "node", "r", "outdeg"
+        # ONE ranks⋈outdeg join per round, shared by the dangling-mass
+        # aggregate and the contribution scan (the former plan joined
+        # the EDGE-SIZED e⋈ranks stream against outdeg again — an
+        # extra |E|-row exchange every round). Lazy checkpoint: both
+        # consumers share the computed frame without a scheduling
+        # round-trip.
+        rd = (
+            ranks.join(outdeg, ranks["node"] == outdeg["src"], "left")
+            .select("node", "r", "outdeg")
+            .localCheckpoint(eager=False)
         )
         dang = rd.where(F.col("outdeg").isNull()).agg(
             F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dang")
         )
         contrib = (
             e.alias("e")
-            .join(ranks.alias("rk"), F.col("e.src") == F.col("rk.node"))
-            .join(outdeg.alias("dg"), F.col("e.src") == F.col("dg.src"))
+            .join(rd.alias("rk"), F.col("e.src") == F.col("rk.node"))
             .select(
                 F.col("e.dst").alias("node"),
                 F.expr("r DIV outdeg").alias("c"),
