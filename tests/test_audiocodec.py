@@ -262,3 +262,63 @@ def test_avi_roundtrip_hypothesis(n_frames, w, h, seed):
     gw, gh, gfps, got = decode_video(avi_encode(frames, w, h, fps=10))
     assert (gw, gh, gfps) == (w, h, 10)
     assert got == frames
+
+
+class TestResampleLinear:
+    def test_identity_up_down(self):
+        from xorq_spark.functions.audiocodec import resample_linear
+
+        s = [((5 * 31 + 11 * k) % 4001) - 2000 for k in range(70)]
+        assert resample_linear(s, 1, 8000, 8000) == s
+        up = resample_linear(s, 1, 8000, 16000)
+        assert len(up) == 139  # (70-1)*2 + 1
+        # every even output index is an exact source sample
+        assert up[0::2] == s
+        # odd indices are exact midpoints under the +32768-shifted
+        # floor-division kernel
+        for j in range(69):
+            k = 32768
+            want = ((s[j] + k) * 8000 + (s[j + 1] + k) * 8000) // 16000 - k
+            assert up[2 * j + 1] == want
+        down = resample_linear(s, 1, 16000, 8000)
+        assert down == s[0::2]
+
+    def test_stereo_interleave_preserved(self):
+        from xorq_spark.functions.audiocodec import resample_linear
+
+        left = list(range(0, 50))
+        right = list(range(1000, 1050))
+        inter = [v for pair in zip(left, right) for v in pair]
+        out = resample_linear(inter, 2, 8000, 16000)
+        # channel 0 stays < 1000, channel 1 stays >= 1000: no bleed
+        assert all(v < 1000 for v in out[0::2])
+        assert all(v >= 1000 for v in out[1::2])
+
+    def test_bad_args(self):
+        from xorq_spark.functions.audiocodec import resample_linear
+
+        with pytest.raises(ValueError):
+            resample_linear([1], 0, 8000, 16000)
+        assert resample_linear([], 1, 8000, 16000) == []
+
+
+class TestEnergySegments:
+    def test_islands(self):
+        from xorq_spark.functions.audiocodec import energy_segments
+
+        # 2 quiet frames, 2 loud, 1 quiet, 1 loud: 2 segments, run 2
+        sig = [0] * 32 + [1000] * 32 + [0] * 16 + [1000] * 16
+        g = energy_segments(sig, 1, 16)
+        assert g == {
+            "n_frames": 6, "n_active": 3, "n_segments": 2, "max_run": 2,
+        }
+
+    def test_channel0_only_and_empty(self):
+        from xorq_spark.functions.audiocodec import energy_segments
+
+        inter = [0, 9999] * 32  # silent left, loud right
+        g = energy_segments(inter, 2, 16)
+        assert g["n_active"] == 0 or g["n_frames"] == 2
+        assert energy_segments([], 1) == {
+            "n_frames": 0, "n_active": 0, "n_segments": 0, "max_run": 0,
+        }

@@ -228,3 +228,83 @@ def frame_pixel_sums(frame: bytes, width: int, height: int) -> tuple:
         sg += sum(r[1::3])
         sr += sum(r[2::3])
     return sb, sg, sr
+
+
+def resample_linear(samples, channels: int, rate_in: int, rate_out: int):
+    """Integer-exact linear-interpolation resample of interleaved
+    samples from rate_in to rate_out — the decode -> RESAMPLE ->
+    feature step every training-audio pipeline runs (models want one
+    rate; corpora arrive at many).
+
+    Output length per channel M = ((n_in - 1) * rate_out) DIV rate_in
+    + 1 (the last output lands on or before the last input — no
+    extrapolation). Output sample t reads source position
+    p = t * rate_in / rate_out as i = num DIV rate_out,
+    f = num MOD rate_out and blends
+    ((s[i]+K)*(rate_out-f) + (s[i+1]+K)*f) DIV rate_out - K with
+    K = 32768: the shift keeps every numerator nonnegative so
+    truncating and flooring division agree — the property that lets a
+    SQL oracle replay the resample bit-for-bit (Spark/DuckDB integer
+    division diverge on negatives)."""
+    if channels < 1 or rate_in < 1 or rate_out < 1:
+        raise ValueError("resample_linear: bad channels/rates")
+    n_in = len(samples) // channels
+    if n_in == 0:
+        return []
+    K = 32768
+    m = ((n_in - 1) * rate_out) // rate_in + 1
+    out = [0] * (m * channels)
+    for c in range(channels):
+        ch = samples[c::channels]
+        for t in range(m):
+            num = t * rate_in
+            i = num // rate_out
+            f = num - i * rate_out
+            if f == 0:
+                v = ch[i]
+            else:
+                v = (
+                    (ch[i] + K) * (rate_out - f)
+                    + (ch[i + 1] + K) * f
+                ) // rate_out - K
+            out[t * channels + c] = v
+    return out
+
+
+def energy_segments(samples, channels: int, frame_len: int = 16) -> dict:
+    """VAD-style energy segmentation of channel 0 — the clip-extraction
+    primitive of a training-audio pipeline (speech corpora keep active
+    spans, drop silence). Frames of `frame_len` samples (partial tail
+    kept); a frame is ACTIVE when its mean |sample| is at least the
+    whole signal's mean |sample|, compared by integer
+    cross-multiplication (sum_abs_frame * n_total >= sum_abs_total *
+    len_frame) so a SQL oracle replays the threshold exactly. Returns
+    frame/active counts plus the gaps-and-islands segment count and the
+    longest active run."""
+    ch0 = samples[0::channels] if channels > 1 else list(samples)
+    n = len(ch0)
+    if n == 0:
+        return {"n_frames": 0, "n_active": 0, "n_segments": 0, "max_run": 0}
+    total_abs = sum(abs(v) for v in ch0)
+    n_frames = (n + frame_len - 1) // frame_len
+    n_active = n_segments = max_run = run = 0
+    prev_active = False
+    for k in range(n_frames):
+        fr = ch0[k * frame_len : (k + 1) * frame_len]
+        s = sum(abs(v) for v in fr)
+        active = s * n >= total_abs * len(fr)
+        if active:
+            n_active += 1
+            run = run + 1 if prev_active else 1
+            if not prev_active:
+                n_segments += 1
+            max_run = max(max_run, run)
+        else:
+            run = 0
+        prev_active = active
+    return {
+        "n_frames": n_frames,
+        "n_active": n_active,
+        "n_segments": n_segments,
+        "max_run": max_run,
+    }

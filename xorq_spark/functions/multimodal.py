@@ -656,6 +656,109 @@ def decode_audio_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+RESAMPLE_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("sum_samples", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def resample_audio_stats(assets: DataFrame, rate_out: int = 16000) -> DataFrame:
+    """REAL decode -> RESAMPLE -> feature chain: each payload (WAV or
+    FLAC — decode_audio dispatches) is decoded, linearly resampled to
+    `rate_out` with the integer-exact kernel
+    (audiocodec.resample_linear), and reduced to integer DSP features.
+    Arrow-batched mapInPandas, no shuffle — the one-rate normalization
+    every training-audio pipeline runs before featurization."""
+    from xorq_spark.functions.audiocodec import decode_audio, resample_linear
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                rate, ch, _sw, samples = decode_audio(bytes(payload))
+                out = resample_linear(samples, ch, rate, rate_out)
+                rows.append(
+                    (
+                        aid,
+                        rate_out,
+                        ch,
+                        len(out),
+                        sum(out),
+                        sum(v * v for v in out),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "sample_rate",
+                    "channels",
+                    "n_samples",
+                    "sum_samples",
+                    "sum_sq",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, RESAMPLE_STATS_SCHEMA
+    )
+
+
+SEGMENT_STATS_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("n_active", LongType()),
+        StructField("n_segments", LongType()),
+        StructField("max_run", LongType()),
+    ]
+)
+
+
+def audio_segment_stats(assets: DataFrame, frame_len: int = 16) -> DataFrame:
+    """REAL decode -> SEGMENT chain: each payload decodes (WAV or FLAC)
+    and runs the VAD-style energy segmentation
+    (audiocodec.energy_segments) — active-frame counts, segment count,
+    longest run. Arrow-batched mapInPandas, no shuffle."""
+    from xorq_spark.functions.audiocodec import decode_audio, energy_segments
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _rate, ch, _sw, samples = decode_audio(bytes(payload))
+                g = energy_segments(samples, ch, frame_len)
+                rows.append(
+                    (
+                        aid,
+                        g["n_frames"],
+                        g["n_active"],
+                        g["n_segments"],
+                        g["max_run"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_frames",
+                    "n_active",
+                    "n_segments",
+                    "max_run",
+                ],
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, SEGMENT_STATS_SCHEMA
+    )
+
+
 VIDEO_STATS_SCHEMA = StructType(
     [
         StructField("asset_id", LongType()),

@@ -726,3 +726,139 @@ def mm_decode_flac_stats(spark, sf_dir):
     )
     assets = synth_flac_assets(ids)
     return decode_audio_stats(assets).drop("pcm_sha256").orderBy("asset_id")
+
+
+@query(
+    "mm_audio_resample",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id,
+             1 + doc_id % 2 AS ch,
+             64 + doc_id % 33 AS frames,
+             CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate
+      FROM documents WHERE doc_id < 64),
+    m AS (SELECT asset_id, ch, rate, frames,
+                 ((frames - 1) * 16000) // rate + 1 AS m
+          FROM ids),
+    tt AS (SELECT asset_id, ch, rate, m,
+                  unnest(range(0, m)) AS tpos
+           FROM m),
+    cc AS (SELECT asset_id, ch, rate, tpos,
+                  unnest(range(0, ch)) AS c
+           FROM tt),
+    rs AS (SELECT asset_id, ch, c,
+                  (tpos * rate) // 16000 AS i,
+                  tpos * rate - ((tpos * rate) // 16000) * 16000 AS f
+           FROM cc),
+    v AS (SELECT asset_id, ch, c,
+                 CASE WHEN f = 0
+                      THEN ((asset_id*31 + 11*(i*ch + c)) % 4001) - 2000
+                      ELSE ((((asset_id*31 + 11*(i*ch + c)) % 4001) - 2000
+                              + 32768) * (16000 - f)
+                            + (((asset_id*31 + 11*((i+1)*ch + c)) % 4001)
+                               - 2000 + 32768) * f) // 16000 - 32768
+                 END AS v
+          FROM rs)
+    SELECT asset_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(any_value(ch) AS INT) AS channels,
+           count(*) AS n_samples,
+           CAST(sum(v) AS BIGINT) AS sum_samples,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM v GROUP BY asset_id ORDER BY asset_id
+    """,
+)
+def mm_audio_resample(spark, sf_dir):
+    """REAL decode -> RESAMPLE -> feature chain (round 8): FLAC
+    payloads decode through functions/flaccodec.py, linearly resample
+    to one target rate (16 kHz — the one-rate normalization every
+    training-audio pipeline runs; sources arrive at 8/12/16 kHz so
+    up-, down- and identity-resampling all execute), and reduce to
+    integer DSP features. The resample kernel is integer-exact by
+    construction (audiocodec.resample_linear: the +32768 shift keeps
+    every division nonnegative, where Spark and DuckDB integer
+    division would diverge on negatives) so the oracle replays decode
+    AND resample bit-for-bit from the closed-form signal."""
+    from xorq_spark.functions.multimodal import (
+        resample_audio_stats,
+        synth_flac_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 64
+    )
+    return resample_audio_stats(synth_flac_assets(ids), 16000).orderBy(
+        "asset_id"
+    )
+
+
+@query(
+    "mm_audio_energy_segments",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id,
+             1 + doc_id % 2 AS ch,
+             64 + doc_id % 33 AS frames
+      FROM documents WHERE doc_id < 64),
+    s AS (
+      SELECT asset_id,
+             j,
+             j // 16 AS k,
+             abs(((asset_id*31 + 11*(j*ch)) % 4001) - 2000) AS a
+      FROM (SELECT asset_id, ch, unnest(range(0, frames)) AS j FROM ids)),
+    fr AS (
+      SELECT asset_id, k,
+             CAST(sum(a) AS BIGINT) AS sa,
+             count(*) AS len_k
+      FROM s GROUP BY asset_id, k),
+    tot AS (
+      SELECT asset_id,
+             CAST(sum(a) AS BIGINT) AS ta,
+             count(*) AS n
+      FROM s GROUP BY asset_id),
+    act AS (
+      SELECT fr.asset_id, fr.k,
+             (fr.sa * tot.n >= tot.ta * fr.len_k) AS active,
+             lag((fr.sa * tot.n >= tot.ta * fr.len_k))
+               OVER (PARTITION BY fr.asset_id ORDER BY fr.k) AS prev
+      FROM fr JOIN tot USING (asset_id)),
+    runs AS (
+      SELECT asset_id, k, active,
+             k - CAST(row_number() OVER (
+                   PARTITION BY asset_id, active ORDER BY k) AS BIGINT)
+               AS grp
+      FROM act)
+    SELECT act.asset_id,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(CASE WHEN act.active THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active,
+           CAST(sum(CASE WHEN act.active
+                          AND (act.prev IS NULL OR NOT act.prev)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+           CAST(COALESCE((SELECT max(cnt) FROM (
+               SELECT count(*) AS cnt FROM runs r
+               WHERE r.asset_id = act.asset_id AND r.active
+               GROUP BY r.grp)), 0) AS BIGINT) AS max_run
+    FROM act GROUP BY act.asset_id ORDER BY act.asset_id
+    """,
+)
+def mm_audio_energy_segments(spark, sf_dir):
+    """REAL decode -> VAD-style energy segmentation (round 8): WAV
+    payloads decode and channel 0 is framed at 16 samples; a frame is
+    active when its mean |sample| reaches the signal mean, compared by
+    integer cross-multiplication (engine-exact); gaps-and-islands over
+    the active flags give segment count and longest run — the
+    clip-extraction primitive of a speech-corpus pipeline. The oracle
+    replays framing, threshold and islands from the closed-form signal
+    with window functions."""
+    from xorq_spark.functions.multimodal import (
+        audio_segment_stats,
+        synth_wav_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 64
+    )
+    return audio_segment_stats(synth_wav_assets(ids), 16).orderBy("asset_id")

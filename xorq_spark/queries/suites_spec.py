@@ -652,8 +652,12 @@ SUITES: dict[str, list[str]] = {
         "mm_decode_wav_stats",
         # round 8: REAL FLAC decode (fixed/LPC prediction, Rice+RICE2,
         # stereo decorrelation, multi-frame) — lossless, so the WAV
-        # twin's closed-form oracle replays it verbatim
+        # twin's closed-form oracle replays it verbatim — plus the
+        # decode->resample (integer-exact linear kernel) and
+        # decode->VAD-segment chains over the same fixtures
         "mm_decode_flac_stats",
+        "mm_audio_resample",
+        "mm_audio_energy_segments",
         "mm_decode_avi_frames",
         # + perceptual image near-dup (dHash over real decoded pixels)
         "mm_image_dhash_pairs",
