@@ -443,6 +443,17 @@ def main():
                     "driver_memory": spark.conf.get(
                         "spark.driver.memory", "unset"
                     ),
+                    "legend": {
+                        "t0": "wall-clock pass start (epoch sec); spikes"
+                        " across queries that share a time window point"
+                        " at the machine, not the plans",
+                        "load1": "1-min loadavg at pass start",
+                        "ext_cpu_sec": "CPU-seconds burned during the"
+                        " pass by processes OUTSIDE our JVM+worker+"
+                        "driver tree; >> 0 on a slow pass = external"
+                        " contention (named cause), ~0 = look at"
+                        " gc/jit/codegen columns",
+                    },
                 },
                 "per_query": diag,
             },

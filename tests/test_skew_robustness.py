@@ -57,6 +57,7 @@ TEXT_CHECK = [
     "text_mojibake_detect",
     "text_mojibake_repair",
     "text_unicode_normalize",
+    "text_sentence_split",
 ]
 KEY_CHECK = [
     "tpch_q13_customer_distribution",

@@ -34,6 +34,7 @@ CHECK = [
     "text_mojibake_detect",
     "text_mojibake_repair",
     "text_unicode_normalize",
+    "text_sentence_split",
     "dedup_exact_text",
     "dedup_minhash_lsh_pairs",
     "text_token_counts",

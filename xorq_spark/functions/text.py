@@ -2147,3 +2147,43 @@ def unicode_normalize(text: Column, form: str = "NFC") -> Column:
         )
 
     return _norm(text)
+
+
+def sentence_split(text: Column) -> Column:
+    """Sentence segmentation: split on terminal-punctuation runs
+    followed by whitespace (``[.!?]+\\s+`` — RE2-portable, no
+    lookbehind, so the SQL oracle splits identically), empty segments
+    dropped. The unit every sentence-level pipeline stage (sentence
+    dedup, per-sentence language ID, quality scoring) iterates over.
+    Zero shuffle — a scan-stage projection."""
+    return F.filter(
+        F.split(F.coalesce(text, F.lit("")), r"[.!?]+\s+"),
+        lambda x: F.trim(x) != "",
+    )
+
+
+def sentence_stats(text: Column) -> Column:
+    """Per-document sentence statistics as one struct: sentence count,
+    mean tokens per sentence (round 9) and the longest sentence in
+    characters — the length-shape signals sentence-aware curation
+    filters cut on."""
+    sents = sentence_split(text)
+    n = F.size(sents)
+    toks = F.transform(
+        sents,
+        lambda s: F.size(F.filter(F.split(F.trim(s), r"\s+"), lambda w: w != "")),
+    )
+    total_toks = F.coalesce(
+        F.aggregate(toks, F.lit(0), lambda a, x: a + x), F.lit(0)
+    )
+    max_chars = F.coalesce(
+        F.array_max(F.transform(sents, lambda s: F.length(s))), F.lit(0)
+    )
+    return F.struct(
+        n.cast("long").alias("n_sentences"),
+        F.when(
+            n > 0,
+            F.round(total_toks.cast("double") / n.cast("double"), 9),
+        ).alias("mean_sentence_tokens"),
+        max_chars.cast("long").alias("max_sentence_chars"),
+    )

@@ -1644,3 +1644,88 @@ def text_unicode_normalize(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "text_sentence_split",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, 3 + doc_id % 3 AS g, {_TOKS} AS toks
+                 FROM documents),
+    sentd AS (
+      SELECT doc_id,
+             CASE WHEN COALESCE(len(toks), 0) > 0 THEN
+               array_to_string(list_transform(
+                 range(0, (len(toks) + g - 1) // g),
+                 i -> array_to_string(toks[i*g+1:i*g+g], ' ')), '. ') || '.'
+             ELSE '' END AS t
+      FROM tok),
+    sp AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(t, '[.!?]+\\s+'),
+                         x -> trim(x) <> '') AS sents
+      FROM sentd),
+    st AS (
+      SELECT doc_id, sents, len(sents) AS n,
+             list_transform(sents,
+               s -> len(list_filter(regexp_split_to_array(trim(s), '\\s+'),
+                                    w -> w <> ''))) AS toks_per
+      FROM sp)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_sentences,
+           CASE WHEN n > 0 THEN
+             round(CAST(list_sum(toks_per) AS DOUBLE) / CAST(n AS DOUBLE), 9)
+           END AS mean_sentence_tokens,
+           CAST(COALESCE(list_max(list_transform(sents, s -> length(s))), 0)
+                AS BIGINT) AS max_sentence_chars
+    FROM st ORDER BY doc_id
+    """,
+)
+def text_sentence_split(spark, sf_dir):
+    """Sentence segmentation certified end to end (functions/text.py
+    sentence_split/sentence_stats): the punctuation-free synthetic
+    corpus is first SENTENCEIZED deterministically (every doc's tokens
+    group into sentences of 3 + doc_id%3 words joined by '. ') so the
+    splitter meets real terminal punctuation; both engines then split
+    on the same RE2-portable pattern and reduce to sentence count,
+    mean tokens per sentence and longest-sentence chars. Zero shuffle,
+    scan-stage HOFs only."""
+    from xorq_spark.functions.text import sentence_stats
+
+    toks = F.filter(
+        F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
+    g = (F.lit(3) + F.col("doc_id") % 3).cast("int")
+    sentd = F.when(
+        F.size(F.col("toks")) > 0,
+        F.concat(
+            F.array_join(
+                F.transform(
+                    F.expr("sequence(0, ((size(toks) + g - 1) div g) - 1)"),
+                    lambda i: F.array_join(
+                        F.slice(
+                            F.col("toks"),
+                            i * F.col("g") + 1,
+                            F.col("g"),
+                        ),
+                        " ",
+                    ),
+                ),
+                ". ",
+            ),
+            F.lit("."),
+        ),
+    ).otherwise(F.lit(""))
+    st = sentence_stats(F.col("t"))
+    return (
+        widen(t(spark, sf_dir, "documents"))
+        .select("doc_id", toks.alias("toks"), g.alias("g"))
+        .select("doc_id", sentd.alias("t"))
+        .select(
+            "doc_id",
+            st["n_sentences"].alias("n_sentences"),
+            st["mean_sentence_tokens"].alias("mean_sentence_tokens"),
+            st["max_sentence_chars"].alias("max_sentence_chars"),
+        )
+        .orderBy("doc_id")
+    )

@@ -405,6 +405,9 @@ SUITES: dict[str, list[str]] = {
         # recipe; DuckDB nfc_normalize replays it) — both zero-shuffle
         "text_mojibake_repair",
         "text_unicode_normalize",
+        # round 8 (cont.): sentence segmentation — the unit of
+        # sentence-level dedup/quality stages; RE2-portable split
+        "text_sentence_split",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",
