@@ -1729,3 +1729,81 @@ def text_sentence_split(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "dedup_unicode_normalized",
+    oracle="""
+    WITH paired AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 2 = 1
+                  THEN replace(COALESCE(tw.text, ''), 'e', 'e' || chr(769))
+                  ELSE replace(COALESCE(d.text, ''), 'e', chr(233))
+             END AS t
+      FROM documents d
+      LEFT JOIN documents tw ON tw.doc_id = d.doc_id - 1),
+    keyed AS (
+      SELECT doc_id, md5(nfc_normalize(t)) AS dk FROM paired),
+    winners AS (
+      SELECT dk, min(doc_id) AS keep FROM keyed GROUP BY dk)
+    SELECT k.doc_id,
+           (k.doc_id = w.keep) AS kept,
+           CAST(w.keep AS BIGINT) AS canonical_id
+    FROM keyed k JOIN winners w USING (dk)
+    ORDER BY k.doc_id
+    """,
+)
+def dedup_unicode_normalized(spark, sf_dir):
+    """The dedup recipe unicode normalization exists for, certified as
+    one query: every EVEN doc gets composed accents (each 'e' becomes
+    U+00E9) and every ODD doc is rewritten to its even predecessor's
+    text with the SAME accents in DECOMPOSED form (e + COMBINING
+    ACUTE) — identical content, different codepoints, so a digest over
+    the RAW text keeps both twins; the pipeline normalizes NFC first
+    (functions/text.py unicode_normalize) and keys the md5 digest on
+    the normalized form — every odd doc must collapse onto its even
+    twin (kept=false, canonical_id=doc_id-1; 250 of 500 rows survive
+    at sf0.01). The oracle replays pairing, both damage forms,
+    nfc_normalize and the min-id winner rule."""
+    from xorq_spark.functions.text import unicode_normalize
+
+    docs = widen(t(spark, sf_dir, "documents")).select("doc_id", "text")
+    twin = docs.select(
+        (F.col("doc_id") + 1).alias("__tid"),
+        F.col("text").alias("__twin_text"),
+    )
+    paired = (
+        docs.join(twin, F.col("doc_id") == F.col("__tid"), "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 2 == 1,
+                F.replace(
+                    F.coalesce(F.col("__twin_text"), F.lit("")),
+                    F.lit("e"),
+                    F.lit("é"),
+                ),
+            )
+            .otherwise(
+                F.replace(
+                    F.coalesce(F.col("text"), F.lit("")),
+                    F.lit("e"),
+                    F.lit("\u00e9"),  # COMPOSED form on the even twin
+                )
+            )
+            .alias("t"),
+        )
+    )
+    keyed = paired.select(
+        "doc_id", F.md5(unicode_normalize(F.col("t"), "NFC")).alias("dk")
+    )
+    winners = keyed.groupBy("dk").agg(F.min("doc_id").alias("keep"))
+    return (
+        keyed.join(winners, "dk")
+        .select(
+            "doc_id",
+            (F.col("doc_id") == F.col("keep")).alias("kept"),
+            F.col("keep").cast("long").alias("canonical_id"),
+        )
+        .orderBy("doc_id")
+    )

@@ -551,6 +551,10 @@ SUITES: dict[str, list[str]] = {
         # round 7: exact LSH banding planner (integrated FP+FN mass per
         # (b, r) factorization; bounded quadrature frame)
         "dedup_lsh_plan",
+        # round 8: NFC-normalized exact dedup — composed/decomposed
+        # twins of one text must collapse onto the min id (the recipe
+        # unicode_normalize exists for, certified end to end)
+        "dedup_unicode_normalized",
         # stride-1 exact duplicated-substring spans (Lee et al.
         # ExactSubstr removal ranges; gaps-and-islands merge)
         "dedup_exact_substring",
