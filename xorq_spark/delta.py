@@ -45,7 +45,16 @@ def _read_checkpoint(path: str) -> Tuple[list, Optional[dict], int, Dict[str, in
     rows = tbl.to_pylist()
     for r in rows:
         if "add" in cols and r.get("add") and r["add"].get("path"):
-            adds.append(r["add"])
+            a = r["add"]
+            # partitionValues is map<string,string> on disk — to_pylist
+            # renders maps as [(k, v), ...]; normalize to the dict shape
+            # JSON-commit adds carry (older struct-typed checkpoints and
+            # null → {} included)
+            pv = a.get("partitionValues")
+            a["partitionValues"] = (
+                dict(pv) if isinstance(pv, list) else (pv or {})
+            )
+            adds.append(a)
         if "metaData" in cols and r.get("metaData") and r["metaData"].get("schemaString"):
             meta = r["metaData"]
             # configuration is map<string,string> on disk — to_pylist
@@ -1095,14 +1104,27 @@ def checkpoint_log(table_path: str) -> int:
         {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
         {"metaData": meta_slim},
     ]
-    # parquet cannot store an EMPTY struct: unpartitioned tables carry
-    # partitionValues={} in JSON commits — null it in the checkpoint
-    # (readers treat None and {} identically)
+    # partitionValues gets the same explicit-type treatment as
+    # metaData.configuration below: the spec says map<string,string>,
+    # and pyarrow inference from dicts would instead produce a struct
+    # keyed by the partition-column names (or an empty struct, which
+    # parquet cannot store) — both rejected by external checkpoint
+    # readers. Emit sorted items; empty → null (readers treat None
+    # and {} identically).
     def _cp_add(a: dict) -> dict:
-        a = dict(a)
-        if not a.get("partitionValues"):
-            a["partitionValues"] = None
-        return a
+        pv = a.get("partitionValues")
+        if isinstance(pv, dict):
+            pv = sorted(pv.items())
+        elif pv:
+            pv = sorted((k, v) for k, v in pv)
+        return {
+            "path": a["path"],
+            "partitionValues": pv or None,
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime"),
+            "dataChange": bool(a.get("dataChange")),
+            "stats": a.get("stats"),
+        }
 
     rows.extend({"add": _cp_add(a)} for a in live)
     rows.extend(
@@ -1129,6 +1151,22 @@ def checkpoint_log(table_path: str) -> int:
         tbl.schema.get_field_index("metaData"),
         pa.field("metaData", md_type),
         md_arr,
+    )
+    add_type = pa.struct(
+        [
+            pa.field("path", pa.string()),
+            pa.field("partitionValues", pa.map_(pa.string(), pa.string())),
+            pa.field("size", pa.int64()),
+            pa.field("modificationTime", pa.int64()),
+            pa.field("dataChange", pa.bool_()),
+            pa.field("stats", pa.string()),
+        ]
+    )
+    add_arr = pa.array([r.get("add") for r in rows], type=add_type)
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("add"),
+        pa.field("add", add_type),
+        add_arr,
     )
     tmp = os.path.join(log_dir, f".cp-tmp-{version}.parquet")
     pq.write_table(tbl, tmp)

@@ -364,6 +364,15 @@ def flac_encode(
         raise NotImplementedError("flac_encode: only 16-bit supported")
     if channels not in (1, 2):
         raise NotImplementedError("flac_encode: 1 or 2 channels")
+    # the frame header is emitted with blocksize code 6 (8-bit "bs-1"
+    # field); a blocksize > 256 would silently truncate to the low 8
+    # bits and decode to a sample-count/MD5 mismatch — fail at encode
+    # time instead (code 7 / 16-bit field is a named non-goal)
+    if not 1 <= blocksize <= 256:
+        raise NotImplementedError(
+            f"flac_encode: blocksize {blocksize} outside 1..256 "
+            "(8-bit frame-header field; 16-bit code-7 form not emitted)"
+        )
     n_total = len(samples) // channels
     chans = [
         list(samples[c::channels]) for c in range(channels)
@@ -564,6 +573,18 @@ def flac_decode(payload: bytes) -> Tuple[int, int, int, List[int]]:
     if bits != 16:
         raise NotImplementedError(
             f"unsupported FLAC: {bits}-bit samples (16-bit scope)"
+        )
+
+    # STREAMINFO total_samples == 0 is the spec's legal "unknown"
+    # marker (live/streamed encodes); the sample loop below trusts it
+    # as exact, so an unknown-length stream with frames following the
+    # metadata would return [] — a silent wrong result. Gate it by
+    # name instead (decode-until-EOF is a named non-goal).
+    if n_total == 0 and pos < len(payload):
+        raise NotImplementedError(
+            "unsupported FLAC: STREAMINFO total_samples=0 (unknown "
+            "length) with frame data present; decode-until-EOF not "
+            "implemented"
         )
 
     chans: List[List[int]] = [[] for _ in range(channels)]

@@ -1939,7 +1939,7 @@ def mojibake_flags(text: Column) -> Column:
 
     - n_replacement: count of U+FFFD
     - n_mojibake: count of the classic double-decode markers
-    - mojibake_per_kchar: marker rate per 1000 chars (round 9)
+    - mojibake_per_kchar: marker rate per 1000 chars (round 8)
     - is_damaged: any replacement char or >= 2 marker hits
 
     RE2-safe regexes (no lookarounds), zero shuffle, scan-speed."""
@@ -2164,7 +2164,7 @@ def sentence_split(text: Column) -> Column:
 
 def sentence_stats(text: Column) -> Column:
     """Per-document sentence statistics as one struct: sentence count,
-    mean tokens per sentence (round 9) and the longest sentence in
+    mean tokens per sentence (round 8) and the longest sentence in
     characters — the length-shape signals sentence-aware curation
     filters cut on."""
     sents = sentence_split(text)
