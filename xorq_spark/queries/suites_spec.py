@@ -408,6 +408,11 @@ SUITES: dict[str, list[str]] = {
         # round 8 (cont.): sentence segmentation — the unit of
         # sentence-level dedup/quality stages; RE2-portable split
         "text_sentence_split",
+        # round 9: Porter (1980) stemming, dual-implemented (pandas-UDF
+        # Python vs pure-SQL oracle, 112k-word differential fuzz) —
+        # stemmed vocabulary rollup + inflection-collapsing dedup key
+        "text_stem_vocab",
+        "text_stem_dedup_key",
     ],
     "suite_text_fingerprint": [
         "text_fingerprint",
@@ -466,6 +471,9 @@ SUITES: dict[str, list[str]] = {
         # reciprocal-rank fusion over two signal rankings
         "text_bm25_topk",
         "text_rrf_hybrid",
+        # round 9: BM25 over Porter-stemmed postings (the recall
+        # variant every production retrieval stack ships)
+        "text_bm25_stemmed",
         # + MMR diversity re-ranking over BM25 top-10 with real
         # embedding cosine penalties (4 unrolled greedy rounds)
         "text_mmr_rerank",

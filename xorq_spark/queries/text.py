@@ -1533,3 +1533,194 @@ def text_interleave_sources_q(spark, sf_dir):
         "source",
         "doc_id",
     ).orderBy("position")
+
+
+# ----------------------------------------------------------- stemming
+# Porter (1980) stemming, dual-implemented: Spark stems the DISTINCT
+# vocabulary with an Arrow-batched pandas UDF (functions/stem.py
+# porter_stem); the oracle runs an independent pure-SQL implementation
+# of the same published algorithm (functions/stem.py porter_sql_ctes).
+# The hash match is therefore a genuine cross-implementation
+# certification (DuckDB's stem() lives in the fts extension, which is
+# not installable offline). Cross-validated exhaustively: 112k
+# generated words, zero divergence (tests/test_stem.py).
+
+from xorq_spark.functions.stem import (  # noqa: E402
+    ALPHA_TOKENS_SQL,
+    alpha_tokens,
+    porter_sql_ctes,
+    stem_udf,
+    stemmed_docs,
+)
+
+_STEM_MAP_CTES = (
+    f"tokd AS (SELECT doc_id, {ALPHA_TOKENS_SQL} AS tt FROM documents),\n"
+    "    voc AS (SELECT DISTINCT unnest(tt) AS word FROM tokd),"
+    + porter_sql_ctes("voc", "word")
+    + ",\n    smap AS (SELECT word, stem FROM pstem)"
+)
+
+
+@query(
+    "text_stem_vocab",
+    oracle=f"""
+    WITH {_STEM_MAP_CTES},
+    occ AS (SELECT doc_id, unnest(tt) AS word FROM tokd),
+    socc AS (SELECT doc_id, word, stem FROM occ JOIN smap USING (word)),
+    tfq AS (SELECT stem, CAST(count(*) AS BIGINT) AS tf,
+                   CAST(count(DISTINCT word) AS BIGINT) AS n_forms,
+                   min(word) AS example_form
+            FROM socc GROUP BY stem),
+    dfq AS (SELECT stem, CAST(count(*) AS BIGINT) AS df
+            FROM (SELECT DISTINCT doc_id, stem FROM socc) GROUP BY stem)
+    SELECT stem, tf, df, n_forms, example_form
+    FROM tfq JOIN dfq USING (stem)
+    ORDER BY tf DESC, stem LIMIT 50
+    """,
+)
+def text_stem_vocab_q(spark, sf_dir):
+    """Stemmed-vocabulary rollup: top-50 Porter stems by total term
+    frequency with document frequency, surface-form counts and the
+    lexicographically-first form — the vocabulary-overlap /
+    index-vocabulary audit of a stemmed retrieval pipeline. The UDF
+    touches only the DISTINCT vocabulary (Heaps-law sublinear); the
+    corpus stream sees one explode + combinable aggregates; top-50 is
+    TakeOrderedAndProject, never a global sort."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", alpha_tokens(F.col("text")).alias("tt"))
+    occ = toks.select("doc_id", F.explode("tt").alias("word"))
+    smap = occ.select("word").distinct().withColumn(
+        "stem", stem_udf()(F.col("word"))
+    )
+    socc = occ.join(smap, "word")
+    tfq = socc.groupBy("stem").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.countDistinct("word").cast("long").alias("n_forms"),
+        F.min("word").alias("example_form"),
+    )
+    dfq = (
+        socc.select("doc_id", "stem")
+        .distinct()
+        .groupBy("stem")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    return (
+        tfq.join(dfq, "stem")
+        .select("stem", "tf", "df", "n_forms", "example_form")
+        .orderBy(F.desc("tf"), "stem")
+        .limit(50)
+    )
+
+
+@query(
+    "text_stem_dedup_key",
+    oracle=f"""
+    WITH {_STEM_MAP_CTES},
+    occ AS (SELECT doc_id, unnest(tt) AS word FROM tokd),
+    socc AS (SELECT doc_id, stem FROM occ JOIN smap USING (word)),
+    sigs0 AS (SELECT doc_id,
+                     md5(array_to_string(list_sort(list(DISTINCT stem)), ' '))
+                       AS stem_sig
+              FROM socc GROUP BY doc_id),
+    sigs AS (SELECT d.doc_id, COALESCE(s.stem_sig, md5('')) AS stem_sig
+             FROM documents d LEFT JOIN sigs0 s USING (doc_id)),
+    grp AS (SELECT stem_sig, CAST(count(*) AS BIGINT) AS n_same
+            FROM sigs GROUP BY stem_sig)
+    SELECT doc_id, stem_sig, n_same, n_same > 1 AS is_dup
+    FROM sigs JOIN grp USING (stem_sig) ORDER BY doc_id
+    """,
+)
+def text_stem_dedup_key_q(spark, sf_dir):
+    """Stemmed dedup key: md5 of the sorted DISTINCT stem set per
+    document — collapses inflection-only rewrites ("running dogs" vs
+    "run dog") that exact hashing misses. 32-byte keys shuffle, never
+    documents; group sizes come from one combinable count. Docs with
+    no alpha tokens key on md5('') so corpus cardinality is preserved."""
+    docs = widen(t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", alpha_tokens(F.col("text")).alias("tt"))
+    occ = toks.select("doc_id", F.explode("tt").alias("word"))
+    smap = occ.select("word").distinct().withColumn(
+        "stem", stem_udf()(F.col("word"))
+    )
+    sigs0 = (
+        occ.join(smap, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.array_join(F.sort_array(F.collect_set("stem")), " ")
+            ).alias("stem_sig")
+        )
+    )
+    sigs = (
+        docs.select("doc_id")
+        .join(sigs0, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("stem_sig", F.md5(F.lit(""))).alias("stem_sig"),
+        )
+    )
+    grp = sigs.groupBy("stem_sig").agg(
+        F.count(F.lit(1)).cast("long").alias("n_same")
+    )
+    return (
+        sigs.join(grp, "stem_sig")
+        .select(
+            "doc_id", "stem_sig", "n_same",
+            (F.col("n_same") > 1).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_bm25_stemmed",
+    oracle=f"""
+    WITH {_STEM_MAP_CTES},
+    occ0 AS (SELECT doc_id, unnest(tt) AS word FROM tokd),
+    occ AS (SELECT doc_id, stem AS term FROM occ0 JOIN smap USING (word)),
+    lens AS (SELECT d.doc_id, CAST(COALESCE(c.n, 0) AS BIGINT) AS dl
+             FROM documents d LEFT JOIN
+               (SELECT doc_id, count(*) AS n FROM occ GROUP BY 1) c
+               USING (doc_id)),
+    post AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+             FROM occ GROUP BY 1, 2),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM post GROUP BY term),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS N,
+                   (SELECT CAST(sum(dl) AS BIGINT) FROM lens) AS T
+            FROM documents),
+    topt AS (SELECT term, df,
+                    row_number() OVER (ORDER BY df DESC, term ASC) AS rk
+             FROM dfq QUALIFY rk <= 9),
+    qt AS (SELECT CAST((rk - 1) // 3 + 1 AS INT) AS query_id, term,
+                  CAST(round(ln((2 * N + 2) / (2 * df + 1)) * 1e9, 0) AS BIGINT)
+                    AS idf_nano
+           FROM topt, tot),
+    sc AS (SELECT query_id, post.doc_id,
+                  CAST(CAST(idf_nano AS HUGEINT) * 44 * T * tf
+                       // (CAST(20 AS HUGEINT) * T * tf
+                           + CAST(6 AS HUGEINT) * T
+                           + CAST(18 AS HUGEINT) * dl * N) AS BIGINT) AS s
+           FROM post JOIN qt USING (term) JOIN lens USING (doc_id), tot),
+    pd AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score_nano
+           FROM sc GROUP BY 1, 2),
+    rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score_nano DESC, doc_id ASC)
+                       AS rank
+           FROM pd)
+    SELECT query_id, doc_id, score_nano, CAST(rank AS INT) AS rank
+    FROM rk WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def text_bm25_stemmed_q(spark, sf_dir):
+    """Stemmed BM25 top-5: the text_bm25_topk contract run over
+    Porter-stemmed postings — query "run" now retrieves documents
+    saying "running" (the recall win stemming exists for). Reuses the
+    certified integer-exact bm25_topk verbatim on a stemmed-docs view
+    (functions/stem.py stemmed_docs: vocab-sized UDF + one token-stream
+    join); corpus cardinality N and the per-doc length dl move to the
+    alpha-token domain on both sides."""
+    from xorq_spark.functions.retrieval import bm25_topk, derive_query_terms
+
+    docs2 = stemmed_docs(widen(t(spark, sf_dir, "documents")))
+    qterms = derive_query_terms(docs2, n_queries=3, terms_per_query=3)
+    return bm25_topk(docs2, qterms, topk=5).orderBy("query_id", "rank")
