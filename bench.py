@@ -149,6 +149,13 @@ HEADLINE = [
     "mm_decode_flac_stats",
     "text_mojibake_repair",
     "text_unicode_normalize",
+    # round 9: Porter-stemmed vocabulary rollup (vocab-sized pandas
+    # UDF + postings join), IVF-PQ composed ANN (cell-pruned m-byte
+    # code scan), MJPEG-in-AVI per-frame decode, MP3 stream audit
+    "text_stem_vocab",
+    "sim_ann_ivfpq_topk",
+    "mm_decode_mjpeg_frames",
+    "mm_probe_mp3_stats",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —
@@ -412,6 +419,31 @@ def main():
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
         settle()
+    # ext_cpu-aware retry (round 9): a query whose EVERY timed pass ran
+    # under external CPU contention (min ext_cpu_sec elevated) AND
+    # whose passes disagree >1.5x never produced a clean steady-state
+    # sample — its min is machine noise, not plan cost (round 8's
+    # text_dsir_select: all three passes at ext_cpu 35-39 vs ~13
+    # quiet). Re-run just those queries, up to twice; a retry only
+    # lowers the recorded min, never raises it, and the extra passes
+    # land in BENCH_DIAG (>3 entries = retried query, attributable
+    # from the artifact).
+    for _retry in range(2):
+        flagged = [
+            n
+            for n in names
+            if len(diag[n]["sec"]) >= 3
+            and max(diag[n]["sec"]) > 1.5 * max(min(diag[n]["sec"]), 1e-9)
+            and min(diag[n]["ext_cpu_sec"]) > 5.0
+        ]
+        if not flagged:
+            break
+        for name in flagged:
+            dt = run_one(name, diag)
+            if dt < timings[name]:
+                timings[name] = dt
+        settle()
+
     timings = {k: round(v, 3) for k, v in timings.items()}
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -453,6 +485,11 @@ def main():
                         "driver tree; >> 0 on a slow pass = external"
                         " contention (named cause), ~0 = look at"
                         " gc/jit/codegen columns",
+                        "retries": "a query with more than 3 entries"
+                        " per column was re-run because every timed"
+                        " pass showed >1.5x spread with elevated"
+                        " ext_cpu_sec (no clean sample); retries can"
+                        " only lower the recorded min",
                     },
                 },
                 "per_query": diag,

@@ -122,7 +122,78 @@ OPS = [
     "mm_decode_flac_stats",
     "text_mojibake_repair",
     "text_unicode_normalize",
+    # round 9: stemmed vocabulary (vocab-sized UDF + postings join,
+    # should track the corpus scan), IVF-PQ composed ANN (fixed query
+    # set — cell-pruned code scan tracks the corpus), MJPEG + MP3
+    # (fixture-bounded, flat by construction)
+    "text_stem_vocab",
+    "sim_ann_ivfpq_topk",
+    "mm_decode_mjpeg_frames",
+    "mm_probe_mp3_stats",
 ]
+
+
+_CLK = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+
+
+def _sys_cpu_sec() -> float:
+    """System-wide busy CPU seconds (all cores) from /proc/stat."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        j = [int(x) for x in parts[1:9]]
+        return (j[0] + j[1] + j[2] + j[5] + j[6] + j[7]) / _CLK
+    except Exception:
+        return -1.0
+
+
+def _worker_pids() -> set:
+    pids = set()
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            if b"pyspark.daemon" in cmd or b"pyspark.worker" in cmd:
+                pids.add(int(p))
+    except Exception:
+        pass
+    return pids
+
+
+def _tree_cpu_sec(spark, extra_pids=()) -> float:
+    """CPU seconds of OUR tree: driver + JVM + pyspark workers (the
+    bench.py attribution, ported per the round-8 verdict: SCALING.md
+    carried contended cells — sim_embedding_quantize's 29.87 'x10
+    ratio' — that its own best-of-2 could not defend)."""
+    total = 0.0
+    try:
+        import resource
+
+        me = resource.getrusage(resource.RUSAGE_SELF)
+        total += me.ru_utime + me.ru_stime
+    except Exception:
+        pass
+    try:
+        osb = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getOperatingSystemMXBean()
+        )
+        total += osb.getProcessCpuTime() / 1e9
+    except Exception:
+        pass
+    for pid in extra_pids:
+        try:
+            with open(f"/proc/{pid}/stat") as f:
+                st = f.read().rsplit(")", 1)[1].split()
+            total += (int(st[11]) + int(st[12])) / _CLK
+        except Exception:
+            pass
+    return total
 
 
 def main() -> None:
@@ -152,35 +223,67 @@ def main() -> None:
         except Exception:
             pass
 
-    times: dict = {}
+    times: dict = {}  # (sf, name) -> (best_sec, best_pass_ext_cpu, n_passes)
     for sf in SFS:
         for name in OPS:
-            # two passes, min — drop per-query codegen noise
-            best = None
-            for _ in range(2):
+            # 2-4 passes per cell: stop as soon as the BEST pass ran
+            # clean (ext_cpu < 5 s of non-tree CPU during the pass) —
+            # a contended best-of-2 is machine noise wearing a plan
+            # ratio's clothes, the round-8 SCALING defect
+            samples = []  # (sec, ext_cpu_sec)
+            for attempt in range(4):
+                pids0 = _worker_pids()
+                sys0 = _sys_cpu_sec()
+                tree0 = _tree_cpu_sec(spark, pids0)
                 t0 = time.perf_counter()
                 QUERIES[name](spark, sf).write.mode("overwrite").format("noop").save()
                 el = time.perf_counter() - t0
-                best = el if best is None else min(best, el)
+                pids1 = _worker_pids()
+                ext = (_sys_cpu_sec() - sys0) - (
+                    _tree_cpu_sec(spark, pids0 | pids1) - tree0
+                )
+                samples.append((el, max(ext, 0.0)))
                 unpersist_rdds()
-            times[(sf, name)] = best
-            print(f"{sf.split('/')[-1]:8s} {name:32s} {best:7.3f}s", flush=True)
+                if attempt >= 1 and min(samples)[1] < 5.0:
+                    break
+            best, best_ext = min(samples)
+            times[(sf, name)] = (best, best_ext, len(samples))
+            print(
+                f"{sf.split('/')[-1]:8s} {name:32s} {best:7.3f}s "
+                f"ext={best_ext:5.1f} passes={len(samples)}",
+                flush=True,
+            )
 
     lines = [
         "# SCALING — representative operators across sf0.001 / 0.01 / 0.1",
         "",
-        "local[32], noop sink, best-of-2 per cell. `x10 ratio` is",
-        "t(sf0.1)/t(sf0.01) — data grows 10x between those columns, so a",
-        "ratio << 10 = still overhead-bound (plan has headroom), ~10 =",
-        "data-bound linear scaling, >> 10 would flag a super-linear plan.",
+        "local[32], noop sink, adaptive best-of-2..4 per cell: extra",
+        "passes run until the best pass is CLEAN (under 5 CPU-seconds of",
+        "external, non-Spark load during the pass — the bench.py",
+        "ext_cpu_sec attribution). `x10 ratio` is t(sf0.1)/t(sf0.01) —",
+        "data grows 10x between those columns, so a ratio << 10 = still",
+        "overhead-bound (plan has headroom), ~10 = data-bound linear",
+        "scaling, >> 10 would flag a super-linear plan. The note column",
+        "names the external cause when even 4 passes never ran clean;",
+        "such cells are machine contention, not plan evidence.",
         "",
-        "| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | x10 ratio |",
-        "|---|---|---|---|---|",
+        "| query | sf0.001 (s) | sf0.01 (s) | sf0.1 (s) | x10 ratio | note |",
+        "|---|---|---|---|---|---|",
     ]
     for name in OPS:
-        t1, t2, t3 = (times[(sf, name)] for sf in SFS)
+        (t1, _e1, _n1), (t2, e2, _n2), (t3, e3, n3) = (
+            times[(sf, name)] for sf in SFS
+        )
+        notes = []
+        if e3 >= 5.0:
+            notes.append(
+                f"sf0.1 best-of-{n3} still contended (ext_cpu {e3:.0f}s)"
+            )
+        if e2 >= 5.0:
+            notes.append(f"sf0.01 contended (ext_cpu {e2:.0f}s)")
         lines.append(
             f"| {name} | {t1:.3f} | {t2:.3f} | {t3:.3f} | {t3 / t2:.2f} |"
+            f" {'; '.join(notes)} |"
         )
     with open("SCALING.md", "w") as f:
         f.write("\n".join(lines) + "\n")

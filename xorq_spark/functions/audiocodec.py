@@ -69,7 +69,9 @@ def decode_audio(payload: bytes):
             raise NotImplementedError(
                 f"{name} decode requires an audio codec library "
                 "(not in this container); only PCM WAV and FLAC are "
-                "built in"
+                "built in. For MP3, functions/mp3probe.py mp3_probe "
+                "covers the stream-audit half (frames, side info, CRC, "
+                "Xing, duration) without PCM synthesis"
             )
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
@@ -170,10 +172,9 @@ def avi_encode(frames, width: int, height: int, fps: int = 10) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_video(payload: bytes):
-    """(width, height, fps, frames) from an uncompressed-DIB AVI;
-    frames are BGR24 bytes in the stored (bottom-up, padded) layout.
-    Compressed streams raise NotImplementedError naming the fourcc."""
+def _decode_avi(payload: bytes):
+    """Shared RIFF/AVI chunk walk:
+    (width, height, fps, fourcc, frames-as-stored-bytes)."""
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI stream")
 
@@ -185,6 +186,7 @@ def decode_video(payload: bytes):
             pos += 8 + size + (size & 1)
 
     width = height = fps = None
+    fourcc = b"\x00\x00\x00\x00"
     frames = []
     for cid, off, size in walk(payload, 12, min(len(payload), 8 + struct.unpack("<I", payload[4:8])[0])):
         if cid != b"LIST":
@@ -200,19 +202,85 @@ def decode_video(payload: bytes):
                     for c3, o3, s3 in walk(payload, o2 + 4, o2 + s2):
                         if c3 == b"strh":
                             fourcc = payload[o3 + 4 : o3 + 8]
-                            if fourcc not in (b"DIB ", b"\x00\x00\x00\x00"):
-                                raise NotImplementedError(
-                                    f"video fourcc {fourcc!r} requires a "
-                                    "codec library; only uncompressed DIB "
-                                    "is built in"
-                                )
         elif kind == b"movi":
             for c2, o2, s2 in walk(payload, off + 4, off + size):
                 if c2 in (b"00db", b"00dc"):
                     frames.append(payload[o2 : o2 + s2])
     if width is None:
         raise ValueError("missing hdrl/avih")
+    return width, height, fps, fourcc, frames
+
+
+def decode_video(payload: bytes):
+    """(width, height, fps, frames) from an uncompressed-DIB AVI;
+    frames are BGR24 bytes in the stored (bottom-up, padded) layout.
+    MJPG dispatches to decode_video_mjpeg's domain; other compressed
+    fourccs raise NotImplementedError naming the codec."""
+    width, height, fps, fourcc, frames = _decode_avi(payload)
+    if fourcc == b"MJPG":
+        raise NotImplementedError(
+            "MJPG AVI carries JPEG frames: use decode_video_mjpeg "
+            "(round 9) for per-frame pixel decode"
+        )
+    if fourcc not in (b"DIB ", b"\x00\x00\x00\x00"):
+        raise NotImplementedError(
+            f"video fourcc {fourcc!r} requires a codec library; "
+            "uncompressed DIB and MJPG are built in"
+        )
     return width, height, fps, frames
+
+
+def avi_encode_mjpeg(jpeg_frames, width: int, height: int, fps: int = 10) -> bytes:
+    """Encode pre-encoded JPEG payloads as an MJPEG AVI (fourcc MJPG,
+    '00dc' compressed-frame chunks) — the container shape compressed
+    multimodal crawl video actually ships (round 9; composes the
+    committed baseline-JPEG encoder with this RIFF writer)."""
+    for f in jpeg_frames:
+        if f[:2] != b"\xff\xd8":
+            raise ValueError("MJPEG frame is not a JPEG (missing SOI)")
+    maxf = max((len(f) for f in jpeg_frames), default=0)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" * (len(body) & 1))
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, maxf * fps, 0, 0x10, len(jpeg_frames), 0, 1, maxf,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, fps,
+                                        0, len(jpeg_frames), maxf, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    # biCompression carries the MJPG fourcc per VfW convention
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, width, height, 1, 24, b"MJPG", maxf, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_video_mjpeg(payload: bytes):
+    """(width, height, fps, frames) from an MJPEG AVI, where each
+    frame is DECODED pixels: (w, h, channels, pixel bytes) via the
+    committed baseline/progressive JPEG decoder (functions/
+    jpegcodec.py). The per-frame dimensions are authoritative (MJPEG
+    permits per-frame variation); the container's hdrl w/h is advisory."""
+    from xorq_spark.functions.jpegcodec import jpeg_decode
+
+    width, height, fps, fourcc, stored = _decode_avi(payload)
+    if fourcc != b"MJPG":
+        raise ValueError(f"not an MJPEG AVI (fourcc {fourcc!r})")
+    return width, height, fps, [jpeg_decode(f) for f in stored]
 
 
 def frame_pixel_sums(frame: bytes, width: int, height: int) -> tuple:

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     FloatType,
     IntegerType,
     LongType,
@@ -1195,4 +1196,214 @@ def decode_gif_stats(assets: DataFrame) -> DataFrame:
 
     return assets.select("asset_id", "payload").mapInPandas(
         batches, GIF_STATS_SCHEMA
+    )
+
+
+MP3_PROBE_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("has_xing", BooleanType()),
+        StructField("xing_frames", LongType()),
+        StructField("bitrate_min_kbps", IntegerType()),
+        StructField("bitrate_max_kbps", IntegerType()),
+        StructField("is_vbr", BooleanType()),
+        StructField("duration_ms", LongType()),
+        StructField("sum_part23", LongType()),
+        StructField("n_short_granules", LongType()),
+        StructField("n_crc_frames", LongType()),
+    ]
+)
+
+
+def synth_mp3_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic MP3 fixture generator (functions/mp3probe.py
+    mp3_write_stream): per asset_id i — rate cycles 44100/48000/32000
+    (i%3), channels 1+i%2, 40+i%17 audio frames; i%4==0 streams are
+    VBR (bitrate index 1+(i+3k)%14 per frame) with a Xing tag frame,
+    others CBR at index 1+i%14; i%6==0 streams carry real CRC-16 on
+    every frame; i%5==0 get an ID3v2 prefix (50+i%100 junk bytes) and
+    i%7==0 the 128-byte ID3v1 trailer; padding bit (i+k)%3==0.
+    Side-info fields are closed-form in (i, k, gr, ch) so the oracle
+    replays every probed value arithmetically."""
+    from xorq_spark.functions.mp3probe import BITRATES_KBPS, mp3_write_stream
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].tolist():
+                rate = (44100, 48000, 32000)[i % 3]
+                ch = 1 + i % 2
+                n = 40 + i % 17
+                vbr = i % 4 == 0
+                frames = []
+                for k in range(n):
+                    idx = 1 + ((i + 3 * k) % 14) if vbr else 1 + (i % 14)
+                    grans = [
+                        [
+                            {
+                                "part23": (i * 7 + k * 13 + gr * 5 + c * 3)
+                                % 4096,
+                                "big_values": (i + k) % 288,
+                                "global_gain": (i + 2 * k) % 256,
+                                "scalefac_compress": k % 16,
+                                "short": (i + k + 2 * gr + c) % 5 == 0,
+                            }
+                            for c in range(ch)
+                        ]
+                        for gr in range(2)
+                    ]
+                    frames.append(
+                        {
+                            "bitrate_kbps": BITRATES_KBPS[idx],
+                            "padding": 1 if (i + k) % 3 == 0 else 0,
+                            "granules": grans,
+                        }
+                    )
+                payloads.append(
+                    mp3_write_stream(
+                        frames,
+                        rate,
+                        ch,
+                        crc=(i % 6 == 0),
+                        xing_frames=n if vbr else None,
+                        id3v2_junk=(50 + i % 100) if i % 5 == 0 else 0,
+                        id3v1=(i % 7 == 0),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(batches, schema)
+
+
+def probe_mp3_stats(assets: DataFrame) -> DataFrame:
+    """REAL MP3 stream audit (functions/mp3probe.py mp3_probe): walk
+    frames, parse side info, verify CRC-16, read Xing/ID3 tags; emit
+    the corpus-audit profile. Arrow-batched mapInPandas, no shuffle."""
+    from xorq_spark.functions.mp3probe import mp3_probe
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                r = mp3_probe(bytes(payload))
+                rows.append(
+                    (
+                        aid,
+                        r["sample_rate"],
+                        r["channels"],
+                        r["n_frames"],
+                        r["has_xing"],
+                        r["xing_frames"],
+                        r["bitrate_min_kbps"],
+                        r["bitrate_max_kbps"],
+                        r["is_vbr"],
+                        r["duration_ms"],
+                        r["sum_part23"],
+                        r["n_short_granules"],
+                        r["n_crc_frames"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MP3_PROBE_SCHEMA])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, MP3_PROBE_SCHEMA
+    )
+
+
+MJPEG_FRAME_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("sum_pixels", LongType()),
+    ]
+)
+
+
+def synth_mjpeg_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic MJPEG-AVI fixture generator: per asset i, an AVI
+    (fourcc MJPG) of 3+i%4 REAL baseline-JPEG frames built by the
+    committed encoder, each frame the DC-exact uniform-block grid of
+    synth_jpeg_assets with per-frame drift — block (bx, by) of frame k
+    is 128 + 2*(((i*5 + 3k + 7bx + 11by) mod 53) - 26), so quality-50
+    quantization is exact and the oracle replays every decoded pixel
+    sum in closed form. width 8*(2+i%3), height 8*(2+i%2)."""
+    from xorq_spark.functions.audiocodec import avi_encode_mjpeg
+    from xorq_spark.functions.jpegcodec import jpeg_encode
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads, widths, heights = [], [], []
+            for i in pdf[id_col].tolist():
+                bw, bh = 2 + i % 3, 2 + i % 2
+                w, h = 8 * bw, 8 * bh
+                nf = 3 + i % 4
+                jf = []
+                for k in range(nf):
+                    px = bytearray(w * h)
+                    for by in range(bh):
+                        for bx in range(bw):
+                            v = 128 + 2 * (
+                                ((i * 5 + 3 * k + 7 * bx + 11 * by) % 53) - 26
+                            )
+                            for yy in range(8):
+                                row = (by * 8 + yy) * w + bx * 8
+                                px[row : row + 8] = bytes([v]) * 8
+                    jf.append(jpeg_encode(bytes(px), w, h, 1, quality=50))
+                payloads.append(avi_encode_mjpeg(jf, w, h, fps=10))
+                widths.append(w)
+                heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "video",
+                    "payload": payloads,
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "duration_ms": pd.array(
+                        [None] * len(payloads), dtype="Int32"
+                    ),
+                }
+            )
+
+    return ids.mapInPandas(batches, ASSET_SCHEMA)
+
+
+def decode_mjpeg_frame_stats(assets: DataFrame) -> DataFrame:
+    """REAL compressed-video decode: walk the MJPG AVI container,
+    Huffman+DCT-decode every JPEG frame (functions/jpegcodec.py), emit
+    one row per frame with its integer-exact pixel sum. Arrow-batched
+    mapInPandas, no shuffle."""
+    from xorq_spark.functions.audiocodec import decode_video_mjpeg
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                _w, _h, _fps, frames = decode_video_mjpeg(bytes(payload))
+                for k, (fw, fh, _ch, pix) in enumerate(frames):
+                    rows.append((aid, k, fw, fh, sum(pix)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MJPEG_FRAME_SCHEMA]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, MJPEG_FRAME_SCHEMA
     )

@@ -916,6 +916,209 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    scale: int = None,
+) -> DataFrame:
+    """IVF-PQ composed ANN (round 9 — the production 100 TB shape,
+    FAISS's IVFPQ without residual encoding): the deterministic
+    lowest-id coarse quantizer prunes to `n_probe` of `n_centroids`
+    spherical cells (ann_ivf_fixed_topk's cell step verbatim), and
+    scoring inside probed cells is PQ asymmetric distance against
+    PER-CELL codebooks — subspace j of cell c's codebook is the j-th
+    quantized subvector of the `ksub` lowest-id members OF THAT CELL,
+    so codebooks adapt to cell geometry exactly as trained IVF-PQ's
+    do.
+
+    Scale design: at rest the corpus is cell-partitioned m-byte codes
+    (partition-pruned probes x ~32x scan-I/O reduction — the two wins
+    composed); the quantizer + all codebooks are n_centroids x (dim +
+    ksub x dim) ints collected once (bounded driver state, LIMIT-class
+    not scan-class) and inlined as one parsed literal. Every step is
+    deterministic and integer-exact, ties to the lowest index/id, so a
+    SQL oracle replays cell assignment, per-cell codebooks, encoding
+    argmin, ADC tables, and the final ranking value-for-value."""
+    from xorq_spark.functions.clustering import (
+        DEFAULT_QUANT_SCALE,
+        _quantize_shift,
+        _sq_dist_int,
+    )
+
+    scale = DEFAULT_QUANT_SCALE if scale is None else scale
+    cent_rows = (
+        corpus.select(F.col(corpus_id), F.col(corpus_vec))
+        .orderBy(corpus_id)
+        .limit(n_centroids)
+        .collect()
+    )
+    spark = corpus.sparkSession
+    empty_schema = (
+        f"{query_id} {dict(queries.dtypes)[query_id]}, "
+        f"{corpus_id} {dict(corpus.dtypes)[corpus_id]}, "
+        "adc_dist long, rank int"
+    )
+    if not cent_rows:
+        return spark.createDataFrame([], empty_schema)
+    centroids = [list(map(float, r[1])) for r in cent_rows]
+    d = len(centroids[0])
+    if d % m != 0:
+        raise ValueError(f"ivfpq_topk: dim {d} not divisible by m={m}")
+    dsub = d // m
+    ctr_lit = _lit_float_matrix(centroids)
+
+    def ranked_cells(vec: Column, n: int) -> Column:
+        return F.slice(
+            F.array_sort(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(len(centroids) - 1)),
+                    lambda i: F.struct(
+                        (
+                            -F.round(
+                                cosine_similarity(
+                                    vec, F.element_at(ctr_lit, i + 1)
+                                ),
+                                6,
+                            )
+                        ).alias("d"),
+                        i.alias("cell"),
+                    ),
+                )
+            ),
+            1,
+            n,
+        )
+
+    cells = corpus.where(F.col(corpus_vec).isNotNull()).select(
+        F.col(corpus_id).alias("__cid"),
+        _quantize_shift(F.col(corpus_vec), scale).alias("__qq"),
+        F.element_at(
+            ranked_cells(F.col(corpus_vec), 1), 1
+        ).getField("cell").alias("__cell"),
+    )
+    # per-cell codebooks: ksub lowest-id members per cell — bounded
+    # driver state (n_centroids*ksub rows), one window + filter, NOT a
+    # corpus collect
+    wcb = Window.partitionBy("__cell").orderBy("__cid")
+    cb_rows = (
+        cells.withColumn("__rn", F.row_number().over(wcb))
+        .filter(F.col("__rn") <= ksub)
+        .select("__cell", "__rn", "__qq")
+        .collect()
+    )
+    percell: dict = {c: [] for c in range(len(centroids))}
+    for r in sorted(cb_rows, key=lambda r: (r["__cell"], r["__rn"])):
+        percell[r["__cell"]].append([int(v) for v in r["__qq"]])
+    # one parsed literal: [cell][j][codeword][p] bigint (the
+    # _lit_float_matrix lesson: never element-wise F.lit)
+    def _book_sql(members, j):
+        if not members:
+            return "CAST(array() AS array<array<bigint>>)"
+        return (
+            "array("
+            + ",".join(
+                "array("
+                + ",".join(f"{v}L" for v in qq[j * dsub : (j + 1) * dsub])
+                + ")"
+                for qq in members
+            )
+            + ")"
+        )
+
+    books_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(_book_sql(percell[c], j) for j in range(m))
+            + ")"
+            for c in range(len(centroids))
+        )
+        + ")"
+    )
+
+    def code_for(j: Column) -> Column:
+        sub = F.slice(F.col("__qq"), j * dsub + 1, dsub)
+        book_j = F.element_at(
+            F.element_at(books_lit, (F.col("__cell") + 1).cast("int")),
+            (j + 1).cast("int"),
+        )
+        dists = F.transform(book_j, lambda cw: _sq_dist_int(sub, cw))
+        return F.array_position(dists, F.array_min(dists)).cast("int") - 1
+
+    codes = cells.select(
+        "__cid",
+        "__cell",
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for).alias(
+            "codes"
+        ),
+    )
+
+    def lut_for(j: Column) -> Column:
+        sub = F.slice(F.col("__pqq"), j * dsub + 1, dsub)
+        book_j = F.element_at(
+            F.element_at(books_lit, (F.col("__cell") + 1).cast("int")),
+            (j + 1).cast("int"),
+        )
+        return F.transform(book_j, lambda cw: _sq_dist_int(sub, cw))
+
+    q = (
+        queries.select(
+            F.col(query_id).alias("__qid"),
+            _quantize_shift(F.col(query_vec), scale).alias("__pqq"),
+            F.explode(
+                F.transform(
+                    ranked_cells(F.col(query_vec), n_probe),
+                    lambda s: s["cell"],
+                )
+            ).alias("__cell"),
+        )
+        .select(
+            "__qid",
+            "__cell",
+            F.transform(F.sequence(F.lit(0), F.lit(m - 1)), lut_for).alias(
+                "__lut"
+            ),
+        )
+    )
+    scored = (
+        F.broadcast(q)
+        .join(codes, "__cell")
+        .select(
+            "__qid",
+            "__cid",
+            F.aggregate(
+                F.zip_with(
+                    F.col("__lut"),
+                    F.col("codes"),
+                    lambda l, c: F.element_at(l, (c + 1).cast("int")),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.asc("adc_dist"), F.asc("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "adc_dist",
+            "rank",
+        )
+    )
+
+
 def triplet_mining(
     df: DataFrame,
     anchors: Optional[DataFrame] = None,

@@ -862,3 +862,129 @@ def mm_audio_energy_segments(spark, sf_dir):
         F.col("asset_id") < 64
     )
     return audio_segment_stats(synth_wav_assets(ids), 16).orderBy("asset_id")
+
+
+@query(
+    "mm_probe_mp3_stats",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id,
+             list_extract([44100, 48000, 32000], 1 + doc_id % 3) AS rate,
+             1 + doc_id % 2 AS ch,
+             40 + doc_id % 17 AS n,
+             doc_id % 4 = 0 AS vbr,
+             doc_id % 6 = 0 AS crc
+      FROM documents WHERE doc_id < 64),
+    fr AS (SELECT asset_id, vbr, unnest(range(0, n)) AS k FROM ids),
+    kb AS (SELECT asset_id,
+                  list_extract(
+                    [32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                    CASE WHEN vbr THEN 1 + (asset_id + 3 * k) % 14
+                         ELSE 1 + asset_id % 14 END) AS kbps
+           FROM fr),
+    br AS (SELECT asset_id, CAST(min(kbps) AS INT) AS bmin,
+                  CAST(max(kbps) AS INT) AS bmax,
+                  count(DISTINCT kbps) > 1 AS is_vbr
+           FROM kb GROUP BY asset_id),
+    gc AS (SELECT i.asset_id, f.k, unnest(range(0, 2)) AS gr, i.ch
+           FROM ids i JOIN fr f USING (asset_id)),
+    gcc AS (SELECT asset_id, k, gr, unnest(range(0, ch)) AS c FROM gc),
+    p23 AS (SELECT asset_id,
+                   CAST(sum((asset_id*7 + k*13 + gr*5 + c*3) % 4096)
+                        AS BIGINT) AS sum_part23,
+                   CAST(sum(CASE WHEN (asset_id + k + 2*gr + c) % 5 = 0
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_short_granules
+            FROM gcc GROUP BY asset_id)
+    SELECT i.asset_id,
+           CAST(i.rate AS INT) AS sample_rate,
+           CAST(i.ch AS INT) AS channels,
+           CAST(i.n AS BIGINT) AS n_frames,
+           i.vbr AS has_xing,
+           CAST(CASE WHEN i.vbr THEN i.n ELSE 0 END AS BIGINT) AS xing_frames,
+           br.bmin AS bitrate_min_kbps,
+           br.bmax AS bitrate_max_kbps,
+           br.is_vbr,
+           CAST(i.n * 1152 * 1000 // i.rate AS BIGINT) AS duration_ms,
+           p23.sum_part23,
+           p23.n_short_granules,
+           CAST(CASE WHEN i.crc
+                     THEN i.n + CASE WHEN i.vbr THEN 1 ELSE 0 END
+                     ELSE 0 END AS BIGINT) AS n_crc_frames
+    FROM ids i JOIN br USING (asset_id) JOIN p23 USING (asset_id)
+    ORDER BY i.asset_id
+    """,
+)
+def mm_probe_mp3_stats(spark, sf_dir):
+    """REAL MP3 stream audit (functions/mp3probe.py, round 9 — the
+    staged half of the MP3 gate): payloads are syntactically valid
+    MPEG-1 Layer III streams built by the committed writer (correct
+    144·bitrate/rate+padding frame arithmetic, real CRC-16, packed
+    17/32-byte side info, Xing/ID3v2/ID3v1 tags on schedule), walked
+    frame by frame inside Arrow-batched mapInPandas: header fields,
+    per-granule side info (part2_3_length, window switching), CRC
+    verification, VBR detection, duration. The oracle replays every
+    field from the fixture's closed forms — a frame-length slip, CRC
+    bug, or mis-shifted side-info read cannot hash-match. PCM
+    synthesis stays a named gate (mp3probe.mp3_decode_pcm)."""
+    from xorq_spark.functions.multimodal import (
+        probe_mp3_stats,
+        synth_mp3_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 64
+    )
+    return probe_mp3_stats(synth_mp3_assets(ids)).orderBy("asset_id")
+
+
+@query(
+    "mm_decode_mjpeg_frames",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id,
+             2 + doc_id % 3 AS bw,
+             2 + doc_id % 2 AS bh,
+             3 + doc_id % 4 AS nf
+      FROM documents WHERE doc_id < 48),
+    fr AS (SELECT asset_id, bw, bh, unnest(range(0, nf)) AS k FROM ids),
+    bx AS (SELECT asset_id, bw, bh, k, unnest(range(0, bw)) AS bx FROM fr),
+    grid AS (SELECT asset_id, bw, bh, k, bx, unnest(range(0, bh)) AS by
+             FROM bx),
+    s AS (SELECT asset_id, k,
+                 CAST(sum(64 * (128 + 2 * (((asset_id*5 + 3*k + 7*bx + 11*by)
+                                            % 53) - 26))) AS BIGINT)
+                   AS sum_pixels
+          FROM grid GROUP BY asset_id, k)
+    SELECT i.asset_id, CAST(s.k AS BIGINT) AS frame_id,
+           CAST(8 * i.bw AS INT) AS width,
+           CAST(8 * i.bh AS INT) AS height,
+           s.sum_pixels
+    FROM ids i JOIN s USING (asset_id)
+    ORDER BY i.asset_id, frame_id
+    """,
+)
+def mm_decode_mjpeg_frames(spark, sf_dir):
+    """REAL compressed-video decode (round 9 — closes the MJPEG half
+    of the compressed-video gate): MJPG AVIs built by the committed
+    writer (avi_encode_mjpeg) around REAL baseline-JPEG frames from
+    the committed encoder, then container-walked and Huffman+DCT
+    DECODED per frame inside Arrow-batched mapInPandas. Frames are
+    DC-exact uniform-block grids (the proven synth_jpeg_assets trick
+    with per-frame drift), so the oracle replays every decoded pixel
+    sum in closed form — a container slip or a codec regression cannot
+    hash-match. This is the shape real multimodal crawl video ships:
+    compressed frames in a RIFF container, not raw DIBs."""
+    from xorq_spark.functions.multimodal import (
+        decode_mjpeg_frame_stats,
+        synth_mjpeg_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 48
+    )
+    return decode_mjpeg_frame_stats(synth_mjpeg_assets(ids)).orderBy(
+        "asset_id", "frame_id"
+    )

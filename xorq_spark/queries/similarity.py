@@ -926,3 +926,187 @@ def sim_bitext_mining_q(spark, sf_dir):
     return bitext_mining(
         emb.where(F.col("label") < 5), emb.where(F.col("label") >= 5), k=4
     ).orderBy("src_id")
+
+
+_IVFPQ_CTES = """
+    emb AS (SELECT vec_id, embedding FROM embeddings
+            WHERE embedding IS NOT NULL),
+    cent AS (
+      SELECT (row_number() OVER (ORDER BY vec_id))::INT - 1 AS cell, embedding
+      FROM emb ORDER BY vec_id LIMIT 8),
+    a AS (
+      SELECT e.vec_id, e.embedding,
+             (SELECT c.cell FROM cent c
+              ORDER BY ROUND(list_cosine_similarity(e.embedding::DOUBLE[],
+                             c.embedding::DOUBLE[]), 6) DESC, c.cell
+              LIMIT 1) AS cell
+      FROM emb e),
+    unq AS (SELECT vec_id,
+                   unnest(range(0, len(embedding))) AS dim,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+                        AS BIGINT) + 1000000 AS qv
+            FROM emb),
+    sub AS (SELECT vec_id, dim // 8 AS j, dim % 8 AS p, qv FROM unq),
+    cbids AS (SELECT vec_id, cell, rn - 1 AS c FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY cell
+                                          ORDER BY vec_id) AS rn
+                FROM a) WHERE rn <= 16),
+    cb AS (SELECT b.cell, b.c, s.j, s.p, s.qv AS cw
+           FROM sub s JOIN cbids b USING (vec_id)),
+    dj AS (SELECT s.vec_id, a.cell, s.j, cb.c,
+                  CAST(SUM((s.qv - cb.cw) * (s.qv - cb.cw)) AS BIGINT) AS d
+           FROM sub s JOIN a USING (vec_id)
+                JOIN cb ON cb.cell = a.cell AND cb.j = s.j AND cb.p = s.p
+           GROUP BY 1, 2, 3, 4),
+    code AS (SELECT vec_id, cell, j, c AS code FROM (
+               SELECT vec_id, cell, j, c,
+                      row_number() OVER (PARTITION BY vec_id, j
+                                         ORDER BY d, c) AS rn
+               FROM dj) WHERE rn = 1),
+    probe AS (SELECT q.vec_id AS query_id, p.cell
+              FROM (SELECT vec_id, embedding FROM emb WHERE vec_id < 5) q,
+              LATERAL (SELECT c.cell FROM cent c
+                       ORDER BY ROUND(list_cosine_similarity(
+                                  q.embedding::DOUBLE[],
+                                  c.embedding::DOUBLE[]), 6) DESC, c.cell
+                       LIMIT 4) p),
+    qlut AS (SELECT s.vec_id AS query_id, pr.cell, s.j, cb.c,
+                    CAST(SUM((s.qv - cb.cw) * (s.qv - cb.cw)) AS BIGINT) AS d
+             FROM sub s JOIN probe pr ON pr.query_id = s.vec_id
+                  JOIN cb ON cb.cell = pr.cell AND cb.j = s.j AND cb.p = s.p
+             WHERE s.vec_id < 5
+             GROUP BY 1, 2, 3, 4),
+    score AS (SELECT l.query_id, co.vec_id,
+                     CAST(SUM(l.d) AS BIGINT) AS adc_dist
+              FROM code co JOIN qlut l
+                ON l.cell = co.cell AND l.j = co.j AND l.c = co.code
+              GROUP BY 1, 2)"""
+
+
+@query(
+    "sim_ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    ranked AS (SELECT query_id, vec_id, adc_dist,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY adc_dist, vec_id) AS rank
+               FROM score)
+    SELECT query_id, vec_id, adc_dist, rank
+    FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+)
+def sim_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ composed ANN (functions/similarity.py ivfpq_topk, round
+    9): the production 100 TB shape — coarse cells prune the scan
+    (partition-pruned probes at rest), PER-CELL PQ codebooks compress
+    it (m=8 codes, ~32x scan I/O), ADC lookup tables score it. 8
+    cells / probe 4 / ksub=16; every step deterministic and
+    integer-exact, so the oracle replays cell assignment, per-cell
+    codebooks, encode argmin, ADC tables and the ranking
+    value-for-value in a fully relational formulation."""
+    from xorq_spark.functions.similarity import ivfpq_topk
+
+    emb = widen(t(spark, sf_dir, "embeddings")).where(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivfpq_topk(
+        queries, emb, k=10, n_centroids=8, n_probe=4, m=8, ksub=16
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "sim_ivfpq_recall",
+    oracle=f"""
+    WITH {_IVFPQ_CTES},
+    approx AS (SELECT query_id, vec_id FROM (
+                 SELECT query_id, vec_id,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist, vec_id) AS rank
+                 FROM score) WHERE rank <= 10),
+    exd AS (SELECT x.vec_id AS query_id, y.vec_id,
+                   CAST(SUM((x.qv - y.qv) * (x.qv - y.qv)) AS BIGINT) AS d
+            FROM unq x JOIN unq y ON x.dim = y.dim
+            WHERE x.vec_id < 5 GROUP BY 1, 2),
+    exact AS (SELECT query_id, vec_id FROM (
+                SELECT query_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY query_id
+                         ORDER BY d, vec_id) AS rank
+                FROM exd) WHERE rank <= 10)
+    SELECT e.query_id,
+           COUNT(a.vec_id) AS n_hit,
+           ROUND(COUNT(a.vec_id) / 10.0, 9) AS recall_at_10
+    FROM exact e
+    LEFT JOIN approx a
+      ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    GROUP BY e.query_id ORDER BY e.query_id
+    """,
+)
+def sim_ivfpq_recall_q(spark, sf_dir):
+    """Recall@10 of the composed IVF-PQ path vs exact integer L2 over
+    the same quantized values — the eval family's fifth member (after
+    LSH, banding, PQ and Matryoshka): it prices BOTH loss sources at
+    once, cell pruning (missed cells) and PQ quantization (ADC
+    re-ranking error), which the per-component evals cannot see
+    together. Both arms distributed; the oracle replays both arms and
+    the top-10 intersection."""
+    from pyspark.sql import Window
+    from xorq_spark.functions.clustering import _quantize_shift
+    from xorq_spark.functions.similarity import ivfpq_topk
+
+    emb = widen(t(spark, sf_dir, "embeddings")).where(
+        F.col("embedding").isNotNull()
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    approx = ivfpq_topk(
+        queries, emb, k=10, n_centroids=8, n_probe=4, m=8, ksub=16
+    ).select("query_id", F.col("vec_id").alias("avid"))
+
+    qq = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        _quantize_shift(F.col("embedding"), 10**6).alias("__a"),
+    )
+    corpus_q = emb.select(
+        "vec_id", _quantize_shift(F.col("embedding"), 10**6).alias("__b")
+    )
+    exd = F.broadcast(qq).crossJoin(corpus_q).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("__a"), F.col("__b"), lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d"), F.asc("vec_id"))
+    exact = (
+        exd.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "vec_id")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == approx.query_id)
+            & (exact.vec_id == approx.avid),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(
+            F.count(approx.avid).alias("n_hit"),
+            F.round(F.count(approx.avid) / 10.0, 9).alias("recall_at_10"),
+        )
+        .select(
+            exact.query_id.alias("query_id"), "n_hit", "recall_at_10"
+        )
+        .orderBy("query_id")
+    )

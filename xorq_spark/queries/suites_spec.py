@@ -608,6 +608,11 @@ SUITES: dict[str, list[str]] = {
         # + PQ recall@10 vs exact integer L2 (quantization-loss gate;
         # both arms replayed by the oracle)
         "sim_pq_recall",
+        # round 9: IVF x PQ composed (per-cell codebooks, partition-
+        # pruned probes over m-byte codes — the production 100 TB ANN
+        # shape) + its recall@10 eval pricing both loss sources at once
+        "sim_ann_ivfpq_topk",
+        "sim_ivfpq_recall",
         # + Matryoshka dimension-truncation recall (prefix-distance
         # top-10 vs full exact; the serve-at-k-dims go/no-go)
         "sim_matryoshka_recall",
@@ -674,6 +679,14 @@ SUITES: dict[str, list[str]] = {
         "mm_audio_resample",
         "mm_audio_energy_segments",
         "mm_decode_avi_frames",
+        # round 9: REAL compressed-video decode — MJPG AVIs of real
+        # baseline-JPEG frames, container-walked and Huffman+DCT
+        # decoded per frame (avi_encode_mjpeg/decode_video_mjpeg)
+        "mm_decode_mjpeg_frames",
+        # round 9 (cont.): REAL MP3 stream audit — frame walk,
+        # side-info parse, CRC-16 verify, Xing/ID3 tags, VBR/duration
+        # profile (functions/mp3probe.py; PCM synthesis a named gate)
+        "mm_probe_mp3_stats",
         # + perceptual image near-dup (dHash over real decoded pixels)
         "mm_image_dhash_pairs",
         "mm_audio_fp_pairs",
@@ -767,17 +780,16 @@ WINDOW_GRANULAR = [
     "text_bm25_topk",
     "time_kaplan_meier",
     "sim_ann_pq_topk",
-    # round 7 promotions (rotated in for text_gopher_flags,
-    # agg_hll_sketch, ml_metrics_auc, sim_hard_negatives — all of which
-    # stay green through suite_curation/suite_agg_b/suite_ml/
-    # suite_similarity): the progressive-JPEG decoder, the mSPRT
-    # sequential monitor, WARC ingestion, and the LSH banding planner
-    "mm_decode_jpeg_progressive",
-    "agg_msprt_sequential",
     # round 8 promotions (rotated in for text_warc_extract and
     # dedup_lsh_plan, which stay green through suite_curation/
-    # suite_dedup_sim): the FLAC decoder and the mojibake repairer —
-    # this round's flagship operators
+    # suite_dedup_sim): the FLAC decoder and the mojibake repairer
     "mm_decode_flac_stats",
     "text_mojibake_repair",
+    # round 9 promotions (rotated in for mm_decode_jpeg_progressive
+    # and agg_msprt_sequential, which stay green through
+    # suite_multimodal/suite_agg_b): the MP3 stream prober — this
+    # round's headline gate-closer — and the dual-implemented Porter
+    # stemmer's vocabulary rollup
+    "mm_probe_mp3_stats",
+    "text_stem_vocab",
 ]
