@@ -156,6 +156,7 @@ HEADLINE = [
     "sim_ann_ivfpq_topk",
     "mm_decode_mjpeg_frames",
     "mm_probe_mp3_stats",
+    "mm_extract_pdf_text",
 ]
 
 # Measurement policy (revised round 4 for driver reproducibility —

@@ -130,6 +130,7 @@ OPS = [
     "sim_ann_ivfpq_topk",
     "mm_decode_mjpeg_frames",
     "mm_probe_mp3_stats",
+    "mm_extract_pdf_text",
 ]
 
 

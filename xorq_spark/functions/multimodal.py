@@ -1407,3 +1407,96 @@ def decode_mjpeg_frame_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         batches, MJPEG_FRAME_SCHEMA
     )
+
+
+PDF_TEXT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_chars", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("text_md5", StringType()),
+    ]
+)
+
+
+def synth_pdf_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic PDF fixture generator (functions/pdfcodec.py
+    pdf_write): per asset i — 1+i%4 pages, page p carries 1+(i+p)%3
+    text lines of closed-form content (every fifth line adds a
+    parens+backslash suffix to exercise literal-string escaping);
+    even assets Flate-compress their content streams; i%5==0 assets
+    get a real INCREMENTAL UPDATE section appending one page (the
+    /Prev xref chain of edited PDFs)."""
+    from xorq_spark.functions.pdfcodec import pdf_write
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].tolist():
+                np_ = 1 + i % 4
+                pages = []
+                for p in range(np_):
+                    lines = []
+                    for l in range(1 + (i + p) % 3):
+                        line = (
+                            f"Doc {i} page {p} line {l} "
+                            f"token{(i*7 + p*3 + l) % 100}"
+                        )
+                        if (i + p + l) % 5 == 0:
+                            line += " (q\\e)"
+                        lines.append(line)
+                    pages.append(lines)
+                payloads.append(
+                    pdf_write(
+                        pages,
+                        compress=(i % 2 == 0),
+                        incremental_extra_page=(
+                            [f"Appendix {i}"] if i % 5 == 0 else None
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "document",
+                    "payload": payloads,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(batches, schema)
+
+
+def extract_pdf_text_stats(assets: DataFrame) -> DataFrame:
+    """REAL PDF text extraction (functions/pdfcodec.py): xref walk
+    (incl. /Prev chains), page tree, Flate-decoded content streams,
+    BT/ET text operators — emit page/char/line counts and the md5 of
+    the extracted text. Arrow-batched mapInPandas, no shuffle."""
+    from xorq_spark.functions.pdfcodec import pdf_extract
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n_pages, text, _info = pdf_extract(bytes(payload))
+                rows.append(
+                    (
+                        aid,
+                        n_pages,
+                        len(text),
+                        sum(1 for ln in text.split("\n") if ln),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PDF_TEXT_SCHEMA])
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, PDF_TEXT_SCHEMA
+    )

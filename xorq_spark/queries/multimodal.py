@@ -988,3 +988,62 @@ def mm_decode_mjpeg_frames(spark, sf_dir):
     return decode_mjpeg_frame_stats(synth_mjpeg_assets(ids)).orderBy(
         "asset_id", "frame_id"
     )
+
+
+@query(
+    "mm_extract_pdf_text",
+    oracle=r"""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 1 + doc_id % 4 AS np,
+             doc_id % 5 = 0 AS inc
+      FROM documents WHERE doc_id < 48),
+    pg AS (SELECT asset_id, unnest(range(0, np)) AS p FROM ids),
+    ln AS (SELECT asset_id, p,
+                  unnest(range(0, 1 + (asset_id + p) % 3)) AS l
+           FROM pg),
+    lt AS (SELECT asset_id, p, l,
+                  'Doc ' || asset_id || ' page ' || p || ' line ' || l
+                  || ' token' || ((asset_id*7 + p*3 + l) % 100)
+                  || CASE WHEN (asset_id + p + l) % 5 = 0
+                          THEN ' (q\e)' ELSE '' END AS line
+           FROM ln),
+    base AS (SELECT asset_id,
+                    string_agg(line || chr(10), '' ORDER BY p, l) AS text
+             FROM lt GROUP BY asset_id),
+    whole AS (SELECT i.asset_id,
+                     b.text || CASE WHEN i.inc
+                                    THEN 'Appendix ' || i.asset_id || chr(10)
+                                    ELSE '' END AS text,
+                     i.np + CASE WHEN i.inc THEN 1 ELSE 0 END AS n_pages
+              FROM ids i JOIN base b USING (asset_id))
+    SELECT asset_id,
+           CAST(n_pages AS INT) AS n_pages,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, chr(10))) - 1 AS BIGINT) AS n_lines,
+           md5(text) AS text_md5
+    FROM whole ORDER BY asset_id
+    """,
+)
+def mm_extract_pdf_text(spark, sf_dir):
+    """REAL PDF text extraction (functions/pdfcodec.py, round 9):
+    payloads are genuine multi-page PDFs built by the committed writer
+    — page tree, per-page content streams (Flate-compressed on even
+    assets), literal-string escapes, correct xref tables, and real
+    INCREMENTAL-UPDATE sections (/Prev chains) on every fifth asset —
+    then parsed back inside Arrow-batched mapInPandas: xref walk,
+    object tokenizer, zlib inflate, BT/ET text operators. The oracle
+    rebuilds the expected text closed-form and compares page counts,
+    char/line counts and the md5 of every extracted character — a
+    slipped xref offset, a broken escape, or a lost page cannot
+    hash-match. Encrypted files, xref streams (PDF 1.5+) and non-Flate
+    filters raise NotImplementedError by name."""
+    from xorq_spark.functions.multimodal import (
+        extract_pdf_text_stats,
+        synth_pdf_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 48
+    )
+    return extract_pdf_text_stats(synth_pdf_assets(ids)).orderBy("asset_id")

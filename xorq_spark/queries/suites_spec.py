@@ -687,6 +687,10 @@ SUITES: dict[str, list[str]] = {
         # side-info parse, CRC-16 verify, Xing/ID3 tags, VBR/duration
         # profile (functions/mp3probe.py; PCM synthesis a named gate)
         "mm_probe_mp3_stats",
+        # round 9 (cont.): REAL PDF text extraction — xref walk incl.
+        # /Prev incremental chains, Flate streams, BT/ET operators
+        # (functions/pdfcodec.py; encryption/xref-streams named gates)
+        "mm_extract_pdf_text",
         # + perceptual image near-dup (dHash over real decoded pixels)
         "mm_image_dhash_pairs",
         "mm_audio_fp_pairs",
