@@ -297,15 +297,38 @@ def main():
         except Exception:
             return -1.0
 
+    def _jvm_pids():
+        # our Spark JVM(s): java processes with spark on the command
+        # line. Found via /proc because the MXBean route
+        # (getProcessCpuTime) does NOT exist through py4j on this JDK
+        # — it failed silently inside the old try/except, so
+        # ext_cpu_sec's FLOOR was our own JVM burn (round-9 finding:
+        # the round-8 "external contention" readings conflated the
+        # two; spikes above the floor were still real deltas).
+        pids = set()
+        try:
+            for p in os.listdir("/proc"):
+                if not p.isdigit():
+                    continue
+                try:
+                    with open(f"/proc/{p}/cmdline", "rb") as f:
+                        cmd = f.read()
+                except OSError:
+                    continue
+                argv0 = cmd.split(b"\x00", 1)[0]
+                if argv0.endswith(b"java") and b"spark" in cmd.lower():
+                    pids.add(int(p))
+        except Exception:
+            pass
+        return pids
+
     def tree_cpu_sec(extra_pids=()):
-        # CPU seconds consumed by OUR process tree: this interpreter,
-        # the Spark JVM (ProcessCpuTime covers its threads), and the
-        # pyspark daemon/worker processes (utime+stime from
-        # /proc/<pid>/stat). sys_cpu_sec minus this is CPU burned by
-        # SOMETHING ELSE on the host — the external-contention signal
-        # that attributes a pass-time spike to the machine, not the
-        # plan (round-7 tail: six unrelated queries spiked inside one
-        # sweep window).
+        # CPU seconds consumed by OUR process tree: this interpreter
+        # (getrusage), the Spark JVM(s) and the pyspark daemon/worker
+        # processes (utime+stime from /proc/<pid>/stat). sys_cpu_sec
+        # minus this is CPU burned by SOMETHING ELSE on the host — the
+        # external-contention signal that attributes a pass-time spike
+        # to the machine, not the plan.
         total = 0.0
         try:
             ru = __import__("resource")
@@ -313,15 +336,7 @@ def main():
             total += me.ru_utime + me.ru_stime
         except Exception:
             pass
-        try:
-            osb = (
-                spark._jvm.java.lang.management.ManagementFactory
-                .getOperatingSystemMXBean()
-            )
-            total += osb.getProcessCpuTime() / 1e9
-        except Exception:
-            pass
-        for pid in extra_pids:
+        for pid in set(extra_pids) | _jvm_pids():
             try:
                 with open(f"/proc/{pid}/stat") as f:
                     st = f.read().rsplit(")", 1)[1].split()

@@ -166,6 +166,29 @@ def _worker_pids() -> set:
     return pids
 
 
+def _jvm_pids() -> set:
+    """Our Spark JVM(s) via /proc: the MXBean getProcessCpuTime route
+    does not exist through py4j on this JDK (round-9 finding — it
+    failed silently in bench.py's old try/except, putting our own JVM
+    burn inside 'external' CPU)."""
+    pids = set()
+    try:
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/cmdline", "rb") as f:
+                    cmd = f.read()
+            except OSError:
+                continue
+            argv0 = cmd.split(b"\x00", 1)[0]
+            if argv0.endswith(b"java") and b"spark" in cmd.lower():
+                pids.add(int(p))
+    except Exception:
+        pass
+    return pids
+
+
 def _tree_cpu_sec(spark, extra_pids=()) -> float:
     """CPU seconds of OUR tree: driver + JVM + pyspark workers (the
     bench.py attribution, ported per the round-8 verdict: SCALING.md
@@ -179,15 +202,7 @@ def _tree_cpu_sec(spark, extra_pids=()) -> float:
         total += me.ru_utime + me.ru_stime
     except Exception:
         pass
-    try:
-        osb = (
-            spark._jvm.java.lang.management.ManagementFactory
-            .getOperatingSystemMXBean()
-        )
-        total += osb.getProcessCpuTime() / 1e9
-    except Exception:
-        pass
-    for pid in extra_pids:
+    for pid in set(extra_pids) | _jvm_pids():
         try:
             with open(f"/proc/{pid}/stat") as f:
                 st = f.read().rsplit(")", 1)[1].split()
