@@ -1589,23 +1589,27 @@ def text_stem_vocab_q(spark, sf_dir):
     docs = widen(t(spark, sf_dir, "documents"))
     toks = docs.select("doc_id", alpha_tokens(F.col("text")).alias("tt"))
     occ = toks.select("doc_id", F.explode("tt").alias("word"))
-    smap = occ.select("word").distinct().withColumn(
+    # ONE corpus-sized pass: pre-aggregate to (doc, word) postings
+    # (map-side combinable), then decorate with stems and fold every
+    # per-stem statistic in a single aggregation — tf is a plain sum
+    # and df/n_forms are distincts over the postings frame (vocabulary
+    # x doc-frequency sized, corpus-sublinear), so the token stream is
+    # scanned exactly once
+    post = occ.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    smap = post.select("word").distinct().withColumn(
         "stem", stem_udf()(F.col("word"))
     )
-    socc = occ.join(smap, "word")
-    tfq = socc.groupBy("stem").agg(
-        F.count(F.lit(1)).cast("long").alias("tf"),
-        F.countDistinct("word").cast("long").alias("n_forms"),
-        F.min("word").alias("example_form"),
-    )
-    dfq = (
-        socc.select("doc_id", "stem")
-        .distinct()
-        .groupBy("stem")
-        .agg(F.count(F.lit(1)).cast("long").alias("df"))
-    )
     return (
-        tfq.join(dfq, "stem")
+        post.join(smap, "word")
+        .groupBy("stem")
+        .agg(
+            F.sum("cnt").cast("long").alias("tf"),
+            F.countDistinct("doc_id").cast("long").alias("df"),
+            F.countDistinct("word").cast("long").alias("n_forms"),
+            F.min("word").alias("example_form"),
+        )
         .select("stem", "tf", "df", "n_forms", "example_form")
         .orderBy(F.desc("tf"), "stem")
         .limit(50)
