@@ -1500,3 +1500,270 @@ def extract_pdf_text_stats(assets: DataFrame) -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(
         batches, PDF_TEXT_SCHEMA
     )
+
+
+DOCX_TEXT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_paras", IntegerType()),
+        StructField("n_chars", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("text_md5", StringType()),
+    ]
+)
+
+
+def synth_docx_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic DOCX fixture generator (functions/docxcodec.py
+    docx_write): per asset i — 1+i%4 body paragraphs, paragraph p
+    carries 1+(i+p)%3 runs of closed-form content (every fifth
+    paragraph appends a run with `&`, `<`, `>` and an embedded TAB to
+    exercise entity escaping and w:tab splitting); i%4==0 assets get a
+    trailing 2x2 table."""
+    from xorq_spark.functions.docxcodec import docx_write
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].tolist():
+                paras = []
+                for p in range(1 + i % 4):
+                    runs = [
+                        f"w{(i*7 + p*3 + r) % 100} "
+                        for r in range(1 + (i + p) % 3)
+                    ]
+                    if (i + p) % 5 == 0:
+                        runs.append(f"A&B <q>\te{p}")
+                    paras.append(runs)
+                table = (
+                    [
+                        [f"T{i}r{r}c{c}" for c in range(2)]
+                        for r in range(2)
+                    ]
+                    if i % 4 == 0
+                    else None
+                )
+                payloads.append(docx_write(paras, table=table))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "document",
+                    "payload": payloads,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(batches, schema)
+
+
+def extract_docx_text_stats(assets: DataFrame) -> DataFrame:
+    """REAL DOCX text extraction (functions/docxcodec.py): OPC zip
+    walk, ElementTree parse of word/document.xml, document-order
+    paragraph + table walk with w:tab/w:br handling — emit body
+    paragraph count, char/line counts and the md5 of the extracted
+    text. Arrow-batched mapInPandas, no shuffle."""
+    from xorq_spark.functions.docxcodec import docx_extract
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n_paras, text = docx_extract(bytes(payload))
+                rows.append(
+                    (
+                        aid,
+                        n_paras,
+                        len(text),
+                        text.count("\n"),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in DOCX_TEXT_SCHEMA]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, DOCX_TEXT_SCHEMA
+    )
+
+
+EPUB_TEXT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_chapters", IntegerType()),
+        StructField("n_chars", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("text_md5", StringType()),
+    ]
+)
+
+
+def synth_epub_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic EPUB fixture generator (functions/epubcodec.py
+    epub_write): per asset i — 1+i%3 chapters, chapter c carries
+    1+(i+c)%3 paragraphs of closed-form content (every fourth
+    paragraph appends `&x<y` for entity coverage; the final token of
+    every paragraph is <em>-wrapped to exercise nested-inline
+    flattening). ODD assets get a REVERSED spine, so an extractor
+    that walks zip order instead of spine order cannot hash-match."""
+    from xorq_spark.functions.epubcodec import epub_write
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].tolist():
+                nch = 1 + i % 3
+                chapters = []
+                for c in range(nch):
+                    paras = []
+                    for q in range(1 + (i + c) % 3):
+                        ptext = (
+                            f"Ch {c} of {i} para {q} "
+                            f"tok{(i*5 + c*3 + q) % 50}"
+                        )
+                        if (i + c + q) % 4 == 0:
+                            ptext += " &x<y"
+                        paras.append(ptext)
+                    chapters.append(paras)
+                spine = (
+                    list(range(nch - 1, -1, -1))
+                    if i % 2 == 1
+                    else list(range(nch))
+                )
+                payloads.append(
+                    epub_write(chapters, spine_order=spine, em_token=True)
+                )
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "document",
+                    "payload": payloads,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(batches, schema)
+
+
+def extract_epub_text_stats(assets: DataFrame) -> DataFrame:
+    """REAL EPUB text extraction (functions/epubcodec.py): OCF
+    mimetype check, container.xml -> OPF rootfile, manifest/spine
+    walk, XHTML chapter parse in SPINE order — emit chapter count,
+    char/line counts and the md5 of the extracted text. Arrow-batched
+    mapInPandas, no shuffle."""
+    from xorq_spark.functions.epubcodec import epub_extract
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n_ch, text = epub_extract(bytes(payload))
+                rows.append(
+                    (
+                        aid,
+                        n_ch,
+                        len(text),
+                        text.count("\n"),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EPUB_TEXT_SCHEMA]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, EPUB_TEXT_SCHEMA
+    )
+
+
+RTF_TEXT_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("n_paras", IntegerType()),
+        StructField("n_chars", LongType()),
+        StructField("n_lines", LongType()),
+        StructField("text_md5", StringType()),
+    ]
+)
+
+
+def synth_rtf_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """Deterministic RTF fixture generator (functions/rtfcodec.py
+    rtf_write): per asset i — 1+i%4 paragraphs of closed-form content;
+    every fourth paragraph appends literal braces, a backslash and an
+    e-acute (escaped-literal + cp1252 ``\\'hh`` coverage); every fifth
+    appends U+03C0 (the ``\\uN?`` Unicode-escape path, pi being
+    outside cp1252)."""
+    from xorq_spark.functions.rtfcodec import rtf_write
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for i in pdf[id_col].tolist():
+                paras = []
+                for q in range(1 + i % 4):
+                    ptext = f"Rtf {i} para {q} tok{(i*3 + q) % 40}"
+                    if (i + q) % 4 == 0:
+                        ptext += " {b}\\" + chr(233)
+                    if (i + q) % 5 == 0:
+                        ptext += chr(960)
+                    paras.append(ptext)
+                payloads.append(rtf_write(paras))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf[id_col].astype("int64"),
+                    "media_type": "document",
+                    "payload": payloads,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("asset_id", LongType()),
+            StructField("media_type", StringType()),
+            StructField("payload", BinaryType()),
+        ]
+    )
+    return ids.select(F.col(id_col)).mapInPandas(batches, schema)
+
+
+def extract_rtf_text_stats(assets: DataFrame) -> DataFrame:
+    """REAL RTF text extraction (functions/rtfcodec.py): group-stack
+    tokenizer, destination skipping, cp1252/Unicode escapes — emit
+    paragraph count, char/line counts and the md5 of the extracted
+    text. Arrow-batched mapInPandas, no shuffle."""
+    from xorq_spark.functions.rtfcodec import rtf_extract
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n_paras, text = rtf_extract(bytes(payload))
+                rows.append(
+                    (
+                        aid,
+                        n_paras,
+                        len(text),
+                        text.count("\n"),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RTF_TEXT_SCHEMA]
+            )
+
+    return assets.select("asset_id", "payload").mapInPandas(
+        batches, RTF_TEXT_SCHEMA
+    )

@@ -1434,6 +1434,58 @@ def text_zip_extract(spark, sf_dir):
 
 
 @query(
+    "text_compressed_ingest",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 96),
+    ln AS (SELECT doc_id, unnest(range(0, 2 + doc_id % 5)) AS l FROM ids),
+    lt AS (SELECT doc_id, l,
+                  repeat('data ' || doc_id || ' line ' || l || ' ',
+                         1 + (doc_id + l) % 3) || chr(10) AS line
+           FROM ln),
+    base AS (SELECT doc_id, string_agg(line, '' ORDER BY l) AS text
+             FROM lt GROUP BY doc_id)
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                ELSE 'xz' END AS fmt,
+           CAST(length(text) AS BIGINT) AS n_raw_bytes,
+           CAST(len(string_split(text, chr(10))) - 1 AS BIGINT) AS n_lines,
+           md5(text) AS body_md5
+    FROM base ORDER BY doc_id
+    """,
+)
+def text_compressed_ingest(spark, sf_dir):
+    """Compressed-payload ingestion, certified
+    (functions/compressedio.py, round 9): the stream-compression tier
+    under the container formats — gzip (Common Crawl WET shards;
+    every sixth fixture is a MULTI-MEMBER stream, the appended-log
+    shape), bzip2 (Wikipedia dumps) and xz (archived corpora), all
+    magic-byte SNIFFED and decompressed by the stdlib decoders inside
+    Arrow-batched mapInPandas. The emitted fmt comes from the
+    detector, not metadata, and the oracle replays fmt, exact
+    decompressed length, line count and body md5 in closed form — a
+    mis-sniff, a dropped gzip member, or a truncated stream cannot
+    hash-match. zstd and lz4 raise NotImplementedError by name."""
+    from xorq_spark.functions.compressedio import (
+        parse_compressed_docs,
+        synth_compressed_assets,
+    )
+
+    ids = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 96)
+        .select("doc_id")
+    )
+    recs = parse_compressed_docs(synth_compressed_assets(ids))
+    return recs.select(
+        "doc_id",
+        "fmt",
+        "n_raw_bytes",
+        (F.size(F.split("body_text", "\n")) - 1).cast("long").alias("n_lines"),
+        F.md5(F.col("body_text")).alias("body_md5"),
+    ).orderBy("doc_id")
+
+
+@query(
     "text_mojibake_detect",
     oracle="""
     WITH damaged AS (

@@ -1047,3 +1047,176 @@ def mm_extract_pdf_text(spark, sf_dir):
         F.col("asset_id") < 48
     )
     return extract_pdf_text_stats(synth_pdf_assets(ids)).orderBy("asset_id")
+
+
+@query(
+    "mm_extract_docx_text",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 1 + doc_id % 4 AS np,
+             doc_id % 4 = 0 AS has_tbl
+      FROM documents WHERE doc_id < 48),
+    pg AS (SELECT asset_id, unnest(range(0, np)) AS p FROM ids),
+    rn AS (SELECT asset_id, p,
+                  unnest(range(0, 1 + (asset_id + p) % 3)) AS r
+           FROM pg),
+    rt AS (SELECT asset_id, p, r,
+                  'w' || ((asset_id*7 + p*3 + r) % 100) || ' ' AS rt
+           FROM rn),
+    pt AS (SELECT asset_id, p,
+                  string_agg(rt, '' ORDER BY r)
+                  || CASE WHEN (asset_id + p) % 5 = 0
+                          THEN 'A&B <q>' || chr(9) || 'e' || p
+                          ELSE '' END AS ptext
+           FROM rt GROUP BY asset_id, p),
+    base AS (SELECT asset_id,
+                    string_agg(ptext || chr(10), '' ORDER BY p) AS text
+             FROM pt GROUP BY asset_id),
+    whole AS (SELECT i.asset_id, i.np,
+                     b.text || CASE WHEN i.has_tbl
+                       THEN 'T' || i.asset_id || 'r0c0' || chr(9)
+                         || 'T' || i.asset_id || 'r0c1' || chr(10)
+                         || 'T' || i.asset_id || 'r1c0' || chr(9)
+                         || 'T' || i.asset_id || 'r1c1' || chr(10)
+                       ELSE '' END AS text
+              FROM ids i JOIN base b USING (asset_id))
+    SELECT asset_id,
+           CAST(np AS INT) AS n_paras,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, chr(10))) - 1 AS BIGINT) AS n_lines,
+           md5(text) AS text_md5
+    FROM whole ORDER BY asset_id
+    """,
+)
+def mm_extract_docx_text(spark, sf_dir):
+    """REAL DOCX text extraction (functions/docxcodec.py, round 9):
+    payloads are genuine OPC packages built by the committed writer —
+    [Content_Types].xml, package rels, a wordprocessingml
+    word/document.xml with multi-run paragraphs (xml:space-preserved
+    trailing spaces), XML entities (&, <, >), w:tab elements splitting
+    runs, and a trailing w:tbl on every fourth asset — then parsed
+    back inside Arrow-batched mapInPandas: zip central-directory walk,
+    ElementTree parse, document-order body walk. The oracle rebuilds
+    the expected text closed-form and compares paragraph counts,
+    char/line counts and the md5 of every extracted character — a
+    dropped run, a broken entity, or a skipped table row cannot
+    hash-match. CFB/OLE containers (legacy .doc, encrypted OOXML)
+    raise NotImplementedError by name."""
+    from xorq_spark.functions.multimodal import (
+        extract_docx_text_stats,
+        synth_docx_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 48
+    )
+    return extract_docx_text_stats(synth_docx_assets(ids)).orderBy("asset_id")
+
+
+@query(
+    "mm_extract_epub_text",
+    oracle="""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 1 + doc_id % 3 AS nch
+      FROM documents WHERE doc_id < 48),
+    sp AS (SELECT asset_id, nch, unnest(range(0, nch)) AS j FROM ids),
+    ch AS (SELECT asset_id, j,
+                  CASE WHEN asset_id % 2 = 1 THEN nch - 1 - j
+                       ELSE j END AS c
+           FROM sp),
+    pq AS (SELECT asset_id, j, c,
+                  unnest(range(0, 1 + (asset_id + c) % 3)) AS q
+           FROM ch),
+    pt AS (SELECT asset_id, j, q,
+                  'Ch ' || c || ' of ' || asset_id || ' para ' || q
+                  || ' tok' || ((asset_id*5 + c*3 + q) % 50)
+                  || CASE WHEN (asset_id + c + q) % 4 = 0
+                          THEN ' &x<y' ELSE '' END AS ptext
+           FROM pq),
+    base AS (SELECT asset_id,
+                    string_agg(ptext || chr(10), '' ORDER BY j, q) AS text
+             FROM pt GROUP BY asset_id)
+    SELECT b.asset_id,
+           CAST(i.nch AS INT) AS n_chapters,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, chr(10))) - 1 AS BIGINT) AS n_lines,
+           md5(text) AS text_md5
+    FROM base b JOIN ids i ON b.asset_id = i.asset_id
+    ORDER BY b.asset_id
+    """,
+)
+def mm_extract_epub_text(spark, sf_dir):
+    """REAL EPUB text extraction (functions/epubcodec.py, round 9):
+    payloads are genuine OCF packages built by the committed writer —
+    stored-first mimetype, container.xml, OPF manifest + spine, XHTML
+    chapters with entities and <em>-nested tokens — then parsed back
+    inside Arrow-batched mapInPandas: container walk, OPF parse,
+    chapters read in SPINE order (odd assets ship a REVERSED spine, so
+    zip-order extraction cannot hash-match). The oracle rebuilds the
+    expected text closed-form, replaying the spine permutation
+    arithmetically, and compares chapter counts, char/line counts and
+    the md5 of every extracted character. DRM (encryption.xml) raises
+    NotImplementedError by name."""
+    from xorq_spark.functions.multimodal import (
+        extract_epub_text_stats,
+        synth_epub_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 48
+    )
+    return extract_epub_text_stats(synth_epub_assets(ids)).orderBy("asset_id")
+
+
+@query(
+    "mm_extract_rtf_text",
+    oracle=r"""
+    WITH ids AS (
+      SELECT doc_id AS asset_id, 1 + doc_id % 4 AS np
+      FROM documents WHERE doc_id < 48),
+    pq AS (SELECT asset_id, np, unnest(range(0, np)) AS q FROM ids),
+    pt AS (SELECT asset_id, q,
+                  'Rtf ' || asset_id || ' para ' || q
+                  || ' tok' || ((asset_id*3 + q) % 40)
+                  || CASE WHEN (asset_id + q) % 4 = 0
+                          THEN ' {b}\' || chr(233) ELSE '' END
+                  || CASE WHEN (asset_id + q) % 5 = 0
+                          THEN chr(960) ELSE '' END AS ptext
+           FROM pq),
+    base AS (SELECT asset_id,
+                    string_agg(ptext || chr(10), '' ORDER BY q) AS text
+             FROM pt GROUP BY asset_id)
+    SELECT b.asset_id,
+           CAST(i.np AS INT) AS n_paras,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, chr(10))) - 1 AS BIGINT) AS n_lines,
+           md5(text) AS text_md5
+    FROM base b JOIN ids i USING (asset_id)
+    ORDER BY b.asset_id
+    """,
+)
+def mm_extract_rtf_text(spark, sf_dir):
+    """REAL RTF text extraction (functions/rtfcodec.py, round 9):
+    payloads are genuine RTF built by the committed writer — font and
+    color tables, an ignorable {\\*\\generator} destination, escaped
+    braces/backslashes, cp1252 \\'hh escapes (e-acute) and \\uN?
+    Unicode escapes (U+03C0, outside cp1252) — then tokenized back
+    inside Arrow-batched mapInPandas: group stack, destination
+    skipping, \\ucN fallback handling. The oracle rebuilds the
+    expected text closed-form (chr(233)/chr(960) arithmetic) and
+    compares paragraph counts, char/line counts and the md5 of every
+    extracted character — a leaked font-table token, a broken escape,
+    or a swallowed brace cannot hash-match. \\bin embedded binary
+    raises NotImplementedError by name."""
+    from xorq_spark.functions.multimodal import (
+        extract_rtf_text_stats,
+        synth_rtf_assets,
+    )
+
+    docs = widen(t(spark, sf_dir, "documents"))
+    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
+        F.col("asset_id") < 48
+    )
+    return extract_rtf_text_stats(synth_rtf_assets(ids)).orderBy("asset_id")

@@ -504,6 +504,11 @@ SUITES: dict[str, list[str]] = {
         # round 7 (cont.): ZIP archive ingestion (central-directory
         # walk, DEFLATE + stored members)
         "text_zip_extract",
+        # round 9: stream-compression tier under the containers —
+        # gzip (multi-member) / bzip2 / xz, magic-sniffed + stdlib
+        # decompressed (functions/compressedio.py; zstd/lz4 named
+        # gates)
+        "text_compressed_ingest",
     ],
     "suite_dedup_minhash": [
         "dedup_exact_text",
@@ -691,6 +696,18 @@ SUITES: dict[str, list[str]] = {
         # /Prev incremental chains, Flate streams, BT/ET operators
         # (functions/pdfcodec.py; encryption/xref-streams named gates)
         "mm_extract_pdf_text",
+        # round 9 (cont.): REAL DOCX extraction — OPC zip +
+        # ElementTree document walk, runs/tabs/breaks/tables
+        # (functions/docxcodec.py; CFB/OLE named gate)
+        "mm_extract_docx_text",
+        # round 9 (cont.): REAL EPUB extraction — OCF mimetype,
+        # container.xml -> OPF -> SPINE-ordered XHTML chapters
+        # (functions/epubcodec.py; DRM named gate)
+        "mm_extract_epub_text",
+        # round 9 (cont.): REAL RTF extraction — group-stack
+        # tokenizer, destination skip, cp1252/\\uN escapes
+        # (functions/rtfcodec.py; \\bin named gate)
+        "mm_extract_rtf_text",
         # + perceptual image near-dup (dHash over real decoded pixels)
         "mm_image_dhash_pairs",
         "mm_audio_fp_pairs",
