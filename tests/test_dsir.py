@@ -85,3 +85,25 @@ def test_dsir_composes_with_weighted_selection(spark):
         .collect()
     )
     assert sorted(r["doc_id"] for r in top) == [1, 3, 5, 7, 9]
+
+
+def test_dsir_target_pred_matches_target_df(spark):
+    # the predicate path (one materialized occurrence stream) must
+    # reproduce the two-frame path value-for-value
+    from xorq_spark.functions.sampling import dsir_score
+
+    raw = [
+        (1, "cat feline cat purr", "src1"),
+        (2, "stock market futures trading", "src3"),
+        (3, "cat stock cat", "src2"),
+        (4, None, "src1"),
+    ]
+    df = spark.createDataFrame(raw, "doc_id long, text string, source string")
+    two_frame = dsir_score(
+        df, df.where(F.col("source").isin("src1", "src2"))
+    ).collect()
+    pred = dsir_score(
+        df, target_pred=F.col("source").isin("src1", "src2")
+    ).collect()
+    key = lambda r: r["doc_id"]  # noqa: E731
+    assert sorted(map(tuple, two_frame)) == sorted(map(tuple, pred))

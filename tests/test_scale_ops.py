@@ -844,6 +844,35 @@ class TestHdrQuantileSketch:
         b = {(r["sign"], r["e"], r["sub"]): r["c"] for r in merged.collect()}
         assert a == b
 
+    def test_build_from_counts_equals_build(self, spark):
+        # pre-aggregated (value, count) bucketization must reproduce
+        # the raw-row build counter-for-counter, incl. shard keys
+        from xorq_spark.functions.sketches import (
+            hdr_build,
+            hdr_build_from_counts,
+        )
+
+        import random
+
+        rng = random.Random(11)
+        xs = [rng.randint(-10**6, 10**6) for _ in range(500)] + [0, 0]
+        df = spark.createDataFrame(
+            [(i, x) for i, x in enumerate(xs)], "i long, v long"
+        )
+        direct = hdr_build(df, "v")
+        vc = df.groupBy("v", (F.col("i") % 4).alias("sh")).count()
+        from_counts = (
+            hdr_build_from_counts(vc, "v", "count", by=("sh",))
+            .groupBy("sign", "e", "sub")
+            .agg(F.sum("c").alias("c"))
+        )
+        a = {(r["sign"], r["e"], r["sub"]): r["c"] for r in direct.collect()}
+        b = {
+            (r["sign"], r["e"], r["sub"]): r["c"]
+            for r in from_counts.collect()
+        }
+        assert a == b
+
     def test_quantiles_bracket_exact(self, spark):
         from xorq_spark.functions.sketches import hdr_build, hdr_quantiles
 
@@ -971,6 +1000,38 @@ class TestBM25:
         assert one == two
         # df order: a(4) b(3) c(2) d(1) -> q1={a,b}, q2={c,d}
         assert one == [(1, "a"), (1, "b"), (2, "c"), (2, "d")]
+
+
+    def test_shared_postings_match_per_call(self, spark):
+        # passing one build_postings() result to derivation + both
+        # scorers must reproduce the per-call (re-tokenizing) results
+        from xorq_spark.functions.retrieval import (
+            bm25_topk,
+            build_postings,
+            derive_query_terms,
+            tfidf_rank_topk,
+        )
+
+        texts = [
+            "the cat sat on the mat",
+            "the dog chased the cat",
+            "quantum computing is the future of computing",
+            "the mat was red",
+            "dog dog dog",
+        ]
+        d = self._docs(spark, texts)
+        postings = build_postings(d)
+        qt_a = derive_query_terms(d, n_queries=2, terms_per_query=2)
+        qt_b = derive_query_terms(
+            d, n_queries=2, terms_per_query=2, postings=postings
+        )
+        assert sorted(map(tuple, qt_a.collect())) == sorted(
+            map(tuple, qt_b.collect())
+        )
+        for fn in (bm25_topk, tfidf_rank_topk):
+            a = fn(d, qt_a, topk=5).collect()
+            b = fn(d, qt_a, topk=5, postings=postings).collect()
+            assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
 class TestLabelPropagation:

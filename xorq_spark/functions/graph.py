@@ -320,12 +320,22 @@ def triangle_counts(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # One synchronous barrier for the whole operator: the broadcast
+    # gate needs the edge count NOW, and |o| == |e0| by construction
+    # (o inner-joins e0 against its own degree table, which contains
+    # every endpoint), so counting the just-materialized e0 replaces
+    # the former o.count() — which forced deg and o to materialize
+    # eagerly first (3 sequential driver round-trips). deg/o/adj
+    # become LAZY checkpoints: still computed exactly once (each has
+    # two consumers), but inside the final job chain (the pagerank
+    # pattern).
+    m_edges = e0.count()
     deg = (
         e0.select(F.col("u").alias("node"))
         .union(e0.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
     dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
@@ -340,7 +350,7 @@ def triangle_counts(
             F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
             F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Out-neighbor arrays sorted in ORIENTATION order (degree, id) —
     # each O(sqrt(m)) by orientation. Each triangle x<y<z (orientation
@@ -355,14 +365,13 @@ def triangle_counts(
                 lambda x: x["t"],
             ).alias("ns")
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     # Below the bound the adjacency table (~edge-list volume in total
     # array cells) broadcasts and the t-side attach is a map-side hash
     # lookup — nothing superlinear ever crosses the wire. Above it the
     # t-keyed shuffle plan stands: correct at any scale, AQE
     # skew-splits the attach of a celebrity sink node.
-    m_edges = o.count()
     bc = m_edges <= int(broadcast_edge_bound)
     a2 = adj.select(F.col("s").alias("__a2"), F.col("ns").alias("__ns_t"))
     if bc:

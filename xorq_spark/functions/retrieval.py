@@ -34,21 +34,43 @@ from xorq_spark.functions.text import tokenize
 
 
 def _postings(docs: DataFrame, text_col: str, id_col: str):
-    """(doc, term, tf) postings + (doc, dl) lengths + (N, T) totals."""
+    """(doc, term, tf) postings + (doc, dl) lengths + (N, T) totals.
+
+    The tokenized frame is materialized once (lazy localCheckpoint —
+    the pagerank pattern: the first consumer folds the materialization
+    into its own job) because every retrieval signal consumes it at
+    least twice (postings + lengths, then df/scoring): without the
+    pin, each consumer re-scans the corpus and re-runs the regex
+    tokenize — text_rrf_hybrid's plan carried 15 parquet scans of the
+    same table (round-9 measurement). At cluster scale this is the
+    standard build-the-inverted-index-once pass (persist
+    MEMORY_AND_DISK / write the postings table)."""
     toks = docs.select(
         F.col(id_col).alias("__doc"),
         tokenize(F.lower(F.coalesce(F.col(text_col), F.lit("")))).alias("__t"),
-    )
+    ).localCheckpoint(eager=False)
     lens = toks.select("__doc", F.size("__t").cast("long").alias("dl"))
     occ = toks.select("__doc", F.explode("__t").alias("term"))
     post = occ.groupBy("__doc", "term").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     totals = lens.agg(
         F.count(F.lit(1)).cast("long").alias("N"),
         F.sum("dl").cast("long").alias("T"),
     )
     return post, lens, totals
+
+
+def build_postings(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Public postings builder for callers that drive several retrieval
+    signals over ONE corpus (hybrid fusion, query derivation + scoring):
+    returns (post, lens, totals) to pass via the `postings=` parameter
+    of derive_query_terms / bm25_topk / tfidf_rank_topk, so the corpus
+    is tokenized and aggregated exactly once instead of once per
+    signal."""
+    return _postings(docs, text_col, id_col)
 
 
 def derive_query_terms(
@@ -57,13 +79,16 @@ def derive_query_terms(
     id_col: str = "doc_id",
     n_queries: int = 3,
     terms_per_query: int = 3,
+    postings=None,
 ) -> DataFrame:
     """Deterministic corpus-derived query set: the top
     n_queries*terms_per_query terms by document frequency (ties to the
     lexicographically smaller term), chunked in rank order into
     (query_id, term) rows. Gives every corpus a reproducible retrieval
     workload without external fixtures."""
-    post, _, _ = _postings(docs, text_col, id_col)
+    post, _, _ = postings if postings is not None else _postings(
+        docs, text_col, id_col
+    )
     df_tbl = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -92,12 +117,15 @@ def bm25_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     topk: int = 5,
+    postings=None,
 ) -> DataFrame:
     """Top-k documents per query by BM25 (k1=6/5, b=3/4), integer-exact
     (see module docstring). `query_terms` is a (query_id, term)
     DataFrame — small by construction, broadcast into the postings
     join. Returns (query_id, doc_id, score_nano, rank)."""
-    post, lens, totals = _postings(docs, text_col, id_col)
+    post, lens, totals = postings if postings is not None else _postings(
+        docs, text_col, id_col
+    )
     df_tbl = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -154,13 +182,16 @@ def tfidf_rank_topk(
     text_col: str = "text",
     id_col: str = "doc_id",
     topk: int = 10,
+    postings=None,
 ) -> DataFrame:
     """Second retrieval signal for hybrid fusion: per-query document
     ranking by the tf·idf dot product (idf_nano = round(ln(N/df)·1e9),
     the certified tfidf_topk contract; score = Σ tf·idf_nano — integer,
     order-independent). Same inverted-index join shape as bm25_topk.
     Returns (query_id, doc_id, score_nano, rank)."""
-    post, _, totals = _postings(docs, text_col, id_col)
+    post, _, totals = postings if postings is not None else _postings(
+        docs, text_col, id_col
+    )
     df_tbl = post.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )

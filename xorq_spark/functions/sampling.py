@@ -294,11 +294,12 @@ def plan_mixture(
 
 def dsir_score(
     df: DataFrame,
-    target_df: DataFrame,
+    target_df: DataFrame = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 4096,
     smoothing: int = 1,
+    target_pred=None,
 ) -> DataFrame:
     """DSIR — Data Selection with Importance Resampling (Xie et al.
     2023): score every raw document by how much more likely its hashed
@@ -378,21 +379,43 @@ def dsir_score(
     # sf0.1). The explode then references a materialized array column.
     # Rebalance first: feature hashing is compute-bound and a small
     # parquet file scans as one split (minhash precedent).
-    tgt_occ = (
-        target_df.repartition(par)
-        .select(_toks(text_col).alias("__t"))
-        .select(F.explode(_feats(F.col("__t"))).alias("__feat"))
-        .select(_bucket(F.col("__feat")).alias("__b"))
-    )
-    # materialize the raw occurrence stream ONCE (nb_classify pattern):
-    # the bucket-count aggregate and the scoring join both consume it
-    raw_occ = (
-        df.repartition(par)
-        .select(F.col(id_col).alias("__id"), _toks(text_col).alias("__t"))
-        .select("__id", F.explode(_feats(F.col("__t"))).alias("__feat"))
-        .select("__id", _bucket(F.col("__feat")).alias("__b"))
-        .localCheckpoint(eager=True)
-    )
+    if target_pred is not None:
+        # target is a predicate over `df` itself (the common DSIR
+        # shape: the in-domain slice of the corpus being scored) —
+        # derive the target occurrence stream from the ONE
+        # materialized raw stream instead of re-tokenizing the slice
+        # (guide §2.4: identical tokens, one fewer corpus pass).
+        raw_occ = (
+            df.repartition(par)
+            .select(
+                F.col(id_col).alias("__id"),
+                target_pred.alias("__tgt"),
+                _toks(text_col).alias("__t"),
+            )
+            .select(
+                "__id", "__tgt", F.explode(_feats(F.col("__t"))).alias("__feat")
+            )
+            .select("__id", "__tgt", _bucket(F.col("__feat")).alias("__b"))
+            .localCheckpoint(eager=True)
+        )
+        tgt_occ = raw_occ.where(F.col("__tgt"))
+    else:
+        tgt_occ = (
+            target_df.repartition(par)
+            .select(_toks(text_col).alias("__t"))
+            .select(F.explode(_feats(F.col("__t"))).alias("__feat"))
+            .select(_bucket(F.col("__feat")).alias("__b"))
+        )
+        # materialize the raw occurrence stream ONCE (nb_classify
+        # pattern): the bucket-count aggregate and the scoring join
+        # both consume it
+        raw_occ = (
+            df.repartition(par)
+            .select(F.col(id_col).alias("__id"), _toks(text_col).alias("__t"))
+            .select("__id", F.explode(_feats(F.col("__t"))).alias("__feat"))
+            .select("__id", _bucket(F.col("__feat")).alias("__b"))
+            .localCheckpoint(eager=True)
+        )
 
     ct = tgt_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__ct"))
     cr = raw_occ.groupBy("__b").agg(F.count(F.lit(1)).alias("__cr"))

@@ -998,13 +998,17 @@ def ivfpq_topk(
             n,
         )
 
+    # materialized once (lazy checkpoint): BOTH the codebook window
+    # collect and the code-assignment scan consume the quantize+assign
+    # pass — without the pin each re-scans the corpus and re-runs the
+    # n_centroids cosine assignments (guide §2.4).
     cells = corpus.where(F.col(corpus_vec).isNotNull()).select(
         F.col(corpus_id).alias("__cid"),
         _quantize_shift(F.col(corpus_vec), scale).alias("__qq"),
         F.element_at(
             ranked_cells(F.col(corpus_vec), 1), 1
         ).getField("cell").alias("__cell"),
-    )
+    ).localCheckpoint(eager=False)
     # per-cell codebooks: ksub lowest-id members per cell — bounded
     # driver state (n_centroids*ksub rows), one window + filter, NOT a
     # corpus collect

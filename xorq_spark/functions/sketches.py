@@ -243,6 +243,50 @@ def hdr_build(df: DataFrame, int_col) -> DataFrame:
     )
 
 
+def hdr_build_from_counts(
+    vc: DataFrame, value_col: str, count_col: str, by=()
+) -> DataFrame:
+    """Build the log-linear sketch from a PRE-AGGREGATED
+    (value, count[, keys...]) table — counters add exactly, so
+    bucketizing a distinct-value count table and summing the counts
+    yields bit-identical counters to bucketizing the raw rows
+    (hdr_build), while the corpus is scanned ONCE however many
+    sketches (per-shard partials + direct) derive from the table
+    (guide §2.3: aggregate before you shuffle). `by` adds grouping
+    keys (e.g. a shard id) carried into the output."""
+    keys = list(by)
+    v = vc.select(
+        *keys,
+        F.col(value_col).cast("long").alias("v"),
+        F.col(count_col).cast("long").alias("__c"),
+    ).where(F.col("v").isNotNull())
+    parts = v.select(
+        *keys,
+        F.expr(
+            "CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END"
+        ).cast("int").alias("sign"),
+        F.expr("abs(v)").alias("mag"),
+        "__c",
+    ).select(
+        *keys,
+        "sign",
+        F.expr(
+            "CASE WHEN mag > 0 THEN cast(length(bin(mag)) - 1 AS INT) ELSE 0 END"
+        ).alias("e"),
+        F.expr(
+            "CASE WHEN mag = 0 THEN CAST(0 AS BIGINT) "
+            " WHEN length(bin(mag)) - 1 >= 4 THEN "
+            "   shiftright(mag - shiftleft(1L, length(bin(mag)) - 1), "
+            "              length(bin(mag)) - 1 - 4) "
+            " ELSE mag - shiftleft(1L, length(bin(mag)) - 1) END"
+        ).alias("sub"),
+        "__c",
+    )
+    return parts.groupBy(*keys, "sign", "e", "sub").agg(
+        F.sum("__c").alias("c")
+    )
+
+
 def hdr_merge(*sketches: DataFrame) -> DataFrame:
     """Merge sketches built with the same quantization: counters add.
     Exact — partial sketches over disjoint shards reproduce the

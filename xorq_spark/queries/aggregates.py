@@ -643,7 +643,7 @@ def agg_hdr_quantiles(spark, sf_dir):
     brackets the true quantile; `within_rel_bound` proves the error
     geometry. A single off-by-one in any shift breaks the hash."""
     from xorq_spark.functions.sketches import (
-        hdr_build,
+        hdr_build_from_counts,
         hdr_merge,
         hdr_quantiles,
     )
@@ -653,10 +653,24 @@ def agg_hdr_quantiles(spark, sf_dir):
         "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)"
     )
     vals = li.select(vint.alias("v"), "l_orderkey")
-    direct = hdr_build(vals, "v")
+    # ONE corpus scan (guide §2.3 "aggregate before you shuffle"): the
+    # per-(value, shard) count table — map-side combinable, distinct-
+    # values-sized — feeds the direct sketch, all four shard partials,
+    # the exact-quantile side AND the row count. The former plan built
+    # each of those from its own lineitem scan (14 scans in the
+    # committed plan); counters are exact integers, so every derived
+    # frame is bit-identical to its scan-per-consumer ancestor.
+    vc = (
+        vals.groupBy("v", (F.col("l_orderkey") % 4).alias("__shard"))
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .localCheckpoint(eager=False)
+    )
+    sk_sh = hdr_build_from_counts(
+        vc, "v", "__cnt", by=("__shard",)
+    ).localCheckpoint(eager=False)  # bounded: <=4x sketch geometry
+    direct = hdr_merge(sk_sh.drop("__shard"))
     partials = [
-        hdr_build(vals.where(F.col("l_orderkey") % 4 == s), "v")
-        for s in range(4)
+        sk_sh.where(F.col("__shard") == s).drop("__shard") for s in range(4)
     ]
     merged = hdr_merge(*partials)
     qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000)]
@@ -672,13 +686,13 @@ def agg_hdr_quantiles(spark, sf_dir):
     # a partition-less window (one task at scale).
     from xorq_spark.operators.prefix import running_sum
 
-    tot = vals.agg(F.count(F.lit(1)).cast("long").alias("N"))
+    tot = vc.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("N"))
     qdf = spark.createDataFrame(qs, "q string, num long, den long")
     needs = qdf.crossJoin(F.broadcast(tot)).select(
         "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
     )
     exc = running_sum(
-        vals.groupBy("v").agg(F.count(F.lit(1)).alias("c")),
+        vc.groupBy("v").agg(F.sum("__cnt").alias("c")),
         "v",
         "c",
         "cum",

@@ -706,11 +706,23 @@ def text_bm25_topk_q(spark, sf_dir):
     idf + a DECIMAL(38,0)/HUGEINT exact-rational tf saturation term,
     identical truncation on both engines, so the oracle certifies every
     score AND the full ranking, ties broken on doc_id."""
-    from xorq_spark.functions.retrieval import bm25_topk, derive_query_terms
+    from xorq_spark.functions.retrieval import (
+        bm25_topk,
+        build_postings,
+        derive_query_terms,
+    )
 
     docs = widen(t(spark, sf_dir, "documents"))
-    qterms = derive_query_terms(docs, n_queries=3, terms_per_query=3)
-    return bm25_topk(docs, qterms, topk=5).orderBy("query_id", "rank")
+    # ONE tokenize+postings pass shared by query derivation and scoring
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange; previously each signal re-tokenized the corpus).
+    postings = build_postings(docs)
+    qterms = derive_query_terms(
+        docs, n_queries=3, terms_per_query=3, postings=postings
+    )
+    return bm25_topk(docs, qterms, topk=5, postings=postings).orderBy(
+        "query_id", "rank"
+    )
 
 
 @query(
@@ -776,15 +788,22 @@ def text_rrf_hybrid_q(spark, sf_dir):
     signal rankings and the fused ranking end-to-end."""
     from xorq_spark.functions.retrieval import (
         bm25_topk,
+        build_postings,
         derive_query_terms,
         rrf_fuse,
         tfidf_rank_topk,
     )
 
     docs = widen(t(spark, sf_dir, "documents"))
-    qterms = derive_query_terms(docs, n_queries=3, terms_per_query=3)
-    b = bm25_topk(docs, qterms, topk=20)
-    s = tfidf_rank_topk(docs, qterms, topk=20)
+    # ONE tokenize+postings pass shared by query derivation and BOTH
+    # retrieval signals (guide §2.4; the plan previously re-tokenized
+    # the corpus three times — 15 parquet scans of one table).
+    postings = build_postings(docs)
+    qterms = derive_query_terms(
+        docs, n_queries=3, terms_per_query=3, postings=postings
+    )
+    b = bm25_topk(docs, qterms, topk=20, postings=postings)
+    s = tfidf_rank_topk(docs, qterms, topk=20, postings=postings)
     return rrf_fuse(b, s, k=60, topk=10).orderBy("query_id", "rank")
 
 
@@ -984,14 +1003,19 @@ def text_mmr_rerank(spark, sf_dir):
     mis-rounded score breaks the hash."""
     from xorq_spark.functions.retrieval import (
         bm25_topk,
+        build_postings,
         derive_query_terms,
         mmr_rerank,
     )
 
-    docs = t(spark, sf_dir, "documents")
+    docs = widen(t(spark, sf_dir, "documents"))
     emb = t(spark, sf_dir, "embeddings")
-    qterms = derive_query_terms(docs)
-    cand = bm25_topk(docs, qterms, topk=10).select(
+    # ONE tokenize+postings pass shared by query derivation and BM25
+    # (guide §2.4); widen() parallelizes the tokenize over the single
+    # input split (row-preserving).
+    postings = build_postings(docs)
+    qterms = derive_query_terms(docs, postings=postings)
+    cand = bm25_topk(docs, qterms, topk=10, postings=postings).select(
         "query_id", "doc_id", "score_nano"
     )
     out = mmr_rerank(cand, emb, rounds=4)
@@ -1059,8 +1083,15 @@ def text_dsir_select(spark, sf_dir):
     from xorq_spark.functions.sampling import dsir_score
 
     docs = t(spark, sf_dir, "documents")
-    target = docs.where(F.col("source").isin("src1", "src2"))
-    scored = dsir_score(docs, target, buckets=4096, smoothing=1)
+    # target = the in-domain slice of the scored corpus itself: pass
+    # it as a predicate so the slice's features derive from the ONE
+    # materialized raw occurrence stream (no second tokenize pass).
+    scored = dsir_score(
+        docs,
+        buckets=4096,
+        smoothing=1,
+        target_pred=F.col("source").isin("src1", "src2"),
+    )
     return (
         scored.join(docs.select("doc_id", "lang", "source"), "doc_id")
         .select("doc_id", "lang", "source", "n_feats", "score_nano")

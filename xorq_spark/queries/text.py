@@ -964,7 +964,12 @@ def text_heavy_hitters(spark, sf_dir):
     false positive breaks the hash)."""
     from xorq_spark.functions.sketches import heavy_hitters
 
-    docs = t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    # widen(): tokenize+bigram generation is compute-bound and the
+    # single-row-group file scans as ONE split — both CMS passes would
+    # otherwise run serially on one core (guide §2.5 input skew).
+    docs = widen(
+        t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    )
     ws = F.filter(
         F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
     )
@@ -1723,8 +1728,19 @@ def text_bm25_stemmed_q(spark, sf_dir):
     (functions/stem.py stemmed_docs: vocab-sized UDF + one token-stream
     join); corpus cardinality N and the per-doc length dl move to the
     alpha-token domain on both sides."""
-    from xorq_spark.functions.retrieval import bm25_topk, derive_query_terms
+    from xorq_spark.functions.retrieval import (
+        bm25_topk,
+        build_postings,
+        derive_query_terms,
+    )
 
     docs2 = stemmed_docs(widen(t(spark, sf_dir, "documents")))
-    qterms = derive_query_terms(docs2, n_queries=3, terms_per_query=3)
-    return bm25_topk(docs2, qterms, topk=5).orderBy("query_id", "rank")
+    # ONE stem+tokenize+postings pass shared by query derivation and
+    # scoring (guide §2.4) — the stemmed view is the expensive part.
+    postings = build_postings(docs2)
+    qterms = derive_query_terms(
+        docs2, n_queries=3, terms_per_query=3, postings=postings
+    )
+    return bm25_topk(docs2, qterms, topk=5, postings=postings).orderBy(
+        "query_id", "rank"
+    )
