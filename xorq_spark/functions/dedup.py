@@ -233,10 +233,16 @@ def minhash_lsh_pairs(
     # single-threading the hash work. (At real scale, many files already
     # give parallel splits and this repartition is a cheap rebalance.)
     par = df.sparkSession.sparkContext.defaultParallelism
+    # Materialize the shingle-set frame ONCE (lazy checkpoint): the
+    # banding pass and BOTH verify joins consume it — without the pin
+    # each of the three re-scans the corpus and re-runs the
+    # shingle+distinct pipeline (guide §2.4). The band join still
+    # carries only (id, band, digest) rows; at cluster scale persist
+    # this frame MEMORY_AND_DISK instead.
     sets = df.repartition(par).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
-    )
+    ).localCheckpoint(eager=False)
     # Signature over the distinct shingle set == over the raw multiset
     # (min is duplicate-insensitive), so one definition serves both.
     cand = _lsh_candidate_pairs(sets, num_hashes, bands, rows_per_band, max_bucket_size)
@@ -1080,8 +1086,14 @@ def dup_ngram_fraction(
         F.explode(F.array_distinct(shingles(F.col(text_col), n))).alias("__gram"),
     ).select(F.col(id_col), F.md5(F.col("__gram")).alias("__key"))
     # a NULL gram (null/empty text) carries no dedup signal; it would
-    # otherwise form one phantom frequency group
-    grams = grams.where(F.col("__key").isNotNull())
+    # otherwise form one phantom frequency group.
+    # Materialize the digest stream ONCE (lazy checkpoint): the
+    # doc-frequency aggregate and the membership join both consume it —
+    # without the pin each re-runs shingle+md5 over the corpus
+    # (guide §2.4; the line_dedup keyed-stream precedent).
+    grams = grams.where(F.col("__key").isNotNull()).localCheckpoint(
+        eager=False
+    )
     # per-doc distinct upstream means count(*) per digest == doc count
     dup = (
         grams.groupBy("__key")

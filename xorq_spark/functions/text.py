@@ -1008,7 +1008,14 @@ def lm_score(
     )
 
     def _bigrams(frame, id_expr):
-        base = frame.select(id_expr.alias("__id"), toks.alias("__toks"))
+        # tokenize ONCE and pin the token-array frame (lazy checkpoint:
+        # the first consumer folds the materialization into its own
+        # job): the bigram stream AND the vocabulary aggregate both
+        # read it — previously the single-row vocab count re-scanned
+        # the source and re-ran the regex split over the whole corpus.
+        base = frame.select(
+            id_expr.alias("__id"), toks.alias("__toks")
+        ).localCheckpoint(eager=False)
         n_tok = F.size("__toks")
         bg = base.select(
             "__id",
@@ -1025,10 +1032,8 @@ def lm_score(
     base, bigrams = _bigrams(df, F.col(id_col))
     # Pin the bigram stream: the model counts (c_bi, c_uni) and the
     # scoring join all consume it — without materialization each branch
-    # re-scans the source and re-runs tokenize+zip+explode (the
-    # nb_classify lesson; at cluster scale persist it MEMORY_AND_DISK
-    # instead). base stays lazy: its only other consumer is the
-    # single-row vocabulary aggregate.
+    # re-reads the token frame and re-runs zip+explode (the nb_classify
+    # lesson; at cluster scale persist it MEMORY_AND_DISK instead).
     bigrams = bigrams.localCheckpoint(eager=True)
     if train_df is None:
         model_base, model_bigrams = base, bigrams
