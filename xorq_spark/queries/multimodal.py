@@ -22,6 +22,26 @@ from xorq_spark.functions.multimodal import extract_features
 from xorq_spark.queries.base import query, t, widen
 
 
+def _fixture_ids(spark, sf_dir, bound: int, npar: int = 8):
+    """Asset-id frame for the codec fixture queries, rebalanced to a
+    FEW compute partitions (not cluster width): the encode and decode
+    stages are chained Python stages, and at this asset count the
+    per-task Python-runner round-trips of a 32-way layout cost more
+    than the codec work itself — measured npar sweep at sf0.1:
+    progressive JPEG 0.82s serial / 0.54s 8-way / 0.90s 32-way; FLAC
+    0.37 / 0.45 / 0.83. 8-way keeps heavy codecs parallel without
+    paying full-width task overhead twice, and the shuffle moves only
+    id rows. At real scale asset tables arrive in many splits and the
+    per-task batch is what amortizes the boundary (guide SS4.1)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < bound)
+        .select(F.col("doc_id").alias("asset_id"))
+        .repartition(npar)
+    )
+
+
+
 @query(
     "mm_extract_features",
     oracle="""
@@ -172,11 +192,7 @@ def mm_decode_png_stats(spark, sf_dir):
         synth_png_assets,
     )
 
-    ids = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 64)
-        .select(F.col("doc_id").alias("asset_id"))
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return (
         decode_image_stats(synth_png_assets(ids))
         .drop("px_sha256")
@@ -218,11 +234,7 @@ def mm_decode_jpeg_stats(spark, sf_dir):
         synth_jpeg_assets,
     )
 
-    ids = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 64)
-        .select(F.col("doc_id").alias("asset_id"))
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return (
         decode_image_stats(synth_jpeg_assets(ids))
         .drop("px_sha256")
@@ -267,11 +279,7 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
         synth_jpeg_progressive_assets,
     )
 
-    ids = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 64)
-        .select(F.col("doc_id").alias("asset_id"))
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return (
         decode_image_stats(synth_jpeg_progressive_assets(ids))
         .drop("px_sha256")
@@ -316,11 +324,7 @@ def mm_resize_decoded(spark, sf_dir):
         synth_png_assets,
     )
 
-    ids = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 64)
-        .select(F.col("doc_id").alias("asset_id"))
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return resize_images_decoded(synth_png_assets(ids), box=6).orderBy("asset_id")
 
 
@@ -372,10 +376,7 @@ def mm_decode_wav_stats(spark, sf_dir):
         synth_wav_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 64
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     assets = synth_wav_assets(ids)
     return decode_audio_stats(assets).drop("pcm_sha256").orderBy("asset_id")
 
@@ -416,10 +417,7 @@ def mm_decode_avi_frames(spark, sf_dir):
         synth_avi_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 64
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return decode_video_stats(synth_avi_assets(ids)).orderBy(
         "asset_id", "frame_idx"
     )
@@ -498,10 +496,7 @@ def mm_image_dhash_pairs(spark, sf_dir):
         synth_png_pairs,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 64
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     hashes = image_dhash(synth_png_pairs(ids))
     return (
         image_neardup_pairs(hashes, max_hamming=10)
@@ -563,10 +558,7 @@ def mm_audio_fp_pairs(spark, sf_dir):
         synth_wav_pairs,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 64
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     fps = audio_fingerprint(synth_wav_pairs(ids))
     return (
         audio_neardup_pairs(fps, max_hamming=4)
@@ -607,11 +599,7 @@ def mm_decode_webp_stats(spark, sf_dir):
         synth_webp_assets,
     )
 
-    ids = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 64)
-        .select(F.col("doc_id").alias("asset_id"))
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return (
         decode_image_stats(synth_webp_assets(ids))
         .drop("px_sha256")
@@ -660,11 +648,7 @@ def mm_decode_gif_stats(spark, sf_dir):
         synth_gif_assets,
     )
 
-    ids = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 64)
-        .select(F.col("doc_id").alias("asset_id"))
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return decode_gif_stats(synth_gif_assets(ids)).orderBy("asset_id")
 
 
@@ -720,10 +704,7 @@ def mm_decode_flac_stats(spark, sf_dir):
         synth_flac_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 64
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     assets = synth_flac_assets(ids)
     return decode_audio_stats(assets).drop("pcm_sha256").orderBy("asset_id")
 
@@ -784,10 +765,7 @@ def mm_audio_resample(spark, sf_dir):
         synth_flac_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 64
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return resample_audio_stats(synth_flac_assets(ids), 16000).orderBy(
         "asset_id"
     )
@@ -857,10 +835,7 @@ def mm_audio_energy_segments(spark, sf_dir):
         synth_wav_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 64
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return audio_segment_stats(synth_wav_assets(ids), 16).orderBy("asset_id")
 
 
@@ -932,10 +907,7 @@ def mm_probe_mp3_stats(spark, sf_dir):
         synth_mp3_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 64
-    )
+    ids = _fixture_ids(spark, sf_dir, 64)
     return probe_mp3_stats(synth_mp3_assets(ids)).orderBy("asset_id")
 
 
@@ -981,10 +953,7 @@ def mm_decode_mjpeg_frames(spark, sf_dir):
         synth_mjpeg_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 48
-    )
+    ids = _fixture_ids(spark, sf_dir, 48)
     return decode_mjpeg_frame_stats(synth_mjpeg_assets(ids)).orderBy(
         "asset_id", "frame_id"
     )
@@ -1042,10 +1011,7 @@ def mm_extract_pdf_text(spark, sf_dir):
         synth_pdf_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 48
-    )
+    ids = _fixture_ids(spark, sf_dir, 48)
     return extract_pdf_text_stats(synth_pdf_assets(ids)).orderBy("asset_id")
 
 
@@ -1107,10 +1073,7 @@ def mm_extract_docx_text(spark, sf_dir):
         synth_docx_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 48
-    )
+    ids = _fixture_ids(spark, sf_dir, 48)
     return extract_docx_text_stats(synth_docx_assets(ids)).orderBy("asset_id")
 
 
@@ -1163,10 +1126,7 @@ def mm_extract_epub_text(spark, sf_dir):
         synth_epub_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 48
-    )
+    ids = _fixture_ids(spark, sf_dir, 48)
     return extract_epub_text_stats(synth_epub_assets(ids)).orderBy("asset_id")
 
 
@@ -1215,8 +1175,5 @@ def mm_extract_rtf_text(spark, sf_dir):
         synth_rtf_assets,
     )
 
-    docs = widen(t(spark, sf_dir, "documents"))
-    ids = docs.select(F.col("doc_id").alias("asset_id")).where(
-        F.col("asset_id") < 48
-    )
+    ids = _fixture_ids(spark, sf_dir, 48)
     return extract_rtf_text_stats(synth_rtf_assets(ids)).orderBy("asset_id")
