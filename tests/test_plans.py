@@ -159,12 +159,19 @@ def test_pagerank_no_cartesian_no_python(spark):
 
 
 def test_lm_perplexity_shape(spark):
-    """The LM scorer reads exactly (doc_id, text), keeps everything
+    """The LM scorer reads at most (doc_id, text), keeps everything
     JVM-side, and attaches the vocab scalar by broadcast — no
-    CartesianProduct, no Python eval."""
+    CartesianProduct, no Python eval. Since round 9 the tokenized
+    frame is pinned behind a localCheckpoint (tokenize once for the
+    bigram stream AND the vocab count), so the text column's parquet
+    scan lives inside the checkpoint materialization: the final plan
+    shows the ExistingRDD boundary plus a doc_id-only parquet scan for
+    the left-join spine — pruning is the explicit 2-column select
+    feeding the checkpoint (the pagerank-test convention)."""
     plan = _plan(spark, "text_lm_perplexity")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+    assert "ExistingRDD" in plan
     import re
 
     cols = sorted(
@@ -175,7 +182,7 @@ def test_lm_perplexity_shape(spark):
             if c
         }
     )
-    assert cols == ["doc_id", "text"]
+    assert set(cols) <= {"doc_id", "text"} and "doc_id" in cols
 
 
 def test_scd2_single_shuffle_two_windows(spark):
