@@ -916,6 +916,22 @@ def pq_adc_topk(
     )
 
 
+def _with_books_col(df: DataFrame, books, schema: str) -> DataFrame:
+    """Attach a codebook as DATA — a one-row broadcast cross join whose
+    LocalRelation row carries the nested int64 arrays (round 9, guide
+    §5 driver cost): the literal-expression route embeds thousands of
+    Literal nodes that every analyzer/optimizer rule re-walks on every
+    action (measured ~0.4 s per optimize + ~0.6 s per save for the
+    ivfpq books duplicated 16x in the plan); as a joined column the
+    plan holds one attribute reference per use and the build side is a
+    single in-memory row. The executor evaluates the same element_at /
+    _sq_dist_int arithmetic over the same int64s, so results are
+    bit-identical."""
+    spark = df.sparkSession
+    one = spark.createDataFrame([(books,)], f"__books {schema}")
+    return df.crossJoin(F.broadcast(one))
+
+
 def ivfpq_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -1022,43 +1038,35 @@ def ivfpq_topk(
     percell: dict = {c: [] for c in range(len(centroids))}
     for r in sorted(cb_rows, key=lambda r: (r["__cell"], r["__rn"])):
         percell[r["__cell"]].append([int(v) for v in r["__qq"]])
-    # one parsed literal: [cell][j][codeword][p] bigint (the
-    # _lit_float_matrix lesson: never element-wise F.lit)
-    def _book_sql(members, j):
-        if not members:
-            return "CAST(array() AS array<array<bigint>>)"
-        return (
-            "array("
-            + ",".join(
-                "array("
-                + ",".join(f"{v}L" for v in qq[j * dsub : (j + 1) * dsub])
-                + ")"
-                for qq in members
-            )
-            + ")"
-        )
-
-    books_lit = F.expr(
-        "array("
-        + ",".join(
-            "array("
-            + ",".join(_book_sql(percell[c], j) for j in range(m))
-            + ")"
-            for c in range(len(centroids))
-        )
-        + ")"
-    )
+    # codebook as DATA, not as a literal expression: [cell][j][codeword]
+    # [p] bigint in a one-row broadcast frame (_with_books_col) — the
+    # F.expr literal form put ~8k Literal nodes in the tree, duplicated
+    # 16x across code_for/lut_for, and the analyzer/optimizer re-walked
+    # all of them on every action (~1 s of pure driver time per pass).
+    books_py = [
+        [
+            [
+                [int(v) for v in qq[j * dsub : (j + 1) * dsub]]
+                for qq in percell[c]
+            ]
+            for j in range(m)
+        ]
+        for c in range(len(centroids))
+    ]
+    books_col = F.col("__books")
 
     def code_for(j: Column) -> Column:
         sub = F.slice(F.col("__qq"), j * dsub + 1, dsub)
         book_j = F.element_at(
-            F.element_at(books_lit, (F.col("__cell") + 1).cast("int")),
+            F.element_at(books_col, (F.col("__cell") + 1).cast("int")),
             (j + 1).cast("int"),
         )
         dists = F.transform(book_j, lambda cw: _sq_dist_int(sub, cw))
         return F.array_position(dists, F.array_min(dists)).cast("int") - 1
 
-    codes = cells.select(
+    codes = _with_books_col(
+        cells, books_py, "array<array<array<array<bigint>>>>"
+    ).select(
         "__cid",
         "__cell",
         F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for).alias(
@@ -1069,12 +1077,12 @@ def ivfpq_topk(
     def lut_for(j: Column) -> Column:
         sub = F.slice(F.col("__pqq"), j * dsub + 1, dsub)
         book_j = F.element_at(
-            F.element_at(books_lit, (F.col("__cell") + 1).cast("int")),
+            F.element_at(books_col, (F.col("__cell") + 1).cast("int")),
             (j + 1).cast("int"),
         )
         return F.transform(book_j, lambda cw: _sq_dist_int(sub, cw))
 
-    q = (
+    q = _with_books_col(
         queries.select(
             F.col(query_id).alias("__qid"),
             _quantize_shift(F.col(query_vec), scale).alias("__pqq"),
@@ -1084,14 +1092,15 @@ def ivfpq_topk(
                     lambda s: s["cell"],
                 )
             ).alias("__cell"),
-        )
-        .select(
-            "__qid",
-            "__cell",
-            F.transform(F.sequence(F.lit(0), F.lit(m - 1)), lut_for).alias(
-                "__lut"
-            ),
-        )
+        ),
+        books_py,
+        "array<array<array<array<bigint>>>>",
+    ).select(
+        "__qid",
+        "__cell",
+        F.transform(F.sequence(F.lit(0), F.lit(m - 1)), lut_for).alias(
+            "__lut"
+        ),
     )
     scored = (
         F.broadcast(q)
