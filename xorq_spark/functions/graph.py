@@ -497,6 +497,24 @@ def kcore(
         .union(e0.select(F.col("b").alias("s"), F.col("a").alias("d")))
         .localCheckpoint(eager=True)
     )
+    # Size the per-round shuffles to the MEASURED edge count (the
+    # pagerank/LPA pattern): the peel rounds are I/O-light semi-joins,
+    # so at session width their stages are mostly empty-task
+    # scheduling overhead — and unlike the CPU-dense operators they
+    # must not widen when the AQE coalesce floor shrinks. ~500k edges
+    # per partition, clamped to the session default, restored on exit.
+    spark = e.sparkSession
+    conf_key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(conf_key)
+    fit = max(1, min(int(old_parts), e.count() // 500_000 + 1))
+    spark.conf.set(conf_key, str(fit))
+    try:
+        return _kcore_body(e, k, rounds, k_percentile)
+    finally:
+        spark.conf.set(conf_key, old_parts)
+
+
+def _kcore_body(e, k, rounds, k_percentile):
     if k is not None:
         kdf = e.sparkSession.range(1).select(F.lit(int(k)).alias("__k"))
     else:

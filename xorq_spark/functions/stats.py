@@ -430,10 +430,18 @@ def bootstrap_mean_ci(
 
     B = int(n_resamples)
     P31 = (1 << 31) - 1
+    # Rebalance the narrow (x, key) rows to cluster parallelism before
+    # the digest+inverse-CDF aggregate: the per-row work (one md5 plus
+    # 2B threshold folds) is heavy enough that a single-split scan
+    # serializes it (measured 5.5 CPU-s on 3 input splits at sf0.1;
+    # interleaved A/B 3.01 -> 2.09 s). Weights are a pure function of
+    # (seed, b, key) and the folds are commutative sums, so row
+    # placement cannot change any value.
     d = df.select(
         F.col(value_col).cast("long").alias("__x"),
         F.col(key_col).cast("string").alias("__k"),
     ).where(F.col("__x").isNotNull() & F.col("__k").isNotNull())
+    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
     two = d.select(
         "__x",
         F.expr(f"md5(concat('{seed}|', __k))").alias("__dig"),
