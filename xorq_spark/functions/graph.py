@@ -88,13 +88,17 @@ def pagerank(
     # Size the per-iteration shuffles to the MEASURED edge count (known
     # free from the checkpoint materialization): at the session's
     # fact-table partition count a sparse graph's per-round stages are
-    # mostly empty-task scheduling overhead. ~500k edges per partition,
-    # clamped to the session default, restored on exit.
+    # mostly empty-task scheduling overhead. ~125k edges per partition
+    # (the rank-sum rounds do real CPU per edge, unlike kcore's cheap
+    # semi-join peels which keep 500k — interleaved A/B: pagerank
+    # 2.26->2.13 s, LPA 2.89->2.34 s at 125k, while kcore regressed
+    # 2.20->2.43 there), clamped to the session default, restored on
+    # exit.
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
     n_edges = e_raw.count()
-    fit = max(1, min(int(old_parts), n_edges // 500_000 + 1))
+    fit = max(1, min(int(old_parts), n_edges // 125_000 + 1))
     try:
         spark.conf.set(conf_key, str(fit))
         # Round-8 one-exchange layout (the label_propagation pattern:
@@ -225,11 +229,13 @@ def label_propagation(
     # Size the per-round shuffles to the MEASURED edge count (free from
     # the checkpoint materialization) — the pagerank pattern: at the
     # session's fact-table width a sparse graph's per-round stages are
-    # mostly empty-task scheduling overhead.
+    # mostly empty-task scheduling overhead. 125k edges per partition,
+    # like pagerank: the per-round label-count aggregation is CPU-dense
+    # (see the divisor note there).
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
-    fit = max(1, min(int(old_parts), e_raw.count() // 500_000 + 1))
+    fit = max(1, min(int(old_parts), e_raw.count() // 125_000 + 1))
     try:
         spark.conf.set(conf_key, str(fit))
         e = e_raw.repartition(fit, "src").localCheckpoint(eager=True)

@@ -130,3 +130,83 @@ def running_sum(
     return out.drop(
         "__pid", *[f"__loc_{o}" for o in pairs], *[f"__off_{o}" for o in pairs]
     )
+
+
+def rank_select_from_counts(
+    cnts: DataFrame,
+    needs: DataFrame,
+    key_col: str = "v",
+    cnt_col: str = "c",
+    label_col: str = "q",
+    need_col: str = "need",
+    out_col: str = "exact",
+    bucket: int = 4096,
+) -> DataFrame:
+    """Per label, the smallest ``key_col`` whose cumulative
+    ``cnt_col`` (in key order) reaches that label's ``need`` rank —
+    the exact type-1 quantile lookup over a distinct-key count table,
+    WITHOUT materializing the full prefix sum.
+
+    A full running sum over the count table costs a range shuffle
+    (sampling pass + eager pin) and a window over every distinct key
+    just to read off a handful of ranks. This does it in two bounded
+    phases (guide §2.3 — shuffle only what the answer needs):
+
+    1. coarse: counts per ``key div bucket`` — a map-combinable
+       aggregate whose output is (key range / bucket) rows; the
+       single-partition cumsum window runs over THAT (bounded by the
+       key-space granularity, not the data).
+    2. fine: only the (≤ one per label) buckets holding a requested
+       rank are pulled — each is ≤ ``bucket`` distinct keys — and an
+       in-row sorted fold replays the within-bucket prefix to find
+       the exact key.
+
+    Integer-exact and identical to the running-sum construction for
+    any distinct-key input (proven by equality tests + oracle hash).
+    ``key_col`` must be non-negative integers (the repo's quantized
+    domains); ascending order only.
+    """
+    coarse = cnts.groupBy(
+        F.expr(f"{key_col} div {int(bucket)}").alias("__b")
+    ).agg(F.sum(cnt_col).alias("__bc"))
+    w = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, 0)
+    bcum = coarse.select(
+        "__b", "__bc", F.sum("__bc").over(w).cast("long").alias("__bcum")
+    )
+    hit = (
+        bcum.crossJoin(F.broadcast(needs))
+        .where(F.col("__bcum") >= F.col(need_col))
+        .groupBy(label_col, need_col)
+        .agg(F.min_by(F.struct("__b", "__bcum", "__bc"), "__b").alias("__m"))
+        .select(
+            label_col,
+            need_col,
+            F.col("__m.__b").alias("__b"),
+            (F.col("__m.__bcum") - F.col("__m.__bc")).alias("__prior"),
+        )
+    )
+    fine = (
+        cnts.join(
+            F.broadcast(hit),
+            F.expr(f"{key_col} div {int(bucket)}") == F.col("__b"),
+        )
+        .groupBy(label_col, need_col, "__prior")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(key_col, cnt_col))
+            ).alias("__kc")
+        )
+    )
+    return fine.select(
+        label_col,
+        F.expr(
+            f"""CAST(aggregate(__kc,
+              named_struct('cum', CAST(__prior AS BIGINT),
+                           'ans', CAST(NULL AS BIGINT)),
+              (acc, x) -> IF(acc.ans IS NOT NULL, acc,
+                  named_struct('cum', acc.cum + x.{cnt_col},
+                               'ans', IF(acc.cum + x.{cnt_col} >= {need_col},
+                                         x.{key_col}, CAST(NULL AS BIGINT)))),
+              acc -> acc.ans) AS BIGINT)"""
+        ).alias(out_col),
+    )

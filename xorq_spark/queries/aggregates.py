@@ -682,27 +682,23 @@ def agg_hdr_quantiles(spark, sf_dir):
     # exact type-1 quantiles, replayed with the same integer rank rule.
     # The cumulative count runs over the DISTINCT-value table, which is
     # unbounded by data (distinct prices at sf100 are millions of rows)
-    # — so it goes through running_sum's range-partitioned prefix, not
-    # a partition-less window (one task at scale).
-    from xorq_spark.operators.prefix import running_sum
+    # — so it must not use a partition-less window (one task at scale).
+    # Round 9: the full running_sum prefix (range shuffle + sampling
+    # pass + window over every distinct value) materialized 583k
+    # cumulative counts to read off 4 ranks; rank_select_from_counts
+    # finds the same values via a bucket-histogram locate + in-bucket
+    # fold — identical by construction (equality test + oracle hash).
+    from xorq_spark.operators.prefix import rank_select_from_counts
 
     tot = vc.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("N"))
     qdf = spark.createDataFrame(qs, "q string, num long, den long")
     needs = qdf.crossJoin(F.broadcast(tot)).select(
         "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
     )
-    exc = running_sum(
+    exq = rank_select_from_counts(
         vc.groupBy("v").agg(F.sum("__cnt").alias("c")),
-        "v",
-        "c",
-        "cum",
-    ).select("v", F.col("cum").cast("long").alias("cum"))
-    exq = (
-        exc.crossJoin(F.broadcast(needs))
-        .where(F.col("cum") >= F.col("need"))
-        .groupBy("q")
-        .agg(F.min("v").cast("long").alias("exact"))
-    )
+        needs,
+    ).select("q", F.col("exact").cast("long").alias("exact"))
     return (
         est.join(est_m, F.col("q") == F.col("__qm"))
         .join(exq, "q")
