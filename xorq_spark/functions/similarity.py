@@ -1352,19 +1352,25 @@ def bitext_mining(
             ).alias("__m"),
         )
     )
-    wfx = Window.partitionBy("__x").orderBy(F.desc("__m"), F.asc("__y"))
-    fwd = (
-        scored.withColumn("__r", F.row_number().over(wfx))
-        .where(F.col("__r") == 1)
-        .drop("__r")
-    )
+    # best partner per side via max_by hash aggregates, not rank-1
+    # sort windows (round 9, guide §2.3): a row_number window sorts
+    # the ENTIRE pair matrix per side just to keep one row per group;
+    # max_by folds it with map-side partial aggregation and no sort.
+    # Tie rule identical by construction: the order key (margin,
+    # -partner_id) totally orders each group (partner ids are unique
+    # within a group), so argmax == the window's (desc margin, asc id)
+    # rank-1 row — hash-verified.
+    fwd = scored.groupBy("__x").agg(
+        F.max_by(
+            F.struct("__y", "__c", "__m"), F.struct("__m", -F.col("__y"))
+        ).alias("__b")
+    ).select("__x", "__b.__y", "__b.__c", "__b.__m")
     if mutual:
-        wfy = Window.partitionBy("__y").orderBy(F.desc("__m"), F.asc("__x"))
-        bwd = (
-            scored.withColumn("__r", F.row_number().over(wfy))
-            .where(F.col("__r") == 1)
-            .select("__x", "__y")
-        )
+        bwd = scored.groupBy("__y").agg(
+            F.max_by(F.col("__x"), F.struct("__m", -F.col("__x"))).alias(
+                "__bx"
+            )
+        ).select(F.col("__bx").alias("__x"), "__y")
         fwd = fwd.join(bwd, ["__x", "__y"], "semi")
     return fwd.select(
         F.col("__x").alias("src_id"),
