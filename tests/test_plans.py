@@ -432,14 +432,17 @@ def test_hdr_quantiles_exact_cumsum_is_partitioned(spark):
     import re
 
     plan = _plan(spark, "agg_hdr_quantiles")
-    # every window spec that orders by v must be keyed on the range
-    # partition id; the only SinglePartition frame is the bounded
-    # #partitions-row offsets table (ordered by __pid)
+    # Round-9 form: the exact arm routes through
+    # rank_select_from_counts — NO window runs over the unbounded
+    # distinct-value table at all. Any windowspec ordering by v would
+    # be the partition-less cumsum regression; the only remaining
+    # single-partition cumsums order by bounded frames (the <=2k-row
+    # sketch bucket table's lo_int, and the coarse `v div 4096`
+    # histogram __b, bounded by key-space granularity).
     for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         spec = m.group(1)
-        if re.search(r"\bv ASC", spec):
-            assert "__pid" in spec, m.group(0)
-    assert "hashpartitioning(__pid" in plan, plan
+        assert not re.search(r"\bv ASC", spec), m.group(0)
+    assert "__b" in plan, plan
 
     from xorq_spark.queries import streaming_queries
 

@@ -399,6 +399,9 @@ def mmr_rerank(
             )
         )
         # selected set is <= queries x r rows; checkpointing it keeps
-        # round r+1's plan shallow instead of nesting round r's
-        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+        # round r+1's plan shallow instead of nesting round r's. Lazy:
+        # lineage still truncates, but materialization rides the next
+        # round's first broadcast job instead of being its own
+        # synchronous driver round-trip (the pagerank precedent).
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
     return sel.select(q, i, "mmr_rank", "mmr_score")

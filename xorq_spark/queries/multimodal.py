@@ -41,6 +41,19 @@ def _fixture_ids(spark, sf_dir, bound: int, npar: int = 8):
     )
 
 
+def _pinned_order(df, *cols):
+    """Pin a Python-stage pipeline's output before the final global
+    sort (round 9, guide §1.4/§2): ``orderBy`` plans a range exchange
+    whose RangePartitioner SAMPLING pass re-executes the entire child
+    — and a codec pipeline has no intermediate shuffle for the sample
+    to reuse, so every encode+decode Python stage ran TWICE per
+    action (measured: mjpeg 1.27 s -> 0.72 s with the pin). The lazy
+    localCheckpoint materializes the decoded rows once inside the
+    same job chain; the sample and the sort then read the pinned RDD.
+    Row content and final order are bit-identical (same orderBy)."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 
 @query(
     "mm_extract_features",
@@ -67,7 +80,7 @@ def mm_extract_features(spark, sf_dir):
         F.lit(None).cast("int").alias("duration_ms"),
     )
     feats = extract_features(assets, dim=8)
-    return feats.select(
+    out = feats.select(
         F.col("asset_id").alias("doc_id"),
         "n_bytes",
         "sha256",
@@ -75,7 +88,8 @@ def mm_extract_features(spark, sf_dir):
             "embedding",
             lambda x: F.round((x + 1.0) / 2.0 * 255.0).cast("int"),
         ).alias("emb_bytes"),
-    ).orderBy("doc_id")
+    )
+    return _pinned_order(out, "doc_id")
 
 
 @query(
@@ -151,15 +165,14 @@ def mm_resize_plan(spark, sf_dir):
         (240 + (F.col("doc_id") % 5) * 60).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    return (
-        resize_images(assets, box=64)
-        .select(
+    return _pinned_order(
+        resize_images(assets, box=64).select(
             F.col("asset_id").alias("doc_id"),
             "out_width",
             "out_height",
             "resized_digest",
-        )
-        .orderBy("doc_id")
+        ),
+        "doc_id",
     )
 
 
@@ -193,10 +206,9 @@ def mm_decode_png_stats(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return (
-        decode_image_stats(synth_png_assets(ids))
-        .drop("px_sha256")
-        .orderBy("asset_id")
+    return _pinned_order(
+        decode_image_stats(synth_png_assets(ids)).drop("px_sha256"),
+        "asset_id",
     )
 
 
@@ -235,10 +247,9 @@ def mm_decode_jpeg_stats(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return (
-        decode_image_stats(synth_jpeg_assets(ids))
-        .drop("px_sha256")
-        .orderBy("asset_id")
+    return _pinned_order(
+        decode_image_stats(synth_jpeg_assets(ids)).drop("px_sha256"),
+        "asset_id",
     )
 
 
@@ -280,10 +291,9 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return (
-        decode_image_stats(synth_jpeg_progressive_assets(ids))
-        .drop("px_sha256")
-        .orderBy("asset_id")
+    return _pinned_order(
+        decode_image_stats(synth_jpeg_progressive_assets(ids)).drop("px_sha256"),
+        "asset_id",
     )
 
 
@@ -325,7 +335,9 @@ def mm_resize_decoded(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return resize_images_decoded(synth_png_assets(ids), box=6).orderBy("asset_id")
+    return _pinned_order(
+        resize_images_decoded(synth_png_assets(ids), box=6), "asset_id"
+    )
 
 
 @query(
@@ -378,7 +390,9 @@ def mm_decode_wav_stats(spark, sf_dir):
 
     ids = _fixture_ids(spark, sf_dir, 64)
     assets = synth_wav_assets(ids)
-    return decode_audio_stats(assets).drop("pcm_sha256").orderBy("asset_id")
+    return _pinned_order(
+        decode_audio_stats(assets).drop("pcm_sha256"), "asset_id"
+    )
 
 
 @query(
@@ -418,8 +432,8 @@ def mm_decode_avi_frames(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return decode_video_stats(synth_avi_assets(ids)).orderBy(
-        "asset_id", "frame_idx"
+    return _pinned_order(
+        decode_video_stats(synth_avi_assets(ids)), "asset_id", "frame_idx"
     )
 
 
@@ -498,6 +512,9 @@ def mm_image_dhash_pairs(spark, sf_dir):
 
     ids = _fixture_ids(spark, sf_dir, 64)
     hashes = image_dhash(synth_png_pairs(ids))
+    # NOT pinned (unlike the codec chains): the banding join above
+    # already materializes shuffle outputs the sort's sampling pass
+    # reuses — the pin only added a barrier (A/B 1.50 vs 1.66 s).
     return (
         image_neardup_pairs(hashes, max_hamming=10)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -560,6 +577,7 @@ def mm_audio_fp_pairs(spark, sf_dir):
 
     ids = _fixture_ids(spark, sf_dir, 64)
     fps = audio_fingerprint(synth_wav_pairs(ids))
+    # NOT pinned — same banding-join shape as mm_image_dhash_pairs.
     return (
         audio_neardup_pairs(fps, max_hamming=4)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -600,10 +618,9 @@ def mm_decode_webp_stats(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return (
-        decode_image_stats(synth_webp_assets(ids))
-        .drop("px_sha256")
-        .orderBy("asset_id")
+    return _pinned_order(
+        decode_image_stats(synth_webp_assets(ids)).drop("px_sha256"),
+        "asset_id",
     )
 
 
@@ -649,7 +666,7 @@ def mm_decode_gif_stats(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return decode_gif_stats(synth_gif_assets(ids)).orderBy("asset_id")
+    return _pinned_order(decode_gif_stats(synth_gif_assets(ids)), "asset_id")
 
 
 @query(
@@ -706,7 +723,9 @@ def mm_decode_flac_stats(spark, sf_dir):
 
     ids = _fixture_ids(spark, sf_dir, 64)
     assets = synth_flac_assets(ids)
-    return decode_audio_stats(assets).drop("pcm_sha256").orderBy("asset_id")
+    return _pinned_order(
+        decode_audio_stats(assets).drop("pcm_sha256"), "asset_id"
+    )
 
 
 @query(
@@ -766,8 +785,8 @@ def mm_audio_resample(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return resample_audio_stats(synth_flac_assets(ids), 16000).orderBy(
-        "asset_id"
+    return _pinned_order(
+        resample_audio_stats(synth_flac_assets(ids), 16000), "asset_id"
     )
 
 
@@ -836,7 +855,9 @@ def mm_audio_energy_segments(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return audio_segment_stats(synth_wav_assets(ids), 16).orderBy("asset_id")
+    return _pinned_order(
+        audio_segment_stats(synth_wav_assets(ids), 16), "asset_id"
+    )
 
 
 @query(
@@ -908,7 +929,7 @@ def mm_probe_mp3_stats(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return probe_mp3_stats(synth_mp3_assets(ids)).orderBy("asset_id")
+    return _pinned_order(probe_mp3_stats(synth_mp3_assets(ids)), "asset_id")
 
 
 @query(
@@ -954,8 +975,9 @@ def mm_decode_mjpeg_frames(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 48)
-    return decode_mjpeg_frame_stats(synth_mjpeg_assets(ids)).orderBy(
-        "asset_id", "frame_id"
+    return _pinned_order(
+        decode_mjpeg_frame_stats(synth_mjpeg_assets(ids)),
+        "asset_id", "frame_id",
     )
 
 
@@ -1012,7 +1034,9 @@ def mm_extract_pdf_text(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 48)
-    return extract_pdf_text_stats(synth_pdf_assets(ids)).orderBy("asset_id")
+    return _pinned_order(
+        extract_pdf_text_stats(synth_pdf_assets(ids)), "asset_id"
+    )
 
 
 @query(
@@ -1074,7 +1098,9 @@ def mm_extract_docx_text(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 48)
-    return extract_docx_text_stats(synth_docx_assets(ids)).orderBy("asset_id")
+    return _pinned_order(
+        extract_docx_text_stats(synth_docx_assets(ids)), "asset_id"
+    )
 
 
 @query(
@@ -1127,7 +1153,9 @@ def mm_extract_epub_text(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 48)
-    return extract_epub_text_stats(synth_epub_assets(ids)).orderBy("asset_id")
+    return _pinned_order(
+        extract_epub_text_stats(synth_epub_assets(ids)), "asset_id"
+    )
 
 
 @query(
@@ -1176,4 +1204,6 @@ def mm_extract_rtf_text(spark, sf_dir):
     )
 
     ids = _fixture_ids(spark, sf_dir, 48)
-    return extract_rtf_text_stats(synth_rtf_assets(ids)).orderBy("asset_id")
+    return _pinned_order(
+        extract_rtf_text_stats(synth_rtf_assets(ids)), "asset_id"
+    )
