@@ -1600,8 +1600,12 @@ def lsh_banding_plan(
         raise ValueError("n_hashes must be in [2, 4096]")
     divisors = [b for b in range(1, n_hashes + 1) if n_hashes % b == 0]
     t = threshold_ppm / 1e6
-    base = spark.createDataFrame(
-        [(b, n_hashes // b) for b in divisors], "bands int, rows_per_band int"
+    from xorq_spark.operators.localframe import lit_table
+
+    base = lit_table(
+        spark,
+        [(b, n_hashes // b) for b in divisors],
+        "bands int, rows_per_band int",
     )
     k2 = 2 * steps
     # P(s) = 1 - exp(b * ln(1 - exp(r * ln(s)))): explicit exp/ln so an

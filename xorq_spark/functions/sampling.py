@@ -230,8 +230,11 @@ def plan_mixture(
     tokens_target, keep_buckets); sampled = the surviving input rows.
     Sources absent from `weights` are excluded (weight 0).
     """
+    from xorq_spark.operators.localframe import lit_table
+
     spark = df.sparkSession
-    w = spark.createDataFrame(
+    w = lit_table(
+        spark,
         sorted((s, int(wt)) for s, wt in weights.items()),
         f"{source_col} string, wgt long",
     )

@@ -927,8 +927,17 @@ def _with_books_col(df: DataFrame, books, schema: str) -> DataFrame:
     single in-memory row. The executor evaluates the same element_at /
     _sq_dist_int arithmetic over the same int64s, so results are
     bit-identical."""
+    import pandas as pd
+
     spark = df.sparkSession
-    one = spark.createDataFrame([(books,)], f"__books {schema}")
+    # pandas + Arrow, not a py-list: createDataFrame(py_rows) plans a
+    # pickled RDD over defaultParallelism slices, so every consumer ran
+    # a 32-task Python-worker stage just to produce this ONE row. The
+    # Arrow path serializes the batch into the JVM at build time — the
+    # scan is a single JVM task, no Python worker (guide §4).
+    one = spark.createDataFrame(
+        pd.DataFrame({"__books": [books]}), schema=f"__books {schema}"
+    )
     return df.crossJoin(F.broadcast(one))
 
 

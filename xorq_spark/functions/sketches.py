@@ -339,8 +339,12 @@ def hdr_quantiles(sketch: DataFrame, qs) -> DataFrame:
     (~2k rows) independent of data volume."""
     from pyspark.sql import Window
 
+    from xorq_spark.operators.localframe import lit_table
+
     spark = sketch.sparkSession
-    qdf = spark.createDataFrame(list(qs), "q string, num long, den long")
+    # JVM literal, not createDataFrame: the pickled-RDD scan ran a
+    # defaultParallelism-task Python stage per consumer (guide §4)
+    qdf = lit_table(spark, list(qs), "q string, num long, den long")
     b = hdr_bounds(sketch)
     w = Window.orderBy("lo_int").rowsBetween(Window.unboundedPreceding, 0)
     cum = b.select(

@@ -1170,9 +1170,11 @@ def srm_check(
         raise ValueError(f"no alpha=0.05 critical value for df={df_k}")
     W = sum(int(w) for _, w in items)
     v = F.col(variant_col) if isinstance(variant_col, str) else variant_col
+    from xorq_spark.operators.localframe import lit_table
+
     spark = df.sparkSession
-    design = spark.createDataFrame(
-        [(str(k_), int(w)) for k_, w in items], "__v string, __w long"
+    design = lit_table(
+        spark, [(str(k_), int(w)) for k_, w in items], "__v string, __w long"
     )
     counts = (
         df.select(v.cast("string").alias("__v"))

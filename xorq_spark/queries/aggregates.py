@@ -690,8 +690,10 @@ def agg_hdr_quantiles(spark, sf_dir):
     # fold — identical by construction (equality test + oracle hash).
     from xorq_spark.operators.prefix import rank_select_from_counts
 
+    from xorq_spark.operators.localframe import lit_table
+
     tot = vc.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("N"))
-    qdf = spark.createDataFrame(qs, "q string, num long, den long")
+    qdf = lit_table(spark, qs, "q string, num long, den long")
     needs = qdf.crossJoin(F.broadcast(tot)).select(
         "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
     )

@@ -469,7 +469,9 @@ def stream_hdr(spark, sf_dir):
     ev_b = spark.read.parquet(f"{sf_dir}/events.parquet")
     vals = ev_b.select(vint.alias("v")).where(F.col("v").isNotNull())
     tot = vals.agg(F.count(F.lit(1)).cast("long").alias("N"))
-    qdf = spark.createDataFrame(qs, "q string, num long, den long")
+    from xorq_spark.operators.localframe import lit_table
+
+    qdf = lit_table(spark, qs, "q string, num long, den long")
     needs = qdf.crossJoin(F.broadcast(tot)).select(
         "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
     )

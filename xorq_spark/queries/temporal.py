@@ -2203,8 +2203,10 @@ def time_autocorrelation(spark, sf_dir):
         .select("h", F.coalesce("y", F.lit(0)).cast("long").alias("y"))
         .select((F.row_number().over(w) - 1).alias("i"), "y")
     )
-    lags = ev.sparkSession.createDataFrame(
-        [(1,), (2,), (3,), (6,), (12,), (24,)], "lag long"
+    from xorq_spark.operators.localframe import lit_table
+
+    lags = lit_table(
+        ev.sparkSession, [(1,), (2,), (3,), (6,), (12,), (24,)], "lag long"
     )
     a = dense.crossJoin(F.broadcast(lags))
     j = (

@@ -30,6 +30,19 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
+def _fast_local_dir() -> str:
+    """Scratch dir for shuffle/checkpoint blocks: XORQ_SPARK_LOCAL_DIR
+    if set (empty string = leave Spark's default), else tmpfs when the
+    host has one, else '' (Spark default)."""
+    env = os.environ.get("XORQ_SPARK_LOCAL_DIR")
+    if env is not None:
+        return env
+    shm = "/dev/shm"
+    if os.path.isdir(shm) and os.access(shm, os.W_OK):
+        return os.path.join(shm, "xorq_spark_local")
+    return ""
+
+
 def options() -> dict:
     """Session conf applied at connect() time (all safe at 100 TB scale)."""
     par = _default_parallelism()
@@ -91,6 +104,36 @@ def options() -> dict:
             "XORQ_SPARK_PREFER_SMJ", "false"
         ),
         "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64MB",
+        # Shuffle + block-store scratch on the fastest local storage
+        # available (guide §2.1: local disk bandwidth for shuffle files
+        # can be the tighter limit). On clusters this is the NVMe/SSD
+        # mount ops point spark.local.dir at; in this container /tmp is
+        # a disk-backed fs while /dev/shm is tmpfs — alternating-session
+        # A/B (base vs tmpfs, 2 sessions each): line_dedup 1.42->0.89s,
+        # minhash pairs 0.98->0.81s, hdr 2.26->1.92s, triangle
+        # 3.16->2.82s, LPA 2.51->2.26s. Overridable (or disabled) via
+        # XORQ_SPARK_LOCAL_DIR; falls back to the Spark default when
+        # /dev/shm is absent. Shuffle volumes here are MBs; a cluster
+        # deployment sizes its scratch mount to the workload as usual.
+        **(
+            {"spark.local.dir": _fast_local_dir()}
+            if _fast_local_dir()
+            else {}
+        ),
+        # Sort-based shuffle writer for every shuffle wider than 8
+        # partitions: the bypass writer (default threshold 200) opens
+        # one file PER REDUCE PARTITION per map task — jstack sampling
+        # during the graph/dedup tier showed executor threads parked in
+        # DiskBlockObjectWriter.open / FileOutputStream.open0 (44/150
+        # busy samples). The sort writer emits one data+index file per
+        # map task. Alternating-session A/B (tmpfs scratch in both):
+        # line_dedup 0.91->0.67s, triangle -9%, minhash pairs -11%,
+        # hdr/LPA flat. At scale M*R tiny files is exactly the shuffle
+        # pathology guide §2.2 warns about — fewer, larger files is the
+        # right default at any size.
+        "spark.shuffle.sort.bypassMergeThreshold": os.environ.get(
+            "XORQ_SPARK_BYPASS_MERGE_THRESHOLD", "8"
+        ),
         # Generated-class cache: the default 100 entries thrashes on
         # multi-round iterative plans (MMR's 4 unrolled rounds alone
         # mint ~150 classes), forcing a full Janino recompile of every
