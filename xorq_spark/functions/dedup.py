@@ -67,11 +67,20 @@ def exact_dedup(
     Groups on md5 digests so the shuffle moves 32-byte keys, not
     documents; the winner is re-joined back to recover full rows."""
     key = F.md5(normalize_text(F.col(text_col)) if normalize else F.col(text_col))
-    keyed = df.withColumn("__dk", key)
-    winners = keyed.groupBy("__dk").agg(F.min(id_col).alias(id_col))
-    return (
-        keyed.join(winners, [ "__dk", id_col], "left_semi").drop("__dk")
+    # Key ONCE into a digest-only pinned frame: the winner aggregate
+    # and the membership probe both consumed `keyed`, so the
+    # normalize+md5 pass (regex chain + ICU lower — the dominant
+    # per-row cost) ran twice over the corpus, and the plan carried
+    # text into both subtrees. The pinned frame is (id, 32-byte
+    # digest); survivors re-attach to the source rows by id — text is
+    # never keyed twice and never shuffled (guide §2.3: decide on a
+    # lightweight proxy, move payloads once).
+    keyed = df.select(F.col(id_col), key.alias("__dk")).localCheckpoint(
+        eager=True
     )
+    winners = keyed.groupBy("__dk").agg(F.min(id_col).alias(id_col))
+    keep = keyed.join(winners, ["__dk", id_col], "left_semi").select(id_col)
+    return df.join(keep, id_col, "left_semi")
 
 
 # Mersenne prime 2^31-1: universal-hash modulus. a*h+b stays < 2^62,
