@@ -211,18 +211,19 @@ def label_propagation(
     combinable.
 
     Returns (node, community)."""
+    # Canonicalize-then-mirror symmetrization (round 9, guide §2.4):
+    # distinct once on (least, greatest) pairs; the two mirrored halves
+    # are then DISJOINT and each internally distinct, so their union IS
+    # the symmetric closure — the former distinct over the 2|E|-row
+    # union (a second full exchange + aggregate) is gone, and the
+    # pinned frame holds |E| rows instead of 2|E|. Identical edge set
+    # by construction (symmetric closure only sees unordered pairs).
     e0 = (
         edges.select(
-            F.col(src).cast("long").alias("a"),
-            F.col(dst).cast("long").alias("b"),
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
         )
-        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
-        .where(F.col("a") != F.col("b"))
-        .distinct()
-    )
-    e_raw = (
-        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .union(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .where(F.col("a").isNotNull() & (F.col("a") < F.col("b")))
         .distinct()
         .localCheckpoint(eager=True)
     )
@@ -235,10 +236,15 @@ def label_propagation(
     spark = edges.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
-    fit = max(1, min(int(old_parts), e_raw.count() // 125_000 + 1))
+    fit = max(1, min(int(old_parts), (2 * e0.count()) // 125_000 + 1))
     try:
         spark.conf.set(conf_key, str(fit))
-        e = e_raw.repartition(fit, "src").localCheckpoint(eager=True)
+        e = (
+            e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+            .union(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+            .repartition(fit, "src")
+            .localCheckpoint(eager=True)
+        )
         nodes = (
             e.select(F.col("src").alias("node"))
             .distinct()  # exchanges hash(node, fit) under the conf
@@ -590,20 +596,29 @@ def bfs_hops(
 
     ``seeds``: a one-column DataFrame of node ids (any column name).
     """
-    e0 = (
-        edges.select(
-            F.col(src).cast("long").alias("src"),
-            F.col(dst).cast("long").alias("dst"),
-        )
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    if not directed:
+    if directed:
         e0 = (
-            e0.select("src", "dst")
-            .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            edges.select(
+                F.col(src).cast("long").alias("src"),
+                F.col(dst).cast("long").alias("dst"),
+            )
+            .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .where(F.col("src") != F.col("dst"))
             .distinct()
+        )
+    else:
+        # canonicalize-then-mirror: one distinct instead of two (the
+        # label_propagation rewrite; identical symmetric closure)
+        c = (
+            edges.select(
+                F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+                F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+            )
+            .where(F.col("a").isNotNull() & (F.col("a") < F.col("b")))
+            .distinct()
+        )
+        e0 = c.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            c.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
     e = e0.localCheckpoint(eager=True)
     dist = (
@@ -765,10 +780,22 @@ def link_prediction(
     is sum(d_s^2) bounded — for skew-heavy graphs, cap or sample
     super-node neighborhoods upstream. Degrees broadcast-join back.
     """
-    edges = _sanitize_edges(edges, src, dst)
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # canonical distinct once (the label_propagation rewrite): the
+    # mirrored halves are disjoint, and the SAME pinned frame serves
+    # the und adjacency AND the existing-edge anti-join below — three
+    # distinct exchanges collapse to one.
+    canon = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & (F.col("a") < F.col("b")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    und = canon.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        canon.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
     adj = und.groupBy(F.col("src").alias("s")).agg(
         F.sort_array(F.collect_set("dst")).alias("ns")
     )
@@ -786,9 +813,6 @@ def link_prediction(
         .agg(F.count(F.lit(1)).cast("long").alias("cn"))
         .where(F.col("cn") >= int(min_common))
     )
-    canon = edges.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
     nonadj = cand.join(canon, ["a", "b"], "left_anti")
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("deg")
@@ -830,13 +854,22 @@ def random_walks(
 
     Returns (start, step, node): step 0 is the start itself.
     """
-    edges = _sanitize_edges(edges, src, dst)
-    und = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    # canonical distinct once (the label_propagation rewrite), and pin
+    # the adjacency: every step's join re-read it — n_steps consumers.
+    c = (
+        edges.select(
+            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("a"),
+            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("b"),
+        )
+        .where(F.col("a").isNotNull() & (F.col("a") < F.col("b")))
+        .distinct()
+    )
+    und = c.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        c.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
     adj = und.groupBy(F.col("src").alias("node")).agg(
         F.sort_array(F.collect_set("dst")).alias("ns")
-    )
+    ).localCheckpoint(eager=False)
     walk = adj.select(
         F.col("node").alias("start"),
         F.lit(0).alias("step"),
