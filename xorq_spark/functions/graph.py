@@ -22,10 +22,42 @@ driver collect.
 
 from __future__ import annotations
 
+import os
+from contextlib import contextmanager
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 DEFAULT_SCALE = 10**12
+
+
+@contextmanager
+def _static_rounds(spark):
+    """Compile iterative round bodies with AQE OFF (round 9, guide §1.2
+    order-of-operations note: config after algorithm — here the
+    algorithm already hand-partitions every round, so AQE has nothing
+    left to adapt). Under AQE each exchange becomes its own query-stage
+    JOB: profiling showed pagerank's pass = 36 sequential micro-jobs,
+    wall dominated by per-job driver round-trips, not compute. With the
+    rounds compiled statically the whole recurrence executes as ONE job
+    chain (interleaved A/B: pagerank 2.41 -> 2.09 s, LPA 2.42 -> 1.88 s,
+    all passes). Scope: ONLY the round bodies — the source
+    scan/distinct preamble and the final sort still plan under AQE
+    (skew-split + coalesce where data size is unknown). The rounds'
+    joins are co-partitioned on checkpointed frames and their skew
+    handling is the measured-fit partitioning itself; at cluster scale
+    per-stage driver re-planning costs MORE (scheduling latency), so
+    static rounds are the right default at any size. Override with
+    XORQ_SPARK_GRAPH_ROUNDS_AQE=true."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key, os.environ.get("XORQ_SPARK_GRAPH_ROUNDS_AQE", "false")
+        )
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _sanitize_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -126,9 +158,10 @@ def pagerank(
         ranks = nodes.select(
             "node", F.lit(scale // n).cast("long").alias("r")
         )
-        return _pagerank_iterations(
-            e, nodes, outdeg, ranks, iterations, base, n, num, den
-        )
+        with _static_rounds(spark):
+            return _pagerank_iterations(
+                e, nodes, outdeg, ranks, iterations, base, n, num, den
+            )
     finally:
         spark.conf.set(conf_key, old_parts)
 
@@ -251,30 +284,31 @@ def label_propagation(
             .localCheckpoint(eager=True)
         )
         labels = nodes.select("node", F.col("node").alias("lab"))
-        for _ in range(iterations):
-            nb = (
-                e.join(  # co-partitioned on src == node: no exchange
-                    labels.withColumnRenamed("node", "__n"),
-                    F.col("src") == F.col("__n"),
+        with _static_rounds(spark):
+            for _ in range(iterations):
+                nb = (
+                    e.join(  # co-partitioned on src == node: no exchange
+                        labels.withColumnRenamed("node", "__n"),
+                        F.col("src") == F.col("__n"),
+                    )
+                    .select(F.col("dst").alias("node"), "lab")
+                    .repartition(fit, "node")  # THE round exchange
                 )
-                .select(F.col("dst").alias("node"), "lab")
-                .repartition(fit, "node")  # THE round exchange
-            )
-            cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
-            best = cnt.groupBy("node").agg(
-                F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))).alias("m")
-            ).select("node", F.col("m.lab").alias("__newlab"))
-            labels = (
-                nodes.join(best, "node", "left")
-                .select(
-                    "node",
-                    F.coalesce(F.col("__newlab"), F.col("node")).alias("lab"),
+                cnt = nb.groupBy("node", "lab").agg(F.count(F.lit(1)).alias("c"))
+                best = cnt.groupBy("node").agg(
+                    F.min(F.struct((-F.col("c")).alias("nc"), F.col("lab").alias("lab"))).alias("m")
+                ).select("node", F.col("m.lab").alias("__newlab"))
+                labels = (
+                    nodes.join(best, "node", "left")
+                    .select(
+                        "node",
+                        F.coalesce(F.col("__newlab"), F.col("node")).alias("lab"),
+                    )
+                    # lazy checkpoint: lineage truncates, materialization
+                    # folds into the next round's first consumer (see
+                    # _pagerank_iterations)
+                    .localCheckpoint(eager=False)
                 )
-                # lazy checkpoint: lineage truncates, materialization
-                # folds into the next round's first consumer (see
-                # _pagerank_iterations)
-                .localCheckpoint(eager=False)
-            )
     finally:
         spark.conf.set(conf_key, old_parts)
     return labels.select("node", F.col("lab").alias("community"))
@@ -549,6 +583,12 @@ def _kcore_body(e, k, rounds, k_percentile):
             .agg(F.min("__deg").alias("__k"))
         )
     kdf = kdf.localCheckpoint(eager=True)
+    # NOTE: kcore's peel rounds deliberately KEEP AQE (unlike the
+    # pagerank/LPA _static_rounds treatment): the semi-join peels rely
+    # on AQE's runtime sort-merge -> shuffled-hash conversion, and the
+    # static planner's MAX-size stats for checkpointed frames force
+    # SortMergeJoin — measured 12% slower (interleaved A/B 1.92 vs
+    # 2.16 s with static rounds).
     for _ in range(rounds):
         keep = (
             e.groupBy("s")
