@@ -376,6 +376,18 @@ def triangle_counts(
     # two consumers), but inside the final job chain (the pagerank
     # pattern).
     m_edges = e0.count()
+    # Below the broadcast bound the whole closure is map-side over
+    # checkpointed frames (the only runtime decision AQE could make is
+    # stage sizing, at one driver round-trip per exchange — the
+    # pagerank/_static_rounds finding; interleaved A/B 3.02 -> 2.79 s).
+    # Above the bound the t-keyed shuffle join KEEPS AQE for its skew
+    # split of a celebrity sink node.
+    _static = None
+    if m_edges <= int(broadcast_edge_bound):
+        from contextlib import ExitStack
+
+        _static = ExitStack()
+        _static.enter_context(_static_rounds(edges.sparkSession))
     deg = (
         e0.select(F.col("u").alias("node"))
         .union(e0.select(F.col("v").alias("node")))
@@ -474,6 +486,8 @@ def triangle_counts(
         .groupBy("node")
         .agg(F.sum("c").alias("n_triangles"))
     )
+    if _static is not None:
+        _static.close()
     return (
         deg.join(cnt, "node", "left")
         .select(
