@@ -143,3 +143,23 @@ def test_ngram_containment_asymmetric(spark):
     assert (r["id_a"], r["id_b"]) == (1, 2)
     assert r["contain_a_e9"] == 10**9          # A fully inside B
     assert r["contain_b_e9"] < 6 * 10**8       # B is NOT inside A
+
+
+def test_kcore_broadcast_path_matches_shuffle_path(spark, monkeypatch):
+    # The measured-bound broadcast fast path (round 9) must peel the
+    # exact same nodes per round as the shuffle path: same graph, both
+    # paths forced via the gate env var, dict-identical output.
+    import random
+
+    rng = random.Random(7)
+    # sparse background (avg degree ~3) + a 10-clique that outlives a
+    # p25 peel, so the surviving core is non-trivial on both paths
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(60)})
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(a, b) for a in range(30, 40) for b in range(a + 1, 40)]
+
+    monkeypatch.setenv("XORQ_SPARK_KCORE_BC_EDGES", "0")
+    shuffle_out = _kcore(spark, edges, rounds=3, k_percentile=(25, 100))
+    monkeypatch.setenv("XORQ_SPARK_KCORE_BC_EDGES", "4000000")
+    bc_out = _kcore(spark, edges, rounds=3, k_percentile=(25, 100))
+    assert shuffle_out == bc_out and len(bc_out) > 0

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 from datetime import datetime, date
 from decimal import Decimal
@@ -153,7 +154,18 @@ def main():
     import __spark_entry__ as entry_mod
     from xorq_spark.session import connect
 
-    spark = connect()
+    # The full sweep runs 370+ queries through ONE local-mode session:
+    # Spark's 1g default driver heap (which in local mode is the whole
+    # JVM, executors included) OOM'd the appStatus listener mid-sweep
+    # once the registry grew past ~370 entries. Explicit headroom, env
+    # overridable; bench.py sizes its own session the same way.
+    spark = connect(
+        extra_conf={
+            "spark.driver.memory": os.environ.get(
+                "XORQ_ORACLE_DRIVER_MEMORY", "12g"
+            ),
+        }
+    )
     con = duckdb.connect()
     for name in (
         "region nation customer supplier part orders lineitem events "

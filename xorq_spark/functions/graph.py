@@ -566,15 +566,30 @@ def kcore(
     spark = e.sparkSession
     conf_key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(conf_key)
-    fit = max(1, min(int(old_parts), e.count() // 500_000 + 1))
-    spark.conf.set(conf_key, str(fit))
+    m = e.count()
+    fit = max(1, min(int(old_parts), m // 500_000 + 1))
+    # Broadcast fast path (the triangle_counts precedent, same measured
+    # gate): below the edge bound the per-round survivor set (<= #nodes
+    # <= 2m longs) broadcasts, so each peel is map-side over the
+    # hash(s)-partitioned edge frame — the degree aggregate reuses the
+    # partitioning (no exchange) and both semi-joins are
+    # BroadcastHashJoin. 3 rounds x (1 degree exchange + 2 semi-join
+    # shuffles) collapse into ONE upfront repartition; the round bodies
+    # then compile statically (the pagerank/_static_rounds finding —
+    # with zero exchanges per round AQE has only per-stage driver
+    # round-trips to contribute). Above the bound the shuffle rounds
+    # keep AQE for its runtime SMJ->SHJ conversion, unchanged.
+    bc = m <= int(os.environ.get("XORQ_SPARK_KCORE_BC_EDGES", "4000000"))
     try:
-        return _kcore_body(e, k, rounds, k_percentile)
+        spark.conf.set(conf_key, str(fit))
+        if bc:
+            e = e.repartition(fit, "s").localCheckpoint(eager=True)
+        return _kcore_body(e, k, rounds, k_percentile, bc=bc)
     finally:
         spark.conf.set(conf_key, old_parts)
 
 
-def _kcore_body(e, k, rounds, k_percentile):
+def _kcore_body(e, k, rounds, k_percentile, bc=False):
     if k is not None:
         kdf = e.sparkSession.range(1).select(F.lit(int(k)).alias("__k"))
     else:
@@ -597,12 +612,49 @@ def _kcore_body(e, k, rounds, k_percentile):
             .agg(F.min("__deg").alias("__k"))
         )
     kdf = kdf.localCheckpoint(eager=True)
-    # NOTE: kcore's peel rounds deliberately KEEP AQE (unlike the
-    # pagerank/LPA _static_rounds treatment): the semi-join peels rely
-    # on AQE's runtime sort-merge -> shuffled-hash conversion, and the
-    # static planner's MAX-size stats for checkpointed frames force
-    # SortMergeJoin — measured 12% slower (interleaved A/B 1.92 vs
-    # 2.16 s with static rounds).
+    if bc:
+        # Broadcast peels (gated on the measured edge bound by the
+        # caller): each round's survivor set rides a BroadcastExchange
+        # into two map-side semi-joins, the degree aggregate reuses
+        # e's hash(s) partitioning, and the bodies compile statically
+        # — ONE job chain, zero per-round shuffles. The two identical
+        # broadcast subtrees dedup via ReuseExchange.
+        with _static_rounds(e.sparkSession):
+            for _ in range(rounds):
+                keep = (
+                    e.groupBy("s")
+                    .agg(F.count(F.lit(1)).alias("__deg"))
+                    .crossJoin(F.broadcast(kdf))
+                    .where(F.col("__deg") >= F.col("__k"))
+                    .select(F.col("s").alias("__keep"))
+                )
+                e = (
+                    e.join(
+                        F.broadcast(keep),
+                        F.col("s") == F.col("__keep"),
+                        "left_semi",
+                    )
+                    .join(
+                        F.broadcast(keep),
+                        F.col("d") == F.col("__keep"),
+                        "left_semi",
+                    )
+                    .localCheckpoint(eager=False)
+                )
+        return (
+            e.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select(
+                F.col("s").alias("node"),
+                F.col("degree").cast("long").alias("degree"),
+            )
+        )
+    # NOTE: kcore's shuffle-path peel rounds deliberately KEEP AQE
+    # (unlike the pagerank/LPA _static_rounds treatment): the semi-join
+    # peels rely on AQE's runtime sort-merge -> shuffled-hash
+    # conversion, and the static planner's MAX-size stats for
+    # checkpointed frames force SortMergeJoin — measured 12% slower
+    # (interleaved A/B 1.92 vs 2.16 s with static rounds).
     for _ in range(rounds):
         keep = (
             e.groupBy("s")

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -89,6 +90,27 @@ def widen(df: DataFrame) -> DataFrame:
     are unaffected. At real scale, many files give parallel splits
     already and this is a no-op-cost rebalance."""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def pinned_order(df: DataFrame, *cols) -> DataFrame:
+    """Pin a compute pipeline's output before the final global sort
+    (guide §1.4/§2.4): ``orderBy`` plans a range exchange whose
+    RangePartitioner SAMPLING pass reads EVERY row of the child RDD —
+    re-executing all work above the last shuffle. For a pipeline whose
+    cost sits between that shuffle (or the scan) and the sort — regex
+    chains, Arrow/pandas stages, HOF analysis, broadcast-only joins —
+    the whole stage runs TWICE per action. The lazy localCheckpoint
+    materializes the result rows once inside the same job chain; the
+    sampler and the sort then read the pinned RDD. Row content and
+    final order are bit-identical (same orderBy). Applied ONLY where
+    the re-executed span is measurably expensive: the pin stores the
+    (result-sized) frame, which costs memory/disk — near-dup banding
+    joins, e.g., measured slower pinned because their sampler already
+    reuses shuffle outputs. XORQ_PIN_ORDER=0 restores plain orderBy
+    (A/B hook)."""
+    if os.environ.get("XORQ_PIN_ORDER", "1") == "0":
+        return df.orderBy(*cols)
+    return df.localCheckpoint(eager=False).orderBy(*cols)
 
 
 def dec(col, scale: int = 2):

@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 
 from xorq_spark.functions.dedup import dup_ngram_fraction, line_dedup
 from xorq_spark.functions.text import gopher_flags, tfidf_topk, tokenize
-from xorq_spark.queries.base import query, t, widen
+from xorq_spark.queries.base import pinned_order, query, t, widen
 
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
 _TOKS_LOWER = (
@@ -361,7 +361,7 @@ def text_gopher_repetition_q(spark, sf_dir):
         top_ns=(2, 3),
         dup_ns=(5, 10),
     )
-    return out.drop("passes").orderBy("doc_id")
+    return pinned_order(out.drop("passes"), "doc_id")
 
 
 @query(
@@ -1666,7 +1666,7 @@ def text_mojibake_repair(spark, sf_dir):
             g["n_mojibake"].alias("n_mojibake_after"),
             F.md5(F.col("repaired")).alias("repaired_md5"),
         )
-        .orderBy("doc_id")
+        .transform(pinned_order, "doc_id")
     )
 
 
@@ -1725,7 +1725,7 @@ def text_unicode_normalize(spark, sf_dir):
             (F.col("nfc") != F.col("s")).alias("changed"),
             F.md5(F.col("nfc")).alias("nfc_md5"),
         )
-        .orderBy("doc_id")
+        .transform(pinned_order, "doc_id")
     )
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from xorq_spark.operators import asof_join, positional_join
-from xorq_spark.queries.base import query, t, as_double
+from xorq_spark.queries.base import pinned_order, query, t, as_double, widen
 
 
 @query(
@@ -275,11 +275,17 @@ def join_range_binned(spark, sf_dir):
 
     ev = t(spark, sf_dir, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        us.alias("lo"),
-        (us + F.lit(14400000000)).alias("hi"),
+    # widen: the click side broadcasts, so the probe stage (bin explode
+    # + hash join + range filter) inherits the event scan's split count
+    # — profiled as ONE 1.7 CPU-s task at sf0.1. The interval rows are
+    # 4 longs each; rebalancing them is trivial next to the join work.
+    purchases = widen(
+        ev.where(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            us.alias("lo"),
+            (us + F.lit(14400000000)).alias("hi"),
+        )
     )
     clicks = ev.where(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"),
@@ -289,6 +295,9 @@ def join_range_binned(spark, sf_dir):
     out = interval_point_join(
         purchases, clicks, "lo", "hi", "pt", bin_size=3_600_000_000
     )
+    # (pinned_order measured neutral-to-negative here: with the widen
+    # shuffle in place the sampler's post-shuffle re-run is parallel
+    # and cheap, so the pin's materialization isn't paid back)
     return out.select(
         "purchase_id", "click_id", "p_user", "c_user"
     ).orderBy("purchase_id", "click_id")

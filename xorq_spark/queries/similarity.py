@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from xorq_spark.functions import ann_bruteforce_topk, ann_lsh_topk
-from xorq_spark.queries.base import query, t, widen
+from xorq_spark.queries.base import pinned_order, query, t, widen
 
 _COS = "list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[])"
 
@@ -269,7 +269,7 @@ def sim_quantize(spark, sf_dir):
                 9,
             ).alias("max_err"),
         )
-        .orderBy("vec_id")
+        .transform(pinned_order, "vec_id")
     )
 
 

@@ -16,7 +16,7 @@ from xorq_spark.functions import (
     token_count,
 )
 from xorq_spark.functions.text import LANG_MARKERS, BPE_ISH_PATTERN
-from xorq_spark.queries.base import query, t, widen
+from xorq_spark.queries.base import pinned_order, query, t, widen
 
 # DuckDB fragments mirroring functions/text.py definitions.
 _TOKS = "list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')"
@@ -136,7 +136,7 @@ def text_quality(spark, sf_dir):
     return (
         widen(t(spark, sf_dir, "documents"))
         .select("doc_id", F.round(quality_score(F.col("text")), 9).alias("quality"))
-        .orderBy("doc_id")
+        .transform(pinned_order, "doc_id")
     )
 
 
@@ -398,7 +398,7 @@ def text_chunks(spark, sf_dir):
             "n_chunk_tokens",
             F.md5("chunk_text").alias("chunk_hash"),
         )
-        .orderBy("doc_id", "chunk_id")
+        .transform(pinned_order, "doc_id", "chunk_id")
     )
 
 
@@ -803,12 +803,15 @@ def text_html_extract_q(spark, sf_dir):
     docs = widen(t(spark, sf_dir, "documents"))
     html = F.expr(_HTML_SYNTH_SQL.replace("AS VARCHAR", "AS STRING"))
     out = docs.select("doc_id", html_to_text(html).alias("txt"))
-    return out.select(
+    return pinned_order(
+        out.select(
+            "doc_id",
+            F.md5("txt").alias("text_md5"),
+            F.length("txt").cast("long").alias("n_chars"),
+            F.size(F.split("txt", "\n")).cast("long").alias("n_lines"),
+        ),
         "doc_id",
-        F.md5("txt").alias("text_md5"),
-        F.length("txt").cast("long").alias("n_chars"),
-        F.size(F.split("txt", "\n")).cast("long").alias("n_lines"),
-    ).orderBy("doc_id")
+    )
 
 
 _MIX_WEIGHTS = [("src0", 400), ("src1", 300), ("src2", 200)] + [

@@ -134,6 +134,21 @@ def options() -> dict:
         "spark.shuffle.sort.bypassMergeThreshold": os.environ.get(
             "XORQ_SPARK_BYPASS_MERGE_THRESHOLD", "8"
         ),
+        # Bound the SQL UI status store's driver-heap footprint (guide
+        # §5: the driver should do almost no data work — and no
+        # unbounded bookkeeping either). Each tracked execution stores
+        # its physicalPlanDescription string; maxPlanStringLength
+        # defaults to ~2 GiB, so one statically-compiled iterative plan
+        # (graph rounds) can make the appStatus listener build a
+        # multi-hundred-MB string, and the default 1000 retained
+        # executions keep them all alive. A long-lived session running
+        # hundreds of queries (the oracle sweep; any production driver
+        # loop) OOM'd a default-sized driver exactly there. 4 MiB per
+        # plan is still far beyond what explain() artifacts need.
+        "spark.sql.maxPlanStringLength": os.environ.get(
+            "XORQ_SPARK_MAX_PLAN_STRING", "4194304"
+        ),
+        "spark.sql.ui.retainedExecutions": "100",
         # Generated-class cache: the default 100 entries thrashes on
         # multi-round iterative plans (MMR's 4 unrolled rounds alone
         # mint ~150 classes), forcing a full Janino recompile of every
