@@ -19,6 +19,20 @@ def _plan(spark, name: str) -> str:
     )
 
 
+def _plan_unpinned(spark, name: str) -> str:
+    """Build with pinned_order disabled: the round-9 pin before a final
+    global sort hides the compute subtree behind a localCheckpoint's
+    Scan ExistingRDD, so plan-shape assertions inspect the unpinned
+    form (the pin is row- and order-preserving by construction)."""
+    import os
+
+    os.environ["XORQ_PIN_ORDER"] = "0"
+    try:
+        return _plan(spark, name)
+    finally:
+        os.environ.pop("XORQ_PIN_ORDER", None)
+
+
 def test_q6_pushdown_and_pruning(spark):
     plan = _plan(spark, "tpch_q6_forecast_revenue")
     # Range predicates reach the parquet reader...
@@ -95,7 +109,7 @@ def test_chunk_documents_scan_speed_shape(spark):
     the only exchanges are the final presentation sort."""
     import re
 
-    plan = _plan(spark, "text_chunk_documents")
+    plan = _plan_unpinned(spark, "text_chunk_documents")
     assert "Generate" in plan
     # column pruning: only doc_id + text reach the scan
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
@@ -134,7 +148,7 @@ def test_stratified_sample_filter_at_scan_stage(spark):
 def test_quantize_no_shuffle_no_python(spark):
     """Quantization is a pure projection: HOFs only, no Python eval, no
     aggregation shuffle — exchanges exist only for the output sort."""
-    plan = _plan(spark, "sim_embedding_quantize")
+    plan = _plan_unpinned(spark, "sim_embedding_quantize")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" not in plan
     import re
@@ -265,7 +279,7 @@ def test_winsorize_broadcast_bounds(spark):
 def test_hdr_sketch_combinable_build(spark):
     """Sketch build is a partial+final hash aggregate over integer
     shift bucketing — JVM-side, map-side combinable."""
-    plan = _plan(spark, "agg_hdr_quantiles")
+    plan = _plan_unpinned(spark, "agg_hdr_quantiles")
     assert "HashAggregate" in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
@@ -431,7 +445,7 @@ def test_hdr_quantiles_exact_cumsum_is_partitioned(spark):
     import inspect
     import re
 
-    plan = _plan(spark, "agg_hdr_quantiles")
+    plan = _plan_unpinned(spark, "agg_hdr_quantiles")
     # Round-9 form: the exact arm routes through
     # rank_select_from_counts — NO window runs over the unbounded
     # distinct-value table at all. Any windowspec ordering by v would

@@ -23,7 +23,6 @@ driver collect.
 from __future__ import annotations
 
 import os
-from contextlib import contextmanager
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
@@ -31,33 +30,12 @@ from pyspark.sql import DataFrame
 DEFAULT_SCALE = 10**12
 
 
-@contextmanager
-def _static_rounds(spark):
-    """Compile iterative round bodies with AQE OFF (round 9, guide §1.2
-    order-of-operations note: config after algorithm — here the
-    algorithm already hand-partitions every round, so AQE has nothing
-    left to adapt). Under AQE each exchange becomes its own query-stage
-    JOB: profiling showed pagerank's pass = 36 sequential micro-jobs,
-    wall dominated by per-job driver round-trips, not compute. With the
-    rounds compiled statically the whole recurrence executes as ONE job
-    chain (interleaved A/B: pagerank 2.41 -> 2.09 s, LPA 2.42 -> 1.88 s,
-    all passes). Scope: ONLY the round bodies — the source
-    scan/distinct preamble and the final sort still plan under AQE
-    (skew-split + coalesce where data size is unknown). The rounds'
-    joins are co-partitioned on checkpointed frames and their skew
-    handling is the measured-fit partitioning itself; at cluster scale
-    per-stage driver re-planning costs MORE (scheduling latency), so
-    static rounds are the right default at any size. Override with
-    XORQ_SPARK_GRAPH_ROUNDS_AQE=true."""
-    key = "spark.sql.adaptive.enabled"
-    old = spark.conf.get(key)
-    try:
-        spark.conf.set(
-            key, os.environ.get("XORQ_SPARK_GRAPH_ROUNDS_AQE", "false")
-        )
-        yield
-    finally:
-        spark.conf.set(key, old)
+# _static_rounds: see session.static_compile — the graph rounds were
+# where the AQE-off compile of hand-partitioned round bodies was first
+# measured (pagerank 2.41 -> 2.09 s, LPA 2.42 -> 1.88 s interleaved);
+# promoted to session.py once non-graph bounded tails (HDR readout)
+# wanted the same treatment.
+from xorq_spark.session import static_compile as _static_rounds
 
 
 def _sanitize_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:

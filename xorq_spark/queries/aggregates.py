@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import pyspark.sql.functions as F
 
-from xorq_spark.queries.base import query, t, money_out
+from xorq_spark.queries.base import pinned_order, query, t, money_out
 
 _PRICE = "decimal(18,2)"
 
@@ -665,62 +665,73 @@ def agg_hdr_quantiles(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("__cnt"))
         .localCheckpoint(eager=False)
     )
-    sk_sh = hdr_build_from_counts(
-        vc, "v", "__cnt", by=("__shard",)
-    ).localCheckpoint(eager=False)  # bounded: <=4x sketch geometry
-    direct = hdr_merge(sk_sh.drop("__shard"))
-    partials = [
-        sk_sh.where(F.col("__shard") == s).drop("__shard") for s in range(4)
-    ]
-    merged = hdr_merge(*partials)
-    qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000)]
-    est = hdr_quantiles(direct, qs)
-    est_m = hdr_quantiles(merged, qs).select(
-        F.col("q").alias("__qm"), F.col("est_lo").alias("est_lo_merged")
-    )
+    # Everything below vc is BOUNDED (sketch geometry, bucket
+    # histograms, 4 rank rows), so the readout compiles statically
+    # (session.static_compile): under AQE this tail executed as ~20
+    # sequential micro-jobs whose wall was driver round-trips.
+    from xorq_spark.session import static_compile
 
-    # exact type-1 quantiles, replayed with the same integer rank rule.
-    # The cumulative count runs over the DISTINCT-value table, which is
-    # unbounded by data (distinct prices at sf100 are millions of rows)
-    # — so it must not use a partition-less window (one task at scale).
-    # Round 9: the full running_sum prefix (range shuffle + sampling
-    # pass + window over every distinct value) materialized 583k
-    # cumulative counts to read off 4 ranks; rank_select_from_counts
-    # finds the same values via a bucket-histogram locate + in-bucket
-    # fold — identical by construction (equality test + oracle hash).
-    from xorq_spark.operators.prefix import rank_select_from_counts
-
-    from xorq_spark.operators.localframe import lit_table
-
-    tot = vc.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("N"))
-    qdf = lit_table(spark, qs, "q string, num long, den long")
-    needs = qdf.crossJoin(F.broadcast(tot)).select(
-        "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
-    )
-    exq = rank_select_from_counts(
-        vc.groupBy("v").agg(F.sum("__cnt").alias("c")),
-        needs,
-    ).select("q", F.col("exact").cast("long").alias("exact"))
-    return (
-        est.join(est_m, F.col("q") == F.col("__qm"))
-        .join(exq, "q")
-        .select(
-            "q",
-            "est_lo",
-            "est_hi",
-            "est_lo_merged",
-            "exact",
-            (
-                (F.col("est_lo") <= F.col("exact"))
-                & (F.col("exact") <= F.col("est_hi"))
-            ).alias("contains_exact"),
-            (
-                (F.col("est_hi") - F.col("est_lo") + 1)
-                <= F.greatest(F.expr("shiftright(est_lo, 4)"), F.lit(1))
-            ).alias("within_rel_bound"),
+    with static_compile(spark):
+        sk_sh = hdr_build_from_counts(
+            vc, "v", "__cnt", by=("__shard",)
+        ).localCheckpoint(eager=False)  # bounded: <=4x sketch geometry
+        direct = hdr_merge(sk_sh.drop("__shard"))
+        partials = [
+            sk_sh.where(F.col("__shard") == s).drop("__shard") for s in range(4)
+        ]
+        merged = hdr_merge(*partials)
+        qs = [("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100), ("p999", 999, 1000)]
+        est = hdr_quantiles(direct, qs)
+        est_m = hdr_quantiles(merged, qs).select(
+            F.col("q").alias("__qm"), F.col("est_lo").alias("est_lo_merged")
         )
-        .orderBy("q")
-    )
+
+        # exact type-1 quantiles, replayed with the same integer rank rule.
+        # The cumulative count runs over the DISTINCT-value table, which is
+        # unbounded by data (distinct prices at sf100 are millions of rows)
+        # — so it must not use a partition-less window (one task at scale).
+        # Round 9: the full running_sum prefix (range shuffle + sampling
+        # pass + window over every distinct value) materialized 583k
+        # cumulative counts to read off 4 ranks; rank_select_from_counts
+        # finds the same values via a bucket-histogram locate + in-bucket
+        # fold — identical by construction (equality test + oracle hash).
+        from xorq_spark.operators.prefix import rank_select_from_counts
+
+        from xorq_spark.operators.localframe import lit_table
+
+        tot = vc.agg(F.coalesce(F.sum("__cnt"), F.lit(0)).cast("long").alias("N"))
+        qdf = lit_table(spark, qs, "q string, num long, den long")
+        needs = qdf.crossJoin(F.broadcast(tot)).select(
+            "q", F.expr("(num * N + den - 1) div den").cast("long").alias("need")
+        )
+        exq = rank_select_from_counts(
+            vc.groupBy("v").agg(F.sum("__cnt").alias("c")),
+            needs,
+        ).select("q", F.col("exact").cast("long").alias("exact"))
+        out = (
+            est.join(est_m, F.col("q") == F.col("__qm"))
+            .join(exq, "q")
+            .select(
+                "q",
+                "est_lo",
+                "est_hi",
+                "est_lo_merged",
+                "exact",
+                (
+                    (F.col("est_lo") <= F.col("exact"))
+                    & (F.col("exact") <= F.col("est_hi"))
+                ).alias("contains_exact"),
+                (
+                    (F.col("est_hi") - F.col("est_lo") + 1)
+                    <= F.greatest(F.expr("shiftright(est_lo, 4)"), F.lit(1))
+                ).alias("within_rel_bound"),
+            )
+            # pinned_order: freezes the statically-compiled tail and
+            # spares the 4-row sort's sampling re-run (XORQ_PIN_ORDER=0
+            # exposes the full plan for the plan-shape tests)
+            .transform(pinned_order, "q")
+        )
+    return out
 
 
 @query(

@@ -887,40 +887,60 @@ def text_mixture_plan(spark, sf_dir):
     from xorq_spark.functions.sampling import plan_mixture
     from xorq_spark.functions.text import bpe_token_count
 
+    from xorq_spark.session import static_compile
+
     docs = t(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", "source", bpe_token_count(F.col("text")).alias("n_tokens")
-    )
+    # the tokenize pass has THREE consumers (budget aggregate, the
+    # planner's per-source sums, the hash-filter realization): pin it
+    # once — the budget collect materializes it anyway
+    toks = widen(
+        docs.select(
+            "doc_id",
+            "source",
+            bpe_token_count(F.col("text")).alias("n_tokens"),
+        )
+    ).localCheckpoint(eager=True)
     # budget derived from the corpus (bounded single-row aggregate) so
     # the same query exercises saturation at every scale factor
     total = toks.agg(F.sum("n_tokens")).collect()[0][0]
     budget = 2 * int(total or 0) // 5  # empty corpus sums to NULL
-    plan, sampled = plan_mixture(
-        toks,
-        source_col="source",
-        token_col="n_tokens",
-        weights=dict(_MIX_WEIGHTS),
-        token_budget=budget,
-    )
-    realized = sampled.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.sum("n_tokens").alias("tokens_kept"),
-        F.sum("doc_id").alias("id_sum"),
-    )
-    return (
-        plan.join(realized, "source", "left")
-        .select(
-            "source",
-            F.col("wgt").cast("long").alias("wgt"),
-            F.col("tokens_avail").cast("long").alias("tokens_avail"),
-            F.col("tokens_target").cast("long").alias("tokens_target"),
-            F.col("keep_buckets").cast("long").alias("keep_buckets"),
-            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-            F.coalesce(F.col("tokens_kept"), F.lit(0)).cast("long").alias("tokens_kept"),
-            F.coalesce(F.col("id_sum"), F.lit(0)).cast("long").alias("id_sum"),
+    # everything downstream runs on the pinned frame or the bounded
+    # 20-source planning frames: compile statically (the HDR-readout
+    # pattern; under AQE this tail was ~14 driver-round-trip micro-jobs)
+    with static_compile(spark):
+        plan, sampled = plan_mixture(
+            toks,
+            source_col="source",
+            token_col="n_tokens",
+            weights=dict(_MIX_WEIGHTS),
+            token_budget=budget,
         )
-        .orderBy("source")
-    )
+        realized = sampled.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        out = (
+            plan.join(realized, "source", "left")
+            .select(
+                "source",
+                F.col("wgt").cast("long").alias("wgt"),
+                F.col("tokens_avail").cast("long").alias("tokens_avail"),
+                F.col("tokens_target").cast("long").alias("tokens_target"),
+                F.col("keep_buckets").cast("long").alias("keep_buckets"),
+                F.coalesce(F.col("n_kept"), F.lit(0))
+                .cast("long")
+                .alias("n_kept"),
+                F.coalesce(F.col("tokens_kept"), F.lit(0))
+                .cast("long")
+                .alias("tokens_kept"),
+                F.coalesce(F.col("id_sum"), F.lit(0))
+                .cast("long")
+                .alias("id_sum"),
+            )
+            .transform(pinned_order, "source")
+        )
+    return out
 
 
 @query(

@@ -159,6 +159,34 @@ def options() -> dict:
     }
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def static_compile(spark):
+    """Compile a bounded subplan with AQE OFF (guide §1.2 order note:
+    config after algorithm). Under AQE every exchange becomes its own
+    query-stage JOB; when a section's frames are bounded/hand-
+    partitioned by construction, runtime re-planning contributes only
+    per-stage driver round-trips (pagerank profiled as 36 sequential
+    micro-jobs). A lazy localCheckpoint created inside this scope
+    freezes the statically-compiled RDD chain, so the later action
+    executes it as ONE job chain. Scope sections ONLY where every
+    frame is bounded or already partition-fitted; leave scans and
+    data-sized joins under AQE (skew split / coalesce). Override with
+    XORQ_SPARK_GRAPH_ROUNDS_AQE=true (restores adaptive everywhere
+    this scope is used)."""
+    key = "spark.sql.adaptive.enabled"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(
+            key, os.environ.get("XORQ_SPARK_GRAPH_ROUNDS_AQE", "false")
+        )
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 class SessionConfig:
     """Named bundle of session conf overrides (reference: SessionConfig,
     internal.py — DataFusion's session config object passed to
