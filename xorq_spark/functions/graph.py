@@ -38,6 +38,25 @@ DEFAULT_SCALE = 10**12
 from xorq_spark.session import static_compile as _static_rounds
 
 
+def _widen_scan(df: DataFrame) -> DataFrame:
+    """Rebalance an under-parallel stream to cluster width before an
+    edge-distinct whose INPUT carries real upstream compute (round 9).
+    Used by triangle_counts only: its pair stream comes from the
+    o-keyed self-join, so parallelizing the partial distinct pays
+    (interleaved A/B: min 3.10 -> 2.82 s). On the plain-scan preambles
+    (pagerank/LPA/kcore) the same rebalance measured 10-18% SLOWER —
+    there the extra exchange buys nothing — and was reverted. Scale-
+    conditional like queries.base.widen: a no-op whenever the stream is
+    already at cluster parallelism. XORQ_GRAPH_WIDEN_DISTINCT=0
+    disables (A/B hook)."""
+    if os.environ.get("XORQ_GRAPH_WIDEN_DISTINCT", "1") == "0":
+        return df
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
+
+
 def _sanitize_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
     """Shared edge-list preamble (same as pagerank/bfs_hops/hits):
     cast endpoints to long, drop null and self-loop edges, distinct —
@@ -334,16 +353,13 @@ def triangle_counts(
     Returns (node, degree, n_triangles, clustering_coef_e9), one row
     per node of the canonicalized graph.
     """
-    e0 = (
-        edges.select(
-            F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("u"),
-            F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("v"),
-        )
-        .where(F.col("u").isNotNull() & F.col("v").isNotNull())
-        .where(F.col("u") < F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e0 = edges.select(
+        F.least(F.col(src).cast("long"), F.col(dst).cast("long")).alias("u"),
+        F.greatest(F.col(src).cast("long"), F.col(dst).cast("long")).alias("v"),
+    ).where(F.col("u").isNotNull() & F.col("v").isNotNull()).where(
+        F.col("u") < F.col("v")
     )
+    e0 = _widen_scan(e0).distinct().localCheckpoint(eager=True)
     # One synchronous barrier for the whole operator: the broadcast
     # gate needs the edge count NOW, and |o| == |e0| by construction
     # (o inner-joins e0 against its own degree table, which contains

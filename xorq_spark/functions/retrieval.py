@@ -331,6 +331,24 @@ def mmr_rerank(
         .localCheckpoint(eager=True)
     )
 
+    # Every frame below is candidates-sized (queries x top-k) with
+    # broadcast attach joins — AQE has nothing to adapt, and under it
+    # the 4 unrolled rounds executed as ~40 sequential micro-jobs
+    # (driver round-trips, not compute). Compile the rounds statically
+    # (session.static_compile; the pagerank/HDR-readout pattern). The
+    # corpus-touching c0 join above stays under AQE.
+    from xorq_spark.session import static_compile
+
+    with static_compile(candidates.sparkSession):
+        sel = _mmr_rounds(c0, q, i, rounds)
+    return sel.select(q, i, "mmr_rank", "mmr_score")
+
+
+def _mmr_rounds(c0, q, i, rounds):
+    from pyspark.sql import Window
+
+    from xorq_spark.functions.similarity import _dot
+
     rn1 = F.row_number().over(
         Window.partitionBy(q).orderBy(F.desc("__rel"), F.col(i))
     )
@@ -404,4 +422,4 @@ def mmr_rerank(
         # round's first broadcast job instead of being its own
         # synchronous driver round-trip (the pagerank precedent).
         sel = sel.unionByName(pick).localCheckpoint(eager=False)
-    return sel.select(q, i, "mmr_rank", "mmr_score")
+    return sel

@@ -87,9 +87,18 @@ def widen(df: DataFrame) -> DataFrame:
     a single core no matter how many are free. A round-robin
     repartition moves the rows once — cheap relative to the compute —
     and restores full parallelism. Row-preserving, so oracle results
-    are unaffected. At real scale, many files give parallel splits
-    already and this is a no-op-cost rebalance."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    are unaffected.
+
+    Scale-conditional (round 9): a repartition is NOT free at scale —
+    it shuffles every projected row — so when the input already scans
+    at cluster parallelism (the normal many-split case at real data
+    sizes) this is a true no-op and the plan is returned unchanged.
+    Only an under-parallel scan (fewer splits than cores) pays the
+    rebalance, which is exactly when it wins."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par)
 
 
 def pinned_order(df: DataFrame, *cols) -> DataFrame:
