@@ -398,7 +398,10 @@ def text_chunks(spark, sf_dir):
             "n_chunk_tokens",
             F.md5("chunk_text").alias("chunk_hash"),
         )
-        .transform(pinned_order, "doc_id", "chunk_id")
+        # pinned_order measured flat-to-negative here (8-pass A/B
+        # 0.90 vs 0.96 min): chunking MULTIPLIES rows, so the pin
+        # stores more than the sampler re-computes — left unpinned
+        .orderBy("doc_id", "chunk_id")
     )
 
 
