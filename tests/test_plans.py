@@ -26,11 +26,15 @@ def _plan_unpinned(spark, name: str) -> str:
     form (the pin is row- and order-preserving by construction)."""
     import os
 
+    prev = os.environ.get("XORQ_PIN_ORDER")
     os.environ["XORQ_PIN_ORDER"] = "0"
     try:
         return _plan(spark, name)
     finally:
-        os.environ.pop("XORQ_PIN_ORDER", None)
+        if prev is None:
+            os.environ.pop("XORQ_PIN_ORDER", None)
+        else:
+            os.environ["XORQ_PIN_ORDER"] = prev
 
 
 def test_q6_pushdown_and_pruning(spark):

@@ -241,14 +241,15 @@ def minhash_lsh_pairs(
     # first — the shuffle moves raw text once, far cheaper than
     # single-threading the hash work. (At real scale, many files already
     # give parallel splits and this repartition is a cheap rebalance.)
-    par = df.sparkSession.sparkContext.defaultParallelism
+    from xorq_spark.operators.partitioning import widen as _widen
+
     # Materialize the shingle-set frame ONCE (lazy checkpoint): the
     # banding pass and BOTH verify joins consume it — without the pin
     # each of the three re-scans the corpus and re-runs the
     # shingle+distinct pipeline (guide §2.4). The band join still
     # carries only (id, band, digest) rows; at cluster scale persist
     # this frame MEMORY_AND_DISK instead.
-    sets = df.repartition(par).select(
+    sets = _widen(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
     ).localCheckpoint(eager=False)
@@ -307,8 +308,9 @@ def minhash_lsh_eval(
     if not (0 < num <= den):
         raise ValueError("threshold must be a rational in (0, 1]")
     rows_per_band = num_hashes // bands
-    par = df.sparkSession.sparkContext.defaultParallelism
-    sets = df.repartition(par).select(
+    from xorq_spark.operators.partitioning import widen as _widen
+
+    sets = _widen(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), k)).alias("__sh"),
     )
@@ -1432,10 +1434,11 @@ def exact_substring_spans(
     # rebalance the raw docs first (measured: checkpoint write 2.3s ->
     # 0.4s at sf0.1; at real scale many input splits make this a
     # no-op-cost rebalance).
-    par = df.sparkSession.sparkContext.defaultParallelism
-    base = df.where(
+    from xorq_spark.operators.partitioning import widen as _widen
+
+    base = _widen(df.where(
         F.col(text_col).isNotNull() & (F.length(text_col) >= L)
-    ).repartition(par)
+    ))
     # explode the position range FIRST, hash per exploded row: building
     # a transform() array of (i, digest) structs and exploding it
     # materializes the whole per-doc gram array — measured 11x slower

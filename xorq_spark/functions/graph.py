@@ -47,14 +47,16 @@ def _widen_scan(df: DataFrame) -> DataFrame:
     (pagerank/LPA/kcore) the same rebalance measured 10-18% SLOWER —
     there the extra exchange buys nothing — and was reverted. Scale-
     conditional like queries.base.widen: a no-op whenever the stream is
-    already at cluster parallelism. XORQ_GRAPH_WIDEN_DISTINCT=0
-    disables (A/B hook)."""
+    already at cluster parallelism (split count derived from scan file
+    sizes — round 10: the former .rdd probe forced physical planning
+    and, under AQE, eagerly executed exchange-bearing inputs' upstream
+    stages; derived/non-file inputs are treated as wide).
+    XORQ_GRAPH_WIDEN_DISTINCT=0 disables (A/B hook)."""
     if os.environ.get("XORQ_GRAPH_WIDEN_DISTINCT", "1") == "0":
         return df
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
+    from xorq_spark.operators.partitioning import widen as _widen
+
+    return _widen(df)
 
 
 def _sanitize_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
@@ -376,112 +378,118 @@ def triangle_counts(
     # pagerank/_static_rounds finding; interleaved A/B 3.02 -> 2.79 s).
     # Above the bound the t-keyed shuffle join KEEPS AQE for its skew
     # split of a celebrity sink node.
+    # Exception-safe conf scope (round 10, ADVICE): an AnalysisException
+    # while building deg/o/adj/pairs must still restore
+    # spark.sql.adaptive.enabled on the shared session — try/finally,
+    # like every other _static_rounds call site's `with` form.
     _static = None
     if m_edges <= int(broadcast_edge_bound):
         from contextlib import ExitStack
 
         _static = ExitStack()
         _static.enter_context(_static_rounds(edges.sparkSession))
-    deg = (
-        e0.select(F.col("u").alias("node"))
-        .union(e0.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("degree"))
-        .localCheckpoint(eager=False)
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
-    lower_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    o = (
-        e0.join(du, "u")
-        .join(dv, "v")
-        .select(
-            F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
-            F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
-            F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+    try:
+        deg = (
+            e0.select(F.col("u").alias("node"))
+            .union(e0.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .localCheckpoint(eager=False)
         )
-        .localCheckpoint(eager=False)
-    )
-    # Out-neighbor arrays sorted in ORIENTATION order (degree, id) —
-    # each O(sqrt(m)) by orientation. Each triangle x<y<z (orientation
-    # order) is found exactly once: on its lowest-mid edge (x, y), as
-    # z ∈ A(x) ∩ A(y). Checkpointed because both the posexplode pass
-    # and the t-side attach consume it.
-    adj = (
-        o.groupBy("s")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dt", "t"))),
-                lambda x: x["t"],
-            ).alias("ns")
+        du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+        dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+        lower_first = (F.col("du") < F.col("dv")) | (
+            (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
         )
-        .localCheckpoint(eager=False)
-    )
-    # Below the bound the adjacency table (~edge-list volume in total
-    # array cells) broadcasts and the t-side attach is a map-side hash
-    # lookup — nothing superlinear ever crosses the wire. Above it the
-    # t-keyed shuffle plan stands: correct at any scale, AQE
-    # skew-splits the attach of a celebrity sink node.
-    bc = m_edges <= int(broadcast_edge_bound)
-    a2 = adj.select(F.col("s").alias("__a2"), F.col("ns").alias("__ns_t"))
-    if bc:
-        a2 = F.broadcast(a2)
-    # Each adjacency row regenerates its own oriented edges: position i
-    # holds t = A(s)[i], and the only s-side candidates for closing
-    # corners are the suffix AFTER i (everything ≤ t in orientation
-    # order cannot be in A(t)) — so the suffix is cut in-row BEFORE
-    # anything is shuffled.
-    pairs = (
-        adj.select("s", "ns", F.posexplode("ns").alias("__i", "t"))
-        .select(
-            "s",
-            "t",
-            F.expr("slice(ns, __i + 2, size(ns))").alias("__ssuf"),
+        o = (
+            e0.join(du, "u")
+            .join(dv, "v")
+            .select(
+                F.when(lower_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+                F.when(lower_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+                F.when(lower_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+            )
+            .localCheckpoint(eager=False)
         )
-        .join(a2, F.col("t") == F.col("__a2"), "left")
-        .select(
-            "s",
-            "t",
-            F.array_intersect(
-                F.col("__ssuf"),
-                F.coalesce(F.col("__ns_t"), F.expr("array()").cast("array<bigint>")),
-            ).alias("__common"),
+        # Out-neighbor arrays sorted in ORIENTATION order (degree, id) —
+        # each O(sqrt(m)) by orientation. Each triangle x<y<z (orientation
+        # order) is found exactly once: on its lowest-mid edge (x, y), as
+        # z ∈ A(x) ∩ A(y). Checkpointed because both the posexplode pass
+        # and the t-side attach consume it.
+        adj = (
+            o.groupBy("s")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dt", "t"))),
+                    lambda x: x["t"],
+                ).alias("ns")
+            )
+            .localCheckpoint(eager=False)
         )
-    )
-    # ONE pass over the per-edge results: s and t each take the edge's
-    # triangle count, every closing corner z takes 1. (A 3-branch union
-    # would re-execute the attach pipeline once per branch.)
-    cnt = (
-        pairs.select(
-            F.explode(
-                F.concat(
-                    F.array(
-                        F.struct(
-                            F.col("s").alias("node"),
-                            F.size("__common").cast("long").alias("c"),
+        # Below the bound the adjacency table (~edge-list volume in total
+        # array cells) broadcasts and the t-side attach is a map-side hash
+        # lookup — nothing superlinear ever crosses the wire. Above it the
+        # t-keyed shuffle plan stands: correct at any scale, AQE
+        # skew-splits the attach of a celebrity sink node.
+        bc = m_edges <= int(broadcast_edge_bound)
+        a2 = adj.select(F.col("s").alias("__a2"), F.col("ns").alias("__ns_t"))
+        if bc:
+            a2 = F.broadcast(a2)
+        # Each adjacency row regenerates its own oriented edges: position i
+        # holds t = A(s)[i], and the only s-side candidates for closing
+        # corners are the suffix AFTER i (everything ≤ t in orientation
+        # order cannot be in A(t)) — so the suffix is cut in-row BEFORE
+        # anything is shuffled.
+        pairs = (
+            adj.select("s", "ns", F.posexplode("ns").alias("__i", "t"))
+            .select(
+                "s",
+                "t",
+                F.expr("slice(ns, __i + 2, size(ns))").alias("__ssuf"),
+            )
+            .join(a2, F.col("t") == F.col("__a2"), "left")
+            .select(
+                "s",
+                "t",
+                F.array_intersect(
+                    F.col("__ssuf"),
+                    F.coalesce(F.col("__ns_t"), F.expr("array()").cast("array<bigint>")),
+                ).alias("__common"),
+            )
+        )
+        # ONE pass over the per-edge results: s and t each take the edge's
+        # triangle count, every closing corner z takes 1. (A 3-branch union
+        # would re-execute the attach pipeline once per branch.)
+        cnt = (
+            pairs.select(
+                F.explode(
+                    F.concat(
+                        F.array(
+                            F.struct(
+                                F.col("s").alias("node"),
+                                F.size("__common").cast("long").alias("c"),
+                            ),
+                            F.struct(
+                                F.col("t").alias("node"),
+                                F.size("__common").cast("long").alias("c"),
+                            ),
                         ),
-                        F.struct(
-                            F.col("t").alias("node"),
-                            F.size("__common").cast("long").alias("c"),
+                        F.transform(
+                            "__common",
+                            lambda z: F.struct(
+                                z.alias("node"), F.lit(1).cast("long").alias("c")
+                            ),
                         ),
-                    ),
-                    F.transform(
-                        "__common",
-                        lambda z: F.struct(
-                            z.alias("node"), F.lit(1).cast("long").alias("c")
-                        ),
-                    ),
-                )
-            ).alias("__x")
+                    )
+                ).alias("__x")
+            )
+            .select(F.col("__x.node").alias("node"), F.col("__x.c").alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("n_triangles"))
         )
-        .select(F.col("__x.node").alias("node"), F.col("__x.c").alias("c"))
-        .groupBy("node")
-        .agg(F.sum("c").alias("n_triangles"))
-    )
-    if _static is not None:
-        _static.close()
+    finally:
+        if _static is not None:
+            _static.close()
     return (
         deg.join(cnt, "node", "left")
         .select(
@@ -573,6 +581,16 @@ def kcore(
     # with zero exchanges per round AQE has only per-stage driver
     # round-trips to contribute). Above the bound the shuffle rounds
     # keep AQE for its runtime SMJ->SHJ conversion, unchanged.
+    #
+    # Driver-memory requirement (round 10, ADVICE): each peel round
+    # broadcasts the survivor set — up to 2m node ids at the bound,
+    # i.e. ~8M longs ≈ 256 MB as a built broadcast relation at the 4M
+    # default, held on the driver AND every executor until GC across
+    # `rounds` rounds. Size the driver accordingly (the bench runs
+    # 24 g; check_oracle 12 g) or LOWER the bound on small drivers:
+    # a default-1g driver calling kcore near the bound will OOM in the
+    # broadcast build. The gate is on edges because the node count is
+    # not known without an extra count barrier; 2m is the worst case.
     bc = m <= int(os.environ.get("XORQ_SPARK_KCORE_BC_EDGES", "4000000"))
     try:
         spark.conf.set(conf_key, str(fit))

@@ -373,7 +373,7 @@ def dsir_score(
         return F.round(F.log(x) * F.lit(1e9), 0).cast("long")
 
     spark = df.sparkSession
-    par = spark.sparkContext.defaultParallelism
+    from xorq_spark.operators.partitioning import widen as _widen
 
     # STAGE the token array in its own projection before any lambda
     # touches it: feeding the _toks() EXPRESSION into _feats' lambdas
@@ -389,7 +389,7 @@ def dsir_score(
         # materialized raw stream instead of re-tokenizing the slice
         # (guide §2.4: identical tokens, one fewer corpus pass).
         raw_occ = (
-            df.repartition(par)
+            _widen(df)
             .select(
                 F.col(id_col).alias("__id"),
                 target_pred.alias("__tgt"),
@@ -404,7 +404,7 @@ def dsir_score(
         tgt_occ = raw_occ.where(F.col("__tgt"))
     else:
         tgt_occ = (
-            target_df.repartition(par)
+            _widen(target_df)
             .select(_toks(text_col).alias("__t"))
             .select(F.explode(_feats(F.col("__t"))).alias("__feat"))
             .select(_bucket(F.col("__feat")).alias("__b"))
@@ -413,7 +413,7 @@ def dsir_score(
         # pattern): the bucket-count aggregate and the scoring join
         # both consume it
         raw_occ = (
-            df.repartition(par)
+            _widen(df)
             .select(F.col(id_col).alias("__id"), _toks(text_col).alias("__t"))
             .select("__id", F.explode(_feats(F.col("__t"))).alias("__feat"))
             .select("__id", _bucket(F.col("__feat")).alias("__b"))

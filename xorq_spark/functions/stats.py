@@ -436,12 +436,17 @@ def bootstrap_mean_ci(
     # serializes it (measured 5.5 CPU-s on 3 input splits at sf0.1;
     # interleaved A/B 3.01 -> 2.09 s). Weights are a pure function of
     # (seed, b, key) and the folds are commutative sums, so row
-    # placement cannot change any value.
+    # placement cannot change any value. Scale-conditional (round 10):
+    # at real data sizes the scan already produces cluster-width splits
+    # and the rebalance is a plan no-op — an unconditional repartition
+    # would shuffle every row at 100 TB for nothing.
+    from xorq_spark.operators.partitioning import widen as _widen
+
     d = df.select(
         F.col(value_col).cast("long").alias("__x"),
         F.col(key_col).cast("string").alias("__k"),
     ).where(F.col("__x").isNotNull() & F.col("__k").isNotNull())
-    d = d.repartition(d.sparkSession.sparkContext.defaultParallelism)
+    d = _widen(d)
     two = d.select(
         "__x",
         F.expr(f"md5(concat('{seed}|', __k))").alias("__dig"),

@@ -94,11 +94,17 @@ def widen(df: DataFrame) -> DataFrame:
     at cluster parallelism (the normal many-split case at real data
     sizes) this is a true no-op and the plan is returned unchanged.
     Only an under-parallel scan (fewer splits than cores) pays the
-    rebalance, which is exactly when it wins."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= par:
-        return df
-    return df.repartition(par)
+    rebalance, which is exactly when it wins.
+
+    Round 10: the split count is derived from the scan's file sizes
+    (operators.partitioning.scan_splits) instead of probing
+    ``df.rdd.getNumPartitions()`` — the RDD probe forced a physical
+    planning pass per call and, under AQE, eagerly executed the
+    upstream stages of any exchange-bearing input. Non-file inputs are
+    treated as already wide (the scale-safe default)."""
+    from xorq_spark.operators.partitioning import widen as _widen
+
+    return _widen(df)
 
 
 def pinned_order(df: DataFrame, *cols) -> DataFrame:

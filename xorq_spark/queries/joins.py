@@ -6,7 +6,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from xorq_spark.operators import asof_join, positional_join
-from xorq_spark.queries.base import pinned_order, query, t, as_double, widen
+from xorq_spark.queries.base import query, t, as_double, widen
 
 
 @query(

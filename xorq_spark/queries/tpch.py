@@ -311,11 +311,26 @@ def q18(spark, sf_dir):
     # lineitem is consumed twice ((orderkey, qty) only, both times):
     # once by the HAVING aggregate, once as the join probe. Pin the
     # 2-column projection so the fact scan runs once per invocation
-    # (profiled: two 0.4-0.5 s scan stages -> one).
+    # (profiled: two 0.4-0.5 s scan stages -> one). Round 10: the pin
+    # is gated on a scan-size budget (like kcore's broadcast gate) —
+    # localCheckpointing a projection of the LARGEST fact table trades
+    # a second column-pruned scan for a full materialization, which
+    # loses at 100 TB (and per localCheckpoint semantics sacrifices
+    # fault tolerance of that span). Default budget 256 MiB; above it
+    # (or when the input isn't a statable file scan) the plan keeps
+    # twin pruned scans. XORQ_PIN_ORDER=0 still disables outright.
     import os
 
+    from xorq_spark.operators.partitioning import scan_bytes
+
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    if os.environ.get("XORQ_PIN_ORDER", "1") != "0":  # shared A/B hook
+    budget = int(os.environ.get("XORQ_PIN_FACT_BYTES", str(256 * 1024 * 1024)))
+    sz = scan_bytes(li)
+    if (
+        os.environ.get("XORQ_PIN_ORDER", "1") != "0"  # shared A/B hook
+        and sz is not None
+        and sz <= budget
+    ):
         li = li.localCheckpoint(eager=False)
     qty = F.col("l_quantity").cast(_PRICE)
     big = (

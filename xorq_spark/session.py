@@ -30,21 +30,37 @@ def _default_parallelism() -> int:
     return os.cpu_count() or 8
 
 
-def _fast_local_dir() -> str:
+def _fast_local_dir(master: Optional[str] = None) -> str:
     """Scratch dir for shuffle/checkpoint blocks: XORQ_SPARK_LOCAL_DIR
     if set (empty string = leave Spark's default), else tmpfs when the
-    host has one, else '' (Spark default)."""
+    host has one AND the master is local[*], else '' (Spark default).
+
+    The tmpfs default is gated on local mode (round 10): on a real
+    cluster /dev/shm exists too but is RAM-bounded (typically half of
+    memory) — at 100 TB shuffle volumes it would fill and fail the
+    stage while silently competing with executor memory. Cluster
+    deployments point spark.local.dir at their NVMe scratch mount as
+    usual, or opt IN via XORQ_SPARK_LOCAL_DIR."""
     env = os.environ.get("XORQ_SPARK_LOCAL_DIR")
     if env is not None:
         return env
+    if master is not None and not master.startswith("local"):
+        return ""
     shm = "/dev/shm"
     if os.path.isdir(shm) and os.access(shm, os.W_OK):
         return os.path.join(shm, "xorq_spark_local")
     return ""
 
 
-def options() -> dict:
-    """Session conf applied at connect() time (all safe at 100 TB scale)."""
+def options(master: Optional[str] = None) -> dict:
+    """Session conf applied at connect() time (all safe at 100 TB scale).
+
+    `master` gates the local-sandbox-only defaults (tmpfs scratch);
+    defaults to XORQ_SPARK_MASTER or local mode, matching connect()."""
+    if master is None:
+        master = os.environ.get(
+            "XORQ_SPARK_MASTER", f"local[{_default_parallelism()}]"
+        )
     par = _default_parallelism()
     shuffle = os.environ.get("XORQ_SPARK_SHUFFLE_PARTITIONS", str(max(par, 32)))
     return {
@@ -116,8 +132,8 @@ def options() -> dict:
         # /dev/shm is absent. Shuffle volumes here are MBs; a cluster
         # deployment sizes its scratch mount to the workload as usual.
         **(
-            {"spark.local.dir": _fast_local_dir()}
-            if _fast_local_dir()
+            {"spark.local.dir": _fast_local_dir(master)}
+            if _fast_local_dir(master)
             else {}
         ),
         # Sort-based shuffle writer for every shuffle wider than 8
@@ -148,7 +164,9 @@ def options() -> dict:
         "spark.sql.maxPlanStringLength": os.environ.get(
             "XORQ_SPARK_MAX_PLAN_STRING", "4194304"
         ),
-        "spark.sql.ui.retainedExecutions": "100",
+        "spark.sql.ui.retainedExecutions": os.environ.get(
+            "XORQ_SPARK_UI_RETAINED_EXECUTIONS", "100"
+        ),
         # Generated-class cache: the default 100 entries thrashes on
         # multi-round iterative plans (MMR's 4 unrolled rounds alone
         # mint ~150 classes), forcing a full Janino recompile of every
@@ -216,7 +234,7 @@ def connect(master: Optional[str] = None, spark: Optional[SparkSession] = None,
     overrides = dict(extra_conf or {})
     if session_config is not None:
         overrides.update(session_config.conf)
-    for k, v in options().items():
+    for k, v in options(master).items():
         builder = builder.config(k, v)
     for k, v in overrides.items():
         builder = builder.config(k, v)
