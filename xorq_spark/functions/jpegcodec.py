@@ -311,6 +311,87 @@ def _fdct(block) -> List[float]:
     return out
 
 
+# Batched DCT (round 10, guide §4.2): the scalar _fdct/_idct dominated
+# the codec queries' Python-worker CPU (profiled: 0.93 s of the 1.49 s
+# jpeg-progressive fixture pipeline at sf0.1). The *_many forms run the
+# SAME arithmetic with numpy where the vector axis is the BLOCK index:
+# per output coefficient the accumulation order over (x, y) / (u, v)
+# and the multiply order ((value * c1) * c2) are exactly the scalar
+# loops', so every IEEE-754 intermediate — and therefore every rounded
+# output — is bit-identical to the scalar path (pinned by
+# tests/test_jpegcodec.py). numpy is optional: without it (or for a
+# single block, where vector overhead loses) the scalar loop runs.
+# The scalar _idct's zero-skips (`if c == 0.0` / `if w`) only elide
+# +/-0.0 terms, which cannot change any finite accumulation's rounded
+# value, so the batched form may include them.
+try:
+    import numpy as _np
+
+    _COS_NP = None  # built lazily: _COS rows, float64, (8, 8) [x][u]
+except ImportError:  # pragma: no cover - numpy ships with pyspark
+    _np = None
+    _COS_NP = None
+
+
+def _cos_np():
+    global _COS_NP
+    if _COS_NP is None:
+        _COS_NP = _np.asarray(_COS, dtype=_np.float64)
+    return _COS_NP
+
+
+def _fdct_many_np(blocks):
+    """(n, 64) float64 DCT coefficients for n blocks; see batching note."""
+    B = _np.asarray(blocks, dtype=_np.float64)
+    C = _cos_np()
+    n = B.shape[0]
+    S = _np.zeros((n, 8, 8))
+    for x in range(8):
+        cu = C[x]
+        for y in range(8):
+            # ((pixel * cu) * cv), accumulated in _fdct's (x, y) order
+            t = B[:, x * 8 + y, None] * cu[None, :]
+            S += t[:, :, None] * C[y][None, None, :]
+    return S.reshape(n, 64)
+
+
+def _fdct_quant_many(raw_blocks, q) -> List[List[int]]:
+    """fdct + zigzag quantization for many blocks — bit-identical to
+    per-block `_fdct` + `int(round(coef[ZIGZAG[i]] / q[ZIGZAG[i]]))`
+    (same single IEEE division; np.rint and Python round are both
+    round-half-even)."""
+    if _np is None or len(raw_blocks) < 2:
+        out = []
+        for b in raw_blocks:
+            coef = _fdct(b)
+            out.append(
+                [int(round(coef[ZIGZAG[i]] / q[ZIGZAG[i]])) for i in range(64)]
+            )
+        return out
+    S = _fdct_many_np(raw_blocks)
+    zz = _np.asarray(ZIGZAG)
+    qz = _np.asarray([q[ZIGZAG[i]] for i in range(64)], dtype=_np.float64)
+    return _np.rint(S[:, zz] / qz).astype(_np.int64).tolist()
+
+
+def _idct_many(coefs) -> List[List[int]]:
+    """Batched _idct: list of 64-int pixel rows per block; see note."""
+    if _np is None or len(coefs) < 2:
+        return [_idct(c) for c in coefs]
+    W = _np.asarray(coefs, dtype=_np.float64)
+    C = _cos_np()
+    n = W.shape[0]
+    S = _np.zeros((n, 8, 8))  # (block, x, y)
+    for u in range(8):
+        cx = C[:, u]
+        for v in range(8):
+            # ((w * c) * cy), accumulated in _idct's (u, v) order
+            t = W[:, u * 8 + v, None] * cx[None, :]
+            S += t[:, :, None] * C[:, v][None, None, :]
+    P = _np.rint(S).astype(_np.int64) + 128
+    return _np.clip(P, 0, 255).reshape(n, 64).tolist()
+
+
 def _idct(coef) -> List[int]:
     out = [0] * 64
     for x in range(8):
@@ -380,22 +461,31 @@ def jpeg_encode(
     w = _BitWriter()
     pred = [0] * channels
     bw, bh = (width + 7) // 8, (height + 7) // 8
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(channels):
-                tsel = 0 if ci == 0 else 1
-                plane, q = planes[ci], qt[tsel]
+    # Batched DCT+quant per component (round 10, guide §4.2): blocks
+    # are extracted in the same (by, bx) raster order the 1x1-sampled
+    # MCU writer below consumes, transformed in one vectorized pass
+    # (bit-identical to per-block _fdct + round — see _fdct_quant_many),
+    # then the entropy loop just looks them up.
+    comp_zz: List[List[List[int]]] = []
+    for ci in range(channels):
+        tsel = 0 if ci == 0 else 1
+        plane, q = planes[ci], qt[tsel]
+        raw = []
+        for by in range(bh):
+            for bx in range(bw):
                 block = [0] * 64
                 for yy in range(8):
                     sy = min(by * 8 + yy, height - 1)
                     for xx in range(8):
                         sx = min(bx * 8 + xx, width - 1)
                         block[yy * 8 + xx] = plane[sy * width + sx]
-                coef = _fdct(block)
-                zz = [
-                    int(round(coef[ZIGZAG[i]] / q[ZIGZAG[i]]))
-                    for i in range(64)
-                ]
+                raw.append(block)
+        comp_zz.append(_fdct_quant_many(raw, q))
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(channels):
+                tsel = 0 if ci == 0 else 1
+                zz = comp_zz[ci][by * bw + bx]
                 diff = zz[0] - pred[ci]
                 pred[ci] = zz[0]
                 t, code = _magnitude(diff)
@@ -587,6 +677,8 @@ def _decode_scan(
     r = _BitReader(data, pos)
     pred = [0] * len(comps)
     mcu_count = 0
+    pending = []  # (scan-component index, px, py, dequantized coefs)
+    comps_by_ci = [s[0] for s in scan]
     for my in range(mcuy):
         for mx in range(mcux):
             if restart and mcu_count and mcu_count % restart == 0:
@@ -623,15 +715,18 @@ def _decode_scan(
                         for i in range(64):
                             if zz[i]:
                                 coef[ZIGZAG[i]] = zz[i] * q[ZIGZAG[i]]
-                        blk = _idct(coef)
+                        # defer the IDCT: buffer (component, position,
+                        # coefficients) and run ONE batched pass after
+                        # the entropy loop (bit-identical; round 10)
                         px = (mx * c["h"] + bx) * 8
                         py = (my * c["v"] + by) * 8
-                        plane, pw = planes[ci], c["pw"]
-                        for yy in range(8):
-                            row = (py + yy) * pw + px
-                            plane[row : row + 8] = bytes(
-                                blk[yy * 8 : yy * 8 + 8]
-                            )
+                        pending.append((ci, px, py, coef))
+    blks = _idct_many([p[3] for p in pending])
+    for (ci, px, py, _coef), blk in zip(pending, blks):
+        plane, pw = planes[ci], comps_by_ci[ci]["pw"]
+        for yy in range(8):
+            row = (py + yy) * pw + px
+            plane[row : row + 8] = bytes(blk[yy * 8 : yy * 8 + 8])
     return _planes_to_pixels(planes, comps, width, height, hmax, vmax)
 
 
@@ -892,6 +987,9 @@ def _prog_finish(prog, width, height, comps, qt):
         plane = bytearray(pw * ph)
         q = qt[c["tq"]]
         cz = prog["coefs"][ci]
+        # dequantize every block, then ONE batched IDCT pass over the
+        # component (bit-identical to per-block _idct; round 10)
+        coefs = []
         for by in range(c["bh_pad"]):
             for bx in range(c["bw_pad"]):
                 zz = cz[by * c["bw_pad"] + bx]
@@ -899,7 +997,11 @@ def _prog_finish(prog, width, height, comps, qt):
                 for i in range(64):
                     if zz[i]:
                         coef[ZIGZAG[i]] = zz[i] * q[ZIGZAG[i]]
-                blk = _idct(coef)
+                coefs.append(coef)
+        blks = _idct_many(coefs)
+        for by in range(c["bh_pad"]):
+            for bx in range(c["bw_pad"]):
+                blk = blks[by * c["bw_pad"] + bx]
                 px, py = bx * 8, by * 8
                 for yy in range(8):
                     row = (py + yy) * pw + px
@@ -1046,7 +1148,7 @@ def jpeg_encode_progressive(
     for ci in range(channels):
         tsel = 0 if ci == 0 else 1
         plane, q = planes[ci], qt[tsel]
-        blocks = []
+        raw = []
         for by in range(bh):
             for bx in range(bw):
                 block = [0] * 64
@@ -1055,14 +1157,10 @@ def jpeg_encode_progressive(
                     for xx in range(8):
                         sx = min(bx * 8 + xx, width - 1)
                         block[yy * 8 + xx] = plane[sy * width + sx]
-                coef = _fdct(block)
-                blocks.append(
-                    [
-                        int(round(coef[ZIGZAG[i]] / q[ZIGZAG[i]]))
-                        for i in range(64)
-                    ]
-                )
-        comp_blocks.append(blocks)
+                raw.append(block)
+        # one vectorized DCT+quant pass over the component's blocks
+        # (bit-identical to the former per-block loop; round 10)
+        comp_blocks.append(_fdct_quant_many(raw, q))
 
     dc_codes = [_build_codes(*DC_LUMA_SPEC), _build_codes(*DC_CHROMA_SPEC)]
     prog_ac = _build_codes(*PROG_AC_SPEC)

@@ -101,37 +101,49 @@ def _frame_length(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
     return 144 * bitrate_kbps * 1000 // sample_rate + padding
 
 
+# Deterministic 7-bit filler pattern (i*53 + 17) % 128: period 128, so
+# a frame body of any length is a prefix of the tiled pattern. MPEG-1
+# Layer III frames cap at 144*320000/32000 + 1 = 1441 bytes.
+_FILL_PATTERN = bytes((i * 53 + 17) % 128 for i in range(128)) * 12
+
+
+def _frame_fill(n: int) -> bytes:
+    if n <= len(_FILL_PATTERN):
+        return _FILL_PATTERN[:n]
+    reps = -(-n // 128)
+    return (bytes((i * 53 + 17) % 128 for i in range(128)) * reps)[:n]
+
+
 def _side_info_bytes(channels: int, granules: List[List[Dict]]) -> bytes:
     """Pack MPEG-1 Layer III side info (17 bytes mono / 32 stereo).
     Each granules[gr][ch] dict may set part23, big_values, global_gain,
-    scalefac_compress, short (bool -> window switching, block_type 2)."""
-    bw = _BitWriter()
-    bw.write(0, 9)  # main_data_begin: fixtures carry no bit reservoir
-    bw.write(0, 5 if channels == 1 else 3)  # private bits
-    for _ch in range(channels):
-        bw.write(0, 4)  # scfsi
+    scalefac_compress, short (bool -> window switching, block_type 2).
+
+    Packed as one big-int shift chain (round 10): byte-identical to the
+    former per-field _BitWriter walk — the field layout is the T.81-
+    style MSB-first concatenation either way — at a fraction of the
+    Python-worker CPU (this packer ran once per fixture frame and
+    dominated mp3_write_stream's profile). Per (gr, ch) the 59-bit
+    word is main fields (12+9+8+4), window-switching flag + block
+    layout (23 bits: short sets wsf=1, block_type=2, the fixtures'
+    remaining selects/gains zero), then 3 zero flag bits."""
+    # prefix: main_data_begin(9) + private(5|3) + scfsi(4*ch), all zero
+    bits = 9 + (5 if channels == 1 else 3) + 4 * channels
+    acc = 0
     for gr in range(2):
         for ch in range(channels):
             g = granules[gr][ch]
-            bw.write(g.get("part23", 0), 12)
-            bw.write(g.get("big_values", 0), 9)
-            bw.write(g.get("global_gain", 0), 8)
-            bw.write(g.get("scalefac_compress", 0), 4)
+            word = (
+                ((g.get("part23", 0) & 0xFFF) << 47)
+                | ((g.get("big_values", 0) & 0x1FF) << 38)
+                | ((g.get("global_gain", 0) & 0xFF) << 30)
+                | ((g.get("scalefac_compress", 0) & 0xF) << 26)
+            )
             if g.get("short"):
-                bw.write(1, 1)  # window_switching_flag
-                bw.write(2, 2)  # block_type: short
-                bw.write(0, 1)  # mixed_block_flag
-                bw.write(0, 10)  # table_select x2
-                bw.write(0, 9)  # subblock_gain x3
-            else:
-                bw.write(0, 1)
-                bw.write(0, 15)  # table_select x3
-                bw.write(0, 4)  # region0_count
-                bw.write(0, 3)  # region1_count
-            bw.write(0, 1)  # preflag
-            bw.write(0, 1)  # scalefac_scale
-            bw.write(0, 1)  # count1table_select
-    out = bw.bytes()
+                word |= (1 << 25) | (2 << 23)
+            acc = (acc << 59) | word
+            bits += 59
+    out = acc.to_bytes(bits // 8, "big")
     assert len(out) == (17 if channels == 1 else 32)
     return out
 
@@ -170,21 +182,23 @@ def mp3_write_stream(
     si_len = 17 if channels == 1 else 32
 
     def emit(bitrate_kbps: int, padding: int, si: bytes, tag: bytes = b""):
-        hdr = _BitWriter()
-        hdr.write(0x7FF, 11)  # sync
-        hdr.write(3, 2)  # MPEG-1
-        hdr.write(1, 2)  # Layer III
-        hdr.write(0 if crc else 1, 1)  # protection bit (0 = CRC present)
-        hdr.write(BITRATES_KBPS.index(bitrate_kbps), 4)
-        hdr.write(sr_idx, 2)
-        hdr.write(padding, 1)
-        hdr.write(0, 1)  # private
-        hdr.write(3 if channels == 1 else 0, 2)  # mode
-        hdr.write(0, 2)  # mode extension
-        hdr.write(0, 1)  # copyright
-        hdr.write(1, 1)  # original
-        hdr.write(0, 2)  # emphasis
-        h = hdr.bytes()
+        # 32-bit header packed directly (round 10): byte-identical to
+        # the former _BitWriter field walk — MSB-first sync(11),
+        # version(2)=MPEG-1, layer(2)=III, protection(1), bitrate(4),
+        # rate(2), padding(1), private(1), mode(2), modeext(2),
+        # copyright(1), original(1), emphasis(2).
+        hdr32 = (
+            (0x7FF << 21)
+            | (3 << 19)
+            | (1 << 17)
+            | ((0 if crc else 1) << 16)
+            | (BITRATES_KBPS.index(bitrate_kbps) << 12)
+            | (sr_idx << 10)
+            | (padding << 9)
+            | ((3 if channels == 1 else 0) << 6)
+            | (1 << 2)  # original
+        )
+        h = struct.pack(">I", hdr32)
         frame = bytearray(h)
         if crc:
             frame += struct.pack(">H", _crc16(h[2:4] + si))
@@ -194,7 +208,9 @@ def mp3_write_stream(
         body = flen - len(frame)
         if body < 0:
             raise ValueError("frame too small for side info + tag")
-        frame += bytes((i * 53 + 17) % 128 for i in range(body))
+        # filler (i*53+17) % 128 has period 128 in i: slice a
+        # precomputed pattern instead of a per-byte genexpr (round 10)
+        frame += _frame_fill(body)
         out.extend(frame)
 
     if xing_frames is not None:
@@ -307,21 +323,25 @@ def mp3_probe(payload: bytes) -> Dict:
             # tag frame carries no audio: excluded from frame stats
         else:
             bitrates.append(kbps)
-            br = _BitReader(si)
-            br.read(9)
-            br.read(5 if ch == 1 else 3)
-            br.read(4 * ch)  # scfsi
+            # side info decoded from ONE big int (round 10): identical
+            # field walk as the former bit-by-bit _BitReader — offsets
+            # advance exactly as its read() calls consumed bits
+            val = int.from_bytes(si, "big")
+            total = len(si) * 8
+            off = 9 + (5 if ch == 1 else 3) + 4 * ch
             for _gr in range(2):
                 for _c in range(ch):
-                    sum_part23 += br.read(12)
-                    br.read(9 + 8 + 4)
-                    if br.read(1):  # window switching
-                        if br.read(2) == 2:
+                    sum_part23 += (val >> (total - off - 12)) & 0xFFF
+                    off += 12 + 9 + 8 + 4
+                    wsf = (val >> (total - off - 1)) & 1
+                    off += 1
+                    if wsf:  # window switching
+                        if (val >> (total - off - 2)) & 3 == 2:
                             n_short += 1
-                        br.read(1 + 10 + 9)
+                        off += 2 + 1 + 10 + 9
                     else:
-                        br.read(15 + 4 + 3)
-                    br.read(3)
+                        off += 15 + 4 + 3
+                    off += 3
         first = False
         pos += flen
 
