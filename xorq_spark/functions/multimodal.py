@@ -148,6 +148,24 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
+def synth_then_stats(ids: DataFrame, synth_batches, stats_batches, schema) -> DataFrame:
+    """Run a fixture synth generator and its decode/probe generator as
+    ONE Python stage (round 10, guide §4.1/§8): composing the batch
+    generators keeps the synthesized payload bytes inside the worker.
+    With the chained operators every payload crossed the Arrow boundary
+    TWICE (synth out, decode in) and paid a second Python-runner stage
+    per task; fused, only id rows enter and stat rows leave. Values are
+    identical by construction — the decode generator consumes exactly
+    the pandas frames the synth generator yields (pinned by
+    tests/test_mm_fused.py). The standalone operators remain the public
+    API for real (non-synthesized) asset tables."""
+
+    def fused(it):
+        yield from stats_batches(synth_batches(it))
+
+    return ids.mapInPandas(fused, schema)
+
+
 def synth_png_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     """Deterministic PNG fixture generator: for each id, a real encoded
     PNG whose pixels follow the closed-form grid
@@ -228,9 +246,7 @@ def synth_jpeg_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     return ids.mapInPandas(batches, ASSET_SCHEMA)
 
 
-def synth_jpeg_progressive_assets(
-    ids: DataFrame, id_col: str = "asset_id"
-) -> DataFrame:
+def synth_jpeg_progressive_assets_batches(id_col: str = "asset_id"):
     """Deterministic PROGRESSIVE-JPEG fixture generator (SOF2 streams):
     for each id, a REAL progressive-encoded grayscale JPEG (DC first +
     DC refine + AC first/refine scans with EOB-run coding) of uniform
@@ -273,10 +289,15 @@ def synth_jpeg_progressive_assets(
                 }
             )
 
-    return ids.mapInPandas(batches, ASSET_SCHEMA)
+    return batches
 
 
-def synth_webp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+def synth_jpeg_progressive_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_jpeg_progressive_assets_batches — one Python stage over the id frame."""
+    return ids.mapInPandas(synth_jpeg_progressive_assets_batches(id_col), ASSET_SCHEMA)
+
+
+def synth_webp_assets_batches(id_col: str = "asset_id"):
     """Deterministic lossless-WebP fixture generator: for each id a REAL
     VP8L-encoded RGB image of the closed-form grid
     pixel(x, y, c) = (id*7 + 3x + 5y + 11c) mod 256,
@@ -325,7 +346,12 @@ def synth_webp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(batches, ASSET_SCHEMA)
+    return batches
+
+
+def synth_webp_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_webp_assets_batches — one Python stage over the id frame."""
+    return ids.mapInPandas(synth_webp_assets_batches(id_col), ASSET_SCHEMA)
 
 
 def _channel_sums(pixels: bytes, channels: int) -> list:
@@ -335,7 +361,7 @@ def _channel_sums(pixels: bytes, channels: int) -> list:
     return sums
 
 
-def decode_image_stats(assets: DataFrame) -> DataFrame:
+def decode_image_stats_batches():
     """REAL image decode: parse each payload's PNG stream (inflate,
     unfilter, de-interleave) and emit exact per-channel pixel sums +
     the decoded-buffer digest. Integer outputs keep the oracle compare
@@ -374,8 +400,13 @@ def decode_image_stats(assets: DataFrame) -> DataFrame:
                 ],
             )
 
+    return batches
+
+
+def decode_image_stats(assets: DataFrame) -> DataFrame:
+    """See decode_image_stats_batches — one Python stage over the payloads."""
     return assets.select("asset_id", "payload").mapInPandas(
-        batches, PIXEL_STATS_SCHEMA
+        decode_image_stats_batches(), PIXEL_STATS_SCHEMA
     )
 
 
@@ -554,7 +585,7 @@ def synth_wav_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
     return ids.mapInPandas(batches, ASSET_SCHEMA)
 
 
-def synth_flac_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+def synth_flac_assets_batches(id_col: str = "asset_id"):
     """Deterministic FLAC fixture generator: the SAME closed-form
     signal as synth_wav_assets (``s(id, n) = ((id*31 + 11*n) mod 4001)
     - 2000``, ``frames = 64 + id%33``, ``channels = 1 + id%2``,
@@ -607,10 +638,15 @@ def synth_flac_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(batches, ASSET_SCHEMA)
+    return batches
 
 
-def decode_audio_stats(assets: DataFrame) -> DataFrame:
+def synth_flac_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_flac_assets_batches — one Python stage over the id frame."""
+    return ids.mapInPandas(synth_flac_assets_batches(id_col), ASSET_SCHEMA)
+
+
+def decode_audio_stats_batches():
     """REAL audio decode: walk each payload's RIFF chunks, unpack PCM,
     and emit integer-exact DSP features (sum, energy, zero crossings)
     plus the raw-PCM digest. Arrow-batched mapInPandas, no shuffle —
@@ -652,8 +688,13 @@ def decode_audio_stats(assets: DataFrame) -> DataFrame:
                 ],
             )
 
+    return batches
+
+
+def decode_audio_stats(assets: DataFrame) -> DataFrame:
+    """See decode_audio_stats_batches — one Python stage over the payloads."""
     return assets.select("asset_id", "payload").mapInPandas(
-        batches, AUDIO_STATS_SCHEMA
+        decode_audio_stats_batches(), AUDIO_STATS_SCHEMA
     )
 
 
@@ -773,7 +814,7 @@ VIDEO_STATS_SCHEMA = StructType(
 )
 
 
-def synth_avi_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+def synth_avi_assets_batches(id_col: str = "asset_id"):
     """Deterministic AVI fixture generator: real uncompressed-DIB AVI
     files whose pixel at storage (x, y), channel c (B,G,R), frame f is
     ``(id*13 + 7f + 3x + 5y + 17c) mod 256`` with ``width = 4+id%5``
@@ -813,10 +854,15 @@ def synth_avi_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(batches, ASSET_SCHEMA)
+    return batches
 
 
-def decode_video_stats(assets: DataFrame) -> DataFrame:
+def synth_avi_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_avi_assets_batches — one Python stage over the id frame."""
+    return ids.mapInPandas(synth_avi_assets_batches(id_col), ASSET_SCHEMA)
+
+
+def decode_video_stats_batches():
     """REAL video decode: walk the AVI RIFF tree, pull each
     uncompressed DIB frame, emit one row per frame with integer-exact
     per-channel pixel sums (padding excluded). Arrow-batched
@@ -840,8 +886,13 @@ def decode_video_stats(assets: DataFrame) -> DataFrame:
                 ],
             )
 
+    return batches
+
+
+def decode_video_stats(assets: DataFrame) -> DataFrame:
+    """See decode_video_stats_batches — one Python stage over the payloads."""
     return assets.select("asset_id", "payload").mapInPandas(
-        batches, VIDEO_STATS_SCHEMA
+        decode_video_stats_batches(), VIDEO_STATS_SCHEMA
     )
 
 
@@ -854,7 +905,7 @@ DHASH_SCHEMA = StructType(
 )
 
 
-def image_dhash(assets: DataFrame) -> DataFrame:
+def image_dhash_batches():
     """Perceptual difference-hash over REAL decoded pixels: integer
     luma ((299r + 587g + 114b) // 1000), nearest-neighbor sample onto
     the canonical 9×8 dHash grid (sx = x·w//9, sy = y·h//8 — the same
@@ -891,8 +942,13 @@ def image_dhash(assets: DataFrame) -> DataFrame:
                 rows.append((aid, lo, hi))
             yield pd.DataFrame(rows, columns=["asset_id", "h_lo", "h_hi"])
 
+    return batches
+
+
+def image_dhash(assets: DataFrame) -> DataFrame:
+    """See image_dhash_batches — one Python stage over the payloads."""
     return assets.select("asset_id", "payload").mapInPandas(
-        batches, DHASH_SCHEMA
+        image_dhash_batches(), DHASH_SCHEMA
     )
 
 
@@ -951,7 +1007,7 @@ def image_neardup_pairs(
     )
 
 
-def synth_png_pairs(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+def synth_png_pairs_batches(id_col: str = "asset_id"):
     """Near-duplicate PNG pair generator: assets 2k and 2k+1 share the
     closed-form pixel grid of base=k (same dims), with the ODD asset
     perturbed at source pixel (0,0), channel 0, by +37 mod 256 — a
@@ -990,7 +1046,12 @@ def synth_png_pairs(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(batches, ASSET_SCHEMA)
+    return batches
+
+
+def synth_png_pairs(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_png_pairs_batches — one Python stage over the id frame."""
+    return ids.mapInPandas(synth_png_pairs_batches(id_col), ASSET_SCHEMA)
 
 
 AUDIO_FP_SCHEMA = StructType(
@@ -1108,7 +1169,7 @@ def audio_neardup_pairs(
     )
 
 
-def synth_gif_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+def synth_gif_assets_batches(id_col: str = "asset_id"):
     """Deterministic animated-GIF fixture generator: for each id a REAL
     LZW-compressed GIF89a (functions/gifcodec.py) of
     width = 5 + id%6, height = 4 + id%5, n_frames = 2 + id%2, palette
@@ -1157,7 +1218,12 @@ def synth_gif_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(batches, ASSET_SCHEMA)
+    return batches
+
+
+def synth_gif_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_gif_assets_batches — one Python stage over the id frame."""
+    return ids.mapInPandas(synth_gif_assets_batches(id_col), ASSET_SCHEMA)
 
 
 GIF_STATS_SCHEMA = StructType(
@@ -1173,7 +1239,7 @@ GIF_STATS_SCHEMA = StructType(
 )
 
 
-def decode_gif_stats(assets: DataFrame) -> DataFrame:
+def decode_gif_stats_batches():
     """REAL animated-GIF decode: parse each payload (LZW, interlace,
     multi-frame canvas composition) and emit the frame count plus exact
     per-channel pixel sums of the LAST composed frame."""
@@ -1194,8 +1260,13 @@ def decode_gif_stats(assets: DataFrame) -> DataFrame:
                 ],
             )
 
+    return batches
+
+
+def decode_gif_stats(assets: DataFrame) -> DataFrame:
+    """See decode_gif_stats_batches — one Python stage over the payloads."""
     return assets.select("asset_id", "payload").mapInPandas(
-        batches, GIF_STATS_SCHEMA
+        decode_gif_stats_batches(), GIF_STATS_SCHEMA
     )
 
 
@@ -1218,7 +1289,16 @@ MP3_PROBE_SCHEMA = StructType(
 )
 
 
-def synth_mp3_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+ASSET_MIN_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def synth_mp3_assets_batches(id_col: str = "asset_id"):
     """Deterministic MP3 fixture generator (functions/mp3probe.py
     mp3_write_stream): per asset_id i — rate cycles 44100/48000/32000
     (i%3), channels 1+i%2, 40+i%17 audio frames; i%4==0 streams are
@@ -1281,17 +1361,17 @@ def synth_mp3_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 }
             )
 
-    schema = StructType(
-        [
-            StructField("asset_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
+    return batches
+
+
+def synth_mp3_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_mp3_assets_batches — one Python stage over the ids."""
+    return ids.select(F.col(id_col)).mapInPandas(
+        synth_mp3_assets_batches(id_col), ASSET_MIN_SCHEMA
     )
-    return ids.select(F.col(id_col)).mapInPandas(batches, schema)
 
 
-def probe_mp3_stats(assets: DataFrame) -> DataFrame:
+def probe_mp3_stats_batches():
     """REAL MP3 stream audit (functions/mp3probe.py mp3_probe): walk
     frames, parse side info, verify CRC-16, read Xing/ID3 tags; emit
     the corpus-audit profile. Arrow-batched mapInPandas, no shuffle."""
@@ -1321,8 +1401,13 @@ def probe_mp3_stats(assets: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in MP3_PROBE_SCHEMA])
 
+    return batches
+
+
+def probe_mp3_stats(assets: DataFrame) -> DataFrame:
+    """See probe_mp3_stats_batches — one Python stage over the payloads."""
     return assets.select("asset_id", "payload").mapInPandas(
-        batches, MP3_PROBE_SCHEMA
+        probe_mp3_stats_batches(), MP3_PROBE_SCHEMA
     )
 
 
@@ -1337,7 +1422,7 @@ MJPEG_FRAME_SCHEMA = StructType(
 )
 
 
-def synth_mjpeg_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+def synth_mjpeg_assets_batches(id_col: str = "asset_id"):
     """Deterministic MJPEG-AVI fixture generator: per asset i, an AVI
     (fourcc MJPG) of 3+i%4 REAL baseline-JPEG frames built by the
     committed encoder, each frame the DC-exact uniform-block grid of
@@ -1383,10 +1468,15 @@ def synth_mjpeg_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 }
             )
 
-    return ids.mapInPandas(batches, ASSET_SCHEMA)
+    return batches
 
 
-def decode_mjpeg_frame_stats(assets: DataFrame) -> DataFrame:
+def synth_mjpeg_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_mjpeg_assets_batches — one Python stage over the id frame."""
+    return ids.mapInPandas(synth_mjpeg_assets_batches(id_col), ASSET_SCHEMA)
+
+
+def decode_mjpeg_frame_stats_batches():
     """REAL compressed-video decode: walk the MJPG AVI container,
     Huffman+DCT-decode every JPEG frame (functions/jpegcodec.py), emit
     one row per frame with its integer-exact pixel sum. Arrow-batched
@@ -1404,8 +1494,13 @@ def decode_mjpeg_frame_stats(assets: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in MJPEG_FRAME_SCHEMA]
             )
 
+    return batches
+
+
+def decode_mjpeg_frame_stats(assets: DataFrame) -> DataFrame:
+    """See decode_mjpeg_frame_stats_batches — one Python stage over the payloads."""
     return assets.select("asset_id", "payload").mapInPandas(
-        batches, MJPEG_FRAME_SCHEMA
+        decode_mjpeg_frame_stats_batches(), MJPEG_FRAME_SCHEMA
     )
 
 
@@ -1420,7 +1515,7 @@ PDF_TEXT_SCHEMA = StructType(
 )
 
 
-def synth_pdf_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+def synth_pdf_assets_batches(id_col: str = "asset_id"):
     """Deterministic PDF fixture generator (functions/pdfcodec.py
     pdf_write): per asset i — 1+i%4 pages, page p carries 1+(i+p)%3
     text lines of closed-form content (every fifth line adds a
@@ -1464,17 +1559,17 @@ def synth_pdf_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
                 }
             )
 
-    schema = StructType(
-        [
-            StructField("asset_id", LongType()),
-            StructField("media_type", StringType()),
-            StructField("payload", BinaryType()),
-        ]
+    return batches
+
+
+def synth_pdf_assets(ids: DataFrame, id_col: str = "asset_id") -> DataFrame:
+    """See synth_pdf_assets_batches — one Python stage over the ids."""
+    return ids.select(F.col(id_col)).mapInPandas(
+        synth_pdf_assets_batches(id_col), ASSET_MIN_SCHEMA
     )
-    return ids.select(F.col(id_col)).mapInPandas(batches, schema)
 
 
-def extract_pdf_text_stats(assets: DataFrame) -> DataFrame:
+def extract_pdf_text_stats_batches():
     """REAL PDF text extraction (functions/pdfcodec.py): xref walk
     (incl. /Prev chains), page tree, Flate-decoded content streams,
     BT/ET text operators — emit page/char/line counts and the md5 of
@@ -1497,8 +1592,13 @@ def extract_pdf_text_stats(assets: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=[f.name for f in PDF_TEXT_SCHEMA])
 
+    return batches
+
+
+def extract_pdf_text_stats(assets: DataFrame) -> DataFrame:
+    """See extract_pdf_text_stats_batches — one Python stage over the payloads."""
     return assets.select("asset_id", "payload").mapInPandas(
-        batches, PDF_TEXT_SCHEMA
+        extract_pdf_text_stats_batches(), PDF_TEXT_SCHEMA
     )
 
 

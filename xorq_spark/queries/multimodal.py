@@ -22,17 +22,23 @@ from xorq_spark.functions.multimodal import extract_features
 from xorq_spark.queries.base import query, t, widen
 
 
-def _fixture_ids(spark, sf_dir, bound: int, npar: int = 8):
+def _fixture_ids(spark, sf_dir, bound: int, npar: int = None):
     """Asset-id frame for the codec fixture queries, rebalanced to a
-    FEW compute partitions (not cluster width): the encode and decode
-    stages are chained Python stages, and at this asset count the
+    FEW compute partitions (not cluster width): the codec work is a
+    (now fused, round 10) Python stage, and at this asset count the
     per-task Python-runner round-trips of a 32-way layout cost more
-    than the codec work itself — measured npar sweep at sf0.1:
+    than the codec work itself — round-9 npar sweep at sf0.1:
     progressive JPEG 0.82s serial / 0.54s 8-way / 0.90s 32-way; FLAC
-    0.37 / 0.45 / 0.83. 8-way keeps heavy codecs parallel without
-    paying full-width task overhead twice, and the shuffle moves only
-    id rows. At real scale asset tables arrive in many splits and the
-    per-task batch is what amortizes the boundary (guide SS4.1)."""
+    0.37 / 0.45 / 0.83. After the round-10 DCT vectorization + stage
+    fusion the codec CPU is ~10x smaller, so the width was re-measured
+    (XORQ_MM_FIXTURE_NPAR A/B hook; interleaved 8-vs-4 over all nine
+    fixture queries: 4 wins/ties 7 of 9, geomean -6%) and the default
+    dropped to 4. At real scale asset tables arrive in many splits and
+    the per-task batch is what amortizes the boundary (guide SS4.1)."""
+    import os
+
+    if npar is None:
+        npar = int(os.environ.get("XORQ_MM_FIXTURE_NPAR", "4"))
     return (
         t(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < bound)
@@ -286,15 +292,20 @@ def mm_decode_jpeg_progressive(spark, sf_dir):
     pytest-fuzzed bit-identical to the baseline decoder:
     tests/test_jpegcodec.py.)"""
     from xorq_spark.functions.multimodal import (
-        decode_image_stats,
-        synth_jpeg_progressive_assets,
+        PIXEL_STATS_SCHEMA,
+        decode_image_stats_batches,
+        synth_jpeg_progressive_assets_batches,
+        synth_then_stats,
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return _pinned_order(
-        decode_image_stats(synth_jpeg_progressive_assets(ids)).drop("px_sha256"),
-        "asset_id",
+    stats = synth_then_stats(
+        ids,
+        synth_jpeg_progressive_assets_batches(),
+        decode_image_stats_batches(),
+        PIXEL_STATS_SCHEMA,
     )
+    return _pinned_order(stats.drop("px_sha256"), "asset_id")
 
 
 @query(
@@ -427,14 +438,20 @@ def mm_decode_avi_frames(spark, sf_dir):
     DuckDB oracle recomputes each frame's sums from the closed-form
     pixel formula. Compressed fourccs stay honestly gated."""
     from xorq_spark.functions.multimodal import (
-        decode_video_stats,
-        synth_avi_assets,
+        VIDEO_STATS_SCHEMA,
+        decode_video_stats_batches,
+        synth_avi_assets_batches,
+        synth_then_stats,
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return _pinned_order(
-        decode_video_stats(synth_avi_assets(ids)), "asset_id", "frame_idx"
+    stats = synth_then_stats(
+        ids,
+        synth_avi_assets_batches(),
+        decode_video_stats_batches(),
+        VIDEO_STATS_SCHEMA,
     )
+    return _pinned_order(stats, "asset_id", "frame_idx")
 
 
 @query(
@@ -505,13 +522,20 @@ def mm_image_dhash_pairs(spark, sf_dir):
     ENTIRE pipeline — luma, NN map, every bit, the banding, and the
     Hamming verify — from the closed-form pixel formula."""
     from xorq_spark.functions.multimodal import (
-        image_dhash,
+        DHASH_SCHEMA,
+        image_dhash_batches,
         image_neardup_pairs,
-        synth_png_pairs,
+        synth_png_pairs_batches,
+        synth_then_stats,
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    hashes = image_dhash(synth_png_pairs(ids))
+    hashes = synth_then_stats(
+        ids,
+        synth_png_pairs_batches(),
+        image_dhash_batches(),
+        DHASH_SCHEMA,
+    )
     # NOT pinned (unlike the codec chains): the banding join above
     # already materializes shuffle outputs the sort's sampling pass
     # reuses — the pin only added a barrier (A/B 1.50 vs 1.66 s).
@@ -613,15 +637,20 @@ def mm_decode_webp_stats(spark, sf_dir):
     table, predictor mode, cache slot, or backref distance cannot
     hash-match (the lossless sibling of mm_decode_jpeg_stats)."""
     from xorq_spark.functions.multimodal import (
-        decode_image_stats,
-        synth_webp_assets,
+        PIXEL_STATS_SCHEMA,
+        decode_image_stats_batches,
+        synth_then_stats,
+        synth_webp_assets_batches,
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return _pinned_order(
-        decode_image_stats(synth_webp_assets(ids)).drop("px_sha256"),
-        "asset_id",
+    stats = synth_then_stats(
+        ids,
+        synth_webp_assets_batches(),
+        decode_image_stats_batches(),
+        PIXEL_STATS_SCHEMA,
     )
+    return _pinned_order(stats.drop("px_sha256"), "asset_id")
 
 
 @query(
@@ -661,12 +690,20 @@ def mm_decode_gif_stats(spark, sf_dir):
     (KwKwK, clear-on-full and malformed-stream paths are pytest-fuzzed:
     tests/test_gifcodec.py.)"""
     from xorq_spark.functions.multimodal import (
-        decode_gif_stats,
-        synth_gif_assets,
+        GIF_STATS_SCHEMA,
+        decode_gif_stats_batches,
+        synth_gif_assets_batches,
+        synth_then_stats,
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return _pinned_order(decode_gif_stats(synth_gif_assets(ids)), "asset_id")
+    stats = synth_then_stats(
+        ids,
+        synth_gif_assets_batches(),
+        decode_gif_stats_batches(),
+        GIF_STATS_SCHEMA,
+    )
+    return _pinned_order(stats, "asset_id")
 
 
 @query(
@@ -717,15 +754,20 @@ def mm_decode_flac_stats(spark, sf_dir):
     examples; this engine decodes the dominant lossless training-audio
     format natively."""
     from xorq_spark.functions.multimodal import (
-        decode_audio_stats,
-        synth_flac_assets,
+        AUDIO_STATS_SCHEMA,
+        decode_audio_stats_batches,
+        synth_flac_assets_batches,
+        synth_then_stats,
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    assets = synth_flac_assets(ids)
-    return _pinned_order(
-        decode_audio_stats(assets).drop("pcm_sha256"), "asset_id"
+    stats = synth_then_stats(
+        ids,
+        synth_flac_assets_batches(),
+        decode_audio_stats_batches(),
+        AUDIO_STATS_SCHEMA,
     )
+    return _pinned_order(stats.drop("pcm_sha256"), "asset_id")
 
 
 @query(
@@ -924,12 +966,20 @@ def mm_probe_mp3_stats(spark, sf_dir):
     bug, or mis-shifted side-info read cannot hash-match. PCM
     synthesis stays a named gate (mp3probe.mp3_decode_pcm)."""
     from xorq_spark.functions.multimodal import (
-        probe_mp3_stats,
-        synth_mp3_assets,
+        MP3_PROBE_SCHEMA,
+        probe_mp3_stats_batches,
+        synth_mp3_assets_batches,
+        synth_then_stats,
     )
 
     ids = _fixture_ids(spark, sf_dir, 64)
-    return _pinned_order(probe_mp3_stats(synth_mp3_assets(ids)), "asset_id")
+    stats = synth_then_stats(
+        ids,
+        synth_mp3_assets_batches(),
+        probe_mp3_stats_batches(),
+        MP3_PROBE_SCHEMA,
+    )
+    return _pinned_order(stats, "asset_id")
 
 
 @query(
@@ -970,15 +1020,20 @@ def mm_decode_mjpeg_frames(spark, sf_dir):
     hash-match. This is the shape real multimodal crawl video ships:
     compressed frames in a RIFF container, not raw DIBs."""
     from xorq_spark.functions.multimodal import (
-        decode_mjpeg_frame_stats,
-        synth_mjpeg_assets,
+        MJPEG_FRAME_SCHEMA,
+        decode_mjpeg_frame_stats_batches,
+        synth_mjpeg_assets_batches,
+        synth_then_stats,
     )
 
     ids = _fixture_ids(spark, sf_dir, 48)
-    return _pinned_order(
-        decode_mjpeg_frame_stats(synth_mjpeg_assets(ids)),
-        "asset_id", "frame_id",
+    stats = synth_then_stats(
+        ids,
+        synth_mjpeg_assets_batches(),
+        decode_mjpeg_frame_stats_batches(),
+        MJPEG_FRAME_SCHEMA,
     )
+    return _pinned_order(stats, "asset_id", "frame_id")
 
 
 @query(
@@ -1029,14 +1084,20 @@ def mm_extract_pdf_text(spark, sf_dir):
     hash-match. Encrypted files, xref streams (PDF 1.5+) and non-Flate
     filters raise NotImplementedError by name."""
     from xorq_spark.functions.multimodal import (
-        extract_pdf_text_stats,
-        synth_pdf_assets,
+        PDF_TEXT_SCHEMA,
+        extract_pdf_text_stats_batches,
+        synth_pdf_assets_batches,
+        synth_then_stats,
     )
 
     ids = _fixture_ids(spark, sf_dir, 48)
-    return _pinned_order(
-        extract_pdf_text_stats(synth_pdf_assets(ids)), "asset_id"
+    stats = synth_then_stats(
+        ids,
+        synth_pdf_assets_batches(),
+        extract_pdf_text_stats_batches(),
+        PDF_TEXT_SCHEMA,
     )
+    return _pinned_order(stats, "asset_id")
 
 
 @query(
