@@ -370,8 +370,34 @@ def triangle_counts(
     # eagerly first (3 sequential driver round-trips). deg/o/adj
     # become LAZY checkpoints: still computed exactly once (each has
     # two consumers), but inside the final job chain (the pagerank
-    # pattern).
-    m_edges = e0.count()
+    # pattern). Round 10: the same single barrier also measures the id
+    # range, which gates the encoded-orientation fast path below.
+    _b = e0.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.min("u").alias("lo"),
+        F.max("v").alias("hi"),
+    ).collect()[0]
+    m_edges = _b["m"]
+    # Encoded orientation key (round 10): sort_array over
+    # struct(dt, t) dominated the adjacency-build stage's CPU (6.2
+    # CPU-s of the sf0.1 pass). When every node id fits in 31 bits
+    # (non-negative, < 2^31) and degrees do too (deg <= 2m), the pair
+    # (dt, t) packs injectively and order-preservingly into ONE long
+    # shiftleft(dt, 31) + t — long sort + long collect replace the
+    # struct forms, and the closure intersects the ENCODED keys
+    # directly (equal key <=> equal corner node, since deg(z) is a
+    # function of z). Gated on the MEASURED bounds from the barrier
+    # above; XORQ_GRAPH_ENC_ORIENT=0 restores the struct path (A/B
+    # hook). Values identical either way — same total order, same
+    # intersection cardinalities, ids decoded with a mask at the end.
+    enc = (
+        m_edges > 0
+        and _b["lo"] is not None
+        and _b["lo"] >= 0
+        and _b["hi"] < (1 << 31)
+        and 2 * m_edges < (1 << 31)
+        and os.environ.get("XORQ_GRAPH_ENC_ORIENT", "1") != "0"
+    )
     # Below the broadcast bound the whole closure is map-side over
     # checkpointed frames (the only runtime decision AQE could make is
     # stage sizing, at one driver round-trip per exchange — the
@@ -398,6 +424,16 @@ def triangle_counts(
         )
         du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
         dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+        # Below the broadcast bound the node-sized degree table rides a
+        # BroadcastExchange into BOTH orientation attaches (round 10):
+        # the static-compiled plan otherwise exchanged the EDGE list by
+        # u and again by v just to look up two degrees. Driver-memory
+        # class is the kcore note's (<= 2m node rows at the gate).
+        # XORQ_GRAPH_BC_DEG=0 restores the shuffled attach (A/B hook).
+        if m_edges <= int(broadcast_edge_bound) and os.environ.get(
+            "XORQ_GRAPH_BC_DEG", "1"
+        ) != "0":
+            du, dv = F.broadcast(du), F.broadcast(dv)
         lower_first = (F.col("du") < F.col("dv")) | (
             (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
         )
@@ -416,16 +452,30 @@ def triangle_counts(
         # order) is found exactly once: on its lowest-mid edge (x, y), as
         # z ∈ A(x) ∩ A(y). Checkpointed because both the posexplode pass
         # and the t-side attach consume it.
-        adj = (
-            o.groupBy("s")
-            .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("dt", "t"))),
-                    lambda x: x["t"],
-                ).alias("ns")
+        if enc:
+            # long-encoded (dt, t): same total order, cheaper sort and
+            # collect than struct arrays; stays encoded through the
+            # closure (see the gate note above)
+            adj = (
+                o.groupBy("s")
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.expr("shiftleft(dt, 31) + t"))
+                    ).alias("ns")
+                )
+                .localCheckpoint(eager=False)
             )
-            .localCheckpoint(eager=False)
-        )
+        else:
+            adj = (
+                o.groupBy("s")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("dt", "t"))),
+                        lambda x: x["t"],
+                    ).alias("ns")
+                )
+                .localCheckpoint(eager=False)
+            )
         # Below the bound the adjacency table (~edge-list volume in total
         # array cells) broadcasts and the t-side attach is a map-side hash
         # lookup — nothing superlinear ever crosses the wire. Above it the
@@ -444,7 +494,8 @@ def triangle_counts(
             adj.select("s", "ns", F.posexplode("ns").alias("__i", "t"))
             .select(
                 "s",
-                "t",
+                # decode the edge's t endpoint when ns is long-encoded
+                (F.expr("t & 2147483647") if enc else F.col("t")).alias("t"),
                 F.expr("slice(ns, __i + 2, size(ns))").alias("__ssuf"),
             )
             .join(a2, F.col("t") == F.col("__a2"), "left")
@@ -477,7 +528,12 @@ def triangle_counts(
                         F.transform(
                             "__common",
                             lambda z: F.struct(
-                                z.alias("node"), F.lit(1).cast("long").alias("c")
+                                (
+                                    z.bitwiseAND(F.lit(2147483647))
+                                    if enc
+                                    else z
+                                ).alias("node"),
+                                F.lit(1).cast("long").alias("c"),
                             ),
                         ),
                     )
@@ -490,6 +546,10 @@ def triangle_counts(
     finally:
         if _static is not None:
             _static.close()
+    if m_edges <= int(broadcast_edge_bound):
+        # the per-node count table is node-sized below the gate: a
+        # broadcast attach keeps deg un-exchanged for the readout
+        cnt = F.broadcast(cnt)
     return (
         deg.join(cnt, "node", "left")
         .select(
