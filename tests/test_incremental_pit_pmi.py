@@ -708,3 +708,28 @@ def test_spearman_matches_reference(spark):
         sum((b - my) ** 2 for b in yr)
     )
     assert abs(r["rho"] - round(num / den, 9)) < 1e-9
+
+
+def test_bootstrap_arrow_matches_sql(spark):
+    """Round 10: the Arrow-stage partial sums must reproduce the SQL
+    aggregate's exact integers (same md5/Carter-Wegman/inverse-CDF
+    contract) on every output column."""
+    import os
+
+    from xorq_spark.functions.stats import bootstrap_mean_ci
+
+    rows = [(i * 37 % 501 - 250, f"k{i}") for i in range(777)]
+    df = spark.createDataFrame(rows, "x long, k string")
+    prev = os.environ.get("XORQ_BOOTSTRAP_ARROW")
+    try:
+        os.environ["XORQ_BOOTSTRAP_ARROW"] = "1"
+        arrow = bootstrap_mean_ci(df, "x", "k", n_resamples=40).collect()
+        os.environ["XORQ_BOOTSTRAP_ARROW"] = "0"
+        sql = bootstrap_mean_ci(df, "x", "k", n_resamples=40).collect()
+    finally:
+        if prev is None:
+            os.environ.pop("XORQ_BOOTSTRAP_ARROW", None)
+        else:
+            os.environ["XORQ_BOOTSTRAP_ARROW"] = prev
+    assert [tuple(r) for r in arrow] == [tuple(r) for r in sql]
+    assert arrow[0]["n"] == 777

@@ -261,6 +261,19 @@ def semdedup(
     Scale: the pair join is keyed by cluster (bounded buckets, the LSH
     band shape); everything else is the kmeans cost."""
     num, den = tau
+    # Round-10 negative results (kept for the record, do not retry):
+    # (1) static_compile around the Lloyd body + pair tail measured 10%
+    # SLOWER (interleaved A/B min 1.281 AQE vs 1.411 static at sf0.1) —
+    # unlike the graph rounds, the per-invocation cost here is analyzer
+    # time over the literal-centroid assignment lineage plus collect
+    # barriers, which AQE-off does not remove, while the tail loses
+    # AQE's runtime join sizing. (2) Centroids-as-data (lit_table /
+    # broadcast frame) was not attempted: the k×d = 512-literal tree is
+    # 16x smaller than the IVF-PQ codebook that won with that change in
+    # round 9, and the 8x-smaller PQ literal measured WORSE as data —
+    # this one is smaller still. The remaining per-invocation cost is
+    # driver-side analysis + 4 inherent barriers (seeds, k-1 updates,
+    # pre-join pin, readout) — the bootstrap-class floor.
     # ONE projection carries both quantizations (kmeans qv + sim q):
     # the Lloyd loop threads q through untouched, so the assignment
     # comes back with q attached — no clusters⋈q shuffle join (and no

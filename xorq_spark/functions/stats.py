@@ -447,6 +447,21 @@ def bootstrap_mean_ci(
         F.col(key_col).cast("string").alias("__k"),
     ).where(F.col("__x").isNotNull() & F.col("__k").isNotNull())
     d = _widen(d)
+    import os
+
+    if os.environ.get("XORQ_BOOTSTRAP_ARROW", "1") != "0":
+        per_b, wide = _bootstrap_partials_arrow(d, B, P31, seed)
+    else:
+        per_b, wide = _bootstrap_partials_sql(d, B, P31, seed)
+    return _bootstrap_readout(per_b, wide, lo_pct, hi_pct)
+
+
+def _bootstrap_partials_sql(d, B, P31, seed):
+    """All-SQL partial sums: the 2B+2-buffer codegen'd aggregate (the
+    design whose measured alternatives are recorded in the
+    bootstrap_mean_ci docstring). Returns (per_b, wide)."""
+    from pyspark.sql import Window  # noqa: F401 (kept for parity)
+
     two = d.select(
         "__x",
         F.expr(f"md5(concat('{seed}|', __k))").alias("__dig"),
@@ -495,6 +510,101 @@ def bootstrap_mean_ci(
         )
         .where(F.col("__sw") > 0)
     )
+    return per_b, wide
+
+
+def _bootstrap_partials_arrow(d, B, P31, seed):
+    """Arrow-stage twin of _bootstrap_partials_sql (round 10, guide
+    §4.2): the 2B+2-buffer aggregate's VALUE is tiny, but its 82
+    expression trees cost the driver ~1.5 s of analysis/optimization
+    per invocation (data-independent — the VERDICT-named bootstrap
+    floor). Here each task computes the identical integer partial sums
+    in numpy/hashlib — md5(seed|key) hex halves mod 2^31-1, Carter-
+    Wegman u_b = (v1 + v2*b) mod P31 mod 1e6, weight = #{thresholds
+    <= u_b}, all int64 with no rounding anywhere — and emits ONE
+    partial row; a 2B-element JVM aggregate folds the partials. Same
+    committed contract, same exact integers (pinned by
+    test_bootstrap_arrow_matches_sql + the oracle hash); the plan the
+    driver analyzes is ~40 nodes instead of ~10k.
+    XORQ_BOOTSTRAP_ARROW=0 restores the all-SQL aggregate."""
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    thresholds = _POISSON1_CDF_E6
+    prefix = f"{seed}|"
+
+    def partials(it):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        TH = np.asarray(thresholds, dtype=np.int64)
+        n = 0
+        sx = 0
+        swx = np.zeros(B, dtype=np.int64)
+        sw = np.zeros(B, dtype=np.int64)
+        bs = np.arange(1, B + 1, dtype=np.int64)[:, None]
+        md5 = hashlib.md5
+        for pdf in it:
+            m = len(pdf)
+            if m == 0:
+                continue
+            xs = pdf["__x"].to_numpy(dtype=np.int64)
+            v1 = np.empty(m, dtype=np.int64)
+            v2 = np.empty(m, dtype=np.int64)
+            for i, k in enumerate(pdf["__k"].tolist()):
+                h = md5((prefix + k).encode("utf-8")).hexdigest()
+                v1[i] = int(h[:8], 16) % P31
+                t = int(h[16:24], 16) % P31
+                v2[i] = t if t > 0 else 1
+            u = (v1[None, :] + v2[None, :] * bs) % P31 % 1000000  # (B, m)
+            w = (u[:, :, None] >= TH[None, None, :]).sum(
+                axis=2, dtype=np.int64
+            )  # (B, m)
+            swx += (w * xs[None, :]).sum(axis=1)
+            sw += w.sum(axis=1)
+            n += m
+            sx += int(xs.sum())
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "sx": [sx],
+                "swx": [swx.tolist()],
+                "sw": [sw.tolist()],
+            }
+        )
+
+    part = d.mapInPandas(
+        partials, "n long, sx long, swx array<long>, sw array<long>"
+    ).localCheckpoint(eager=True)
+    per_b = (
+        part.select(
+            F.posexplode(F.arrays_zip("swx", "sw")).alias("__i", "__z")
+        )
+        .groupBy("__i")
+        .agg(
+            F.sum("__z.swx").cast("long").alias("__swx"),
+            F.sum("__z.sw").cast("long").alias("__sw"),
+        )
+        .select(
+            (F.col("__i") + 1).cast("int").alias("__b"), "__swx", "__sw"
+        )
+        .where(F.col("__sw") > 0)
+    )
+    wide = part.agg(
+        F.sum("n").cast("long").alias("__n"),
+        # sum(sx) over zero-row partials is 0, but the SQL twin's
+        # sum(__x) over an empty input is NULL — div by __n = 0 yields
+        # NULL either way, so the readout matches on empty inputs too
+        F.sum("sx").cast("long").alias("__sx"),
+    )
+    return per_b, wide
+
+
+def _bootstrap_readout(per_b, wide, lo_pct, hi_pct):
+    """Shared CI readout over the (b, swx, sw) rows + (n, sx) totals."""
+    from pyspark.sql import Window
+
     means = per_b.select(
         "__b",
         F.expr(
