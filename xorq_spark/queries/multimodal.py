@@ -56,7 +56,13 @@ def _pinned_order(df, *cols):
     action (measured: mjpeg 1.27 s -> 0.72 s with the pin). The lazy
     localCheckpoint materializes the decoded rows once inside the
     same job chain; the sample and the sort then read the pinned RDD.
-    Row content and final order are bit-identical (same orderBy)."""
+    Row content and final order are bit-identical (same orderBy).
+    XORQ_PIN_ORDER=0 restores plain orderBy (round 10 — the shared
+    A/B / plan-inspection hook queries.base.pinned_order honors)."""
+    import os
+
+    if os.environ.get("XORQ_PIN_ORDER", "1") == "0":
+        return df.orderBy(*cols)
     return df.localCheckpoint(eager=False).orderBy(*cols)
 
 
