@@ -962,6 +962,14 @@ def agg_incremental_refresh(spark, sf_dir):
             "l_extendedprice"
         ),
     )
+    # Round-10 negative result (recorded, do not retry): widening the
+    # 3-column projection and pinning it behind the q18-style scan-size
+    # gate measured FLAT-to-slightly-worse (interleaved A/B min
+    # 1.496 unpinned vs 1.531 pinned, med 1.71 vs 1.78) — the decimal
+    # partial aggregates are map-side-combinable, so the under-parallel
+    # scan's per-task cost is already the q1-class floor the r09 widen
+    # A/B found; the pin's materialization barrier eats the rebalance
+    # gain.
     base = li.where(F.expr("l_orderkey % 7 <> 0"))
     base_agg = base.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

@@ -542,9 +542,17 @@ def mm_image_dhash_pairs(spark, sf_dir):
         image_dhash_batches(),
         DHASH_SCHEMA,
     )
-    # NOT pinned (unlike the codec chains): the banding join above
-    # already materializes shuffle outputs the sort's sampling pass
-    # reuses — the pin only added a barrier (A/B 1.50 vs 1.66 s).
+    # Pin the hash frame (round 10): the banding self-join consumes it
+    # on BOTH sides, and profiling showed the fused synth+dhash Python
+    # stage materializing twice (0.26 s each, per-job attribution). The
+    # lazy checkpoint computes it once inside the first consumer's job.
+    # XORQ_PIN_ORDER=0 exposes the unpinned plan (shared hook).
+    # (r09's note about NOT pinning applied to pinned_order on the
+    # FINAL sort, which only added a barrier — that stays un-pinned.)
+    import os
+
+    if os.environ.get("XORQ_PIN_ORDER", "1") != "0":
+        hashes = hashes.localCheckpoint(eager=False)
     return (
         image_neardup_pairs(hashes, max_hamming=10)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
